@@ -1,0 +1,124 @@
+"""The query catalog: every implemented operator from SURVEY.md §2 as a
+(spark, sf_dir) -> DataFrame callable plus (where SQL-expressible) its
+DuckDB oracle twin. __spark_entry__.py re-exports these to the driver.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .conf import ensure_runtime_confs
+from .operators import dedup, multimodal, payments, relational, similarity, text, windows, wordcount
+from .sources import generator
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# name -> (query fn, oracle SQL | None for rows-only checks)
+_CATALOG: dict[str, tuple[QueryFn, str | None]] = {
+    # --- core relational tier (reference parity, SURVEY.md §2.1-2.4) ---
+    "scan_events": (payments.q_scan_events, payments.SQL_SCAN_EVENTS),
+    "project_cast": (payments.q_project_cast, payments.SQL_PROJECT_CAST),
+    "json_decode": (payments.q_json_decode, payments.SQL_JSON_DECODE),
+    "json_encode": (payments.q_json_encode, payments.SQL_JSON_ENCODE),
+    "gen_payments": (generator.q_gen_payments, generator.SQL_GEN_PAYMENTS),
+    "fx_join": (payments.q_fx_join, payments.SQL_FX_JOIN),
+    "fx_convert": (payments.q_fx_convert, payments.SQL_FX_CONVERT),
+    "filter_suspicious": (
+        payments.q_filter_suspicious,
+        payments.SQL_FILTER_SUSPICIOUS,
+    ),
+    "count_by_currency": (
+        payments.q_count_by_currency,
+        payments.SQL_COUNT_BY_CURRENCY,
+    ),
+    "payments_pipeline": (
+        payments.q_payments_pipeline,
+        payments.SQL_PAYMENTS_PIPELINE,
+    ),
+    "union_payment_streams": (
+        payments.q_union_payment_streams,
+        payments.SQL_UNION_PAYMENT_STREAMS,
+    ),
+    "tokenize_explode": (
+        wordcount.q_tokenize_explode,
+        wordcount.SQL_TOKENIZE_EXPLODE,
+    ),
+    "wordcount": (wordcount.q_wordcount, wordcount.SQL_WORDCOUNT),
+    # --- breadth tier (SURVEY.md §2.4-2.5 extension surface) ---
+    "agg_revenue": (relational.q_agg_revenue, relational.SQL_AGG_REVENUE),
+    "distinct_users": (relational.q_distinct_users, relational.SQL_DISTINCT_USERS),
+    "rollup_sales": (relational.q_rollup_sales, relational.SQL_ROLLUP_SALES),
+    "cube_sales": (relational.q_cube_sales, relational.SQL_CUBE_SALES),
+    "join_orders_customer": (
+        relational.q_join_orders_customer,
+        relational.SQL_JOIN_ORDERS_CUSTOMER,
+    ),
+    "region_revenue": (relational.q_region_revenue, relational.SQL_REGION_REVENUE),
+    "semi_join_customers": (
+        relational.q_semi_join_customers,
+        relational.SQL_SEMI_JOIN_CUSTOMERS,
+    ),
+    "anti_join_customers": (
+        relational.q_anti_join_customers,
+        relational.SQL_ANTI_JOIN_CUSTOMERS,
+    ),
+    "theta_join_parts": (
+        relational.q_theta_join_parts,
+        relational.SQL_THETA_JOIN_PARTS,
+    ),
+    "topk_spenders": (relational.q_topk_spenders, relational.SQL_TOPK_SPENDERS),
+    "rank_top_payments": (
+        relational.q_rank_top_payments,
+        relational.SQL_RANK_TOP_PAYMENTS,
+    ),
+    "window_running": (relational.q_window_running, relational.SQL_WINDOW_RUNNING),
+    "intersect_users": (relational.q_intersect_users, relational.SQL_INTERSECT_USERS),
+    "except_users": (relational.q_except_users, relational.SQL_EXCEPT_USERS),
+    "scalar_fns": (relational.q_scalar_fns, relational.SQL_SCALAR_FNS),
+    "array_fns": (relational.q_array_fns, relational.SQL_ARRAY_FNS),
+    # --- event-time windows + as-of (SURVEY.md §2.5) ---
+    "tumbling_count": (windows.q_tumbling_count, windows.SQL_TUMBLING_COUNT),
+    "sliding_count": (windows.q_sliding_count, windows.SQL_SLIDING_COUNT),
+    "session_count": (windows.q_session_count, windows.SQL_SESSION_COUNT),
+    "asof_rate": (windows.q_asof_rate, windows.SQL_ASOF_RATE),
+    # --- training-data extensions (SURVEY.md §2.6) ---
+    "dedup_exact": (dedup.q_dedup_exact, dedup.SQL_DEDUP_EXACT),
+    "dedup_near_jaccard": (
+        dedup.q_dedup_near_jaccard,
+        dedup.SQL_DEDUP_NEAR_JACCARD,
+    ),
+    "dedup_minhash": (dedup.q_dedup_minhash, dedup.SQL_DEDUP_MINHASH),
+    "sim_topk": (similarity.q_sim_topk, similarity.SQL_SIM_TOPK),
+    "sim_ann_lsh": (similarity.q_sim_ann_lsh, similarity.SQL_SIM_ANN_LSH),
+    "embed_neardup": (similarity.q_embed_neardup, similarity.SQL_EMBED_NEARDUP),
+    "token_count": (text.q_token_count, text.SQL_TOKEN_COUNT),
+    "lang_id": (text.q_lang_id, text.SQL_LANG_ID),
+    "quality_score": (text.q_quality_score, text.SQL_QUALITY_SCORE),
+    "doc_fingerprint": (text.q_doc_fingerprint, text.SQL_DOC_FINGERPRINT),
+    "text_stats": (text.q_text_stats, text.SQL_TEXT_STATS),
+    "multimodal_meta": (multimodal.q_multimodal_meta, multimodal.SQL_MULTIMODAL_META),
+    "image_features": (multimodal.q_image_features, multimodal.SQL_IMAGE_FEATURES),
+}
+
+
+def _guarded(fn: QueryFn) -> QueryFn:
+    """Apply semantics-critical runtime confs before building the plan —
+    the driver session is not ours (see conf.py)."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ensure_runtime_confs(spark)
+        return fn(spark, sf_dir)
+
+    run.__name__ = getattr(fn, "__name__", "query")
+    run.__doc__ = fn.__doc__
+    return run
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: _guarded(fn) for name, (fn, _) in _CATALOG.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in _CATALOG.items() if sql is not None}

@@ -1,0 +1,270 @@
+"""Deduplication operators for training-data pipelines (north-star
+extension, SURVEY.md §2.6): exact, n-gram Jaccard near-dup, MinHash+LSH.
+
+All variants are pure Catalyst expressions — no Python UDFs — so the hot
+path stays inside whole-stage codegen. Engine-portable hashing
+(functions/texthash.py) makes even MinHash oracle-checkable: every hash
+is md5-derived + explicit int64 arithmetic, bit-identical in DuckDB.
+
+Scale design (100 TB):
+- exact dedup groups by md5(text) (16 bytes), never by the full document
+  text — the shuffle moves fingerprints, not bodies;
+- near-dup candidate generation goes through an inverted shingle index
+  (explode -> self-join on shingle): cost is sum(freq^2) per shingle, so
+  a production run caps hot shingles (drop shingles with doc-freq above a
+  threshold — they carry ~no Jaccard signal and all the skew). The cap is
+  OFF here to keep oracle semantics exact; at 100 TB set
+  `max_shingle_freq` and/or rely on AQE skew-join splitting;
+- MinHash compresses each doc to a k-int signature before the pair join —
+  the LSH band join touches signatures only (k*8 bytes/doc), the classic
+  way to make near-dup sub-quadratic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from ..functions.texthash import (
+    MOD,
+    md5_hash_mod,
+    minhash_component,
+    sql_minhash_component,
+)
+from ..tables import load_table
+from .wordcount import tokens_col
+
+# --- exact dedup --------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content fingerprint: keep min doc_id per md5(text).
+    (dropDuplicates() keeps an *arbitrary* row — non-deterministic across
+    runs/engines — so the dedup contract is min-id-wins.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.md5(F.col("text")).alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+SQL_DEDUP_EXACT = """
+    SELECT md5(text) AS fp, MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+"""
+
+
+# --- shingling (shared by Jaccard + MinHash) -----------------------------------
+
+
+def shingles_col(toks: Column, n: int = 3) -> Column:
+    """Word n-gram shingles from a token array (empty if < n tokens)."""
+    idx = F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
+    gram = lambda i: F.concat_ws(
+        " ", *[F.element_at(toks, i + F.lit(o)) for o in range(n)]
+    )
+    return F.when(
+        F.size(toks) >= F.lit(n), F.transform(idx, gram)
+    ).otherwise(F.array().cast("array<string>"))
+
+
+SQL_SHINGLES = r"""
+    CASE WHEN len(t) >= 3 THEN
+        list_transform(generate_series(1, len(t) - 2),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+    ELSE []::VARCHAR[] END
+"""
+
+SQL_TOKS = r"list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '')"
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    return docs.select(
+        "doc_id", F.explode(F.array_distinct(shingles_col(toks))).alias("shingle")
+    )
+
+
+# --- n-gram Jaccard near-dup ----------------------------------------------------
+
+JACCARD_THRESHOLD = 0.2
+
+
+def q_dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact Jaccard over distinct 3-gram shingle sets.
+
+    Inverted-index candidate generation: only doc pairs sharing >=1
+    shingle are ever scored (|A∩B| falls out of the same self-join that
+    found the candidates — one shuffle, no second pass over the corpus).
+    jaccard = inter / (|A| + |B| - inter): integer counts, one IEEE
+    division — deterministic at any parallelism.
+    """
+    s = _doc_shingles(spark, sf_dir)
+    sizes = s.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = s.alias("a")
+    b = s.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= F.lit(JACCARD_THRESHOLD))
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+SQL_DEDUP_NEAR_JACCARD = f"""
+    WITH toks AS (
+        SELECT doc_id, {SQL_TOKS} AS t FROM documents
+    ), sh AS (
+        SELECT doc_id, unnest(list_distinct({SQL_SHINGLES})) AS shingle FROM toks
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           inter / (na.n_sh + nb.n_sh - inter) AS jaccard
+    FROM inter
+    JOIN sizes na ON na.doc_id = doc_a
+    JOIN sizes nb ON nb.doc_id = doc_b
+    WHERE inter / (na.n_sh + nb.n_sh - inter) >= {JACCARD_THRESHOLD}
+"""
+
+
+# --- MinHash + LSH ---------------------------------------------------------------
+
+# 8 affine hash functions (a*h + b) mod MOD; a,b < 2^21 so a*h < 2^51.
+MINHASH_AB = (
+    (131, 7),
+    (8191, 101),
+    (524287, 3571),
+    (999983, 65537),
+    (1299709, 9176),
+    (746777, 28657),
+    (611953, 514229),
+    (104729, 1299721),
+)
+N_HASHES = len(MINHASH_AB)
+MINHASH_EST_THRESHOLD = 0.25
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id -> array<long> MinHash signature over distinct 3-gram
+    shingles (docs with <3 tokens carry no signature)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    sh = F.array_distinct(shingles_col(toks))
+    hashes = F.array_distinct(
+        F.transform(sh, lambda s: md5_hash_mod(s))
+    )
+    sig = F.array(
+        *[minhash_component(F.col("h"), a, b) for a, b in MINHASH_AB]
+    )
+    return (
+        docs.select("doc_id", hashes.alias("h"))
+        .filter(F.size("h") > 0)
+        .select("doc_id", sig.alias("sig"))
+    )
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates: 8 bands of 1 row (candidate iff
+    ANY signature component collides), then estimated Jaccard = fraction
+    of equal components. The pair join runs over (band, value) buckets —
+    signatures only, never shingle sets — which is what keeps this
+    sub-quadratic at corpus scale."""
+    sigs = minhash_signatures(spark, sf_dir)
+    bands = sigs.select(
+        "doc_id",
+        F.posexplode(F.col("sig")).alias("band", "v"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.v") == F.col("b.v"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    matches = F.aggregate(
+        F.zip_with(
+            F.col("sig_a"),
+            F.col("sig_b"),
+            lambda x, y: F.when(x == y, F.lit(1)).otherwise(F.lit(0)),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("est_jaccard", matches / F.lit(float(N_HASHES)))
+        .filter(F.col("est_jaccard") >= F.lit(MINHASH_EST_THRESHOLD))
+        .select("doc_a", "doc_b", "est_jaccard")
+    )
+
+
+def _sql_sig_components() -> str:
+    comps = ", ".join(
+        sql_minhash_component("h", a, b) for a, b in MINHASH_AB
+    )
+    return f"[{comps}]"
+
+
+SQL_DEDUP_MINHASH = f"""
+    WITH toks AS (
+        SELECT doc_id, {SQL_TOKS} AS t FROM documents
+    ), hs AS (
+        SELECT doc_id,
+               list_distinct(list_transform(list_distinct({SQL_SHINGLES}),
+                   s -> (('0x' || substr(md5(s), 1, 15))::BIGINT) % {MOD})) AS h
+        FROM toks
+    ), sig AS (
+        SELECT doc_id, {_sql_sig_components()} AS sig
+        FROM hs WHERE len(h) > 0
+    ), bands AS (
+        SELECT doc_id,
+               unnest(generate_series(0, {N_HASHES - 1})) AS band,
+               unnest(sig) AS v
+        FROM sig
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.v = b.v AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           len(list_filter(list_transform(generate_series(1, {N_HASHES}),
+               i -> sa.sig[i] = sb.sig[i]), x -> x)) / {float(N_HASHES)}
+               AS est_jaccard
+    FROM cand
+    JOIN sig sa ON sa.doc_id = doc_a
+    JOIN sig sb ON sb.doc_id = doc_b
+    WHERE len(list_filter(list_transform(generate_series(1, {N_HASHES}),
+          i -> sa.sig[i] = sb.sig[i]), x -> x)) / {float(N_HASHES)}
+          >= {MINHASH_EST_THRESHOLD}
+"""

@@ -1,0 +1,241 @@
+"""Embedding similarity search (north-star extension, SURVEY.md §2.6).
+
+Embeddings arrive as array<float> (multimodal-opaque columns with typed
+metadata — TESTDATA.md `embeddings`); all math is done in double after an
+explicit element cast so Spark and the DuckDB oracle compute identical
+IEEE sequences (dot product = sequential left-fold in both engines).
+
+Three tiers:
+- `q_sim_topk`      exact brute-force top-k for a small query set. Each
+                    query's top-k compiles to TakeOrderedAndProject
+                    (per-partition heap + driver merge of k rows), so no
+                    global sort/shuffle of the scored corpus ever happens.
+- `q_sim_ann_lsh`   sign-random-hyperplane LSH buckets: corpus hashed once
+                    (8-bit bucket), candidates only within the query's
+                    bucket — the 100 TB path. Hyperplanes are
+                    deterministic integer grids so the oracle reproduces
+                    the exact bucketing.
+- `q_embed_neardup` all-pairs cosine >= threshold within a bucketed join
+                    (embedding-cosine near-dup dedup).
+
+No Python UDFs anywhere — zip_with/aggregate keep vector math in codegen.
+At real scale the same plans hold: the corpus side is scanned once,
+bucketed joins replace the cross join, and k rows per query cross the
+wire.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from ..tables import load_table
+
+N_QUERIES = 5  # query set = vec_id < 5
+TOP_K = 5
+NEARDUP_COS = 0.999
+
+
+def as_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product — same association order as the
+    oracle's explicit list_reduce, so results are bit-identical."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+# DuckDB twin of dot(): explicit left-fold, NOT list_dot_product (whose
+# internal accumulation order is an implementation detail).
+def sql_dot(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(0.0::DOUBLE, "
+        f"list_transform(list_zip({a}, {b}), p -> p[1] * p[2])), "
+        f"(acc, x) -> acc + x)"
+    )
+
+
+def sql_cosine(a: str, b: str) -> str:
+    return f"({sql_dot(a, b)} / (sqrt({sql_dot(a, a)}) * sqrt({sql_dot(b, b)})))"
+
+
+def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector (vec_id <
+    N_QUERIES), excluding self. One TakeOrderedAndProject per query —
+    the union of 5 independent k-row plans, no full-corpus shuffle."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    queries = [
+        (r["vec_id"], r["v"])
+        for r in emb.filter(F.col("vec_id") < N_QUERIES).collect()
+    ]
+    parts = []
+    for qid, qv in queries:
+        qcol = F.array(*[F.lit(float(x)) for x in qv])
+        scored = (
+            emb.filter(F.col("vec_id") != qid)
+            .select(
+                F.lit(qid).alias("query_id"),
+                F.col("vec_id").alias("neighbor_id"),
+                cosine(qcol, F.col("v")).alias("cos_sim"),
+            )
+            .orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+            .limit(TOP_K)
+        )
+        parts.append(scored)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+SQL_SIM_TOPK = f"""
+    WITH emb AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), q AS (
+        SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < {N_QUERIES}
+    ), scored AS (
+        SELECT query_id, e.vec_id AS neighbor_id,
+               {sql_cosine('qv', 'e.v')} AS cos_sim
+        FROM q JOIN emb e ON e.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cos_sim FROM scored
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id ASC) <= {TOP_K}
+"""
+
+
+# --- LSH (sign random hyperplanes) --------------------------------------------
+
+N_PLANES = 8
+_DIM = 64
+
+
+def _plane_weight(p: int, d: int) -> int:
+    # Deterministic integer "pseudo-random" hyperplanes in [-9, 9]:
+    # identical literals on the Spark and SQL sides.
+    return ((p * 97 + d * 31 + 13) % 19) - 9
+
+
+def _bucket_col(v: Column) -> Column:
+    """8-bit sign bucket: bit p set iff dot(v, plane_p) >= 0."""
+    bucket = F.lit(0)
+    for p in range(N_PLANES):
+        w = F.array(*[F.lit(float(_plane_weight(p, d))) for d in range(_DIM)])
+        bit = F.when(dot(v, w) >= F.lit(0.0), F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = bucket + bit
+    return bucket
+
+
+def _sql_plane(p: int) -> str:
+    return "[" + ", ".join(f"{float(_plane_weight(p, d))!r}::DOUBLE" for d in range(_DIM)) + "]"
+
+
+def _sql_bucket(v: str) -> str:
+    bits = " + ".join(
+        f"(CASE WHEN {sql_dot(v, _sql_plane(p))} >= 0.0 THEN {1 << p} ELSE 0 END)"
+        for p in range(N_PLANES)
+    )
+    return f"({bits})"
+
+
+def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k via sign-LSH: score ONLY corpus vectors in the same
+    hyperplane-sign bucket as the query. At 100 TB the bucket column is
+    precomputed/partitioned-by at ingest, so a query touches 1/2^8 of the
+    corpus; here it's derived on the fly. Recall vs exact top-k is
+    validated in tests (tests/test_similarity.py)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    bucketed = emb.withColumn("bucket", _bucket_col(F.col("v")))
+    q = bucketed.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("bucket").alias("qbucket"),
+    )
+    joined = bucketed.join(
+        F.broadcast(q),
+        (F.col("bucket") == F.col("qbucket"))
+        & (F.col("vec_id") != F.col("query_id")),
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        joined.select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("qv"), F.col("v")).alias("cos_sim"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", "cos_sim")
+    )
+
+
+SQL_SIM_ANN_LSH = f"""
+    WITH emb AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               {_sql_bucket('embedding::DOUBLE[]')} AS bucket
+        FROM embeddings
+    ), q AS (
+        SELECT vec_id AS query_id, v AS qv, bucket AS qbucket
+        FROM emb WHERE vec_id < {N_QUERIES}
+    )
+    SELECT query_id, e.vec_id AS neighbor_id,
+           {sql_cosine('qv', 'e.v')} AS cos_sim
+    FROM q JOIN emb e ON e.bucket = q.qbucket AND e.vec_id <> q.query_id
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id ASC) <= {TOP_K}
+"""
+
+
+def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-bucketed: pairs are only
+    scored within a bucket (vectors this similar agree on every
+    hyperplane sign with overwhelming probability — same contract as any
+    LSH dedup). Replaces the O(N^2) cross join with per-bucket joins."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    bucketed = emb.withColumn("bucket", _bucket_col(F.col("v")))
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cosine(F.col("a.v"), F.col("b.v")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= F.lit(NEARDUP_COS))
+    )
+
+
+SQL_EMBED_NEARDUP = f"""
+    WITH emb AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               {_sql_bucket('embedding::DOUBLE[]')} AS bucket
+        FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           {sql_cosine('a.v', 'b.v')} AS cos_sim
+    FROM emb a JOIN emb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE {sql_cosine('a.v', 'b.v')} >= {NEARDUP_COS}
+"""

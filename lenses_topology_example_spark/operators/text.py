@@ -1,0 +1,234 @@
+"""Text analysis for training-data pipelines (north-star extension,
+SURVEY.md §2.6): language-ID heuristic, quality scoring, token counting,
+document fingerprinting.
+
+All per-document — embarrassingly parallel map work with no shuffle
+except the final stats aggregations; everything is Catalyst expressions
+(regexp/array/string built-ins), zero Python in the loop, so at 100 TB
+these run at parquet-scan speed inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from ..functions.texthash import polynomial_fingerprint, sql_polynomial_fingerprint
+from ..tables import load_table
+from .dedup import SQL_TOKS
+from .wordcount import tokens_col
+
+# --- token counting -----------------------------------------------------------
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace-ish (\\W+) token count + a BPE-ish subword proxy:
+    ceil(chars/4) per token, the standard rough tokens-per-document
+    estimate when no tokenizer vocabulary is loaded."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    bpe_ish = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + F.ceil(F.length(t) / F.lit(4.0)),
+    )
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        bpe_ish.alias("n_subwords"),
+        (F.length("text") / F.size(toks)).alias("chars_per_token"),
+    )
+
+
+SQL_TOKEN_COUNT = f"""
+    WITH t AS (SELECT doc_id, text, {SQL_TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           CAST(len(toks) AS INTEGER) AS n_tokens,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(toks, s -> CAST(ceil(length(s) / 4.0) AS BIGINT))),
+               (acc, v) -> acc + v) AS n_subwords,
+           length(text) / len(toks) AS chars_per_token
+    FROM t
+"""
+
+
+# --- language ID ----------------------------------------------------------------
+
+# Marker stopwords per language; argmax with fixed tie order (en,de,es,zh).
+_LANG_MARKERS = {
+    "en": ("the", "a", "of", "and", "is"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "es": ("el", "la", "de", "y", "es"),
+    "zh": ("de", "le", "shi", "wo", "ni"),
+}
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram/stopword-heuristic language ID: score = #tokens hitting each
+    language's marker list, predict argmax (deterministic tie order).
+    A real deployment swaps the marker lists for character-n-gram
+    profiles; the dataflow (per-doc map, no shuffle) is identical."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+
+    def score(lang: str) -> Column:
+        markers = F.array(*[F.lit(m) for m in _LANG_MARKERS[lang]])
+        return F.size(F.filter(toks, lambda t: F.array_contains(markers, t)))
+
+    sc = {lang: score(lang) for lang in _LANG_MARKERS}
+    best = (
+        F.when(
+            (sc["en"] >= sc["de"]) & (sc["en"] >= sc["es"]) & (sc["en"] >= sc["zh"]),
+            F.lit("en"),
+        )
+        .when((sc["de"] >= sc["es"]) & (sc["de"] >= sc["zh"]), F.lit("de"))
+        .when(sc["es"] >= sc["zh"], F.lit("es"))
+        .otherwise(F.lit("zh"))
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        sc["en"].alias("score_en"),
+        sc["de"].alias("score_de"),
+        sc["es"].alias("score_es"),
+        sc["zh"].alias("score_zh"),
+        best.alias("pred_lang"),
+    )
+
+
+def _sql_lang_score(lang: str) -> str:
+    markers = ", ".join(f"'{m}'" for m in _LANG_MARKERS[lang])
+    return (
+        f"CAST(len(list_filter(toks, t -> list_contains([{markers}], t))) "
+        f"AS INTEGER)"
+    )
+
+
+SQL_LANG_ID = f"""
+    WITH t AS (SELECT doc_id, lang, {SQL_TOKS} AS toks FROM documents),
+    s AS (
+        SELECT doc_id, lang,
+               {_sql_lang_score('en')} AS score_en,
+               {_sql_lang_score('de')} AS score_de,
+               {_sql_lang_score('es')} AS score_es,
+               {_sql_lang_score('zh')} AS score_zh
+        FROM t
+    )
+    SELECT doc_id, lang, score_en, score_de, score_es, score_zh,
+           CASE
+             WHEN score_en >= score_de AND score_en >= score_es
+                  AND score_en >= score_zh THEN 'en'
+             WHEN score_de >= score_es AND score_de >= score_zh THEN 'de'
+             WHEN score_es >= score_zh THEN 'es'
+             ELSE 'zh'
+           END AS pred_lang
+    FROM s
+"""
+
+
+# --- quality scoring -------------------------------------------------------------
+
+_STOPWORDS = ("the", "a", "of", "and", "is", "to", "in", "it", "you", "that")
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality: length saturation + stopword ratio +
+    alphabetic ratio, combined 0.3/0.4/0.3. Single-pass per-doc exprs;
+    each component is one IEEE op chain, identical in the oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    stop = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_tok = F.size(toks)
+    len_score = F.least(F.length("text") / F.lit(500.0), F.lit(1.0))
+    stop_ratio = F.size(F.filter(toks, lambda t: F.array_contains(stop, t))) / n_tok
+    alpha_ratio = F.length(F.regexp_replace(F.lower(F.col("text")), "[^a-z ]", "")) / F.length("text")
+    score = (
+        F.lit(0.3) * len_score + F.lit(0.4) * stop_ratio + F.lit(0.3) * alpha_ratio
+    )
+    return docs.select(
+        "doc_id",
+        len_score.alias("len_score"),
+        stop_ratio.alias("stop_ratio"),
+        alpha_ratio.alias("alpha_ratio"),
+        score.alias("quality"),
+    )
+
+
+def _sql_stoplist() -> str:
+    return "[" + ", ".join(f"'{s}'" for s in _STOPWORDS) + "]"
+
+
+SQL_QUALITY_SCORE = f"""
+    WITH t AS (SELECT doc_id, text, {SQL_TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           LEAST(length(text) / 500.0, 1.0) AS len_score,
+           len(list_filter(toks, t -> list_contains({_sql_stoplist()}, t)))
+               / len(toks) AS stop_ratio,
+           length(regexp_replace(lower(text), '[^a-z ]', '', 'g'))
+               / length(text) AS alpha_ratio,
+           0.3 * LEAST(length(text) / 500.0, 1.0)
+             + 0.4 * (len(list_filter(toks, t -> list_contains({_sql_stoplist()}, t)))
+                      / len(toks))
+             + 0.3 * (length(regexp_replace(lower(text), '[^a-z ]', '', 'g'))
+                      / length(text)) AS quality
+    FROM t
+"""
+
+
+# --- fingerprinting ---------------------------------------------------------------
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two fingerprints per doc: md5 of the normalized token stream
+    (whitespace-insensitive exact fingerprint) and a rolling polynomial
+    hash over tokens (functions/texthash.py) — both engine-portable."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    normalized = F.array_join(toks, " ")
+    return docs.select(
+        "doc_id",
+        F.md5(normalized).alias("fp_md5"),
+        polynomial_fingerprint(toks).alias("fp_poly"),
+    )
+
+
+SQL_DOC_FINGERPRINT = f"""
+    WITH t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           md5(array_to_string(toks, ' ')) AS fp_md5,
+           {sql_polynomial_fingerprint('toks')} AS fp_poly
+    FROM t
+"""
+
+
+# --- corpus stats ------------------------------------------------------------------
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus statistics — the groupBy(lang) rollup a data
+    curation run reports. Decimal-sum determinism as everywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    dsum = lambda c: F.sum(c.cast("decimal(38,6)")).cast("double")
+    per_doc = docs.select(
+        "lang",
+        F.col("n_chars").cast("double").alias("chars"),
+        F.size(toks).cast("double").alias("n_tokens"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (dsum(F.col("chars")) / F.count(F.lit(1))).alias("avg_chars"),
+        (dsum(F.col("n_tokens")) / F.count(F.lit(1))).alias("avg_tokens"),
+    )
+
+
+SQL_TEXT_STATS = f"""
+    WITH t AS (
+        SELECT lang, CAST(n_chars AS DOUBLE) AS chars,
+               CAST(len({SQL_TOKS}) AS DOUBLE) AS n_tokens
+        FROM documents
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(CAST(chars AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_chars,
+           CAST(SUM(CAST(n_tokens AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_tokens
+    FROM t GROUP BY lang
+"""

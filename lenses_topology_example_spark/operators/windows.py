@@ -1,0 +1,191 @@
+"""Event-time windowing + as-of join (SURVEY.md §2.5 extension surface).
+
+The reference has no late-data/window story (processing order = Kafka
+order, PaymentsSimulator.java:58 stamps wall-clock); these are the
+Spark-native event-time operators a real deployment of the same pipeline
+needs. Batch forms here are oracle-checked; the watermarked streaming
+twins live in streaming/pipelines.py.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..tables import load_table
+from ..datamodel import CURRENCY_FOR_SQL, currency_for
+
+# --- time-window aggregations ------------------------------------------------
+
+
+def q_tumbling_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-day event-time windows x event_type. window().start for
+    an epoch-aligned tumbling window == date_trunc, which is what the
+    oracle computes. Partial agg collapses before the shuffle; in the
+    streaming twin the same plan runs incrementally with watermark-bounded
+    state."""
+    events = load_table(spark, sf_dir, "events")
+    win = F.window(F.col("ts"), "1 day")
+    return (
+        events.groupBy(win, "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("total"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total",
+        )
+    )
+
+
+SQL_TUMBLING_COUNT = """
+    SELECT DATE_TRUNC('day', ts)::TIMESTAMP AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total
+    FROM events GROUP BY 1, 2
+"""
+
+
+def q_sliding_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 day, slide 12h): every event lands in exactly 2
+    windows. Spark aligns window starts to the unix epoch; the oracle
+    reproduces the alignment with a generated series + range predicate."""
+    events = load_table(spark, sf_dir, "events")
+    win = F.window(F.col("ts"), "1 day", "12 hours")
+    return (
+        events.groupBy(win)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("window_start"), "n")
+    )
+
+
+# Series bounds chosen to cover the events table's ts range (2024-01).
+SQL_SLIDING_COUNT = """
+    WITH grid AS (
+        SELECT unnest(generate_series(TIMESTAMP '2023-12-01 00:00:00',
+                                      TIMESTAMP '2024-03-01 00:00:00',
+                                      INTERVAL 12 HOUR)) AS window_start
+    )
+    SELECT window_start, COUNT(*) AS n
+    FROM events JOIN grid
+      ON ts >= window_start AND ts < window_start + INTERVAL 1 DAY
+    GROUP BY window_start
+"""
+
+
+def q_session_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows: per-user sessions with a 30-minute inactivity gap
+    (native session_window — merge-on-overlap state op in streaming; in
+    batch a sort-within-user). Oracle is the classic gaps-and-islands
+    rewrite, proving semantic equivalence."""
+    events = load_table(spark, sf_dir, "events")
+    sess = F.session_window(F.col("ts"), "30 minutes")
+    return (
+        events.groupBy(sess, "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+SQL_SESSION_COUNT = """
+    WITH flagged AS (
+        SELECT user_id, ts,
+               -- Spark sessions are [start, last+gap): a gap of exactly
+               -- 30min starts a NEW session, hence strict '<'.
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         < INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS is_new
+        FROM events
+    ), numbered AS (
+        SELECT user_id, ts,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+        FROM flagged
+    )
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+    FROM numbered GROUP BY user_id, sess_id
+"""
+
+
+# --- as-of join ---------------------------------------------------------------
+
+# Deterministic per-currency rate-change history: 8 changes per currency
+# across the events table's January-2024 ts range. Pure int arithmetic so
+# the Spark literal table and the oracle VALUES are identical.
+_RATE_EPOCH = datetime(2024, 1, 1, tzinfo=timezone.utc)
+
+
+def _rate_changes() -> list[tuple[str, str, float]]:
+    rows = []
+    currencies = ("GBP", "USD", "EUR", "CAN", "CHF")
+    for ci, cur in enumerate(currencies):
+        for j in range(8):
+            day = 1 + j * 4  # Jan 1,5,...,29 — covers the whole ts range
+            ts = f"2024-01-{day:02d} 00:00:00"
+            # k/128 is binary-exact, so the Python literal, the Spark
+            # double, and DuckDB's decimal-literal parse are all the
+            # identical IEEE value (k/100 is not, and round-trips badly).
+            rate = 1.0 + ((ci * 7 + j * 13) % 50) / 128.0
+            rows.append((cur, ts, rate))
+    return rows
+
+
+def rate_changes_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        [(c, datetime.strptime(t, "%Y-%m-%d %H:%M:%S"), r) for c, t, r in _rate_changes()],
+        "currency string, rate_ts timestamp, rate double",
+    )
+
+
+def _rate_changes_values_sql() -> str:
+    vals = ", ".join(
+        f"('{c}', TIMESTAMP '{t}', {r!r}::DOUBLE)" for c, t, r in _rate_changes()
+    )
+    return f"(VALUES {vals}) AS rc(currency, rate_ts, rate)"
+
+
+def q_asof_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (Spark has no native one): each event picks the latest
+    rate change at-or-before its timestamp for its currency.
+
+    Implementation: collapse the (small) history into one sorted
+    array<struct> per currency, broadcast-equi-join on currency, then a
+    per-row O(k) array scan picks the as-of element. This is shuffle-free
+    on the fact side — the idiomatic scale shape for small histories. For
+    large histories the pattern is applyInPandas + pd.merge_asof per key
+    (documented alternative; not needed for a 40-row dim).
+    """
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", currency_for(F.col("user_id")).alias("currency"), "ts"
+    )
+    rc = rate_changes_df(spark)
+    packed = rc.groupBy("currency").agg(
+        F.array_sort(F.collect_list(F.struct("rate_ts", "rate"))).alias("history")
+    )
+    joined = events.join(F.broadcast(packed), "currency", "inner")
+    applicable = F.filter(
+        F.col("history"), lambda h: h.getField("rate_ts") <= F.col("ts")
+    )
+    return joined.select(
+        "event_id",
+        "currency",
+        F.element_at(applicable, -1).getField("rate").alias("asof_rate"),
+    )
+
+
+SQL_ASOF_RATE = f"""
+    WITH ev AS (
+        SELECT event_id, {CURRENCY_FOR_SQL} AS currency, ts FROM events
+    )
+    SELECT event_id, ev.currency AS currency, rate AS asof_rate
+    FROM ev ASOF JOIN {_rate_changes_values_sql()}
+      ON ev.currency = rc.currency AND ev.ts >= rc.rate_ts
+"""

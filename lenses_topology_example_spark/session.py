@@ -1,0 +1,69 @@
+"""SparkSession factory.
+
+Local testing runs on ``local[$SPARK_GRAFT_CPUS]`` (single JVM), but every
+config here is chosen to also be the right default on a 1000-executor
+cluster reading ~100 TB:
+
+- AQE on (runtime coalescing, skew-join splitting, dynamic join strategy
+  switches) — at 100 TB static shuffle-partition counts are always wrong.
+- ``spark.sql.shuffle.partitions`` defaults to the local core count; on a
+  real cluster AQE's coalescing makes the initial number a ceiling, not a
+  tuning knob.
+- Arrow enabled so any Pandas-UDF fallback paths move data in columnar
+  batches instead of pickled rows.
+- Session timezone pinned to UTC so event-time semantics are stable across
+  drivers/executors (and match the DuckDB oracle used in tests).
+- Broadcast threshold left at default 10 MB; operators that KNOW a side is
+  a small dimension pass an explicit ``F.broadcast`` hint instead of
+  relying on stats (stats may be missing on fresh parquet at scale).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def cpu_count() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "lenses-topology-example-spark",
+    *,
+    driver_memory: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the tuned SparkSession."""
+    cpus = cpu_count()
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.default.parallelism", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        # Files >128MB split; tiny test files coalesce — both sides covered
+        # by AQE + this default at cluster scale.
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        # events.parquet carries TIMESTAMP(NANOS); Spark has no ns type, so
+        # read as long and floor to µs in tables.load_table — exactly what
+        # µs-native engines (and the DuckDB oracle) do with ns parquet.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    if driver_memory:
+        builder = builder.config("spark.driver.memory", driver_memory)
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

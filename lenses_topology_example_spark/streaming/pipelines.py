@@ -1,0 +1,182 @@
+"""Structured Streaming twins of the reference's three pipelines.
+
+Reference mapping:
+- word count (sparkstreaming/App.java:66-85): kafka -> cast -> flatMap ->
+  groupBy.count -> kafka, outputMode(Update), checkpointLocation.
+  Here: any streaming text frame -> explode(split(lower)) -> count ->
+  update-mode sink; Kafka source/sink builders are provided but tests
+  drive the identical plan from a file source + memory sink
+  (batch-as-bounded-stream, processAllAvailable()).
+- payments pipeline (PaymentsService.java:42-71): one input stream, a
+  broadcast dim join, scalar multiply, and a 2-way predicate fan-out to
+  two sinks. The reference writes both outputs record-at-a-time in one
+  loop; the Spark-native equivalent with identical single-pass semantics
+  is foreachBatch: persist the micro-batch, write converted, write
+  suspicious — one source read per batch, exactly-once per sink via the
+  checkpoint (an upgrade over the reference's at-least-once, SURVEY.md
+  §3.3).
+- delivery cadence: the reference flushes per poll-batch
+  (PaymentsService.java:58-59) ≙ micro-batch trigger.
+
+State at scale: the wordcount aggregate state is bounded by |vocab|;
+event-time aggs carry watermarks so state is GC'd; for 100 TB keyspaces
+switch the state store to RocksDB
+(spark.sql.streaming.stateStore.providerClass).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..datamodel import SUSPICIOUS_THRESHOLD, currency_rates_df
+from ..operators.wordcount import tokens_col
+
+
+# --- sources ------------------------------------------------------------------
+
+
+def kafka_text_stream(
+    spark: SparkSession, brokers: str, topic: str
+) -> DataFrame:
+    """S1: the reference's kafka source (sparkstreaming/App.java:66-72
+    used format("lenses-kafka"), a metrics wrapper over stock "kafka" —
+    behaviorally identical). Returns value cast to string (P3)."""
+    return (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("subscribe", topic)
+        .load()
+        .selectExpr("CAST(value AS STRING) AS value")
+    )
+
+
+def file_text_stream(spark: SparkSession, path: str) -> DataFrame:
+    """Batch-as-bounded-stream twin for tests: text files -> value col."""
+    return spark.readStream.format("text").load(path).withColumnRenamed(
+        "value", "value"
+    )
+
+
+def rate_payments_stream(spark: SparkSession, rows_per_second: int = 13) -> DataFrame:
+    """S2 streaming twin of sources/generator.py: rate source + the same
+    deterministic column exprs (PaymentsSimulator cadence ≈ 12.5 msg/s)."""
+    from ..datamodel import currency_for
+    from ..sources.generator import _K, _M
+
+    stream = spark.readStream.format("rate").option(
+        "rowsPerSecond", str(rows_per_second)
+    ).load()
+    i = F.col("value")
+    return stream.select(
+        i.alias("payment_id"),
+        currency_for(i).alias("currency"),
+        (((i * F.lit(_K)) % F.lit(_M)) / F.lit(1000.0) + F.lit(1.0)).alias("amount"),
+        F.col("timestamp").alias("ts"),
+    )
+
+
+# --- word count ----------------------------------------------------------------
+
+
+def streaming_wordcount(lines: DataFrame) -> DataFrame:
+    """The §3.1 transform chain on a streaming frame — identical plan to
+    the batch wordcount; Spark incrementalizes it (StateStoreSave around
+    the agg) when the sink starts in update mode."""
+    return (
+        lines.select(F.explode(tokens_col(F.col("value"))).alias("word"))
+        .groupBy("word")
+        .count()
+    )
+
+
+def start_wordcount_to_memory(
+    lines: DataFrame, query_name: str = "wordcount_stream"
+) -> StreamingQuery:
+    """update-mode memory sink — the test harness twin of the reference's
+    update-mode kafka sink (sparkstreaming/App.java:79-85)."""
+    return (
+        streaming_wordcount(lines)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+
+
+def start_wordcount_to_kafka(
+    lines: DataFrame, brokers: str, topic: str, checkpoint: str
+) -> StreamingQuery:
+    """S5: keyed kafka sink, update mode + checkpoint — the reference's
+    exact sink shape (sparkstreaming/App.java:79-85)."""
+    out = streaming_wordcount(lines).selectExpr(
+        "word AS key", "CAST(count AS STRING) AS value"
+    )
+    return (
+        out.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+        .start()
+    )
+
+
+# --- payments pipeline -----------------------------------------------------------
+
+
+def convert_payments(payments: DataFrame, rates: DataFrame) -> DataFrame:
+    """stream-static broadcast join + scalar multiply (J1 + P4)."""
+    return payments.join(F.broadcast(rates), "currency", "inner").withColumn(
+        "amount_xchg", F.col("amount") * F.col("rate")
+    )
+
+
+def start_payments_fanout(
+    payments: DataFrame,
+    spark: SparkSession,
+    converted_path: str,
+    suspicious_path: str,
+    checkpoint: str,
+) -> StreamingQuery:
+    """The §3.3 dual-sink fan-out as foreachBatch: one pass over each
+    micro-batch (persist -> write both branches -> unpersist). Batch ids
+    make both parquet sinks idempotent under replay = exactly-once."""
+    rates = currency_rates_df(spark)
+    converted = convert_payments(payments, rates)
+
+    def write_both(batch: DataFrame, batch_id: int) -> None:
+        batch.persist()
+        try:
+            batch.write.mode("append").parquet(converted_path)
+            batch.filter(
+                F.col("amount_xchg") < F.lit(float(SUSPICIOUS_THRESHOLD))
+            ).write.mode("append").parquet(suspicious_path)
+        finally:
+            batch.unpersist()
+
+    return (
+        converted.writeStream.foreachBatch(write_both)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
+# --- event-time aggregation (watermarked) ----------------------------------------
+
+
+def windowed_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 day",
+    watermark: str = "2 days",
+) -> DataFrame:
+    """Watermarked tumbling-window counts — the late-data story the
+    reference lacks (SURVEY.md §2.5): state for windows older than the
+    watermark is emitted and dropped, bounding state size at any scale."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("window_start"), "event_type", "n")
+    )

@@ -1,0 +1,45 @@
+"""Loaders for the driver-provided parquet tables (TESTDATA.md).
+
+All queries take ``(spark, sf_dir)`` and load via these helpers so the
+scan always goes through the vectorized parquet reader with pushdown;
+callers `.select(...)`/`.filter(...)` immediately after load so Catalyst
+prunes columns and partitions at the source.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimensions that are always safe to broadcast on a join (bounded row
+# counts independent of scale factor: region=5, nation=25, plus the 5-row
+# FX dim from datamodel). supplier/part/customer grow with SF — NOT here.
+BROADCAST_SAFE = frozenset({"region", "nation"})
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # ts is TIMESTAMP(NANOS) on disk (read as long nanos via
+        # spark.sql.legacy.parquet.nanosAsLong); floor to µs — the same
+        # truncation every µs-native engine applies to ns parquet.
+        from pyspark.sql import functions as F
+
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        ).select("event_id", "ts", "user_id", "event_type", "value", "props")
+    return df
