@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line:
+    {"metric": "suite_seconds", "value": N, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": 0.1}
+
+Each query is forced through the noop sink (full plan execution, zero
+result-materialization overhead on the driver) — the number measures the
+engine, not toPandas().
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from lenses_topology_example_spark import catalog
+from lenses_topology_example_spark.session import DEFAULT_SF_DIR, get_spark
+
+# Headline set: every tier represented — flagship pipeline, heavy aggs +
+# joins, windows, dedup (exact/minhash/jaccard), similarity (exact + LSH),
+# text analysis, multimodal decode plumbing.
+HEADLINE = (
+    "payments_pipeline",
+    "wordcount",
+    "agg_revenue",
+    "join_orders_customer",
+    "region_revenue",
+    "topk_spenders",
+    "rank_top_payments",
+    "window_running",
+    "tumbling_count",
+    "session_count",
+    "asof_rate",
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_near_jaccard",
+    "sim_topk",
+    "sim_ann_lsh",
+    "embed_neardup",
+    "text_stats",
+    "doc_fingerprint",
+    "image_features",
+    "gen_payments",
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    spark = get_spark("bench", driver_memory="90g")
+
+    qs = catalog.queries()
+
+    # Warm up the JVM (codegen, parquet reader, shuffle machinery) so
+    # per-query numbers measure the operators, not session start.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    timings: dict[str, float] = {}
+    t_suite = time.perf_counter()
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        df = qs[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+    total = round(time.perf_counter() - t_suite, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

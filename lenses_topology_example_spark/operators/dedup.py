@@ -81,12 +81,28 @@ SQL_SHINGLES = r"""
 SQL_TOKS = r"list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '')"
 
 
-def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, t: array<string>) token table, MATERIALIZED (persist).
+
+    Catalyst's CollapseProject would otherwise inline the tokenizer into
+    every consumer expression — the shingle lambda's element_at calls
+    alone would re-run split+filter ~3x per shingle per doc (measured
+    10x+ blowup at sf0.1). At 100 TB the token/shingle tables are written
+    to storage once and every dedup pass reads them; persist() is the
+    in-session equivalent of that boundary.
+    """
     docs = load_table(spark, sf_dir, "documents")
-    toks = tokens_col(F.col("text"))
-    return docs.select(
-        "doc_id", F.explode(F.array_distinct(shingles_col(toks))).alias("shingle")
-    )
+    return docs.select("doc_id", tokens_col(F.col("text")).alias("t")).persist()
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) inverted-index rows over distinct 3-gram
+    shingles, built from the materialized token table."""
+    toks = _doc_tokens(spark, sf_dir)
+    return toks.select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles_col(F.col("t")))).alias("shingle"),
+    ).persist()
 
 
 # --- n-gram Jaccard near-dup ----------------------------------------------------
@@ -168,20 +184,22 @@ MINHASH_EST_THRESHOLD = 0.25
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """doc_id -> array<long> MinHash signature over distinct 3-gram
     shingles (docs with <3 tokens carry no signature)."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = tokens_col(F.col("text"))
-    sh = F.array_distinct(shingles_col(toks))
+    toks = _doc_tokens(spark, sf_dir)
+    sh = F.array_distinct(shingles_col(F.col("t")))
     hashes = F.array_distinct(
         F.transform(sh, lambda s: md5_hash_mod(s))
     )
     sig = F.array(
         *[minhash_component(F.col("h"), a, b) for a, b in MINHASH_AB]
     )
-    return (
-        docs.select("doc_id", hashes.alias("h"))
-        .filter(F.size("h") > 0)
-        .select("doc_id", sig.alias("sig"))
-    )
+    # Two materialization boundaries: `h` (so the 8 sig components + the
+    # size filter evaluate the md5 pipeline ONCE per row instead of 17x —
+    # CollapseProject would inline it) and `sig` (reused by the band
+    # explode and both sides of the candidate join). The signature table
+    # is k*8 bytes/doc — at 100 TB scale it is written out once and
+    # reused by every dedup pass; persist() is the in-session form.
+    hashed = toks.select("doc_id", hashes.alias("h")).filter(F.size("h") > 0).persist()
+    return hashed.select("doc_id", sig.alias("sig")).persist()
 
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
