@@ -1,0 +1,76 @@
+"""Dedup operators on a crafted corpus with known duplicates — the
+synthetic testdata has no true dups, so these prove the operators
+actually find what they claim to find."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from lenses_topology_example_spark.operators.dedup import (
+    q_dedup_exact,
+    q_dedup_minhash,
+    q_dedup_near_jaccard,
+    shingles_col,
+)
+from lenses_topology_example_spark.operators.wordcount import tokens_col
+
+_BASE = (
+    "the quick brown fox jumps over the lazy dog near the river bank today"
+)
+_NEAR = (
+    "the quick brown fox jumps over the lazy dog near the river bank tonight"
+)
+_OTHER = "completely different words about spark query engines and columnar scans"
+
+
+@pytest.fixture(scope="module")
+def crafted_sf_dir(spark, tmp_path_factory):
+    """A fake sf_dir containing a documents.parquet with known dups."""
+    d = tmp_path_factory.mktemp("crafted")
+    rows = [
+        (0, _BASE, "en", "src0", len(_BASE)),
+        (1, _BASE, "en", "src1", len(_BASE)),  # exact dup of 0
+        (2, _NEAR, "en", "src2", len(_NEAR)),  # near dup of 0/1
+        (3, _OTHER, "en", "src3", len(_OTHER)),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    return str(d)
+
+
+def test_exact_dedup_finds_dup(spark, crafted_sf_dir):
+    out = {r["keeper_id"]: r["n_copies"] for r in q_dedup_exact(spark, crafted_sf_dir).collect()}
+    assert out[0] == 2  # docs 0 and 1 collapse, min-id wins
+    assert out[2] == 1 and out[3] == 1
+
+
+def test_jaccard_finds_near_dup(spark, crafted_sf_dir):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in q_dedup_near_jaccard(spark, crafted_sf_dir).collect()
+    }
+    assert pairs[(0, 1)] == 1.0  # identical shingle sets
+    assert pairs[(0, 2)] > 0.7  # one word differs
+    assert (0, 3) not in pairs and (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_minhash_finds_near_dup(spark, crafted_sf_dir):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["est_jaccard"]
+        for r in q_dedup_minhash(spark, crafted_sf_dir).collect()
+    }
+    assert pairs[(0, 1)] == 1.0  # identical signature
+    assert pairs.get((0, 2), 0.0) >= 0.5  # near dup collides on most bands
+    assert (0, 3) not in pairs
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([("a b c d",), ("a b",)], "text string")
+    out = df.select(
+        shingles_col(tokens_col(F.col("text"))).alias("sh")
+    ).collect()
+    assert out[0]["sh"] == ["a b c", "b c d"]
+    assert out[1]["sh"] == []  # < 3 tokens -> no shingles

@@ -1,0 +1,98 @@
+"""Structured Streaming twins: batch-as-bounded-stream equivalence
+(SURVEY.md §5) — the streaming plans must produce the batch answers."""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from lenses_topology_example_spark.datamodel import CORPUS_LINES
+from lenses_topology_example_spark.sources.generator import gen_payments_df
+from lenses_topology_example_spark.streaming.pipelines import (
+    start_payments_fanout,
+    start_wordcount_to_memory,
+    windowed_counts,
+)
+
+
+def test_streaming_wordcount_matches_batch(spark, tmp_path):
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    (corpus / "lines.txt").write_text("\n".join(CORPUS_LINES))
+
+    lines = spark.readStream.format("text").load(str(corpus))
+    q = start_wordcount_to_memory(lines, "wc_stream_test")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        r["word"]: r["count"]
+        for r in spark.sql("SELECT * FROM wc_stream_test").collect()
+    }
+    golden: Counter = Counter()
+    for line in CORPUS_LINES:
+        golden.update(t for t in re.split(r"\W+", line.lower()) if t)
+    assert got == dict(golden)
+
+
+def test_payments_fanout_dual_sink(spark, tmp_path):
+    src = tmp_path / "payments_in"
+    gen_payments_df(spark, n=2000).write.parquet(str(src))
+    stream = spark.readStream.schema(
+        "payment_id long, currency string, amount double, ts timestamp"
+    ).parquet(str(src))
+
+    conv_dir = str(tmp_path / "converted")
+    susp_dir = str(tmp_path / "suspicious")
+    q = start_payments_fanout(
+        stream, spark, conv_dir, susp_dir, str(tmp_path / "ckpt")
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    converted = spark.read.parquet(conv_dir)
+    suspicious = spark.read.parquet(susp_dir)
+    # all 5 generator currencies are known -> nothing dropped
+    assert converted.count() == 2000
+    n_susp_from_converted = converted.filter(F.col("amount_xchg") < 10000).count()
+    assert suspicious.count() == n_susp_from_converted
+    assert suspicious.filter(F.col("amount_xchg") >= 10000).count() == 0
+
+
+def test_windowed_counts_watermarked(spark, tmp_path):
+    src = tmp_path / "events_in"
+    gen_payments_df(spark, n=1000).select(
+        F.col("ts"), F.col("currency").alias("event_type")
+    ).write.parquet(str(src))
+    stream = spark.readStream.schema("ts timestamp, event_type string").parquet(
+        str(src)
+    )
+    agg = windowed_counts(stream, ts_col="ts", window="1 minute", watermark="5 minutes")
+    q = (
+        agg.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("win_stream_test")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.sql("SELECT sum(n) AS total FROM win_stream_test").collect()
+    assert out[0]["total"] == 1000
+
+
+def test_decode_image_stub_raises():
+    from lenses_topology_example_spark.operators.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"abc")
+    assert decode_image(b"abc", fake=True) == decode_image(b"abc", fake=True)

@@ -1,0 +1,60 @@
+"""Topology layer: DAG derived from the plan + metrics from progress
+(the reference's __topology / __topology__metrics surface)."""
+
+from __future__ import annotations
+
+import json
+import time
+
+from lenses_topology_example_spark.operators.payments import q_payments_pipeline
+from lenses_topology_example_spark.plans.topology import (
+    MetricsPublisher,
+    node_types_of,
+    topology_json,
+    topology_of,
+)
+from lenses_topology_example_spark.streaming.pipelines import (
+    start_wordcount_to_memory,
+)
+from lenses_topology_example_spark.datamodel import CORPUS_LINES
+
+
+def test_flagship_dag_shape(spark, sf_dir):
+    df = q_payments_pipeline(spark, sf_dir)
+    types = node_types_of(df)
+    # the §3.3 pipeline: source topics, projection, join, filter, groupby
+    for expected in ("TOPIC", "SELECT", "JOIN", "WHERE", "GROUPBY"):
+        assert expected in types, f"missing {expected} in {types}"
+
+
+def test_dag_edges_are_consistent(spark, sf_dir):
+    topo = topology_of(q_payments_pipeline(spark, sf_dir), "payments-app")
+    ids = {n["id"] for n in topo["nodes"]}
+    for n in topo["nodes"]:
+        for p in n["parents"]:
+            assert p in ids and p < n["id"]  # post-order: children first
+    assert topo["appName"] == "payments-app"
+    # round-trips as JSON
+    assert json.loads(topology_json(q_payments_pipeline(spark, sf_dir)))
+
+
+def test_metrics_publisher(spark, tmp_path):
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    (corpus / "lines.txt").write_text("\n".join(CORPUS_LINES))
+    lines = spark.readStream.format("text").load(str(corpus))
+    q = start_wordcount_to_memory(lines, "metrics_test")
+    samples: list[dict] = []
+    pub = MetricsPublisher(q, samples.append, interval_ms=200).start()
+    try:
+        q.processAllAvailable()
+        deadline = time.time() + 10
+        while not samples and time.time() < deadline:
+            time.sleep(0.1)
+    finally:
+        pub.stop()
+        q.stop()
+    assert samples, "no metrics samples published"
+    s = samples[0]
+    assert s["numInputRows"] is not None
+    assert s["queryId"]
