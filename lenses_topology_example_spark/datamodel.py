@@ -78,8 +78,15 @@ def currency_rates_df(spark: SparkSession) -> DataFrame:
     casts to DECIMAL(38,6) only at aggregation boundaries, where decimal
     summation gives order-independent exact results at any parallelism.
     """
-    rows = [(c, float(r)) for c, r in CURRENCY_RATES.items()]
-    return spark.createDataFrame(rows, "currency string, rate double")
+    # Built via SQL VALUES -> a JVM-side LocalRelation: broadcasting it
+    # never touches the Python-RDD slow path (createDataFrame from local
+    # rows plans as Scan ExistingRDD over a pickled RDD).
+    rows = ", ".join(
+        f"('{c}', CAST('{float(r)!r}' AS DOUBLE))" for c, r in CURRENCY_RATES.items()
+    )
+    return spark.sql(
+        f"SELECT col1 AS currency, col2 AS rate FROM VALUES {rows}"
+    )
 
 
 def corpus_df(spark: SparkSession) -> DataFrame:

@@ -139,9 +139,14 @@ def _rate_changes() -> list[tuple[str, str, float]]:
 
 
 def rate_changes_df(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(
-        [(c, datetime.strptime(t, "%Y-%m-%d %H:%M:%S"), r) for c, t, r in _rate_changes()],
-        "currency string, rate_ts timestamp, rate double",
+    # SQL VALUES -> JVM LocalRelation (no Python-RDD scan; see
+    # datamodel.currency_rates_df).
+    rows = ", ".join(
+        f"('{c}', TIMESTAMP '{t}', CAST('{r!r}' AS DOUBLE))"
+        for c, t, r in _rate_changes()
+    )
+    return spark.sql(
+        f"SELECT col1 AS currency, col2 AS rate_ts, col3 AS rate FROM VALUES {rows}"
     )
 
 
