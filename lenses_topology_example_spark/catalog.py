@@ -10,7 +10,18 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from .conf import ensure_runtime_confs
-from .operators import dedup, multimodal, payments, relational, similarity, text, windows, wordcount
+from .operators import (
+    dedup,
+    multimodal,
+    payments,
+    relational,
+    relational2,
+    similarity,
+    sinks,
+    text,
+    windows,
+    wordcount,
+)
 from .sources import generator
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -78,6 +89,18 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "except_users": (relational.q_except_users, relational.SQL_EXCEPT_USERS),
     "scalar_fns": (relational.q_scalar_fns, relational.SQL_SCALAR_FNS),
     "array_fns": (relational.q_array_fns, relational.SQL_ARRAY_FNS),
+    "pivot_status": (relational2.q_pivot_status, relational2.SQL_PIVOT_STATUS),
+    "unpivot_part": (relational2.q_unpivot_part, relational2.SQL_UNPIVOT_PART),
+    "grouping_sets": (relational2.q_grouping_sets, relational2.SQL_GROUPING_SETS),
+    "filtered_agg": (relational2.q_filtered_agg, relational2.SQL_FILTERED_AGG),
+    "percentiles": (relational2.q_percentiles, relational2.SQL_PERCENTILES),
+    "string_fns2": (relational2.q_string_fns2, relational2.SQL_STRING_FNS2),
+    "date_fns2": (relational2.q_date_fns2, relational2.SQL_DATE_FNS2),
+    "window_fns2": (relational2.q_window_fns2, relational2.SQL_WINDOW_FNS2),
+    "sql_top_customers": (
+        relational2.q_sql_top_customers,
+        relational2.SQL_SQL_TOP_CUSTOMERS,
+    ),
     # --- event-time windows + as-of (SURVEY.md §2.5) ---
     "tumbling_count": (windows.q_tumbling_count, windows.SQL_TUMBLING_COUNT),
     "sliding_count": (windows.q_sliding_count, windows.SQL_SLIDING_COUNT),
@@ -90,6 +113,7 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
         dedup.SQL_DEDUP_NEAR_JACCARD,
     ),
     "dedup_minhash": (dedup.q_dedup_minhash, dedup.SQL_DEDUP_MINHASH),
+    "dedup_simhash": (dedup.q_dedup_simhash, dedup.SQL_DEDUP_SIMHASH),
     "sim_topk": (similarity.q_sim_topk, similarity.SQL_SIM_TOPK),
     "sim_ann_lsh": (similarity.q_sim_ann_lsh, similarity.SQL_SIM_ANN_LSH),
     "embed_neardup": (similarity.q_embed_neardup, similarity.SQL_EMBED_NEARDUP),
@@ -100,6 +124,8 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "text_stats": (text.q_text_stats, text.SQL_TEXT_STATS),
     "multimodal_meta": (multimodal.q_multimodal_meta, multimodal.SQL_MULTIMODAL_META),
     "image_features": (multimodal.q_image_features, multimodal.SQL_IMAGE_FEATURES),
+    # --- side-effecting sink (rows-only driver check, no oracle) ---
+    "sink_parquet": (sinks.q_sink_parquet, None),
 }
 
 

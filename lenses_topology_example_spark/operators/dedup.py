@@ -166,6 +166,65 @@ SQL_DEDUP_NEAR_JACCARD = f"""
 
 # --- MinHash + LSH ---------------------------------------------------------------
 
+# --- SimHash -----------------------------------------------------------------
+
+N_SIMHASH_BITS = 16
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document over distinct token hashes: bit j is
+    set iff sum over tokens of (+1 if bit j of md5-hash set else -1)
+    is >= 0. Near-dup docs land at small Hamming distance; dedup then
+    buckets on simhash (exact-match buckets here; a production pass also
+    bands bit-slices for distance<=k). All integer ops — exact oracle
+    parity — and one pass over the materialized token table."""
+    toks = _doc_tokens(spark, sf_dir)
+    from ..functions.texthash import md5_hash64
+
+    hashes = F.array_distinct(
+        F.transform(F.col("t"), lambda tk: md5_hash64(tk))
+    )
+    hcol = F.col("h")
+
+    def bit_vote(j: int) -> Column:
+        return F.aggregate(
+            hcol,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + (F.shiftright(h, j).bitwiseAND(F.lit(1)) * F.lit(2) - F.lit(1)),
+        )
+
+    sim = F.lit(0)
+    for j in range(N_SIMHASH_BITS):
+        sim = sim + F.when(bit_vote(j) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+    hashed = toks.select("doc_id", hashes.alias("h")).filter(F.size("h") > 0).persist()
+    return hashed.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+def _sql_bit_vote(j: int) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(h, x -> ((x >> {j}) & 1) * 2 - 1)), (a, b) -> a + b)"
+    )
+
+
+SQL_DEDUP_SIMHASH = f"""
+    WITH toks AS (
+        SELECT doc_id, {SQL_TOKS} AS t FROM documents
+    ), hs AS (
+        SELECT doc_id,
+               list_distinct(list_transform(t,
+                   s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS h
+        FROM toks
+    )
+    SELECT doc_id,
+           CAST({" + ".join(f"(CASE WHEN {_sql_bit_vote(j)} >= 0 THEN {1 << j} ELSE 0 END)" for j in range(N_SIMHASH_BITS))} AS BIGINT) AS simhash
+    FROM hs WHERE len(h) > 0
+"""
+
+
+# --- MinHash + LSH ---------------------------------------------------------------
+
 # 8 affine hash functions (a*h + b) mod MOD; a,b < 2^21 so a*h < 2^51.
 MINHASH_AB = (
     (131, 7),

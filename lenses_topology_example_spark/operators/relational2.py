@@ -1,0 +1,280 @@
+"""Relational breadth tier 2: pivot/unpivot, grouping sets, filtered
+aggregates, exact percentiles, extended string/date/window function
+surface, and the SQL-API entry path (SURVEY.md §2.5).
+
+Same determinism contract as relational.py. Where Spark and DuckDB
+disagree on a function's *convention* (dayofweek origin, epoch return
+type), the oracle adapts the convention — never the value semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from ..tables import load_table
+from .relational import dsum, dsum_sql
+
+
+def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order counts + revenue per priority x status. Explicit
+    value list => single-pass pivot aggregate, no second job to discover
+    pivot values (that discovery scan is the classic pivot perf trap)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+        .withColumnsRenamed({"O": "n_open", "F": "n_filled", "P": "n_partial"})
+        .na.fill(0, ["n_open", "n_filled", "n_partial"])
+    )
+
+
+SQL_PIVOT_STATUS = """
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_filled,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_partial
+    FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q_unpivot_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt via stack(): wide part attributes -> long (key,val).
+    stack is a Generate (flatMap-shaped), zero shuffle."""
+    part = load_table(spark, sf_dir, "part")
+    return part.selectExpr(
+        "p_partkey",
+        "stack(2, 'size', CAST(p_size AS DOUBLE), "
+        "'retailprice', p_retailprice) AS (metric, val)",
+    )
+
+
+SQL_UNPIVOT_PART = """
+    SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS val FROM part
+    UNION ALL
+    SELECT p_partkey, 'retailprice' AS metric, p_retailprice AS val FROM part
+"""
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS with grouping() disambiguation — the general form
+    of rollup/cube, via the SQL API (same Catalyst Expand plan)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("li_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               grouping(l_returnflag) AS g_flag,
+               grouping(l_linestatus) AS g_status,
+               COUNT(*) AS n
+        FROM li_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+SQL_GROUPING_SETS = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(grouping(l_returnflag) AS TINYINT) AS g_flag,
+           CAST(grouping(l_linestatus) AS TINYINT) AS g_status,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
+def q_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (FILTER-clause semantics) — one pass over
+    events computing per-type slices without separate scans."""
+    events = load_table(spark, sf_dir, "events")
+    is_purchase = F.col("event_type") == "purchase"
+    is_error = F.col("event_type") == "error"
+    return events.groupBy(F.col("user_id")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count(F.when(is_purchase, 1)).alias("n_purchases"),
+        dsum(F.when(is_purchase, F.col("value")).otherwise(F.lit(0.0))).alias(
+            "purchase_value"
+        ),
+        F.count(F.when(is_error, 1)).alias("n_errors"),
+        F.max(F.when(is_purchase, F.col("value"))).alias("max_purchase"),
+    )
+
+
+SQL_FILTERED_AGG = f"""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchases,
+           {dsum_sql("CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END")}
+               AS purchase_value,
+           COUNT(*) FILTER (WHERE event_type = 'error') AS n_errors,
+           MAX(value) FILTER (WHERE event_type = 'purchase') AS max_purchase
+    FROM events GROUP BY user_id
+"""
+
+
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark `percentile`;
+    oracle quantile_cont — both the standard linear interpolation).
+    At 100 TB swap to percentile_approx (t-digest sketch, mergeable,
+    one pass) — kept exact here because the oracle is exact."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.9)").alias("p90"),
+        F.expr("percentile(value, 0.99)").alias("p99"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+    )
+
+
+SQL_PERCENTILES = """
+    SELECT event_type,
+           quantile_cont(value, 0.5) AS p50,
+           quantile_cont(value, 0.9) AS p90,
+           quantile_cont(value, 0.99) AS p99,
+           MIN(value) AS vmin,
+           MAX(value) AS vmax
+    FROM events GROUP BY event_type
+"""
+
+
+def q_string_fns2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended string library over part names — all codegen'd."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.regexp_extract("p_name", r"(\w+)$", 1).alias("last_word"),
+        F.lpad("p_brand", 12, "*").alias("brand_padded"),
+        F.rpad("p_type", 20, ".").alias("type_padded"),
+        F.translate("p_brand", "#", "_").alias("brand_tr"),
+        F.regexp_replace("p_name", "[aeiou]", "").alias("name_novowels"),
+        F.expr("split_part(p_type, ' ', 1)").alias("type_head"),
+        F.reverse(F.col("p_brand")).alias("brand_rev"),
+        F.instr(F.col("p_name"), "o").alias("first_o"),
+        F.repeat(F.lit("-"), F.col("p_size") % 5).alias("dashes"),
+        F.initcap(F.lit("hello world")).alias("cap"),
+    )
+
+
+SQL_STRING_FNS2 = r"""
+    SELECT p_partkey,
+           regexp_extract(p_name, '(\w+)$', 1) AS last_word,
+           lpad(p_brand, 12, '*') AS brand_padded,
+           rpad(p_type, 20, '.') AS type_padded,
+           translate(p_brand, '#', '_') AS brand_tr,
+           regexp_replace(p_name, '[aeiou]', '', 'g') AS name_novowels,
+           split_part(p_type, ' ', 1) AS type_head,
+           reverse(p_brand) AS brand_rev,
+           CAST(strpos(p_name, 'o') AS INTEGER) AS first_o,
+           repeat('-', CAST(p_size % 5 AS INTEGER)) AS dashes,
+           'Hello World' AS cap
+    FROM part
+"""
+
+
+def q_date_fns2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended date/time library over orders. Convention bridges: Spark
+    dayofweek is 1=Sunday (oracle adds 1 to DuckDB's 0=Sunday); epoch is
+    bigint (oracle casts)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.add_months(F.col("o_orderdate"), 1).cast("timestamp").alias("next_month"),
+        F.last_day(F.col("o_orderdate")).cast("timestamp").alias("month_end"),
+        F.dayofweek("o_orderdate").alias("dow"),
+        F.dayofyear("o_orderdate").alias("doy"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.unix_timestamp("o_orderdate").alias("epoch_s"),
+        F.date_add(F.col("o_orderdate"), 30).cast("timestamp").alias("plus30"),
+        F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate")).alias(
+            "days_to_2002"
+        ),
+    )
+
+
+SQL_DATE_FNS2 = """
+    SELECT o_orderkey,
+           (o_orderdate + INTERVAL 1 MONTH)::TIMESTAMP AS next_month,
+           last_day(o_orderdate)::TIMESTAMP AS month_end,
+           CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+           CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
+           CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+           CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+           (o_orderdate::DATE + 30)::TIMESTAMP AS plus30,  -- date+int, not
+           -- +INTERVAL 30 DAY: DuckDB 1.0 CSE treats INTERVAL 1 MONTH ==
+           -- INTERVAL 30 DAY (month normalized to 30d) and merges it with
+           -- next_month's expression, yielding the wrong date
+           CAST(date_diff('day', o_orderdate, DATE '2002-01-01') AS INTEGER)
+               AS days_to_2002
+    FROM orders
+"""
+
+
+def q_window_fns2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking/distribution window functions under a total order
+    (value desc, event_id) so every engine agrees on ties."""
+    events = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy(F.col("value").desc(), F.col("event_id"))
+    frame = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return events.select(
+        "event_type",
+        "event_id",
+        F.dense_rank().over(w).alias("drank"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("prank"),
+        F.cume_dist().over(w).alias("cdist"),
+        F.first_value(F.col("event_id")).over(frame).alias("top_event"),
+        F.last_value(F.col("event_id")).over(frame).alias("bottom_event"),
+        F.lead(F.col("event_id"), 1).over(w).alias("next_event"),
+    )
+
+
+SQL_WINDOW_FNS2 = """
+    SELECT event_type, event_id,
+           CAST(DENSE_RANK() OVER w AS INTEGER) AS drank,
+           CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
+           PERCENT_RANK() OVER w AS prank,
+           CUME_DIST() OVER w AS cdist,
+           FIRST_VALUE(event_id) OVER wf AS top_event,
+           LAST_VALUE(event_id) OVER wf AS bottom_event,
+           LEAD(event_id, 1) OVER w AS next_event
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY value DESC, event_id),
+           wf AS (PARTITION BY event_type ORDER BY value DESC, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+def q_sql_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-API path end-to-end (temp views + correlated EXISTS +
+    ORDER BY/LIMIT with tiebreak) — Catalyst plans it identically to the
+    DataFrame form; declared separately to pin the SQL surface."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("cust_sql")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_sql")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS spend
+        FROM cust_sql JOIN orders_sql ON o_custkey = c_custkey
+        WHERE EXISTS (
+            SELECT 1 FROM orders_sql o2
+            WHERE o2.o_custkey = c_custkey AND o2.o_orderpriority = '1-URGENT'
+        )
+        GROUP BY c_custkey, c_name
+        ORDER BY spend DESC, c_custkey
+        LIMIT 20
+        """
+    )
+
+
+SQL_SQL_TOP_CUSTOMERS = """
+    SELECT c_custkey, c_name,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS spend
+    FROM customer JOIN orders ON o_custkey = c_custkey
+    WHERE EXISTS (
+        SELECT 1 FROM orders o2
+        WHERE o2.o_custkey = c_custkey AND o2.o_orderpriority = '1-URGENT'
+    )
+    GROUP BY c_custkey, c_name
+    ORDER BY spend DESC, c_custkey
+    LIMIT 20
+"""
