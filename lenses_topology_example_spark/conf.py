@@ -16,6 +16,10 @@ All three are runtime-settable SQL confs (no JVM restart needed).
 
 from __future__ import annotations
 
+import os
+import tempfile
+import zipfile
+
 from pyspark.sql import SparkSession
 
 _RUNTIME_CONFS = {
@@ -23,6 +27,41 @@ _RUNTIME_CONFS = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
 }
+
+_SHIPPED_APPS: set[str] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make this package importable inside Python workers.
+
+    The driver may import __spark_entry__.py by path from an arbitrary
+    cwd, so workers unpickling a pandas UDF defined in this package hit
+    ModuleNotFoundError unless the package is shipped via addPyFile
+    (which appends it to every worker's sys.path)."""
+    app_id = spark.sparkContext.applicationId
+    if app_id in _SHIPPED_APPS:
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zpath = os.path.join(
+        tempfile.gettempdir(),
+        f"lenses_topology_example_spark_pyfiles.{os.getpid()}.zip",
+    )
+    if not os.path.exists(zpath):
+        tmp = zpath + ".tmp"
+        with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for fn in files:
+                    if not fn.endswith(".py"):
+                        continue
+                    full = os.path.join(root, fn)
+                    rel = os.path.join(
+                        "lenses_topology_example_spark",
+                        os.path.relpath(full, pkg_dir),
+                    )
+                    zf.write(full, rel)
+        os.replace(tmp, zpath)
+    spark.sparkContext.addPyFile(zpath)
+    _SHIPPED_APPS.add(app_id)
 
 
 def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
@@ -32,4 +71,5 @@ def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
                 spark.conf.set(k, v)
         except Exception:
             spark.conf.set(k, v)
+    _ship_package(spark)
     return spark
