@@ -57,6 +57,7 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
         wordcount.SQL_TOKENIZE_EXPLODE,
     ),
     "wordcount": (wordcount.q_wordcount, wordcount.SQL_WORDCOUNT),
+    "scan_lines": (wordcount.q_scan_lines, wordcount.SQL_SCAN_LINES),
     # --- breadth tier (SURVEY.md §2.4-2.5 extension surface) ---
     "agg_revenue": (relational.q_agg_revenue, relational.SQL_AGG_REVENUE),
     "distinct_users": (relational.q_distinct_users, relational.SQL_DISTINCT_USERS),
@@ -86,6 +87,10 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     ),
     "window_running": (relational.q_window_running, relational.SQL_WINDOW_RUNNING),
     "intersect_users": (relational.q_intersect_users, relational.SQL_INTERSECT_USERS),
+    "semi_join_suspicious": (
+        payments.q_semi_join_suspicious,
+        payments.SQL_SEMI_JOIN_SUSPICIOUS,
+    ),
     "except_users": (relational.q_except_users, relational.SQL_EXCEPT_USERS),
     "scalar_fns": (relational.q_scalar_fns, relational.SQL_SCALAR_FNS),
     "array_fns": (relational.q_array_fns, relational.SQL_ARRAY_FNS),
@@ -116,6 +121,7 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "dedup_simhash": (dedup.q_dedup_simhash, dedup.SQL_DEDUP_SIMHASH),
     "sim_topk": (similarity.q_sim_topk, similarity.SQL_SIM_TOPK),
     "sim_ann_lsh": (similarity.q_sim_ann_lsh, similarity.SQL_SIM_ANN_LSH),
+    "sim_ann_ivf": (similarity.q_sim_ann_ivf, similarity.SQL_SIM_ANN_IVF),
     "embed_neardup": (similarity.q_embed_neardup, similarity.SQL_EMBED_NEARDUP),
     "token_count": (text.q_token_count, text.SQL_TOKEN_COUNT),
     "lang_id": (text.q_lang_id, text.SQL_LANG_ID),

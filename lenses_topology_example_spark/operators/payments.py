@@ -233,6 +233,44 @@ SQL_PAYMENTS_PIPELINE = f"""
 """
 
 
+def q_semi_join_suspicious(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join (SURVEY.md §2.3 extension): all events of users who made
+    at least one suspicious payment. LEFT SEMI keeps the probe side's
+    columns only and short-circuits on first match — at scale the build
+    side (distinct suspicious users, ~0.5% selectivity pre-distinct) is
+    orders of magnitude smaller than the fact and broadcast-eligible."""
+    events = load_table(spark, sf_dir, "events")
+    rates = currency_rates_df(spark)
+    converted = (
+        events.select(
+            "user_id",
+            currency_for(F.col("user_id")).alias("currency"),
+            (F.col("value") * F.lit(1000.0)).alias("amount"),
+        )
+        .join(F.broadcast(rates), "currency", "inner")
+        .withColumn("amount_xchg", F.col("amount") * F.col("rate"))
+    )
+    susp_users = converted.filter(
+        F.col("amount_xchg") < F.lit(float(SUSPICIOUS_THRESHOLD))
+    ).select("user_id")
+    return events.join(susp_users, "user_id", "left_semi").select(
+        "event_id", "user_id", "event_type"
+    )
+
+
+SQL_SEMI_JOIN_SUSPICIOUS = f"""
+    SELECT event_id, user_id, event_type FROM events e
+    WHERE EXISTS (
+        SELECT 1
+        FROM events s
+        JOIN {RATES_VALUES_SQL}
+          ON rates.currency = {CURRENCY_FOR_SQL.replace("user_id", "s.user_id")}
+        WHERE s.user_id = e.user_id
+          AND s.value * 1000.0 * rate < 10000.0
+    )
+"""
+
+
 def q_union_payment_streams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set op: the inverse of the reference's two-way fan-out
     (PaymentsService.java:93-96) — suspicious UNION ALL non-suspicious

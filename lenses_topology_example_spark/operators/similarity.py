@@ -202,6 +202,126 @@ SQL_SIM_ANN_LSH = f"""
 """
 
 
+# --- IVF (inverted-file index, fixed coarse codebook) -----------------------------
+
+K_CELLS = 16  # codebook size
+N_PROBE = 3  # cells scanned per query
+_CB_LO = N_QUERIES  # codebook = corpus vectors [5, 21) — the deterministic
+_CB_HI = N_QUERIES + K_CELLS  # stand-in for an offline-trained quantizer
+
+
+def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k via IVF: every corpus vector is assigned to its nearest
+    codebook centroid (one inverted list per cell); a query scores only
+    the N_PROBE cells whose centroids are closest to it.
+
+    This is the production ANN layout at 100 TB: the cell id is a
+    partition column written at ingest, so a query reads N_PROBE/K of the
+    corpus via partition pruning — no index structure beyond parquet
+    layout. The codebook here is a fixed slice of the corpus (real
+    deployments train it offline with k-means; a fixed codebook keeps the
+    operator deterministic and oracle-checkable — recall depends on
+    codebook quality, not plan correctness, see tests/test_similarity.py).
+
+    Assignment = broadcast nested-loop join against K_CELLS rows + one
+    row_number per vector: O(N*K) fused scoring, no shuffle of the corpus
+    beyond the final per-query top-k.
+    """
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    cent = (
+        emb.filter((F.col("vec_id") >= _CB_LO) & (F.col("vec_id") < _CB_HI))
+        .select(F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"))
+    )
+    by_vec = W.partitionBy("vec_id").orderBy(
+        F.col("cos_c").desc(), F.col("cent_id").asc()
+    )
+    assigned = (
+        emb.join(F.broadcast(cent))
+        .select(
+            "vec_id", "v", "cent_id", cosine(F.col("cv"), F.col("v")).alias("cos_c")
+        )
+        .withColumn("rn", F.row_number().over(by_vec))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", F.col("cent_id").alias("cell"))
+    )
+    probes = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .join(F.broadcast(cent))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            "cent_id",
+            cosine(F.col("cv"), F.col("v")).alias("cos_c"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy(
+                    F.col("cos_c").desc(), F.col("cent_id").asc()
+                )
+            ),
+        )
+        .filter(F.col("rn") <= N_PROBE)
+        .select("query_id", "qv", F.col("cent_id").alias("cell"))
+    )
+    by_query = W.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        assigned.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("qv"), F.col("v")).alias("cos_sim"),
+        )
+        .withColumn("rn", F.row_number().over(by_query))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", "cos_sim")
+    )
+
+
+SQL_SIM_ANN_IVF = f"""
+    WITH emb AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), cent AS (
+        SELECT vec_id AS cent_id, v AS cv FROM emb
+        WHERE vec_id >= {_CB_LO} AND vec_id < {_CB_HI}
+    ), assigned AS (
+        SELECT vec_id, v, cent_id AS cell
+        FROM (
+            SELECT e.vec_id, e.v, c.cent_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {sql_cosine('c.cv', 'e.v')} DESC, c.cent_id ASC
+                   ) AS rn
+            FROM emb e CROSS JOIN cent c
+        ) WHERE rn = 1
+    ), probes AS (
+        SELECT query_id, qv, cent_id AS cell
+        FROM (
+            SELECT e.vec_id AS query_id, e.v AS qv, c.cent_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {sql_cosine('c.cv', 'e.v')} DESC, c.cent_id ASC
+                   ) AS rn
+            FROM emb e CROSS JOIN cent c
+            WHERE e.vec_id < {N_QUERIES}
+        ) WHERE rn <= {N_PROBE}
+    )
+    SELECT query_id, a.vec_id AS neighbor_id,
+           {sql_cosine('p.qv', 'a.v')} AS cos_sim
+    FROM probes p JOIN assigned a USING (cell)
+    WHERE a.vec_id <> p.query_id
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id ASC) <= {TOP_K}
+"""
+
+
 def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, LSH-bucketed: pairs are only
     scored within a bucket (vectors this similar agree on every

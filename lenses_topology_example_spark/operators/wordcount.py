@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..datamodel import CORPUS_LINES
 from ..tables import load_table
 
 # kstreams App.java:102 — lowercase, split on non-word runs.
@@ -74,6 +75,29 @@ def q_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_WORDCOUNT = rf"""
     SELECT word, COUNT(*) AS n FROM ({SQL_TOKENIZE_EXPLODE}) GROUP BY word
 """
+
+
+def q_scan_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4: the fixed 15-line corpus source (sparkstreaming App.java:99-115;
+    identical in kstreams/akkastreams). VALUES -> JVM LocalRelation, keyed
+    by line_no for a stable compare."""
+    rows = ", ".join(
+        f"({i}, '" + line.replace("'", "''") + "')"
+        for i, line in enumerate(CORPUS_LINES)
+    )
+    return spark.sql(
+        f"SELECT col1 AS line_no, col2 AS line FROM VALUES {rows}"
+    )
+
+
+SQL_SCAN_LINES = (
+    "SELECT * FROM (VALUES "
+    + ", ".join(
+        f"({i}, '" + line.replace("'", "''") + "')"
+        for i, line in enumerate(CORPUS_LINES)
+    )
+    + ") AS corpus(line_no, line)"
+)
 
 
 def wordcount_on(df: DataFrame, text_col: str = "value") -> DataFrame:

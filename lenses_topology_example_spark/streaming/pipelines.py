@@ -162,6 +162,82 @@ def start_payments_fanout(
     )
 
 
+# --- custom stateful operator (applyInPandasWithState) ---------------------------
+
+
+def streaming_running_count(words: DataFrame) -> DataFrame:
+    """The KTable changelog (kstreams App.java:109) as an explicit custom
+    stateful operator: per-word running total kept in the state store,
+    one (word, n) update emitted per group per micro-batch.
+
+    `groupBy(word).count()` in update mode is the declarative form Spark
+    optimizes itself; this is the `applyInPandasWithState` escape hatch
+    the reference's arbitrary per-record Java lambdas would need — state
+    is per-key (shuffle-partitioned, RocksDB-able), batches arrive as
+    Arrow pandas frames, and timeouts are available for TTL semantics.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"word": [key[0]], "n": [n]})
+
+    return words.groupBy("word").applyInPandasWithState(
+        update,
+        outputStructType="word string, n long",
+        stateStructType="n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# --- streaming dedup --------------------------------------------------------------
+
+
+def streaming_dedup(
+    events: DataFrame, key_cols: list[str], ts_col: str = "ts", watermark: str = "1 hour"
+) -> DataFrame:
+    """Exactly-once-per-key stream dedup with bounded state:
+    dropDuplicatesWithinWatermark keeps a key's fingerprint only until the
+    watermark passes it, so state size is rate x watermark, not the full
+    key history — the only viable form at 100 TB/day ingest. (Plain
+    dropDuplicates on a stream would grow state forever.)"""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )
+
+
+# --- stream-stream join -----------------------------------------------------------
+
+
+def streaming_join_payments_audit(
+    payments: DataFrame, audits: DataFrame, max_delay: str = "10 minutes"
+) -> DataFrame:
+    """Watermarked stream-stream inner join: each payment matched to its
+    audit record arriving within `max_delay`. Both sides are watermarked
+    and the join condition carries the time bound, so Spark can GC both
+    state stores — an unbounded-delay stream-stream join would buffer one
+    side forever. The reference has no stream-stream join; this is the
+    §2.3 extension surface."""
+    p = payments.withWatermark("ts", max_delay)
+    a = (
+        audits.withWatermark("audit_ts", max_delay)
+        .withColumnRenamed("payment_id", "audit_payment_id")
+    )
+    return p.join(
+        a,
+        F.expr(
+            "payment_id = audit_payment_id AND "
+            f"audit_ts BETWEEN ts AND ts + INTERVAL {max_delay}"
+        ),
+        "inner",
+    )
+
+
 # --- event-time aggregation (watermarked) ----------------------------------------
 
 

@@ -9,6 +9,7 @@ from lenses_topology_example_spark.operators.similarity import (
     TOP_K,
     as_double,
     cosine,
+    q_sim_ann_ivf,
     q_sim_ann_lsh,
     q_sim_topk,
 )
@@ -52,6 +53,29 @@ def test_ann_is_subset_quality(spark, sf_dir):
     exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
     ann_set = {(r["query_id"], r["neighbor_id"]) for r in ann}
     assert ann_set & exact_set, "ANN found none of the exact top-k"
+
+
+def test_ivf_quality(spark, sf_dir):
+    """IVF invariants: k results per query, no self-matches, scores never
+    beat the exact answer, and the probed cells recover a nonzero share
+    of the exact top-k."""
+    exact = q_sim_topk(spark, sf_dir).collect()
+    ivf = q_sim_ann_ivf(spark, sf_dir).collect()
+    by_query: dict[int, list] = {}
+    for r in ivf:
+        by_query.setdefault(r["query_id"], []).append(r)
+        assert r["neighbor_id"] != r["query_id"]
+    assert set(by_query) == {0, 1, 2, 3, 4}
+    best_exact = {}
+    for r in exact:
+        best_exact[r["query_id"]] = max(
+            best_exact.get(r["query_id"], -2.0), r["cos_sim"]
+        )
+    for r in ivf:
+        assert r["cos_sim"] <= best_exact[r["query_id"]] + 1e-12
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    ivf_set = {(r["query_id"], r["neighbor_id"]) for r in ivf}
+    assert ivf_set & exact_set, "IVF found none of the exact top-k"
 
 
 def test_embedding_dim(spark, sf_dir):

@@ -15,6 +15,9 @@ from lenses_topology_example_spark.sources.generator import gen_payments_df
 from lenses_topology_example_spark.streaming.pipelines import (
     start_payments_fanout,
     start_wordcount_to_memory,
+    streaming_dedup,
+    streaming_join_payments_audit,
+    streaming_running_count,
     windowed_counts,
 )
 
@@ -88,6 +91,92 @@ def test_windowed_counts_watermarked(spark, tmp_path):
         q.stop()
     out = spark.sql("SELECT sum(n) AS total FROM win_stream_test").collect()
     assert out[0]["total"] == 1000
+
+
+def test_streaming_running_count_stateful(spark, tmp_path):
+    """applyInPandasWithState running count == batch wordcount after the
+    last micro-batch (final state IS the KTable)."""
+    corpus = tmp_path / "corpus_state"
+    corpus.mkdir()
+    (corpus / "lines.txt").write_text("\n".join(CORPUS_LINES))
+    lines = spark.readStream.format("text").load(str(corpus))
+    from lenses_topology_example_spark.operators.wordcount import tokens_col
+
+    words = lines.select(F.explode(tokens_col(F.col("value"))).alias("word"))
+    q = (
+        streaming_running_count(words)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("running_count_test")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # last update per word = final running count
+    got = {
+        r["word"]: r["n"]
+        for r in spark.sql(
+            "SELECT word, max(n) AS n FROM running_count_test GROUP BY word"
+        ).collect()
+    }
+    golden: Counter = Counter()
+    for line in CORPUS_LINES:
+        golden.update(t for t in re.split(r"\W+", line.lower()) if t)
+    assert got == dict(golden)
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    src = tmp_path / "dup_payments"
+    base = gen_payments_df(spark, n=500)
+    base.unionByName(base).write.parquet(str(src))  # every row twice
+    stream = spark.readStream.schema(
+        "payment_id long, currency string, amount double, ts timestamp"
+    ).parquet(str(src))
+    deduped = streaming_dedup(stream, ["payment_id"], ts_col="ts", watermark="1 hour")
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_stream_test")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.sql(
+        "SELECT count(*) AS n, count(DISTINCT payment_id) AS d FROM dedup_stream_test"
+    ).collect()[0]
+    assert out["n"] == 500 and out["d"] == 500
+
+
+def test_stream_stream_join(spark, tmp_path):
+    pay_dir, audit_dir = tmp_path / "ss_pay", tmp_path / "ss_audit"
+    payments = gen_payments_df(spark, n=400)
+    payments.write.parquet(str(pay_dir))
+    # audit record 1 minute after each payment
+    payments.select(
+        "payment_id", (F.col("ts") + F.expr("INTERVAL 1 MINUTE")).alias("audit_ts")
+    ).write.parquet(str(audit_dir))
+    p_stream = spark.readStream.schema(
+        "payment_id long, currency string, amount double, ts timestamp"
+    ).parquet(str(pay_dir))
+    a_stream = spark.readStream.schema("payment_id long, audit_ts timestamp").parquet(
+        str(audit_dir)
+    )
+    joined = streaming_join_payments_audit(p_stream, a_stream)
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ss_join_test")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert spark.sql("SELECT count(*) AS n FROM ss_join_test").collect()[0]["n"] == 400
 
 
 def test_decode_image_stub_raises():
