@@ -43,6 +43,7 @@ HEADLINE = (
     "dedup_near_jaccard",
     "sim_topk",
     "sim_ann_lsh",
+    "sim_ann_ivf",
     "embed_neardup",
     "text_stats",
     "doc_fingerprint",

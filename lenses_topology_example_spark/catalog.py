@@ -130,6 +130,8 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "text_stats": (text.q_text_stats, text.SQL_TEXT_STATS),
     "multimodal_meta": (multimodal.q_multimodal_meta, multimodal.SQL_MULTIMODAL_META),
     "image_features": (multimodal.q_image_features, multimodal.SQL_IMAGE_FEATURES),
+    "audio_features": (multimodal.q_audio_features, multimodal.SQL_AUDIO_FEATURES),
+    "frame_sample": (multimodal.q_frame_sample, multimodal.SQL_FRAME_SAMPLE),
     # --- side-effecting sink (rows-only driver check, no oracle) ---
     "sink_parquet": (sinks.q_sink_parquet, None),
 }

@@ -123,6 +123,124 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_features(binary_assets(spark, sf_dir), fake=True)
 
 
+def decode_audio(payload: bytes, *, fake: bool = False) -> tuple[int, int, int]:
+    """Decode an audio payload -> (n_samples, sample_rate, rms_milli).
+
+    Real decoding needs soundfile/ffmpeg — NOT in this container; the fake
+    path is pure integer arithmetic over the bytes (n_samples = byte count,
+    a fixed 16 kHz rate, "RMS" = mean byte value x 10) so the plumbing is
+    oracle-checkable end-to-end.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "audio decoding requires soundfile/ffmpeg; not present in this "
+            "environment — pass fake=True for the deterministic test codec"
+        )
+    n = len(payload)
+    rms_milli = (sum(payload) * 10) // n if n else 0
+    return n, 16_000, rms_milli
+
+
+AUDIO_SCHEMA = "doc_id long, n_samples int, sample_rate int, rms_milli int"
+
+
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction over opaque binary payloads via
+    mapInPandas (Arrow batches; codec init amortized per batch)."""
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [decode_audio(p, fake=True) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_samples": [f[0] for f in feats],
+                    "sample_rate": [f[1] for f in feats],
+                    "rms_milli": [f[2] for f in feats],
+                }
+            )
+
+    assets = binary_assets(spark, sf_dir)
+    return assets.select("doc_id", "payload").mapInPandas(
+        decode_batches, schema=AUDIO_SCHEMA
+    )
+
+
+# Fake audio decoder in SQL: byte sum over the whole utf-8 payload.
+_SQL_BYTESUM = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform("
+    "generate_series(1, octet_length(encode(text))), "
+    "i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))), (a, b) -> a + b)"
+)
+
+SQL_AUDIO_FEATURES = f"""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INTEGER) AS n_samples,
+           16000 AS sample_rate,
+           CAST(CASE WHEN octet_length(encode(text)) = 0 THEN 0
+                ELSE ({_SQL_BYTESUM} * 10) // octet_length(encode(text))
+                END AS INTEGER) AS rms_milli
+    FROM documents
+"""
+
+
+FRAME_SAMPLE_EVERY = 7  # keep every 7th frame
+
+FRAME_SCHEMA = "doc_id long, frame_no int, frame_md5 string"
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling: one input row fans out to its kept frames
+    (every FRAME_SAMPLE_EVERY-th of n_frames), each "frame" a byte slice
+    of the payload, fingerprinted with md5.
+
+    Built from native exprs only — sequence() + explode does the fan-out
+    and substring/md5 the per-frame work, so the whole operator stays in
+    codegen (a real frame extractor would swap the slice for an ffmpeg
+    call inside mapInPandas, same shape as decode_features)."""
+    assets = binary_assets(spark, sf_dir)
+    n = F.length(F.col("payload"))
+    n_frames = F.lit(1) + F.pmod(n, F.lit(30))  # same rule as decode_image
+    frame_w = F.greatest(n / n_frames, F.lit(1)).cast("int")
+    return (
+        assets.select(
+            "doc_id",
+            "payload",
+            F.explode(
+                F.sequence(F.lit(0), n_frames - 1, F.lit(FRAME_SAMPLE_EVERY))
+            ).alias("frame_no"),
+            frame_w.alias("w"),
+        )
+        .select(
+            "doc_id",
+            "frame_no",
+            F.md5(
+                F.expr("substring(payload, frame_no * w + 1, w)")
+            ).alias("frame_md5"),
+        )
+    )
+
+
+# Oracle works on the text twin of the payload (corpus is ASCII, so byte
+# slices == character slices; md5 of the same bytes either way).
+SQL_FRAME_SAMPLE = f"""
+    WITH b AS (
+        SELECT doc_id, text,
+               octet_length(encode(text)) AS n,
+               1 + (octet_length(encode(text)) % 30) AS n_frames
+        FROM documents
+    ), f AS (
+        SELECT doc_id, text,
+               CAST(GREATEST(n // n_frames, 1) AS INTEGER) AS w,
+               UNNEST(range(0, n_frames, {FRAME_SAMPLE_EVERY})) AS frame_no
+        FROM b
+    )
+    SELECT doc_id, CAST(frame_no AS INTEGER) AS frame_no,
+           md5(substr(text, frame_no * w + 1, w)) AS frame_md5
+    FROM f
+"""
+
+
 # The fake decoder in SQL: checksum = sum of first 64 bytes.
 _SQL_CHECKSUM = (
     "list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform("
