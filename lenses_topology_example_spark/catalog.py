@@ -106,6 +106,9 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
         relational2.q_sql_top_customers,
         relational2.SQL_SQL_TOP_CUSTOMERS,
     ),
+    "returned_items": (relational2.q_returned_items, relational2.SQL_RETURNED_ITEMS),
+    "promo_revenue": (relational2.q_promo_revenue, relational2.SQL_PROMO_REVENUE),
+    "late_shipments": (relational2.q_late_shipments, relational2.SQL_LATE_SHIPMENTS),
     # --- event-time windows + as-of (SURVEY.md §2.5) ---
     "tumbling_count": (windows.q_tumbling_count, windows.SQL_TUMBLING_COUNT),
     "sliding_count": (windows.q_sliding_count, windows.SQL_SLIDING_COUNT),

@@ -244,6 +244,107 @@ SQL_WINDOW_FNS2 = """
 """
 
 
+def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-shaped: revenue lost to returned items per customer,
+    top 20. Join order matters at scale: lineitem is filtered on the
+    scan (returnflag pushdown) BEFORE the orders join, and
+    customer/nation are the small build sides — Catalyst+AQE picks
+    broadcast for both at this SF; at 100 TB customer becomes a
+    shuffle join while nation stays broadcast."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(dsum(revenue).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+SQL_RETURNED_ITEMS = f"""
+    SELECT c_custkey, c_name, n_name,
+           {dsum_sql("l_extendedprice * (1.0 - l_discount)")} AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+"""
+
+
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shaped: promo revenue share in one month. The
+    two-aggregate ratio is a single pass (conditional sum / total sum);
+    part is the broadcast build side."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-02-01").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    promo = F.when(F.col("p_type").startswith("PROMO"), revenue).otherwise(
+        F.lit(0.0)
+    )
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (F.lit(100.0) * dsum(promo) / dsum(revenue)).alias("promo_pct"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+SQL_PROMO_REVENUE = f"""
+    SELECT 100.0 * {dsum_sql(
+        "CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1.0 - l_discount) "
+        "ELSE 0.0 END")}
+           / {dsum_sql("l_extendedprice * (1.0 - l_discount)")} AS promo_pct,
+           COUNT(*) AS n_lineitems
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1997-02-01'
+"""
+
+
+def q_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-flavored (adapted: testdata has no commit/receipt dates):
+    per order priority, lineitems shipped more than 60 days after the
+    order date vs on-time — one joined pass, conditional counts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    lag_days = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.when(lag_days > 60, 1)).alias("n_late"),
+            F.count(F.when(lag_days <= 60, 1)).alias("n_ontime"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+SQL_LATE_SHIPMENTS = """
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE date_diff('day', o_orderdate, l_shipdate) > 60)
+               AS n_late,
+           COUNT(*) FILTER (WHERE date_diff('day', o_orderdate, l_shipdate) <= 60)
+               AS n_ontime
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+"""
+
+
 def q_sql_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SQL-API path end-to-end (temp views + correlated EXISTS +
     ORDER BY/LIMIT with tiebreak) — Catalyst plans it identically to the

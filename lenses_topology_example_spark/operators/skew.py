@@ -1,0 +1,54 @@
+"""Skew-mitigation join strategies (100 TB design lever, SURVEY.md §4).
+
+The reference keys everything by currency/word — 5-key and Zipf-head
+distributions are exactly the shapes that melt a naive shuffle join at
+scale: one reducer gets the "the"/"USD" partition and runs for hours.
+
+Two remedies, in preference order:
+1. AQE skew-join splitting (`spark.sql.adaptive.skewJoin.enabled`, on by
+   default in session.get_spark): Spark splits oversized shuffle blocks
+   at runtime — zero code. Use it whenever both sides are shuffleable.
+2. Explicit salting (this module) for the cases AQE can't fix: the
+   skewed side's hot keys are spread across `n_salts` sub-keys and the
+   other side is replicated per salt. Works for any join the planner
+   must execute as a shuffle join, costs n_salts x replication of the
+   small side, and preserves exact join semantics (proved by
+   tests/test_skew.py equivalence check).
+
+No reference counterpart (the reference never shuffles — single
+process); this is engine infrastructure, exercised by tests, not a
+driver-contract query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    key: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join `skewed` with `other` on `key`, salting the skewed side.
+
+    The salt must be deterministic (rand() breaks retried tasks,
+    monotonically_increasing_id depends on partition layout), so it is
+    pmod(xxhash64(<all columns>), n_salts): stable per row content, and
+    it spreads a hot key's rows as long as their payloads differ
+    (identical full rows are literal duplicates — co-locating them is
+    harmless).
+
+    `other` is exploded across all n_salts values (n_salts x small-side
+    rows), so every (key, salt) bucket finds its match. The output drops
+    the salt column — semantics identical to skewed.join(other, key).
+    """
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(n_salts))
+    left = skewed.withColumn("__salt", salt)
+    right = other.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    out = left.join(right, [key, "__salt"], how)
+    return out.drop("__salt")
