@@ -18,6 +18,7 @@ from .operators import (
     relational2,
     similarity,
     sinks,
+    sketches,
     text,
     windows,
     wordcount,
@@ -135,6 +136,10 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "image_features": (multimodal.q_image_features, multimodal.SQL_IMAGE_FEATURES),
     "audio_features": (multimodal.q_audio_features, multimodal.SQL_AUDIO_FEATURES),
     "frame_sample": (multimodal.q_frame_sample, multimodal.SQL_FRAME_SAMPLE),
+    # --- engine-specific sketches (rows-only; accuracy contract in
+    # tests/test_sketches.py — no SQL oracle can hash-match an HLL) ---
+    "approx_distinct_users": (sketches.q_approx_distinct_users, None),
+    "approx_quantiles": (sketches.q_approx_quantiles, None),
     # --- side-effecting sink (rows-only driver check, no oracle) ---
     "sink_parquet": (sinks.q_sink_parquet, None),
 }

@@ -1,0 +1,57 @@
+"""Accuracy contracts for the sketch tier: the approximate answers must
+land within their documented error bounds of the exact answers."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lenses_topology_example_spark.operators.sketches import (
+    q_approx_distinct_users,
+    q_approx_quantiles,
+)
+from lenses_topology_example_spark.tables import load_table
+
+
+def test_hll_within_rsd(spark, sf_dir):
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in q_approx_distinct_users(spark, sf_dir).collect()
+    }
+    exact = {
+        r["event_type"]: r["exact"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for et, ex in exact.items():
+        # rsd 2% requested; allow 4 sigma
+        assert abs(approx[et] - ex) <= max(0.08 * ex, 2), (et, approx[et], ex)
+
+
+def test_approx_quantiles_rank_bounded(spark, sf_dir):
+    """Quantile sketches bound RANK error, not value error: the approx
+    p-quantile must lie within the exact [p-5pp, p+5pp] value bracket
+    (value-space error is unbounded on skewed data)."""
+    approx = {
+        r["event_type"]: r["approx_pcts"]
+        for r in q_approx_quantiles(spark, sf_dir).collect()
+    }
+    brackets = {
+        r["event_type"]: r["b"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.expr(
+                "percentile(value, array(0.45, 0.55, 0.85, 0.95, 0.94, 1.0))"
+            ).alias("b")
+        )
+        .collect()
+    }
+    for et, a in approx.items():
+        lo = brackets[et]
+        p50, p90, p99 = a
+        assert lo[0] - 1e-9 <= p50 <= lo[1] + 1e-9, (et, "p50", p50, lo[0], lo[1])
+        assert lo[2] - 1e-9 <= p90 <= lo[3] + 1e-9, (et, "p90", p90, lo[2], lo[3])
+        assert lo[4] - 1e-9 <= p99 <= lo[5] + 1e-9, (et, "p99", p99, lo[4], lo[5])
