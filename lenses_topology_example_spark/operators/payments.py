@@ -250,9 +250,15 @@ def q_semi_join_suspicious(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(rates), "currency", "inner")
         .withColumn("amount_xchg", F.col("amount") * F.col("rate"))
     )
-    susp_users = converted.filter(
-        F.col("amount_xchg") < F.lit(float(SUSPICIOUS_THRESHOLD))
-    ).select("user_id")
+    # distinct() before the join: partial aggregation collapses the build
+    # side map-side (suspicious rows -> unique users), and AQE upgrades
+    # the semi join to broadcast at runtime when the user set fits (no
+    # static hint — at 100 TB the set may not fit, and SMJ is correct).
+    susp_users = (
+        converted.filter(F.col("amount_xchg") < F.lit(float(SUSPICIOUS_THRESHOLD)))
+        .select("user_id")
+        .distinct()
+    )
     return events.join(susp_users, "user_id", "left_semi").select(
         "event_id", "user_id", "event_type"
     )
