@@ -1,0 +1,86 @@
+"""Physical-plan regression tests: the scale properties SURVEY.md §4
+claims (broadcast dims, scan pushdown, partial aggregation, no stray
+shuffles) must be visible in the executed plans, not just intended."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+import pytest
+
+from lenses_topology_example_spark.catalog import _CATALOG
+
+
+def _formatted_plan(spark, sf_dir, name: str) -> str:
+    df = _CATALOG[name][0](spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_fx_join_broadcasts_dim(spark, sf_dir):
+    plan = _formatted_plan(spark, sf_dir, "fx_join")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, "5-row dim must never shuffle the fact"
+
+
+def test_payments_pipeline_single_agg_shuffle(spark, sf_dir):
+    plan = _formatted_plan(spark, sf_dir, "payments_pipeline")
+    assert "BroadcastHashJoin" in plan
+    # partial+final HashAggregate around exactly one shuffle of agg output
+    assert len(re.findall(r"HashAggregate", plan)) >= 2, "partial agg missing"
+
+
+def test_agg_revenue_pushdown(spark, sf_dir):
+    plan = _formatted_plan(spark, sf_dir, "agg_revenue")
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m and "l_shipdate" in m.group(1), "shipdate filter must reach the scan"
+    m = re.search(r"ReadSchema: ([^\n]*)", plan)
+    # 7 needed columns, not all 11
+    assert m and "l_orderkey" not in m.group(1), "column pruning failed"
+
+
+def test_returned_items_pushdown_and_broadcasts(spark, sf_dir):
+    plan = _formatted_plan(spark, sf_dir, "returned_items")
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m and "EqualTo(l_returnflag,R)" in m.group(1)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_wordcount_is_native_explode(spark, sf_dir):
+    """The reference's typed flatMap (sparkstreaming App.java:74-77) must
+    NOT appear as a (Map|FlatMap)Elements/DeserializeToObject plan — the
+    tokenizer stays native (Generate explode) inside codegen."""
+    plan = _formatted_plan(spark, sf_dir, "wordcount")
+    assert "Generate" in plan
+    assert "DeserializeToObject" not in plan
+    assert "MapElements" not in plan
+
+
+def test_no_python_udfs_in_oracle_tier(spark, sf_dir):
+    """Every oracle-checked query except the multimodal decode plumbing
+    must plan without Python evaluation (BatchEvalPython/ArrowEvalPython/
+    MapInPandas) — the hot path stays JVM-side."""
+    python_ok = {"image_features", "audio_features"}
+    offenders = []
+    for name, (fn, sql) in _CATALOG.items():
+        if sql is None or name in python_ok:
+            continue
+        df = fn(spark, sf_dir)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        if re.search(r"BatchEvalPython|ArrowEvalPython|MapInPandas", plan):
+            offenders.append(name)
+    assert not offenders, f"Python in the hot path of: {offenders}"
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    """orderBy+limit must compile to TakeOrderedAndProject (per-partition
+    heap, k rows to the driver) — never a global Sort."""
+    plan = _formatted_plan(spark, sf_dir, "topk_spenders")
+    assert "TakeOrderedAndProject" in plan
