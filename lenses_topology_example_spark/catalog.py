@@ -110,6 +110,11 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "returned_items": (relational2.q_returned_items, relational2.SQL_RETURNED_ITEMS),
     "promo_revenue": (relational2.q_promo_revenue, relational2.SQL_PROMO_REVENUE),
     "late_shipments": (relational2.q_late_shipments, relational2.SQL_LATE_SHIPMENTS),
+    "map_fns": (relational2.q_map_fns, relational2.SQL_MAP_FNS),
+    "range_join_buckets": (
+        relational2.q_range_join_buckets,
+        relational2.SQL_RANGE_JOIN_BUCKETS,
+    ),
     # --- event-time windows + as-of (SURVEY.md §2.5) ---
     "tumbling_count": (windows.q_tumbling_count, windows.SQL_TUMBLING_COUNT),
     "sliding_count": (windows.q_sliding_count, windows.SQL_SLIDING_COUNT),

@@ -345,6 +345,97 @@ SQL_LATE_SHIPMENTS = """
 """
 
 
+def q_map_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-type + higher-order function surface: str_to_map over a built
+    key=value projection, map_keys/values, element access, and a
+    transform/filter/exists chain over the token array — all codegen'd
+    lambda expressions, no Python."""
+    part = load_table(spark, sf_dir, "part")
+    kv = F.concat(
+        F.lit("brand="), F.col("p_brand"), F.lit(",size="), F.col("p_size")
+    )
+    m = F.expr("str_to_map(kv, ',', '=')")
+    words = F.split(F.col("p_name"), " ")
+    return part.select("p_partkey", kv.alias("kv"), words.alias("w")).select(
+        "p_partkey",
+        F.map_keys(m).alias("ks"),
+        m.getItem("brand").alias("brand"),
+        m.getItem("size").cast("int").alias("size"),
+        F.transform(F.col("w"), lambda x: F.upper(x)).alias("w_upper"),
+        F.filter(F.col("w"), lambda x: F.length(x) > 5).alias("w_long"),
+        F.exists(F.col("w"), lambda x: x == F.lit("green")).alias("has_green"),
+        F.array_max(F.transform(F.col("w"), lambda x: F.length(x))).alias(
+            "longest"
+        ),
+    )
+
+
+SQL_MAP_FNS = """
+    WITH t AS (
+        SELECT p_partkey,
+               'brand=' || p_brand || ',size=' || p_size AS kv,
+               string_split(p_name, ' ') AS w
+        FROM part
+    )
+    SELECT p_partkey,
+           ['brand', 'size'] AS ks,
+           map_extract(map_from_entries(list_transform(string_split(kv, ','),
+               s -> {k: string_split(s, '=')[1], v: string_split(s, '=')[2]})),
+               'brand')[1] AS brand,
+           CAST(map_extract(map_from_entries(list_transform(string_split(kv, ','),
+               s -> {k: string_split(s, '=')[1], v: string_split(s, '=')[2]})),
+               'size')[1] AS INTEGER) AS size,
+           list_transform(w, x -> upper(x)) AS w_upper,
+           list_filter(w, x -> length(x) > 5) AS w_long,
+           len(list_filter(w, x -> x = 'green')) > 0 AS has_green,
+           list_max(list_transform(w, x -> CAST(length(x) AS INTEGER)))
+               AS longest
+    FROM t
+"""
+
+
+def q_range_join_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join rewritten as an equi join (the 100 TB form): events are
+    joined to month-granularity rate periods. A naive `BETWEEN` range
+    join plans as BroadcastNestedLoopJoin — O(N*M) compares; deriving the
+    bucket key (month) on both sides turns it into a hash join. This is
+    the standard interval-bucketing rewrite every range join at scale
+    needs (finer intervals -> explode each period into its buckets)."""
+    events = load_table(spark, sf_dir, "events")
+    # rate periods: one per (month, event_type-independent) with a
+    # deterministic uplift factor
+    months = spark.sql(
+        "SELECT explode(sequence(to_timestamp('2024-01-01'), "
+        "to_timestamp('2024-12-01'), interval 1 month)) AS m_start"
+    ).select(
+        "m_start",
+        (F.month("m_start") * F.lit(0.01) + F.lit(1.0)).alias("uplift"),
+    )
+    ev = events.withColumn("m_start", F.date_trunc("month", F.col("ts")))
+    return (
+        ev.join(F.broadcast(months), "m_start", "inner")
+        .select(
+            "event_id",
+            F.col("m_start").alias("period_start"),
+            (F.col("value") * F.col("uplift")).alias("value_uplifted"),
+        )
+    )
+
+
+SQL_RANGE_JOIN_BUCKETS = """
+    WITH months AS (
+        SELECT UNNEST(generate_series(TIMESTAMP '2024-01-01',
+                                      TIMESTAMP '2024-12-01',
+                                      INTERVAL 1 MONTH)) AS m_start
+    ), rates AS (
+        SELECT m_start, month(m_start) * 0.01 + 1.0 AS uplift FROM months
+    )
+    SELECT event_id, m_start AS period_start,
+           value * uplift AS value_uplifted
+    FROM events JOIN rates ON date_trunc('month', ts) = m_start
+"""
+
+
 def q_sql_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SQL-API path end-to-end (temp views + correlated EXISTS +
     ORDER BY/LIMIT with tiebreak) — Catalyst plans it identically to the

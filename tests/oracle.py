@@ -9,6 +9,7 @@ import math
 from decimal import Decimal
 
 import duckdb
+import numpy as np
 import pandas as pd
 
 from lenses_topology_example_spark.tables import TABLES
@@ -36,7 +37,9 @@ def _canon(v):
         return bool(v)
     if hasattr(v, "isoformat"):  # datetime/date
         return v.isoformat()
-    if isinstance(v, (list, tuple)):
+    if isinstance(v, np.generic):
+        return _canon(v.item())
+    if isinstance(v, (list, tuple, np.ndarray)):
         return tuple(_canon(x) for x in v)
     return v
 
