@@ -141,6 +141,7 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "image_features": (multimodal.q_image_features, multimodal.SQL_IMAGE_FEATURES),
     "audio_features": (multimodal.q_audio_features, multimodal.SQL_AUDIO_FEATURES),
     "frame_sample": (multimodal.q_frame_sample, multimodal.SQL_FRAME_SAMPLE),
+    "image_resize": (multimodal.q_image_resize, multimodal.SQL_IMAGE_RESIZE),
     # --- engine-specific sketches (rows-only; accuracy contract in
     # tests/test_sketches.py — no SQL oracle can hash-match an HLL) ---
     "approx_distinct_users": (sketches.q_approx_distinct_users, None),

@@ -93,6 +93,37 @@ def decode_features(assets: DataFrame, *, fake: bool = True) -> DataFrame:
     )
 
 
+RESIZE_TARGET_W = 32
+RESIZE_TARGET_H = 32
+
+_SQL_RESIZE_IDX = (
+    f"(((i // {RESIZE_TARGET_W}) * src_h // {RESIZE_TARGET_H}) * src_w"
+    f" + ((i % {RESIZE_TARGET_W}) * src_w // {RESIZE_TARGET_W})) % n"
+)
+
+SQL_IMAGE_RESIZE = f"""
+    WITH b AS (
+        SELECT doc_id, text,
+               octet_length(encode(text)) AS n,
+               {{checksum}} AS checksum
+        FROM documents
+    ), dims AS (
+        SELECT doc_id, text, n,
+               CAST(16 + (checksum % 240) AS INTEGER) AS src_w,
+               CAST(16 + ((checksum * 7 + n) % 240) AS INTEGER) AS src_h
+        FROM b
+    )
+    SELECT doc_id, src_w, src_h,
+           {RESIZE_TARGET_W} AS dst_w, {RESIZE_TARGET_H} AS dst_h,
+           CASE WHEN n = 0 THEN md5('')
+           ELSE md5(array_to_string(list_transform(
+               generate_series(0, {RESIZE_TARGET_W * RESIZE_TARGET_H - 1}),
+               i -> substr(text, 1 + {_SQL_RESIZE_IDX}, 1)), ''))
+           END AS thumb_md5
+    FROM dims
+"""
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed-metadata projection over binary assets: byte length + content
     hash, all native expressions (no decode)."""
@@ -241,12 +272,82 @@ SQL_FRAME_SAMPLE = f"""
 """
 
 
+RESIZE_SCHEMA = (
+    "doc_id long, src_w int, src_h int, dst_w int, dst_h int, thumb_md5 string"
+)
+
+
+def resize_image(
+    payload: bytes, dst_w: int, dst_h: int, *, fake: bool = False
+) -> tuple[int, int, bytes]:
+    """Resize an image payload to (dst_w, dst_h) -> (src_w, src_h, thumb).
+
+    Real resizing needs PIL — NOT in this container. The fake path is
+    nearest-neighbor sampling over the byte stream (pure integer index
+    arithmetic): thumb byte (x, y) = payload[(y*src_h_stride + x) mapped
+    back to source coordinates], giving a deterministic, oracle-checkable
+    "thumbnail" that exercises the real batch shape.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "image resizing requires PIL; not present in this environment "
+            "— pass fake=True for the deterministic test codec"
+        )
+    n = len(payload)
+    checksum = sum(payload[:64]) if n else 0
+    src_w = 16 + (checksum % 240)  # same dims rule as decode_image
+    src_h = 16 + ((checksum * 7 + n) % 240)
+    if n == 0:
+        return src_w, src_h, b""
+    # nearest-neighbor: sample dst_w*dst_h source "pixels" (bytes mod n)
+    thumb = bytes(
+        payload[((y * src_h // dst_h) * src_w + (x * src_w // dst_w)) % n]
+        for y in range(dst_h)
+        for x in range(dst_w)
+    )
+    return src_w, src_h, thumb
+
+
+def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize pipeline on the fake codec: mapInPandas batches, one row per
+    asset with source dims + md5 of the 32x32 nearest-neighbor thumb.
+    The real-PIL swap changes only the body of resize_image."""
+    import hashlib
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": pdf["doc_id"],
+                "src_w": [],
+                "src_h": [],
+                "dst_w": RESIZE_TARGET_W,
+                "dst_h": RESIZE_TARGET_H,
+                "thumb_md5": [],
+            }
+            for p in pdf["payload"]:
+                sw, sh, thumb = resize_image(
+                    p, RESIZE_TARGET_W, RESIZE_TARGET_H, fake=True
+                )
+                out["src_w"].append(sw)
+                out["src_h"].append(sh)
+                out["thumb_md5"].append(hashlib.md5(thumb).hexdigest())
+            yield pd.DataFrame(out)
+
+    assets = binary_assets(spark, sf_dir)
+    return assets.select("doc_id", "payload").mapInPandas(
+        resize_batches, schema=RESIZE_SCHEMA
+    )
+
+
 # The fake decoder in SQL: checksum = sum of first 64 bytes.
 _SQL_CHECKSUM = (
     "list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform("
     "generate_series(1, LEAST(octet_length(encode(text)), 64)), "
     "i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))), (a, b) -> a + b)"
 )
+
+# _SQL_CHECKSUM is defined below the resize SQL template; splice it in.
+SQL_IMAGE_RESIZE = SQL_IMAGE_RESIZE.format(checksum=_SQL_CHECKSUM)
 
 SQL_IMAGE_FEATURES = f"""
     WITH b AS (

@@ -162,6 +162,24 @@ def start_payments_fanout(
     )
 
 
+# --- consume-only sink (S6) -------------------------------------------------------
+
+
+def start_foreach_sink(
+    stream: DataFrame, handler, checkpoint: str | None = None
+) -> StreamingQuery:
+    """S6: the reference's consume-only services
+    (SuspiciousPaymentsService.java:42-46, S3StorageService.java:43-47)
+    drain a topic and invoke a per-record handler. Spark-native form:
+    writeStream.foreach(handler) — the handler runs per row inside
+    executors (partition-parallel), with the checkpoint providing the
+    consumer-group offset-tracking the reference got from Kafka."""
+    w = stream.writeStream.foreach(handler)
+    if checkpoint:
+        w = w.option("checkpointLocation", checkpoint)
+    return w.start()
+
+
 # --- custom stateful operator (applyInPandasWithState) ---------------------------
 
 

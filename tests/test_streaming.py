@@ -179,6 +179,39 @@ def test_stream_stream_join(spark, tmp_path):
     assert spark.sql("SELECT count(*) AS n FROM ss_join_test").collect()[0]["n"] == 400
 
 
+def test_foreach_consume_sink(spark, tmp_path):
+    """S6 twin: per-record handler sees every record exactly once per
+    batch (accumulator-counted, since handlers run in executors)."""
+    from lenses_topology_example_spark.streaming.pipelines import start_foreach_sink
+
+    src = tmp_path / "foreach_src"
+    gen_payments_df(spark, n=300).write.parquet(str(src))
+    stream = spark.readStream.schema(
+        "payment_id long, currency string, amount double, ts timestamp"
+    ).parquet(str(src))
+    acc = spark.sparkContext.accumulator(0)
+
+    def handle(row):
+        acc.add(1)
+
+    q = start_foreach_sink(stream, handle)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert acc.value == 300
+
+
+def test_resize_stub_raises():
+    from lenses_topology_example_spark.operators.multimodal import resize_image
+
+    with pytest.raises(NotImplementedError):
+        resize_image(b"abc", 4, 4)
+    sw, sh, thumb = resize_image(b"abcdef", 4, 4, fake=True)
+    assert len(thumb) == 16
+    assert resize_image(b"abcdef", 4, 4, fake=True) == (sw, sh, thumb)
+
+
 def test_decode_image_stub_raises():
     from lenses_topology_example_spark.operators.multimodal import decode_image
 
