@@ -126,6 +126,7 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
         dedup.q_dedup_near_jaccard,
         dedup.SQL_DEDUP_NEAR_JACCARD,
     ),
+    "dedup_near_capped": (dedup.q_dedup_near_capped, dedup.SQL_DEDUP_NEAR_CAPPED),
     "dedup_minhash": (dedup.q_dedup_minhash, dedup.SQL_DEDUP_MINHASH),
     "dedup_simhash": (dedup.q_dedup_simhash, dedup.SQL_DEDUP_SIMHASH),
     "sim_topk": (similarity.q_sim_topk, similarity.SQL_SIM_TOPK),

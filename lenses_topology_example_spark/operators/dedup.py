@@ -164,6 +164,78 @@ SQL_DEDUP_NEAR_JACCARD = f"""
 """
 
 
+# --- capped-frequency Jaccard (the 100 TB candidate-generation form) ------------
+
+MAX_SHINGLE_DF = 20  # shingles in more docs than this carry ~no signal
+
+
+def q_dedup_near_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup Jaccard over the capped shingle universe: shingles with
+    document frequency > MAX_SHINGLE_DF are dropped BEFORE candidate
+    generation (from both the intersection and the set sizes, so the
+    measure stays a true Jaccard over informative shingles).
+
+    This is the standard production form of q_dedup_near_jaccard: the
+    self-join cost is sum(df^2) per shingle, so the Zipf head ("in the",
+    boilerplate headers) contributes quadratic work and near-zero signal.
+    The cap bounds per-shingle join fan-out at MAX_SHINGLE_DF^2 — the
+    difference between an O(N^2) head blow-up and linear scaling in
+    corpus size. Same oracle-checked determinism as the exact variant.
+    """
+    s = _doc_shingles(spark, sf_dir)
+    freq = s.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    rare = freq.filter(F.col("df") <= MAX_SHINGLE_DF).select("shingle")
+    s2 = s.join(rare, "shingle", "left_semi")
+    sizes = s2.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = s2.alias("a")
+    b = s2.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= F.lit(JACCARD_THRESHOLD))
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+SQL_DEDUP_NEAR_CAPPED = f"""
+    WITH toks AS (
+        SELECT doc_id, {SQL_TOKS} AS t FROM documents
+    ), sh AS (
+        SELECT doc_id, unnest(list_distinct({SQL_SHINGLES})) AS shingle FROM toks
+    ), rare AS (
+        SELECT shingle FROM sh GROUP BY shingle
+        HAVING COUNT(*) <= {MAX_SHINGLE_DF}
+    ), sh2 AS (
+        SELECT sh.doc_id, sh.shingle FROM sh
+        WHERE sh.shingle IN (SELECT shingle FROM rare)
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n_sh FROM sh2 GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        FROM sh2 a JOIN sh2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           inter / (na.n_sh + nb.n_sh - inter) AS jaccard
+    FROM inter
+    JOIN sizes na ON na.doc_id = doc_a
+    JOIN sizes nb ON nb.doc_id = doc_b
+    WHERE inter / (na.n_sh + nb.n_sh - inter) >= {JACCARD_THRESHOLD}
+"""
+
+
 # --- MinHash + LSH ---------------------------------------------------------------
 
 # --- SimHash -----------------------------------------------------------------
