@@ -38,6 +38,26 @@ def test_dag_edges_are_consistent(spark, sf_dir):
     assert json.loads(topology_json(q_payments_pipeline(spark, sf_dir)))
 
 
+def test_topology_covers_every_catalog_query(spark, sf_dir):
+    """The DAG exporter must handle every plan shape the engine produces
+    (the reference publishes a topology for every running app — ours is
+    derived, so it must never fail on a real plan). Plan-analysis only,
+    nothing executes."""
+    from lenses_topology_example_spark.catalog import _CATALOG
+
+    for name, (fn, _sql) in _CATALOG.items():
+        topo = topology_of(fn(spark, sf_dir), name)
+        assert topo["nodes"], f"{name}: empty DAG"
+        ids = {n["id"] for n in topo["nodes"]}
+        for n in topo["nodes"]:
+            assert all(p in ids for p in n["parents"]), f"{name}: dangling edge"
+        # every multi-node DAG reaches the root (last node in post-order)
+        if len(topo["nodes"]) > 1:
+            referenced = {p for n in topo["nodes"] for p in n["parents"]}
+            roots = ids - referenced
+            assert roots == {topo["nodes"][-1]["id"]}, f"{name}: disconnected DAG"
+
+
 def test_metrics_publisher(spark, tmp_path):
     corpus = tmp_path / "corpus"
     corpus.mkdir()
