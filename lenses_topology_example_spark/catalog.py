@@ -111,6 +111,14 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "promo_revenue": (relational2.q_promo_revenue, relational2.SQL_PROMO_REVENUE),
     "late_shipments": (relational2.q_late_shipments, relational2.SQL_LATE_SHIPMENTS),
     "map_fns": (relational2.q_map_fns, relational2.SQL_MAP_FNS),
+    "explode_variants": (
+        relational2.q_explode_variants,
+        relational2.SQL_EXPLODE_VARIANTS,
+    ),
+    "scalar_subquery": (
+        relational2.q_scalar_subquery,
+        relational2.SQL_SCALAR_SUBQUERY,
+    ),
     "range_join_buckets": (
         relational2.q_range_join_buckets,
         relational2.SQL_RANGE_JOIN_BUCKETS,

@@ -436,6 +436,69 @@ SQL_RANGE_JOIN_BUCKETS = """
 """
 
 
+def q_explode_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generator null semantics: posexplode_outer keeps rows whose array
+    is empty (pos/word NULL) — the flatMap edge case the plain explode
+    drops. Exercised on name-token arrays filtered to a mix of empty and
+    non-empty."""
+    part = load_table(spark, sf_dir, "part")
+    toks = F.expr("filter(split(p_name, ' '), x -> length(x) > 6)")
+    return part.select("p_partkey", toks.alias("t")).select(
+        "p_partkey",
+        F.posexplode_outer(F.col("t")).alias("pos", "word"),
+    )
+
+
+SQL_EXPLODE_VARIANTS = """
+    WITH t AS (
+        SELECT p_partkey,
+               list_filter(string_split(p_name, ' '), x -> length(x) > 6) AS t
+        FROM part
+    )
+    SELECT p_partkey,
+           CAST(u.i - 1 AS INTEGER) AS pos,
+           t.t[u.i] AS word
+    FROM t LEFT JOIN LATERAL (
+        SELECT UNNEST(generate_series(1, len(t.t))) AS i
+    ) u ON TRUE
+"""
+
+
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (TPC-H Q17-shaped): orders above their
+    own customer's average order value. Catalyst de-correlates this into
+    an aggregate + join — same plan the hand-written join form gets."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_ss")
+    # the customer average goes through an exact decimal sum (a native
+    # double AVG is accumulation-order-dependent — boundary rows would
+    # flip between engines/parallelism levels)
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey,
+               CAST(o_totalprice AS DOUBLE) AS totalprice
+        FROM orders_ss o
+        WHERE o_totalprice > 1.5 * (
+            SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+                   / COUNT(*)
+            FROM orders_ss o2
+            WHERE o2.o_custkey = o.o_custkey
+        )
+        """
+    )
+
+
+SQL_SCALAR_SUBQUERY = """
+    SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS totalprice
+    FROM orders o
+    WHERE o_totalprice > 1.5 * (
+        SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+               / COUNT(*)
+        FROM orders o2
+        WHERE o2.o_custkey = o.o_custkey
+    )
+"""
+
+
 def q_sql_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SQL-API path end-to-end (temp views + correlated EXISTS +
     ORDER BY/LIMIT with tiebreak) — Catalyst plans it identically to the
