@@ -58,6 +58,70 @@ def test_topology_covers_every_catalog_query(spark, sf_dir):
             assert roots == {topo["nodes"][-1]["id"]}, f"{name}: disconnected DAG"
 
 
+def test_topology_builder_facade():
+    """The declarative DSL (reference API parity) emits the same payload
+    shape as the derived exporter — the wordcount topology of
+    sparkstreaming/App.java:33-53 expressed through the facade."""
+    from lenses_topology_example_spark.plans.builder import TopologyBuilder
+
+    topo = (
+        TopologyBuilder.start("SparkStructuredStreaming", "wordcount-app")
+        .with_topic("wordcount-input")
+        .end_node()
+        .with_node("groupby", "GROUPBY")
+        .with_description("Group by word")
+        .with_representation("TABLE")
+        .with_parent("wordcount-input")
+        .end_node()
+        .with_node("count", "COUNT")
+        .with_parent("groupby")
+        .end_node()
+        .with_topic("wordcount-output")
+        .end_node()
+        .build()
+    )
+    assert topo["appName"] == "wordcount-app"
+    assert [n["type"] for n in topo["nodes"]] == [
+        "TOPIC",
+        "GROUPBY",
+        "COUNT",
+        "TOPIC",
+    ]
+    assert topo["nodes"][1]["parents"] == [0]
+    # same key set as the derived exporter's nodes
+    derived_keys = {"id", "name", "type", "description", "representation", "parents"}
+    assert all(set(n) == derived_keys for n in topo["nodes"])
+    # misuse is rejected
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        TopologyBuilder.start("t", "a").with_node("x", "SELECT").with_parent(
+            "nope"
+        ).end_node()
+
+
+def test_payment_json_decimal_roundtrip(spark):
+    """P1 type parity: Payment JSON decodes into DecimalType(38,18) —
+    BigDecimal semantics (Payment.java:7) never pass through float."""
+    from lenses_topology_example_spark.datamodel import PAYMENT_SCHEMA
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [('{"currency":"GBP","amount":12345.678901234567890123,"timestamp":1700000000000}',)],
+        "value string",
+    )
+    parsed = df.select(
+        F.from_json(F.col("value"), PAYMENT_SCHEMA).alias("p")
+    ).select("p.*")
+    row = parsed.collect()[0]
+    from decimal import Decimal
+
+    assert row["currency"] == "GBP"
+    assert isinstance(row["amount"], Decimal)
+    assert row["amount"] == Decimal("12345.678901234567890123")
+    assert row["timestamp"] == 1700000000000
+
+
 def test_metrics_publisher(spark, tmp_path):
     corpus = tmp_path / "corpus"
     corpus.mkdir()
