@@ -50,15 +50,21 @@ def dot(a: Column, b: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+    """try_divide, not `/`: Spark 4 runs ANSI mode by default, so a
+    zero-norm vector (real corpora contain them) would crash the whole
+    job with DIVIDE_BY_ZERO mid-shuffle. NULL matches DuckDB's division
+    convention (0.0/0.0 -> NULL) and drops cleanly from top-k/threshold
+    comparisons."""
+    return F.try_divide(dot(a, b), F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
 
 
 def cosine_prenorm(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
     """cosine with precomputed norms: at pair-scoring time each vector's
     sqrt(dot(v,v)) is a column read, not a 64-element fold — the score
     loop does 1 fold/pair instead of 3. Bit-identical to cosine(): the
-    norm value is the same IEEE sequence, just computed once per vector."""
-    return dot(a, b) / (norm_a * norm_b)
+    norm value is the same IEEE sequence, just computed once per vector.
+    Same try_divide null-on-zero-norm contract as cosine()."""
+    return F.try_divide(dot(a, b), norm_a * norm_b)
 
 
 # DuckDB twin of dot(): explicit left-fold, NOT list_dot_product (whose

@@ -1,0 +1,91 @@
+"""Edge-case contracts for the shared expression library: the behaviors
+every operator builds on (tokenizer, shingles, vector math) at the
+degenerate inputs a 100 TB corpus WILL contain."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from lenses_topology_example_spark.operators.dedup import shingles_col
+from lenses_topology_example_spark.operators.similarity import cosine, dot
+from lenses_topology_example_spark.operators.wordcount import tokens_col
+
+# ASCII adversarial corpus (the driver testdata is ASCII; unicode \W
+# semantics differ between engines and are out of contract).
+CASES = [
+    "",
+    " ",
+    "...",
+    "a",
+    "hello world",
+    "  leading and trailing  ",
+    "tabs\tand\nnewlines",
+    "digits 123 mix3d t0kens",
+    "punct!!!heavy???text",
+    "repeated    spaces",
+    "UPPER lower MiXeD",
+    "a.b.c.d.e",
+]
+
+
+def test_tokenizer_matches_python_contract(spark):
+    df = spark.createDataFrame([(s,) for s in CASES], "text string")
+    got = [
+        r["t"]
+        for r in df.select(tokens_col(F.col("text")).alias("t")).collect()
+    ]
+    want = [[t for t in re.split(r"\W+", s.lower()) if t] for s in CASES]
+    assert got == want
+
+
+def test_shingles_under_n_tokens_empty(spark):
+    df = spark.createDataFrame([(s,) for s in CASES], "text string")
+    rows = df.select(
+        F.size(tokens_col(F.col("text"))).alias("n"),
+        F.size(shingles_col(tokens_col(F.col("text")))).alias("n_sh"),
+    ).collect()
+    for r in rows:
+        if r["n"] < 3:
+            assert r["n_sh"] == 0
+        else:
+            assert r["n_sh"] == r["n"] - 2
+
+
+def test_dot_and_cosine_degenerate(spark):
+    df = spark.createDataFrame(
+        [([0.0, 0.0],), ([1.0, 0.0],), ([],)], "v array<double>"
+    )
+    rows = df.select(
+        F.col("v"),
+        dot(F.col("v"), F.col("v")).alias("d"),
+        cosine(F.col("v"), F.col("v")).alias("c"),
+    ).collect()
+    # zero vector: dot 0, cosine NULL (try_divide; ANSI mode would throw
+    # DIVIDE_BY_ZERO with plain `/` — matches DuckDB 0.0/0.0 -> NULL)
+    zero = [r for r in rows if r["v"] == [0.0, 0.0]][0]
+    assert zero["d"] == 0.0 and zero["c"] is None
+    # empty vector: fold over nothing = 0.0, cosine NULL
+    empty = [r for r in rows if r["v"] == []][0]
+    assert empty["d"] == 0.0 and empty["c"] is None
+    unit = [r for r in rows if r["v"] == [1.0, 0.0]][0]
+    assert unit["d"] == 1.0 and abs(unit["c"] - 1.0) < 1e-12
+
+
+def test_exact_dedup_groups_identical_only(spark):
+    """md5-fingerprint dedup must not conflate near-identical docs."""
+    from lenses_topology_example_spark.operators.dedup import q_dedup_exact  # noqa: F401
+
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "same text "), (4, "Same text")],
+        "doc_id long, text string",
+    )
+    grouped = (
+        df.select(F.md5(F.col("text")).alias("fp"), "doc_id")
+        .groupBy("fp")
+        .count()
+        .collect()
+    )
+    counts = sorted(r["count"] for r in grouped)
+    assert counts == [1, 1, 2], "trailing space / case must NOT merge"
