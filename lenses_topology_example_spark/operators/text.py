@@ -35,7 +35,9 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(toks).alias("n_tokens"),
         bpe_ish.alias("n_subwords"),
-        (F.length("text") / F.size(toks)).alias("chars_per_token"),
+        # try_divide: a token-less doc (punct-only) must yield NULL, not
+        # an ANSI DIVIDE_BY_ZERO job abort (DuckDB's x/0 is NULL too)
+        F.try_divide(F.length("text"), F.size(toks)).alias("chars_per_token"),
     )
 
 
@@ -139,8 +141,15 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     stop = F.array(*[F.lit(s) for s in _STOPWORDS])
     n_tok = F.size(toks)
     len_score = F.least(F.length("text") / F.lit(500.0), F.lit(1.0))
-    stop_ratio = F.size(F.filter(toks, lambda t: F.array_contains(stop, t))) / n_tok
-    alpha_ratio = F.length(F.regexp_replace(F.lower(F.col("text")), "[^a-z ]", "")) / F.length("text")
+    # try_divide on both ratios: token-less / empty docs yield NULL
+    # component scores (and NULL quality) instead of an ANSI job abort
+    stop_ratio = F.try_divide(
+        F.size(F.filter(toks, lambda t: F.array_contains(stop, t))), n_tok
+    )
+    alpha_ratio = F.try_divide(
+        F.length(F.regexp_replace(F.lower(F.col("text")), "[^a-z ]", "")),
+        F.length("text"),
+    )
     score = (
         F.lit(0.3) * len_score + F.lit(0.4) * stop_ratio + F.lit(0.3) * alpha_ratio
     )

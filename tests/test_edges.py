@@ -73,6 +73,29 @@ def test_dot_and_cosine_degenerate(spark):
     assert unit["d"] == 1.0 and abs(unit["c"] - 1.0) < 1e-12
 
 
+def test_text_metrics_null_on_degenerate_docs(spark):
+    """Token-less and empty docs flow through token counting and quality
+    scoring as NULLs — never an ANSI DIVIDE_BY_ZERO job abort."""
+    from lenses_topology_example_spark.operators.wordcount import tokens_col as tc
+
+    df = spark.createDataFrame(
+        [(1, "..."), (2, ""), (3, "real words here")], "doc_id long, text string"
+    )
+    toks = tc(F.col("text"))
+    rows = df.select(
+        "doc_id",
+        F.try_divide(F.length("text"), F.size(toks)).alias("cpt"),
+        F.try_divide(
+            F.length(F.regexp_replace(F.lower(F.col("text")), "[^a-z ]", "")),
+            F.length("text"),
+        ).alias("alpha"),
+    ).collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    assert by_id[1]["cpt"] is None  # punct-only: 0 tokens
+    assert by_id[2]["alpha"] is None  # empty text
+    assert by_id[3]["cpt"] is not None and by_id[3]["alpha"] is not None
+
+
 def test_exact_dedup_groups_identical_only(spark):
     """md5-fingerprint dedup must not conflate near-identical docs."""
     from lenses_topology_example_spark.operators.dedup import q_dedup_exact  # noqa: F401
