@@ -128,6 +128,10 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "sliding_count": (windows.q_sliding_count, windows.SQL_SLIDING_COUNT),
     "session_count": (windows.q_session_count, windows.SQL_SESSION_COUNT),
     "asof_rate": (windows.q_asof_rate, windows.SQL_ASOF_RATE),
+    "window_range_interval": (
+        windows.q_window_range_interval,
+        windows.SQL_WINDOW_RANGE_INTERVAL,
+    ),
     # --- training-data extensions (SURVEY.md §2.6) ---
     "dedup_exact": (dedup.q_dedup_exact, dedup.SQL_DEDUP_EXACT),
     "dedup_near_jaccard": (

@@ -194,3 +194,34 @@ SQL_ASOF_RATE = f"""
     FROM ev ASOF JOIN {_rate_changes_values_sql()}
       ON ev.currency = rc.currency AND ev.ts >= rc.rate_ts
 """
+
+
+def q_window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-interval window frame: per user, events in the trailing
+    1-hour event-time window (count + exact decimal sum). RANGE frames
+    bound by *value distance* on the ORDER BY column — the time-based
+    running analytics ROWS frames can't express. Peers (equal ts) share
+    a frame, so the decimal sum keeps results order-independent."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("ev_range")
+    return spark.sql(
+        """
+        SELECT user_id, event_id,
+               COUNT(*) OVER w AS n_trailing_1h,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE)
+                   AS sum_trailing_1h
+        FROM ev_range
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        """
+    )
+
+
+SQL_WINDOW_RANGE_INTERVAL = """
+    SELECT user_id, event_id,
+           COUNT(*) OVER w AS n_trailing_1h,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE)
+               AS sum_trailing_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+"""
