@@ -159,6 +159,8 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     # tests/test_sketches.py — no SQL oracle can hash-match an HLL) ---
     "approx_distinct_users": (sketches.q_approx_distinct_users, None),
     "approx_quantiles": (sketches.q_approx_quantiles, None),
+    # pandas UDAF surface — oracle-checked (np.median == DuckDB median)
+    "udaf_median": (sketches.q_udaf_median, sketches.SQL_UDAF_MEDIAN),
     # --- side-effecting sink (rows-only driver check, no oracle) ---
     "sink_parquet": (sinks.q_sink_parquet, None),
 }

@@ -18,6 +18,8 @@ exact answers in tests/test_sketches.py instead.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf resolves stringified hints here
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..tables import load_table
@@ -41,3 +43,37 @@ def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("vmin"),
         F.max("value").alias("vmax"),
     )
+
+
+def q_udaf_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UDAF surface (SURVEY.md §2.5): a grouped-aggregate pandas UDF
+    (Arrow-batched, one numpy call per group) computing the per-type
+    median of event values. Deterministic at any parallelism because
+    np.median sorts its input — order-insensitive by construction, so it
+    IS oracle-checkable (on DOUBLE columns DuckDB's median is the same
+    linear mid-point interpolation as np.median).
+
+    The built-in `percentile` covers this declaratively; this entry pins
+    the custom-UDAF escape hatch the reference's arbitrary Java lambdas
+    would need (PaymentsService.java:50-57).
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def np_median(v: pd.Series) -> float:
+        return float(np.median(v.to_numpy()))
+
+    events = load_table(spark, sf_dir, "events")
+    # a grouped-agg pandas UDF cannot mix with JVM aggregates in one agg
+    # (INVALID_PANDAS_UDF_PLACEMENT) — single-aggregate result by design
+    return events.groupBy("event_type").agg(
+        np_median(F.col("value")).alias("median_value"),
+    )
+
+
+SQL_UDAF_MEDIAN = """
+    SELECT event_type,
+           median(value) AS median_value
+    FROM events GROUP BY event_type
+"""

