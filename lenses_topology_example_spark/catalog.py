@@ -150,6 +150,9 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "quality_score": (text.q_quality_score, text.SQL_QUALITY_SCORE),
     "doc_fingerprint": (text.q_doc_fingerprint, text.SQL_DOC_FINGERPRINT),
     "text_stats": (text.q_text_stats, text.SQL_TEXT_STATS),
+    "topk_words": (text.q_topk_words, text.SQL_TOPK_WORDS),
+    "bigram_counts": (text.q_bigram_counts, text.SQL_BIGRAM_COUNTS),
+    "pattern_counts": (text.q_pattern_counts, text.SQL_PATTERN_COUNTS),
     "multimodal_meta": (multimodal.q_multimodal_meta, multimodal.SQL_MULTIMODAL_META),
     "image_features": (multimodal.q_image_features, multimodal.SQL_IMAGE_FEATURES),
     "audio_features": (multimodal.q_audio_features, multimodal.SQL_AUDIO_FEATURES),

@@ -241,3 +241,103 @@ SQL_TEXT_STATS = f"""
            CAST(SUM(CAST(n_tokens AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_tokens
     FROM t GROUP BY lang
 """
+
+
+# --- vocabulary head / n-gram stats ------------------------------------------------
+
+
+def q_topk_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters: top-50 words by document frequency. The Zipf
+    head this surfaces is exactly what the capped dedup variant and skew
+    salting defend against. Partial agg bounds the shuffle by |vocab|;
+    TakeOrderedAndProject ships 50 rows to the driver."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    return (
+        docs.select(F.explode(F.array_distinct(toks)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.col("df").desc(), F.col("word"))
+        .limit(50)
+    )
+
+
+SQL_TOPK_WORDS = f"""
+    SELECT word, COUNT(*) AS df
+    FROM (
+        SELECT doc_id, unnest(list_distinct({SQL_TOKS})) AS word FROM documents
+    )
+    GROUP BY word
+    ORDER BY df DESC, word
+    LIMIT 50
+"""
+
+
+def q_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-bigram counts over the corpus (n-gram LM statistics, the
+    classic training-data analysis pass). Bigrams derive from the token
+    array with a transform over positions — same Generate-shaped fan-out
+    as tokenize, shuffle bounded by |distinct bigrams|. Top-100 head."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    grams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + F.lit(1))
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(F.explode(grams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram"))
+        .limit(100)
+    )
+
+
+SQL_BIGRAM_COUNTS = f"""
+    WITH t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents)
+    SELECT bigram, COUNT(*) AS n
+    FROM (
+        SELECT unnest(CASE WHEN len(toks) >= 2 THEN
+                   list_transform(generate_series(1, len(toks) - 1),
+                                  i -> toks[i] || ' ' || toks[i+1])
+               ELSE []::VARCHAR[] END) AS bigram
+        FROM t
+    )
+    GROUP BY bigram
+    ORDER BY n DESC, bigram
+    LIMIT 100
+"""
+
+
+def q_pattern_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-curation pattern screens per document: counts of digit runs,
+    ALL-CAPS words, and long tokens — the regex features a quality
+    filter thresholds on. Patterns kept dialect-neutral (no \\d, no
+    classes that differ between Java regex and RE2)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.expr("regexp_count(text, '[0-9]+')").alias("n_digit_runs"),
+        F.expr("regexp_count(text, '[A-Z][A-Z]+')").alias("n_caps_words"),
+        F.expr("regexp_count(text, '[a-z]{10,}')").alias("n_long_tokens"),
+        F.expr("length(regexp_replace(text, '[ -~]', ''))").alias("n_nonascii"),
+    )
+
+
+SQL_PATTERN_COUNTS = r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[0-9]+')) AS INTEGER)
+               AS n_digit_runs,
+           CAST(len(regexp_extract_all(text, '[A-Z][A-Z]+')) AS INTEGER)
+               AS n_caps_words,
+           CAST(len(regexp_extract_all(text, '[a-z]{10,}')) AS INTEGER)
+               AS n_long_tokens,
+           CAST(length(regexp_replace(text, '[ -~]', '', 'g')) AS INTEGER)
+               AS n_nonascii
+    FROM documents
+"""
