@@ -1,6 +1,7 @@
-"""Bucketed co-located join: the 100 TB lever for repeated fact-fact
-joins — both sides bucketed by the join key at write time join WITHOUT
-any Exchange (SURVEY.md §4). Proven here on the plan, not claimed."""
+"""Physical-layout levers proven on plans: bucketed co-located joins
+(no Exchange) and IVF partition pruning (a query touches n_probe cells'
+files, not the corpus) — the claims SURVEY.md §4 / similarity.py make
+about 100 TB behavior, demonstrated rather than asserted."""
 
 from __future__ import annotations
 
@@ -63,3 +64,44 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
                 spark.conf.unset(key)
             else:
                 spark.conf.set(key, val)
+
+
+def test_ivf_partition_pruning(spark, sf_dir, tmp_path):
+    """The IVF scale path: cell id as a partition column at ingest.
+    A probe of N_PROBE cells must plan with partition filters and read
+    only those cells' directories."""
+    import os
+
+    from lenses_topology_example_spark.operators.similarity import (
+        N_PROBE,
+        as_double,
+        dot,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    # toy deterministic cell assignment — 4 uniformly-hit cells (the real
+    # operator derives cells from centroid distance; the layout mechanics
+    # under test are identical)
+    cell = F.pmod(F.col("vec_id"), F.lit(4))
+    layout = str(tmp_path / "ivf_layout")
+    emb.withColumn("cell", cell).withColumn(
+        "norm", F.sqrt(dot(F.col("v"), F.col("v")))
+    ).write.partitionBy("cell").parquet(layout)
+    n_cells = len(
+        [d for d in os.listdir(layout) if d.startswith("cell=")]
+    )
+    assert n_cells == 4
+
+    probed = spark.read.parquet(layout).filter(F.col("cell").isin([1, 2]))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        probed.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters: [" in plan and "cell" in plan.split(
+        "PartitionFilters:"
+    )[1].split("]")[0], "cell filter must prune partitions"
+    # the pruned read touches 2 of 4 cells
+    assert probed.select("cell").distinct().count() == 2
+    assert N_PROBE <= 4  # the real operator's probe count fits this layout
