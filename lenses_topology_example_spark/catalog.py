@@ -119,6 +119,12 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
         relational2.q_scalar_subquery,
         relational2.SQL_SCALAR_SUBQUERY,
     ),
+    "outer_join_nulls": (
+        relational2.q_outer_join_nulls,
+        relational2.SQL_OUTER_JOIN_NULLS,
+    ),
+    "null_fns": (relational2.q_null_fns, relational2.SQL_NULL_FNS),
+    "column_stats": (relational2.q_column_stats, relational2.SQL_COLUMN_STATS),
     "range_join_buckets": (
         relational2.q_range_join_buckets,
         relational2.SQL_RANGE_JOIN_BUCKETS,

@@ -533,3 +533,111 @@ SQL_SQL_TOP_CUSTOMERS = """
     ORDER BY spend DESC, c_custkey
     LIMIT 20
 """
+
+
+def q_outer_join_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join completeness: every customer x their order count,
+    keeping order-less customers (NULL side) AND orders referencing no
+    customer row. NULL-side discipline — coalesce on the join key, typed
+    zero-fills — is the classic outer-join correctness trap; pinned here
+    against the oracle. At scale: same SMJ as inner, both sides shuffle
+    (an outer join cannot broadcast its null-producing side)."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    per_cust = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    joined = cust.join(
+        per_cust, cust.c_custkey == per_cust.o_custkey, "full_outer"
+    )
+    return joined.select(
+        F.coalesce(F.col("c_custkey"), F.col("o_custkey")).alias("custkey"),
+        F.col("c_mktsegment").alias("mktsegment"),
+        F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
+        F.col("c_custkey").isNull().alias("customer_missing"),
+        F.col("o_custkey").isNull().alias("orderless"),
+    )
+
+
+SQL_OUTER_JOIN_NULLS = """
+    WITH per_cust AS (
+        SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey
+    )
+    SELECT COALESCE(c_custkey, o_custkey) AS custkey,
+           c_mktsegment AS mktsegment,
+           COALESCE(n_orders, 0) AS n_orders,
+           c_custkey IS NULL AS customer_missing,
+           o_custkey IS NULL AS orderless
+    FROM customer FULL OUTER JOIN per_cust ON c_custkey = o_custkey
+"""
+
+
+def q_null_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-handling scalar library: coalesce/nullif/nvl2/nanvl and
+    null-safe equality (<=>), the operators every dirty-data pipeline
+    leans on. Derived null columns keep the oracle deterministic."""
+    events = load_table(spark, sf_dir, "events")
+    maybe = F.when(F.col("value") > 50.0, F.col("value"))  # NULL below 50
+    return events.select(
+        "event_id",
+        maybe.alias("maybe_value"),
+        F.coalesce(maybe, F.lit(-1.0)).alias("coalesced"),
+        F.nullif(F.col("event_type"), F.lit("error")).alias("type_or_null"),
+        F.expr("nvl2(CASE WHEN value > 50.0 THEN value END, 'high', 'low')").alias(
+            "nvl2_label"
+        ),
+        (F.col("event_type") == F.lit("error")).alias("plain_eq"),
+        F.col("event_type").eqNullSafe(
+            F.nullif(F.col("event_type"), F.lit("error"))
+        ).alias("nullsafe_eq"),
+    )
+
+
+SQL_NULL_FNS = """
+    SELECT event_id,
+           CASE WHEN value > 50.0 THEN value END AS maybe_value,
+           COALESCE(CASE WHEN value > 50.0 THEN value END, -1.0) AS coalesced,
+           NULLIF(event_type, 'error') AS type_or_null,
+           CASE WHEN (CASE WHEN value > 50.0 THEN value END) IS NOT NULL
+                THEN 'high' ELSE 'low' END AS nvl2_label,
+           event_type = 'error' AS plain_eq,
+           event_type IS NOT DISTINCT FROM NULLIF(event_type, 'error')
+               AS nullsafe_eq
+    FROM events
+"""
+
+
+def q_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact column moments per event type: mean and population variance
+    from DECIMAL sums of x and x^2 — order-independent at any
+    parallelism, unlike the engine-native stddev/variance aggregates
+    whose float accumulation order varies with partitioning. The single
+    pass computes both moments (no second scan)."""
+    events = load_table(spark, sf_dir, "events")
+    n = F.count(F.lit(1))
+    sx = F.sum(F.col("value").cast("decimal(38,6)")).cast("double")
+    sxx = F.sum(
+        (F.col("value") * F.col("value")).cast("decimal(38,6)")
+    ).cast("double")
+    return events.groupBy("event_type").agg(
+        n.alias("n"),
+        (sx / n).alias("mean"),
+        ((sxx - sx * sx / n) / n).alias("var_pop"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+    )
+
+
+SQL_COLUMN_STATS = """
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS mean,
+           (CAST(SUM(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE)
+            - CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+              * CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*))
+           / COUNT(*) AS var_pop,
+           MIN(value) AS vmin,
+           MAX(value) AS vmax
+    FROM events GROUP BY event_type
+"""
