@@ -159,6 +159,7 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "topk_words": (text.q_topk_words, text.SQL_TOPK_WORDS),
     "bigram_counts": (text.q_bigram_counts, text.SQL_BIGRAM_COUNTS),
     "pattern_counts": (text.q_pattern_counts, text.SQL_PATTERN_COUNTS),
+    "curation_pipeline": (text.q_curation_pipeline, text.SQL_CURATION_PIPELINE),
     "multimodal_meta": (multimodal.q_multimodal_meta, multimodal.SQL_MULTIMODAL_META),
     "image_features": (multimodal.q_image_features, multimodal.SQL_IMAGE_FEATURES),
     "audio_features": (multimodal.q_audio_features, multimodal.SQL_AUDIO_FEATURES),

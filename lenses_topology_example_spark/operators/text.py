@@ -341,3 +341,63 @@ SQL_PATTERN_COUNTS = r"""
                AS n_nonascii
     FROM documents
 """
+
+
+# --- composite curation pipeline ---------------------------------------------------
+
+
+CURATION_MIN_QUALITY = 0.5
+
+
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data curation pass, composed from this
+    module's screens in ONE plan (single corpus scan feeds quality +
+    language + dedup; no intermediate materialization):
+
+      keep a doc iff  quality >= 0.5
+                  AND predicted language agrees with the labeled one
+                  AND it is the min-doc_id representative of its exact-
+                      content (md5) duplicate class.
+
+    The dedup membership is a window min over fp — computed on the same
+    scan, no self-join. Output: the kept corpus with its audit columns,
+    the exact shape a downstream tokenizer job consumes."""
+    from pyspark.sql import Window as W
+
+    quality = q_quality_score(spark, sf_dir).select("doc_id", "quality")
+    lang = q_lang_id(spark, sf_dir).select("doc_id", "lang", "pred_lang")
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select("doc_id", F.md5(F.col("text")).alias("fp"))
+    keeper = fp.withColumn(
+        "keeper_id", F.min("doc_id").over(W.partitionBy("fp"))
+    )
+    return (
+        docs.select("doc_id", "n_chars")
+        .join(quality, "doc_id")
+        .join(lang, "doc_id")
+        .join(keeper, "doc_id")
+        .filter(
+            (F.col("quality") >= F.lit(CURATION_MIN_QUALITY))
+            & (F.col("pred_lang") == F.col("lang"))
+            & (F.col("doc_id") == F.col("keeper_id"))
+        )
+        .select("doc_id", "lang", "n_chars", "quality")
+    )
+
+
+SQL_CURATION_PIPELINE = f"""
+    WITH q AS ({SQL_QUALITY_SCORE}),
+    l AS ({SQL_LANG_ID}),
+    k AS (
+        SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper_id
+        FROM documents
+    )
+    SELECT d.doc_id, d.lang, d.n_chars, q.quality
+    FROM documents d
+    JOIN q ON q.doc_id = d.doc_id
+    JOIN l ON l.doc_id = d.doc_id
+    JOIN k ON k.doc_id = d.doc_id
+    WHERE q.quality >= {CURATION_MIN_QUALITY}
+      AND l.pred_lang = d.lang
+      AND d.doc_id = k.keeper_id
+"""

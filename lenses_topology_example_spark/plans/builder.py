@@ -113,3 +113,28 @@ class TopologyBuilder:
 
     def build_json(self) -> str:
         return json.dumps(self.build(), indent=None, sort_keys=True)
+
+
+def microservice_topology(
+    app_name: str,
+    consumes: list[str],
+    produces: list[str],
+    app_type: str = "Microservice",
+) -> dict[str, Any]:
+    """MicroserviceTopology.create-style inference (PaymentsService.java:
+    74-86, SuspiciousPaymentsService.java:58-61): build the app's DAG
+    from its live consumer/producer topic lists — input topics feed an
+    app node that feeds output topics. Consume-only services (empty
+    `produces`) mirror MicroserviceTopology.fromConsumer."""
+    b = TopologyBuilder.start(app_type, app_name)
+    for t in consumes:
+        b.with_topic(t).end_node()
+    nb = b.with_node(app_name, "SELECT").with_description(
+        f"{app_name} processing node"
+    )
+    for t in consumes:
+        nb = nb.with_parent(t)
+    b = nb.end_node()
+    for t in produces:
+        b.with_topic(t).with_parent(app_name).end_node()
+    return b.build()

@@ -100,6 +100,32 @@ def test_topology_builder_facade():
         ).end_node()
 
 
+def test_microservice_topology_inference():
+    """MicroserviceTopology.create parity (PaymentsService.java:74-86):
+    consumer/producer topic lists -> app DAG; consume-only twin mirrors
+    fromConsumer (SuspiciousPaymentsService.java:58-61)."""
+    from lenses_topology_example_spark.plans.builder import microservice_topology
+
+    t = microservice_topology(
+        "PaymentsService", ["payments"], ["payments_xchg", "suspicious_payments"]
+    )
+    names = [n["name"] for n in t["nodes"]]
+    assert names == [
+        "payments",
+        "PaymentsService",
+        "payments_xchg",
+        "suspicious_payments",
+    ]
+    app = t["nodes"][1]
+    assert app["parents"] == [0]
+    assert t["nodes"][2]["parents"] == [1] and t["nodes"][3]["parents"] == [1]
+
+    consume_only = microservice_topology(
+        "SuspiciousPaymentsService", ["suspicious_payments"], []
+    )
+    assert [n["type"] for n in consume_only["nodes"]] == ["TOPIC", "SELECT"]
+
+
 def test_payment_json_decimal_roundtrip(spark):
     """P1 type parity: Payment JSON decodes into DecimalType(38,18) —
     BigDecimal semantics (Payment.java:7) never pass through float."""
