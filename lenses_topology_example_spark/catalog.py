@@ -160,6 +160,7 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "bigram_counts": (text.q_bigram_counts, text.SQL_BIGRAM_COUNTS),
     "pattern_counts": (text.q_pattern_counts, text.SQL_PATTERN_COUNTS),
     "curation_pipeline": (text.q_curation_pipeline, text.SQL_CURATION_PIPELINE),
+    "bpe_token_count": (text.q_bpe_token_count, text.SQL_BPE_TOKEN_COUNT),
     "multimodal_meta": (multimodal.q_multimodal_meta, multimodal.SQL_MULTIMODAL_META),
     "image_features": (multimodal.q_image_features, multimodal.SQL_IMAGE_FEATURES),
     "audio_features": (multimodal.q_audio_features, multimodal.SQL_AUDIO_FEATURES),

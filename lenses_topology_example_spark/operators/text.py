@@ -401,3 +401,48 @@ SQL_CURATION_PIPELINE = f"""
       AND l.pred_lang = d.lang
       AND d.doc_id = k.keeper_id
 """
+
+
+# --- BPE-style regex tokenizer -----------------------------------------------------
+
+# GPT2-flavored pre-tokenization, ASCII-reduced so Java regex and RE2
+# agree: contractions | space-prefixed words | numbers | punct runs.
+BPE_PATTERN = "'[a-z]+| ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
+
+
+def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style pre-tokenization (the brief's 'BPE-ish regex'): the
+    GPT2-shaped alternation over lowercased text, counted per doc with
+    the mean token byte-length. regexp_extract_all is codegen'd — this
+    is the cheap first stage every real tokenizer job runs before vocab
+    lookup (which would be the mapInPandas stage)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.expr(f'regexp_extract_all(lower(text), "{BPE_PATTERN}", 0)')
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_bpe_tokens"),
+        F.try_divide(
+            F.aggregate(
+                toks,
+                F.lit(0).cast("long"),
+                lambda acc, t: acc + F.length(t),
+            ),
+            F.size(toks),
+        ).alias("mean_tok_len"),
+    )
+
+
+SQL_BPE_TOKEN_COUNT = """
+    WITH t AS (
+        SELECT doc_id,
+               regexp_extract_all(lower(text),
+                   '''[a-z]+| ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+') AS toks
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS INTEGER) AS n_bpe_tokens,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(toks, s -> CAST(length(s) AS BIGINT))),
+               (a, b) -> a + b) / len(toks) AS mean_tok_len
+    FROM t
+"""
