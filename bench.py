@@ -50,6 +50,7 @@ HEADLINE = (
     "sim_ann_ivf",
     "embed_neardup",
     "text_stats",
+    "curation_pipeline",
     "doc_fingerprint",
     "image_features",
     "gen_payments",

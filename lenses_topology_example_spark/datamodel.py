@@ -103,16 +103,13 @@ def currency_for(expr: F.Column) -> F.Column:
     per currency per tick" round-robin (PaymentsSimulator.java:29-32).
     """
     idx = F.pmod(expr, F.lit(5))
-    mapping = F.lit(None).cast("string")
-    col = (
+    return (
         F.when(idx == 0, F.lit("GBP"))
         .when(idx == 1, F.lit("USD"))
         .when(idx == 2, F.lit("EUR"))
         .when(idx == 3, F.lit("CAN"))
         .otherwise(F.lit("CHF"))
     )
-    del mapping
-    return col
 
 
 # SQL twin of currency_for, spliced into DuckDB oracle queries.
