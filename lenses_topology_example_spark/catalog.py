@@ -138,6 +138,8 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
         windows.q_window_range_interval,
         windows.SQL_WINDOW_RANGE_INTERVAL,
     ),
+    "moving_avg": (windows.q_moving_avg, windows.SQL_MOVING_AVG),
+    "sessionize_lag": (windows.q_sessionize_lag, windows.SQL_SESSIONIZE_LAG),
     # --- training-data extensions (SURVEY.md §2.6) ---
     "dedup_exact": (dedup.q_dedup_exact, dedup.SQL_DEDUP_EXACT),
     "dedup_near_jaccard": (

@@ -225,3 +225,84 @@ SQL_WINDOW_RANGE_INTERVAL = """
     WINDOW w AS (PARTITION BY user_id ORDER BY ts
                  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
 """
+
+
+def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 4-row moving average per user (ROWS frame). The decimal
+    sum divided by the window count keeps it order-independent; the
+    (ts, event_id) order is total so every engine frames identically."""
+    from pyspark.sql import Window as W
+
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, W.currentRow)
+    )
+    msum = F.sum(F.col("value").cast("decimal(38,6)")).over(w).cast("double")
+    return events.select(
+        "user_id",
+        "event_id",
+        (msum / F.count(F.lit(1)).over(w)).alias("moving_avg_4"),
+    )
+
+
+SQL_MOVING_AVG = """
+    SELECT user_id, event_id,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE)
+               / COUNT(*) OVER w AS moving_avg_4
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+"""
+
+
+SESSION_GAP_MIN = 30
+
+
+def q_sessionize_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization: a new session starts when the gap
+    to the previous event exceeds SESSION_GAP_MIN minutes; session_id is
+    the running count of session starts (lag + conditional cumulative
+    sum — two window passes over ONE shuffle, since both windows share
+    the (user_id, ts) partitioning/order). This is the batch form of
+    session_window() and the standard formulation when session outputs
+    need joining back to rows."""
+    from pyspark.sql import Window as W
+
+    events = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long"), 1).over(w)
+    is_start = F.when(
+        gap_s.isNull() | (gap_s > SESSION_GAP_MIN * 60), 1
+    ).otherwise(0)
+    return (
+        events.withColumn("is_start", is_start)
+        .withColumn(
+            "session_id",
+            F.sum("is_start").over(
+                w.rowsBetween(W.unboundedPreceding, W.currentRow)
+            ),
+        )
+        .select("user_id", "event_id", "is_start", "session_id")
+    )
+
+
+SQL_SESSIONIZE_LAG = f"""
+    WITH g AS (
+        SELECT user_id, event_id, ts,
+               CAST(epoch(ts) AS BIGINT)
+                 - LAG(CAST(epoch(ts) AS BIGINT), 1)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_s
+        FROM events
+    )
+    SELECT user_id, event_id,
+           CASE WHEN gap_s IS NULL OR gap_s > {SESSION_GAP_MIN * 60}
+                THEN 1 ELSE 0 END AS is_start,
+           SUM(CASE WHEN gap_s IS NULL OR gap_s > {SESSION_GAP_MIN * 60}
+                    THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+    FROM g
+"""
