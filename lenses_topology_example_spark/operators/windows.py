@@ -265,9 +265,16 @@ def q_sessionize_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the previous event exceeds SESSION_GAP_MIN minutes; session_id is
     the running count of session starts (lag + conditional cumulative
     sum — two window passes over ONE shuffle, since both windows share
-    the (user_id, ts) partitioning/order). This is the batch form of
-    session_window() and the standard formulation when session outputs
-    need joining back to rows."""
+    the (user_id, ts) partitioning/order). The standard formulation when
+    session outputs must join back to individual rows. NOTE: gaps are
+    floor-truncated to whole seconds and the test is strict `>`, so the
+    exact-boundary semantics differ from session_window()'s (which
+    splits at gap == SESSION_GAP_MIN, see q_session_count) — the two
+    operators are deliberately separate, not interchangeable. The oracle
+    mirrors the truncation with FLOOR(epoch(ts)): DuckDB's direct
+    double->bigint CAST rounds-half-up while Spark's timestamp->long
+    cast floors, a half-second disagreement that would flip session
+    boundaries."""
     from pyspark.sql import Window as W
 
     events = load_table(spark, sf_dir, "events")
@@ -291,8 +298,8 @@ def q_sessionize_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_SESSIONIZE_LAG = f"""
     WITH g AS (
         SELECT user_id, event_id, ts,
-               CAST(epoch(ts) AS BIGINT)
-                 - LAG(CAST(epoch(ts) AS BIGINT), 1)
+               CAST(FLOOR(epoch(ts)) AS BIGINT)
+                 - LAG(CAST(FLOOR(epoch(ts)) AS BIGINT), 1)
                      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_s
         FROM events
     )
