@@ -198,7 +198,9 @@ SQL_DATE_FNS2 = """
            CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
            CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
            CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
-           CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+           CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) AS epoch_s,  -- FLOOR: Spark's
+           -- ts->long floors; DuckDB's double CAST rounds (no-op here, dates are
+           -- midnight-aligned, but keeps the truncation convention uniform)
            (o_orderdate::DATE + 30)::TIMESTAMP AS plus30,  -- date+int, not
            -- +INTERVAL 30 DAY: DuckDB 1.0 CSE treats INTERVAL 1 MONTH ==
            -- INTERVAL 30 DAY (month normalized to 30d) and merges it with
