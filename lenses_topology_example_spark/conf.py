@@ -47,7 +47,13 @@ def _ship_package(spark: SparkSession) -> None:
         f"lenses_topology_example_spark_pyfiles.{os.getpid()}.zip",
     )
     if not os.path.exists(zpath):
-        tmp = zpath + ".tmp"
+        # unique tmp per writer: two sessions/threads racing here would
+        # otherwise interleave writes into one .tmp and publish a corrupt
+        # archive; os.replace makes the final publish atomic either way
+        fd, tmp = tempfile.mkstemp(
+            dir=os.path.dirname(zpath), suffix=".ziptmp"
+        )
+        os.close(fd)
         with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
             for root, _dirs, files in os.walk(pkg_dir):
                 for fn in files:

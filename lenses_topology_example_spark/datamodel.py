@@ -113,8 +113,11 @@ def currency_for(expr: F.Column) -> F.Column:
 
 
 # SQL twin of currency_for, spliced into DuckDB oracle queries.
+# ((x % 5) + 5) % 5 mirrors Spark's pmod: DuckDB's % follows the sign of
+# the dividend, so a bare user_id % 5 would mis-map negative ids.
 CURRENCY_FOR_SQL = (
-    "CASE CAST(user_id % 5 AS INTEGER) WHEN 0 THEN 'GBP' WHEN 1 THEN 'USD' "
+    "CASE CAST(((user_id % 5) + 5) % 5 AS INTEGER) "
+    "WHEN 0 THEN 'GBP' WHEN 1 THEN 'USD' "
     "WHEN 2 THEN 'EUR' WHEN 3 THEN 'CAN' ELSE 'CHF' END"
 )
 

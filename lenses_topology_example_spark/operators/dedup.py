@@ -81,6 +81,21 @@ SQL_SHINGLES = r"""
 SQL_TOKS = r"list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '')"
 
 
+# Memoized materialized intermediates, keyed by (applicationId, sf_dir,
+# table). persist() on a FRESH frame per call would leak cached blocks in
+# a long-lived embedding session (every invocation stacks a new copy);
+# memoization both fixes the leak and lets jaccard/minhash/simhash share
+# one token table.
+_MATERIALIZED: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _memo_persist(spark: SparkSession, sf_dir: str, key: str, df: DataFrame) -> DataFrame:
+    memo_key = (spark.sparkContext.applicationId, sf_dir, key)
+    if memo_key not in _MATERIALIZED:
+        _MATERIALIZED[memo_key] = df.persist()
+    return _MATERIALIZED[memo_key]
+
+
 def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, t: array<string>) token table, MATERIALIZED (persist).
 
@@ -88,21 +103,31 @@ def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     every consumer expression — the shingle lambda's element_at calls
     alone would re-run split+filter ~3x per shingle per doc (measured
     10x+ blowup at sf0.1). At 100 TB the token/shingle tables are written
-    to storage once and every dedup pass reads them; persist() is the
-    in-session equivalent of that boundary.
+    to storage once and every dedup pass reads them; a memoized persist()
+    is the in-session equivalent of that boundary.
     """
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", tokens_col(F.col("text")).alias("t")).persist()
+    return _memo_persist(
+        spark,
+        sf_dir,
+        "tokens",
+        docs.select("doc_id", tokens_col(F.col("text")).alias("t")),
+    )
 
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, shingle) inverted-index rows over distinct 3-gram
     shingles, built from the materialized token table."""
     toks = _doc_tokens(spark, sf_dir)
-    return toks.select(
-        "doc_id",
-        F.explode(F.array_distinct(shingles_col(F.col("t")))).alias("shingle"),
-    ).persist()
+    return _memo_persist(
+        spark,
+        sf_dir,
+        "shingles",
+        toks.select(
+            "doc_id",
+            F.explode(F.array_distinct(shingles_col(F.col("t")))).alias("shingle"),
+        ),
+    )
 
 
 # --- n-gram Jaccard near-dup ----------------------------------------------------
@@ -269,7 +294,12 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sim = F.lit(0)
     for j in range(N_SIMHASH_BITS):
         sim = sim + F.when(bit_vote(j) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
-    hashed = toks.select("doc_id", hashes.alias("h")).filter(F.size("h") > 0).persist()
+    hashed = _memo_persist(
+        spark,
+        sf_dir,
+        "token_hashes",
+        toks.select("doc_id", hashes.alias("h")).filter(F.size("h") > 0),
+    )
     return hashed.select("doc_id", sim.cast("long").alias("simhash"))
 
 
@@ -328,9 +358,17 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     # CollapseProject would inline it) and `sig` (reused by the band
     # explode and both sides of the candidate join). The signature table
     # is k*8 bytes/doc — at 100 TB scale it is written out once and
-    # reused by every dedup pass; persist() is the in-session form.
-    hashed = toks.select("doc_id", hashes.alias("h")).filter(F.size("h") > 0).persist()
-    return hashed.select("doc_id", sig.alias("sig")).persist()
+    # reused by every dedup pass; the memoized persist is the in-session
+    # form.
+    hashed = _memo_persist(
+        spark,
+        sf_dir,
+        "shingle_hashes",
+        toks.select("doc_id", hashes.alias("h")).filter(F.size("h") > 0),
+    )
+    return _memo_persist(
+        spark, sf_dir, "signatures", hashed.select("doc_id", sig.alias("sig"))
+    )
 
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:

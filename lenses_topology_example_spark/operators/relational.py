@@ -360,7 +360,9 @@ def q_except_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         F.col("user_id").alias("id")
     )
-    return cust.exceptAll(ev.distinct()).distinct()
+    # subtract == EXCEPT DISTINCT, exactly what the SQL expresses — one
+    # set-op instead of exceptAll + two redundant distincts
+    return cust.subtract(ev)
 
 
 SQL_EXCEPT_USERS = """

@@ -43,8 +43,20 @@ def salted_join(
 
     `other` is exploded across all n_salts values (n_salts x small-side
     rows), so every (key, salt) bucket finds its match. The output drops
-    the salt column — semantics identical to skewed.join(other, key).
+    the salt column — semantics identical to skewed.join(other, key)
+    for the SUPPORTED join types: inner, left/left_outer, left_semi,
+    left_anti (the ones where `other` rows never surface unmatched).
+    right/full outer are rejected — an unmatched `other` row would
+    appear once per salt replica, n_salts duplicates.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "semi", "left_anti", "leftanti", "anti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join does not support how={how!r}: unmatched rows of "
+            f"the replicated side would be duplicated n_salts times; "
+            f"supported: {sorted(allowed)}"
+        )
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(n_salts))
     left = skewed.withColumn("__salt", salt)
     right = other.withColumn(

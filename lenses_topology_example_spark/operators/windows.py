@@ -9,8 +9,6 @@ twins live in streaming/pipelines.py.
 
 from __future__ import annotations
 
-from datetime import datetime, timezone
-
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..tables import load_table
@@ -120,7 +118,6 @@ SQL_SESSION_COUNT = """
 # Deterministic per-currency rate-change history: 8 changes per currency
 # across the events table's January-2024 ts range. Pure int arithmetic so
 # the Spark literal table and the oracle VALUES are identical.
-_RATE_EPOCH = datetime(2024, 1, 1, tzinfo=timezone.utc)
 
 
 def _rate_changes() -> list[tuple[str, str, float]]:
@@ -179,10 +176,19 @@ def q_asof_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     applicable = F.filter(
         F.col("history"), lambda h: h.getField("rate_ts") <= F.col("ts")
     )
-    return joined.select(
-        "event_id",
-        "currency",
-        F.element_at(applicable, -1).getField("rate").alias("asof_rate"),
+    # drop events before the first rate change BEFORE element_at: the
+    # oracle's inner ASOF JOIN omits them, and element_at(-1) on an empty
+    # array would abort the job under Spark 4's default ANSI mode
+    return (
+        joined.withColumn("applicable", applicable)
+        .filter(F.size("applicable") > 0)
+        .select(
+            "event_id",
+            "currency",
+            F.element_at(F.col("applicable"), -1)
+            .getField("rate")
+            .alias("asof_rate"),
+        )
     )
 
 

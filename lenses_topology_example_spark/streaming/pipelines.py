@@ -53,9 +53,7 @@ def kafka_text_stream(
 
 def file_text_stream(spark: SparkSession, path: str) -> DataFrame:
     """Batch-as-bounded-stream twin for tests: text files -> value col."""
-    return spark.readStream.format("text").load(path).withColumnRenamed(
-        "value", "value"
-    )
+    return spark.readStream.format("text").load(path)
 
 
 def rate_payments_stream(spark: SparkSession, rows_per_second: int = 13) -> DataFrame:
@@ -140,18 +138,29 @@ def start_payments_fanout(
     checkpoint: str,
 ) -> StreamingQuery:
     """The §3.3 dual-sink fan-out as foreachBatch: one pass over each
-    micro-batch (persist -> write both branches -> unpersist). Batch ids
-    make both parquet sinks idempotent under replay = exactly-once."""
+    micro-batch (persist -> write both branches -> unpersist).
+
+    Exactly-once mechanics: each batch writes to its own
+    `batch_id=<n>/` directory with mode("overwrite"). foreachBatch has
+    no transaction log (a bare append would duplicate rows when a batch
+    is replayed after a mid-batch failure), but overwrite of a
+    deterministic per-batch path makes the replay idempotent — the
+    standard foreachBatch idempotency pattern. Readers see the union via
+    partition discovery on the root path."""
     rates = currency_rates_df(spark)
     converted = convert_payments(payments, rates)
 
     def write_both(batch: DataFrame, batch_id: int) -> None:
         batch.persist()
         try:
-            batch.write.mode("append").parquet(converted_path)
+            batch.write.mode("overwrite").parquet(
+                f"{converted_path}/batch_id={batch_id}"
+            )
             batch.filter(
                 F.col("amount_xchg") < F.lit(float(SUSPICIOUS_THRESHOLD))
-            ).write.mode("append").parquet(suspicious_path)
+            ).write.mode("overwrite").parquet(
+                f"{suspicious_path}/batch_id={batch_id}"
+            )
         finally:
             batch.unpersist()
 

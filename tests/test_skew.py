@@ -46,6 +46,17 @@ def test_salted_join_spreads_hot_key(spark):
     assert n_buckets == 8, "hot key must fan out across all salt buckets"
 
 
+def test_salted_join_rejects_right_and_full(spark):
+    """right/full outer would duplicate unmatched replicated-side rows
+    n_salts times — must be rejected, not silently wrong."""
+    import pytest
+
+    left, right = _skewed_frames(spark)
+    for how in ("right", "full", "full_outer", "right_outer"):
+        with pytest.raises(ValueError):
+            salted_join(left, right, "k", n_salts=8, how=how)
+
+
 def test_salted_outer_join_semantics(spark):
     left, right = _skewed_frames(spark)
     # left rows with keys missing from right survive a left join exactly once
