@@ -42,9 +42,17 @@ def _ship_package(spark: SparkSession) -> None:
     if app_id in _SHIPPED_APPS:
         return
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    # key the archive by source state, not just pid: a recycled pid after
+    # a container restart (persistent /tmp) must not ship a stale zip
+    stamp = 0
+    for root, _dirs, files in os.walk(pkg_dir):
+        for fn in files:
+            if fn.endswith(".py"):
+                st = os.stat(os.path.join(root, fn))
+                stamp = max(stamp, int(st.st_mtime_ns) ^ st.st_size)
     zpath = os.path.join(
         tempfile.gettempdir(),
-        f"lenses_topology_example_spark_pyfiles.{os.getpid()}.zip",
+        f"lenses_topology_example_spark_pyfiles.{os.getpid()}.{stamp & 0xFFFFFFFF:08x}.zip",
     )
     if not os.path.exists(zpath):
         # unique tmp per writer: two sessions/threads racing here would

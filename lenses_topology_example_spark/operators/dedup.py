@@ -22,6 +22,8 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from ..functions.texthash import (
@@ -85,15 +87,18 @@ SQL_TOKS = r"list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '')"
 # table). persist() on a FRESH frame per call would leak cached blocks in
 # a long-lived embedding session (every invocation stacks a new copy);
 # memoization both fixes the leak and lets jaccard/minhash/simhash share
-# one token table.
+# one token table. Lock: two threads racing the first call would both
+# persist and leak the loser's copy.
 _MATERIALIZED: dict[tuple[str, str, str], DataFrame] = {}
+_MATERIALIZED_LOCK = threading.Lock()
 
 
 def _memo_persist(spark: SparkSession, sf_dir: str, key: str, df: DataFrame) -> DataFrame:
     memo_key = (spark.sparkContext.applicationId, sf_dir, key)
-    if memo_key not in _MATERIALIZED:
-        _MATERIALIZED[memo_key] = df.persist()
-    return _MATERIALIZED[memo_key]
+    with _MATERIALIZED_LOCK:
+        if memo_key not in _MATERIALIZED:
+            _MATERIALIZED[memo_key] = df.persist()
+        return _MATERIALIZED[memo_key]
 
 
 def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:

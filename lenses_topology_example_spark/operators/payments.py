@@ -124,9 +124,17 @@ def q_json_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_JSON_ENCODE = """
+# Escapes match Spark's to_json for the characters that can appear in
+# string data (backslash first, then quote); a NULL field is omitted
+# entirely, which is to_json's default null handling.
+SQL_JSON_ENCODE = r"""
     SELECT event_id,
-           '{"event_id":' || event_id || ',"event_type":"' || event_type || '"}' AS js
+           CASE WHEN event_type IS NULL
+                THEN '{"event_id":' || event_id || '}'
+                ELSE '{"event_id":' || event_id || ',"event_type":"'
+                     || replace(replace(event_type, '\', '\\'), '"', '\"')
+                     || '"}'
+           END AS js
     FROM events
 """
 

@@ -58,17 +58,20 @@ SQL_UNPIVOT_PART = """
 
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS with grouping() disambiguation — the general form
-    of rollup/cube, via the SQL API (same Catalyst Expand plan)."""
-    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("li_gs")
+    of rollup/cube, via the SQL API (same Catalyst Expand plan).
+    DataFrame interpolation ({li}) instead of createOrReplaceTempView:
+    fixed-name temp views in a shared session clobber user views and
+    cross-wire concurrent builds."""
     return spark.sql(
         """
         SELECT l_returnflag, l_linestatus,
                grouping(l_returnflag) AS g_flag,
                grouping(l_linestatus) AS g_status,
                COUNT(*) AS n
-        FROM li_gs
+        FROM {li}
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
-        """
+        """,
+        li=load_table(spark, sf_dir, "lineitem"),
     )
 
 
@@ -470,22 +473,23 @@ def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated scalar subquery (TPC-H Q17-shaped): orders above their
     own customer's average order value. Catalyst de-correlates this into
     an aggregate + join — same plan the hand-written join form gets."""
-    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_ss")
     # the customer average goes through an exact decimal sum (a native
     # double AVG is accumulation-order-dependent — boundary rows would
     # flip between engines/parallelism levels)
+    orders = load_table(spark, sf_dir, "orders")
     return spark.sql(
         """
         SELECT o_orderkey, o_custkey,
                CAST(o_totalprice AS DOUBLE) AS totalprice
-        FROM orders_ss o
+        FROM {orders} o
         WHERE o_totalprice > 1.5 * (
             SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
                    / COUNT(*)
-            FROM orders_ss o2
+            FROM {orders} o2
             WHERE o2.o_custkey = o.o_custkey
         )
-        """
+        """,
+        orders=orders,
     )
 
 
@@ -505,21 +509,21 @@ def q_sql_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SQL-API path end-to-end (temp views + correlated EXISTS +
     ORDER BY/LIMIT with tiebreak) — Catalyst plans it identically to the
     DataFrame form; declared separately to pin the SQL surface."""
-    load_table(spark, sf_dir, "customer").createOrReplaceTempView("cust_sql")
-    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_sql")
     return spark.sql(
         """
         SELECT c_custkey, c_name,
                CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS spend
-        FROM cust_sql JOIN orders_sql ON o_custkey = c_custkey
+        FROM {cust} JOIN {orders} ON o_custkey = c_custkey
         WHERE EXISTS (
-            SELECT 1 FROM orders_sql o2
+            SELECT 1 FROM {orders} o2
             WHERE o2.o_custkey = c_custkey AND o2.o_orderpriority = '1-URGENT'
         )
         GROUP BY c_custkey, c_name
         ORDER BY spend DESC, c_custkey
         LIMIT 20
-        """
+        """,
+        cust=load_table(spark, sf_dir, "customer"),
+        orders=load_table(spark, sf_dir, "orders"),
     )
 
 

@@ -28,7 +28,12 @@ _SINK_DIR: str | None = None
 def q_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fx-converted payments -> partitionBy(currency) parquet -> read
     back. Deterministic content; no oracle (side-effecting operator,
-    driver does the rows-only check)."""
+    driver does the rows-only check).
+
+    CONTRACT EXCEPTION: unlike every other catalog entry, BUILDING this
+    query executes the write (a sink has no lazy form whose read-back
+    reflects it). Plan-only consumers must skip it — see
+    tests/test_topology.py::test_topology_covers_every_catalog_query."""
     global _SINK_DIR
     if _SINK_DIR is None:
         _SINK_DIR = tempfile.mkdtemp(prefix="spark_graft_sink_")

@@ -49,6 +49,12 @@ def salted_join(
     right/full outer are rejected — an unmatched `other` row would
     appear once per salt replica, n_salts duplicates.
     """
+    if "__salt" in skewed.columns or "__salt" in other.columns:
+        raise ValueError(
+            "salted_join reserves the '__salt' column name; rename the "
+            "existing column first (silently overwriting it would join on "
+            "the wrong value and then drop the user's column)"
+        )
     allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
                "leftsemi", "semi", "left_anti", "leftanti", "anti"}
     if how.lower() not in allowed:

@@ -208,17 +208,17 @@ def q_window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     bound by *value distance* on the ORDER BY column — the time-based
     running analytics ROWS frames can't express. Peers (equal ts) share
     a frame, so the decimal sum keeps results order-independent."""
-    load_table(spark, sf_dir, "events").createOrReplaceTempView("ev_range")
     return spark.sql(
         """
         SELECT user_id, event_id,
                COUNT(*) OVER w AS n_trailing_1h,
                CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE)
                    AS sum_trailing_1h
-        FROM ev_range
+        FROM {events}
         WINDOW w AS (PARTITION BY user_id ORDER BY ts
                      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
-        """
+        """,
+        events=load_table(spark, sf_dir, "events"),
     )
 
 

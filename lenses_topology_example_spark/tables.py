@@ -39,7 +39,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # truncation every µs-native engine applies to ns parquet.
         from pyspark.sql import functions as F
 
+        # (ts - pmod(ts, 1000)) div 1000 is a true floor division: bare
+        # `ts div 1000` truncates toward zero, which for a pre-epoch
+        # nanosecond value would land one µs late (violating the floor
+        # contract above); pmod keeps the subtraction exact in int64
         df = df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            "ts", F.timestamp_micros(F.expr("(ts - pmod(ts, 1000)) div 1000"))
         ).select("event_id", "ts", "user_id", "event_type", "value", "props")
     return df

@@ -46,6 +46,9 @@ def test_topology_covers_every_catalog_query(spark, sf_dir):
     from lenses_topology_example_spark.catalog import _CATALOG
 
     for name, (fn, _sql) in _CATALOG.items():
+        if name == "sink_parquet":
+            continue  # building a sink executes its write (documented
+            # contract exception in operators/sinks.py) — not plan-only
         topo = topology_of(fn(spark, sf_dir), name)
         assert topo["nodes"], f"{name}: empty DAG"
         ids = {n["id"] for n in topo["nodes"]}
