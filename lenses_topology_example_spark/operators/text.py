@@ -132,33 +132,44 @@ SQL_LANG_ID = f"""
 _STOPWORDS = ("the", "a", "of", "and", "is", "to", "in", "it", "you", "that")
 
 
+def quality_components(text: Column) -> dict[str, Column]:
+    """The quality heuristic as reusable expressions over any text col
+    (batch query below + the streaming curation twin both build on it).
+    try_divide on both ratios: token-less / empty docs yield NULL
+    component scores (and NULL quality) instead of an ANSI job abort."""
+    toks = tokens_col(text)
+    stop = F.array(*[F.lit(s) for s in _STOPWORDS])
+    len_score = F.least(F.length(text) / F.lit(500.0), F.lit(1.0))
+    stop_ratio = F.try_divide(
+        F.size(F.filter(toks, lambda t: F.array_contains(stop, t))), F.size(toks)
+    )
+    alpha_ratio = F.try_divide(
+        F.length(F.regexp_replace(F.lower(text), "[^a-z ]", "")),
+        F.length(text),
+    )
+    quality = (
+        F.lit(0.3) * len_score + F.lit(0.4) * stop_ratio + F.lit(0.3) * alpha_ratio
+    )
+    return {
+        "len_score": len_score,
+        "stop_ratio": stop_ratio,
+        "alpha_ratio": alpha_ratio,
+        "quality": quality,
+    }
+
+
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic document quality: length saturation + stopword ratio +
     alphabetic ratio, combined 0.3/0.4/0.3. Single-pass per-doc exprs;
     each component is one IEEE op chain, identical in the oracle."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = tokens_col(F.col("text"))
-    stop = F.array(*[F.lit(s) for s in _STOPWORDS])
-    n_tok = F.size(toks)
-    len_score = F.least(F.length("text") / F.lit(500.0), F.lit(1.0))
-    # try_divide on both ratios: token-less / empty docs yield NULL
-    # component scores (and NULL quality) instead of an ANSI job abort
-    stop_ratio = F.try_divide(
-        F.size(F.filter(toks, lambda t: F.array_contains(stop, t))), n_tok
-    )
-    alpha_ratio = F.try_divide(
-        F.length(F.regexp_replace(F.lower(F.col("text")), "[^a-z ]", "")),
-        F.length("text"),
-    )
-    score = (
-        F.lit(0.3) * len_score + F.lit(0.4) * stop_ratio + F.lit(0.3) * alpha_ratio
-    )
+    c = quality_components(F.col("text"))
     return docs.select(
         "doc_id",
-        len_score.alias("len_score"),
-        stop_ratio.alias("stop_ratio"),
-        alpha_ratio.alias("alpha_ratio"),
-        score.alias("quality"),
+        c["len_score"].alias("len_score"),
+        c["stop_ratio"].alias("stop_ratio"),
+        c["alpha_ratio"].alias("alpha_ratio"),
+        c["quality"].alias("quality"),
     )
 
 

@@ -283,3 +283,42 @@ def windowed_counts(
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.col("window.start").alias("window_start"), "event_type", "n")
     )
+
+
+# --- streaming curation ------------------------------------------------------------
+
+
+def start_curation_stream(
+    docs: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    min_quality: float = 0.5,
+    watermark: str = "1 hour",
+) -> StreamingQuery:
+    """The curation pass as a stream (the incremental twin of
+    operators/text.q_curation_pipeline): per micro-batch, drop
+    content-duplicate documents (md5 fingerprint key, state bounded by
+    the watermark) and keep only docs above the quality threshold.
+
+    Input schema: (doc_id long, text string, ts timestamp). At 100 TB/day
+    ingest this is the shape that runs continuously while the batch
+    variant runs retrospectively — same expressions, same thresholds,
+    shared via text.quality_components."""
+    from ..operators.text import quality_components
+
+    q = quality_components(F.col("text"))["quality"]
+    kept = (
+        docs.withColumn("fp", F.md5(F.col("text")))
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["fp"])
+        .withColumn("quality", q)
+        .filter(F.col("quality") >= F.lit(min_quality))
+        .select("doc_id", "ts", "quality", "text")
+    )
+    return (
+        kept.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+    )

@@ -236,6 +236,53 @@ def test_resize_stub_raises():
     assert resize_image(b"abcdef", 4, 4, fake=True) == (sw, sh, thumb)
 
 
+def test_streaming_curation(spark, tmp_path):
+    """Streaming curation twin: content dups dropped (within watermark),
+    sub-threshold docs filtered — matches the batch computation of the
+    same screens on the same input."""
+    from lenses_topology_example_spark.operators.text import quality_components
+    from lenses_topology_example_spark.streaming.pipelines import (
+        start_curation_stream,
+    )
+
+    src = tmp_path / "cur_docs"
+    base = spark.createDataFrame(
+        [
+            (1, "the quick brown fox and the lazy dog of the meadow it is a fine day", "2024-01-01 00:00:00"),
+            (2, "the quick brown fox and the lazy dog of the meadow it is a fine day", "2024-01-01 00:01:00"),  # dup of 1
+            (3, "zzz qqq xxx", "2024-01-01 00:02:00"),  # low quality
+            (4, "you and that it is a good day to test the pipeline in the field of data and more of it", "2024-01-01 00:03:00"),
+        ],
+        "doc_id long, text string, ts_s string",
+    ).select("doc_id", "text", F.col("ts_s").cast("timestamp").alias("ts"))
+    base.write.parquet(str(src))
+    stream = spark.readStream.schema("doc_id long, text string, ts timestamp").parquet(
+        str(src)
+    )
+    out = str(tmp_path / "cur_out")
+    q = start_curation_stream(stream, out, str(tmp_path / "cur_ckpt"), 0.5)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    kept = spark.read.parquet(out)
+    rows = kept.collect()
+    kept_ids = sorted(r["doc_id"] for r in rows)
+    # exactly one of the duplicate pair survives; low-quality doc 3 dropped
+    assert len([i for i in kept_ids if i in (1, 2)]) == 1
+    assert 3 not in kept_ids
+    # every kept row meets the threshold per the batch expression
+    batch_q = {
+        r["doc_id"]: r["q"]
+        for r in base.select(
+            "doc_id", quality_components(F.col("text"))["quality"].alias("q")
+        ).collect()
+    }
+    for r in rows:
+        assert batch_q[r["doc_id"]] >= 0.5
+        assert abs(r["quality"] - batch_q[r["doc_id"]]) < 1e-12
+
+
 def test_wordcount_rocksdb_state_store(spark, tmp_path):
     """The documented large-keyspace switch must actually work: same
     wordcount, RocksDB-backed state store, same golden counts."""
