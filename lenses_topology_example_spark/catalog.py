@@ -174,6 +174,14 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "approx_quantiles": (sketches.q_approx_quantiles, None),
     # pandas UDAF surface — oracle-checked (np.median == DuckDB median)
     "udaf_median": (sketches.q_udaf_median, sketches.SQL_UDAF_MEDIAN),
+    "deterministic_sample": (
+        sketches.q_deterministic_sample,
+        sketches.SQL_DETERMINISTIC_SAMPLE,
+    ),
+    "grouped_map_norm": (
+        sketches.q_grouped_map_norm,
+        sketches.SQL_GROUPED_MAP_NORM,
+    ),
     # --- side-effecting sink (rows-only driver check, no oracle) ---
     "sink_parquet": (sinks.q_sink_parquet, None),
 }

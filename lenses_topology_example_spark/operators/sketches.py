@@ -77,3 +77,62 @@ SQL_UDAF_MEDIAN = """
            median(value) AS median_value
     FROM events GROUP BY event_type
 """
+
+
+def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible 10% sample by content hash — the data-pipeline
+    sampling idiom. TABLESAMPLE/df.sample draw from an engine-private
+    RNG (non-reproducible across engines, runs, or repartitioning);
+    hashing the key and thresholding is deterministic everywhere, stable
+    under re-partitioning, and trivially stratifiable (hash the strata
+    key). conv(md5) keeps it engine-portable like functions/texthash."""
+    from ..functions.texthash import md5_hash64
+
+    events = load_table(spark, sf_dir, "events")
+    return events.filter(
+        md5_hash64(F.col("event_id").cast("string")) % 100 < 10
+    ).select("event_id", "user_id", "event_type", "value")
+
+
+SQL_DETERMINISTIC_SAMPLE = """
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    WHERE ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT
+          % 100 < 10
+"""
+
+
+GROUPED_NORM_SCHEMA = "event_type string, event_id long, pct_of_max double"
+
+
+def q_grouped_map_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The applyInPandas (grouped-map) surface: per event-type
+    normalization value/max(value), each group arriving as one pandas
+    frame. max is order-independent, so the result is deterministic at
+    any parallelism and oracle-checkable (unlike mean/std in float,
+    whose accumulation order varies). The real-world shape for per-group
+    model scoring / fitting where the group must be in one place."""
+
+    def norm(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = pdf["value"].max()
+        return pd.DataFrame(
+            {
+                "event_type": pdf["event_type"],
+                "event_id": pdf["event_id"],
+                "pct_of_max": pdf["value"] / m,
+            }
+        )
+
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.select("event_type", "event_id", "value")
+        .groupBy("event_type")
+        .applyInPandas(norm, schema=GROUPED_NORM_SCHEMA)
+    )
+
+
+SQL_GROUPED_MAP_NORM = """
+    SELECT event_type, event_id,
+           value / MAX(value) OVER (PARTITION BY event_type) AS pct_of_max
+    FROM events
+"""

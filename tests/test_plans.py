@@ -64,7 +64,13 @@ def test_no_python_udfs_in_oracle_tier(spark, sf_dir):
     """Every oracle-checked query except the multimodal decode plumbing
     must plan without Python evaluation (BatchEvalPython/ArrowEvalPython/
     MapInPandas) — the hot path stays JVM-side."""
-    python_ok = {"image_features", "audio_features", "image_resize", "udaf_median"}
+    python_ok = {
+        "image_features",
+        "audio_features",
+        "image_resize",
+        "udaf_median",
+        "grouped_map_norm",
+    }
     offenders = []
     for name, (fn, sql) in _CATALOG.items():
         if sql is None or name in python_ok:
@@ -74,7 +80,7 @@ def test_no_python_udfs_in_oracle_tier(spark, sf_dir):
         with contextlib.redirect_stdout(buf):
             df.explain("formatted")
         plan = buf.getvalue()
-        if re.search(r"BatchEvalPython|ArrowEvalPython|MapInPandas", plan):
+        if re.search(r"BatchEvalPython|ArrowEvalPython|InPandas", plan):
             offenders.append(name)
     assert not offenders, f"Python in the hot path of: {offenders}"
 
