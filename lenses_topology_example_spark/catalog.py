@@ -182,6 +182,10 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
         sketches.q_grouped_map_norm,
         sketches.SQL_GROUPED_MAP_NORM,
     ),
+    "corr_text_embedding": (
+        sketches.q_corr_text_embedding,
+        sketches.SQL_CORR_TEXT_EMBEDDING,
+    ),
     # --- side-effecting sink (rows-only driver check, no oracle) ---
     "sink_parquet": (sinks.q_sink_parquet, None),
 }

@@ -136,3 +136,67 @@ SQL_GROUPED_MAP_NORM = """
            value / MAX(value) OVER (PARTITION BY event_type) AS pct_of_max
     FROM events
 """
+
+
+def q_corr_text_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Pearson correlation between document length and embedding
+    norm (the documents x embeddings cross-modal join keyed by id). All
+    five moments come from DECIMAL sums, so the statistic is
+    order-independent at any parallelism — the native corr() aggregate
+    accumulates in float and is not. One co-partitioned join + one
+    single-row aggregate."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("double").alias("x")
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"),
+        F.sqrt(
+            F.aggregate(
+                F.transform(F.col("embedding"), lambda v: v.cast("double")),
+                F.lit(0.0),
+                lambda acc, v: acc + v * v,
+            )
+        ).alias("y"),
+    )
+    j = docs.join(emb, "doc_id")
+    dsum = lambda c: F.sum(c.cast("decimal(38,6)")).cast("double")
+    n = F.count(F.lit(1))
+    agg = j.agg(
+        n.alias("n"),
+        dsum(F.col("x")).alias("sx"),
+        dsum(F.col("y")).alias("sy"),
+        dsum(F.col("x") * F.col("x")).alias("sxx"),
+        dsum(F.col("y") * F.col("y")).alias("syy"),
+        dsum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    num = F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")
+    den = F.sqrt(
+        (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+        * (F.col("syy") - F.col("sy") * F.col("sy") / F.col("n"))
+    )
+    return agg.select(
+        "n", F.try_divide(num, den).alias("pearson_r")
+    )
+
+
+SQL_CORR_TEXT_EMBEDDING = """
+    WITH j AS (
+        SELECT CAST(d.n_chars AS DOUBLE) AS x,
+               sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+                   list_transform(e.embedding::DOUBLE[], v -> v * v)),
+                   (a, b) -> a + b)) AS y
+        FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+    ), m AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(y * y AS DECIMAL(38,6))) AS DOUBLE) AS syy,
+               CAST(SUM(CAST(x * y AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+        FROM j
+    )
+    SELECT n,
+           (sxy - sx * sy / n)
+           / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)) AS pearson_r
+    FROM m
+"""
