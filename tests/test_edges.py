@@ -96,6 +96,39 @@ def test_text_metrics_null_on_degenerate_docs(spark):
     assert by_id[3]["cpt"] is not None and by_id[3]["alpha"] is not None
 
 
+def test_type_system_parquet_roundtrip(spark, tmp_path):
+    """Every type the engine's data model uses (SURVEY.md §1) survives a
+    parquet write/read bit-exactly: decimal(38,18), timestamp, arrays,
+    maps, binary, nested struct."""
+    from datetime import datetime
+    from decimal import Decimal
+
+    row = (
+        1,
+        Decimal("12345.678901234567890123"),
+        datetime(2024, 1, 2, 3, 4, 5, 678901),
+        [1.5, -2.25],
+        {"k": 7},
+        b"\x00\x01\xff",
+        (42, "nested"),
+    )
+    schema = (
+        "id long, amount decimal(38,18), ts timestamp, vec array<double>, "
+        "m map<string,int>, payload binary, s struct<a:int,b:string>"
+    )
+    df = spark.createDataFrame([row], schema)
+    path = str(tmp_path / "types_rt")
+    df.write.parquet(path)
+    back = spark.read.parquet(path).collect()[0]
+    orig = df.collect()[0]
+    assert back["amount"] == orig["amount"] == Decimal("12345.678901234567890123")
+    assert back["ts"] == orig["ts"]
+    assert back["vec"] == [1.5, -2.25]
+    assert back["m"] == {"k": 7}
+    assert bytes(back["payload"]) == b"\x00\x01\xff"
+    assert back["s"]["a"] == 42 and back["s"]["b"] == "nested"
+
+
 def test_exact_dedup_groups_identical_only(spark):
     """md5-fingerprint dedup must not conflate near-identical docs."""
     from lenses_topology_example_spark.operators.dedup import q_dedup_exact  # noqa: F401
