@@ -110,6 +110,7 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "returned_items": (relational2.q_returned_items, relational2.SQL_RETURNED_ITEMS),
     "promo_revenue": (relational2.q_promo_revenue, relational2.SQL_PROMO_REVENUE),
     "late_shipments": (relational2.q_late_shipments, relational2.SQL_LATE_SHIPMENTS),
+    "big_orders": (relational2.q_big_orders, relational2.SQL_BIG_ORDERS),
     "map_fns": (relational2.q_map_fns, relational2.SQL_MAP_FNS),
     "explode_variants": (
         relational2.q_explode_variants,

@@ -647,3 +647,46 @@ SQL_COLUMN_STATS = """
            MAX(value) AS vmax
     FROM events GROUP BY event_type
 """
+
+
+BIG_ORDER_QTY = 120
+
+
+def q_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shaped: customers holding orders whose total lineitem
+    quantity exceeds BIG_ORDER_QTY — HAVING on a decimal sum feeding an
+    IN-subquery join. The HAVING runs after partial+final aggregation on
+    orderkey (co-partitioned with the orders join at scale)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum(F.col("l_quantity")).alias("total_qty"))
+        .filter(F.col("total_qty") > BIG_ORDER_QTY)
+    )
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.col("o_totalprice").alias("totalprice"),
+            "total_qty",
+        )
+    )
+
+
+SQL_BIG_ORDERS = f"""
+    WITH big AS (
+        SELECT l_orderkey, {dsum_sql('l_quantity')} AS total_qty
+        FROM lineitem GROUP BY l_orderkey
+        HAVING {dsum_sql('l_quantity')} > {BIG_ORDER_QTY}
+    )
+    SELECT c_custkey, c_name, o_orderkey,
+           o_totalprice AS totalprice, total_qty
+    FROM big
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+"""

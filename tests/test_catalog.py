@@ -9,7 +9,7 @@ from tests.oracle import duck_connection
 
 
 def test_catalog_shape():
-    assert len(_CATALOG) >= 88
+    assert len(_CATALOG) >= 89
     rows_only = {k for k, (_f, sql) in _CATALOG.items() if sql is None}
     assert rows_only == {
         "approx_distinct_users",
