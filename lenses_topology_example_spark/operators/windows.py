@@ -154,20 +154,19 @@ def _rate_changes_values_sql() -> str:
     return f"(VALUES {vals}) AS rc(currency, rate_ts, rate)"
 
 
-def q_asof_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """As-of join (Spark has no native one): each event picks the latest
-    rate change at-or-before its timestamp for its currency.
+def asof_rate_frame(events: DataFrame, spark: SparkSession) -> DataFrame:
+    """As-of join core (Spark has no native one) over any batch OR
+    STREAMING frame with (event_id, currency, ts): each row picks the
+    latest rate change at-or-before its timestamp for its currency.
 
     Implementation: collapse the (small) history into one sorted
     array<struct> per currency, broadcast-equi-join on currency, then a
-    per-row O(k) array scan picks the as-of element. This is shuffle-free
-    on the fact side — the idiomatic scale shape for small histories. For
-    large histories the pattern is applyInPandas + pd.merge_asof per key
-    (documented alternative; not needed for a 40-row dim).
+    per-row O(k) array scan picks the as-of element. Shuffle-free on the
+    fact side — and because the dim side is static, the same plan is a
+    legal stream-static join (no watermark needed). For large histories
+    the pattern is applyInPandas + pd.merge_asof per key (documented
+    alternative; not needed for a 40-row dim).
     """
-    events = load_table(spark, sf_dir, "events").select(
-        "event_id", currency_for(F.col("user_id")).alias("currency"), "ts"
-    )
     rc = rate_changes_df(spark)
     packed = rc.groupBy("currency").agg(
         F.array_sort(F.collect_list(F.struct("rate_ts", "rate"))).alias("history")
@@ -190,6 +189,14 @@ def q_asof_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("asof_rate"),
         )
     )
+
+
+def q_asof_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch as-of query over the events table (see asof_rate_frame)."""
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", currency_for(F.col("user_id")).alias("currency"), "ts"
+    )
+    return asof_rate_frame(events, spark)
 
 
 SQL_ASOF_RATE = f"""

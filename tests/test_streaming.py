@@ -236,6 +236,44 @@ def test_resize_stub_raises():
     assert resize_image(b"abcdef", 4, 4, fake=True) == (sw, sh, thumb)
 
 
+def test_streaming_asof_matches_batch(spark, tmp_path):
+    """The as-of join core runs unchanged on a stream (stream-static
+    broadcast join) and produces the batch answer."""
+    from lenses_topology_example_spark.datamodel import currency_for
+    from lenses_topology_example_spark.operators.windows import asof_rate_frame
+    from lenses_topology_example_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    batch_events = load_table(spark, sf, "events").select(
+        "event_id", currency_for(F.col("user_id")).alias("currency"), "ts"
+    )
+    src = tmp_path / "asof_src"
+    batch_events.write.parquet(str(src))
+    stream = spark.readStream.schema(
+        "event_id long, currency string, ts timestamp"
+    ).parquet(str(src))
+    q = (
+        asof_rate_frame(stream, spark)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("asof_stream_test")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["event_id"], r["asof_rate"])
+        for r in spark.sql("SELECT * FROM asof_stream_test").collect()
+    }
+    want = {
+        (r["event_id"], r["asof_rate"])
+        for r in asof_rate_frame(batch_events, spark).collect()
+    }
+    assert got == want and len(got) > 0
+
+
 def test_streaming_curation(spark, tmp_path):
     """Streaming curation twin: content dups dropped (within watermark),
     sub-threshold docs filtered — matches the batch computation of the
