@@ -28,26 +28,112 @@ from .sources import generator
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # name -> (query fn, oracle SQL | None for rows-only checks)
+#
+# ORDER MATTERS: the round driver evaluates only the FIRST 50 entries for
+# its CORRECTNESS report (round-1 finding — the whole training-data tier
+# sat past position 50 and got no external verdict). Registration
+# therefore leads with the tiers that have never been driver-checked
+# (dedup → similarity → text → event-time windows → multimodal →
+# sketches → sink), then the round-1 fix (map_fns), then ten flagship
+# reference-parity queries. The remaining round-1-green breadth queries
+# follow; they keep full pytest oracle-parity coverage regardless of
+# driver position (tests/test_oracle_parity.py runs all of them).
 _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
-    # --- core relational tier (reference parity, SURVEY.md §2.1-2.4) ---
-    "scan_events": (payments.q_scan_events, payments.SQL_SCAN_EVENTS),
-    "project_cast": (payments.q_project_cast, payments.SQL_PROJECT_CAST),
-    "json_decode": (payments.q_json_decode, payments.SQL_JSON_DECODE),
-    "json_encode": (payments.q_json_encode, payments.SQL_JSON_ENCODE),
-    "gen_payments": (generator.q_gen_payments, generator.SQL_GEN_PAYMENTS),
-    "fx_join": (payments.q_fx_join, payments.SQL_FX_JOIN),
-    "fx_convert": (payments.q_fx_convert, payments.SQL_FX_CONVERT),
-    "filter_suspicious": (
-        payments.q_filter_suspicious,
-        payments.SQL_FILTER_SUSPICIOUS,
+    # --- training-data extensions (SURVEY.md §2.6): dedup ---
+    "dedup_exact": (dedup.q_dedup_exact, dedup.SQL_DEDUP_EXACT),
+    "dedup_near_capped": (dedup.q_dedup_near_capped, dedup.SQL_DEDUP_NEAR_CAPPED),
+    "dedup_minhash": (dedup.q_dedup_minhash, dedup.SQL_DEDUP_MINHASH),
+    "dedup_simhash": (dedup.q_dedup_simhash, dedup.SQL_DEDUP_SIMHASH),
+    "dedup_near_jaccard": (
+        dedup.q_dedup_near_jaccard,
+        dedup.SQL_DEDUP_NEAR_JACCARD,
     ),
+    # --- similarity search ---
+    "sim_topk": (similarity.q_sim_topk, similarity.SQL_SIM_TOPK),
+    "sim_ann_lsh": (similarity.q_sim_ann_lsh, similarity.SQL_SIM_ANN_LSH),
+    "sim_ann_ivf": (similarity.q_sim_ann_ivf, similarity.SQL_SIM_ANN_IVF),
+    "embed_neardup": (similarity.q_embed_neardup, similarity.SQL_EMBED_NEARDUP),
+    # --- text analysis ---
+    "token_count": (text.q_token_count, text.SQL_TOKEN_COUNT),
+    "lang_id": (text.q_lang_id, text.SQL_LANG_ID),
+    "quality_score": (text.q_quality_score, text.SQL_QUALITY_SCORE),
+    "doc_fingerprint": (text.q_doc_fingerprint, text.SQL_DOC_FINGERPRINT),
+    "text_stats": (text.q_text_stats, text.SQL_TEXT_STATS),
+    "topk_words": (text.q_topk_words, text.SQL_TOPK_WORDS),
+    "bigram_counts": (text.q_bigram_counts, text.SQL_BIGRAM_COUNTS),
+    "pattern_counts": (text.q_pattern_counts, text.SQL_PATTERN_COUNTS),
+    "curation_pipeline": (text.q_curation_pipeline, text.SQL_CURATION_PIPELINE),
+    "bpe_token_count": (text.q_bpe_token_count, text.SQL_BPE_TOKEN_COUNT),
+    # --- event-time windows + as-of (SURVEY.md §2.5) ---
+    "tumbling_count": (windows.q_tumbling_count, windows.SQL_TUMBLING_COUNT),
+    "sliding_count": (windows.q_sliding_count, windows.SQL_SLIDING_COUNT),
+    "session_count": (windows.q_session_count, windows.SQL_SESSION_COUNT),
+    "asof_rate": (windows.q_asof_rate, windows.SQL_ASOF_RATE),
+    "window_range_interval": (
+        windows.q_window_range_interval,
+        windows.SQL_WINDOW_RANGE_INTERVAL,
+    ),
+    "moving_avg": (windows.q_moving_avg, windows.SQL_MOVING_AVG),
+    "sessionize_lag": (windows.q_sessionize_lag, windows.SQL_SESSIONIZE_LAG),
+    # --- multimodal (opaque-binary decode plumbing) ---
+    "multimodal_meta": (multimodal.q_multimodal_meta, multimodal.SQL_MULTIMODAL_META),
+    "image_features": (multimodal.q_image_features, multimodal.SQL_IMAGE_FEATURES),
+    "audio_features": (multimodal.q_audio_features, multimodal.SQL_AUDIO_FEATURES),
+    "frame_sample": (multimodal.q_frame_sample, multimodal.SQL_FRAME_SAMPLE),
+    "image_resize": (multimodal.q_image_resize, multimodal.SQL_IMAGE_RESIZE),
+    # --- engine-specific sketches (rows-only; accuracy contract in
+    # tests/test_sketches.py — no SQL oracle can hash-match an HLL) ---
+    "approx_distinct_users": (sketches.q_approx_distinct_users, None),
+    "approx_quantiles": (sketches.q_approx_quantiles, None),
+    # pandas UDAF surface — oracle-checked (np.median == DuckDB median)
+    "udaf_median": (sketches.q_udaf_median, sketches.SQL_UDAF_MEDIAN),
+    "deterministic_sample": (
+        sketches.q_deterministic_sample,
+        sketches.SQL_DETERMINISTIC_SAMPLE,
+    ),
+    "grouped_map_norm": (
+        sketches.q_grouped_map_norm,
+        sketches.SQL_GROUPED_MAP_NORM,
+    ),
+    "corr_text_embedding": (
+        sketches.q_corr_text_embedding,
+        sketches.SQL_CORR_TEXT_EMBEDDING,
+    ),
+    # --- side-effecting sink (rows-only driver check, no oracle) ---
+    "sink_parquet": (sinks.q_sink_parquet, None),
+    # --- round-1 comparator fix: keep inside the driver window ---
+    "map_fns": (relational2.q_map_fns, relational2.SQL_MAP_FNS),
+    "range_join_buckets": (
+        relational2.q_range_join_buckets,
+        relational2.SQL_RANGE_JOIN_BUCKETS,
+    ),
+    # --- flagship reference-parity queries (SURVEY.md §2.1-2.4; all
+    # green in CORRECTNESS_r01) filling the rest of the 50-entry window ---
+    "payments_pipeline": (
+        payments.q_payments_pipeline,
+        payments.SQL_PAYMENTS_PIPELINE,
+    ),
+    "wordcount": (wordcount.q_wordcount, wordcount.SQL_WORDCOUNT),
+    "scan_events": (payments.q_scan_events, payments.SQL_SCAN_EVENTS),
+    "json_decode": (payments.q_json_decode, payments.SQL_JSON_DECODE),
+    "fx_join": (payments.q_fx_join, payments.SQL_FX_JOIN),
     "count_by_currency": (
         payments.q_count_by_currency,
         payments.SQL_COUNT_BY_CURRENCY,
     ),
-    "payments_pipeline": (
-        payments.q_payments_pipeline,
-        payments.SQL_PAYMENTS_PIPELINE,
+    "agg_revenue": (relational.q_agg_revenue, relational.SQL_AGG_REVENUE),
+    "region_revenue": (relational.q_region_revenue, relational.SQL_REGION_REVENUE),
+    "topk_spenders": (relational.q_topk_spenders, relational.SQL_TOPK_SPENDERS),
+    "big_orders": (relational2.q_big_orders, relational2.SQL_BIG_ORDERS),
+    # ==================== end of the driver's 50-entry window =========
+    # --- core relational tier (reference parity, SURVEY.md §2.1-2.4) ---
+    "project_cast": (payments.q_project_cast, payments.SQL_PROJECT_CAST),
+    "json_encode": (payments.q_json_encode, payments.SQL_JSON_ENCODE),
+    "gen_payments": (generator.q_gen_payments, generator.SQL_GEN_PAYMENTS),
+    "fx_convert": (payments.q_fx_convert, payments.SQL_FX_CONVERT),
+    "filter_suspicious": (
+        payments.q_filter_suspicious,
+        payments.SQL_FILTER_SUSPICIOUS,
     ),
     "union_payment_streams": (
         payments.q_union_payment_streams,
@@ -57,10 +143,8 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
         wordcount.q_tokenize_explode,
         wordcount.SQL_TOKENIZE_EXPLODE,
     ),
-    "wordcount": (wordcount.q_wordcount, wordcount.SQL_WORDCOUNT),
     "scan_lines": (wordcount.q_scan_lines, wordcount.SQL_SCAN_LINES),
     # --- breadth tier (SURVEY.md §2.4-2.5 extension surface) ---
-    "agg_revenue": (relational.q_agg_revenue, relational.SQL_AGG_REVENUE),
     "distinct_users": (relational.q_distinct_users, relational.SQL_DISTINCT_USERS),
     "rollup_sales": (relational.q_rollup_sales, relational.SQL_ROLLUP_SALES),
     "cube_sales": (relational.q_cube_sales, relational.SQL_CUBE_SALES),
@@ -68,7 +152,6 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
         relational.q_join_orders_customer,
         relational.SQL_JOIN_ORDERS_CUSTOMER,
     ),
-    "region_revenue": (relational.q_region_revenue, relational.SQL_REGION_REVENUE),
     "semi_join_customers": (
         relational.q_semi_join_customers,
         relational.SQL_SEMI_JOIN_CUSTOMERS,
@@ -81,7 +164,6 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
         relational.q_theta_join_parts,
         relational.SQL_THETA_JOIN_PARTS,
     ),
-    "topk_spenders": (relational.q_topk_spenders, relational.SQL_TOPK_SPENDERS),
     "rank_top_payments": (
         relational.q_rank_top_payments,
         relational.SQL_RANK_TOP_PAYMENTS,
@@ -110,8 +192,6 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "returned_items": (relational2.q_returned_items, relational2.SQL_RETURNED_ITEMS),
     "promo_revenue": (relational2.q_promo_revenue, relational2.SQL_PROMO_REVENUE),
     "late_shipments": (relational2.q_late_shipments, relational2.SQL_LATE_SHIPMENTS),
-    "big_orders": (relational2.q_big_orders, relational2.SQL_BIG_ORDERS),
-    "map_fns": (relational2.q_map_fns, relational2.SQL_MAP_FNS),
     "explode_variants": (
         relational2.q_explode_variants,
         relational2.SQL_EXPLODE_VARIANTS,
@@ -126,69 +206,6 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     ),
     "null_fns": (relational2.q_null_fns, relational2.SQL_NULL_FNS),
     "column_stats": (relational2.q_column_stats, relational2.SQL_COLUMN_STATS),
-    "range_join_buckets": (
-        relational2.q_range_join_buckets,
-        relational2.SQL_RANGE_JOIN_BUCKETS,
-    ),
-    # --- event-time windows + as-of (SURVEY.md §2.5) ---
-    "tumbling_count": (windows.q_tumbling_count, windows.SQL_TUMBLING_COUNT),
-    "sliding_count": (windows.q_sliding_count, windows.SQL_SLIDING_COUNT),
-    "session_count": (windows.q_session_count, windows.SQL_SESSION_COUNT),
-    "asof_rate": (windows.q_asof_rate, windows.SQL_ASOF_RATE),
-    "window_range_interval": (
-        windows.q_window_range_interval,
-        windows.SQL_WINDOW_RANGE_INTERVAL,
-    ),
-    "moving_avg": (windows.q_moving_avg, windows.SQL_MOVING_AVG),
-    "sessionize_lag": (windows.q_sessionize_lag, windows.SQL_SESSIONIZE_LAG),
-    # --- training-data extensions (SURVEY.md §2.6) ---
-    "dedup_exact": (dedup.q_dedup_exact, dedup.SQL_DEDUP_EXACT),
-    "dedup_near_jaccard": (
-        dedup.q_dedup_near_jaccard,
-        dedup.SQL_DEDUP_NEAR_JACCARD,
-    ),
-    "dedup_near_capped": (dedup.q_dedup_near_capped, dedup.SQL_DEDUP_NEAR_CAPPED),
-    "dedup_minhash": (dedup.q_dedup_minhash, dedup.SQL_DEDUP_MINHASH),
-    "dedup_simhash": (dedup.q_dedup_simhash, dedup.SQL_DEDUP_SIMHASH),
-    "sim_topk": (similarity.q_sim_topk, similarity.SQL_SIM_TOPK),
-    "sim_ann_lsh": (similarity.q_sim_ann_lsh, similarity.SQL_SIM_ANN_LSH),
-    "sim_ann_ivf": (similarity.q_sim_ann_ivf, similarity.SQL_SIM_ANN_IVF),
-    "embed_neardup": (similarity.q_embed_neardup, similarity.SQL_EMBED_NEARDUP),
-    "token_count": (text.q_token_count, text.SQL_TOKEN_COUNT),
-    "lang_id": (text.q_lang_id, text.SQL_LANG_ID),
-    "quality_score": (text.q_quality_score, text.SQL_QUALITY_SCORE),
-    "doc_fingerprint": (text.q_doc_fingerprint, text.SQL_DOC_FINGERPRINT),
-    "text_stats": (text.q_text_stats, text.SQL_TEXT_STATS),
-    "topk_words": (text.q_topk_words, text.SQL_TOPK_WORDS),
-    "bigram_counts": (text.q_bigram_counts, text.SQL_BIGRAM_COUNTS),
-    "pattern_counts": (text.q_pattern_counts, text.SQL_PATTERN_COUNTS),
-    "curation_pipeline": (text.q_curation_pipeline, text.SQL_CURATION_PIPELINE),
-    "bpe_token_count": (text.q_bpe_token_count, text.SQL_BPE_TOKEN_COUNT),
-    "multimodal_meta": (multimodal.q_multimodal_meta, multimodal.SQL_MULTIMODAL_META),
-    "image_features": (multimodal.q_image_features, multimodal.SQL_IMAGE_FEATURES),
-    "audio_features": (multimodal.q_audio_features, multimodal.SQL_AUDIO_FEATURES),
-    "frame_sample": (multimodal.q_frame_sample, multimodal.SQL_FRAME_SAMPLE),
-    "image_resize": (multimodal.q_image_resize, multimodal.SQL_IMAGE_RESIZE),
-    # --- engine-specific sketches (rows-only; accuracy contract in
-    # tests/test_sketches.py — no SQL oracle can hash-match an HLL) ---
-    "approx_distinct_users": (sketches.q_approx_distinct_users, None),
-    "approx_quantiles": (sketches.q_approx_quantiles, None),
-    # pandas UDAF surface — oracle-checked (np.median == DuckDB median)
-    "udaf_median": (sketches.q_udaf_median, sketches.SQL_UDAF_MEDIAN),
-    "deterministic_sample": (
-        sketches.q_deterministic_sample,
-        sketches.SQL_DETERMINISTIC_SAMPLE,
-    ),
-    "grouped_map_norm": (
-        sketches.q_grouped_map_norm,
-        sketches.SQL_GROUPED_MAP_NORM,
-    ),
-    "corr_text_embedding": (
-        sketches.q_corr_text_embedding,
-        sketches.SQL_CORR_TEXT_EMBEDDING,
-    ),
-    # --- side-effecting sink (rows-only driver check, no oracle) ---
-    "sink_parquet": (sinks.q_sink_parquet, None),
 }
 
 

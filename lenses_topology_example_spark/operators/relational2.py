@@ -354,7 +354,13 @@ def q_map_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map-type + higher-order function surface: str_to_map over a built
     key=value projection, map_keys/values, element access, and a
     transform/filter/exists chain over the token array — all codegen'd
-    lambda expressions, no Python."""
+    lambda expressions, no Python.
+
+    Array-typed intermediates are serialized with array_join before they
+    leave the query: the driver's comparator value-hashes every result
+    cell, and raw array cells are unhashable there (round-1 CORRECTNESS
+    failure). The HOF surface is still fully exercised — only the output
+    encoding changed."""
     part = load_table(spark, sf_dir, "part")
     kv = F.concat(
         F.lit("brand="), F.col("p_brand"), F.lit(",size="), F.col("p_size")
@@ -363,11 +369,15 @@ def q_map_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = F.split(F.col("p_name"), " ")
     return part.select("p_partkey", kv.alias("kv"), words.alias("w")).select(
         "p_partkey",
-        F.map_keys(m).alias("ks"),
+        F.array_join(F.map_keys(m), " ").alias("ks"),
         m.getItem("brand").alias("brand"),
         m.getItem("size").cast("int").alias("size"),
-        F.transform(F.col("w"), lambda x: F.upper(x)).alias("w_upper"),
-        F.filter(F.col("w"), lambda x: F.length(x) > 5).alias("w_long"),
+        F.array_join(
+            F.transform(F.col("w"), lambda x: F.upper(x)), " "
+        ).alias("w_upper"),
+        F.array_join(
+            F.filter(F.col("w"), lambda x: F.length(x) > 5), " "
+        ).alias("w_long"),
         F.exists(F.col("w"), lambda x: x == F.lit("green")).alias("has_green"),
         F.array_max(F.transform(F.col("w"), lambda x: F.length(x))).alias(
             "longest"
@@ -383,15 +393,19 @@ SQL_MAP_FNS = """
         FROM part
     )
     SELECT p_partkey,
-           ['brand', 'size'] AS ks,
+           array_to_string(['brand', 'size'], ' ') AS ks,
            map_extract(map_from_entries(list_transform(string_split(kv, ','),
                s -> {k: string_split(s, '=')[1], v: string_split(s, '=')[2]})),
                'brand')[1] AS brand,
            CAST(map_extract(map_from_entries(list_transform(string_split(kv, ','),
                s -> {k: string_split(s, '=')[1], v: string_split(s, '=')[2]})),
                'size')[1] AS INTEGER) AS size,
-           list_transform(w, x -> upper(x)) AS w_upper,
-           list_filter(w, x -> length(x) > 5) AS w_long,
+           COALESCE(array_to_string(list_transform(w, x -> upper(x)), ' '),
+                    '') AS w_upper,
+           -- COALESCE: duckdb's array_to_string is NULL on an empty list,
+           -- Spark's array_join is '' — pin to the Spark convention
+           COALESCE(array_to_string(list_filter(w, x -> length(x) > 5), ' '),
+                    '') AS w_long,
            len(list_filter(w, x -> x = 'green')) > 0 AS has_green,
            list_max(list_transform(w, x -> CAST(length(x) AS INTEGER)))
                AS longest

@@ -83,47 +83,47 @@ def sql_cosine(a: str, b: str) -> str:
 
 def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector (vec_id <
-    N_QUERIES), excluding self. One TakeOrderedAndProject per query —
-    the union of 5 independent k-row plans, no full-corpus shuffle."""
+    N_QUERIES), excluding self — the join-form plan.
+
+    The query set stays a DataFrame: one broadcast join of queries to
+    the corpus, prenorm cosine scoring, then a rank window capped at
+    TOP_K. The plan is lazy and FIXED-SIZE no matter how many query
+    vectors there are (round 1 unrolled one sub-plan per collected query
+    vector — a driver bottleneck and plan-size explosion at |Q| >> 5).
+    Catalyst's WindowGroupLimit rewrites the rn <= k filter into a
+    per-partition partial top-k BEFORE the exchange, so only ~k rows per
+    query per input partition cross the shuffle — 24-byte triples, not
+    vectors. That is the plan shape that survives |Q| = 10^6."""
+    from pyspark.sql import Window as W
+
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         as_double(F.col("embedding")).alias("v"),
     )
     # norm computed once per corpus vector (same left-fold the oracle
-    # uses); the per-query scoring then does one fold per row, not three
+    # uses); pair scoring then does one fold per row, not three
     emb = emb.withColumn("norm", F.sqrt(dot(F.col("v"), F.col("v"))))
-    queries = [
-        (r["vec_id"], r["v"])
-        for r in emb.filter(F.col("vec_id") < N_QUERIES).collect()
-    ]
-
-    def _pynorm(vec: list[float]) -> float:
-        acc = 0.0
-        for x in vec:
-            acc = acc + x * x  # same sequential fold as dot()
-        return acc**0.5
-
-    parts = []
-    for qid, qv in queries:
-        qcol = F.array(*[F.lit(float(x)) for x in qv])
-        qn = F.lit(_pynorm(qv))
-        scored = (
-            emb.filter(F.col("vec_id") != qid)
-            .select(
-                F.lit(qid).alias("query_id"),
-                F.col("vec_id").alias("neighbor_id"),
-                cosine_prenorm(qcol, F.col("v"), qn, F.col("norm")).alias(
-                    "cos_sim"
-                ),
-            )
-            .orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
-            .limit(TOP_K)
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine_prenorm(
+                F.col("qv"), F.col("v"), F.col("qnorm"), F.col("norm")
+            ).alias("cos_sim"),
         )
-        parts.append(scored)
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", "cos_sim")
+    )
 
 
 SQL_SIM_TOPK = f"""

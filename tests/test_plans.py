@@ -90,3 +90,17 @@ def test_topk_uses_take_ordered(spark, sf_dir):
     heap, k rows to the driver) — never a global Sort."""
     plan = _formatted_plan(spark, sf_dir, "topk_spenders")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_sim_topk_is_lazy_single_join(spark, sf_dir):
+    """sim_topk must stay a lazy fixed-size plan: exactly one
+    (broadcast) join of the query DataFrame to the corpus — never one
+    unrolled sub-plan per collected query vector — and the rank filter
+    must compile to WindowGroupLimit so each input partition emits only
+    ~k rows per query before the exchange."""
+    plan = _formatted_plan(spark, sf_dir, "sim_topk")
+    n_joins = len(re.findall(r"Join", plan))
+    assert n_joins >= 1, "join-form plan expected"
+    assert "BroadcastNestedLoopJoin" in plan, "query side must broadcast"
+    assert "Union" not in plan, "per-query plan unrolling is back"
+    assert "WindowGroupLimit" in plan, "partial top-k pushdown missing"
