@@ -40,11 +40,14 @@ HEADLINE = (
     "asof_rate",
     "dedup_exact",
     "dedup_minhash",
-    "dedup_near_jaccard",
-    # dedup_near_capped intentionally NOT in the headline: at sf0.1 the
-    # corpus has no Zipf head, so the df-cap's two extra jobs cost more
-    # than the candidate-join reduction saves (measured 3.4s vs 3.0s);
-    # its win is asymptotic — hot-shingle corpora at real scale.
+    "dedup_near_capped",
+    # dedup_near_capped (df-capped candidate generation) and minhash are
+    # the production near-dup paths — the only forms whose join fan-out
+    # is bounded on a Zipf-headed corpus (see SCALING.md). The uncapped
+    # dedup_near_jaccard stays in the catalog as the oracle-exactness
+    # twin (driver-checked) but is not a headline: its sum(df^2) cost is
+    # quadratic in the hot-shingle head at real scale, even though at
+    # sf0.1 it happens to run ~0.4 s faster (no Zipf head in testdata).
     "sim_topk",
     "sim_ann_lsh",
     "sim_ann_ivf",

@@ -94,8 +94,14 @@ _MATERIALIZED_LOCK = threading.Lock()
 
 
 def _memo_persist(spark: SparkSession, sf_dir: str, key: str, df: DataFrame) -> DataFrame:
-    memo_key = (spark.sparkContext.applicationId, sf_dir, key)
+    app_id = spark.sparkContext.applicationId
+    memo_key = (app_id, sf_dir, key)
     with _MATERIALIZED_LOCK:
+        # Evict entries from stopped sessions: a long-lived embedding
+        # process that restarts SparkSessions would otherwise accumulate
+        # dead DataFrame references (and pin their lineage) forever.
+        for k in [k for k in _MATERIALIZED if k[0] != app_id]:
+            del _MATERIALIZED[k]
         if memo_key not in _MATERIALIZED:
             _MATERIALIZED[memo_key] = df.persist()
         return _MATERIALIZED[memo_key]
@@ -215,7 +221,12 @@ def q_dedup_near_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _doc_shingles(spark, sf_dir)
     freq = s.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     rare = freq.filter(F.col("df") <= MAX_SHINGLE_DF).select("shingle")
-    s2 = s.join(rare, "shingle", "left_semi")
+    # materialize the capped index once: sizes + both self-join sides
+    # consume it, and without the boundary the df-count + semi-join
+    # would re-execute per consumer (measured 3x at sf0.1)
+    s2 = _memo_persist(
+        spark, sf_dir, "shingles_capped", s.join(rare, "shingle", "left_semi")
+    )
     sizes = s2.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = s2.alias("a")
     b = s2.alias("b")

@@ -114,12 +114,18 @@ def q_grouped_map_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     model scoring / fitting where the group must be in one place."""
 
     def norm(pdf: pd.DataFrame) -> pd.DataFrame:
-        m = pdf["value"].max()
+        # Nullable Float64, not float64: a NULL value must come back as
+        # NULL (DuckDB's value/MAX() OVER convention), not NaN — with
+        # plain float64 the null arrives as NaN and division bakes it in.
+        # pd.NA propagates through the division and Arrow maps it to a
+        # real null on the Spark side.
+        v = pdf["value"].astype("Float64")
+        m = v.max()
         return pd.DataFrame(
             {
                 "event_type": pdf["event_type"],
                 "event_id": pdf["event_id"],
-                "pct_of_max": pdf["value"] / m,
+                "pct_of_max": v / m,
             }
         )
 

@@ -145,3 +145,33 @@ def test_exact_dedup_groups_identical_only(spark):
     )
     counts = sorted(r["count"] for r in grouped)
     assert counts == [1, 1, 2], "trailing space / case must NOT merge"
+
+
+def test_grouped_map_norm_null_value_stays_null(spark):
+    """A NULL events.value must surface as NULL pct_of_max (the DuckDB
+    value/MAX() OVER convention), not NaN — the pandas path would bake
+    NaN in if it ran on plain float64 (ADVICE round 1)."""
+    from lenses_topology_example_spark.operators.sketches import (
+        q_grouped_map_norm,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, None), ("a", 3, 5.0), ("b", 4, None)],
+        "event_type string, event_id long, value double",
+    )
+    # run the real catalog query against a stand-in events table
+    import lenses_topology_example_spark.operators.sketches as sk
+
+    orig = sk.load_table
+    sk.load_table = lambda _s, _d, _t: df
+    try:
+        out = {
+            r["event_id"]: r["pct_of_max"]
+            for r in q_grouped_map_norm(spark, "ignored").collect()
+        }
+    finally:
+        sk.load_table = orig
+    assert out[1] == 1.0
+    assert out[3] == 0.5
+    assert out[2] is None, f"null value must stay null, got {out[2]}"
+    assert out[4] is None, "all-null group must yield null, not NaN"
