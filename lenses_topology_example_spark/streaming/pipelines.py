@@ -285,6 +285,40 @@ def windowed_counts(
     )
 
 
+# --- session windows (merge-on-overlap stateful agg) ------------------------------
+
+
+def session_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    key_col: str = "user_id",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Watermarked session-window counts — the streaming twin of batch
+    q_session_count (operators/windows.py) and the one stateful shape the
+    round-1 streaming tier lacked: unlike tumbling/sliding windows, a
+    session's extent is data-dependent, so the state op must MERGE
+    overlapping partial sessions as events arrive (the reference's
+    stateful-agg story, kstreams/App.java:98-109, only ever appends).
+
+    Works on batch frames too (withWatermark is a no-op in batch), so the
+    stream==batch equivalence is the same plan text on both. In append
+    mode a session emits once its [start, last+gap) window falls fully
+    behind the watermark; state is GC'd at the same point, bounding the
+    store at rate x watermark regardless of corpus size."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col(key_col),
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
 # --- streaming curation ------------------------------------------------------------
 
 

@@ -417,3 +417,79 @@ def test_decode_image_stub_raises():
     with pytest.raises(NotImplementedError):
         decode_image(b"abc")
     assert decode_image(b"abc", fake=True) == decode_image(b"abc", fake=True)
+
+
+def test_streaming_session_window_matches_batch(spark, tmp_path):
+    """Session-window stream == batch twin (batch-as-bounded-stream,
+    SURVEY.md §5), RocksDB-backed merge-on-overlap state. A far-future
+    sentinel row pushes the watermark past every real session so append
+    mode emits (and GCs) them all; the sentinel user is excluded from
+    the comparison."""
+    from lenses_topology_example_spark.streaming.pipelines import session_counts
+
+    rows = []
+    base = "2024-01-15 10:{:02d}:00"
+    # user 1: one 3-event session, then a 25-min gap within session,
+    # then a >30-min gap starting a second session
+    for m in (0, 10, 20):
+        rows.append((1, base.format(m)))
+    rows.append((1, "2024-01-15 11:30:00"))
+    # user 2: single-event session
+    rows.append((2, "2024-01-15 10:05:00"))
+    # sentinel: far future, advances the watermark past everything real
+    rows.append((99, "2024-02-01 00:00:00"))
+    events = spark.createDataFrame(rows, "user_id long, raw string").select(
+        "user_id", F.col("raw").cast("timestamp").alias("ts")
+    )
+    src = tmp_path / "sess_src"
+    events.write.parquet(str(src))
+
+    batch = {
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in session_counts(spark.read.parquet(str(src))).collect()
+        if r["user_id"] != 99
+    }
+    assert len(batch) == 3, "expected 3 real sessions in the batch twin"
+
+    stream = spark.readStream.schema("user_id long, ts timestamp").parquet(
+        str(src)
+    )
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    rocksdb = (
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(provider_key, rocksdb)
+    try:
+        q = (
+            session_counts(stream)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("sess_stream_test")
+            .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
+
+    got = {
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in spark.sql("SELECT * FROM sess_stream_test").collect()
+        if r["user_id"] != 99
+    }
+    assert got == batch
+    import glob
+
+    state_files = glob.glob(
+        str(tmp_path / "sess_ckpt" / "state" / "**"), recursive=True
+    )
+    assert any(f.endswith((".zip", ".changelog")) for f in state_files), (
+        "no RocksDB artifacts — provider not engaged"
+    )
