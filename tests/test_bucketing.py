@@ -105,3 +105,36 @@ def test_ivf_partition_pruning(spark, sf_dir, tmp_path):
     # the pruned read touches 2 of 4 cells
     assert probed.select("cell").distinct().count() == 2
     assert N_PROBE <= 4  # the real operator's probe count fits this layout
+
+
+def test_multi_row_group_layout_parallelizes_scan(spark, sf_dir, tmp_path):
+    """The scan-floor A/B (SCALING.md): testdata parquet is one row group
+    (the minimum split unit), so scans serialize on one core; the SAME
+    catalog query over the same rows rewritten to a multi-file layout
+    fans out to one task per file and returns the identical result.
+    Proves the plan parallelizes — the testdata layout is the floor."""
+    import os
+
+    from lenses_topology_example_spark.catalog import _CATALOG
+
+    dst = tmp_path / "multirg"
+    dst.mkdir()
+    for t in ["region", "nation", "customer", "supplier", "part", "events",
+              "documents", "embeddings", "orders"]:
+        os.symlink(f"{sf_dir}/{t}.parquet", str(dst / f"{t}.parquet"))
+    (
+        load_table(spark, sf_dir, "lineitem")
+        .repartition(8)
+        .write.mode("overwrite")
+        .parquet(str(dst / "lineitem.parquet"))
+    )
+
+    single = load_table(spark, sf_dir, "lineitem")
+    multi = load_table(spark, str(dst), "lineitem")
+    # single-file layout: splits exist but only 1 carries the row group
+    assert multi.rdd.getNumPartitions() >= 8
+
+    q = _CATALOG["agg_revenue"][0]
+    got_single = {tuple(r) for r in q(spark, sf_dir).collect()}
+    got_multi = {tuple(r) for r in q(spark, str(dst)).collect()}
+    assert got_single == got_multi, "layout must not change results"
