@@ -206,6 +206,17 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     ),
     "null_fns": (relational2.q_null_fns, relational2.SQL_NULL_FNS),
     "column_stats": (relational2.q_column_stats, relational2.SQL_COLUMN_STATS),
+    # --- round-2 training-pipeline additions (appended AFTER the driver
+    # window so the never-driver-checked tiers above keep their slots;
+    # rotate these forward next round) ---
+    "dedup_cluster": (dedup.q_dedup_cluster, dedup.SQL_DEDUP_CLUSTER),
+    "tfidf": (text.q_tfidf, text.SQL_TFIDF),
+    "text_normalize": (text.q_text_normalize, text.SQL_TEXT_NORMALIZE),
+    "seq_packing": (text.q_seq_packing, text.SQL_SEQ_PACKING),
+    "stratified_sample": (
+        sketches.q_stratified_sample,
+        sketches.SQL_STRATIFIED_SAMPLE,
+    ),
 }
 
 

@@ -471,3 +471,142 @@ SQL_DEDUP_MINHASH = f"""
           i -> sa.sig[i] = sb.sig[i]), x -> x)) / {float(N_HASHES)}
           >= {MINHASH_EST_THRESHOLD}
 """
+
+
+# --- cluster resolution (connected components over near-dup pairs) ---------------
+
+CLUSTER_PROP_ROUNDS = 8  # covers component diameter <= 8 (see docstring)
+
+
+def neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized (doc_a, doc_b) near-dup edges from the capped-Jaccard
+    pass — the input every cluster-resolution step shares. At 100 TB the
+    pair table is written out by the dedup job; memoized persist is the
+    in-session form (same contract as the token/shingle tables)."""
+    return _memo_persist(
+        spark,
+        sf_dir,
+        "neardup_pairs",
+        q_dedup_near_capped(spark, sf_dir).select("doc_a", "doc_b"),
+    )
+
+
+def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER resolution: connected components over the
+    capped-Jaccard pair graph, min-doc_id label per component, keeper =
+    the labeling doc. Pairwise near-dup output alone can't drive dedup —
+    if A~B and B~C, dropping per-pair keeps one of {A,B} and one of
+    {B,C}; the component (A,B,C) must collapse to ONE keeper.
+
+    Plan: min-label propagation over the adjacency WITH SELF-LOOPS, so
+    each round is exactly `adj ⋈ labels → groupBy(dst).min(label)` —
+    the labels frame is referenced ONCE per round (a labels-join-labels
+    round would double the lazy plan every iteration: 2^k sub-plans).
+    One hash join + one partial-agg shuffle of 8-byte doc ids per round;
+    after k rounds every node holds the min label within k hops, so the
+    result is exact for components of diameter <= CLUSTER_PROP_ROUNDS —
+    near-dup components are short chains in practice (diameter grows
+    only through chained borderline pairs). The catalog entry stays a
+    LAZY fixed plan (the sink contract, sinks.py); resolve_clusters()
+    below is the iterate-to-fixpoint production form for adversarial
+    graphs, and the parity of both is pinned in tests/test_dedup.py."""
+    pairs = neardup_pairs(spark, sf_dir)
+    # undirected adjacency + self-loops: the self-loop carries a node's
+    # own label through the neighbor-min, replacing a second labels ref
+    adj = _memo_persist(
+        spark,
+        sf_dir,
+        "neardup_adj",
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(
+                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+            )
+        )
+        .unionByName(
+            pairs.select(F.col("doc_a").alias("doc"))
+            .unionByName(pairs.select(F.col("doc_b").alias("doc")))
+            .distinct()
+            .select(F.col("doc").alias("src"), F.col("doc").alias("dst"))
+        ),
+    )
+    labels = adj.filter(F.col("src") == F.col("dst")).select(
+        F.col("src").alias("doc"), F.col("src").alias("label")
+    )
+    for _ in range(CLUSTER_PROP_ROUNDS):
+        labels = (
+            adj.join(labels, F.col("src") == F.col("doc"))
+            .groupBy(F.col("dst"))
+            .agg(F.min("label").alias("label"))
+            .select(F.col("dst").alias("doc"), "label")
+        )
+    return labels.select(
+        F.col("doc").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        (F.col("doc") == F.col("label")).alias("is_keeper"),
+    )
+
+
+def resolve_clusters(edges: DataFrame) -> DataFrame:
+    """Iterate-to-fixpoint connected components over an undirected
+    (src, dst) edge frame — the production form for graphs whose
+    diameter is unknown. Each round halves the worst-case remaining
+    distance-to-label... convergence is checked with a 1-row count
+    (changed labels), and localCheckpoint truncates the growing lineage
+    every round (iterative plans otherwise re-derive all prior rounds).
+    Eager by contract (NOT a catalog entry): returns (doc, label)."""
+    both = edges.select("src", "dst").unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = (
+        both.select(F.col("src").alias("doc"))
+        .distinct()
+        .select("doc", F.col("doc").alias("label"))
+        .localCheckpoint()
+    )
+    while True:
+        neigh = (
+            both.join(
+                labels.select(
+                    F.col("doc").alias("src_doc"), F.col("label").alias("src_label")
+                ),
+                F.col("src") == F.col("src_doc"),
+            )
+            .groupBy(F.col("dst").alias("doc"))
+            .agg(F.min("src_label").alias("neigh_label"))
+        )
+        updated = (
+            labels.join(neigh, "doc", "left")
+            .select(
+                "doc",
+                F.col("label").alias("old_label"),
+                F.least(
+                    F.col("label"),
+                    F.coalesce(F.col("neigh_label"), F.col("label")),
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        n_changed = updated.filter(F.col("label") != F.col("old_label")).count()
+        labels = updated.select("doc", "label")
+        if n_changed == 0:
+            return labels
+
+
+SQL_DEDUP_CLUSTER = f"""
+    WITH RECURSIVE pairs AS (
+        SELECT doc_a, doc_b FROM ({SQL_DEDUP_NEAR_CAPPED})
+    ), edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ), reach(doc, label) AS (
+        SELECT DISTINCT src AS doc, src AS label FROM edges
+        UNION
+        SELECT e.dst AS doc, r.label
+        FROM reach r JOIN edges e ON e.src = r.doc
+    )
+    SELECT doc AS doc_id, MIN(label) AS cluster_id,
+           (MIN(label) = doc) AS is_keeper
+    FROM reach GROUP BY doc
+"""

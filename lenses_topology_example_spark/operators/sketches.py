@@ -206,3 +206,45 @@ SQL_CORR_TEXT_EMBEDDING = """
            / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)) AS pearson_r
     FROM m
 """
+
+
+# --- stratified sampling ---------------------------------------------------------
+
+# Per-stratum keep percentages: rare-but-important event types keep more.
+STRATA_RATES = {"purchase": 50, "error": 25}
+STRATA_DEFAULT_RATE = 5
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: each stratum (event_type) keeps
+    its configured percentage by content-hash threshold — the standard
+    class-rebalancing op for training data (upsample rare strata,
+    downsample the head). Same md5-threshold mechanics as
+    q_deterministic_sample, so the sample is reproducible across
+    engines, runs, and repartitioning; the rate map is a CASE expression
+    (broadcastable config, no join)."""
+    from ..functions.texthash import md5_hash64
+
+    events = load_table(spark, sf_dir, "events")
+    rate = F.lit(STRATA_DEFAULT_RATE)
+    for etype, pct in sorted(STRATA_RATES.items()):
+        rate = F.when(F.col("event_type") == etype, F.lit(pct)).otherwise(rate)
+    return events.filter(
+        md5_hash64(F.col("event_id").cast("string")) % 100 < rate
+    ).select("event_id", "event_type", "user_id", "value")
+
+
+def _sql_strata_rate() -> str:
+    whens = " ".join(
+        f"WHEN event_type = '{etype}' THEN {pct}"
+        for etype, pct in sorted(STRATA_RATES.items())
+    )
+    return f"CASE {whens} ELSE {STRATA_DEFAULT_RATE} END"
+
+
+SQL_STRATIFIED_SAMPLE = f"""
+    SELECT event_id, event_type, user_id, value
+    FROM events
+    WHERE ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT
+          % 100 < {_sql_strata_rate()}
+"""

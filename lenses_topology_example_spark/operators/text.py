@@ -457,3 +457,162 @@ SQL_BPE_TOKEN_COUNT = """
                (a, b) -> a + b) / len(toks) AS mean_tok_len
     FROM t
 """
+
+
+# --- TF-IDF keyword extraction --------------------------------------------------
+
+TFIDF_TOP_K = 5
+
+
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k keywords per document by TF-IDF (idf = ln(N/df)).
+
+    Shape at scale: one explode + two keyed aggregations (term-doc tf,
+    term df), the corpus size N is a 1-row broadcast, and the per-doc
+    top-k is a rank window that Catalyst executes as WindowGroupLimit
+    (partial top-k before the shuffle). No step materializes the full
+    |docs| x |vocab| matrix — only (doc, term-in-doc) pairs exist.
+
+    Determinism: tf/df/N are exact integers; the single float op
+    tf * ln(N/df) is ROUNDed to 4 decimals on BOTH engines because libm
+    ln differs by 1 ulp between them on ~5% of inputs (measured); ties
+    break by term ascending."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    td = (
+        docs.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = td.groupBy("term").agg(F.count(F.lit(1)).alias("df_term"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        td.join(df_t, "term")
+        .join(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df_term")),
+                4,
+            ),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TFIDF_TOP_K)
+        .select("doc_id", "term", "tf", "df_term", "tfidf")
+    )
+
+
+SQL_TFIDF = f"""
+    WITH td AS (
+        SELECT doc_id, unnest({SQL_TOKS}) AS term FROM documents
+    ), tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM td GROUP BY doc_id, term
+    ), df_t AS (
+        SELECT term, COUNT(*) AS df_term FROM tf GROUP BY term
+    ), n AS (
+        SELECT COUNT(*) AS n_docs FROM documents
+    )
+    SELECT doc_id, term, tf, df_term,
+           ROUND(tf * ln(n_docs::DOUBLE / df_term), 4) AS tfidf
+    FROM tf JOIN df_t USING (term) CROSS JOIN n
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, term ASC) <= {TFIDF_TOP_K}
+"""
+
+
+# --- text normalization -----------------------------------------------------------
+
+
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical cleaning pass every curation pipeline starts with:
+    lowercase, strip non-alphanumerics to spaces, collapse whitespace,
+    trim. Pure per-row codegen string ops — parquet-scan speed, no
+    shuffle; at 100 TB this is the map stage in front of dedup/quality."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9\\s]", " "),
+            "\\s+",
+            " ",
+        )
+    )
+    return docs.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.length("text").alias("n_chars_raw"),
+        F.length(norm).alias("n_chars_norm"),
+    )
+
+
+SQL_TEXT_NORMALIZE = r"""
+    WITH t AS (
+        SELECT doc_id, text,
+               trim(regexp_replace(regexp_replace(lower(text),
+                    '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS norm_text
+        FROM documents
+    )
+    SELECT doc_id, norm_text,
+           CAST(length(text) AS INTEGER) AS n_chars_raw,
+           CAST(length(norm_text) AS INTEGER) AS n_chars_norm
+    FROM t
+"""
+
+
+# --- sequence packing --------------------------------------------------------------
+
+PACK_BUDGET = 2048  # tokens per packed training sequence
+N_PACK_SHARDS = 8
+
+
+def q_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents are hashed to shards,
+    ordered by doc_id within a shard, and assigned the pack (training
+    sequence) their cumulative token count starts in — the standard
+    pretraining batch-assembly op.
+
+    Scale shape: the cumulative sum is a window per SHARD, so packing
+    parallelizes across shards (one sort per shard partition, never a
+    global order-by); shard count scales with the cluster, and the
+    output is integer-exact on any engine. A doc straddling a boundary
+    belongs to the pack it starts in (concat-and-chunk semantics)."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        (F.col("doc_id") % F.lit(N_PACK_SHARDS)).alias("shard"),
+        F.size(tokens_col(F.col("text"))).cast("long").alias("n_tok"),
+    )
+    w = (
+        W.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        base.withColumn("cum_tok", F.sum("n_tok").over(w))
+        .withColumn(
+            "pack_id",
+            F.expr(f"(cum_tok - n_tok) div {PACK_BUDGET}"),
+        )
+        .select("doc_id", "shard", "n_tok", "pack_id")
+    )
+
+
+SQL_SEQ_PACKING = f"""
+    WITH t AS (
+        SELECT doc_id, doc_id % {N_PACK_SHARDS} AS shard,
+               CAST(len({SQL_TOKS}) AS BIGINT) AS n_tok
+        FROM documents
+    )
+    SELECT doc_id, shard, n_tok,
+           -- both engines: non-negative ints, so // == div == floor
+           (SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tok)
+               // {PACK_BUDGET} AS pack_id
+    FROM t
+"""

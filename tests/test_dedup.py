@@ -74,3 +74,47 @@ def test_shingles(spark):
     ).collect()
     assert out[0]["sh"] == ["a b c", "b c d"]
     assert out[1]["sh"] == []  # < 3 tokens -> no shingles
+
+
+def test_resolve_clusters_fixpoint_long_chain(spark):
+    """The iterate-to-fixpoint form must collapse a path graph whose
+    diameter (19) exceeds the catalog variant's bounded rounds (8) —
+    the adversarial case the lazy plan documents as out of contract."""
+    from lenses_topology_example_spark.operators.dedup import resolve_clusters
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(19)], "src long, dst long"
+    )
+    labels = {r["doc"]: r["label"] for r in resolve_clusters(edges).collect()}
+    assert labels == {i: 0 for i in range(20)}
+
+
+def test_dedup_cluster_matches_fixpoint(spark, sf_dir):
+    """Bounded-round catalog plan == fixpoint resolution on the real
+    near-dup graph (components there are short chains, within the
+    CLUSTER_PROP_ROUNDS contract)."""
+    from lenses_topology_example_spark.operators.dedup import (
+        neardup_pairs,
+        q_dedup_cluster,
+        resolve_clusters,
+    )
+
+    got = {
+        (r["doc_id"], r["cluster_id"])
+        for r in q_dedup_cluster(spark, sf_dir).collect()
+    }
+    pairs = neardup_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    want = {
+        (r["doc"], r["label"]) for r in resolve_clusters(pairs).collect()
+    }
+    assert got == want
+    # every cluster has exactly one keeper: its min doc_id
+    keepers = {
+        r["cluster_id"]
+        for r in q_dedup_cluster(spark, sf_dir)
+        .filter(F.col("is_keeper"))
+        .collect()
+    }
+    assert keepers == {c for _, c in got}
