@@ -26,7 +26,7 @@ switch the state store to RocksDB
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from ..datamodel import SUSPICIOUS_THRESHOLD, currency_rates_df
@@ -282,6 +282,49 @@ def windowed_counts(
         .groupBy(F.window(F.col(ts_col), window), F.col("event_type"))
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.col("window.start").alias("window_start"), "event_type", "n")
+    )
+
+
+# --- streaming near-dup (MinHash signature dedup) ---------------------------------
+
+
+def streaming_neardup(
+    docs: DataFrame, ts_col: str = "ts", watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming MinHash near-dup: each document's k-component signature
+    is computed IN-STREAM (the same engine-portable md5 expressions as
+    batch operators/dedup.minhash_signatures — pure codegen, stateless),
+    and a doc whose signature was already seen within the watermark is
+    dropped. Signature equality is the est_jaccard = 1.0 bucket of the
+    batch LSH pass — the incremental twin of the batch near-dup for the
+    continuous-ingest path, with state bounded at rate x watermark
+    (k longs per doc, never shingle sets).
+
+    Docs too short to carry a signature (< 3 tokens) are never near-dup
+    candidates; they pass through under a per-doc unique key instead of
+    colliding on a shared null."""
+    return (
+        docs.withColumn("sig_key", neardup_sig_key())
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["sig_key"])
+    )
+
+
+def neardup_sig_key() -> Column:
+    """The MinHash signature key expression shared by the streaming
+    near-dup and its batch twin (dropDuplicates on the same column)."""
+    from ..functions.texthash import md5_hash_mod, minhash_component
+    from ..operators.dedup import MINHASH_AB, shingles_col
+    from ..operators.wordcount import tokens_col
+
+    sh = F.array_distinct(shingles_col(tokens_col(F.col("text"))))
+    hashes = F.array_distinct(F.transform(sh, lambda s: md5_hash_mod(s)))
+    sig = F.concat_ws(
+        "-",
+        *[minhash_component(hashes, a, b).cast("string") for a, b in MINHASH_AB],
+    )
+    return F.when(F.size(hashes) > 0, sig).otherwise(
+        F.concat(F.lit("nosig-"), F.col("doc_id").cast("string"))
     )
 
 

@@ -104,3 +104,20 @@ def test_sim_topk_is_lazy_single_join(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan, "query side must broadcast"
     assert "Union" not in plan, "per-query plan unrolling is back"
     assert "WindowGroupLimit" in plan, "partial top-k pushdown missing"
+
+
+def test_tfidf_partial_topk_and_broadcast_n(spark, sf_dir):
+    """tfidf's per-doc top-k must compile to WindowGroupLimit (partial
+    top-k before the exchange) and the corpus-count join must broadcast
+    its single row, never shuffle the term-doc side for it."""
+    plan = _formatted_plan(spark, sf_dir, "tfidf")
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row N, no join key
+    assert "CartesianProduct" not in plan
+
+
+def test_seq_packing_single_shard_shuffle(spark, sf_dir):
+    """seq_packing is one window over shard partitions: exactly one
+    exchange (hash by shard), no global sort."""
+    plan = _formatted_plan(spark, sf_dir, "seq_packing")
+    assert len(re.findall(r"\bExchange\b", plan)) // 2 == 1

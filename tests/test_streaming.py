@@ -493,3 +493,58 @@ def test_streaming_session_window_matches_batch(spark, tmp_path):
     assert any(f.endswith((".zip", ".changelog")) for f in state_files), (
         "no RocksDB artifacts — provider not engaged"
     )
+
+
+def test_streaming_neardup_matches_batch_signatures(spark, tmp_path):
+    """Streaming MinHash near-dup keeps exactly one doc per signature
+    bucket (and every no-signature doc): the kept signature set must
+    equal the batch signature-distinct set over the same bounded input."""
+    from lenses_topology_example_spark.streaming.pipelines import streaming_neardup
+
+    text_a = "the quick brown fox jumps over the lazy dog tonight"
+    rows = [
+        (1, text_a, "2024-01-15 10:00:00"),
+        (2, text_a, "2024-01-15 10:01:00"),          # exact near-dup of 1
+        (3, "completely different content about spark shuffles and joins",
+         "2024-01-15 10:02:00"),
+        (4, "hi", "2024-01-15 10:03:00"),            # <3 tokens: no signature
+        (5, "ok", "2024-01-15 10:04:00"),            # <3 tokens: no signature
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, raw string"
+    ).select("doc_id", "text", F.col("raw").cast("timestamp").alias("ts"))
+    src = tmp_path / "neardup_src"
+    docs.write.parquet(str(src))
+
+    stream = spark.readStream.schema("doc_id long, text string, ts timestamp").parquet(
+        str(src)
+    )
+    q = (
+        streaming_neardup(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("neardup_stream_test")
+        .option("checkpointLocation", str(tmp_path / "nd_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    kept = spark.sql("SELECT * FROM neardup_stream_test").collect()
+    kept_keys = {r["sig_key"] for r in kept}
+    from lenses_topology_example_spark.streaming.pipelines import neardup_sig_key
+
+    batch_keys = {
+        r["sig_key"]
+        for r in spark.read.parquet(str(src))
+        .withColumn("sig_key", neardup_sig_key())
+        .dropDuplicates(["sig_key"])
+        .collect()
+    }
+    assert kept_keys == batch_keys
+    # one survivor of the near-dup pair, doc 3, and both short docs
+    kept_ids = sorted(r["doc_id"] for r in kept)
+    assert len(kept_ids) == 4
+    assert kept_ids[0] in (1, 2) and kept_ids[1:] == [3, 4, 5]
