@@ -48,6 +48,10 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
         dedup.q_dedup_near_jaccard,
         dedup.SQL_DEDUP_NEAR_JACCARD,
     ),
+    # placed directly after the capped pass so the memoized pair table
+    # is already warm when the driver reaches it (round-3 rotation: the
+    # one catalog entry with no driver verdict through round 2)
+    "dedup_cluster": (dedup.q_dedup_cluster, dedup.SQL_DEDUP_CLUSTER),
     # --- similarity search ---
     "sim_topk": (similarity.q_sim_topk, similarity.SQL_SIM_TOPK),
     "sim_ann_lsh": (similarity.q_sim_ann_lsh, similarity.SQL_SIM_ANN_LSH),
@@ -117,18 +121,13 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
         sketches.q_stratified_sample,
         sketches.SQL_STRATIFIED_SAMPLE,
     ),
-    # --- flagship reference-parity queries (SURVEY.md §2.1-2.4; all
-    # green in CORRECTNESS_r01) filling the rest of the 50-entry window ---
-    "payments_pipeline": (
-        payments.q_payments_pipeline,
-        payments.SQL_PAYMENTS_PIPELINE,
-    ),
+    # --- flagship reference-parity queries (SURVEY.md §2.1-2.4) ---
+    # Round-3 rotation: wordcount stays as the reference flagship;
+    # scan_events/json_decode/count_by_currency/topk_spenders (r1 green,
+    # rotated out in r2) cycle back in for re-verification. The five
+    # twice-verified flagships (payments_pipeline, fx_join, agg_revenue,
+    # region_revenue, big_orders) rotate out to make room.
     "wordcount": (wordcount.q_wordcount, wordcount.SQL_WORDCOUNT),
-    "fx_join": (payments.q_fx_join, payments.SQL_FX_JOIN),
-    "agg_revenue": (relational.q_agg_revenue, relational.SQL_AGG_REVENUE),
-    "region_revenue": (relational.q_region_revenue, relational.SQL_REGION_REVENUE),
-    "big_orders": (relational2.q_big_orders, relational2.SQL_BIG_ORDERS),
-    # ==================== end of the driver's 50-entry window =========
     "scan_events": (payments.q_scan_events, payments.SQL_SCAN_EVENTS),
     "json_decode": (payments.q_json_decode, payments.SQL_JSON_DECODE),
     "count_by_currency": (
@@ -136,6 +135,15 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
         payments.SQL_COUNT_BY_CURRENCY,
     ),
     "topk_spenders": (relational.q_topk_spenders, relational.SQL_TOPK_SPENDERS),
+    # ==================== end of the driver's 50-entry window =========
+    "payments_pipeline": (
+        payments.q_payments_pipeline,
+        payments.SQL_PAYMENTS_PIPELINE,
+    ),
+    "fx_join": (payments.q_fx_join, payments.SQL_FX_JOIN),
+    "agg_revenue": (relational.q_agg_revenue, relational.SQL_AGG_REVENUE),
+    "region_revenue": (relational.q_region_revenue, relational.SQL_REGION_REVENUE),
+    "big_orders": (relational2.q_big_orders, relational2.SQL_BIG_ORDERS),
     # --- core relational tier (reference parity, SURVEY.md §2.1-2.4) ---
     "project_cast": (payments.q_project_cast, payments.SQL_PROJECT_CAST),
     "json_encode": (payments.q_json_encode, payments.SQL_JSON_ENCODE),
@@ -216,11 +224,48 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     ),
     "null_fns": (relational2.q_null_fns, relational2.SQL_NULL_FNS),
     "column_stats": (relational2.q_column_stats, relational2.SQL_COLUMN_STATS),
-    # past-window (rotate forward next round): iterative CC needs its
-    # memoized token/shingle/pair tables materialized — too slow cold in
-    # a vanilla 200-partition session to risk a driver timeout
-    "dedup_cluster": (dedup.q_dedup_cluster, dedup.SQL_DEDUP_CLUSTER),
 }
+
+# The driver evaluates only the first DRIVER_WINDOW_SIZE catalog entries
+# for its CORRECTNESS report. The window is an explicit LITERAL list
+# (round-2 ADVICE): a future insertion can't silently reshuffle which
+# queries get driver-checked — the module-load assert below (and
+# tests/test_catalog_contract.py) fails unless this tuple is edited
+# deliberately alongside any registration-order change.
+DRIVER_WINDOW_SIZE = 50
+DRIVER_WINDOW: tuple[str, ...] = (
+    # dedup tier (incl. round-3 rotation of dedup_cluster, the one entry
+    # never driver-checked through round 2)
+    "dedup_exact", "dedup_near_capped", "dedup_minhash", "dedup_simhash",
+    "dedup_near_jaccard", "dedup_cluster",
+    # similarity
+    "sim_topk", "sim_ann_lsh", "sim_ann_ivf", "embed_neardup",
+    # text analysis
+    "token_count", "lang_id", "quality_score", "doc_fingerprint",
+    "text_stats", "topk_words", "bigram_counts", "pattern_counts",
+    "curation_pipeline", "bpe_token_count",
+    # event-time windows + as-of
+    "tumbling_count", "sliding_count", "session_count", "asof_rate",
+    "window_range_interval", "moving_avg", "sessionize_lag",
+    # multimodal
+    "multimodal_meta", "image_features", "audio_features", "frame_sample",
+    "image_resize",
+    # sketches / UDAF / sampling / sink
+    "approx_distinct_users", "approx_quantiles", "udaf_median",
+    "deterministic_sample", "grouped_map_norm", "corr_text_embedding",
+    "sink_parquet",
+    # round-1/2 comparator fixes + round-2 pipeline additions
+    "map_fns", "range_join_buckets", "tfidf", "text_normalize",
+    "seq_packing", "stratified_sample",
+    # reference-parity flagships (round-3 rotation: r1 greens cycled back)
+    "wordcount", "scan_events", "json_decode", "count_by_currency",
+    "topk_spenders",
+)
+assert len(DRIVER_WINDOW) == DRIVER_WINDOW_SIZE
+assert tuple(_CATALOG)[:DRIVER_WINDOW_SIZE] == DRIVER_WINDOW, (
+    "catalog registration order no longer matches DRIVER_WINDOW — edit "
+    "both deliberately (driver coverage depends on this order)"
+)
 
 
 def _guarded(fn: QueryFn) -> QueryFn:

@@ -97,11 +97,24 @@ def _memo_persist(spark: SparkSession, sf_dir: str, key: str, df: DataFrame) -> 
     app_id = spark.sparkContext.applicationId
     memo_key = (app_id, sf_dir, key)
     with _MATERIALIZED_LOCK:
-        # Evict entries from stopped sessions: a long-lived embedding
-        # process that restarts SparkSessions would otherwise accumulate
-        # dead DataFrame references (and pin their lineage) forever.
+        # Evict entries from STOPPED sessions only: a long-lived
+        # embedding process that restarts SparkSessions would otherwise
+        # accumulate dead DataFrame references forever, but two
+        # concurrently live sessions in one process must not thrash each
+        # other's memo (eviction keyed on "differs from current app"
+        # would re-persist the victim's frames unboundedly).
         for k in [k for k in _MATERIALIZED if k[0] != app_id]:
-            del _MATERIALIZED[k]
+            cached = _MATERIALIZED[k]
+            try:
+                stopped = cached.sparkSession.sparkContext._jsc.sc().isStopped()
+            except Exception:
+                stopped = True  # unreachable JVM == dead session
+            if stopped:
+                try:
+                    cached.unpersist()
+                except Exception:
+                    pass
+                del _MATERIALIZED[k]
         if memo_key not in _MATERIALIZED:
             _MATERIALIZED[memo_key] = df.persist()
         return _MATERIALIZED[memo_key]
@@ -498,18 +511,39 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     if A~B and B~C, dropping per-pair keeps one of {A,B} and one of
     {B,C}; the component (A,B,C) must collapse to ONE keeper.
 
+    Delegates to resolve_clusters(), the iterate-to-fixpoint form, so
+    this catalog entry is unconditionally equivalent to its exact
+    recursive-CTE oracle at ANY component diameter (round-2 ADVICE: a
+    bounded-round plan registered against an exact oracle silently
+    diverges on components deeper than its round budget). The bounded
+    LAZY plan survives below as q_dedup_cluster_bounded — the fixed-size
+    plan for embedding in a lazy sink pipeline when the diameter bound
+    is known; parity of both on the real graph is pinned in
+    tests/test_dedup.py."""
+    pairs = neardup_pairs(spark, sf_dir)
+    labels = resolve_clusters(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    return labels.select(
+        F.col("doc").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        (F.col("doc") == F.col("label")).alias("is_keeper"),
+    )
+
+
+def q_dedup_cluster_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-round min-label propagation — a LAZY fixed plan (the sink
+    contract, sinks.py), exact only for components of diameter <=
+    CLUSTER_PROP_ROUNDS; near-dup components are short chains in
+    practice (diameter grows only through chained borderline pairs).
+
     Plan: min-label propagation over the adjacency WITH SELF-LOOPS, so
     each round is exactly `adj ⋈ labels → groupBy(dst).min(label)` —
     the labels frame is referenced ONCE per round (a labels-join-labels
     round would double the lazy plan every iteration: 2^k sub-plans).
-    One hash join + one partial-agg shuffle of 8-byte doc ids per round;
-    after k rounds every node holds the min label within k hops, so the
-    result is exact for components of diameter <= CLUSTER_PROP_ROUNDS —
-    near-dup components are short chains in practice (diameter grows
-    only through chained borderline pairs). The catalog entry stays a
-    LAZY fixed plan (the sink contract, sinks.py); resolve_clusters()
-    below is the iterate-to-fixpoint production form for adversarial
-    graphs, and the parity of both is pinned in tests/test_dedup.py."""
+    One hash join + one partial-agg shuffle of 8-byte doc ids per
+    round; after k rounds every node holds the min label within k
+    hops."""
     pairs = neardup_pairs(spark, sf_dir)
     # undirected adjacency + self-loops: the self-loop carries a node's
     # own label through the neighbor-min, replacing a second labels ref
@@ -550,11 +584,15 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 def resolve_clusters(edges: DataFrame) -> DataFrame:
     """Iterate-to-fixpoint connected components over an undirected
     (src, dst) edge frame — the production form for graphs whose
-    diameter is unknown. Each round halves the worst-case remaining
-    distance-to-label... convergence is checked with a 1-row count
-    (changed labels), and localCheckpoint truncates the growing lineage
-    every round (iterative plans otherwise re-derive all prior rounds).
-    Eager by contract (NOT a catalog entry): returns (doc, label)."""
+    diameter is unknown. Plain neighbor-min propagation shrinks each
+    node's distance-to-label by ONE hop per round, so convergence is
+    O(diameter) rounds (no pointer jumping — a labels-to-labels
+    short-circuit join would halve distances per round at the cost of
+    referencing the label frame twice; near-dup graphs have small
+    diameters, so the simpler form wins). Convergence is checked with a
+    1-row count (changed labels), and localCheckpoint truncates the
+    growing lineage every round (iterative plans otherwise re-derive
+    all prior rounds). Eager by contract: returns (doc, label)."""
     both = edges.select("src", "dst").unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )

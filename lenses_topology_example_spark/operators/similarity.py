@@ -32,7 +32,15 @@ from ..tables import load_table
 
 N_QUERIES = 5  # query set = vec_id < 5
 TOP_K = 5
+# Production near-dup semantic: vectors this close are the same content.
 NEARDUP_COS = 0.999
+# Catalog/verification threshold: the synthetic testdata embeddings are
+# i.i.d. Gaussian (max pairwise cosine ~0.41 at sf0.01), so a 0.999 cut
+# returns 0 rows at every test scale and the driver's green row compares
+# two empty sets — a check that cannot fail (round-2 VERDICT). 0.3 keeps
+# the result non-empty (44/35/540 rows at sf0.001/0.01/0.1) and bounded,
+# so bucketing + pair join + cosine + filter are all actually exercised.
+NEARDUP_COS_CATALOG = 0.3
 
 
 def as_double(col: Column) -> Column:
@@ -370,11 +378,16 @@ SQL_SIM_ANN_IVF = f"""
 """
 
 
-def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_embed_neardup(
+    spark: SparkSession, sf_dir: str, threshold: float = NEARDUP_COS_CATALOG
+) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, LSH-bucketed: pairs are only
     scored within a bucket (vectors this similar agree on every
     hyperplane sign with overwhelming probability — same contract as any
-    LSH dedup). Replaces the O(N^2) cross join with per-bucket joins."""
+    LSH dedup). Replaces the O(N^2) cross join with per-bucket joins.
+
+    Production callers pass threshold=NEARDUP_COS (0.999); the default is
+    the catalog verification threshold (see NEARDUP_COS_CATALOG)."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double(F.col("embedding")).alias("v")
     )
@@ -396,7 +409,7 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("a.v"), F.col("b.v"), F.col("a.norm"), F.col("b.norm")
             ).alias("cos_sim"),
         )
-        .filter(F.col("cos_sim") >= F.lit(NEARDUP_COS))
+        .filter(F.col("cos_sim") >= F.lit(threshold))
     )
 
 
@@ -409,5 +422,5 @@ SQL_EMBED_NEARDUP = f"""
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            {sql_cosine('a.v', 'b.v')} AS cos_sim
     FROM emb a JOIN emb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-    WHERE {sql_cosine('a.v', 'b.v')} >= {NEARDUP_COS}
+    WHERE {sql_cosine('a.v', 'b.v')} >= {NEARDUP_COS_CATALOG}
 """

@@ -34,14 +34,36 @@ def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+APPROX_PCTS = (0.5, 0.9, 0.99)
+
+
 def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable quantile summary over event values (accuracy 10000 —
-    error bound = 1/accuracy of the rank)."""
+    error bound = 1/accuracy of the rank).
+
+    Output is ONE ROW PER (event_type, pct): the driver's comparator
+    canon cannot hash raw array columns (unhashable numpy.ndarray —
+    round-1 map_fns, round-2 this query), so the percentile array is
+    posexploded into scalar rows before it leaves the operator.
+    """
     events = load_table(spark, sf_dir, "events")
-    return events.groupBy("event_type").agg(
-        F.percentile_approx("value", [0.5, 0.9, 0.99], 10_000).alias("approx_pcts"),
+    agg = events.groupBy("event_type").agg(
+        F.percentile_approx("value", list(APPROX_PCTS), 10_000).alias("pcts"),
         F.min("value").alias("vmin"),
         F.max("value").alias("vmax"),
+    )
+    pct_arr = F.array(*[F.lit(p) for p in APPROX_PCTS])
+    return agg.select(
+        "event_type",
+        F.posexplode("pcts").alias("pos", "approx_value"),
+        "vmin",
+        "vmax",
+    ).select(
+        "event_type",
+        F.element_at(pct_arr, F.col("pos") + 1).alias("pct"),
+        "approx_value",
+        "vmin",
+        "vmax",
     )
 
 

@@ -610,9 +610,11 @@ SQL_SEQ_PACKING = f"""
         FROM documents
     )
     SELECT doc_id, shard, n_tok,
-           -- both engines: non-negative ints, so // == div == floor
-           (SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
-                             ROWS UNBOUNDED PRECEDING) - n_tok)
-               // {PACK_BUDGET} AS pack_id
+           -- both engines: non-negative ints, so // == div == floor.
+           -- CAST: DuckDB integer window-SUM is HUGEINT -> pandas float64;
+           -- the driver hash is dtype-sensitive, so pin BIGINT output.
+           CAST((SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) - n_tok)
+               // {PACK_BUDGET} AS BIGINT) AS pack_id
     FROM t
 """

@@ -319,10 +319,12 @@ SQL_SESSIONIZE_LAG = f"""
     SELECT user_id, event_id,
            CASE WHEN gap_s IS NULL OR gap_s > {SESSION_GAP_MIN * 60}
                 THEN 1 ELSE 0 END AS is_start,
-           SUM(CASE WHEN gap_s IS NULL OR gap_s > {SESSION_GAP_MIN * 60}
+           -- DuckDB types integer window-SUM as HUGEINT, which lands in
+           -- pandas as float64 (1.0 vs Spark's int64 1) — cast the OUTPUT
+           CAST(SUM(CASE WHEN gap_s IS NULL OR gap_s > {SESSION_GAP_MIN * 60}
                     THEN 1 ELSE 0 END)
                OVER (PARTITION BY user_id ORDER BY ts, event_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS session_id
+               AS BIGINT) AS session_id
     FROM g
 """

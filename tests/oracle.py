@@ -25,22 +25,30 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _canon(v):
+    """Dtype-STRICT canonical value: carries a numeric-class tag so that
+    int64 `1` vs float64 `1.0` MISMATCH, exactly like the driver's hash
+    (round 2: DuckDB HUGEINT window-SUMs land in pandas as float64 and
+    the driver failed two queries the loose Python `==` canon passed).
+    Decimal is float-class: duckdb.df() renders DECIMAL as float64, so
+    that is the class the driver compares it in."""
     if v is None:
         return None
+    if isinstance(v, (bool, np.bool_)):
+        return ("b", bool(v))
     if isinstance(v, Decimal):
-        return float(v)
+        return ("f", float(v))
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        return v
-    if isinstance(v, (bool,)):
-        return bool(v)
-    if hasattr(v, "isoformat"):  # datetime/date
-        return v.isoformat()
+            return ("f", "NaN")
+        return ("f", v)
+    if isinstance(v, int):
+        return ("i", int(v))
     if isinstance(v, np.generic):
         return _canon(v.item())
+    if hasattr(v, "isoformat"):  # datetime/date
+        return ("t", v.isoformat())
     if isinstance(v, (list, tuple, np.ndarray)):
-        return tuple(_canon(x) for x in v)
+        return ("a", tuple(_canon(x) for x in v))
     return v
 
 

@@ -4,7 +4,11 @@ regressions before the heavyweight parity tests run."""
 
 from __future__ import annotations
 
-from lenses_topology_example_spark.catalog import _CATALOG
+from lenses_topology_example_spark.catalog import (
+    _CATALOG,
+    DRIVER_WINDOW,
+    DRIVER_WINDOW_SIZE,
+)
 from tests.oracle import duck_connection
 
 
@@ -18,6 +22,62 @@ def test_catalog_shape():
     }, "rows-only set changed — update SURVEY.md §2.8 and the driver notes"
     for name, (fn, _sql) in _CATALOG.items():
         assert callable(fn), name
+
+
+def test_driver_window_is_pinned():
+    """The driver checks exactly the first 50 registrations; the window
+    is a reviewed literal, so an insertion can't silently reshuffle
+    driver coverage (round-2 ADVICE)."""
+    assert len(DRIVER_WINDOW) == DRIVER_WINDOW_SIZE == 50
+    assert tuple(_CATALOG)[:DRIVER_WINDOW_SIZE] == DRIVER_WINDOW
+
+
+# DuckDB output types duckdb.df() renders as float64 (or worse) — an
+# integer-valued column in one of these hash-mismatches Spark's int64
+# even when every value is equal (round-2 sessionize_lag/seq_packing).
+_FLOAT_LANDING_INT_TYPES = {"HUGEINT", "UHUGEINT", "UBIGINT", "UINTEGER"}
+
+
+def test_window_oracles_emit_driver_hashable_types(sf_dir):
+    """Static driver-hash safety for every in-window oracle: no
+    HUGEINT/unsigned OUTPUT column (dtype mismatch class) and no
+    LIST/STRUCT/MAP output (the driver canon crashes on unhashable
+    numpy arrays — round-1 map_fns, round-2 approx_quantiles).
+    Relation .types comes from the plan; nothing executes."""
+    con = duck_connection(sf_dir)
+    bad = []
+    for name in DRIVER_WINDOW:
+        sql = _CATALOG[name][1]
+        if sql is None:
+            continue
+        for col, t in zip(con.sql(sql).columns, con.sql(sql).types):
+            ts = str(t).upper()
+            if ts in _FLOAT_LANDING_INT_TYPES:
+                bad.append(f"{name}.{col}: {ts} (cast the oracle output to BIGINT)")
+            if "[]" in ts or ts.startswith(("STRUCT", "MAP(", "LIST")):
+                bad.append(f"{name}.{col}: {ts} (explode or stringify)")
+    con.close()
+    assert not bad, bad
+
+
+def test_window_queries_emit_scalar_columns(spark, sf_dir):
+    """Spark-side twin of the oracle type guard: no in-window query may
+    return an array/map/struct column — the driver comparator cannot
+    canonicalize them (`unhashable type: numpy.ndarray`). Builds each
+    plan's schema only; catalog entries that execute on build
+    (dedup_cluster fixpoint, sink_parquet) still run at sf0.001 cost."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    from lenses_topology_example_spark import catalog
+
+    qs = catalog.queries()
+    bad = []
+    for name in DRIVER_WINDOW:
+        schema = qs[name](spark, sf_dir).schema
+        for f in schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType, StructType)):
+                bad.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
+    assert not bad, bad
 
 
 def test_every_oracle_sql_plans_in_duckdb(sf_dir):

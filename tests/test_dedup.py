@@ -90,19 +90,25 @@ def test_resolve_clusters_fixpoint_long_chain(spark):
 
 
 def test_dedup_cluster_matches_fixpoint(spark, sf_dir):
-    """Bounded-round catalog plan == fixpoint resolution on the real
-    near-dup graph (components there are short chains, within the
-    CLUSTER_PROP_ROUNDS contract)."""
+    """Bounded-round LAZY variant == fixpoint-backed catalog entry on
+    the real near-dup graph (components there are short chains, within
+    the CLUSTER_PROP_ROUNDS contract)."""
     from lenses_topology_example_spark.operators.dedup import (
         neardup_pairs,
         q_dedup_cluster,
+        q_dedup_cluster_bounded,
         resolve_clusters,
     )
 
     got = {
         (r["doc_id"], r["cluster_id"])
+        for r in q_dedup_cluster_bounded(spark, sf_dir).collect()
+    }
+    got_exact = {
+        (r["doc_id"], r["cluster_id"])
         for r in q_dedup_cluster(spark, sf_dir).collect()
     }
+    assert got == got_exact
     pairs = neardup_pairs(spark, sf_dir).select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )

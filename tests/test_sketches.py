@@ -34,10 +34,9 @@ def test_approx_quantiles_rank_bounded(spark, sf_dir):
     """Quantile sketches bound RANK error, not value error: the approx
     p-quantile must lie within the exact [p-5pp, p+5pp] value bracket
     (value-space error is unbounded on skewed data)."""
-    approx = {
-        r["event_type"]: r["approx_pcts"]
-        for r in q_approx_quantiles(spark, sf_dir).collect()
-    }
+    approx: dict[str, dict[float, float]] = {}
+    for r in q_approx_quantiles(spark, sf_dir).collect():
+        approx.setdefault(r["event_type"], {})[r["pct"]] = r["approx_value"]
     brackets = {
         r["event_type"]: r["b"]
         for r in load_table(spark, sf_dir, "events")
@@ -51,7 +50,7 @@ def test_approx_quantiles_rank_bounded(spark, sf_dir):
     }
     for et, a in approx.items():
         lo = brackets[et]
-        p50, p90, p99 = a
+        p50, p90, p99 = a[0.5], a[0.9], a[0.99]
         assert lo[0] - 1e-9 <= p50 <= lo[1] + 1e-9, (et, "p50", p50, lo[0], lo[1])
         assert lo[2] - 1e-9 <= p90 <= lo[3] + 1e-9, (et, "p90", p90, lo[2], lo[3])
         assert lo[4] - 1e-9 <= p99 <= lo[5] + 1e-9, (et, "p99", p99, lo[4], lo[5])
