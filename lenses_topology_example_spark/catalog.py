@@ -224,6 +224,13 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     ),
     "null_fns": (relational2.q_null_fns, relational2.SQL_NULL_FNS),
     "column_stats": (relational2.q_column_stats, relational2.SQL_COLUMN_STATS),
+    # --- round-3 training-pipeline additions (full local oracle parity;
+    # past the driver window this round — rotate into DRIVER_WINDOW in
+    # round 4, swapping out twice-verified greens) ---
+    "repetition_stats": (text.q_repetition_stats, text.SQL_REPETITION_STATS),
+    "corpus_mix": (text.q_corpus_mix, text.SQL_CORPUS_MIX),
+    "curation_funnel": (text.q_curation_funnel, text.SQL_CURATION_FUNNEL),
+    "decontaminate": (dedup.q_decontaminate, dedup.SQL_DECONTAMINATE),
 }
 
 # The driver evaluates only the first DRIVER_WINDOW_SIZE catalog entries

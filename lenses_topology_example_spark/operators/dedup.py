@@ -131,11 +131,14 @@ def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the in-session equivalent of that boundary.
     """
     docs = load_table(spark, sf_dir, "documents")
+    # `source` rides along (tiny vs the token arrays) so set-scoped
+    # passes (decontamination) reuse this table instead of re-joining
+    # documents to recover it — consumers that don't need it prune it.
     return _memo_persist(
         spark,
         sf_dir,
         "tokens",
-        docs.select("doc_id", tokens_col(F.col("text")).alias("t")),
+        docs.select("doc_id", "source", tokens_col(F.col("text")).alias("t")),
     )
 
 
@@ -149,6 +152,7 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shingles",
         toks.select(
             "doc_id",
+            "source",
             F.explode(F.array_distinct(shingles_col(F.col("t")))).alias("shingle"),
         ),
     )
@@ -647,4 +651,75 @@ SQL_DEDUP_CLUSTER = f"""
     SELECT doc AS doc_id, MIN(label) AS cluster_id,
            (MIN(label) = doc) AS is_keeper
     FROM reach GROUP BY doc
+"""
+
+
+# --- benchmark decontamination -----------------------------------------------------
+
+EVAL_SOURCE = "src0"  # stand-in held-out benchmark slice of the corpus
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag every training document that
+    shares at least one 3-gram shingle with the held-out eval slice
+    (source = EVAL_SOURCE), reporting how many of its distinct shingles
+    are compromised. Standard pretraining hygiene — eval n-grams leaking
+    into the training set inflate benchmark scores.
+
+    Scale shape: the eval side is a fixed benchmark suite (megabytes of
+    distinct shingles even when the corpus is 100 TB), so it is
+    collect-free BROADCAST-hash-joined against the exploded corpus
+    shingles — the corpus side streams through the prebuilt hash map
+    with no shuffle for the membership test; the only corpus-scale
+    exchange is the per-doc count aggregation (partial map-side combine
+    reduces it to one row per doc before the wire). A LEFT join keeps
+    clean shingles so total and shared counts come from the SAME
+    aggregate (no second pass / no rejoin)."""
+    sh = _doc_shingles(spark, sf_dir)
+    eval_sh = (
+        sh.filter(F.col("source") == EVAL_SOURCE)
+        .select("shingle")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    corpus = sh.filter(F.col("source") != EVAL_SOURCE)
+    return (
+        corpus.join(F.broadcast(eval_sh), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_shared"),
+        )
+        .filter(F.col("n_shared") > 0)
+        .select(
+            "doc_id",
+            "n_shared",
+            # one bigint/bigint IEEE division — bit-identical in the oracle
+            F.try_divide(F.col("n_shared"), F.col("n_shingles")).alias(
+                "shared_frac"
+            ),
+        )
+    )
+
+
+SQL_DECONTAMINATE = f"""
+    WITH tok AS (
+        SELECT doc_id, source, {SQL_TOKS} AS t FROM documents
+    ), sh AS (
+        SELECT doc_id, source, list_distinct({SQL_SHINGLES}) AS shl FROM tok
+    ), e AS (
+        SELECT doc_id, source, unnest(shl) AS shingle FROM sh
+    ), ev AS (
+        SELECT DISTINCT shingle FROM e WHERE source = '{EVAL_SOURCE}'
+    ), per AS (
+        SELECT e.doc_id,
+               COUNT(*) AS n_shingles,
+               CAST(SUM(CASE WHEN ev.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_shared
+        FROM e LEFT JOIN ev USING (shingle)
+        WHERE e.source <> '{EVAL_SOURCE}'
+        GROUP BY e.doc_id
+    )
+    SELECT doc_id, n_shared, n_shared / n_shingles AS shared_frac
+    FROM per WHERE n_shared > 0
 """

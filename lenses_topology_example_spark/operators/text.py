@@ -618,3 +618,220 @@ SQL_SEQ_PACKING = f"""
                // {PACK_BUDGET} AS BIGINT) AS pack_id
     FROM t
 """
+
+
+# --- repetition signals (Gopher-style quality rules) -------------------------------
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc repetition signals, the Gopher/C4-style filter inputs:
+    duplicate-token fraction (1 - distinct/total) and top-bigram
+    fraction (occurrences of the most frequent word bigram / total
+    bigrams). Repetitious documents (boilerplate, keyword stuffing,
+    decode loops) score high and get dropped before training.
+
+    Scale shape: ZERO shuffles — both signals are per-row expressions.
+    The top-bigram count deliberately avoids explode+groupBy(doc,
+    bigram) (which shuffles every bigram occurrence); instead the
+    bigram array is sorted per-doc and the longest equal run is found
+    with one O(k log k) aggregate fold, so a 100 TB corpus runs this at
+    parquet-scan speed inside codegen. (A naive per-distinct-bigram
+    count-filter fold would be O(k^2) per doc — quadratic in document
+    length — which is why the sorted-run form is the contract.)"""
+    from .dedup import shingles_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        tokens_col(F.col("text")).alias("t"),
+    ).withColumn("bg", shingles_col(F.col("t"), 2))
+    # longest equal run in the sorted bigram array = max occurrence count
+    best_run = F.expr(
+        """
+        aggregate(
+            array_sort(bg),
+            named_struct('prev', CAST(NULL AS STRING),
+                         'run', CAST(0 AS BIGINT),
+                         'best', CAST(0 AS BIGINT)),
+            (acc, x) -> named_struct(
+                'prev', x,
+                'run', IF(acc.prev IS NOT NULL AND x = acc.prev,
+                          acc.run + 1L, 1L),
+                'best', GREATEST(acc.best,
+                          IF(acc.prev IS NOT NULL AND x = acc.prev,
+                             acc.run + 1L, 1L))),
+            acc -> acc.best)
+        """
+    )
+    return base.select(
+        "doc_id",
+        F.size("t").alias("n_tokens"),
+        # single IEEE division each — bit-identical to the oracle; NULL
+        # (not ANSI abort) on token-less / bigram-less docs on BOTH sides
+        (F.lit(1.0) - F.try_divide(F.size(F.array_distinct("t")), F.size("t"))).alias(
+            "dup_token_frac"
+        ),
+        F.try_divide(best_run, F.size("bg")).alias("top_bigram_frac"),
+    )
+
+
+_SQL_BIGRAMS = r"""
+    CASE WHEN len(t) >= 2 THEN
+        list_transform(generate_series(1, len(t) - 1),
+                       i -> t[i] || ' ' || t[i+1])
+    ELSE []::VARCHAR[] END
+"""
+
+# Oracle counts bigram occurrences the plain-SQL way (unnest + GROUP BY +
+# MAX); the Spark side must produce the identical numbers from its
+# shuffle-free sorted-run fold.
+SQL_REPETITION_STATS = f"""
+    WITH t AS (SELECT doc_id, {SQL_TOKS} AS t FROM documents),
+    b AS (SELECT doc_id, t, {_SQL_BIGRAMS} AS bg FROM t),
+    m AS (
+        SELECT doc_id, MAX(cnt) AS best FROM (
+            SELECT doc_id, g, COUNT(*) AS cnt
+            FROM (SELECT doc_id, unnest(bg) AS g FROM b)
+            GROUP BY doc_id, g
+        ) GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           CAST(len(t) AS INTEGER) AS n_tokens,
+           1.0 - (len(list_distinct(t)) / len(t)) AS dup_token_frac,
+           m.best / len(bg) AS top_bigram_frac
+    FROM b LEFT JOIN m USING (doc_id)
+"""
+
+
+# --- corpus mix (training-mixture weights) -----------------------------------------
+
+
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (source, lang) corpus composition: doc count, token count,
+    and each cell's share of all corpus tokens — the table a training-
+    mix planner turns into sampling weights (e.g. up-sample low-resource
+    languages, cap a crawl source at x% of tokens).
+
+    Scale shape: one partial+final agg shuffle keyed by (source, lang);
+    the global-total window then runs over the AGGREGATED frame
+    (|sources| x |langs| rows, not data-scale), so its single-partition
+    exchange moves a few hundred bytes. Integer token sums are
+    order-independent; the share is one bigint/bigint IEEE division."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    per = (
+        docs.select(
+            "source",
+            "lang",
+            F.size(tokens_col(F.col("text"))).cast("long").alias("n"),
+        )
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n").alias("n_tokens"),
+        )
+    )
+    return per.select(
+        "source",
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.try_divide(
+            F.col("n_tokens"), F.sum("n_tokens").over(W.partitionBy())
+        ).alias("token_share"),
+    )
+
+
+SQL_CORPUS_MIX = f"""
+    WITH t AS (
+        SELECT source, lang, CAST(len({SQL_TOKS}) AS BIGINT) AS n
+        FROM documents
+    ), g AS (
+        SELECT source, lang, COUNT(*) AS n_docs,
+               CAST(SUM(n) AS BIGINT) AS n_tokens
+        FROM t GROUP BY source, lang
+    )
+    SELECT source, lang, n_docs, n_tokens,
+           -- HUGEINT window-SUM stays INSIDE the division (double out);
+           -- only OUTPUT columns need the BIGINT pin
+           n_tokens / SUM(n_tokens) OVER () AS token_share
+    FROM g
+"""
+
+
+# --- curation funnel (stage survival accounting) -----------------------------------
+
+
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage-by-stage survival counts for the curation pipeline
+    (q_curation_pipeline's exact predicates, cumulatively applied):
+    total -> quality_ok -> +lang_agrees -> +dedup_keeper. The funnel is
+    what a pipeline operator actually watches: where documents die.
+
+    Scale shape: the same single corpus scan as the pipeline, all four
+    counts in ONE global aggregate (partial sums per partition, one
+    1-row exchange), then stack() unpivots the 1-row result driver-side
+    — no per-stage rescans."""
+    from pyspark.sql import Window as W
+
+    quality = q_quality_score(spark, sf_dir).select("doc_id", "quality")
+    lang = q_lang_id(spark, sf_dir).select("doc_id", "lang", "pred_lang")
+    docs = load_table(spark, sf_dir, "documents")
+    keeper = docs.select(
+        "doc_id", F.md5(F.col("text")).alias("fp")
+    ).withColumn("keeper_id", F.min("doc_id").over(W.partitionBy("fp")))
+    flags = (
+        docs.select("doc_id")
+        .join(quality, "doc_id")
+        .join(lang, "doc_id")
+        .join(keeper, "doc_id")
+        .select(
+            (F.col("quality") >= F.lit(CURATION_MIN_QUALITY)).alias("q_ok"),
+            (F.col("pred_lang") == F.col("lang")).alias("l_ok"),
+            (F.col("doc_id") == F.col("keeper_id")).alias("k_ok"),
+        )
+    )
+    agg = flags.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum(F.col("q_ok").cast("long")).alias("s_quality"),
+        F.sum((F.col("q_ok") & F.col("l_ok")).cast("long")).alias("s_lang"),
+        F.sum(
+            (F.col("q_ok") & F.col("l_ok") & F.col("k_ok")).cast("long")
+        ).alias("s_keeper"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(4, 'total', total, 'quality_ok', s_quality, "
+            "'lang_agrees', s_lang, 'dedup_keeper', s_keeper) "
+            "AS (stage, n_docs)"
+        )
+    )
+
+
+SQL_CURATION_FUNNEL = f"""
+    WITH q AS ({SQL_QUALITY_SCORE}),
+    l AS ({SQL_LANG_ID}),
+    k AS (
+        SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper_id
+        FROM documents
+    ), flags AS (
+        SELECT q.quality >= {CURATION_MIN_QUALITY} AS q_ok,
+               l.pred_lang = d.lang AS l_ok,
+               d.doc_id = k.keeper_id AS k_ok
+        FROM documents d
+        JOIN q ON q.doc_id = d.doc_id
+        JOIN l ON l.doc_id = d.doc_id
+        JOIN k ON k.doc_id = d.doc_id
+    ), agg AS (
+        SELECT COUNT(*) AS total,
+               CAST(SUM(CASE WHEN q_ok THEN 1 ELSE 0 END) AS BIGINT) AS s_quality,
+               CAST(SUM(CASE WHEN q_ok AND l_ok THEN 1 ELSE 0 END) AS BIGINT) AS s_lang,
+               CAST(SUM(CASE WHEN q_ok AND l_ok AND k_ok THEN 1 ELSE 0 END) AS BIGINT) AS s_keeper
+        FROM flags
+    )
+    SELECT 'total' AS stage, total AS n_docs FROM agg
+    UNION ALL SELECT 'quality_ok', s_quality FROM agg
+    UNION ALL SELECT 'lang_agrees', s_lang FROM agg
+    UNION ALL SELECT 'dedup_keeper', s_keeper FROM agg
+"""

@@ -125,3 +125,46 @@ def test_seq_packing_single_shard_shuffle(spark, sf_dir):
     plan = _formatted_plan(spark, sf_dir, "seq_packing")
     exchange_ids = set(re.findall(r"\((\d+)\) Exchange\b", plan))
     assert len(exchange_ids) == 1, plan
+
+
+def _exchange_ids(plan: str) -> set[str]:
+    return set(re.findall(r"\((\d+)\) Exchange\b", plan))
+
+
+def test_repetition_stats_zero_shuffle(spark, sf_dir):
+    """repetition_stats is pure per-row map work: the top-bigram count
+    must come from the sorted-run fold, never an explode+groupBy — so
+    the plan has NO exchange at all."""
+    plan = _formatted_plan(spark, sf_dir, "repetition_stats")
+    assert not _exchange_ids(plan), plan
+    assert "Generate" not in plan, "bigram explode crept in"
+
+
+def test_corpus_mix_window_over_aggregated_frame(spark, sf_dir):
+    """corpus_mix: one agg exchange keyed (source, lang) plus one
+    single-partition exchange for the global-total window — and that
+    window must sit ABOVE the aggregate (a few dozen rows), never over
+    the raw corpus."""
+    plan = _formatted_plan(spark, sf_dir, "corpus_mix")
+    assert len(_exchange_ids(plan)) == 2, plan
+    # partial+final agg pair proves the token sum combines map-side
+    assert len(re.findall(r"HashAggregate", plan)) >= 2, plan
+
+
+def test_curation_funnel_single_global_agg(spark, sf_dir):
+    """curation_funnel computes all four stage counts in ONE aggregate
+    over the joined scan (partial + final around a 1-row exchange) —
+    no per-stage rescans (no Union of aggregates)."""
+    plan = _formatted_plan(spark, sf_dir, "curation_funnel")
+    assert "Union" not in plan, "per-stage rescan crept in"
+    assert len(re.findall(r"HashAggregate", plan)) >= 2, plan
+
+
+def test_decontaminate_broadcasts_eval_side(spark, sf_dir):
+    """decontaminate must BROADCAST the eval shingle set (a fixed
+    benchmark suite is tiny vs a 100 TB corpus) — the corpus side
+    streams through the membership hash join without a shuffle; the
+    only corpus-scale exchange is the per-doc count agg."""
+    plan = _formatted_plan(spark, sf_dir, "decontaminate")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, "eval side fell off the broadcast path"
