@@ -623,6 +623,30 @@ SQL_SEQ_PACKING = f"""
 # --- repetition signals (Gopher-style quality rules) -------------------------------
 
 
+def top_run_col(arr_col: str) -> Column:
+    """Max occurrence count of any element in a string-array column,
+    computed as the longest equal run of the SORTED array with one
+    O(k log k) aggregate fold — the shuffle-free, length-robust form
+    (a per-distinct-element count-filter fold would be O(k^2))."""
+    return F.expr(
+        f"""
+        aggregate(
+            array_sort({arr_col}),
+            named_struct('prev', CAST(NULL AS STRING),
+                         'run', CAST(0 AS BIGINT),
+                         'best', CAST(0 AS BIGINT)),
+            (acc, x) -> named_struct(
+                'prev', x,
+                'run', IF(acc.prev IS NOT NULL AND x = acc.prev,
+                          acc.run + 1L, 1L),
+                'best', GREATEST(acc.best,
+                          IF(acc.prev IS NOT NULL AND x = acc.prev,
+                             acc.run + 1L, 1L))),
+            acc -> acc.best)
+        """
+    )
+
+
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc repetition signals, the Gopher/C4-style filter inputs:
     duplicate-token fraction (1 - distinct/total) and top-bigram
@@ -645,24 +669,7 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         tokens_col(F.col("text")).alias("t"),
     ).withColumn("bg", shingles_col(F.col("t"), 2))
-    # longest equal run in the sorted bigram array = max occurrence count
-    best_run = F.expr(
-        """
-        aggregate(
-            array_sort(bg),
-            named_struct('prev', CAST(NULL AS STRING),
-                         'run', CAST(0 AS BIGINT),
-                         'best', CAST(0 AS BIGINT)),
-            (acc, x) -> named_struct(
-                'prev', x,
-                'run', IF(acc.prev IS NOT NULL AND x = acc.prev,
-                          acc.run + 1L, 1L),
-                'best', GREATEST(acc.best,
-                          IF(acc.prev IS NOT NULL AND x = acc.prev,
-                             acc.run + 1L, 1L))),
-            acc -> acc.best)
-        """
-    )
+    best_run = top_run_col("bg")
     return base.select(
         "doc_id",
         F.size("t").alias("n_tokens"),

@@ -124,3 +124,46 @@ def test_dedup_cluster_matches_fixpoint(spark, sf_dir):
         .collect()
     }
     assert keepers == {c for _, c in got}
+
+
+def test_memo_eviction_only_stopped_sessions(spark, sf_dir):
+    """_memo_persist must not thrash entries of OTHER LIVE sessions
+    (round-2 ADVICE: eviction keyed on 'differs from current app'
+    re-persisted the victim's frames unboundedly): a foreign entry whose
+    context is alive survives the sweep; one whose JVM is unreachable is
+    unpersisted best-effort and dropped."""
+    from lenses_topology_example_spark.operators import dedup as D
+
+    class _DeadFrame:
+        unpersisted = False
+
+        @property
+        def sparkSession(self):
+            raise RuntimeError("JVM gone")
+
+        def unpersist(self):
+            self.unpersisted = True
+
+    class _LiveFrame:
+        def __init__(self, sess):
+            self._s = sess
+
+        @property
+        def sparkSession(self):
+            return self._s
+
+    dead, live = _DeadFrame(), _LiveFrame(spark)
+    dead_key = ("dead-app-id", "x", "k")
+    live_key = ("other-live-app-id", "x", "k")
+    with D._MATERIALIZED_LOCK:
+        D._MATERIALIZED[dead_key] = dead
+        D._MATERIALIZED[live_key] = live
+    try:
+        D._doc_tokens(spark, sf_dir)  # any memo call runs the sweep
+        with D._MATERIALIZED_LOCK:
+            assert dead_key not in D._MATERIALIZED
+            assert dead.unpersisted
+            assert live_key in D._MATERIALIZED
+    finally:
+        with D._MATERIALIZED_LOCK:
+            D._MATERIALIZED.pop(live_key, None)

@@ -58,3 +58,46 @@ def test_polynomial_fingerprint_agrees_with_python(spark, lines):
         for r in df.select(polynomial_fingerprint(toks).alias("fp")).collect()
     ]
     assert got == [_py_poly_fp(_py_tokens(s)) for s in lines]
+
+
+def _py_top_run(tokens: list[str]) -> int:
+    """Max occurrence count of any bigram — the Python reference for the
+    sorted-run fold in q_repetition_stats."""
+    bigrams = [f"{a} {b}" for a, b in zip(tokens, tokens[1:])]
+    if not bigrams:
+        return 0
+    from collections import Counter
+
+    return max(Counter(bigrams).values())
+
+
+@_SETTINGS
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "ab", "xyz"]), max_size=40
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_sorted_run_fold_counts_top_bigram(spark, token_lists):
+    """The zero-shuffle sorted-run fold must equal an independent Python
+    Counter on arbitrary (small-alphabet, repetition-heavy) token lists —
+    small alphabets maximize duplicate bigrams, the regime the fold's
+    run-length logic must get right."""
+    from lenses_topology_example_spark.operators.dedup import shingles_col
+    from lenses_topology_example_spark.operators.text import top_run_col
+
+    df = spark.createDataFrame(
+        [(i, toks) for i, toks in enumerate(token_lists)],
+        "i long, t array<string>",
+    ).withColumn("bg", shingles_col(F.col("t"), 2))
+    best_run = top_run_col("bg")
+    got = {
+        r["i"]: r["best"]
+        for r in df.select("i", best_run.alias("best")).collect()
+    }
+    assert got == {
+        i: _py_top_run(toks) for i, toks in enumerate(token_lists)
+    }
