@@ -399,3 +399,39 @@ def start_curation_stream(
         .outputMode("append")
         .start()
     )
+
+
+# --- streaming decontamination (stateless membership vs a static eval set) --------
+
+
+def streaming_decontaminate(docs: DataFrame, eval_shingles: DataFrame) -> DataFrame:
+    """Streaming twin of operators/dedup.q_decontaminate: flag each
+    arriving document by how many of its distinct 3-gram shingles appear
+    in a STATIC eval-benchmark shingle set.
+
+    Membership against a static set needs NO streaming state at all:
+    the eval set is collapsed to a one-row array on the static side and
+    stream-static broadcast-joined, so every flag is computed in-row and
+    the query runs in append mode with zero state store — the decisive
+    contrast with the batch pass, which aggregates per-doc counts after
+    an exploded join. At a real deployment's scale the static side is a
+    benchmark suite (megabytes); were it ever large, the same shape
+    downgrades gracefully to a static Bloom-filter column or an exploded
+    stream-static semi join. Works on batch frames too (the parity test
+    runs the identical plan both ways)."""
+    from ..operators.dedup import shingles_col
+    from ..operators.wordcount import tokens_col
+
+    ev = eval_shingles.select(F.collect_set("shingle").alias("ev"))
+    return (
+        docs.withColumn(
+            "sh", F.array_distinct(shingles_col(tokens_col(F.col("text"))))
+        )
+        .crossJoin(F.broadcast(ev))
+        .select(
+            "doc_id",
+            F.size("sh").alias("n_shingles"),
+            F.size(F.array_intersect("sh", "ev")).alias("n_shared"),
+        )
+        .withColumn("contaminated", F.col("n_shared") > 0)
+    )

@@ -548,3 +548,85 @@ def test_streaming_neardup_matches_batch_signatures(spark, tmp_path):
     kept_ids = sorted(r["doc_id"] for r in kept)
     assert len(kept_ids) == 4
     assert kept_ids[0] in (1, 2) and kept_ids[1:] == [3, 4, 5]
+
+
+def test_streaming_decontaminate_matches_batch(spark, tmp_path):
+    """Stateless stream-static decontamination: the streamed per-doc
+    (n_shingles, n_shared, contaminated) rows must equal (a) the same
+    plan run in batch and (b) the batch operator q_decontaminate's
+    counts for every contaminated doc."""
+    from lenses_topology_example_spark.operators.dedup import q_decontaminate
+    from lenses_topology_example_spark.streaming.pipelines import (
+        streaming_decontaminate,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    rows = [
+        (0, base, "en", "src0", len(base)),  # eval slice
+        (1, base + " today", "en", "src1", len(base) + 6),  # contaminated
+        (2, "completely different words about columnar scans and shuffles",
+         "en", "src2", 60),  # clean
+        (3, "hi there", "en", "src3", 8),  # <3 tokens: no shingles
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = tmp_path / "decon"
+    docs.write.parquet(f"{d}/documents.parquet")
+
+    from lenses_topology_example_spark.operators.dedup import (
+        shingles_col,
+    )
+    from lenses_topology_example_spark.operators.wordcount import tokens_col
+
+    eval_sh = (
+        docs.filter(F.col("source") == "src0")
+        .select(
+            F.explode(
+                F.array_distinct(shingles_col(tokens_col(F.col("text"))))
+            ).alias("shingle")
+        )
+        .distinct()
+    )
+    corpus = docs.filter(F.col("source") != "src0").select("doc_id", "text")
+    src = tmp_path / "decon_stream_src"
+    corpus.write.parquet(str(src))
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(str(src))
+    q = (
+        streaming_decontaminate(stream, eval_sh)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("decon_stream_test")
+        .option("checkpointLocation", str(tmp_path / "decon_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert q.lastProgress is None or not q.status["isDataAvailable"]
+    finally:
+        q.stop()
+
+    streamed = {
+        r["doc_id"]: (r["n_shingles"], r["n_shared"], r["contaminated"])
+        for r in spark.sql("SELECT * FROM decon_stream_test").collect()
+    }
+    batch_same_plan = {
+        r["doc_id"]: (r["n_shingles"], r["n_shared"], r["contaminated"])
+        for r in streaming_decontaminate(
+            spark.read.parquet(str(src)), eval_sh
+        ).collect()
+    }
+    assert streamed == batch_same_plan
+    assert set(streamed) == {1, 2, 3}
+    assert streamed[1][2] and not streamed[2][2] and not streamed[3][2]
+    assert streamed[3][0] == 0  # no shingles at all
+
+    # the batch OPERATOR agrees on every contaminated doc's counts
+    batch_op = {
+        r["doc_id"]: r["n_shared"]
+        for r in q_decontaminate(spark, str(d)).collect()
+    }
+    assert batch_op == {
+        doc: ns for doc, (_n, ns, c) in streamed.items() if c
+    }
