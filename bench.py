@@ -57,6 +57,11 @@ HEADLINE = (
     "doc_fingerprint",
     "image_features",
     "gen_payments",
+    # round-3 additions (suite total grows accordingly — comparability
+    # note in BASELINE.md): the zero-shuffle repetition signals and the
+    # broadcast eval-membership pass
+    "repetition_stats",
+    "decontaminate",
 )
 
 

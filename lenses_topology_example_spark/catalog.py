@@ -231,6 +231,7 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "corpus_mix": (text.q_corpus_mix, text.SQL_CORPUS_MIX),
     "curation_funnel": (text.q_curation_funnel, text.SQL_CURATION_FUNNEL),
     "decontaminate": (dedup.q_decontaminate, dedup.SQL_DECONTAMINATE),
+    "knn_classify": (similarity.q_knn_classify, similarity.SQL_KNN_CLASSIFY),
 }
 
 # The driver evaluates only the first DRIVER_WINDOW_SIZE catalog entries

@@ -150,6 +150,54 @@ SQL_SIM_TOPK = f"""
 """
 
 
+def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN label classification over the embedding corpus: each query
+    vector takes the majority label of its TOP_K cosine neighbors
+    (ties break to the smallest label — deterministic on any engine).
+    The standard label-propagation / weak-supervision primitive for
+    embedding-labeled corpora.
+
+    Scale shape: reuses the sim_topk join-form plan (fixed-size, lazy,
+    WindowGroupLimit partial top-k), then BROADCASTS the |Q| x k
+    neighbor triples — bounded by construction, never corpus-sized —
+    into the label lookup join, so the corpus-side label fetch is a
+    broadcast hash join with no shuffle; the vote count + argmax window
+    run on |Q| x k rows."""
+    from pyspark.sql import Window as W
+
+    topk = q_sim_topk(spark, sf_dir)
+    labels = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("neighbor_id"), "label"
+    )
+    votes = (
+        labels.join(F.broadcast(topk), "neighbor_id")
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("label").asc()
+    )
+    return (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.col("label").alias("pred_label"), "n_votes")
+    )
+
+
+SQL_KNN_CLASSIFY = f"""
+    WITH topk AS ({SQL_SIM_TOPK}),
+    v AS (
+        SELECT t.query_id, e.label, COUNT(*) AS n_votes
+        FROM topk t JOIN embeddings e ON e.vec_id = t.neighbor_id
+        GROUP BY t.query_id, e.label
+    )
+    SELECT query_id, label AS pred_label, n_votes FROM v
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY n_votes DESC, label ASC) = 1
+"""
+
+
+
 # --- LSH (sign random hyperplanes) --------------------------------------------
 
 N_PLANES = 8

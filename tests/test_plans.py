@@ -168,3 +168,13 @@ def test_decontaminate_broadcasts_eval_side(spark, sf_dir):
     plan = _formatted_plan(spark, sf_dir, "decontaminate")
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, "eval side fell off the broadcast path"
+
+
+def test_knn_classify_broadcasts_topk(spark, sf_dir):
+    """knn_classify's label lookup must broadcast the |Q| x k neighbor
+    triples (bounded by construction) — the corpus-side label fetch
+    never sort-merge-shuffles."""
+    plan = _formatted_plan(spark, sf_dir, "knn_classify")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "WindowGroupLimit" in plan  # inherited sim_topk partial top-k
