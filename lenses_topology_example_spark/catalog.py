@@ -232,6 +232,10 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "curation_funnel": (text.q_curation_funnel, text.SQL_CURATION_FUNNEL),
     "decontaminate": (dedup.q_decontaminate, dedup.SQL_DECONTAMINATE),
     "knn_classify": (similarity.q_knn_classify, similarity.SQL_KNN_CLASSIFY),
+    "dedup_containment": (
+        dedup.q_dedup_containment,
+        dedup.SQL_DEDUP_CONTAINMENT,
+    ),
 }
 
 # The driver evaluates only the first DRIVER_WINDOW_SIZE catalog entries

@@ -222,6 +222,19 @@ SQL_DEDUP_NEAR_JACCARD = f"""
 MAX_SHINGLE_DF = 20  # shingles in more docs than this carry ~no signal
 
 
+def _capped_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The df-capped inverted shingle index, MATERIALIZED once: sizes +
+    both self-join sides of every consumer (capped Jaccard, containment)
+    read it, and without the boundary the df-count + semi-join would
+    re-execute per consumer (measured 3x at sf0.1)."""
+    s = _doc_shingles(spark, sf_dir)
+    freq = s.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    rare = freq.filter(F.col("df") <= MAX_SHINGLE_DF).select("shingle")
+    return _memo_persist(
+        spark, sf_dir, "shingles_capped", s.join(rare, "shingle", "left_semi")
+    )
+
+
 def q_dedup_near_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup Jaccard over the capped shingle universe: shingles with
     document frequency > MAX_SHINGLE_DF are dropped BEFORE candidate
@@ -235,15 +248,7 @@ def q_dedup_near_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     difference between an O(N^2) head blow-up and linear scaling in
     corpus size. Same oracle-checked determinism as the exact variant.
     """
-    s = _doc_shingles(spark, sf_dir)
-    freq = s.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    rare = freq.filter(F.col("df") <= MAX_SHINGLE_DF).select("shingle")
-    # materialize the capped index once: sizes + both self-join sides
-    # consume it, and without the boundary the df-count + semi-join
-    # would re-execute per consumer (measured 3x at sf0.1)
-    s2 = _memo_persist(
-        spark, sf_dir, "shingles_capped", s.join(rare, "shingle", "left_semi")
-    )
+    s2 = _capped_shingles(spark, sf_dir)
     sizes = s2.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = s2.alias("a")
     b = s2.alias("b")
@@ -292,6 +297,89 @@ SQL_DEDUP_NEAR_CAPPED = f"""
     JOIN sizes nb ON nb.doc_id = doc_b
     WHERE inter / (na.n_sh + nb.n_sh - inter) >= {JACCARD_THRESHOLD}
 """
+
+
+# --- directed containment (subset/quote duplication) -------------------------------
+
+CONTAINMENT_THRESHOLD = 0.6
+
+
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed containment |A∩B| / |A| over the capped shingle index —
+    the subset-duplication detector Jaccard structurally misses: a short
+    document fully quoted inside a long one has containment ~1.0 but
+    Jaccard ~|A|/|B| (arbitrarily small), so a Jaccard-only dedup keeps
+    the redundant subset. Output is one row per contained doc per host
+    above CONTAINMENT_THRESHOLD.
+
+    Scale shape: the SAME single self-join + per-pair aggregate as the
+    capped Jaccard pass over the SAME memoized df-capped index (one
+    materialization feeds both operators); both directions of each
+    undirected pair are emitted from one aggregate via stack() — no
+    second join, no doubled candidate generation."""
+    s2 = _capped_shingles(spark, sf_dir)
+    sizes = s2.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = s2.alias("a")
+    b = s2.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        # try_divide: long/long must be IEEE double division (matching
+        # DuckDB int/int -> DOUBLE), not Spark integer division
+        .withColumn("c_ab", F.try_divide(F.col("inter"), F.col("n_a")))
+        .withColumn("c_ba", F.try_divide(F.col("inter"), F.col("n_b")))
+        .select(
+            F.expr(
+                "stack(2, doc_a, doc_b, c_ab, doc_b, doc_a, c_ba) "
+                "AS (doc_id, host_id, containment)"
+            )
+        )
+        .filter(F.col("containment") >= F.lit(CONTAINMENT_THRESHOLD))
+    )
+
+
+SQL_DEDUP_CONTAINMENT = f"""
+    WITH toks AS (
+        SELECT doc_id, {SQL_TOKS} AS t FROM documents
+    ), sh AS (
+        SELECT doc_id, unnest(list_distinct({SQL_SHINGLES})) AS shingle FROM toks
+    ), rare AS (
+        SELECT shingle FROM sh GROUP BY shingle
+        HAVING COUNT(*) <= {MAX_SHINGLE_DF}
+    ), sh2 AS (
+        SELECT sh.doc_id, sh.shingle FROM sh
+        WHERE sh.shingle IN (SELECT shingle FROM rare)
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n_sh FROM sh2 GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        FROM sh2 a JOIN sh2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ), c AS (
+        SELECT doc_a, doc_b,
+               inter / na.n_sh AS c_ab,
+               inter / nb.n_sh AS c_ba
+        FROM inter
+        JOIN sizes na ON na.doc_id = doc_a
+        JOIN sizes nb ON nb.doc_id = doc_b
+    )
+    SELECT doc_a AS doc_id, doc_b AS host_id, c_ab AS containment
+    FROM c WHERE c_ab >= {CONTAINMENT_THRESHOLD}
+    UNION ALL
+    SELECT doc_b AS doc_id, doc_a AS host_id, c_ba AS containment
+    FROM c WHERE c_ba >= {CONTAINMENT_THRESHOLD}
+"""
+
 
 
 # --- MinHash + LSH ---------------------------------------------------------------

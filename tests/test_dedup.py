@@ -167,3 +167,42 @@ def test_memo_eviction_only_stopped_sessions(spark, sf_dir):
     finally:
         with D._MATERIALIZED_LOCK:
             D._MATERIALIZED.pop(live_key, None)
+
+
+def test_containment_catches_subset_jaccard_misses(spark, tmp_path):
+    """A short doc fully quoted inside a much longer one: Jaccard =
+    |A|/|B| falls below the near-dup threshold, but containment(A->B)
+    is 1.0 — the case the directed operator exists for."""
+    from lenses_topology_example_spark.operators.dedup import (
+        q_dedup_containment,
+        q_dedup_near_capped,
+    )
+
+    short = "alpha beta gamma delta epsilon zeta"
+    # 6 tokens -> 4 shingles, all present in the long doc
+    filler = " ".join(f"tok{i} tok{i}x tok{i}y" for i in range(12))
+    long_doc = short + " " + filler  # >40 tokens: jaccard ~ 4/40 << 0.2
+    rows = [
+        (0, short, "en", "src1", len(short)),
+        (1, long_doc, "en", "src2", len(long_doc)),
+        (2, "unrelated words entirely different content here now", "en",
+         "src3", 50),
+    ]
+    d = tmp_path / "contain"
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{d}/documents.parquet")
+
+    jac_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in q_dedup_near_capped(spark, str(d)).collect()
+    }
+    assert (0, 1) not in jac_pairs  # Jaccard blind to the subset
+
+    contained = {
+        (r["doc_id"], r["host_id"]): r["containment"]
+        for r in q_dedup_containment(spark, str(d)).collect()
+    }
+    assert contained[(0, 1)] == 1.0  # every shingle of 0 is in 1
+    assert (1, 0) not in contained  # the long host is NOT contained
+    assert not any(2 in k for k in contained)
