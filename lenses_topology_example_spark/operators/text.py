@@ -64,20 +64,24 @@ _LANG_MARKERS = {
 }
 
 
-def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """n-gram/stopword-heuristic language ID: score = #tokens hitting each
-    language's marker list, predict argmax (deterministic tie order).
-    A real deployment swaps the marker lists for character-n-gram
-    profiles; the dataflow (per-doc map, no shuffle) is identical."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = tokens_col(F.col("text"))
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Per-language marker-hit scores as reusable expressions over any
+    text column (q_lang_id and the fused curation composites share
+    them — the composites must compute language on the SAME scan as
+    quality, not join a second lang frame back on doc_id)."""
+    toks = tokens_col(text)
 
     def score(lang: str) -> Column:
         markers = F.array(*[F.lit(m) for m in _LANG_MARKERS[lang]])
         return F.size(F.filter(toks, lambda t: F.array_contains(markers, t)))
 
-    sc = {lang: score(lang) for lang in _LANG_MARKERS}
-    best = (
+    return {lang: score(lang) for lang in _LANG_MARKERS}
+
+
+def pred_lang_col(text: Column) -> Column:
+    """Argmax language prediction with the fixed tie order (en,de,es,zh)."""
+    sc = lang_scores(text)
+    return (
         F.when(
             (sc["en"] >= sc["de"]) & (sc["en"] >= sc["es"]) & (sc["en"] >= sc["zh"]),
             F.lit("en"),
@@ -86,6 +90,16 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(sc["es"] >= sc["zh"], F.lit("es"))
         .otherwise(F.lit("zh"))
     )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram/stopword-heuristic language ID: score = #tokens hitting each
+    language's marker list, predict argmax (deterministic tie order).
+    A real deployment swaps the marker lists for character-n-gram
+    profiles; the dataflow (per-doc map, no shuffle) is identical."""
+    docs = load_table(spark, sf_dir, "documents")
+    sc = lang_scores(F.col("text"))
+    best = pred_lang_col(F.col("text"))
     return docs.select(
         "doc_id",
         "lang",
@@ -360,10 +374,41 @@ SQL_PATTERN_COUNTS = r"""
 CURATION_MIN_QUALITY = 0.5
 
 
+def curation_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE `documents` projection carrying every curation signal as a
+    column — quality, predicted language, md5 fingerprint — plus the
+    min-doc_id keeper window over fp. This is the shared base of
+    q_curation_pipeline and q_curation_funnel.
+
+    Scale shape: one corpus FileScan; the only data-scale exchange is
+    the fp-window hash partitioning (unavoidable — exact-dup membership
+    is a global property). Round-3 verdict: the previous form joined
+    three per-row expression frames back to `documents` on doc_id —
+    Spark has no cross-branch common-subplan elimination, so that
+    planned FOUR corpus scans and three corpus-scale joins. Pinned by
+    tests/test_plans.py::test_curation_*_single_scan."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    c = quality_components(F.col("text"))
+    base = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        c["quality"].alias("quality"),
+        pred_lang_col(F.col("text")).alias("pred_lang"),
+        F.md5(F.col("text")).alias("fp"),
+    )
+    return base.withColumn(
+        "keeper_id", F.min("doc_id").over(W.partitionBy("fp"))
+    )
+
+
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end training-data curation pass, composed from this
-    module's screens in ONE plan (single corpus scan feeds quality +
-    language + dedup; no intermediate materialization):
+    module's screens in ONE plan (a single corpus scan feeds quality +
+    language + dedup — see curation_flags; no joins, no intermediate
+    materialization):
 
       keep a doc iff  quality >= 0.5
                   AND predicted language agrees with the labeled one
@@ -373,20 +418,8 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     The dedup membership is a window min over fp — computed on the same
     scan, no self-join. Output: the kept corpus with its audit columns,
     the exact shape a downstream tokenizer job consumes."""
-    from pyspark.sql import Window as W
-
-    quality = q_quality_score(spark, sf_dir).select("doc_id", "quality")
-    lang = q_lang_id(spark, sf_dir).select("doc_id", "lang", "pred_lang")
-    docs = load_table(spark, sf_dir, "documents")
-    fp = docs.select("doc_id", F.md5(F.col("text")).alias("fp"))
-    keeper = fp.withColumn(
-        "keeper_id", F.min("doc_id").over(W.partitionBy("fp"))
-    )
     return (
-        docs.select("doc_id", "n_chars")
-        .join(quality, "doc_id")
-        .join(lang, "doc_id")
-        .join(keeper, "doc_id")
+        curation_flags(spark, sf_dir)
         .filter(
             (F.col("quality") >= F.lit(CURATION_MIN_QUALITY))
             & (F.col("pred_lang") == F.col("lang"))
@@ -776,28 +809,15 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     total -> quality_ok -> +lang_agrees -> +dedup_keeper. The funnel is
     what a pipeline operator actually watches: where documents die.
 
-    Scale shape: the same single corpus scan as the pipeline, all four
-    counts in ONE global aggregate (partial sums per partition, one
-    1-row exchange), then stack() unpivots the 1-row result driver-side
-    — no per-stage rescans."""
-    from pyspark.sql import Window as W
-
-    quality = q_quality_score(spark, sf_dir).select("doc_id", "quality")
-    lang = q_lang_id(spark, sf_dir).select("doc_id", "lang", "pred_lang")
-    docs = load_table(spark, sf_dir, "documents")
-    keeper = docs.select(
-        "doc_id", F.md5(F.col("text")).alias("fp")
-    ).withColumn("keeper_id", F.min("doc_id").over(W.partitionBy("fp")))
-    flags = (
-        docs.select("doc_id")
-        .join(quality, "doc_id")
-        .join(lang, "doc_id")
-        .join(keeper, "doc_id")
-        .select(
-            (F.col("quality") >= F.lit(CURATION_MIN_QUALITY)).alias("q_ok"),
-            (F.col("pred_lang") == F.col("lang")).alias("l_ok"),
-            (F.col("doc_id") == F.col("keeper_id")).alias("k_ok"),
-        )
+    Scale shape: the same single corpus scan as the pipeline
+    (curation_flags — one FileScan, one fp-window exchange, no joins),
+    all four counts in ONE global aggregate (partial sums per
+    partition, one 1-row exchange), then stack() unpivots the 1-row
+    result driver-side — no per-stage rescans."""
+    flags = curation_flags(spark, sf_dir).select(
+        (F.col("quality") >= F.lit(CURATION_MIN_QUALITY)).alias("q_ok"),
+        (F.col("pred_lang") == F.col("lang")).alias("l_ok"),
+        (F.col("doc_id") == F.col("keeper_id")).alias("k_ok"),
     )
     agg = flags.agg(
         F.count(F.lit(1)).alias("total"),
