@@ -65,7 +65,12 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "knn_classify": (similarity.q_knn_classify, similarity.SQL_KNN_CLASSIFY),
     "sim_ann_lsh": (similarity.q_sim_ann_lsh, similarity.SQL_SIM_ANN_LSH),
     "sim_ann_ivf": (similarity.q_sim_ann_ivf, similarity.SQL_SIM_ANN_IVF),
-    "embed_neardup": (similarity.q_embed_neardup, similarity.SQL_EMBED_NEARDUP),
+    # wrapper pins the catalog-only verification threshold (0.3); the
+    # production default of q_embed_neardup stays 0.999 (r3 ADVICE)
+    "embed_neardup": (
+        similarity.q_embed_neardup_catalog,
+        similarity.SQL_EMBED_NEARDUP,
+    ),
     # --- text analysis (round-3 rotation: six r2-green per-doc screens
     # — token_count, lang_id, quality_score, doc_fingerprint, text_stats,
     # pattern_counts — moved just past the window to make room for the
@@ -120,9 +125,7 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
         relational2.q_range_join_buckets,
         relational2.SQL_RANGE_JOIN_BUCKETS,
     ),
-    # --- round-2 training-pipeline additions (fast enough for a vanilla
-    # session; dedup_cluster stays past the window until its memoized
-    # inputs are pre-warmed — it rotates forward next round) ---
+    # --- round-2 training-pipeline additions ---
     "tfidf": (text.q_tfidf, text.SQL_TFIDF),
     "text_normalize": (text.q_text_normalize, text.SQL_TEXT_NORMALIZE),
     "seq_packing": (text.q_seq_packing, text.SQL_SEQ_PACKING),
@@ -245,9 +248,9 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
 # The driver evaluates only the first DRIVER_WINDOW_SIZE catalog entries
 # for its CORRECTNESS report. The window is an explicit LITERAL list
 # (round-2 ADVICE): a future insertion can't silently reshuffle which
-# queries get driver-checked — the module-load assert below (and
-# tests/test_catalog_contract.py) fails unless this tuple is edited
-# deliberately alongside any registration-order change.
+# queries get driver-checked — the module-load check below (and
+# tests/test_catalog.py::test_driver_window_is_pinned) fails unless this
+# tuple is edited deliberately alongside any registration-order change.
 DRIVER_WINDOW_SIZE = 50
 DRIVER_WINDOW: tuple[str, ...] = (
     # dedup tier (round-3 rotation: dedup_cluster — the one entry never
@@ -281,11 +284,18 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "wordcount", "scan_events", "json_decode", "count_by_currency",
     "topk_spenders",
 )
-assert len(DRIVER_WINDOW) == DRIVER_WINDOW_SIZE
-assert tuple(_CATALOG)[:DRIVER_WINDOW_SIZE] == DRIVER_WINDOW, (
-    "catalog registration order no longer matches DRIVER_WINDOW — edit "
-    "both deliberately (driver coverage depends on this order)"
-)
+# Load-bearing invariant: raise, don't assert — a bare assert is
+# stripped under `python -O`, silently disarming the guard (r3 ADVICE).
+if len(DRIVER_WINDOW) != DRIVER_WINDOW_SIZE:
+    raise RuntimeError(
+        f"DRIVER_WINDOW has {len(DRIVER_WINDOW)} entries, expected "
+        f"{DRIVER_WINDOW_SIZE}"
+    )
+if tuple(_CATALOG)[:DRIVER_WINDOW_SIZE] != DRIVER_WINDOW:
+    raise RuntimeError(
+        "catalog registration order no longer matches DRIVER_WINDOW — edit "
+        "both deliberately (driver coverage depends on this order)"
+    )
 
 
 def _guarded(fn: QueryFn) -> QueryFn:

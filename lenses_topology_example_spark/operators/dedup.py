@@ -105,10 +105,17 @@ def _memo_persist(spark: SparkSession, sf_dir: str, key: str, df: DataFrame) -> 
         # would re-persist the victim's frames unboundedly).
         for k in [k for k in _MATERIALIZED if k[0] != app_id]:
             cached = _MATERIALIZED[k]
+            # Only evict a session that is DEMONSTRABLY stopped: either
+            # the gateway handle is gone (classic stop signature) or the
+            # JVM says so. A probe failure of unknown cause (e.g. Spark
+            # Connect, where _jsc never exists) keeps the entry —
+            # leak-on-doubt beats unpersisting a live foreign session's
+            # frame and reintroducing cross-session thrash (r3 ADVICE).
             try:
-                stopped = cached.sparkSession.sparkContext._jsc.sc().isStopped()
+                jsc = cached.sparkSession.sparkContext._jsc
+                stopped = jsc is None or jsc.sc().isStopped()
             except Exception:
-                stopped = True  # unreachable JVM == dead session
+                stopped = False
             if stopped:
                 try:
                     cached.unpersist()

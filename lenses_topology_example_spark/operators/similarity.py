@@ -427,15 +427,18 @@ SQL_SIM_ANN_IVF = f"""
 
 
 def q_embed_neardup(
-    spark: SparkSession, sf_dir: str, threshold: float = NEARDUP_COS_CATALOG
+    spark: SparkSession, sf_dir: str, threshold: float = NEARDUP_COS
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, LSH-bucketed: pairs are only
     scored within a bucket (vectors this similar agree on every
     hyperplane sign with overwhelming probability — same contract as any
     LSH dedup). Replaces the O(N^2) cross join with per-bucket joins.
 
-    Production callers pass threshold=NEARDUP_COS (0.999); the default is
-    the catalog verification threshold (see NEARDUP_COS_CATALOG)."""
+    The default is the PRODUCTION threshold NEARDUP_COS (0.999); the
+    catalog registers a wrapper pinned to NEARDUP_COS_CATALOG so the
+    loosened verification cut stays confined to the catalog/oracle pair
+    (round-3 ADVICE: a loosened default silently changes every existing
+    caller)."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double(F.col("embedding")).alias("v")
     )
@@ -459,6 +462,14 @@ def q_embed_neardup(
         )
         .filter(F.col("cos_sim") >= F.lit(threshold))
     )
+
+
+def q_embed_neardup_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The catalog/driver entry: q_embed_neardup pinned to
+    NEARDUP_COS_CATALOG (0.3) so the check is non-vacuous on the
+    i.i.d.-Gaussian testdata (see NEARDUP_COS_CATALOG). Production
+    callers use q_embed_neardup directly and get 0.999."""
+    return q_embed_neardup(spark, sf_dir, NEARDUP_COS_CATALOG)
 
 
 SQL_EMBED_NEARDUP = f"""
