@@ -243,6 +243,13 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     ),
     "null_fns": (relational2.q_null_fns, relational2.SQL_NULL_FNS),
     "column_stats": (relational2.q_column_stats, relational2.SQL_COLUMN_STATS),
+    # --- round-4 training-pipeline additions (rotate in-window r4) ---
+    "dedup_lines": (dedup.q_dedup_lines, dedup.SQL_DEDUP_LINES),
+    "embed_dedup_cluster": (
+        similarity.q_embed_dedup_cluster,
+        similarity.SQL_EMBED_DEDUP_CLUSTER,
+    ),
+    "pii_scrub": (text.q_pii_scrub, text.SQL_PII_SCRUB),
 }
 
 # The driver evaluates only the first DRIVER_WINDOW_SIZE catalog entries

@@ -818,3 +818,113 @@ SQL_DECONTAMINATE = f"""
     SELECT doc_id, n_shared, n_shared / n_shingles AS shared_frac
     FROM per WHERE n_shared > 0
 """
+
+
+# --- line/segment-grain exact dedup (sub-document dedup) ---------------------------
+
+# Pseudo-line width for the catalog entry: the synthetic corpus has no
+# newlines (single-line docs, all distinct), so exact dedup at '\n'
+# grain is vacuous on the testdata. Non-overlapping 5-token segments
+# repeat across the generated near-dup docs (241 duplicate occurrences
+# at sf0.01), so the catalog pair actually exercises the keeper window.
+LINE_SEG_TOKENS = 5
+
+
+def token_segments_col(toks: Column, w: int) -> Column:
+    """Non-overlapping w-token segments of a token array (the tail stub
+    shorter than w is dropped — a partial segment can't match a full
+    one). The pseudo-line segmentation for newline-free corpora."""
+    n_seg = F.floor(F.size(toks) / F.lit(w)).cast("int")
+    return F.transform(
+        F.sequence(F.lit(1), n_seg),
+        lambda i: F.concat_ws(
+            " ", F.slice(toks, (i - F.lit(1)) * F.lit(w) + F.lit(1), F.lit(w))
+        ),
+    )
+
+
+def newline_lines_col(text: Column) -> Column:
+    """The production segmentation: '\n'-split, trimmed, empties dropped
+    (C4/RefinedWeb-style line grain). Not used by the catalog entry —
+    the testdata is newline-free (see LINE_SEG_TOKENS)."""
+    return F.filter(
+        F.transform(F.split(text, "\n"), lambda l: F.trim(l)),
+        lambda l: l != F.lit(""),
+    )
+
+
+def line_keep_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, pos, keep) per line/segment: keep iff this occurrence is
+    the GLOBAL first (min doc_id, then min pos) of its exact normalized
+    content across the whole corpus — the C4-style repeated-line killer
+    at sub-document grain. A reconstruction job joins these flags back
+    to the exploded lines and re-assembles kept text per doc.
+
+    Scale shape: only (doc_id, pos, md5) triples enter the keeper
+    window — the line TEXT never shuffles; the one data-scale exchange
+    hash-partitions 16-byte digests. Everything upstream is per-row
+    explode work inside codegen."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    segs = docs.select(
+        "doc_id",
+        F.posexplode(
+            token_segments_col(tokens_col(F.col("text")), LINE_SEG_TOKENS)
+        ).alias("pos", "seg"),
+    )
+    w = Window.partitionBy("h").orderBy("doc_id", "pos")
+    return (
+        segs.select("doc_id", "pos", F.md5(F.col("seg")).alias("h"))
+        .withColumn("keep", F.row_number().over(w) == F.lit(1))
+        .select("doc_id", "pos", "keep")
+    )
+
+
+def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document line-dedup summary over line_keep_flags: how many
+    lines/segments the doc has, how many it keeps (first global
+    occurrence), and the duplicated-line fraction — the screen a
+    curation pipeline thresholds on to drop boilerplate-heavy docs.
+
+    Scale shape: keeper window (one md5-keyed exchange of id triples)
+    then one doc_id-keyed agg with map-side partial sums."""
+    flags = line_keep_flags(spark, sf_dir)
+    return (
+        flags.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        )
+        .select(
+            "doc_id",
+            "n_lines",
+            "n_kept",
+            # single IEEE division, bit-identical in the oracle
+            (F.lit(1.0) - F.try_divide(F.col("n_kept"), F.col("n_lines"))).alias(
+                "dup_line_frac"
+            ),
+        )
+    )
+
+
+SQL_DEDUP_LINES = f"""
+    WITH t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+    seg AS (
+        SELECT doc_id, i - 1 AS pos,
+               array_to_string(toks[(i-1)*{LINE_SEG_TOKENS}+1 : i*{LINE_SEG_TOKENS}], ' ') AS seg
+        FROM t, unnest(generate_series(1,
+                 CAST(floor(len(toks) / {LINE_SEG_TOKENS}.0) AS INT))) AS u(i)
+    ), k AS (
+        SELECT doc_id, pos,
+               ROW_NUMBER() OVER (PARTITION BY md5(seg)
+                                  ORDER BY doc_id, pos) = 1 AS keep
+        FROM seg
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           1.0 - (CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+                  / CAST(COUNT(*) AS BIGINT)) AS dup_line_frac
+    FROM k GROUP BY doc_id
+"""

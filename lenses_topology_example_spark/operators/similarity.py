@@ -483,3 +483,55 @@ SQL_EMBED_NEARDUP = f"""
     FROM emb a JOIN emb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
     WHERE {sql_cosine('a.v', 'b.v')} >= {NEARDUP_COS_CATALOG}
 """
+
+
+# --- SemDeDup-shaped semantic dedup (cluster keeper selection) ---------------------
+
+
+def q_embed_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup keeper selection (SemDeDup-shaped, Abbas et al.
+    2023, arXiv:2303.09540): connected components over the embedding
+    near-dup pair graph, min-vec_id label per component, keeper = the
+    labeling vector. The embedding twin of q_dedup_cluster — pairwise
+    near-dup output alone can't drive dedup (A~B, B~C must collapse
+    {A,B,C} to ONE keeper).
+
+    Uses the catalog verification threshold (q_embed_neardup_catalog)
+    so the component structure is non-trivial on the i.i.d.-Gaussian
+    testdata; production callers chain q_embed_neardup (0.999 cut) into
+    dedup.resolve_clusters the same way.
+
+    Scale shape: the pair graph is tiny vs the corpus (only vectors
+    with a near-identical twin appear); resolve_clusters converges in
+    O(component diameter) rounds of one hash join + one partial-agg
+    shuffle of 8-byte ids each, lineage truncated per round."""
+    from .dedup import resolve_clusters
+
+    pairs = q_embed_neardup_catalog(spark, sf_dir).select("vec_a", "vec_b")
+    labels = resolve_clusters(
+        pairs.select(F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"))
+    )
+    return labels.select(
+        F.col("doc").alias("vec_id"),
+        F.col("label").alias("cluster_id"),
+        (F.col("doc") == F.col("label")).alias("is_keeper"),
+    )
+
+
+SQL_EMBED_DEDUP_CLUSTER = f"""
+    WITH RECURSIVE pairs AS (
+        SELECT vec_a, vec_b FROM ({SQL_EMBED_NEARDUP})
+    ), edges AS (
+        SELECT vec_a AS src, vec_b AS dst FROM pairs
+        UNION ALL
+        SELECT vec_b AS src, vec_a AS dst FROM pairs
+    ), reach(v, label) AS (
+        SELECT DISTINCT src AS v, src AS label FROM edges
+        UNION
+        SELECT e.dst AS v, r.label
+        FROM reach r JOIN edges e ON e.src = r.v
+    )
+    SELECT v AS vec_id, MIN(label) AS cluster_id,
+           (MIN(label) = v) AS is_keeper
+    FROM reach GROUP BY v
+"""

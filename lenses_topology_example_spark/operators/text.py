@@ -862,3 +862,115 @@ SQL_CURATION_FUNNEL = f"""
     UNION ALL SELECT 'lang_agrees', s_lang FROM agg
     UNION ALL SELECT 'dedup_keeper', s_keeper FROM agg
 """
+
+
+# --- PII redaction screen ----------------------------------------------------------
+
+# RE2- and Java-safe patterns (no \d, no lookaround, no backreferences —
+# the cross-engine regex discipline established by BPE_PATTERN): the
+# same literal compiles identically under Spark's Java regex and
+# DuckDB's RE2. Redaction order is fixed (email -> phone -> ip) and the
+# replacement tokens contain no digits/dots, so later passes can never
+# match inside an earlier pass's output.
+PII_EMAIL = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+"
+PII_PHONE = "[0-9][0-9][0-9]-[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]"
+PII_IP = "[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+"
+
+
+def pii_redact_col(text: Column) -> Column:
+    """Redacted text: every email/phone/IPv4 occurrence replaced by a
+    typed placeholder. Chained regexp_replace — pure codegen'd per-row
+    work, the production surface for any text column."""
+    out = F.regexp_replace(text, PII_EMAIL, "<EMAIL>")
+    out = F.regexp_replace(out, PII_PHONE, "<PHONE>")
+    return F.regexp_replace(out, PII_IP, "<IP>")
+
+
+def pii_count_cols(text: Column) -> dict[str, Column]:
+    """Per-category occurrence counts (the audit columns a curation run
+    reports before dropping/redacting)."""
+    return {
+        "n_emails": F.regexp_count(text, F.lit(PII_EMAIL)),
+        "n_phones": F.regexp_count(text, F.lit(PII_PHONE)),
+        "n_ips": F.regexp_count(text, F.lit(PII_IP)),
+    }
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-redaction screen: occurrence counts + redacted text for
+    emails, phone numbers, and IPv4 addresses.
+
+    The synthetic corpus is PII-free (lowercase word soup — every
+    pattern would match zero times and the check could not fail), so
+    the catalog entry scrubs a DETERMINISTICALLY CONSTRUCTED contact
+    string derived from customer keys — the construction is part of
+    both the query and the oracle, same contract as the multimodal
+    fake-codec entries. Production callers apply pii_redact_col /
+    pii_count_cols to any real text column.
+
+    Scale shape: zero shuffles — per-row regex work in codegen at
+    parquet-scan speed."""
+    cust = load_table(spark, sf_dir, "customer")
+    key = F.col("c_custkey")
+    em = F.concat(F.lit("user"), key.cast("string"), F.lit("@example.com"))
+    ph = F.concat(
+        F.lit("555-"),
+        F.lpad((key % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((key % 10000).cast("string"), 4, "0"),
+    )
+    ip = F.concat(
+        F.lit("10."),
+        (key % 256).cast("string"),
+        F.lit(".0."),
+        ((key * 7) % 256).cast("string"),
+    )
+    contact = F.concat(
+        F.col("c_name"),
+        F.when(key % 3 > 0, F.concat(F.lit(" "), em)).otherwise(F.lit("")),
+        F.lit(" "),
+        ph,
+        F.when(key % 5 == 0, F.concat(F.lit(" "), ip)).otherwise(F.lit("")),
+    )
+    base = cust.select("c_custkey", contact.alias("contact"))
+    counts = pii_count_cols(F.col("contact"))
+    return base.select(
+        "c_custkey",
+        counts["n_emails"].alias("n_emails"),
+        counts["n_phones"].alias("n_phones"),
+        counts["n_ips"].alias("n_ips"),
+        pii_redact_col(F.col("contact")).alias("redacted"),
+    )
+
+
+# plain string, not f-string: regex quantifier braces stay literal
+SQL_PII_SCRUB = """
+    WITH c AS (
+        SELECT c_custkey,
+               c_name
+               || CASE WHEN c_custkey % 3 > 0
+                       THEN ' user' || CAST(c_custkey AS VARCHAR) || '@example.com'
+                       ELSE '' END
+               || ' 555-' || lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0')
+               || '-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+               || CASE WHEN c_custkey % 5 = 0
+                       THEN ' 10.' || CAST(c_custkey % 256 AS VARCHAR)
+                            || '.0.' || CAST((c_custkey * 7) % 256 AS VARCHAR)
+                       ELSE '' END AS contact
+        FROM customer
+    )
+    SELECT c_custkey,
+           CAST(len(regexp_extract_all(contact,
+               '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+')) AS INTEGER) AS n_emails,
+           CAST(len(regexp_extract_all(contact,
+               '[0-9][0-9][0-9]-[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]')) AS INTEGER) AS n_phones,
+           CAST(len(regexp_extract_all(contact,
+               '[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+')) AS INTEGER) AS n_ips,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(contact,
+                   '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+', '<EMAIL>', 'g'),
+               '[0-9][0-9][0-9]-[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]', '<PHONE>', 'g'),
+             '[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+', '<IP>', 'g') AS redacted
+    FROM c
+"""

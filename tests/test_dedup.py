@@ -228,3 +228,21 @@ def test_containment_catches_subset_jaccard_misses(spark, tmp_path):
     assert contained[(0, 1)] == 1.0  # every shingle of 0 is in 1
     assert (1, 0) not in contained  # the long host is NOT contained
     assert not any(2 in k for k in contained)
+
+
+def test_dedup_lines_crafted(spark, crafted_sf_dir):
+    """Line/segment-grain keeper semantics on known content: docs 0/1
+    are exact copies and doc 2 differs only in the tail stub (dropped —
+    shorter than a full segment), so all three share both 5-token
+    segments; doc 0 (global min doc_id) keeps both, docs 1/2 keep none;
+    doc 3's segments are unique."""
+    from lenses_topology_example_spark.operators.dedup import q_dedup_lines
+
+    out = {
+        r["doc_id"]: (r["n_lines"], r["n_kept"], r["dup_line_frac"])
+        for r in q_dedup_lines(spark, crafted_sf_dir).collect()
+    }
+    assert out[0] == (2, 2, 0.0)
+    assert out[1] == (2, 0, 1.0)
+    assert out[2] == (2, 0, 1.0)
+    assert out[3] == (2, 2, 0.0)

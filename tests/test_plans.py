@@ -203,3 +203,18 @@ def test_knn_classify_broadcasts_topk(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "WindowGroupLimit" in plan  # inherited sim_topk partial top-k
+
+
+def test_dedup_lines_shuffles_hashes_only(spark, sf_dir):
+    """dedup_lines: exactly two exchanges (keeper window keyed by the
+    16-byte md5, then the per-doc agg) and no join; the segment TEXT is
+    projected away before the window shuffle."""
+    plan = _formatted_plan(spark, sf_dir, "dedup_lines")
+    assert len(_exchange_ids(plan)) == 2, plan
+    assert "Join" not in plan, plan
+
+
+def test_pii_scrub_zero_shuffle(spark, sf_dir):
+    """pii_scrub is pure per-row regex work — no exchange at all."""
+    plan = _formatted_plan(spark, sf_dir, "pii_scrub")
+    assert not _exchange_ids(plan), plan
