@@ -59,6 +59,8 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "dedup_cluster": (dedup.q_dedup_cluster, dedup.SQL_DEDUP_CLUSTER),
     # shares the memoized shingle table the passes above materialized
     "decontaminate": (dedup.q_decontaminate, dedup.SQL_DECONTAMINATE),
+    # round-4 addition: sub-document (line/segment) grain
+    "dedup_lines": (dedup.q_dedup_lines, dedup.SQL_DEDUP_LINES),
     # --- similarity search ---
     "sim_topk": (similarity.q_sim_topk, similarity.SQL_SIM_TOPK),
     # builds on the sim_topk plan — keep adjacent
@@ -71,10 +73,15 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
         similarity.q_embed_neardup_catalog,
         similarity.SQL_EMBED_NEARDUP,
     ),
-    # --- text analysis (round-3 rotation: six r2-green per-doc screens
-    # — token_count, lang_id, quality_score, doc_fingerprint, text_stats,
-    # pattern_counts — moved just past the window to make room for the
-    # round-3 additions; they keep full pytest oracle parity) ---
+    # round-4 addition: SemDeDup keeper selection over the pair graph
+    "embed_dedup_cluster": (
+        similarity.q_embed_dedup_cluster,
+        similarity.SQL_EMBED_DEDUP_CLUSTER,
+    ),
+    # --- text analysis (round-4 rotation: the six r2-green per-doc
+    # screens cycle BACK IN for re-verification; the fused curation
+    # composites stay in-window so the round-4 single-scan rewrite gets
+    # a driver verdict) ---
     "topk_words": (text.q_topk_words, text.SQL_TOPK_WORDS),
     "bigram_counts": (text.q_bigram_counts, text.SQL_BIGRAM_COUNTS),
     "curation_pipeline": (text.q_curation_pipeline, text.SQL_CURATION_PIPELINE),
@@ -82,23 +89,19 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "repetition_stats": (text.q_repetition_stats, text.SQL_REPETITION_STATS),
     "corpus_mix": (text.q_corpus_mix, text.SQL_CORPUS_MIX),
     "curation_funnel": (text.q_curation_funnel, text.SQL_CURATION_FUNNEL),
-    # --- event-time windows + as-of (SURVEY.md §2.5) ---
-    "tumbling_count": (windows.q_tumbling_count, windows.SQL_TUMBLING_COUNT),
-    "sliding_count": (windows.q_sliding_count, windows.SQL_SLIDING_COUNT),
-    "session_count": (windows.q_session_count, windows.SQL_SESSION_COUNT),
-    "asof_rate": (windows.q_asof_rate, windows.SQL_ASOF_RATE),
-    "window_range_interval": (
-        windows.q_window_range_interval,
-        windows.SQL_WINDOW_RANGE_INTERVAL,
-    ),
-    "moving_avg": (windows.q_moving_avg, windows.SQL_MOVING_AVG),
+    # round-4 addition: PII screen
+    "pii_scrub": (text.q_pii_scrub, text.SQL_PII_SCRUB),
+    # r2-green per-doc screens, rotated back in (round-4 rotation)
+    "token_count": (text.q_token_count, text.SQL_TOKEN_COUNT),
+    "lang_id": (text.q_lang_id, text.SQL_LANG_ID),
+    "quality_score": (text.q_quality_score, text.SQL_QUALITY_SCORE),
+    "doc_fingerprint": (text.q_doc_fingerprint, text.SQL_DOC_FINGERPRINT),
+    "text_stats": (text.q_text_stats, text.SQL_TEXT_STATS),
+    "pattern_counts": (text.q_pattern_counts, text.SQL_PATTERN_COUNTS),
+    # --- event-time windows (round-4 rotation: the six twice-verified
+    # r3 greens moved past the window; sessionize_lag stays — its
+    # BIGINT-cast fix has exactly one green verdict) ---
     "sessionize_lag": (windows.q_sessionize_lag, windows.SQL_SESSIONIZE_LAG),
-    # --- multimodal (opaque-binary decode plumbing) ---
-    "multimodal_meta": (multimodal.q_multimodal_meta, multimodal.SQL_MULTIMODAL_META),
-    "image_features": (multimodal.q_image_features, multimodal.SQL_IMAGE_FEATURES),
-    "audio_features": (multimodal.q_audio_features, multimodal.SQL_AUDIO_FEATURES),
-    "frame_sample": (multimodal.q_frame_sample, multimodal.SQL_FRAME_SAMPLE),
-    "image_resize": (multimodal.q_image_resize, multimodal.SQL_IMAGE_RESIZE),
     # --- engine-specific sketches (rows-only; accuracy contract in
     # tests/test_sketches.py — no SQL oracle can hash-match an HLL) ---
     "approx_distinct_users": (sketches.q_approx_distinct_users, None),
@@ -134,27 +137,13 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
         sketches.SQL_STRATIFIED_SAMPLE,
     ),
     # --- flagship reference-parity queries (SURVEY.md §2.1-2.4) ---
-    # Round-3 rotation: wordcount stays as the reference flagship;
-    # scan_events/json_decode/count_by_currency/topk_spenders (r1 green,
-    # rotated out in r2) cycle back in for re-verification. The five
-    # twice-verified flagships (payments_pipeline, fx_join, agg_revenue,
-    # region_revenue, big_orders) rotate out to make room.
+    # Round-4 rotation: wordcount stays as the reference flagship; the
+    # five twice-verified flagships (payments_pipeline, fx_join,
+    # agg_revenue, region_revenue, big_orders) cycle back in, plus
+    # gen_payments (S2 source, r1 green, not re-verified since).
+    # scan_events/json_decode/count_by_currency/topk_spenders (re-
+    # verified green in r3) rotate out to make room.
     "wordcount": (wordcount.q_wordcount, wordcount.SQL_WORDCOUNT),
-    "scan_events": (payments.q_scan_events, payments.SQL_SCAN_EVENTS),
-    "json_decode": (payments.q_json_decode, payments.SQL_JSON_DECODE),
-    "count_by_currency": (
-        payments.q_count_by_currency,
-        payments.SQL_COUNT_BY_CURRENCY,
-    ),
-    "topk_spenders": (relational.q_topk_spenders, relational.SQL_TOPK_SPENDERS),
-    # ==================== end of the driver's 50-entry window =========
-    # r2-green text screens rotated out in round 3 (see note above)
-    "token_count": (text.q_token_count, text.SQL_TOKEN_COUNT),
-    "lang_id": (text.q_lang_id, text.SQL_LANG_ID),
-    "quality_score": (text.q_quality_score, text.SQL_QUALITY_SCORE),
-    "doc_fingerprint": (text.q_doc_fingerprint, text.SQL_DOC_FINGERPRINT),
-    "text_stats": (text.q_text_stats, text.SQL_TEXT_STATS),
-    "pattern_counts": (text.q_pattern_counts, text.SQL_PATTERN_COUNTS),
     "payments_pipeline": (
         payments.q_payments_pipeline,
         payments.SQL_PAYMENTS_PIPELINE,
@@ -163,10 +152,33 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "agg_revenue": (relational.q_agg_revenue, relational.SQL_AGG_REVENUE),
     "region_revenue": (relational.q_region_revenue, relational.SQL_REGION_REVENUE),
     "big_orders": (relational2.q_big_orders, relational2.SQL_BIG_ORDERS),
+    "gen_payments": (generator.q_gen_payments, generator.SQL_GEN_PAYMENTS),
+    # ==================== end of the driver's 50-entry window =========
+    # rotated out in round 4 (twice-verified greens; see notes above)
+    "scan_events": (payments.q_scan_events, payments.SQL_SCAN_EVENTS),
+    "json_decode": (payments.q_json_decode, payments.SQL_JSON_DECODE),
+    "count_by_currency": (
+        payments.q_count_by_currency,
+        payments.SQL_COUNT_BY_CURRENCY,
+    ),
+    "topk_spenders": (relational.q_topk_spenders, relational.SQL_TOPK_SPENDERS),
+    "tumbling_count": (windows.q_tumbling_count, windows.SQL_TUMBLING_COUNT),
+    "sliding_count": (windows.q_sliding_count, windows.SQL_SLIDING_COUNT),
+    "session_count": (windows.q_session_count, windows.SQL_SESSION_COUNT),
+    "asof_rate": (windows.q_asof_rate, windows.SQL_ASOF_RATE),
+    "window_range_interval": (
+        windows.q_window_range_interval,
+        windows.SQL_WINDOW_RANGE_INTERVAL,
+    ),
+    "moving_avg": (windows.q_moving_avg, windows.SQL_MOVING_AVG),
+    "multimodal_meta": (multimodal.q_multimodal_meta, multimodal.SQL_MULTIMODAL_META),
+    "image_features": (multimodal.q_image_features, multimodal.SQL_IMAGE_FEATURES),
+    "audio_features": (multimodal.q_audio_features, multimodal.SQL_AUDIO_FEATURES),
+    "frame_sample": (multimodal.q_frame_sample, multimodal.SQL_FRAME_SAMPLE),
+    "image_resize": (multimodal.q_image_resize, multimodal.SQL_IMAGE_RESIZE),
     # --- core relational tier (reference parity, SURVEY.md §2.1-2.4) ---
     "project_cast": (payments.q_project_cast, payments.SQL_PROJECT_CAST),
     "json_encode": (payments.q_json_encode, payments.SQL_JSON_ENCODE),
-    "gen_payments": (generator.q_gen_payments, generator.SQL_GEN_PAYMENTS),
     "fx_convert": (payments.q_fx_convert, payments.SQL_FX_CONVERT),
     "filter_suspicious": (
         payments.q_filter_suspicious,
@@ -243,13 +255,6 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     ),
     "null_fns": (relational2.q_null_fns, relational2.SQL_NULL_FNS),
     "column_stats": (relational2.q_column_stats, relational2.SQL_COLUMN_STATS),
-    # --- round-4 training-pipeline additions (rotate in-window r4) ---
-    "dedup_lines": (dedup.q_dedup_lines, dedup.SQL_DEDUP_LINES),
-    "embed_dedup_cluster": (
-        similarity.q_embed_dedup_cluster,
-        similarity.SQL_EMBED_DEDUP_CLUSTER,
-    ),
-    "pii_scrub": (text.q_pii_scrub, text.SQL_PII_SCRUB),
 }
 
 # The driver evaluates only the first DRIVER_WINDOW_SIZE catalog entries
@@ -260,26 +265,25 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
 # tuple is edited deliberately alongside any registration-order change.
 DRIVER_WINDOW_SIZE = 50
 DRIVER_WINDOW: tuple[str, ...] = (
-    # dedup tier (round-3 rotation: dedup_cluster — the one entry never
-    # driver-checked through round 2 — plus the new containment and
-    # decontamination passes, each adjacent to the memoized index it
-    # shares)
+    # dedup tier (+ round-4 dedup_lines, adjacent to the token table it
+    # shares with the other passes)
     "dedup_exact", "dedup_near_capped", "dedup_containment",
     "dedup_minhash", "dedup_simhash", "dedup_near_jaccard",
-    "dedup_cluster", "decontaminate",
-    # similarity (+ the new k-NN label vote, adjacent to sim_topk)
+    "dedup_cluster", "decontaminate", "dedup_lines",
+    # similarity (+ round-4 embed_dedup_cluster, adjacent to the
+    # neardup pair graph it consumes)
     "sim_topk", "knn_classify", "sim_ann_lsh", "sim_ann_ivf",
-    "embed_neardup",
-    # text analysis (round-3 additions in; six r2-green per-doc screens
-    # rotated just past the window)
+    "embed_neardup", "embed_dedup_cluster",
+    # text analysis: the fused curation composites stay in-window for a
+    # verdict on the round-4 single-scan rewrite; round-4 pii_scrub and
+    # the six r2-green per-doc screens rotate (back) in
     "topk_words", "bigram_counts", "curation_pipeline", "bpe_token_count",
-    "repetition_stats", "corpus_mix", "curation_funnel",
-    # event-time windows + as-of
-    "tumbling_count", "sliding_count", "session_count", "asof_rate",
-    "window_range_interval", "moving_avg", "sessionize_lag",
-    # multimodal
-    "multimodal_meta", "image_features", "audio_features", "frame_sample",
-    "image_resize",
+    "repetition_stats", "corpus_mix", "curation_funnel", "pii_scrub",
+    "token_count", "lang_id", "quality_score", "doc_fingerprint",
+    "text_stats", "pattern_counts",
+    # event-time windows: six twice-verified r3 greens rotated out;
+    # sessionize_lag's r3 fix has one verdict, keep it one more round
+    "sessionize_lag",
     # sketches / UDAF / sampling / sink
     "approx_distinct_users", "approx_quantiles", "udaf_median",
     "deterministic_sample", "grouped_map_norm", "corr_text_embedding",
@@ -287,9 +291,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # round-1/2 comparator fixes + round-2 pipeline additions
     "map_fns", "range_join_buckets", "tfidf", "text_normalize",
     "seq_packing", "stratified_sample",
-    # reference-parity flagships (round-3 rotation: r1 greens cycled back)
-    "wordcount", "scan_events", "json_decode", "count_by_currency",
-    "topk_spenders",
+    # reference-parity flagships (round-4 rotation: the five
+    # twice-verified r1/r2 flagships cycle back in + gen_payments)
+    "wordcount", "payments_pipeline", "fx_join", "agg_revenue",
+    "region_revenue", "big_orders", "gen_payments",
 )
 # Load-bearing invariant: raise, don't assert — a bare assert is
 # stripped under `python -O`, silently disarming the guard (r3 ADVICE).
