@@ -435,3 +435,28 @@ def streaming_decontaminate(docs: DataFrame, eval_shingles: DataFrame) -> DataFr
         )
         .withColumn("contaminated", F.col("n_shared") > 0)
     )
+
+
+# --- streaming PII redaction (stateless per-row screen) ----------------------------
+
+
+def streaming_pii_scrub(docs: DataFrame) -> DataFrame:
+    """Streaming twin of operators/text.q_pii_scrub's production
+    surface: per arriving document, count and redact emails / phone
+    numbers / IPv4 addresses (shared expressions — pii_count_cols /
+    pii_redact_col — so stream and batch can never drift).
+
+    Pure per-row regex work: NO streaming state, no watermark, append
+    mode — the screen a 100 TB/day ingest runs inline before anything
+    is persisted. Works on batch frames too (the parity test runs the
+    identical plan both ways)."""
+    from ..operators.text import pii_count_cols, pii_redact_col
+
+    counts = pii_count_cols(F.col("text"))
+    return docs.select(
+        "doc_id",
+        counts["n_emails"].alias("n_emails"),
+        counts["n_phones"].alias("n_phones"),
+        counts["n_ips"].alias("n_ips"),
+        pii_redact_col(F.col("text")).alias("redacted"),
+    )

@@ -630,3 +630,50 @@ def test_streaming_decontaminate_matches_batch(spark, tmp_path):
     assert batch_op == {
         doc: ns for doc, (_n, ns, c) in streamed.items() if c
     }
+
+
+def test_streaming_pii_scrub_matches_batch(spark, tmp_path):
+    """Stateless streaming PII screen: the streamed (counts, redacted)
+    rows must equal the identical plan run in batch — shared
+    pii_count_cols/pii_redact_col expressions, so any drift is a bug."""
+    from lenses_topology_example_spark.streaming.pipelines import (
+        streaming_pii_scrub,
+    )
+
+    rows = [
+        (0, "reach me at jane.doe@corp.example.org or 555-013-2047"),
+        (1, "server at 10.2.33.4 then 192.168.0.1 responded"),
+        (2, "no sensitive content in this line at all"),
+        (3, "a@b.io 111-222-3333 1.2.3.4 everything at once"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    src = tmp_path / "pii_stream_src"
+    docs.write.parquet(str(src))
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(str(src))
+    q = (
+        streaming_pii_scrub(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("pii_stream_test")
+        .option("checkpointLocation", str(tmp_path / "pii_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    streamed = {
+        r["doc_id"]: (r["n_emails"], r["n_phones"], r["n_ips"], r["redacted"])
+        for r in spark.sql("SELECT * FROM pii_stream_test").collect()
+    }
+    batch = {
+        r["doc_id"]: (r["n_emails"], r["n_phones"], r["n_ips"], r["redacted"])
+        for r in streaming_pii_scrub(docs).collect()
+    }
+    assert streamed == batch
+    assert streamed[0] == (1, 1, 0, "reach me at <EMAIL> or <PHONE>")
+    assert streamed[1] == (0, 0, 2, "server at <IP> then <IP> responded")
+    assert streamed[2][:3] == (0, 0, 0)
+    assert streamed[3] == (1, 1, 1, "<EMAIL> <PHONE> <IP> everything at once")
