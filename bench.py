@@ -62,6 +62,12 @@ HEADLINE = (
     # broadcast eval-membership pass
     "repetition_stats",
     "decontaminate",
+    # round-4 additions: sub-document dedup, SemDeDup keeper selection,
+    # and the zero-shuffle PII screen (baseline re-anchored this round —
+    # BASELINE.md carries the n=5 median table for the full set)
+    "dedup_lines",
+    "embed_dedup_cluster",
+    "pii_scrub",
 )
 
 

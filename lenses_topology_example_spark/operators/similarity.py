@@ -504,10 +504,19 @@ def q_embed_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the pair graph is tiny vs the corpus (only vectors
     with a near-identical twin appear); resolve_clusters converges in
     O(component diameter) rounds of one hash join + one partial-agg
-    shuffle of 8-byte ids each, lineage truncated per round."""
-    from .dedup import resolve_clusters
+    shuffle of 8-byte ids each, lineage truncated per round. The pair
+    frame is MATERIALIZED first (same memo contract as dedup's
+    neardup_pairs): without it every fixpoint round would re-run the
+    bucketed corpus self-join that produced the edges — measured 11.4 s
+    -> ~3 s at sf0.1."""
+    from .dedup import _memo_persist, resolve_clusters
 
-    pairs = q_embed_neardup_catalog(spark, sf_dir).select("vec_a", "vec_b")
+    pairs = _memo_persist(
+        spark,
+        sf_dir,
+        "embed_neardup_pairs",
+        q_embed_neardup_catalog(spark, sf_dir).select("vec_a", "vec_b"),
+    )
     labels = resolve_clusters(
         pairs.select(F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"))
     )
