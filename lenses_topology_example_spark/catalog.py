@@ -91,9 +91,12 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "curation_funnel": (text.q_curation_funnel, text.SQL_CURATION_FUNNEL),
     # round-4 addition: PII screen
     "pii_scrub": (text.q_pii_scrub, text.SQL_PII_SCRUB),
-    # r2-green per-doc screens, rotated back in (round-4 rotation)
-    "token_count": (text.q_token_count, text.SQL_TOKEN_COUNT),
-    "lang_id": (text.q_lang_id, text.SQL_LANG_ID),
+    # round-4 additions: corpus-LM scoring + zero-shuffle entropy
+    "lm_score": (text.q_lm_score, text.SQL_LM_SCORE),
+    "token_entropy": (text.q_token_entropy, text.SQL_TOKEN_ENTROPY),
+    # r2-green per-doc screens, rotated back in (round-4 rotation;
+    # token_count/lang_id sit just past the window to make room for the
+    # two operators above — they keep full pytest oracle parity)
     "quality_score": (text.q_quality_score, text.SQL_QUALITY_SCORE),
     "doc_fingerprint": (text.q_doc_fingerprint, text.SQL_DOC_FINGERPRINT),
     "text_stats": (text.q_text_stats, text.SQL_TEXT_STATS),
@@ -155,6 +158,8 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "gen_payments": (generator.q_gen_payments, generator.SQL_GEN_PAYMENTS),
     # ==================== end of the driver's 50-entry window =========
     # rotated out in round 4 (twice-verified greens; see notes above)
+    "token_count": (text.q_token_count, text.SQL_TOKEN_COUNT),
+    "lang_id": (text.q_lang_id, text.SQL_LANG_ID),
     "scan_events": (payments.q_scan_events, payments.SQL_SCAN_EVENTS),
     "json_decode": (payments.q_json_decode, payments.SQL_JSON_DECODE),
     "count_by_currency": (
@@ -279,7 +284,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # the six r2-green per-doc screens rotate (back) in
     "topk_words", "bigram_counts", "curation_pipeline", "bpe_token_count",
     "repetition_stats", "corpus_mix", "curation_funnel", "pii_scrub",
-    "token_count", "lang_id", "quality_score", "doc_fingerprint",
+    "lm_score", "token_entropy", "quality_score", "doc_fingerprint",
     "text_stats", "pattern_counts",
     # event-time windows: six twice-verified r3 greens rotated out;
     # sessionize_lag's r3 fix has one verdict, keep it one more round

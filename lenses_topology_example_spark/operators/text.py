@@ -974,3 +974,148 @@ SQL_PII_SCRUB = """
              '[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+', '<IP>', 'g') AS redacted
     FROM c
 """
+
+
+# --- corpus-LM quality scoring (unigram cross-entropy) -----------------------------
+
+
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring with the corpus itself as the
+    language model: score each document by its mean negative log
+    probability under the corpus UNIGRAM distribution. Rare-token-heavy
+    documents (gibberish, codes, boilerplate markup) score high and get
+    dropped/bucketed; a production run swaps the in-corpus unigram LM
+    for a pretrained KenLM — the dataflow (vocab table join + per-doc
+    aggregate) is identical.
+
+    Scale shape: two passes over the corpus by nature (build the LM,
+    then score with it). One explode+groupBy(token) builds the vocab
+    table (bounded by |V|, not corpus size); the global token total is
+    a SUM window over the AGGREGATED vocab frame (corpus_mix pattern —
+    a single-partition exchange of |V| rows, NOT a second corpus agg:
+    Spark has no cross-branch CSE, so a separate `vocab.agg(sum)`
+    branch would re-scan and re-aggregate the whole corpus). The
+    per-token logp lookup then BROADCAST-joins the vocab into the
+    exploded corpus (a web-scale vocab is ~10^7 rows — still
+    broadcastable; were it not, the same plan downgrades to a shuffle
+    join on the token), then one doc_id-keyed aggregate. Per-token
+    -ln p goes through DECIMAL(38,6) before the per-doc sum so the
+    result is accumulation-order-independent (the repo's standard
+    double-sum discipline)."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    exploded = docs.select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("token")
+    )
+    vocab = (
+        exploded.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("n", F.sum("c").over(W.partitionBy()))
+    )
+    scored = exploded.join(F.broadcast(vocab), "token").select(
+        "doc_id",
+        (-F.log(F.col("c") / F.col("n"))).cast("decimal(38,6)").alias("nl"),
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        # single decimal->double cast + one IEEE division, oracle-identical
+        (F.sum("nl").cast("double") / F.count(F.lit(1))).alias("avg_neg_logp"),
+    )
+
+
+SQL_LM_SCORE = f"""
+    WITH t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+    e AS (SELECT doc_id, unnest(toks) AS token FROM t),
+    v AS (SELECT token, COUNT(*) AS c FROM e GROUP BY token),
+    n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM v),
+    s AS (
+        SELECT e.doc_id,
+               CAST(-ln(v.c / n.n) AS DECIMAL(38,6)) AS nl
+        FROM e JOIN v USING (token) CROSS JOIN n
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(nl) AS DOUBLE) / COUNT(*) AS avg_neg_logp
+    FROM s GROUP BY doc_id
+"""
+
+
+# --- per-doc token entropy (zero-shuffle sorted-run fold) --------------------------
+
+
+def entropy_sum_col(arr_col: str) -> Column:
+    """sum over distinct elements of c*ln(c) (c = occurrence count),
+    computed from the SORTED array with one O(k log k) aggregate fold —
+    the same shuffle-free machinery as top_run_col. Each run's
+    c*ln(c) is cast to DECIMAL(38,6) before accumulation so the sum is
+    order-independent and bit-identical to the oracle's per-group SUM."""
+    return F.expr(
+        f"""
+        aggregate(
+            array_sort({arr_col}),
+            named_struct('prev', CAST(NULL AS STRING),
+                         'run', CAST(0 AS BIGINT),
+                         's', CAST(0 AS DECIMAL(38,6))),
+            (acc, x) -> named_struct(
+                'prev', x,
+                'run', IF(acc.prev IS NOT NULL AND x = acc.prev,
+                          acc.run + 1L, 1L),
+                's', CAST(IF(acc.prev IS NOT NULL AND x <> acc.prev,
+                             acc.s + CAST(acc.run * ln(acc.run)
+                                          AS DECIMAL(38,6)),
+                             acc.s) AS DECIMAL(38,6))),
+            acc -> CAST(acc.s + CAST(IF(acc.run > 0,
+                                        acc.run * ln(acc.run), 0.0)
+                                     AS DECIMAL(38,6)) AS DECIMAL(38,6)))
+        """
+    )
+
+
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram (Shannon) entropy in nats:
+    H = ln(n) - sum_c(c*ln(c))/n over token occurrence counts c — low
+    entropy = repetitious/templated text, high = diverse vocabulary;
+    the Gopher-style diversity filter signal complementing
+    repetition_stats.
+
+    Scale shape: ZERO shuffles — the occurrence counts come from the
+    per-row sorted-run fold (entropy_sum_col), never an
+    explode+groupBy(doc, token) exchange; runs at parquet-scan speed in
+    codegen. The oracle deliberately computes the same numbers the
+    plain unnest+GROUP BY way, so the fold is independently checked on
+    every parity run (same contract as repetition_stats)."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", tokens_col(F.col("text")).alias("t")
+    ).filter(F.size("t") > 0)
+    n = F.size("t").cast("long")
+    # ln(n) round-trips through DECIMAL(38,6): Java Math.log and
+    # DuckDB's libm disagree in the last ulp for some inputs (measured:
+    # ln(48) differs by 1 ulp), so a bare double ln can never be
+    # hash-compared cross-engine. 6-decimal truncation is identical on
+    # both sides and far above the filter signal's needed precision.
+    lnn = F.log(n).cast("decimal(38,6)").cast("double")
+    return base.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        (lnn - entropy_sum_col("t").cast("double") / n).alias("entropy"),
+    )
+
+
+SQL_TOKEN_ENTROPY = f"""
+    WITH t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+    e AS (SELECT doc_id, unnest(toks) AS token FROM t),
+    g AS (SELECT doc_id, token, COUNT(*) AS c FROM e GROUP BY doc_id, token),
+    s AS (
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS n,
+               SUM(CAST(c * ln(c) AS DECIMAL(38,6))) AS sd
+        FROM g GROUP BY doc_id
+    )
+    SELECT doc_id, n AS n_tokens,
+           -- DECIMAL round-trip on ln(n): see q_token_entropy (libm ulp)
+           CAST(CAST(ln(n) AS DECIMAL(38,6)) AS DOUBLE)
+               - CAST(sd AS DOUBLE) / n AS entropy
+    FROM s
+"""

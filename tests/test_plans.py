@@ -218,3 +218,22 @@ def test_pii_scrub_zero_shuffle(spark, sf_dir):
     """pii_scrub is pure per-row regex work — no exchange at all."""
     plan = _formatted_plan(spark, sf_dir, "pii_scrub")
     assert not _exchange_ids(plan), plan
+
+
+def test_token_entropy_zero_shuffle(spark, sf_dir):
+    """token_entropy's occurrence counts come from the per-row
+    sorted-run fold — no explode+groupBy, no exchange at all."""
+    plan = _formatted_plan(spark, sf_dir, "token_entropy")
+    assert not _exchange_ids(plan), plan
+    assert "Generate" not in plan, "token explode crept in"
+
+
+def test_lm_score_single_vocab_agg_and_broadcast(spark, sf_dir):
+    """lm_score: the vocab is aggregated ONCE (its global total is a
+    window over the aggregated |V|-row frame, not a second corpus
+    aggregation branch) and the logp lookup broadcasts the vocab —
+    exchanges = vocab agg + |V|-row window + per-doc agg, exactly 3."""
+    plan = _formatted_plan(spark, sf_dir, "lm_score")
+    assert len(_exchange_ids(plan)) == 3, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
