@@ -68,6 +68,8 @@ HEADLINE = (
     "dedup_lines",
     "embed_dedup_cluster",
     "pii_scrub",
+    "lm_score",
+    "token_entropy",
 )
 
 
