@@ -270,3 +270,120 @@ SQL_STRATIFIED_SAMPLE = f"""
     WHERE ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT
           % 100 < {_sql_strata_rate()}
 """
+
+
+# --- Count-Min Sketch token frequencies (oracle-checkable sketch) ------------------
+
+CMS_DEPTH = 4
+# Catalog width is deliberately SMALL (16 buckets for ~40 distinct
+# testdata tokens) so hash collisions actually occur and the CMS
+# overestimate property (cms_n >= exact_n, sometimes >) is exercised
+# and driver-verified — a production run uses w ~ ceil(e/eps)
+# (e.g. 2,718,282 for eps = 1e-6) with the identical plan.
+CMS_WIDTH = 16
+CMS_TOP = 25
+
+
+def q_cms_token_freq(
+    spark: SparkSession, sf_dir: str, depth: int = CMS_DEPTH, width: int = CMS_WIDTH
+) -> DataFrame:
+    """Count-Min Sketch frequency estimation over corpus tokens,
+    self-auditing: for the top-CMS_TOP tokens by exact count, report
+    exact_n alongside the CMS estimate cms_n (= min over depth rows of
+    the hashed counter cells). Unlike HLL, every hash here is
+    md5-derived (functions/texthash.py), so the whole sketch is
+    deterministic and hash-comparable against the DuckDB oracle — the
+    repo's engine-portable-sketch discipline.
+
+    Scale shape: the counter table is FIXED SIZE (depth x width); the
+    build is one explode + groupBy(row, col) whose partial aggregation
+    collapses each partition to <= depth*width cells before the
+    exchange — the canonical mergeable-sketch property (per-partition
+    sketches sum cell-wise; the same counters merge across streaming
+    micro-batches). Estimates then broadcast-join the tiny counter
+    table; the only corpus-scale exchanges are the two token aggs."""
+    from pyspark.sql import Window as W
+
+    from ..functions.texthash import md5_hash64
+    from .wordcount import tokens_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    exploded = docs.select(
+        F.explode(tokens_col(F.col("text"))).alias("token")
+    )
+
+    def cell(r: int) -> F.Column:
+        return md5_hash64(F.concat(F.lit(f"{r}|"), F.col("token"))) % F.lit(width)
+
+    counters = (
+        exploded.select(
+            F.posexplode(F.array(*[cell(r) for r in range(depth)])).alias(
+                "row", "col"
+            )
+        )
+        .groupBy("row", "col")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    exact = exploded.groupBy("token").agg(F.count(F.lit(1)).alias("exact_n"))
+    top = (
+        exact.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy().orderBy(F.col("exact_n").desc(), F.col("token").asc())
+            ),
+        )
+        .filter(F.col("rn") <= F.lit(CMS_TOP))
+        .drop("rn")
+    )
+    lookups = top.select(
+        "token",
+        "exact_n",
+        F.posexplode(F.array(*[cell(r) for r in range(depth)])).alias("row", "col"),
+    )
+    return (
+        lookups.join(F.broadcast(counters), ["row", "col"])
+        .groupBy("token", "exact_n")
+        .agg(F.min("cnt").alias("cms_n"))
+    )
+
+
+def _sql_cms_cell(r: int, token_expr: str) -> str:
+    return (
+        f"((('0x' || substr(md5('{r}|' || {token_expr}), 1, 15))::BIGINT) "
+        f"% {CMS_WIDTH})"
+    )
+
+
+SQL_CMS_TOKEN_FREQ = f"""
+    WITH t AS (
+        SELECT unnest(list_filter(string_split_regex(lower(text), '\\W+'),
+                                  x -> x <> '')) AS token
+        FROM documents
+    ), cells AS (
+        SELECT r.r AS row, CASE r.r
+                 WHEN 0 THEN {_sql_cms_cell(0, 'token')}
+                 WHEN 1 THEN {_sql_cms_cell(1, 'token')}
+                 WHEN 2 THEN {_sql_cms_cell(2, 'token')}
+                 ELSE {_sql_cms_cell(3, 'token')}
+               END AS col
+        FROM t CROSS JOIN (SELECT unnest(generate_series(0, {CMS_DEPTH - 1})) AS r) r
+    ), counters AS (
+        SELECT row, col, COUNT(*) AS cnt FROM cells GROUP BY row, col
+    ), exact AS (
+        SELECT token, COUNT(*) AS exact_n FROM t GROUP BY token
+    ), top AS (
+        SELECT token, exact_n FROM exact
+        QUALIFY ROW_NUMBER() OVER (ORDER BY exact_n DESC, token ASC) <= {CMS_TOP}
+    ), lookups AS (
+        SELECT token, exact_n, r.r AS row, CASE r.r
+                 WHEN 0 THEN {_sql_cms_cell(0, 'token')}
+                 WHEN 1 THEN {_sql_cms_cell(1, 'token')}
+                 WHEN 2 THEN {_sql_cms_cell(2, 'token')}
+                 ELSE {_sql_cms_cell(3, 'token')}
+               END AS col
+        FROM top CROSS JOIN (SELECT unnest(generate_series(0, {CMS_DEPTH - 1})) AS r) r
+    )
+    SELECT l.token, l.exact_n, MIN(c.cnt) AS cms_n
+    FROM lookups l JOIN counters c USING (row, col)
+    GROUP BY l.token, l.exact_n
+"""

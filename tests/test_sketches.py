@@ -54,3 +54,19 @@ def test_approx_quantiles_rank_bounded(spark, sf_dir):
         assert lo[0] - 1e-9 <= p50 <= lo[1] + 1e-9, (et, "p50", p50, lo[0], lo[1])
         assert lo[2] - 1e-9 <= p90 <= lo[3] + 1e-9, (et, "p90", p90, lo[2], lo[3])
         assert lo[4] - 1e-9 <= p99 <= lo[5] + 1e-9, (et, "p99", p99, lo[4], lo[5])
+
+
+def test_cms_overestimates_only(spark, sf_dir):
+    """Count-Min property: the estimate NEVER undercounts (min over
+    rows of hashed cells >= the true count), and with the deliberately
+    small catalog width (16 buckets for ~40 distinct tokens) collisions
+    must actually occur — some token strictly overestimated — so the
+    sketch path is non-vacuously exercised."""
+    from lenses_topology_example_spark.operators.sketches import q_cms_token_freq
+
+    rows = q_cms_token_freq(spark, sf_dir).collect()
+    assert rows
+    assert all(r["cms_n"] >= r["exact_n"] for r in rows)
+    assert any(r["cms_n"] > r["exact_n"] for r in rows), (
+        "no collisions at width 16 — sketch check is vacuous"
+    )
