@@ -78,10 +78,11 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
         similarity.q_embed_dedup_cluster,
         similarity.SQL_EMBED_DEDUP_CLUSTER,
     ),
-    # --- text analysis (round-4 rotation: the six r2-green per-doc
-    # screens cycle BACK IN for re-verification; the fused curation
-    # composites stay in-window so the round-4 single-scan rewrite gets
-    # a driver verdict) ---
+    # --- text analysis (round-4 rotation: four r2-green per-doc
+    # screens cycle BACK IN for re-verification — token_count/lang_id
+    # stay past the window to make room for lm_score/token_entropy;
+    # the fused curation composites stay in-window so the round-4
+    # single-scan rewrite gets a driver verdict) ---
     "topk_words": (text.q_topk_words, text.SQL_TOPK_WORDS),
     "bigram_counts": (text.q_bigram_counts, text.SQL_BIGRAM_COUNTS),
     "curation_pipeline": (text.q_curation_pipeline, text.SQL_CURATION_PIPELINE),
@@ -283,8 +284,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "sim_topk", "knn_classify", "sim_ann_lsh", "sim_ann_ivf",
     "embed_neardup", "embed_dedup_cluster",
     # text analysis: the fused curation composites stay in-window for a
-    # verdict on the round-4 single-scan rewrite; round-4 pii_scrub and
-    # the six r2-green per-doc screens rotate (back) in
+    # verdict on the round-4 single-scan rewrite; round-4
+    # pii_scrub/lm_score/token_entropy and four r2-green per-doc
+    # screens rotate (back) in (token_count/lang_id sit just past)
     "topk_words", "bigram_counts", "curation_pipeline", "bpe_token_count",
     "repetition_stats", "corpus_mix", "curation_funnel", "pii_scrub",
     "lm_score", "token_entropy", "quality_score", "doc_fingerprint",

@@ -833,14 +833,25 @@ LINE_SEG_TOKENS = 5
 def token_segments_col(toks: Column, w: int) -> Column:
     """Non-overlapping w-token segments of a token array (the tail stub
     shorter than w is dropped — a partial segment can't match a full
-    one). The pseudo-line segmentation for newline-free corpora."""
+    one). The pseudo-line segmentation for newline-free corpora.
+
+    The n_seg >= 1 guard is load-bearing: Spark's sequence(1, 0)
+    defaults its step to -1 and returns the DESCENDING [1, 0], so an
+    unguarded short doc (< w tokens) would emit a stub segment plus an
+    empty-string segment — phantom rows the DuckDB oracle's
+    generate_series(1, 0) (empty) never produces, and every short
+    doc's '' segment would exact-match every other's (same contract as
+    shingles_col's < n guard)."""
     n_seg = F.floor(F.size(toks) / F.lit(w)).cast("int")
-    return F.transform(
-        F.sequence(F.lit(1), n_seg),
-        lambda i: F.concat_ws(
-            " ", F.slice(toks, (i - F.lit(1)) * F.lit(w) + F.lit(1), F.lit(w))
+    return F.when(
+        n_seg >= F.lit(1),
+        F.transform(
+            F.sequence(F.lit(1), n_seg),
+            lambda i: F.concat_ws(
+                " ", F.slice(toks, (i - F.lit(1)) * F.lit(w) + F.lit(1), F.lit(w))
+            ),
         ),
-    )
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def newline_lines_col(text: Column) -> Column:

@@ -246,3 +246,23 @@ def test_dedup_lines_crafted(spark, crafted_sf_dir):
     assert out[1] == (2, 0, 1.0)
     assert out[2] == (2, 0, 1.0)
     assert out[3] == (2, 2, 0.0)
+
+
+def test_token_segments_short_doc_empty(spark):
+    """Docs shorter than the segment width must produce NO segments:
+    Spark's sequence(1, 0) is the DESCENDING [1, 0] (step defaults to
+    -1), so without the n_seg guard a short doc emitted a stub segment
+    plus an empty-string segment — phantom rows the oracle's
+    generate_series(1, 0) never produces (code-review find, round 4)."""
+    from lenses_topology_example_spark.operators.dedup import token_segments_col
+    from lenses_topology_example_spark.operators.wordcount import tokens_col
+
+    df = spark.createDataFrame(
+        [("one two three",), ("a b c d e f g",), ("",)], "text string"
+    )
+    out = df.select(
+        token_segments_col(tokens_col(F.col("text")), 5).alias("segs")
+    ).collect()
+    assert out[0]["segs"] == []  # 3 tokens < w=5
+    assert out[1]["segs"] == ["a b c d e"]  # 7 tokens -> one full segment
+    assert out[2]["segs"] == []  # empty doc
