@@ -101,3 +101,44 @@ def test_sorted_run_fold_counts_top_bigram(spark, token_lists):
     assert got == {
         i: _py_top_run(toks) for i, toks in enumerate(token_lists)
     }
+
+
+def _py_entropy_sum(tokens: list[str]) -> float:
+    """Python reference for entropy_sum_col: sum of c*ln(c) over
+    occurrence counts, each addend truncated the DECIMAL(38,6) way."""
+    import math
+    from collections import Counter
+    from decimal import Decimal, ROUND_HALF_UP
+
+    s = Decimal(0)
+    for c in Counter(tokens).values():
+        s += Decimal(c * math.log(c)).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP
+        )
+    return float(s)
+
+
+@_SETTINGS
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "dd", "xyz"]), max_size=40),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_entropy_fold_agrees_with_counter(spark, token_lists):
+    """The sorted-run decimal fold behind q_token_entropy must equal a
+    Python Counter + per-count decimal rounding on arbitrary
+    repetition-heavy inputs — the fold's run bookkeeping (run reset,
+    final-run flush) is the part fixtures don't stress."""
+    from lenses_topology_example_spark.operators.text import entropy_sum_col
+
+    df = spark.createDataFrame(
+        [(toks,) for toks in token_lists], "t array<string>"
+    )
+    got = [
+        float(r["s"]) if r["s"] is not None else 0.0
+        for r in df.select(entropy_sum_col("t").alias("s")).collect()
+    ]
+    want = [_py_entropy_sum(toks) for toks in token_lists]
+    assert got == want
