@@ -261,9 +261,10 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     ),
     "null_fns": (relational2.q_null_fns, relational2.SQL_NULL_FNS),
     "column_stats": (relational2.q_column_stats, relational2.SQL_COLUMN_STATS),
-    # round-4 addition past the (already-full) window — rotates in r5;
+    # round-4 additions past the (already-full) window — rotate in r5;
     # full pytest oracle parity meanwhile
     "cms_token_freq": (sketches.q_cms_token_freq, sketches.SQL_CMS_TOKEN_FREQ),
+    "bigram_lm_score": (text.q_bigram_lm_score, text.SQL_BIGRAM_LM_SCORE),
 }
 
 # The driver evaluates only the first DRIVER_WINDOW_SIZE catalog entries

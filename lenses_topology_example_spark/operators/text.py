@@ -1119,3 +1119,80 @@ SQL_TOKEN_ENTROPY = f"""
                - CAST(sd AS DOUBLE) / n AS entropy
     FROM s
 """
+
+
+# --- bigram-LM quality scoring (conditional cross-entropy) -------------------------
+
+
+def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality scoring: mean negative log CONDITIONAL
+    probability -ln p(cur | prev) over each document's word bigrams,
+    with the corpus itself as the LM (p = c(prev,cur) / c(prev,*)).
+    The stronger companion to q_lm_score — catches locally-improbable
+    word sequences (shuffled text, keyword stuffing) that unigram
+    frequency misses. Docs with < 2 tokens have no bigrams and are
+    excluded (identically in the oracle).
+
+    Scale shape: ONE corpus-scale bigram aggregation; the conditional
+    denominator c(prev,*) is a SUM window partitioned by prefix over
+    the AGGREGATED |distinct bigrams| frame (never a second corpus
+    pass — no cross-branch CSE, same discipline as lm_score); the
+    -ln p lookup broadcast-joins the bigram table into the exploded
+    corpus (a web-scale bigram vocab may exceed broadcast limits —
+    the identical plan downgrades to a shuffle join on the bigram);
+    then one doc_id-keyed aggregate. Decimal-routed addends keep the
+    per-doc sum order-independent."""
+    from pyspark.sql import Window as W
+
+    from .dedup import shingles_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    exploded = docs.select(
+        "doc_id",
+        F.explode(shingles_col(tokens_col(F.col("text")), 2)).alias("bg"),
+    )
+    lm = (
+        exploded.groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("cb"))
+        .withColumn("prefix", F.split(F.col("bg"), " ")[0])
+        .withColumn("cp", F.sum("cb").over(W.partitionBy("prefix")))
+    )
+    scored = exploded.join(F.broadcast(lm.select("bg", "cb", "cp")), "bg").select(
+        "doc_id",
+        (-F.log(F.col("cb") / F.col("cp"))).cast("decimal(38,6)").alias("nl"),
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        (F.sum("nl").cast("double") / F.count(F.lit(1))).alias(
+            "avg_neg_logp_bigram"
+        ),
+    )
+
+
+SQL_BIGRAM_LM_SCORE = f"""
+    WITH t AS (SELECT doc_id, {SQL_TOKS} AS t FROM documents),
+    e AS (
+        SELECT doc_id, unnest(CASE WHEN len(t) >= 2 THEN
+                   list_transform(generate_series(1, len(t) - 1),
+                                  i -> t[i] || ' ' || t[i+1])
+               ELSE []::VARCHAR[] END) AS bg
+        FROM t
+    ),
+    lm AS (
+        SELECT bg, COUNT(*) AS cb FROM e GROUP BY bg
+    ),
+    lm2 AS (
+        SELECT bg, cb,
+               SUM(cb) OVER (PARTITION BY string_split(bg, ' ')[1]) AS cp
+        FROM lm
+    ),
+    s AS (
+        SELECT e.doc_id,
+               CAST(-ln(lm2.cb / lm2.cp) AS DECIMAL(38,6)) AS nl
+        FROM e JOIN lm2 USING (bg)
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(nl) AS DOUBLE) / COUNT(*) AS avg_neg_logp_bigram
+    FROM s GROUP BY doc_id
+"""
