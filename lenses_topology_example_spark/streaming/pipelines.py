@@ -460,3 +460,43 @@ def streaming_pii_scrub(docs: DataFrame) -> DataFrame:
         counts["n_ips"].alias("n_ips"),
         pii_redact_col(F.col("text")).alias("redacted"),
     )
+
+
+# --- streaming Count-Min Sketch (mergeable counters, update mode) ------------------
+
+
+def streaming_cms_counters(docs: DataFrame) -> DataFrame:
+    """Streaming twin of the Count-Min counter build inside
+    operators/sketches.q_cms_token_freq: the (row, col) -> cnt table as
+    an update-mode streaming aggregate over arriving documents.
+
+    This is the textbook mergeable-sketch property made executable:
+    counters sum cell-wise, so the micro-batch increments fold into the
+    running state exactly like per-partition partial aggregates fold in
+    batch — state is FIXED SIZE (depth x width cells) no matter how
+    much data streams through, the streaming-state analogue of the
+    batch plan's partial-agg collapse. Estimates are served by the same
+    min-over-rows lookup as the batch operator. Works on batch frames
+    too (the parity test runs the identical plan both ways)."""
+    from ..functions.texthash import md5_hash64
+    from ..operators.sketches import CMS_DEPTH, CMS_WIDTH
+    from ..operators.wordcount import tokens_col
+
+    exploded = docs.select(
+        F.explode(tokens_col(F.col("text"))).alias("token")
+    )
+
+    def cell(r: int):
+        return md5_hash64(
+            F.concat(F.lit(f"{r}|"), F.col("token"))
+        ) % F.lit(CMS_WIDTH)
+
+    return (
+        exploded.select(
+            F.posexplode(
+                F.array(*[cell(r) for r in range(CMS_DEPTH)])
+            ).alias("row", "col")
+        )
+        .groupBy("row", "col")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

@@ -677,3 +677,52 @@ def test_streaming_pii_scrub_matches_batch(spark, tmp_path):
     assert streamed[1] == (0, 0, 2, "server at <IP> then <IP> responded")
     assert streamed[2][:3] == (0, 0, 0)
     assert streamed[3] == (1, 1, 1, "<EMAIL> <PHONE> <IP> everything at once")
+
+
+def test_streaming_cms_counters_match_batch(spark, tmp_path):
+    """The streaming CMS counter table (update mode, fixed
+    depth x width state) must converge to exactly the batch counter
+    table over the same documents — cell-wise counter merge is what
+    makes the sketch streamable at all."""
+    from lenses_topology_example_spark.streaming.pipelines import (
+        streaming_cms_counters,
+    )
+
+    rows = [(i, f"tok{i % 7} tok{(i * 3) % 5} common word") for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    src = tmp_path / "cms_stream_src"
+    docs.write.parquet(str(src))
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(str(src))
+    q = (
+        streaming_cms_counters(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("cms_stream_test")
+        .option("checkpointLocation", str(tmp_path / "cms_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # update mode re-emits a cell on every change: keep the LAST emit
+    # per (row, col) — the memory sink preserves batch order
+    import collections
+
+    streamed: dict[tuple[int, int], int] = collections.OrderedDict()
+    for r in spark.sql("SELECT * FROM cms_stream_test").collect():
+        streamed[(r["row"], r["col"])] = r["cnt"]
+    batch = {
+        (r["row"], r["col"]): r["cnt"]
+        for r in streaming_cms_counters(docs).collect()
+    }
+    assert dict(streamed) == batch
+    # fixed-size state: never more cells than depth x width
+    from lenses_topology_example_spark.operators.sketches import (
+        CMS_DEPTH,
+        CMS_WIDTH,
+    )
+
+    assert len(batch) <= CMS_DEPTH * CMS_WIDTH
