@@ -142,3 +142,47 @@ def test_entropy_fold_agrees_with_counter(spark, token_lists):
     ]
     want = [_py_entropy_sum(toks) for toks in token_lists]
     assert got == want
+
+
+@_SETTINGS
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "d", "e"]), min_size=0, max_size=23),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_line_keep_flags_global_first_occurrence(spark, tmp_path_factory, token_lists):
+    """line_keep_flags must keep EXACTLY the globally-first (min doc_id,
+    then min pos) occurrence of every distinct segment — verified
+    against a Python dict-ordered reimplementation on random corpora
+    with heavy cross-doc segment collisions (5-symbol alphabet makes
+    5-token segments collide often)."""
+    from lenses_topology_example_spark.operators.dedup import (
+        LINE_SEG_TOKENS,
+        line_keep_flags,
+    )
+
+    d = tmp_path_factory.mktemp("lines_prop")
+    rows = [(i, " ".join(toks), "en", "s", 0) for i, toks in enumerate(token_lists)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    # Python reference: first (doc_id, pos) per segment wins
+    seen: dict[str, tuple[int, int]] = {}
+    expect: dict[tuple[int, int], bool] = {}
+    for i, toks in enumerate(rows):
+        tl = token_lists[i]
+        n_seg = len(tl) // LINE_SEG_TOKENS
+        for p in range(n_seg):
+            seg = " ".join(tl[p * LINE_SEG_TOKENS:(p + 1) * LINE_SEG_TOKENS])
+            if seg not in seen:
+                seen[seg] = (i, p)
+            expect[(i, p)] = seen[seg] == (i, p)
+
+    got = {
+        (r["doc_id"], r["pos"]): r["keep"]
+        for r in line_keep_flags(spark, str(d)).collect()
+    }
+    assert got == expect
