@@ -265,6 +265,7 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     # full pytest oracle parity meanwhile
     "cms_token_freq": (sketches.q_cms_token_freq, sketches.SQL_CMS_TOKEN_FREQ),
     "bigram_lm_score": (text.q_bigram_lm_score, text.SQL_BIGRAM_LM_SCORE),
+    "corpus_report": (text.q_corpus_report, text.SQL_CORPUS_REPORT),
 }
 
 # The driver evaluates only the first DRIVER_WINDOW_SIZE catalog entries

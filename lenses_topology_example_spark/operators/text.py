@@ -1196,3 +1196,113 @@ SQL_BIGRAM_LM_SCORE = f"""
            CAST(SUM(nl) AS DOUBLE) / COUNT(*) AS avg_neg_logp_bigram
     FROM s GROUP BY doc_id
 """
+
+
+
+
+def _sql_lang_score_over(lang: str, toks_expr: str) -> str:
+    markers = ", ".join(f"'{m}'" for m in _LANG_MARKERS[lang])
+    return (
+        f"CAST(len(list_filter({toks_expr}, "
+        f"x -> list_contains([{markers}], x))) AS INTEGER)"
+    )
+
+# --- corpus health report (per-source fused composite) -----------------------------
+
+
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus health dashboard: doc/token volume, mean
+    quality, mean unigram entropy, duplicate-token fraction, and
+    labeled-language agreement — the one table a curation operator
+    reviews before touching thresholds.
+
+    Scale shape: every signal is computed as a column of ONE documents
+    projection (quality_components, pred_lang_col, the entropy decimal
+    fold — the same single-scan discipline the round-3 verdict forced
+    on the curation composites; no signal is joined back), then ONE
+    source-keyed aggregate with map-side partials. Per-doc doubles
+    route through DECIMAL(38,6) before summing, so every mean is
+    accumulation-order-independent."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    n = F.size("t").cast("long")
+    lnn = F.log(n).cast("decimal(38,6)").cast("double")
+    per_doc = docs.select(
+        "source",
+        quality_components(F.col("text"))["quality"].alias("q"),
+        (pred_lang_col(F.col("text")) == F.col("lang")).alias("lang_ok"),
+        toks.alias("t"),
+    ).select(
+        "source",
+        F.col("q").cast("decimal(38,6)").alias("qd"),
+        "lang_ok",
+        n.alias("n_tokens"),
+        F.when(
+            n > 0,
+            (lnn - entropy_sum_col("t").cast("double") / n).cast("decimal(38,6)"),
+        ).alias("hd"),
+        F.when(n > 0, F.lit(1.0) - F.try_divide(F.size(F.array_distinct("t")), n))
+        .cast("decimal(38,6)")
+        .alias("dupd"),
+    )
+    c = F.count(F.lit(1))
+    return per_doc.groupBy("source").agg(
+        c.alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        (F.sum("qd").cast("double") / F.count("qd")).alias("avg_quality"),
+        (F.sum("hd").cast("double") / F.count("hd")).alias("avg_entropy"),
+        (F.sum("dupd").cast("double") / F.count("dupd")).alias("avg_dup_frac"),
+        (F.sum(F.col("lang_ok").cast("long")).cast("double") / c).alias(
+            "lang_agree_share"
+        ),
+    )
+
+
+SQL_CORPUS_REPORT = f"""
+    WITH t AS (
+        SELECT doc_id, source, lang, text, {SQL_TOKS} AS t FROM documents
+    ), e AS (
+        SELECT doc_id, unnest(t) AS token FROM t
+    ), g AS (
+        SELECT doc_id, token, COUNT(*) AS c FROM e GROUP BY doc_id, token
+    ), ent AS (
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS n,
+               SUM(CAST(c * ln(c) AS DECIMAL(38,6))) AS sd
+        FROM g GROUP BY doc_id
+    ), per AS (
+        SELECT t.source,
+               CAST(0.3 * LEAST(length(t.text) / 500.0, 1.0)
+                 + 0.4 * (len(list_filter(t.t, x -> list_contains({_sql_stoplist()}, x)))
+                          / len(t.t))
+                 + 0.3 * (length(regexp_replace(lower(t.text), '[^a-z ]', '', 'g'))
+                          / length(t.text)) AS DECIMAL(38,6)) AS qd,
+               (CASE
+                  WHEN {_sql_lang_score_over('en', 't.t')} >= {_sql_lang_score_over('de', 't.t')}
+                   AND {_sql_lang_score_over('en', 't.t')} >= {_sql_lang_score_over('es', 't.t')}
+                   AND {_sql_lang_score_over('en', 't.t')} >= {_sql_lang_score_over('zh', 't.t')} THEN 'en'
+                  WHEN {_sql_lang_score_over('de', 't.t')} >= {_sql_lang_score_over('es', 't.t')}
+                   AND {_sql_lang_score_over('de', 't.t')} >= {_sql_lang_score_over('zh', 't.t')} THEN 'de'
+                  WHEN {_sql_lang_score_over('es', 't.t')} >= {_sql_lang_score_over('zh', 't.t')} THEN 'es'
+                  ELSE 'zh'
+                END = t.lang) AS lang_ok,
+               CAST(len(t.t) AS BIGINT) AS n_tokens,
+               CASE WHEN ent.n > 0 THEN
+                 CAST(CAST(CAST(ln(ent.n) AS DECIMAL(38,6)) AS DOUBLE)
+                      - CAST(ent.sd AS DOUBLE) / ent.n AS DECIMAL(38,6))
+               END AS hd,
+               CASE WHEN len(t.t) > 0 THEN
+                 CAST(1.0 - (len(list_distinct(t.t)) / len(t.t)) AS DECIMAL(38,6))
+               END AS dupd
+        FROM t LEFT JOIN ent USING (doc_id)
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(qd) AS DOUBLE) / COUNT(qd) AS avg_quality,
+           CAST(SUM(hd) AS DOUBLE) / COUNT(hd) AS avg_entropy,
+           CAST(SUM(dupd) AS DOUBLE) / COUNT(dupd) AS avg_dup_frac,
+           CAST(SUM(CASE WHEN lang_ok THEN 1 ELSE 0 END) AS BIGINT)
+               / (COUNT(*) * 1.0) AS lang_agree_share
+    FROM per GROUP BY source
+"""

@@ -237,3 +237,14 @@ def test_lm_score_single_vocab_agg_and_broadcast(spark, sf_dir):
     assert len(_exchange_ids(plan)) == 3, plan
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_corpus_report_single_scan_single_agg(spark, sf_dir):
+    """corpus_report fuses quality/lang/entropy/dup signals as columns
+    of one documents projection — one FileScan, no joins, one
+    source-keyed agg exchange with map-side partials."""
+    plan = _formatted_plan(spark, sf_dir, "corpus_report")
+    assert len(_scan_ids(plan)) == 1, plan
+    assert "Join" not in plan, plan
+    assert len(_exchange_ids(plan)) == 1, plan
+    assert len(re.findall(r"HashAggregate", plan)) >= 2, plan
