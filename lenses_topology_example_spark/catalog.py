@@ -19,6 +19,7 @@ from .operators import (
     similarity,
     sinks,
     sketches,
+    skew,
     text,
     windows,
     wordcount,
@@ -266,6 +267,8 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "cms_token_freq": (sketches.q_cms_token_freq, sketches.SQL_CMS_TOKEN_FREQ),
     "bigram_lm_score": (text.q_bigram_lm_score, text.SQL_BIGRAM_LM_SCORE),
     "corpus_report": (text.q_corpus_report, text.SQL_CORPUS_REPORT),
+    # salted-join exactness pinned against the PLAIN-join oracle
+    "salted_join_events": (skew.q_salted_join_events, skew.SQL_SALTED_JOIN_EVENTS),
 }
 
 # The driver evaluates only the first DRIVER_WINDOW_SIZE catalog entries

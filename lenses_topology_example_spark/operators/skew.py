@@ -70,3 +70,41 @@ def salted_join(
     )
     out = left.join(right, [key, "__salt"], how)
     return out.drop("__salt")
+
+
+def q_salted_join_events(spark, sf_dir: str) -> DataFrame:
+    """Driver-checkable twin of salted_join: events (the Zipf-headed
+    fact — a handful of hot user_ids own most rows) salted-joined to
+    the customer dim on user_id, then aggregated per market segment.
+    The oracle is the PLAIN join+group-by, so the driver hash check
+    proves the salting transform is semantics-preserving end-to-end
+    (the unit tests prove it per join type; this proves it on real
+    testdata under a vanilla session).
+
+    Scale note: with a dim this small Spark would broadcast and salting
+    would be unnecessary — the entry exists to pin exactness of the
+    fallback path used when BOTH sides are too big to broadcast and one
+    key is hot (SCALING.md lever 2). n_salts x dim replication is the
+    documented cost."""
+    from ..tables import load_table
+
+    events = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("long").alias("k"), "value"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"), "c_mktsegment"
+    )
+    joined = salted_join(events, cust, "k")
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(38,6)")).alias("sum_value"),
+    )
+
+
+SQL_SALTED_JOIN_EVENTS = """
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_events,
+           SUM(CAST(e.value AS DECIMAL(38,6))) AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+"""
