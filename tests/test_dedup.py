@@ -266,3 +266,19 @@ def test_token_segments_short_doc_empty(spark):
     assert out[0]["segs"] == []  # 3 tokens < w=5
     assert out[1]["segs"] == ["a b c d e"]  # 7 tokens -> one full segment
     assert out[2]["segs"] == []  # empty doc
+
+
+def test_newline_lines_col_production_segmentation(spark):
+    """The production '\\n' segmentation: trimmed, empty lines dropped,
+    order preserved — the path a newline-bearing corpus exercises in
+    place of the testdata's token segments."""
+    from lenses_topology_example_spark.operators.dedup import newline_lines_col
+
+    df = spark.createDataFrame(
+        [("  first line \n\n second\nthird  \n",), ("single",), ("",)],
+        "text string",
+    )
+    out = [r["l"] for r in df.select(newline_lines_col(F.col("text")).alias("l")).collect()]
+    assert out[0] == ["first line", "second", "third"]
+    assert out[1] == ["single"]
+    assert out[2] == []
