@@ -269,6 +269,7 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "corpus_report": (text.q_corpus_report, text.SQL_CORPUS_REPORT),
     # salted-join exactness pinned against the PLAIN-join oracle
     "salted_join_events": (skew.q_salted_join_events, skew.SQL_SALTED_JOIN_EVENTS),
+    "word_variants": (text.q_word_variants, text.SQL_WORD_VARIANTS),
 }
 
 # The driver evaluates only the first DRIVER_WINDOW_SIZE catalog entries

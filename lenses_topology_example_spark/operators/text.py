@@ -1306,3 +1306,71 @@ SQL_CORPUS_REPORT = f"""
                / (COUNT(*) * 1.0) AS lang_agree_share
     FROM per GROUP BY source
 """
+
+
+# --- word-variant detection (blocked edit-distance join) ---------------------------
+
+VARIANT_MAX_DIST = 2
+VARIANT_MIN_LEN = 2
+
+
+def q_word_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spelling-variant / typo pair detection over the corpus
+    vocabulary: token pairs within Levenshtein distance
+    VARIANT_MAX_DIST, with both occurrence counts — the normalization
+    map builder (favours->favors, tokenizer-splitting artifacts) a
+    curation pass applies before dedup/counting.
+
+    Scale shape: the self-join runs over the VOCABULARY (corpus-size-
+    independent; bounded further by a min-count cut in production), and
+    the pair space is blocked EXACTLY by a length-band equi join —
+    levenshtein(a,b) >= abs(len(a)-len(b)), so a is only joined to
+    length buckets within +/-VARIANT_MAX_DIST (probe side exploded
+    across its 2k+1 candidate lengths -> plain hash join, never a
+    cartesian). The DuckDB oracle is the NAIVE quadratic self-join, so
+    the driver hash check proves the blocking loses no pair. At web
+    scale the same plan tightens with PassJoin-style segment blocking;
+    the length band is the exactness-preserving first cut."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(tokens_col(F.col("text"))).alias("tok"))
+        .filter(F.length("tok") >= VARIANT_MIN_LEN)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("len", F.length("tok"))
+    )
+    probe = vocab.select(
+        F.col("tok").alias("tok_a"),
+        F.col("n").alias("n_a"),
+        F.explode(
+            F.sequence(
+                F.col("len") - F.lit(VARIANT_MAX_DIST),
+                F.col("len") + F.lit(VARIANT_MAX_DIST),
+            )
+        ).alias("jl"),
+    )
+    build = vocab.select(
+        F.col("tok").alias("tok_b"), F.col("n").alias("n_b"), F.col("len").alias("jl")
+    )
+    return (
+        probe.join(build, "jl")
+        .filter(F.col("tok_a") < F.col("tok_b"))
+        .withColumn("dist", F.levenshtein("tok_a", "tok_b"))
+        .filter(F.col("dist") <= F.lit(VARIANT_MAX_DIST))
+        .select("tok_a", "tok_b", "dist", "n_a", "n_b")
+    )
+
+
+SQL_WORD_VARIANTS = f"""
+    WITH t AS (
+        SELECT unnest({SQL_TOKS}) AS tok FROM documents
+    ), v AS (
+        SELECT tok, COUNT(*) AS n FROM t
+        WHERE length(tok) >= {VARIANT_MIN_LEN} GROUP BY tok
+    )
+    SELECT a.tok AS tok_a, b.tok AS tok_b,
+           CAST(levenshtein(a.tok, b.tok) AS INTEGER) AS dist,
+           a.n AS n_a, b.n AS n_b
+    FROM v a JOIN v b ON a.tok < b.tok
+    WHERE levenshtein(a.tok, b.tok) <= {VARIANT_MAX_DIST}
+"""
