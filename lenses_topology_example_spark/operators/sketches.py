@@ -284,6 +284,39 @@ CMS_WIDTH = 16
 CMS_TOP = 25
 
 
+def cms_cell_col(r: int, token, width: int = CMS_WIDTH):
+    """Counter column index of `token` under hash row r — md5-derived
+    and therefore engine-portable. Single source for the cell scheme:
+    the batch operator, the streaming counter twin, and the oracle's
+    SQL twin must all agree on it."""
+    from ..functions.texthash import md5_hash64
+
+    return md5_hash64(F.concat(F.lit(f"{r}|"), token)) % F.lit(width)
+
+
+def cms_counters(
+    docs: DataFrame, depth: int = CMS_DEPTH, width: int = CMS_WIDTH
+) -> DataFrame:
+    """The (row, col) -> cnt Count-Min counter table over a documents
+    frame. Works identically on batch and streaming inputs (the
+    streaming twin in streaming/pipelines.py delegates here), which is
+    the mergeable-sketch property: per-partition partial aggregates /
+    per-micro-batch increments fold cell-wise into fixed
+    depth x width state."""
+    from .wordcount import tokens_col
+
+    exploded = docs.select(F.explode(tokens_col(F.col("text"))).alias("token"))
+    return (
+        exploded.select(
+            F.posexplode(
+                F.array(*[cms_cell_col(r, F.col("token"), width) for r in range(depth)])
+            ).alias("row", "col")
+        )
+        .groupBy("row", "col")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
 def q_cms_token_freq(
     spark: SparkSession, sf_dir: str, depth: int = CMS_DEPTH, width: int = CMS_WIDTH
 ) -> DataFrame:
@@ -304,7 +337,6 @@ def q_cms_token_freq(
     table; the only corpus-scale exchanges are the two token aggs."""
     from pyspark.sql import Window as W
 
-    from ..functions.texthash import md5_hash64
     from .wordcount import tokens_col
 
     docs = load_table(spark, sf_dir, "documents")
@@ -313,17 +345,9 @@ def q_cms_token_freq(
     )
 
     def cell(r: int) -> F.Column:
-        return md5_hash64(F.concat(F.lit(f"{r}|"), F.col("token"))) % F.lit(width)
+        return cms_cell_col(r, F.col("token"), width)
 
-    counters = (
-        exploded.select(
-            F.posexplode(F.array(*[cell(r) for r in range(depth)])).alias(
-                "row", "col"
-            )
-        )
-        .groupBy("row", "col")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
+    counters = cms_counters(docs, depth, width)
     exact = exploded.groupBy("token").agg(F.count(F.lit(1)).alias("exact_n"))
     top = (
         exact.withColumn(

@@ -111,12 +111,19 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_lang_score(lang: str) -> str:
+def _sql_lang_score_over(lang: str, toks_expr: str) -> str:
+    """Marker-score SQL over an arbitrary token-list expression — the
+    single source of the scoring expression (q_lang_id's oracle and the
+    corpus_report oracle both delegate here so they cannot drift)."""
     markers = ", ".join(f"'{m}'" for m in _LANG_MARKERS[lang])
     return (
-        f"CAST(len(list_filter(toks, t -> list_contains([{markers}], t))) "
-        f"AS INTEGER)"
+        f"CAST(len(list_filter({toks_expr}, "
+        f"x -> list_contains([{markers}], x))) AS INTEGER)"
     )
+
+
+def _sql_lang_score(lang: str) -> str:
+    return _sql_lang_score_over(lang, "toks")
 
 
 SQL_LANG_ID = f"""
@@ -680,6 +687,16 @@ def top_run_col(arr_col: str) -> Column:
     )
 
 
+def dup_frac_col(toks_col_name: str) -> Column:
+    """Duplicate-token fraction 1 - distinct/total over a token-array
+    column — the single source of the signal (q_repetition_stats and
+    q_corpus_report both delegate here so they cannot drift). NULL
+    (not ANSI abort) on token-less docs via try_divide."""
+    return F.lit(1.0) - F.try_divide(
+        F.size(F.array_distinct(toks_col_name)), F.size(toks_col_name)
+    )
+
+
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc repetition signals, the Gopher/C4-style filter inputs:
     duplicate-token fraction (1 - distinct/total) and top-bigram
@@ -708,9 +725,7 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("t").alias("n_tokens"),
         # single IEEE division each — bit-identical to the oracle; NULL
         # (not ANSI abort) on token-less / bigram-less docs on BOTH sides
-        (F.lit(1.0) - F.try_divide(F.size(F.array_distinct("t")), F.size("t"))).alias(
-            "dup_token_frac"
-        ),
+        dup_frac_col("t").alias("dup_token_frac"),
         F.try_divide(best_run, F.size("bg")).alias("top_bigram_frac"),
     )
 
@@ -1137,11 +1152,13 @@ def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     denominator c(prev,*) is a SUM window partitioned by prefix over
     the AGGREGATED |distinct bigrams| frame (never a second corpus
     pass — no cross-branch CSE, same discipline as lm_score); the
-    -ln p lookup broadcast-joins the bigram table into the exploded
-    corpus (a web-scale bigram vocab may exceed broadcast limits —
-    the identical plan downgrades to a shuffle join on the bigram);
-    then one doc_id-keyed aggregate. Decimal-routed addends keep the
-    per-doc sum order-independent."""
+    -ln p lookup join carries NO broadcast hint — a bigram vocab is
+    orders of magnitude larger than the unigram vocab and can exceed
+    the broadcast ceiling, so the planner/AQE picks broadcast when the
+    table is small (it is at test scale) and falls back to a shuffle
+    join when it isn't (a forced hint would instead abort the job at
+    the 8 GB limit); then one doc_id-keyed aggregate. Decimal-routed
+    addends keep the per-doc sum order-independent."""
     from pyspark.sql import Window as W
 
     from .dedup import shingles_col
@@ -1157,7 +1174,7 @@ def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("prefix", F.split(F.col("bg"), " ")[0])
         .withColumn("cp", F.sum("cb").over(W.partitionBy("prefix")))
     )
-    scored = exploded.join(F.broadcast(lm.select("bg", "cb", "cp")), "bg").select(
+    scored = exploded.join(lm.select("bg", "cb", "cp"), "bg").select(
         "doc_id",
         (-F.log(F.col("cb") / F.col("cp"))).cast("decimal(38,6)").alias("nl"),
     )
@@ -1200,13 +1217,6 @@ SQL_BIGRAM_LM_SCORE = f"""
 
 
 
-def _sql_lang_score_over(lang: str, toks_expr: str) -> str:
-    markers = ", ".join(f"'{m}'" for m in _LANG_MARKERS[lang])
-    return (
-        f"CAST(len(list_filter({toks_expr}, "
-        f"x -> list_contains([{markers}], x))) AS INTEGER)"
-    )
-
 # --- corpus health report (per-source fused composite) -----------------------------
 
 
@@ -1241,9 +1251,7 @@ def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             n > 0,
             (lnn - entropy_sum_col("t").cast("double") / n).cast("decimal(38,6)"),
         ).alias("hd"),
-        F.when(n > 0, F.lit(1.0) - F.try_divide(F.size(F.array_distinct("t")), n))
-        .cast("decimal(38,6)")
-        .alias("dupd"),
+        F.when(n > 0, dup_frac_col("t")).cast("decimal(38,6)").alias("dupd"),
     )
     c = F.count(F.lit(1))
     return per_doc.groupBy("source").agg(

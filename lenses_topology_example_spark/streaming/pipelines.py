@@ -476,27 +476,12 @@ def streaming_cms_counters(docs: DataFrame) -> DataFrame:
     batch — state is FIXED SIZE (depth x width cells) no matter how
     much data streams through, the streaming-state analogue of the
     batch plan's partial-agg collapse. Estimates are served by the same
-    min-over-rows lookup as the batch operator. Works on batch frames
-    too (the parity test runs the identical plan both ways)."""
-    from ..functions.texthash import md5_hash64
-    from ..operators.sketches import CMS_DEPTH, CMS_WIDTH
-    from ..operators.wordcount import tokens_col
+    min-over-rows lookup as the batch operator.
 
-    exploded = docs.select(
-        F.explode(tokens_col(F.col("text"))).alias("token")
-    )
+    DELEGATES to sketches.cms_counters — one definition of the cell
+    scheme and counter build for batch and stream, so the twins cannot
+    drift (same contract as streaming_pii_scrub sharing the redact
+    expressions)."""
+    from ..operators.sketches import cms_counters
 
-    def cell(r: int):
-        return md5_hash64(
-            F.concat(F.lit(f"{r}|"), F.col("token"))
-        ) % F.lit(CMS_WIDTH)
-
-    return (
-        exploded.select(
-            F.posexplode(
-                F.array(*[cell(r) for r in range(CMS_DEPTH)])
-            ).alias("row", "col")
-        )
-        .groupBy("row", "col")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
+    return cms_counters(docs)

@@ -172,8 +172,7 @@ def test_line_keep_flags_global_first_occurrence(spark, tmp_path_factory, token_
     # Python reference: first (doc_id, pos) per segment wins
     seen: dict[str, tuple[int, int]] = {}
     expect: dict[tuple[int, int], bool] = {}
-    for i, toks in enumerate(rows):
-        tl = token_lists[i]
+    for i, tl in enumerate(token_lists):
         n_seg = len(tl) // LINE_SEG_TOKENS
         for p in range(n_seg):
             seg = " ".join(tl[p * LINE_SEG_TOKENS:(p + 1) * LINE_SEG_TOKENS])

@@ -714,9 +714,13 @@ def test_streaming_cms_counters_match_batch(spark, tmp_path):
     streamed: dict[tuple[int, int], int] = collections.OrderedDict()
     for r in spark.sql("SELECT * FROM cms_stream_test").collect():
         streamed[(r["row"], r["col"])] = r["cnt"]
+    # compare against the BATCH operator's counter helper, not the
+    # streaming function on a batch frame — the parity claim is
+    # stream == batch operator, not stream == itself
+    from lenses_topology_example_spark.operators.sketches import cms_counters
+
     batch = {
-        (r["row"], r["col"]): r["cnt"]
-        for r in streaming_cms_counters(docs).collect()
+        (r["row"], r["col"]): r["cnt"] for r in cms_counters(docs).collect()
     }
     assert dict(streamed) == batch
     # fixed-size state: never more cells than depth x width
