@@ -8,6 +8,17 @@ JSON line:
 Each query is forced through the noop sink (full plan execution, zero
 result-materialization overhead on the driver) — the number measures the
 engine, not toPandas().
+
+Expected log noise: Spark prints `WindowExec: No Partition Defined ...
+may cause serious performance degradation` for every unpartitioned
+window. The surviving ones are DELIBERATE and tiny — they run over
+ALREADY-AGGREGATED frames, never the raw corpus: lm_score's global token
+total (|V| rows, text.py q_lm_score) and corpus_mix's global-share
+denominator (#sources x #langs rows, text.py q_corpus_mix); both shapes
+are pinned window-above-aggregate by tests/test_plans.py. Do not
+re-investigate these warnings; a NEW one appearing here means a
+corpus-scale window crept in (cms_token_freq's top-N was exactly that
+bug in round 4 — now TakeOrderedAndProject, plan-pinned window-free).
 """
 
 from __future__ import annotations

@@ -334,9 +334,15 @@ def q_cms_token_freq(
     exchange — the canonical mergeable-sketch property (per-partition
     sketches sum cell-wise; the same counters merge across streaming
     micro-batches). Estimates then broadcast-join the tiny counter
-    table; the only corpus-scale exchanges are the two token aggs."""
-    from pyspark.sql import Window as W
+    table; the only corpus-scale exchanges are the two token aggs.
 
+    The top-CMS_TOP selection is orderBy + limit, which Spark compiles
+    to TakeOrderedAndProject: each partition keeps its local top
+    CMS_TOP rows and the driver merges N_partitions x CMS_TOP rows —
+    the whole vocabulary never funnels through one partition (a global
+    row_number window here would; tests/test_plans.py pins the
+    window-free shape). Tie-breaking (exact_n desc, token asc) is a
+    total order, so the selected set is deterministic."""
     from .wordcount import tokens_col
 
     docs = load_table(spark, sf_dir, "documents")
@@ -349,16 +355,7 @@ def q_cms_token_freq(
 
     counters = cms_counters(docs, depth, width)
     exact = exploded.groupBy("token").agg(F.count(F.lit(1)).alias("exact_n"))
-    top = (
-        exact.withColumn(
-            "rn",
-            F.row_number().over(
-                W.partitionBy().orderBy(F.col("exact_n").desc(), F.col("token").asc())
-            ),
-        )
-        .filter(F.col("rn") <= F.lit(CMS_TOP))
-        .drop("rn")
-    )
+    top = exact.orderBy(F.col("exact_n").desc(), F.col("token").asc()).limit(CMS_TOP)
     lookups = top.select(
         "token",
         "exact_n",

@@ -232,11 +232,37 @@ def test_lm_score_single_vocab_agg_and_broadcast(spark, sf_dir):
     """lm_score: the vocab is aggregated ONCE (its global total is a
     window over the aggregated |V|-row frame, not a second corpus
     aggregation branch) and the logp lookup broadcasts the vocab —
-    exchanges = vocab agg + |V|-row window + per-doc agg, exactly 3."""
+    exchanges = vocab agg + |V|-row window + per-doc agg, exactly 3.
+
+    The exchange count alone can't distinguish window-above-agg from
+    window-over-raw-corpus (both plan 3 exchanges), so the tree shape
+    is pinned too: the Window node's immediate subtree must be
+    Sort -> Exchange -> HashAggregate — a refactor that pushes the
+    global-total window below the vocab aggregate (single-partition
+    shuffle of EVERY corpus token) puts a Project/Generate there
+    instead and fails the positional assert."""
     plan = _formatted_plan(spark, sf_dir, "lm_score")
     assert len(_exchange_ids(plan)) == 3, plan
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+    tree = plan.split("\n\n")[0]
+    lines = tree.splitlines()
+    win = next(i for i, ln in enumerate(lines) if re.search(r"Window \(\d+\)", ln))
+    below = "\n".join(lines[win + 1 : win + 5])
+    assert "HashAggregate" in below, (
+        "global-total window must consume the aggregated vocab frame:\n" + tree
+    )
+
+
+def test_cms_topn_is_take_ordered(spark, sf_dir):
+    """cms_token_freq's top-N selection must compile to
+    TakeOrderedAndProject (per-partition top-CMS_TOP, driver merge of
+    N_partitions x CMS_TOP rows) — an unpartitioned row_number window
+    here would funnel the ENTIRE exact vocabulary (~10^7 rows at web
+    scale) through one partition (round-4 verdict)."""
+    plan = _formatted_plan(spark, sf_dir, "cms_token_freq")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert not re.search(r"\(\d+\) Window\b", plan), plan
 
 
 def test_corpus_report_single_scan_single_agg(spark, sf_dir):
