@@ -41,7 +41,11 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # driver position (tests/test_oracle_parity.py runs all of them).
 _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     # --- training-data extensions (SURVEY.md §2.6): dedup ---
-    "dedup_exact": (dedup.q_dedup_exact, dedup.SQL_DEDUP_EXACT),
+    # Round-5 rotation: the five twice-verified r3+r4 greens
+    # (dedup_exact, dedup_simhash, dedup_near_jaccard, dedup_cluster,
+    # decontaminate) rotate out; the sub-document tier leads — exact
+    # line dedup (r4, one verdict) + the two round-5 additions that
+    # share its memoized segment table.
     "dedup_near_capped": (dedup.q_dedup_near_capped, dedup.SQL_DEDUP_NEAR_CAPPED),
     # directly after the capped pass: shares its memoized df-capped index
     "dedup_containment": (
@@ -49,64 +53,66 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
         dedup.SQL_DEDUP_CONTAINMENT,
     ),
     "dedup_minhash": (dedup.q_dedup_minhash, dedup.SQL_DEDUP_MINHASH),
-    "dedup_simhash": (dedup.q_dedup_simhash, dedup.SQL_DEDUP_SIMHASH),
-    "dedup_near_jaccard": (
-        dedup.q_dedup_near_jaccard,
-        dedup.SQL_DEDUP_NEAR_JACCARD,
-    ),
-    # placed directly after the capped pass so the memoized pair table
-    # is already warm when the driver reaches it (round-3 rotation: the
-    # one catalog entry with no driver verdict through round 2)
-    "dedup_cluster": (dedup.q_dedup_cluster, dedup.SQL_DEDUP_CLUSTER),
-    # shares the memoized shingle table the passes above materialized
-    "decontaminate": (dedup.q_decontaminate, dedup.SQL_DECONTAMINATE),
-    # round-4 addition: sub-document (line/segment) grain
     "dedup_lines": (dedup.q_dedup_lines, dedup.SQL_DEDUP_LINES),
-    # --- similarity search ---
+    # round-5 additions: fuzzy segment near-dup (delete-one blocking
+    # proven complete vs the naive quadratic oracle) + reconstruction
+    "dedup_lines_near": (dedup.q_dedup_lines_near, dedup.SQL_DEDUP_LINES_NEAR),
+    "dedup_lines_rebuild": (
+        dedup.q_dedup_lines_rebuild,
+        dedup.SQL_DEDUP_LINES_REBUILD,
+    ),
+    # --- similarity search (knn/lsh/ivf twice-verified, rotate out) ---
     "sim_topk": (similarity.q_sim_topk, similarity.SQL_SIM_TOPK),
-    # builds on the sim_topk plan — keep adjacent
-    "knn_classify": (similarity.q_knn_classify, similarity.SQL_KNN_CLASSIFY),
-    "sim_ann_lsh": (similarity.q_sim_ann_lsh, similarity.SQL_SIM_ANN_LSH),
-    "sim_ann_ivf": (similarity.q_sim_ann_ivf, similarity.SQL_SIM_ANN_IVF),
     # wrapper pins the catalog-only verification threshold (0.3); the
     # production default of q_embed_neardup stays 0.999 (r3 ADVICE)
     "embed_neardup": (
         similarity.q_embed_neardup_catalog,
         similarity.SQL_EMBED_NEARDUP,
     ),
-    # round-4 addition: SemDeDup keeper selection over the pair graph
+    # SemDeDup keeper selection (r4, one verdict — keep for a second)
     "embed_dedup_cluster": (
         similarity.q_embed_dedup_cluster,
         similarity.SQL_EMBED_DEDUP_CLUSTER,
     ),
-    # --- text analysis (round-4 rotation: four r2-green per-doc
-    # screens cycle BACK IN for re-verification — token_count/lang_id
-    # stay past the window to make room for lm_score/token_entropy;
-    # the fused curation composites stay in-window so the round-4
-    # single-scan rewrite gets a driver verdict) ---
-    "topk_words": (text.q_topk_words, text.SQL_TOPK_WORDS),
-    "bigram_counts": (text.q_bigram_counts, text.SQL_BIGRAM_COUNTS),
+    # --- text analysis: the r4 once-verified entries stay for second
+    # verdicts; topk_words/bigram_counts/bpe_token_count/pattern_counts
+    # (twice-verified) rotate out; token_count/lang_id rotate BACK IN
+    # (r2 verdicts only — the oldest in the catalog); the three
+    # round-4 past-window text ops get their first drive ---
     "curation_pipeline": (text.q_curation_pipeline, text.SQL_CURATION_PIPELINE),
-    "bpe_token_count": (text.q_bpe_token_count, text.SQL_BPE_TOKEN_COUNT),
     "repetition_stats": (text.q_repetition_stats, text.SQL_REPETITION_STATS),
     "corpus_mix": (text.q_corpus_mix, text.SQL_CORPUS_MIX),
     "curation_funnel": (text.q_curation_funnel, text.SQL_CURATION_FUNNEL),
-    # round-4 addition: PII screen
     "pii_scrub": (text.q_pii_scrub, text.SQL_PII_SCRUB),
-    # round-4 additions: corpus-LM scoring + zero-shuffle entropy
     "lm_score": (text.q_lm_score, text.SQL_LM_SCORE),
     "token_entropy": (text.q_token_entropy, text.SQL_TOKEN_ENTROPY),
-    # r2-green per-doc screens, rotated back in (round-4 rotation;
-    # token_count/lang_id sit just past the window to make room for the
-    # two operators above — they keep full pytest oracle parity)
+    # round-4 past-window additions — first driver verdicts (r5 ask #1)
+    "bigram_lm_score": (text.q_bigram_lm_score, text.SQL_BIGRAM_LM_SCORE),
+    "corpus_report": (text.q_corpus_report, text.SQL_CORPUS_REPORT),
+    "word_variants": (text.q_word_variants, text.SQL_WORD_VARIANTS),
     "quality_score": (text.q_quality_score, text.SQL_QUALITY_SCORE),
     "doc_fingerprint": (text.q_doc_fingerprint, text.SQL_DOC_FINGERPRINT),
     "text_stats": (text.q_text_stats, text.SQL_TEXT_STATS),
-    "pattern_counts": (text.q_pattern_counts, text.SQL_PATTERN_COUNTS),
-    # --- event-time windows (round-4 rotation: the six twice-verified
-    # r3 greens moved past the window; sessionize_lag stays — its
-    # BIGINT-cast fix has exactly one green verdict) ---
-    "sessionize_lag": (windows.q_sessionize_lag, windows.SQL_SESSIONIZE_LAG),
+    "token_count": (text.q_token_count, text.SQL_TOKEN_COUNT),
+    "lang_id": (text.q_lang_id, text.SQL_LANG_ID),
+    # --- event-time windows (sessionize_lag twice-verified after r4,
+    # rotates out; three r3-verified windows rotate back in) ---
+    "tumbling_count": (windows.q_tumbling_count, windows.SQL_TUMBLING_COUNT),
+    "session_count": (windows.q_session_count, windows.SQL_SESSION_COUNT),
+    "asof_rate": (windows.q_asof_rate, windows.SQL_ASOF_RATE),
+    # --- payments/relational returns (r3 verdicts, due re-check) ---
+    "scan_events": (payments.q_scan_events, payments.SQL_SCAN_EVENTS),
+    "json_decode": (payments.q_json_decode, payments.SQL_JSON_DECODE),
+    "count_by_currency": (
+        payments.q_count_by_currency,
+        payments.SQL_COUNT_BY_CURRENCY,
+    ),
+    "topk_spenders": (relational.q_topk_spenders, relational.SQL_TOPK_SPENDERS),
+    # round-4 past-window additions — first driver verdicts (r5 ask #1):
+    # salt exactness vs the plain-join oracle; CMS vs the exact counts
+    # (top-N now TakeOrderedAndProject — r5 ask #2)
+    "salted_join_events": (skew.q_salted_join_events, skew.SQL_SALTED_JOIN_EVENTS),
+    "cms_token_freq": (sketches.q_cms_token_freq, sketches.SQL_CMS_TOKEN_FREQ),
     # --- engine-specific sketches (rows-only; accuracy contract in
     # tests/test_sketches.py — no SQL oracle can hash-match an HLL) ---
     "approx_distinct_users": (sketches.q_approx_distinct_users, None),
@@ -142,37 +148,40 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
         sketches.SQL_STRATIFIED_SAMPLE,
     ),
     # --- flagship reference-parity queries (SURVEY.md §2.1-2.4) ---
-    # Round-4 rotation: wordcount stays as the reference flagship; the
-    # five twice-verified flagships (payments_pipeline, fx_join,
-    # agg_revenue, region_revenue, big_orders) cycle back in, plus
-    # gen_payments (S2 source, r1 green, not re-verified since).
-    # scan_events/json_decode/count_by_currency/topk_spenders (re-
-    # verified green in r3) rotate out to make room.
+    # Round-5 rotation: fx_join/agg_revenue/big_orders (twice-verified
+    # r4) rotate out; wordcount stays as the reference flagship,
+    # payments_pipeline/region_revenue/gen_payments keep their slots
+    # (re-verified r4, cheap, and they anchor the flagship tier).
     "wordcount": (wordcount.q_wordcount, wordcount.SQL_WORDCOUNT),
     "payments_pipeline": (
         payments.q_payments_pipeline,
         payments.SQL_PAYMENTS_PIPELINE,
     ),
-    "fx_join": (payments.q_fx_join, payments.SQL_FX_JOIN),
-    "agg_revenue": (relational.q_agg_revenue, relational.SQL_AGG_REVENUE),
     "region_revenue": (relational.q_region_revenue, relational.SQL_REGION_REVENUE),
-    "big_orders": (relational2.q_big_orders, relational2.SQL_BIG_ORDERS),
     "gen_payments": (generator.q_gen_payments, generator.SQL_GEN_PAYMENTS),
     # ==================== end of the driver's 50-entry window =========
-    # rotated out in round 4 (twice-verified greens; see notes above)
-    "token_count": (text.q_token_count, text.SQL_TOKEN_COUNT),
-    "lang_id": (text.q_lang_id, text.SQL_LANG_ID),
-    "scan_events": (payments.q_scan_events, payments.SQL_SCAN_EVENTS),
-    "json_decode": (payments.q_json_decode, payments.SQL_JSON_DECODE),
-    "count_by_currency": (
-        payments.q_count_by_currency,
-        payments.SQL_COUNT_BY_CURRENCY,
+    # rotated out in round 5 (twice-verified greens; see notes above)
+    "dedup_exact": (dedup.q_dedup_exact, dedup.SQL_DEDUP_EXACT),
+    "dedup_simhash": (dedup.q_dedup_simhash, dedup.SQL_DEDUP_SIMHASH),
+    "dedup_near_jaccard": (
+        dedup.q_dedup_near_jaccard,
+        dedup.SQL_DEDUP_NEAR_JACCARD,
     ),
-    "topk_spenders": (relational.q_topk_spenders, relational.SQL_TOPK_SPENDERS),
-    "tumbling_count": (windows.q_tumbling_count, windows.SQL_TUMBLING_COUNT),
+    "dedup_cluster": (dedup.q_dedup_cluster, dedup.SQL_DEDUP_CLUSTER),
+    "decontaminate": (dedup.q_decontaminate, dedup.SQL_DECONTAMINATE),
+    "knn_classify": (similarity.q_knn_classify, similarity.SQL_KNN_CLASSIFY),
+    "sim_ann_lsh": (similarity.q_sim_ann_lsh, similarity.SQL_SIM_ANN_LSH),
+    "sim_ann_ivf": (similarity.q_sim_ann_ivf, similarity.SQL_SIM_ANN_IVF),
+    "topk_words": (text.q_topk_words, text.SQL_TOPK_WORDS),
+    "bigram_counts": (text.q_bigram_counts, text.SQL_BIGRAM_COUNTS),
+    "bpe_token_count": (text.q_bpe_token_count, text.SQL_BPE_TOKEN_COUNT),
+    "pattern_counts": (text.q_pattern_counts, text.SQL_PATTERN_COUNTS),
+    "sessionize_lag": (windows.q_sessionize_lag, windows.SQL_SESSIONIZE_LAG),
+    "fx_join": (payments.q_fx_join, payments.SQL_FX_JOIN),
+    "agg_revenue": (relational.q_agg_revenue, relational.SQL_AGG_REVENUE),
+    "big_orders": (relational2.q_big_orders, relational2.SQL_BIG_ORDERS),
+    # rotated out in earlier rounds
     "sliding_count": (windows.q_sliding_count, windows.SQL_SLIDING_COUNT),
-    "session_count": (windows.q_session_count, windows.SQL_SESSION_COUNT),
-    "asof_rate": (windows.q_asof_rate, windows.SQL_ASOF_RATE),
     "window_range_interval": (
         windows.q_window_range_interval,
         windows.SQL_WINDOW_RANGE_INTERVAL,
@@ -262,14 +271,6 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     ),
     "null_fns": (relational2.q_null_fns, relational2.SQL_NULL_FNS),
     "column_stats": (relational2.q_column_stats, relational2.SQL_COLUMN_STATS),
-    # round-4 additions past the (already-full) window — rotate in r5;
-    # full pytest oracle parity meanwhile
-    "cms_token_freq": (sketches.q_cms_token_freq, sketches.SQL_CMS_TOKEN_FREQ),
-    "bigram_lm_score": (text.q_bigram_lm_score, text.SQL_BIGRAM_LM_SCORE),
-    "corpus_report": (text.q_corpus_report, text.SQL_CORPUS_REPORT),
-    # salted-join exactness pinned against the PLAIN-join oracle
-    "salted_join_events": (skew.q_salted_join_events, skew.SQL_SALTED_JOIN_EVENTS),
-    "word_variants": (text.q_word_variants, text.SQL_WORD_VARIANTS),
 }
 
 # The driver evaluates only the first DRIVER_WINDOW_SIZE catalog entries
@@ -280,26 +281,26 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
 # tuple is edited deliberately alongside any registration-order change.
 DRIVER_WINDOW_SIZE = 50
 DRIVER_WINDOW: tuple[str, ...] = (
-    # dedup tier (+ round-4 dedup_lines, adjacent to the token table it
-    # shares with the other passes)
-    "dedup_exact", "dedup_near_capped", "dedup_containment",
-    "dedup_minhash", "dedup_simhash", "dedup_near_jaccard",
-    "dedup_cluster", "decontaminate", "dedup_lines",
-    # similarity (+ round-4 embed_dedup_cluster, adjacent to the
-    # neardup pair graph it consumes)
-    "sim_topk", "knn_classify", "sim_ann_lsh", "sim_ann_ivf",
-    "embed_neardup", "embed_dedup_cluster",
-    # text analysis: the fused curation composites stay in-window for a
-    # verdict on the round-4 single-scan rewrite; round-4
-    # pii_scrub/lm_score/token_entropy and four r2-green per-doc
-    # screens rotate (back) in (token_count/lang_id sit just past)
-    "topk_words", "bigram_counts", "curation_pipeline", "bpe_token_count",
-    "repetition_stats", "corpus_mix", "curation_funnel", "pii_scrub",
-    "lm_score", "token_entropy", "quality_score", "doc_fingerprint",
-    "text_stats", "pattern_counts",
-    # event-time windows: six twice-verified r3 greens rotated out;
-    # sessionize_lag's r3 fix has one verdict, keep it one more round
-    "sessionize_lag",
+    # dedup tier: sub-document grain leads (dedup_lines' second
+    # verdict + the two round-5 additions sharing its segment table)
+    "dedup_near_capped", "dedup_containment", "dedup_minhash",
+    "dedup_lines", "dedup_lines_near", "dedup_lines_rebuild",
+    # similarity: once-verified r4 entries keep slots for 2nd verdicts
+    "sim_topk", "embed_neardup", "embed_dedup_cluster",
+    # text analysis: r4 once-verified composites/screens + the three
+    # round-4 past-window ops (first drive) + token_count/lang_id back
+    # in (oldest verdicts, r2)
+    "curation_pipeline", "repetition_stats", "corpus_mix",
+    "curation_funnel", "pii_scrub", "lm_score", "token_entropy",
+    "bigram_lm_score", "corpus_report", "word_variants",
+    "quality_score", "doc_fingerprint", "text_stats",
+    "token_count", "lang_id",
+    # event-time windows: r3-verified trio rotates back in
+    "tumbling_count", "session_count", "asof_rate",
+    # payments/relational returns (r3 verdicts, due re-check)
+    "scan_events", "json_decode", "count_by_currency", "topk_spenders",
+    # round-4 past-window ops, first drive (skew salt + CMS sketch)
+    "salted_join_events", "cms_token_freq",
     # sketches / UDAF / sampling / sink
     "approx_distinct_users", "approx_quantiles", "udaf_median",
     "deterministic_sample", "grouped_map_norm", "corr_text_embedding",
@@ -307,10 +308,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # round-1/2 comparator fixes + round-2 pipeline additions
     "map_fns", "range_join_buckets", "tfidf", "text_normalize",
     "seq_packing", "stratified_sample",
-    # reference-parity flagships (round-4 rotation: the five
-    # twice-verified r1/r2 flagships cycle back in + gen_payments)
-    "wordcount", "payments_pipeline", "fx_join", "agg_revenue",
-    "region_revenue", "big_orders", "gen_payments",
+    # reference-parity flagships
+    "wordcount", "payments_pipeline", "region_revenue", "gen_payments",
 )
 # Load-bearing invariant: raise, don't assert — a bare assert is
 # stripped under `python -O`, silently disarming the guard (r3 ADVICE).

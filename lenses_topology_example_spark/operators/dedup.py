@@ -864,12 +864,36 @@ def newline_lines_col(text: Column) -> Column:
     )
 
 
+def _line_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, pos, seg) segment table at LINE_SEG_TOKENS grain,
+    memoized-persisted: shared by the exact keeper pass (which projects
+    it down to md5 triples), the near-dup banding pass (which hashes
+    segment tokens), and the rebuild join (which carries the text). At
+    100 TB this is the write-the-segment-table-once boundary — every
+    sub-document pass reads it instead of re-exploding the corpus; the
+    memoized persist() is the in-session form (same contract as the
+    token/shingle tables)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _memo_persist(
+        spark,
+        sf_dir,
+        "line_segments",
+        docs.select(
+            "doc_id",
+            F.posexplode(
+                token_segments_col(tokens_col(F.col("text")), LINE_SEG_TOKENS)
+            ).alias("pos", "seg"),
+        ),
+    )
+
+
 def line_keep_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, pos, keep) per line/segment: keep iff this occurrence is
     the GLOBAL first (min doc_id, then min pos) of its exact normalized
     content across the whole corpus — the C4-style repeated-line killer
     at sub-document grain. A reconstruction job joins these flags back
-    to the exploded lines and re-assembles kept text per doc.
+    to the exploded lines and re-assembles kept text per doc
+    (q_dedup_lines_rebuild below).
 
     Scale shape: only (doc_id, pos, md5) triples enter the keeper
     window — the line TEXT never shuffles; the one data-scale exchange
@@ -877,13 +901,7 @@ def line_keep_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode work inside codegen."""
     from pyspark.sql import Window
 
-    docs = load_table(spark, sf_dir, "documents")
-    segs = docs.select(
-        "doc_id",
-        F.posexplode(
-            token_segments_col(tokens_col(F.col("text")), LINE_SEG_TOKENS)
-        ).alias("pos", "seg"),
-    )
+    segs = _line_segments(spark, sf_dir)
     w = Window.partitionBy("h").orderBy("doc_id", "pos")
     return (
         segs.select("doc_id", "pos", F.md5(F.col("seg")).alias("h"))
@@ -938,4 +956,212 @@ SQL_DEDUP_LINES = f"""
            1.0 - (CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
                   / CAST(COUNT(*) AS BIGINT)) AS dup_line_frac
     FROM k GROUP BY doc_id
+"""
+
+
+# --- line/segment-grain NEAR dedup (deletion-neighborhood blocking) ----------------
+
+# True token-set Jaccard floor for segment pairs. 0.65 admits exactly
+# the one-edit family at w=5 grain (substitute one token of five ->
+# J = 4/6; drop/add one -> 4/5) and sits ABOVE the delete-one blocking
+# completeness bound (w-2)/(w+2) = 3/7 — see q_dedup_lines_near.
+SEG_NEAR_JACCARD_THRESHOLD = 0.65
+
+
+def q_dedup_lines_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy line/segment-grain near-dup — the varying-boilerplate
+    catcher (navigation chrome, footers with rotating dates/IDs) that
+    exact `dedup_lines` misses. Emits distinct-content segment pairs
+    with TRUE token-set Jaccard >= SEG_NEAR_JACCARD_THRESHOLD, each
+    side identified by the canonical (min doc_id, min pos) occurrence.
+
+    Candidate generation is DELETION-NEIGHBORHOOD blocking (the
+    SymSpell construction), not minhash banding: each distinct segment
+    emits its full sorted token set plus every delete-one subset as
+    16-byte md5 block keys (<= w+1 keys). Two segments with
+    |intersect| >= max(|A|,|B|) - 1 share a key BY CONSTRUCTION, and at
+    w-token grain |intersect| <= max-2 forces J <= (w-2)/(w+2) = 3/7 <
+    0.65 — so blocking loses ZERO qualifying pairs and the oracle can
+    be the naive all-pairs quadratic (the word_variants proof pattern).
+    Minhash banding was measured and rejected for this grain: an
+    8-sample estimate over <= 5-element token sets is so coarse that
+    est >= 0.5 passed 367k segment pairs at sf0.01, and banded recall
+    is probabilistic (~(1-J)^8 misses), which would force the oracle to
+    mirror the bands instead of proving completeness. Banding remains
+    the right tool at DOC grain (q_dedup_minhash) and for long
+    newline-grain lines, where the completeness bound (L-2)/(L+2)
+    exceeds any useful threshold.
+
+    Scale shape, in order of what would kill it at 100 TB:
+    (1) exact-dup collapse BEFORE blocking — a boilerplate line
+        repeated k times (k reaches 10^6+ on web corpora) would emit
+        k^2 pairs; after the keeper window each distinct content
+        enters the join once, so multiplicity never amplifies it;
+    (2) only (doc_id, pos, md5, sorted-token-set) rows enter the
+        keeper window and only (key-md5, id, token set) rows enter the
+        block join — segment text never shuffles;
+    (3) hot block keys (stopword-only segments) carry the same
+        sum(freq^2) caveat as the doc-grain inverted index: a
+        production run drops keys above a doc-freq cap (they pair
+        near-identical boilerplate that EXACT line dedup already
+        collapses); uncapped here to keep oracle semantics exact."""
+    from pyspark.sql import Window
+
+    thr_bound = (LINE_SEG_TOKENS - 2) / (LINE_SEG_TOKENS + 2)
+    if SEG_NEAR_JACCARD_THRESHOLD <= thr_bound:
+        raise RuntimeError(
+            f"threshold {SEG_NEAR_JACCARD_THRESHOLD} <= completeness bound "
+            f"{thr_bound}: delete-one blocking would lose pairs"
+        )
+
+    segs = _line_segments(spark, sf_dir)
+    w = Window.partitionBy("h").orderBy("doc_id", "pos")
+    ts = F.array_sort(F.array_distinct(F.split(F.col("seg"), " ")))
+    canon = _memo_persist(
+        spark,
+        sf_dir,
+        "seg_token_sets",
+        segs.select(
+            "doc_id", "pos", F.md5(F.col("seg")).alias("h"), ts.alias("ts")
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == F.lit(1))
+        .drop("rn"),
+    )
+    # Block keys: md5 of the full sorted set + md5 of each delete-one
+    # subset (concat_ws with a token-proof separator).
+    n = F.size(F.col("ts"))
+    del_keys = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.md5(
+            F.concat_ws(
+                " ",
+                F.concat(
+                    F.slice(F.col("ts"), F.lit(1), i - F.lit(1)),
+                    F.slice(F.col("ts"), i + F.lit(1), n - i),
+                ),
+            )
+        ),
+    )
+    keys = canon.select(
+        "doc_id",
+        "pos",
+        "h",
+        F.explode(
+            F.concat(F.array(F.md5(F.concat_ws(" ", F.col("ts")))), del_keys)
+        ).alias("k"),
+    )
+    a = keys.alias("a")
+    b = keys.alias("b")
+    first_lt = (F.col("a.doc_id") < F.col("b.doc_id")) | (
+        (F.col("a.doc_id") == F.col("b.doc_id")) & (F.col("a.pos") < F.col("b.pos"))
+    )
+    cand = (
+        a.join(b, (F.col("a.k") == F.col("b.k")) & first_lt)
+        .select(F.col("a.h").alias("h_a"), F.col("b.h").alias("h_b"))
+        .distinct()
+    )
+    sa = canon.select(
+        F.col("h").alias("h_a"),
+        F.col("doc_id").alias("doc_a"),
+        F.col("pos").alias("pos_a"),
+        F.col("ts").alias("ts_a"),
+    )
+    sb = canon.select(
+        F.col("h").alias("h_b"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("pos").alias("pos_b"),
+        F.col("ts").alias("ts_b"),
+    )
+    inter = F.size(F.array_intersect(F.col("ts_a"), F.col("ts_b")))
+    union = F.size(F.col("ts_a")) + F.size(F.col("ts_b")) - inter
+    return (
+        cand.join(sa, "h_a")
+        .join(sb, "h_b")
+        .withColumn("jaccard", inter / union.cast("double"))
+        .filter(F.col("jaccard") >= F.lit(SEG_NEAR_JACCARD_THRESHOLD))
+        .select("doc_a", "pos_a", "doc_b", "pos_b", "jaccard")
+    )
+
+
+_SQL_SEG_CTES = f"""
+    WITH t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+    seg AS (
+        SELECT doc_id, i - 1 AS pos,
+               array_to_string(toks[(i-1)*{LINE_SEG_TOKENS}+1 : i*{LINE_SEG_TOKENS}], ' ') AS seg
+        FROM t, unnest(generate_series(1,
+                 CAST(floor(len(toks) / {LINE_SEG_TOKENS}.0) AS INT))) AS u(i)
+    )"""
+
+# Naive all-pairs oracle — deliberately QUADRATIC over distinct segment
+# contents: a hash match proves the delete-one blocking loses zero
+# qualifying pairs (the completeness bound above), the same role the
+# naive-join oracle plays for word_variants.
+SQL_DEDUP_LINES_NEAR = f"""
+    {_SQL_SEG_CTES},
+    hs AS (
+        SELECT doc_id, pos, md5(seg) AS h,
+               list_sort(list_distinct(string_split(seg, ' '))) AS ts
+        FROM seg
+    ), canon AS (
+        SELECT doc_id, pos, h, ts FROM hs
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) = 1
+    )
+    SELECT a.doc_id AS doc_a, a.pos AS pos_a,
+           b.doc_id AS doc_b, b.pos AS pos_b,
+           len(list_intersect(a.ts, b.ts))
+             / CAST(len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))
+                    AS DOUBLE) AS jaccard
+    FROM canon a JOIN canon b
+      ON (a.doc_id < b.doc_id OR (a.doc_id = b.doc_id AND a.pos < b.pos))
+    WHERE len(list_intersect(a.ts, b.ts))
+            / CAST(len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))
+                   AS DOUBLE) >= {SEG_NEAR_JACCARD_THRESHOLD}
+"""
+
+
+# --- document reconstruction from keep flags ---------------------------------------
+
+
+def q_dedup_lines_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reassemble each document's KEPT text after line-grain dedup —
+    the artifact a tokenizer job actually consumes: line_keep_flags
+    decides (ids + md5 only), then the kept segments concat back in
+    position order.
+
+    Scale shape: the keeper decision never touches text (see
+    line_keep_flags); the segment TEXT moves exactly twice, which is
+    the floor for reconstruction — once through the (doc_id, pos) join
+    of flags onto the memoized segment table, once into the
+    doc_id-keyed assembly agg. Docs with zero kept segments (pure
+    boilerplate) and docs shorter than one segment emit no row — the
+    downstream corpus simply drops them (inner-join semantics, mirrored
+    by the oracle)."""
+    segs = _line_segments(spark, sf_dir)
+    flags = line_keep_flags(spark, sf_dir)
+    kept = segs.join(flags, ["doc_id", "pos"]).filter(F.col("keep"))
+    return kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "seg"))),
+                lambda s: s["seg"],
+            ),
+        ).alias("kept_text"),
+    )
+
+
+SQL_DEDUP_LINES_REBUILD = f"""
+    {_SQL_SEG_CTES},
+    k AS (
+        SELECT doc_id, pos, seg,
+               ROW_NUMBER() OVER (PARTITION BY md5(seg)
+                                  ORDER BY doc_id, pos) = 1 AS keep
+        FROM seg
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           string_agg(seg, ' ' ORDER BY pos) AS kept_text
+    FROM k WHERE keep GROUP BY doc_id
 """

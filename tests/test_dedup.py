@@ -268,6 +268,54 @@ def test_token_segments_short_doc_empty(spark):
     assert out[2]["segs"] == []  # empty doc
 
 
+def test_dedup_lines_near_crafted(spark, tmp_path):
+    """Delete-one blocking + exact verify at segment grain: a
+    one-token substitution (J = 4/6) must pair; sharing only 3 of 5
+    tokens (J = 3/7, below both the threshold and the blocking reach)
+    must not; exact copies collapse BEFORE pairing so the dup doc
+    never inflates the pair set, and the canonical occurrence is the
+    global-min (doc_id, pos)."""
+    from lenses_topology_example_spark.operators.dedup import q_dedup_lines_near
+
+    rows = [
+        (0, "alpha beta gamma delta epsilon", "en", "s0", 30),
+        (1, "alpha beta gamma delta zeta", "en", "s1", 27),  # 1 sub -> J=4/6
+        (2, "alpha beta gamma theta iota", "en", "s2", 27),  # J=3/7 < thr
+        (3, "alpha beta gamma delta epsilon", "en", "s3", 30),  # exact dup of 0
+    ]
+    d = tmp_path / "segnear"
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{d}/documents.parquet")
+
+    out = {
+        (r["doc_a"], r["pos_a"], r["doc_b"], r["pos_b"]): r["jaccard"]
+        for r in q_dedup_lines_near(spark, str(d)).collect()
+    }
+    assert set(out) == {(0, 0, 1, 0)}  # doc 3 collapsed into doc 0's content
+    assert abs(out[(0, 0, 1, 0)] - 4 / 6) < 1e-12
+
+
+def test_dedup_lines_rebuild_crafted(spark, crafted_sf_dir):
+    """Reconstruction consumes the keeper flags: doc 0 (global first)
+    keeps both segments and rebuilds the segment-joined text; docs 1/2
+    keep nothing and emit NO row (inner-join contract); doc 3's unique
+    segments survive verbatim. Tail stubs (< one segment) are not part
+    of the rebuilt text by segmentation definition."""
+    from lenses_topology_example_spark.operators.dedup import q_dedup_lines_rebuild
+
+    out = {
+        r["doc_id"]: (r["n_kept"], r["kept_text"])
+        for r in q_dedup_lines_rebuild(spark, crafted_sf_dir).collect()
+    }
+    assert set(out) == {0, 3}
+    assert out[0] == (2, "the quick brown fox jumps over the lazy dog near")
+    assert out[3] == (
+        2,
+        "completely different words about spark query engines and columnar scans",
+    )
+
+
 def test_newline_lines_col_production_segmentation(spark):
     """The production '\\n' segmentation: trimmed, empty lines dropped,
     order preserved — the path a newline-bearing corpus exercises in
