@@ -961,11 +961,19 @@ SQL_DEDUP_LINES = f"""
 
 # --- line/segment-grain NEAR dedup (deletion-neighborhood blocking) ----------------
 
-# True token-set Jaccard floor for segment pairs. 0.65 admits exactly
-# the one-edit family at w=5 grain (substitute one token of five ->
-# J = 4/6; drop/add one -> 4/5) and sits ABOVE the delete-one blocking
-# completeness bound (w-2)/(w+2) = 3/7 — see q_dedup_lines_near.
-SEG_NEAR_JACCARD_THRESHOLD = 0.65
+# True token-set Jaccard floor for segment pairs. 13/20 = 0.65 admits
+# exactly the one-edit family at w=5 grain (substitute one token of
+# five -> J = 4/6; drop/add one -> 4/5) and sits ABOVE the delete-one
+# blocking completeness bound (w-2)/(w+2) = 3/7 — see
+# q_dedup_lines_near. Kept as an exact rational so the Spark-side
+# filter can run in pure int64 arithmetic
+# (DEN*i >= NUM*(union) <=> i/union >= NUM/DEN) while the oracle
+# filters the IEEE double; no attainable J value at this grain
+# (i <= 5, union <= 10) ever EQUALS 13/20, so the two forms select
+# identical pairs.
+SEG_NEAR_JACCARD_NUM = 13
+SEG_NEAR_JACCARD_DEN = 20
+SEG_NEAR_JACCARD_THRESHOLD = SEG_NEAR_JACCARD_NUM / SEG_NEAR_JACCARD_DEN
 
 
 def q_dedup_lines_near(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -998,13 +1006,34 @@ def q_dedup_lines_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         k^2 pairs; after the keeper window each distinct content
         enters the join once, so multiplicity never amplifies it;
     (2) only (doc_id, pos, md5, sorted-token-set) rows enter the
-        keeper window and only (key-md5, id, token set) rows enter the
-        block join — segment text never shuffles;
-    (3) hot block keys (stopword-only segments) carry the same
+        keeper window and only (8-byte key, ids, token set) rows enter
+        the block join — segment text never shuffles;
+    (3) the Jaccard verify runs INSIDE the block join's output
+        projection, before any further exchange: candidate pairs are
+        filtered to qualifying pairs in codegen as the join streams,
+        so the only post-join shuffle (the dedup `distinct`) sees
+        qualifying rows, never the raw candidate volume;
+    (4) hot block keys (stopword-only segments) carry the same
         sum(freq^2) caveat as the doc-grain inverted index: a
         production run drops keys above a doc-freq cap (they pair
         near-identical boilerplate that EXACT line dedup already
-        collapses); uncapped here to keep oracle semantics exact."""
+        collapses); uncapped here to keep oracle semantics exact.
+
+    Expression-level design (measured, round 5): the first cut built
+    delete-one keys with a higher-order `transform(sequence(...))`
+    lambda around md5 — LambdaFunction expressions are NOT
+    whole-stage-codegen-able, and the interpreted evaluation burned
+    ~105 CPU-seconds at sf0.1 (one 6 MB-input stage). The key build is
+    therefore explode-first + `array_remove` + `xxhash64` — every
+    expression a plain codegen-able Catalyst node, and the join key an
+    8-byte long. xxhash64 is deliberately NOT the repo's portable md5
+    discipline: block keys never reach the oracle (the naive all-pairs
+    twin has no keys), and a hash collision merely creates a spurious
+    candidate that the exact verify filters — completeness needs equal
+    sets to collide (guaranteed), not distinct sets to differ. The
+    verify filter itself runs in pure int64 arithmetic
+    (DEN*i >= NUM*union); the output jaccard double is computed only
+    for qualifying rows."""
     from pyspark.sql import Window
 
     thr_bound = (LINE_SEG_TOKENS - 2) / (LINE_SEG_TOKENS + 2)
@@ -1028,59 +1057,44 @@ def q_dedup_lines_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == F.lit(1))
         .drop("rn"),
     )
-    # Block keys: md5 of the full sorted set + md5 of each delete-one
-    # subset (concat_ws with a token-proof separator).
-    n = F.size(F.col("ts"))
-    del_keys = F.transform(
-        F.sequence(F.lit(1), n),
-        lambda i: F.md5(
-            F.concat_ws(
-                " ",
-                F.concat(
-                    F.slice(F.col("ts"), F.lit(1), i - F.lit(1)),
-                    F.slice(F.col("ts"), i + F.lit(1), n - i),
-                ),
-            )
-        ),
+    # Block keys: hash of the full sorted set, plus hash of every
+    # delete-one subset (ts is distinct, so array_remove(ts, x) is
+    # exactly the subset without x).
+    base = canon.select("doc_id", "pos", "ts")
+    full = base.select(
+        "doc_id", "pos", "ts", F.xxhash64(F.col("ts")).alias("k")
     )
-    keys = canon.select(
+    dels = base.select(
+        "doc_id", "pos", "ts", F.explode(F.col("ts")).alias("x")
+    ).select(
         "doc_id",
         "pos",
-        "h",
-        F.explode(
-            F.concat(F.array(F.md5(F.concat_ws(" ", F.col("ts")))), del_keys)
-        ).alias("k"),
+        "ts",
+        F.xxhash64(F.array_remove(F.col("ts"), F.col("x"))).alias("k"),
     )
+    keys = full.unionByName(dels)
     a = keys.alias("a")
     b = keys.alias("b")
     first_lt = (F.col("a.doc_id") < F.col("b.doc_id")) | (
         (F.col("a.doc_id") == F.col("b.doc_id")) & (F.col("a.pos") < F.col("b.pos"))
     )
-    cand = (
-        a.join(b, (F.col("a.k") == F.col("b.k")) & first_lt)
-        .select(F.col("a.h").alias("h_a"), F.col("b.h").alias("h_b"))
-        .distinct()
+    inter = F.size(F.array_intersect(F.col("a.ts"), F.col("b.ts")))
+    union = F.size(F.col("a.ts")) + F.size(F.col("b.ts")) - inter
+    qualifies = (
+        F.lit(SEG_NEAR_JACCARD_DEN) * inter
+        >= F.lit(SEG_NEAR_JACCARD_NUM) * union
     )
-    sa = canon.select(
-        F.col("h").alias("h_a"),
-        F.col("doc_id").alias("doc_a"),
-        F.col("pos").alias("pos_a"),
-        F.col("ts").alias("ts_a"),
-    )
-    sb = canon.select(
-        F.col("h").alias("h_b"),
-        F.col("doc_id").alias("doc_b"),
-        F.col("pos").alias("pos_b"),
-        F.col("ts").alias("ts_b"),
-    )
-    inter = F.size(F.array_intersect(F.col("ts_a"), F.col("ts_b")))
-    union = F.size(F.col("ts_a")) + F.size(F.col("ts_b")) - inter
     return (
-        cand.join(sa, "h_a")
-        .join(sb, "h_b")
-        .withColumn("jaccard", inter / union.cast("double"))
-        .filter(F.col("jaccard") >= F.lit(SEG_NEAR_JACCARD_THRESHOLD))
-        .select("doc_a", "pos_a", "doc_b", "pos_b", "jaccard")
+        a.join(b, (F.col("a.k") == F.col("b.k")) & first_lt)
+        .filter(qualifies)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("a.pos").alias("pos_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("b.pos").alias("pos_b"),
+            (inter / union.cast("double")).alias("jaccard"),
+        )
+        .distinct()
     )
 
 
