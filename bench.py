@@ -81,6 +81,15 @@ HEADLINE = (
     "pii_scrub",
     "lm_score",
     "token_entropy",
+    # round-5 additions (suite total grows ~8-11 s — BASELINE.md round-5
+    # note): segment-grain near-dup is the heaviest new entry (~7-10 s
+    # in-suite, COLD per fresh-JVM run: seg-table cache + AQE/codegen of
+    # the suite's largest plan; warm steady-state ~1.7 s). The synthetic
+    # corpus has a 31-word vocabulary, so ~645k segment pairs genuinely
+    # clear the 0.65 Jaccard bar — output volume, not plan shape
+    # (delete-one blocking, verify-inside-join; SCALING.md round-5)
+    "dedup_lines_near",
+    "dedup_lines_rebuild",
 )
 
 

@@ -1019,21 +1019,28 @@ def q_dedup_lines_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         near-identical boilerplate that EXACT line dedup already
         collapses); uncapped here to keep oracle semantics exact.
 
-    Expression-level design (measured, round 5): the first cut built
-    delete-one keys with a higher-order `transform(sequence(...))`
-    lambda around md5 — LambdaFunction expressions are NOT
-    whole-stage-codegen-able, and the interpreted evaluation burned
-    ~105 CPU-seconds at sf0.1 (one 6 MB-input stage). The key build is
-    therefore explode-first + `array_remove` + `xxhash64` — every
-    expression a plain codegen-able Catalyst node, and the join key an
-    8-byte long. xxhash64 is deliberately NOT the repo's portable md5
-    discipline: block keys never reach the oracle (the naive all-pairs
-    twin has no keys), and a hash collision merely creates a spurious
-    candidate that the exact verify filters — completeness needs equal
-    sets to collide (guaranteed), not distinct sets to differ. The
-    verify filter itself runs in pure int64 arithmetic
-    (DEN*i >= NUM*union); the output jaccard double is computed only
-    for qualifying rows."""
+    Expression-level design (measured, round 5): the first cut emitted
+    RAW candidate (md5_a, md5_b) string pairs, ran `distinct` on them,
+    and joined the survivors back to the canon table twice to fetch
+    token sets — the distinct + join-backs alone measured 10.4 s wall
+    (~100 CPU-s) at sf0.1, the whole query ~17 s, because every raw
+    candidate crossed an exchange as a 64-byte string pair before any
+    filtering. It also built delete-one keys with a higher-order
+    `transform(sequence(...))` lambda around md5 — LambdaFunction
+    expressions are not whole-stage-codegen-able, so the key build ran
+    interpreted. This version fixes both: token sets ride through the
+    block join so the verify filter runs in the join's own codegen'd
+    projection (nothing but QUALIFYING pairs ever reaches the dedup
+    `distinct`), and the key build is explode-first + `array_remove` +
+    `xxhash64` — plain codegen-able nodes, 8-byte long join keys.
+    Warm sf0.1 runtime dropped ~17 s -> ~1.7 s. xxhash64 is
+    deliberately NOT the repo's portable md5 discipline: block keys
+    never reach the oracle (the naive all-pairs twin has no keys), and
+    a hash collision merely creates a spurious candidate that the
+    exact verify filters — completeness needs equal sets to collide
+    (guaranteed), not distinct sets to differ. The verify filter
+    itself runs in pure int64 arithmetic (DEN*i >= NUM*union); the
+    output jaccard double is computed only for qualifying rows."""
     from pyspark.sql import Window
 
     thr_bound = (LINE_SEG_TOKENS - 2) / (LINE_SEG_TOKENS + 2)
