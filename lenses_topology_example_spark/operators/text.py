@@ -879,6 +879,86 @@ SQL_CURATION_FUNNEL = f"""
 """
 
 
+# --- funnel threshold sweep (quality-bar calibration) ------------------------------
+
+# The calibration grid a curation operator actually sweeps before fixing
+# CURATION_MIN_QUALITY: how many docs the FULL pipeline (quality bar +
+# lang agreement + dedup keeper) would keep at each candidate bar.
+SWEEP_QUALITY_BARS = (0.3, 0.4, 0.5, 0.6, 0.7)
+
+
+def q_funnel_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold calibration for the curation pipeline: survivor counts
+    of the full keep-predicate at every candidate quality bar, computed
+    WITHOUT re-running the pipeline per bar. The naive form runs one
+    filtered aggregate per threshold — T corpus scans; this plans the
+    same single scan / single global aggregate as q_curation_funnel
+    (one conditional sum per bar, partial map-side sums, a 1-row
+    exchange) and unpivots the 1-row result with stack(). Adding a
+    candidate bar costs one more column, never another scan.
+
+    Output: (min_quality, n_docs) — the curve an operator reads to
+    pick the bar that hits a target token budget."""
+    flags = curation_flags(spark, sf_dir).select(
+        "quality",
+        (F.col("pred_lang") == F.col("lang")).alias("l_ok"),
+        (F.col("doc_id") == F.col("keeper_id")).alias("k_ok"),
+    )
+    agg = flags.agg(
+        *[
+            F.sum(
+                (
+                    (F.col("quality") >= F.lit(t))
+                    & F.col("l_ok")
+                    & F.col("k_ok")
+                ).cast("long")
+            ).alias(f"s_{i}")
+            for i, t in enumerate(SWEEP_QUALITY_BARS)
+        ]
+    )
+    stack_args = ", ".join(
+        f"CAST({t} AS DOUBLE), s_{i}" for i, t in enumerate(SWEEP_QUALITY_BARS)
+    )
+    return agg.select(
+        F.expr(
+            f"stack({len(SWEEP_QUALITY_BARS)}, {stack_args}) "
+            "AS (min_quality, n_docs)"
+        )
+    )
+
+
+_SWEEP_SUMS = ",\n               ".join(
+    f"CAST(SUM(CASE WHEN quality >= {t} AND l_ok AND k_ok THEN 1 ELSE 0 END)"
+    f" AS BIGINT) AS s_{i}"
+    for i, t in enumerate(SWEEP_QUALITY_BARS)
+)
+_SWEEP_UNPIVOT = "\n    UNION ALL ".join(
+    f"SELECT CAST({t} AS DOUBLE) AS min_quality, s_{i} AS n_docs FROM agg"
+    for i, t in enumerate(SWEEP_QUALITY_BARS)
+)
+
+SQL_FUNNEL_SWEEP = f"""
+    WITH q AS ({SQL_QUALITY_SCORE}),
+    l AS ({SQL_LANG_ID}),
+    k AS (
+        SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper_id
+        FROM documents
+    ), flags AS (
+        SELECT q.quality AS quality,
+               l.pred_lang = d.lang AS l_ok,
+               d.doc_id = k.keeper_id AS k_ok
+        FROM documents d
+        JOIN q ON q.doc_id = d.doc_id
+        JOIN l ON l.doc_id = d.doc_id
+        JOIN k ON k.doc_id = d.doc_id
+    ), agg AS (
+        SELECT {_SWEEP_SUMS}
+        FROM flags
+    )
+    {_SWEEP_UNPIVOT}
+"""
+
+
 # --- PII redaction screen ----------------------------------------------------------
 
 # RE2- and Java-safe patterns (no \d, no lookaround, no backreferences —
