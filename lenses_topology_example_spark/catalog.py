@@ -83,6 +83,10 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "repetition_stats": (text.q_repetition_stats, text.SQL_REPETITION_STATS),
     "corpus_mix": (text.q_corpus_mix, text.SQL_CORPUS_MIX),
     "curation_funnel": (text.q_curation_funnel, text.SQL_CURATION_FUNNEL),
+    # round-5 final-commit orphan, now registered (r5 verdict ask #4):
+    # multi-threshold calibration sweep — single scan, one conditional
+    # sum per candidate bar, stack() unpivot
+    "funnel_sweep": (text.q_funnel_sweep, text.SQL_FUNNEL_SWEEP),
     "pii_scrub": (text.q_pii_scrub, text.SQL_PII_SCRUB),
     "lm_score": (text.q_lm_score, text.SQL_LM_SCORE),
     "token_entropy": (text.q_token_entropy, text.SQL_TOKEN_ENTROPY),
@@ -93,7 +97,6 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "quality_score": (text.q_quality_score, text.SQL_QUALITY_SCORE),
     "doc_fingerprint": (text.q_doc_fingerprint, text.SQL_DOC_FINGERPRINT),
     "text_stats": (text.q_text_stats, text.SQL_TEXT_STATS),
-    "token_count": (text.q_token_count, text.SQL_TOKEN_COUNT),
     "lang_id": (text.q_lang_id, text.SQL_LANG_ID),
     # --- event-time windows (sessionize_lag twice-verified after r4,
     # rotates out; three r3-verified windows rotate back in) ---
@@ -160,6 +163,10 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "region_revenue": (relational.q_region_revenue, relational.SQL_REGION_REVENUE),
     "gen_payments": (generator.q_gen_payments, generator.SQL_GEN_PAYMENTS),
     # ==================== end of the driver's 50-entry window =========
+    # rotated out in round 6 (r2+r5 verified; slot freed for the
+    # newly-registered funnel_sweep — the 16 round-5 env-err'd entries
+    # all HOLD their slots per the r5 verdict ask #5)
+    "token_count": (text.q_token_count, text.SQL_TOKEN_COUNT),
     # rotated out in round 5 (twice-verified greens; see notes above)
     "dedup_exact": (dedup.q_dedup_exact, dedup.SQL_DEDUP_EXACT),
     "dedup_simhash": (dedup.q_dedup_simhash, dedup.SQL_DEDUP_SIMHASH),
@@ -290,11 +297,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # text analysis: r4 once-verified composites/screens + the three
     # round-4 past-window ops (first drive) + token_count/lang_id back
     # in (oldest verdicts, r2)
+    # round-6: funnel_sweep registered (r5 orphan); token_count
+    # (r2+r5 verified) rotates out to free the slot — all 16 r5
+    # env-err'd entries keep their slots (r5 verdict ask #5)
     "curation_pipeline", "repetition_stats", "corpus_mix",
-    "curation_funnel", "pii_scrub", "lm_score", "token_entropy",
-    "bigram_lm_score", "corpus_report", "word_variants",
-    "quality_score", "doc_fingerprint", "text_stats",
-    "token_count", "lang_id",
+    "curation_funnel", "funnel_sweep", "pii_scrub", "lm_score",
+    "token_entropy", "bigram_lm_score", "corpus_report",
+    "word_variants", "quality_score", "doc_fingerprint", "text_stats",
+    "lang_id",
     # event-time windows: r3-verified trio rotates back in
     "tumbling_count", "session_count", "asof_rate",
     # payments/relational returns (r3 verdicts, due re-check)

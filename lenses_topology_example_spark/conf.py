@@ -5,8 +5,10 @@ the query callables — none of session.get_spark's tuning is guaranteed to
 be present. Everything semantics-critical is therefore (re)applied here at
 runtime, at every contract entry point:
 
-- nanosAsLong: events.parquet is TIMESTAMP(NANOS); without this flag the
-  scan throws PARQUET_TYPE_ILLEGAL on Spark 4.
+- nanosAsLong: events.parquet has shipped as either TIMESTAMP(NANOS) or
+  plain timestamp[us]; the flag lets the nanos layout load (as long) and
+  is harmless on µs files. tables.load_table branches on the loaded
+  dtype, so either layout works.
 - UTC session timezone: event-time semantics must not depend on the host
   timezone (and the DuckDB oracle compares naive-UTC timestamps).
 - Arrow: keeps any mapInPandas path on the columnar transfer.

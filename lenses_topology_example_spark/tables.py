@@ -34,16 +34,33 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # ts is TIMESTAMP(NANOS) on disk (read as long nanos via
-        # spark.sql.legacy.parquet.nanosAsLong); floor to µs — the same
-        # truncation every µs-native engine applies to ns parquet.
+        # The generator has shipped `ts` in either of two physical layouts:
+        # TIMESTAMP(NANOS) (loads as long via nanosAsLong) or plain
+        # timestamp[us]/TIMESTAMP_NTZ. Branch on what actually loaded —
+        # hard-coding one layout broke every events consumer when the
+        # testdata flipped layouts (round-5 verdict).
         from pyspark.sql import functions as F
 
-        # (ts - pmod(ts, 1000)) div 1000 is a true floor division: bare
-        # `ts div 1000` truncates toward zero, which for a pre-epoch
-        # nanosecond value would land one µs late (violating the floor
-        # contract above); pmod keeps the subtraction exact in int64
-        df = df.withColumn(
-            "ts", F.timestamp_micros(F.expr("(ts - pmod(ts, 1000)) div 1000"))
-        ).select("event_id", "ts", "user_id", "event_type", "value", "props")
+        ts_dtype = dict(df.dtypes).get("ts", "")
+        if ts_dtype in ("bigint", "long", "int"):
+            # long nanos → µs floor. (ts - pmod(ts, 1000)) div 1000 is a
+            # true floor division: bare `ts div 1000` truncates toward
+            # zero, which for a pre-epoch nanosecond value would land one
+            # µs late; pmod keeps the subtraction exact in int64.
+            df = df.withColumn(
+                "ts",
+                F.timestamp_micros(F.expr("(ts - pmod(ts, 1000)) div 1000")),
+            )
+        elif ts_dtype == "timestamp_ntz":
+            # normalize to TimestampType: with the session TZ pinned UTC
+            # (conf.py) the NTZ wall-clock maps to the same instant, so
+            # values stay identical to the oracle's naive-UTC timestamps
+            # AND downstream epoch math (`cast(ts as long)`, disallowed
+            # on NTZ) keeps working. This matches the TimestampType the
+            # nanos branch has always produced.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        # plain timestamp: pass through unchanged.
+        df = df.select(
+            "event_id", "ts", "user_id", "event_type", "value", "props"
+        )
     return df
