@@ -167,6 +167,23 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     # newly-registered funnel_sweep — the 16 round-5 env-err'd entries
     # all HOLD their slots per the r5 verdict ask #5)
     "token_count": (text.q_token_count, text.SQL_TOKEN_COUNT),
+    # round-6 addition (r5 verdict ask #8): production df-cap for the
+    # segment near-dup's hot block keys; oracle mirrors the blocking+cap
+    "dedup_lines_near_capped": (
+        dedup.q_dedup_lines_near_capped,
+        dedup.SQL_DEDUP_LINES_NEAR_CAPPED,
+    ),
+    # round-6 additions: continuous-ingestion classification (new batch
+    # vs existing corpus), write-side shard balance, target-mix rates
+    "dedup_incremental": (
+        dedup.q_dedup_incremental,
+        dedup.SQL_DEDUP_INCREMENTAL,
+    ),
+    "shard_plan": (text.q_shard_plan, text.SQL_SHARD_PLAN),
+    "corpus_rebalance": (
+        text.q_corpus_rebalance,
+        text.SQL_CORPUS_REBALANCE,
+    ),
     # rotated out in round 5 (twice-verified greens; see notes above)
     "dedup_exact": (dedup.q_dedup_exact, dedup.SQL_DEDUP_EXACT),
     "dedup_simhash": (dedup.q_dedup_simhash, dedup.SQL_DEDUP_SIMHASH),

@@ -127,6 +127,29 @@ def _memo_persist(spark: SparkSession, sf_dir: str, key: str, df: DataFrame) -> 
         return _MATERIALIZED[memo_key]
 
 
+def _parallel_scan(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Degenerate-layout guard for expensive derivation stages.
+
+    Scan parallelism comes from file splits, and a parquet row group is
+    unsplittable — a corpus delivered as one fat row group (exactly what
+    a testdata regeneration produced in round 6: 5 000 docs, 1 row
+    group) scans as ONE partition, serializing every tokenize/explode
+    that follows and leaving 31 of 32 cores idle through the memoized
+    materializations (measured 7.9 s single-threaded vs ~1 s parallel
+    at sf0.1). Parallelism of the heavy per-row stages must not depend
+    on incidental input file layout, so: if the scan yields fewer than
+    half the cluster's default parallelism, round-robin repartition
+    BEFORE the per-row work. At production scale the scan already has
+    thousands of splits and this is a metadata check, no added
+    exchange; the repartition only fires on pathological layouts, where
+    shuffling the raw input once is strictly cheaper than serializing
+    all downstream work."""
+    p = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, p // 2):
+        return df.repartition(p)
+    return df
+
+
 def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, t: array<string>) token table, MATERIALIZED (persist).
 
@@ -137,7 +160,7 @@ def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     to storage once and every dedup pass reads them; a memoized persist()
     is the in-session equivalent of that boundary.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _parallel_scan(spark, load_table(spark, sf_dir, "documents"))
     # `source` rides along (tiny vs the token arrays) so set-scoped
     # passes (decontamination) reuse this table instead of re-joining
     # documents to recover it — consumers that don't need it prune it.
@@ -873,7 +896,7 @@ def _line_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     sub-document pass reads it instead of re-exploding the corpus; the
     memoized persist() is the in-session form (same contract as the
     token/shingle tables)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _parallel_scan(spark, load_table(spark, sf_dir, "documents"))
     return _memo_persist(
         spark,
         sf_dir,
@@ -1041,6 +1064,41 @@ def q_dedup_lines_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     (guaranteed), not distinct sets to differ. The verify filter
     itself runs in pure int64 arithmetic (DEN*i >= NUM*union); the
     output jaccard double is computed only for qualifying rows."""
+    return _seg_near_pairs(spark, sf_dir, max_key_df=None)
+
+
+# Block keys in more distinct segments than this are dropped by the
+# capped variant before the self-join. Measured on the synthetic corpus
+# (DuckDB probe, round 6): sf0.01 max key df = 7 (cap drops NOTHING —
+# capped output == uncapped at driver scale), sf0.1 max df = 30 with
+# df>20 keys carrying ~3% of sum(df^2) join work. On a real web corpus
+# the dropped keys are stopword-only boilerplate whose exact-dup family
+# `dedup_lines` already collapses.
+MAX_SEG_BLOCK_DF = 20
+
+
+def q_dedup_lines_near_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production form of q_dedup_lines_near: block keys with segment
+    frequency > MAX_SEG_BLOCK_DF are dropped BEFORE the self-join —
+    the same df-cap discipline as q_dedup_near_capped (doc grain),
+    closing the one scale caveat q_dedup_lines_near documents. The
+    self-join cost is sum(df^2) per block key, so an uncapped hot key
+    (a stopword-only segment family) contributes quadratic work for
+    pairs that are near-identical boilerplate; the cap bounds fan-out
+    at MAX_SEG_BLOCK_DF^2 per key. Unlike the uncapped twin this is
+    NOT provably complete — pairs whose every shared block key is hot
+    are lost — which is exactly the documented production trade; the
+    oracle mirrors the cap (string block keys in DuckDB vs xxhash64 in
+    Spark: equal-sets collide identically in both, and at these key
+    cardinalities a 64-bit cross-set collision perturbing a df COUNT
+    is negligible — same injectivity-in-practice argument as the md5
+    digest discipline)."""
+    return _seg_near_pairs(spark, sf_dir, max_key_df=MAX_SEG_BLOCK_DF)
+
+
+def _seg_near_pairs(
+    spark: SparkSession, sf_dir: str, max_key_df: int | None
+) -> DataFrame:
     from pyspark.sql import Window
 
     thr_bound = (LINE_SEG_TOKENS - 2) / (LINE_SEG_TOKENS + 2)
@@ -1080,6 +1138,16 @@ def q_dedup_lines_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.xxhash64(F.array_remove(F.col("ts"), F.col("x"))).alias("k"),
     )
     keys = full.unionByName(dels)
+    if max_key_df is not None:
+        # df-cap: count once per key, keep rare keys via left_semi so
+        # only the 8-byte key column crosses the aggregation shuffle
+        rare = (
+            keys.groupBy("k")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= F.lit(max_key_df))
+            .select("k")
+        )
+        keys = keys.join(rare, "k", "left_semi")
     a = keys.alias("a")
     b = keys.alias("b")
     first_lt = (F.col("a.doc_id") < F.col("b.doc_id")) | (
@@ -1140,6 +1208,47 @@ SQL_DEDUP_LINES_NEAR = f"""
                    AS DOUBLE) >= {SEG_NEAR_JACCARD_THRESHOLD}
 """
 
+# Capped-variant oracle: mirrors the BLOCKING + df-cap exactly (not the
+# naive all-pairs form — the cap deliberately loses hot-key-only pairs,
+# so completeness-vs-naive no longer holds and the oracle must replicate
+# the candidate generation). Block keys are the subset CONTENTS joined
+# with chr(1) (never appears in \\W+-tokenized words); Spark's xxhash64
+# groups the same equal-sets, so per-key dfs and the resulting candidate
+# sets agree. DISTINCT matches the Spark-side .distinct() — a pair
+# sharing several surviving keys must still emit once.
+SQL_DEDUP_LINES_NEAR_CAPPED = f"""
+    {_SQL_SEG_CTES},
+    hs AS (
+        SELECT doc_id, pos, md5(seg) AS h,
+               list_sort(list_distinct(string_split(seg, ' '))) AS ts
+        FROM seg
+    ), canon AS (
+        SELECT doc_id, pos, ts FROM hs
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) = 1
+    ), keyed AS (
+        SELECT doc_id, pos, ts, array_to_string(ts, chr(1)) AS k FROM canon
+        UNION ALL
+        SELECT doc_id, pos, ts,
+               array_to_string(list_filter(ts, e -> e <> x), chr(1)) AS k
+        FROM canon, unnest(ts) AS u(x)
+    ), rare AS (
+        SELECT k FROM keyed GROUP BY k HAVING COUNT(*) <= {MAX_SEG_BLOCK_DF}
+    ), k2 AS (
+        SELECT keyed.* FROM keyed WHERE k IN (SELECT k FROM rare)
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, a.pos AS pos_a,
+           b.doc_id AS doc_b, b.pos AS pos_b,
+           len(list_intersect(a.ts, b.ts))
+             / CAST(len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))
+                    AS DOUBLE) AS jaccard
+    FROM k2 a JOIN k2 b
+      ON a.k = b.k
+     AND (a.doc_id < b.doc_id OR (a.doc_id = b.doc_id AND a.pos < b.pos))
+    WHERE {SEG_NEAR_JACCARD_DEN} * len(list_intersect(a.ts, b.ts))
+            >= {SEG_NEAR_JACCARD_NUM} *
+               (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)))
+"""
+
 
 # --- document reconstruction from keep flags ---------------------------------------
 
@@ -1185,4 +1294,140 @@ SQL_DEDUP_LINES_REBUILD = f"""
            CAST(COUNT(*) AS BIGINT) AS n_kept,
            string_agg(seg, ' ' ORDER BY pos) AS kept_text
     FROM k WHERE keep GROUP BY doc_id
+"""
+
+
+# --- incremental dedup (new batch vs existing corpus) ------------------------------
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingestion dedup: classify each INCOMING document
+    against the EXISTING corpus as exact-dup (byte-identical text
+    already indexed), near-dup (MinHash band collision with estimated
+    Jaccard >= threshold), or new. The daily-crawl-batch shape — at
+    100 TB the existing side's digest table and signature table are
+    PRECOMPUTED artifacts of prior runs (minhash_signatures documents
+    the signature table as exactly that reusable artifact); here both
+    sides derive from one corpus split by a content-stable md5 parity
+    of doc_id so the oracle can reproduce the partition.
+
+    Precedence exact > near_dup > new (a byte-identical doc also band-
+    collides with itself-in-base; 'exact' wins so the cheap digest path
+    decides before any signature work is consulted).
+
+    Scale shape: exact is a left_semi on 16-byte digests (fingerprints
+    shuffle, text never does); near is the LSH band join restricted to
+    incoming x base — signatures only, sub-quadratic, identical plan
+    family to q_dedup_minhash; both flags come back to the incoming
+    frame as left_semi-derived joins, no row explosion."""
+    from ..functions.texthash import md5_hash64
+
+    docs = load_table(spark, sf_dir, "documents")
+    par = docs.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("h"),
+        (md5_hash64(F.col("doc_id").cast("string")) % 2).alias("p"),
+    )
+    base = par.filter(F.col("p") == 0)
+    inc = par.filter(F.col("p") == 1)
+
+    exact = (
+        inc.join(base.select("h").distinct(), "h", "left_semi")
+        .select("doc_id")
+        .withColumn("is_exact", F.lit(True))
+    )
+
+    sigs = minhash_signatures(spark, sf_dir)
+    bands = sigs.select("doc_id", F.posexplode(F.col("sig")).alias("band", "v"))
+    b_inc = bands.join(inc.select("doc_id"), "doc_id", "left_semi")
+    b_base = bands.join(base.select("doc_id"), "doc_id", "left_semi")
+    cand = (
+        b_inc.alias("a")
+        .join(
+            b_base.alias("b"),
+            (F.col("a.band") == F.col("b.band")) & (F.col("a.v") == F.col("b.v")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id"), F.col("b.doc_id").alias("base_id")
+        )
+        .distinct()
+    )
+    sa = sigs.select(F.col("doc_id").alias("doc_id"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(
+        F.col("doc_id").alias("base_id"), F.col("sig").alias("sig_b")
+    )
+    matches = F.aggregate(
+        F.zip_with(
+            F.col("sig_a"),
+            F.col("sig_b"),
+            lambda x, y: F.when(x == y, F.lit(1)).otherwise(F.lit(0)),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    near = (
+        cand.join(sa, "doc_id")
+        .join(sb, "base_id")
+        .filter(
+            matches / F.lit(float(N_HASHES)) >= F.lit(MINHASH_EST_THRESHOLD)
+        )
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_near", F.lit(True))
+    )
+
+    return (
+        inc.select("doc_id")
+        .join(exact, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("is_exact"), F.lit("exact"))
+            .when(F.col("is_near"), F.lit("near_dup"))
+            .otherwise(F.lit("new"))
+            .alias("status"),
+        )
+    )
+
+
+SQL_DEDUP_INCREMENTAL = f"""
+    WITH par AS (
+        SELECT doc_id, md5(text) AS h,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                 % 2 AS p
+        FROM documents
+    ), toks AS (
+        SELECT doc_id, {SQL_TOKS} AS t FROM documents
+    ), hs AS (
+        SELECT doc_id,
+               list_distinct(list_transform(list_distinct({SQL_SHINGLES}),
+                   s -> (('0x' || substr(md5(s), 1, 15))::BIGINT) % {MOD})) AS h
+        FROM toks
+    ), sig AS (
+        SELECT doc_id, {_sql_sig_components()} AS sig
+        FROM hs WHERE len(h) > 0
+    ), bands AS (
+        SELECT doc_id,
+               unnest(generate_series(0, {N_HASHES - 1})) AS band,
+               unnest(sig) AS v
+        FROM sig
+    ), near AS (
+        SELECT DISTINCT a.doc_id
+        FROM bands a
+        JOIN par pa ON pa.doc_id = a.doc_id AND pa.p = 1
+        JOIN bands b ON a.band = b.band AND a.v = b.v
+        JOIN par pb ON pb.doc_id = b.doc_id AND pb.p = 0
+        JOIN sig sa ON sa.doc_id = a.doc_id
+        JOIN sig sb ON sb.doc_id = b.doc_id
+        WHERE len(list_filter(list_transform(generate_series(1, {N_HASHES}),
+              i -> sa.sig[i] = sb.sig[i]), x -> x)) / {float(N_HASHES)}
+              >= {MINHASH_EST_THRESHOLD}
+    )
+    SELECT i.doc_id,
+           CASE WHEN EXISTS (SELECT 1 FROM par b
+                             WHERE b.p = 0 AND b.h = i.h) THEN 'exact'
+                WHEN i.doc_id IN (SELECT doc_id FROM near) THEN 'near_dup'
+                ELSE 'new' END AS status
+    FROM par i
+    WHERE i.p = 1
 """

@@ -1462,3 +1462,130 @@ SQL_WORD_VARIANTS = f"""
     FROM v a JOIN v b ON a.tok < b.tok
     WHERE levenshtein(a.tok, b.tok) <= {VARIANT_MAX_DIST}
 """
+
+
+# --- output shard planning (write-side balance audit) ------------------------------
+
+# Shard count for the audit. At 100 TB this is the file/bucket count of
+# the tokenizer-ready output (thousands); 16 keeps the toy frame
+# readable while exercising the identical plan.
+N_OUTPUT_SHARDS = 16
+
+
+def q_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-side shard balance audit: assign every document its output
+    shard by content-stable hash and report per-shard doc/token load
+    plus the load ratio vs a perfectly uniform split. The pre-flight
+    check before a `.repartition(N, shard).write` of tokenizer-ready
+    data — a hot shard (ratio >> 1) means one writer task (and later
+    one training-data reader) becomes the straggler.
+
+    The shard key is md5-derived (functions/texthash), NOT Spark's
+    hash(): reproducible across engines and runs, so the same doc lands
+    in the same shard when the corpus is re-processed incrementally.
+
+    Scale shape: single scan, one partial+final agg keyed by shard
+    (N_OUTPUT_SHARDS groups), then the uniform-load window runs over
+    the N-row AGGREGATED frame — the same already-aggregated-only
+    window discipline as corpus_mix (bench.py note)."""
+    from pyspark.sql import Window as W
+
+    from ..functions.texthash import md5_hash64
+
+    docs = load_table(spark, sf_dir, "documents")
+    per = (
+        docs.select(
+            (md5_hash64(F.col("doc_id").cast("string")) % N_OUTPUT_SHARDS).alias(
+                "shard"
+            ),
+            F.size(tokens_col(F.col("text"))).cast("long").alias("n"),
+        )
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n").alias("n_tokens"))
+    )
+    total = F.sum("n_tokens").over(W.partitionBy())
+    return per.select(
+        "shard",
+        "n_docs",
+        "n_tokens",
+        # exact-int numerator, ONE division — bit-identical to the oracle
+        (
+            (F.col("n_tokens") * F.lit(N_OUTPUT_SHARDS)).cast("double") / total
+        ).alias("load_ratio"),
+    )
+
+
+SQL_SHARD_PLAN = f"""
+    WITH t AS (
+        SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                 % {N_OUTPUT_SHARDS} AS shard,
+               CAST(len({SQL_TOKS}) AS BIGINT) AS n
+        FROM documents
+    ), g AS (
+        SELECT shard, COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS n_tokens
+        FROM t GROUP BY shard
+    )
+    SELECT shard, n_docs, n_tokens,
+           CAST(n_tokens * {N_OUTPUT_SHARDS} AS DOUBLE)
+             / SUM(n_tokens) OVER () AS load_ratio
+    FROM g
+"""
+
+
+# --- corpus rebalancing (target-mix sampling rates) --------------------------------
+
+
+def q_corpus_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampling rates that rebalance the corpus toward a UNIFORM
+    per-source token budget — the executable complement of corpus_mix:
+    that query reports the mix, this one emits the per-source keep-rate
+    a downstream `md5(doc_id) % M < rate*M` deterministic-sample pass
+    applies. Down-sampling only (rate = min(1, target/actual)): an
+    over-represented crawl source is cut to the uniform share; an
+    under-represented one keeps rate 1.0 (up-sampling is an epoch
+    multiplier at training time, not a data-prep filter).
+
+    Scale shape: one agg shuffle keyed by source, then both windows
+    (corpus total, source count) run over the |sources|-row aggregated
+    frame. Float discipline: exact-int operands, fixed division order
+    (target = total/n_src once, then /n_tokens), LEAST against exact
+    1.0 — every engine computes the identical IEEE doubles."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    per = (
+        docs.select(
+            "source", F.size(tokens_col(F.col("text"))).cast("long").alias("n")
+        )
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n").alias("n_tokens"))
+    )
+    w = W.partitionBy()
+    total = F.sum("n_tokens").over(w)
+    target = total.cast("double") / F.count(F.lit(1)).over(w)
+    rate = F.least(F.lit(1.0), target / F.col("n_tokens"))
+    return per.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        (F.col("n_tokens").cast("double") / total).alias("cur_share"),
+        rate.alias("sample_rate"),
+        (F.col("n_tokens") * rate).alias("sampled_tokens"),
+    )
+
+
+SQL_CORPUS_REBALANCE = f"""
+    WITH t AS (
+        SELECT source, CAST(len({SQL_TOKS}) AS BIGINT) AS n FROM documents
+    ), g AS (
+        SELECT source, COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS n_tokens
+        FROM t GROUP BY source
+    )
+    SELECT source, n_docs, n_tokens,
+           CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER () AS cur_share,
+           LEAST(1.0, (CAST(SUM(n_tokens) OVER () AS DOUBLE)
+                         / COUNT(*) OVER ()) / n_tokens) AS sample_rate,
+           n_tokens * LEAST(1.0, (CAST(SUM(n_tokens) OVER () AS DOUBLE)
+                         / COUNT(*) OVER ()) / n_tokens) AS sampled_tokens
+    FROM g
+"""

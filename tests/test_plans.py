@@ -206,11 +206,16 @@ def test_knn_classify_broadcasts_topk(spark, sf_dir):
 
 
 def test_dedup_lines_shuffles_hashes_only(spark, sf_dir):
-    """dedup_lines: exactly two exchanges (keeper window keyed by the
-    16-byte md5, then the per-doc agg) and no join; the segment TEXT is
-    projected away before the window shuffle."""
+    """dedup_lines: exactly two SEMANTIC exchanges (keeper window keyed
+    by the 16-byte md5, then the per-doc agg) and no join; the segment
+    TEXT is projected away before the window shuffle. The degenerate-
+    layout guard (_parallel_scan) may add ONE RoundRobin repartition of
+    the raw scan — allowed, never more, and only that kind."""
     plan = _formatted_plan(spark, sf_dir, "dedup_lines")
-    assert len(_exchange_ids(plan)) == 2, plan
+    n_ex = len(_exchange_ids(plan))
+    n_rr = plan.count("Arguments: RoundRobinPartitioning")
+    assert n_rr <= 1, plan
+    assert n_ex - n_rr == 2, plan
     assert "Join" not in plan, plan
 
 
