@@ -485,3 +485,121 @@ def streaming_cms_counters(docs: DataFrame) -> DataFrame:
     from ..operators.sketches import cms_counters
 
     return cms_counters(docs)
+
+
+# --- streaming incremental dedup (foreachBatch vs static base indexes) -------------
+
+
+def incremental_classify_batch(
+    batch: DataFrame, base_digests: DataFrame, base_sigs: DataFrame
+) -> DataFrame:
+    """Classify one batch of arriving documents (doc_id, text) against
+    STATIC base-corpus indexes: 'exact' (md5 digest already indexed),
+    'near_dup' (MinHash band collision with estimated Jaccard >=
+    MINHASH_EST_THRESHOLD against any base signature), else 'new' —
+    the per-micro-batch core of the continuous-ingest twin of batch
+    operators/dedup.q_dedup_incremental (the parity test pins the two
+    to identical statuses; same thresholds, same md5-derived hash math).
+
+    base_digests: (h) distinct md5 digests of the existing corpus.
+    base_sigs: (doc_id, sig array<long>) its MinHash signature table —
+    at scale both are precomputed artifacts of prior batch runs, read
+    once per stream start, never per batch.
+
+    The signature is computed IN-ROW from the text (stateless — the
+    streaming price: the k components inline the shingle-hash pipeline
+    per component instead of reading the memoized batch signature
+    table; bounded by k, not corpus size). Docs with < 3 tokens carry
+    no signature and can only be exact or new."""
+    from ..functions.texthash import md5_hash_mod, minhash_component
+    from ..operators.dedup import (
+        MINHASH_AB,
+        MINHASH_EST_THRESHOLD,
+        N_HASHES,
+        shingles_col,
+    )
+    from ..operators.wordcount import tokens_col
+
+    sh = F.array_distinct(shingles_col(tokens_col(F.col("text"))))
+    hashes = F.array_distinct(F.transform(sh, lambda s: md5_hash_mod(s)))
+    sig = F.when(
+        F.size(hashes) > 0,
+        F.array(*[minhash_component(hashes, a, b) for a, b in MINHASH_AB]),
+    )
+    inc = batch.select(
+        "doc_id", F.md5(F.col("text")).alias("h"), sig.alias("sig")
+    )
+    exact = (
+        inc.join(base_digests.select("h").distinct(), "h", "left_semi")
+        .select("doc_id")
+        .withColumn("is_exact", F.lit(True))
+    )
+    bi = inc.filter(F.col("sig").isNotNull()).select(
+        "doc_id", F.posexplode(F.col("sig")).alias("band", "v")
+    )
+    bb = base_sigs.select(
+        F.col("doc_id").alias("base_id"),
+        F.posexplode(F.col("sig")).alias("band", "v"),
+    )
+    cand = bi.join(bb, ["band", "v"]).select("doc_id", "base_id").distinct()
+    sa = inc.select("doc_id", F.col("sig").alias("sig_a"))
+    sb = base_sigs.select(
+        F.col("doc_id").alias("base_id"), F.col("sig").alias("sig_b")
+    )
+    matches = F.aggregate(
+        F.zip_with(
+            F.col("sig_a"),
+            F.col("sig_b"),
+            lambda x, y: F.when(x == y, F.lit(1)).otherwise(F.lit(0)),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    near = (
+        cand.join(sa, "doc_id")
+        .join(sb, "base_id")
+        .filter(matches / F.lit(float(N_HASHES)) >= F.lit(MINHASH_EST_THRESHOLD))
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_near", F.lit(True))
+    )
+    return (
+        inc.select("doc_id")
+        .join(exact, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("is_exact"), F.lit("exact"))
+            .when(F.col("is_near"), F.lit("near_dup"))
+            .otherwise(F.lit("new"))
+            .alias("status"),
+        )
+    )
+
+
+def start_incremental_dedup_stream(
+    docs: DataFrame,
+    base_digests: DataFrame,
+    base_sigs: DataFrame,
+    out_path: str,
+    checkpoint: str,
+) -> StreamingQuery:
+    """Continuous incremental dedup: each arriving micro-batch is
+    classified against the static base indexes with full BATCH join
+    semantics via foreachBatch (the joins + distinct inside
+    incremental_classify_batch are not expressible as a stateless
+    stream plan, and carrying the base corpus as stream state would
+    duplicate what is already a static artifact). Exactly-once by the
+    same per-batch-directory overwrite idempotency as the payments
+    fan-out: a replayed batch rewrites its own `batch_id=<n>/` path."""
+
+    def classify(batch: DataFrame, batch_id: int) -> None:
+        incremental_classify_batch(
+            batch, base_digests, base_sigs
+        ).write.mode("overwrite").parquet(f"{out_path}/batch_id={batch_id}")
+
+    return (
+        docs.writeStream.foreachBatch(classify)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

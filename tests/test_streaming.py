@@ -730,3 +730,91 @@ def test_streaming_cms_counters_match_batch(spark, tmp_path):
     )
 
     assert len(batch) <= CMS_DEPTH * CMS_WIDTH
+
+
+def test_streaming_incremental_dedup_matches_batch(spark, tmp_path):
+    """foreachBatch incremental dedup: the per-batch classification
+    against static base indexes must equal the batch operator
+    q_dedup_incremental's statuses for the SAME corpus split — across
+    multiple micro-batches (the incoming half is streamed one file per
+    batch, so replay-safe per-batch output dirs are exercised too)."""
+    import hashlib
+
+    from lenses_topology_example_spark.operators.dedup import (
+        minhash_signatures,
+        q_dedup_incremental,
+    )
+    from lenses_topology_example_spark.streaming.pipelines import (
+        start_incremental_dedup_stream,
+    )
+
+    def parity(i: int) -> int:
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) % 2
+
+    base_ids = [i for i in range(60) if parity(i) == 0]
+    inc_ids = [i for i in range(60) if parity(i) == 1]
+    shared = "the quick brown fox jumps over the lazy dog near the river"
+    near = shared + " tonight"
+    unique = "unrelated columnar shuffle text with zero overlapping grams"
+    rows = [
+        (base_ids[0], shared, "en", "s", len(shared)),
+        (base_ids[1], unique + " alpha beta gamma", "en", "s", 10),
+        (inc_ids[0], shared, "en", "s", len(shared)),  # exact
+        (inc_ids[1], near, "en", "s", len(near)),  # near_dup
+        (inc_ids[2], "totally fresh words about adaptive query execution plans",
+         "en", "s", 10),  # new
+    ]
+    d = tmp_path / "incdata"
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    docs.write.parquet(f"{d}/documents.parquet")
+
+    # batch-op ground truth on the same parity split
+    want = {
+        r["doc_id"]: r["status"]
+        for r in q_dedup_incremental(spark, str(d)).collect()
+    }
+    assert want[inc_ids[0]] == "exact"
+    assert want[inc_ids[1]] == "near_dup"
+    assert want[inc_ids[2]] == "new"
+
+    # static base indexes (what a prior batch run would have written)
+    base = docs.filter(F.col("doc_id").isin(base_ids))
+    base_digests = base.select(F.md5(F.col("text")).alias("h"))
+    base_sigs = minhash_signatures(spark, str(d)).join(
+        base.select("doc_id"), "doc_id", "left_semi"
+    )
+
+    # stream the incoming docs one file per micro-batch
+    src = tmp_path / "inc_stream_src"
+    inc_docs = docs.filter(F.col("doc_id").isin(inc_ids)).select(
+        "doc_id", "text"
+    )
+    for i, r in enumerate(inc_docs.collect()):
+        spark.createDataFrame(
+            [(r["doc_id"], r["text"])], "doc_id long, text string"
+        ).write.parquet(f"{src}/f{i}")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/f*")
+    )
+    out = tmp_path / "inc_out"
+    q = start_incremental_dedup_stream(
+        stream,
+        base_digests,
+        base_sigs,
+        str(out),
+        str(tmp_path / "inc_ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        r["doc_id"]: r["status"]
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    assert got == want
