@@ -90,6 +90,15 @@ HEADLINE = (
     # (delete-one blocking, verify-inside-join; SCALING.md round-5)
     "dedup_lines_near",
     "dedup_lines_rebuild",
+    # round-6 additions (suite total grows ~3-5 s — BASELINE.md round-6
+    # note): the capped segment near-dup shares dedup_lines_near's
+    # memoized seg/canon tables (marginal cost is the df-cap agg + its
+    # own band join); incremental dedup reuses the minhash signature
+    # memo; the two governance aggregates are single-scan.
+    "dedup_lines_near_capped",
+    "dedup_incremental",
+    "shard_plan",
+    "corpus_rebalance",
 )
 
 

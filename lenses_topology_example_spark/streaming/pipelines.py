@@ -603,3 +603,52 @@ def start_incremental_dedup_stream(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+# --- transformWithState running count (the arbitrary-state successor API) ----------
+
+
+def streaming_running_count_tws(words: DataFrame) -> DataFrame:
+    """The same per-word running total as streaming_running_count, on
+    Spark 4's transformWithStateInPandas — the successor to
+    applyInPandasWithState and the surface any NEW custom stateful
+    operator should target: typed state handles (value/list/map) that
+    compose on one key, explicit timer registration instead of one
+    timeout mode, and schema-evolvable state. Both forms stay registered
+    because the processor-class API only exists on Spark >= 4.0 /
+    RocksDB state store; the parity test pins them to identical output.
+
+    ENVIRONMENT GATE (same pattern as the multimodal codecs): the TWS
+    driver worker speaks protobuf to the JVM
+    (pyspark/sql/streaming/stateful_processor_api_client.py imports
+    google.protobuf), and this container ships no usable protobuf — the
+    worker crashes at init with
+    STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE. The parity test
+    skips when `google.protobuf.descriptor` is unimportable and runs
+    wherever the dependency exists.
+
+    State: a single ValueState[n long] per word — the minimal migration
+    of the applyInPandasWithState tuple."""
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class RunningCount(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._count = handle.getValueState("n", "n long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n = self._count.get()[0] if self._count.exists() else 0
+            for pdf in rows:
+                n += len(pdf)
+            self._count.update((n,))
+            yield pd.DataFrame({"word": [key[0]], "n": [n]})
+
+        def close(self) -> None:
+            pass
+
+    return words.groupBy("word").transformWithStateInPandas(
+        RunningCount(),
+        outputStructType="word string, n long",
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -818,3 +818,66 @@ def test_streaming_incremental_dedup_matches_batch(spark, tmp_path):
         for r in spark.read.parquet(str(out)).collect()
     }
     assert got == want
+
+
+def test_transform_with_state_running_count_matches_legacy(spark, tmp_path):
+    """transformWithStateInPandas running count == the
+    applyInPandasWithState twin == the batch golden counts. Gated: the
+    processor API needs Spark >= 4.0 and the RocksDB state store."""
+    from pyspark.sql import GroupedData
+
+    if not hasattr(GroupedData, "transformWithStateInPandas"):
+        pytest.skip("transformWithStateInPandas not available")
+    try:
+        import google.protobuf.descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip(
+            "TWS driver worker needs google.protobuf (absent in this "
+            "container) — see streaming_running_count_tws docstring"
+        )
+    from lenses_topology_example_spark.streaming.pipelines import (
+        streaming_running_count_tws,
+    )
+
+    corpus = tmp_path / "corpus_tws"
+    corpus.mkdir()
+    (corpus / "lines.txt").write_text("\n".join(CORPUS_LINES))
+    lines = spark.readStream.format("text").load(str(corpus))
+    from lenses_topology_example_spark.operators.wordcount import tokens_col
+
+    words = lines.select(F.explode(tokens_col(F.col("value"))).alias("word"))
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    rocksdb = (
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(provider_key, rocksdb)
+    try:
+        q = (
+            streaming_running_count_tws(words)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName("tws_count_test")
+            .option("checkpointLocation", str(tmp_path / "tws_ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
+
+    got = {
+        r["word"]: r["n"]
+        for r in spark.sql(
+            "SELECT word, max(n) AS n FROM tws_count_test GROUP BY word"
+        ).collect()
+    }
+    golden: Counter = Counter()
+    for line in CORPUS_LINES:
+        golden.update(t for t in re.split(r"\W+", line.lower()) if t)
+    assert got == dict(golden)
