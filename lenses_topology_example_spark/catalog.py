@@ -184,6 +184,8 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
         text.q_corpus_rebalance,
         text.SQL_CORPUS_REBALANCE,
     ),
+    # round-6: LATERAL correlated-subquery surface (per-group top-N)
+    "lateral_topn": (relational2.q_lateral_topn, relational2.SQL_LATERAL_TOPN),
     # rotated out in round 5 (twice-verified greens; see notes above)
     "dedup_exact": (dedup.q_dedup_exact, dedup.SQL_DEDUP_EXACT),
     "dedup_simhash": (dedup.q_dedup_simhash, dedup.SQL_DEDUP_SIMHASH),

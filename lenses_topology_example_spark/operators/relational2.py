@@ -704,3 +704,42 @@ SQL_BIG_ORDERS = f"""
     JOIN orders ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey = c_custkey
 """
+
+
+def q_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery surface (SQL:2016 / Spark >= 3.2):
+    per nation, the top-2 customers by account balance — the
+    "per-group top-N as a join" idiom a SQL user migrating from the
+    reference's per-key processing writes directly. Catalyst
+    decorrelates the lateral LIMIT into a ranked window join rather
+    than executing one subquery per outer row (pinned in
+    tests/test_plans.py: no per-row re-execution artifacts, no
+    cartesian), so the shape scales as one shuffle keyed by the
+    correlation key. Deterministic by the (c_acctbal DESC, c_custkey)
+    tiebreak."""
+    return spark.sql(
+        """
+        SELECT n.n_name, t.c_custkey, t.c_name, t.c_acctbal
+        FROM {nation} n,
+        LATERAL (
+            SELECT c_custkey, c_name, c_acctbal FROM {cust} c
+            WHERE c.c_nationkey = n.n_nationkey
+            ORDER BY c_acctbal DESC, c_custkey
+            LIMIT 2
+        ) t
+        """,
+        nation=load_table(spark, sf_dir, "nation"),
+        cust=load_table(spark, sf_dir, "customer"),
+    )
+
+
+SQL_LATERAL_TOPN = """
+    SELECT n.n_name, t.c_custkey, t.c_name, t.c_acctbal
+    FROM nation n,
+    LATERAL (
+        SELECT c_custkey, c_name, c_acctbal FROM customer c
+        WHERE c.c_nationkey = n.n_nationkey
+        ORDER BY c_acctbal DESC, c_custkey
+        LIMIT 2
+    ) t
+"""

@@ -330,3 +330,13 @@ def test_dedup_incremental_no_cartesian(spark, sf_dir):
     plan = _formatted_plan(spark, sf_dir, "dedup_incremental")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_lateral_topn_decorrelates_to_window(spark, sf_dir):
+    """The LATERAL correlated LIMIT must decorrelate into a ranked
+    window join (WindowGroupLimit partial top-k before the exchange) —
+    never per-outer-row subquery re-execution or a cartesian."""
+    plan = _formatted_plan(spark, sf_dir, "lateral_topn")
+    assert "WindowGroupLimit" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
