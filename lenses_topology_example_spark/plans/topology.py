@@ -168,3 +168,47 @@ class MetricsPublisher:
     def stop(self) -> None:
         self._stop.set()
         self._thread.join(timeout=5)
+
+
+# --- batch observed metrics (df.observe — the batch twin of lastProgress) ---------
+
+
+def observed_node(
+    df: DataFrame, name: str
+) -> "tuple[DataFrame, Any]":
+    """Attach a named observation point to a BATCH DataFrame — the batch
+    twin of the streaming lastProgress sample: the reference publishes
+    per-node row counts to `__topology__metrics`
+    (PaymentsServiceApp.java:26-30); Spark's native batch hook is
+    `df.observe`, which aggregates metric expressions DURING the action
+    (zero extra pass — the exprs ride the existing plan, unlike a
+    separate .count() that re-executes it).
+
+    Returns (observed_df, Observation); run any action on observed_df,
+    then `batch_metrics(obs, name)` yields the publishable payload."""
+    from pyspark.sql import Observation, functions as F
+
+    obs = Observation(name)
+    return (
+        df.observe(
+            obs,
+            F.count(F.lit(1)).alias("numOutputRows"),
+        ),
+        obs,
+    )
+
+
+def batch_metrics(obs: Any, app_name: str = "app") -> dict[str, Any]:
+    """Observation -> the same payload shape progress_metrics emits for
+    streams, so one publisher sink serves both execution modes.
+    `Observation.get` blocks until the observed action completes."""
+    vals = obs.get
+    return {
+        "appName": app_name,
+        "queryId": None,
+        "batchId": None,
+        "numInputRows": vals.get("numOutputRows"),
+        "inputRowsPerSecond": None,
+        "processedRowsPerSecond": None,
+        "timestamp": None,
+    }

@@ -171,3 +171,31 @@ def test_metrics_publisher(spark, tmp_path):
     s = samples[0]
     assert s["numInputRows"] is not None
     assert s["queryId"]
+
+
+def test_batch_observed_metrics_match_count(spark, sf_dir):
+    """df.observe metrics: the observed numOutputRows of the flagship
+    pipeline equals its actual row count, rides the SAME action (no
+    second execution), and formats to the identical payload shape the
+    streaming progress sample uses — one publisher sink serves both."""
+    from lenses_topology_example_spark.operators.payments import (
+        q_payments_pipeline,
+    )
+    from lenses_topology_example_spark.plans.topology import (
+        batch_metrics,
+        observed_node,
+        progress_metrics,
+    )
+
+    df = q_payments_pipeline(spark, sf_dir)
+    observed, obs = observed_node(df, "payments_obs")
+    rows = observed.collect()
+    payload = batch_metrics(obs, app_name="payments")
+    assert payload["numInputRows"] == len(rows)
+    assert payload["appName"] == "payments"
+    # shape parity with the streaming sample (same keys, one sink)
+    stream_keys = {
+        "appName", "queryId", "batchId", "numInputRows",
+        "inputRowsPerSecond", "processedRowsPerSecond", "timestamp",
+    }
+    assert set(payload) == stream_keys
