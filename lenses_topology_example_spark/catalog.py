@@ -186,6 +186,13 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     ),
     # round-6: LATERAL correlated-subquery surface (per-group top-N)
     "lateral_topn": (relational2.q_lateral_topn, relational2.SQL_LATERAL_TOPN),
+    # round-6: fixed-size Bloom membership screen (8 KB bitmap broadcast
+    # however large the eval suite grows; md5-derived bit math mirrored
+    # exactly in the oracle — no false negatives vs exact decontaminate)
+    "decontaminate_bloom": (
+        dedup.q_decontaminate_bloom,
+        dedup.SQL_DECONTAMINATE_BLOOM,
+    ),
     # rotated out in round 5 (twice-verified greens; see notes above)
     "dedup_exact": (dedup.q_dedup_exact, dedup.SQL_DEDUP_EXACT),
     "dedup_simhash": (dedup.q_dedup_simhash, dedup.SQL_DEDUP_SIMHASH),

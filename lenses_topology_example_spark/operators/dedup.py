@@ -1431,3 +1431,140 @@ SQL_DEDUP_INCREMENTAL = f"""
     FROM par i
     WHERE i.p = 1
 """
+
+
+# --- Bloom-filter decontamination (fixed-size broadcast membership) ----------------
+
+# 2^16 bits packed into 1024 int64 words = an 8 KB broadcast constant
+# regardless of eval-suite size; k=4 double-hashed probes
+# (Kirsch-Mitzenmauer: pos_i = (h1 + i*h2) mod m) from the SAME
+# md5-derived int64 the portable-hash tier uses, so the whole filter is
+# bit-identical in DuckDB.
+BLOOM_BITS = 1 << 16
+BLOOM_WORDS = BLOOM_BITS // 64
+BLOOM_K = 4
+
+
+def _bloom_positions_exprs(h_sql: str) -> list[str]:
+    """SQL fragments for the k probe positions of a shingle whose
+    md5-derived int64 is `h_sql` — shared verbatim by the Spark
+    expressions and the DuckDB oracle (modulo engine function names)."""
+    h1 = f"({h_sql}) % {BLOOM_BITS}"
+    h2 = f"((({h_sql}) div {BLOOM_BITS}) % {BLOOM_BITS}) | 1"
+    return [f"(({h1}) + {i} * ({h2})) % {BLOOM_BITS}" for i in range(BLOOM_K)]
+
+
+def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination through an explicit Bloom filter: flag every
+    training document with at least one shingle whose k probe bits are
+    ALL set in a bitmap built from the eval slice's shingles.
+
+    Why it exists next to q_decontaminate: the exact pass broadcasts the
+    eval shingle SET (a hash relation proportional to the benchmark
+    suite); this one broadcasts a FIXED 8 KB bitmap however large the
+    suite grows — the membership structure a 100 TB run ships to every
+    task when the eval suite stops being small. One-sided error by
+    construction: no false negatives (every truly shared shingle probes
+    only set bits), so flagged_exact ⊆ flagged_bloom — pinned by
+    tests/test_round6_ops.py; false positives are the documented price
+    and the reason the exact pass remains the oracle-grade screen.
+
+    Plan shape: the eval-side build aggregates probe bits into ≤1024
+    (word, bits) rows and densifies them into ONE array row; the corpus
+    side crossJoins that 1-row broadcast (the repo's deliberate 1-row
+    broadcast pattern, cf. streaming set-membership) and evaluates all
+    k probes as pure row expressions — zero corpus-scale shuffle
+    besides the final per-doc aggregate. Everything is md5-derived
+    int64 arithmetic, so the DuckDB oracle reproduces the exact same
+    bitmap and flags (bit-set membership ≡ probe-position membership)."""
+    sh = _doc_shingles(spark, sf_dir)
+    h_sql = "conv(substring(md5(shingle), 1, 15), 16, 10)"
+    pos = _bloom_positions_exprs(f"cast({h_sql} as bigint)")
+
+    ev_bits = (
+        sh.filter(F.col("source") == EVAL_SOURCE)
+        .select("shingle")
+        .distinct()
+        .select(
+            F.explode(
+                F.array(*[F.expr(f"cast(({p}) as long)") for p in pos])
+            ).alias("p")
+        )
+        .select(
+            (F.col("p") / 64).cast("long").alias("w"),
+            F.expr("shiftleft(cast(1 as bigint), cast(p % 64 as int))").alias(
+                "m"
+            ),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(m)").alias("bits"))
+    )
+    bitmap = ev_bits.groupBy().agg(
+        F.map_from_arrays(
+            F.collect_list("w"), F.collect_list("bits")
+        ).alias("wm")
+    ).select(
+        F.expr(
+            f"transform(sequence(0, {BLOOM_WORDS - 1}), "
+            "j -> coalesce(wm[cast(j as bigint)], cast(0 as bigint)))"
+        ).alias("bm")
+    )
+
+    probes = " AND ".join(
+        f"(element_at(bm, cast(({p}) div 64 as int) + 1) & "
+        f"shiftleft(cast(1 as bigint), cast(({p}) % 64 as int))) != 0"
+        for p in pos
+    )
+    corpus = sh.filter(F.col("source") != EVAL_SOURCE)
+    return (
+        corpus.crossJoin(F.broadcast(bitmap))
+        .select(
+            "doc_id",
+            F.expr(f"({probes})").alias("hit"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.col("hit").cast("long")).alias("n_flagged"),
+        )
+        .filter(F.col("n_flagged") > 0)
+        .select(
+            "doc_id",
+            "n_flagged",
+            F.try_divide(F.col("n_flagged"), F.col("n_shingles")).alias(
+                "flagged_frac"
+            ),
+        )
+    )
+
+
+_BLOOM_H = "(('0x' || substr(md5(shingle), 1, 15))::BIGINT)"
+_BLOOM_POS = [
+    p.replace(" div ", " // ") for p in _bloom_positions_exprs(_BLOOM_H)
+]
+
+SQL_DECONTAMINATE_BLOOM = f"""
+    WITH tok AS (
+        SELECT doc_id, source, {SQL_TOKS} AS t FROM documents
+    ), sh AS (
+        SELECT doc_id, source, list_distinct({SQL_SHINGLES}) AS shl FROM tok
+    ), e AS (
+        SELECT doc_id, source, unnest(shl) AS shingle FROM sh
+    ), ev_bits AS (
+        SELECT DISTINCT p FROM (
+            SELECT unnest([{", ".join(_BLOOM_POS)}]) AS p
+            FROM (SELECT DISTINCT shingle FROM e WHERE source = '{EVAL_SOURCE}')
+        )
+    ), corpus AS (
+        SELECT doc_id, shingle,
+               {" AND ".join(f"(({p}) IN (SELECT p FROM ev_bits))" for p in _BLOOM_POS)}
+                 AS hit
+        FROM e WHERE source <> '{EVAL_SOURCE}'
+    ), per AS (
+        SELECT doc_id, COUNT(*) AS n_shingles,
+               CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+        FROM corpus GROUP BY doc_id
+    )
+    SELECT doc_id, n_flagged, n_flagged / n_shingles AS flagged_frac
+    FROM per WHERE n_flagged > 0
+"""

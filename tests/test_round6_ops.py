@@ -120,3 +120,27 @@ def test_corpus_rebalance_rates(spark, sf_dir):
             assert r["sampled_tokens"] == pytest.approx(target, rel=1e-9)
     # down-sample-only rebalance never exceeds the uniform budget
     assert sum(r["sampled_tokens"] for r in rows) <= total + 1e-6
+
+
+def test_bloom_decontaminate_no_false_negatives(spark, sf_dir):
+    """Bloom membership has one-sided error: every doc the exact pass
+    flags must be flagged by the bloom pass with n_flagged >= n_shared
+    (a truly shared shingle probes only set bits). The reverse need not
+    hold (false positives are the documented price)."""
+    from lenses_topology_example_spark.operators.dedup import (
+        q_decontaminate,
+        q_decontaminate_bloom,
+    )
+
+    exact = {
+        r["doc_id"]: r["n_shared"]
+        for r in q_decontaminate(spark, sf_dir).collect()
+    }
+    bloom = {
+        r["doc_id"]: r["n_flagged"]
+        for r in q_decontaminate_bloom(spark, sf_dir).collect()
+    }
+    assert exact, "exact pass found nothing — fixture drift?"
+    for doc, n_shared in exact.items():
+        assert doc in bloom, f"bloom missed exact-flagged doc {doc}"
+        assert bloom[doc] >= n_shared
