@@ -193,6 +193,13 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
         dedup.q_decontaminate_bloom,
         dedup.SQL_DECONTAMINATE_BLOOM,
     ),
+    # round-6: reverse decontamination (per eval doc leak fraction) and
+    # the packing-planner's token-length histogram
+    "eval_leak_report": (
+        dedup.q_eval_leak_report,
+        dedup.SQL_EVAL_LEAK_REPORT,
+    ),
+    "length_histogram": (text.q_length_histogram, text.SQL_LENGTH_HISTOGRAM),
     # rotated out in round 5 (twice-verified greens; see notes above)
     "dedup_exact": (dedup.q_dedup_exact, dedup.SQL_DEDUP_EXACT),
     "dedup_simhash": (dedup.q_dedup_simhash, dedup.SQL_DEDUP_SIMHASH),

@@ -1568,3 +1568,64 @@ SQL_DECONTAMINATE_BLOOM = f"""
     SELECT doc_id, n_flagged, n_flagged / n_shingles AS flagged_frac
     FROM per WHERE n_flagged > 0
 """
+
+
+def q_eval_leak_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination's REVERSE direction: per eval-slice document, how
+    many of its distinct shingles appear anywhere in the training corpus
+    — the per-benchmark-item leak report an eval owner reads (a 95%-
+    leaked eval doc invalidates that item even if each training doc only
+    contains a sliver). Same shared inverted-index memo as
+    q_decontaminate, sides swapped: the DISTINCT corpus shingle set is
+    the big side here, so membership runs as a left join keyed on the
+    shingle (corpus-side distinct collapses multiplicity BEFORE the
+    join — the eval side is small, the join output is |eval shingles|
+    rows, and the per-doc aggregate is eval-scale, not corpus-scale)."""
+    sh = _doc_shingles(spark, sf_dir)
+    corpus_sh = (
+        sh.filter(F.col("source") != EVAL_SOURCE)
+        .select("shingle")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    ev = sh.filter(F.col("source") == EVAL_SOURCE)
+    return (
+        ev.join(corpus_sh, "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias(
+                "n_leaked"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_leaked",
+            F.try_divide(F.col("n_leaked"), F.col("n_shingles")).alias(
+                "leak_frac"
+            ),
+        )
+    )
+
+
+SQL_EVAL_LEAK_REPORT = f"""
+    WITH tok AS (
+        SELECT doc_id, source, {SQL_TOKS} AS t FROM documents
+    ), sh AS (
+        SELECT doc_id, source, list_distinct({SQL_SHINGLES}) AS shl FROM tok
+    ), e AS (
+        SELECT doc_id, source, unnest(shl) AS shingle FROM sh
+    ), corpus_sh AS (
+        SELECT DISTINCT shingle FROM e WHERE source <> '{EVAL_SOURCE}'
+    )
+    SELECT e.doc_id,
+           COUNT(*) AS n_shingles,
+           CAST(SUM(CASE WHEN c.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_leaked,
+           SUM(CASE WHEN c.shingle IS NOT NULL THEN 1 ELSE 0 END)
+             / COUNT(*) AS leak_frac
+    FROM e LEFT JOIN corpus_sh c USING (shingle)
+    WHERE e.source = '{EVAL_SOURCE}'
+    GROUP BY e.doc_id
+"""

@@ -1589,3 +1589,44 @@ SQL_CORPUS_REBALANCE = f"""
                          / COUNT(*) OVER ()) / n_tokens) AS sampled_tokens
     FROM g
 """
+
+
+# --- sequence-length histogram (packing-efficiency planning) -----------------------
+
+LENGTH_BIN = 64  # tokens per histogram bin
+
+
+def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length distribution in fixed 64-token bins: the histogram a
+    packing job reads before choosing max_seq_len (the seq_packing
+    operator's input distribution — too many docs past the bin of the
+    chosen length means truncation loss; too many tiny docs means
+    padding loss without packing). Single scan, one agg keyed by the
+    bin; bin edges are exact integer floor-division so the oracle bins
+    identically."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.size(tokens_col(F.col("text"))).cast("long")
+    return (
+        docs.select(
+            (F.floor(n / F.lit(LENGTH_BIN)) * F.lit(LENGTH_BIN))
+            .cast("long")
+            .alias("bin_lo"),
+            n.alias("n"),
+        )
+        .groupBy("bin_lo")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n").alias("n_tokens"),
+        )
+    )
+
+
+SQL_LENGTH_HISTOGRAM = f"""
+    WITH t AS (
+        SELECT CAST(len({SQL_TOKS}) AS BIGINT) AS n FROM documents
+    )
+    SELECT CAST((n // {LENGTH_BIN}) * {LENGTH_BIN} AS BIGINT) AS bin_lo,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS n_tokens
+    FROM t GROUP BY 1
+"""
