@@ -354,6 +354,15 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # reference-parity flagships
     "wordcount", "payments_pipeline", "region_revenue", "gen_payments",
 )
+# Round-7 rotation plan (r5 verdict ask #6 — execute only AFTER this
+# window converts the 16 r5 env-err'd entries to real verdicts): resume
+# the ≥2-rounds-stale cadence; the rotated-out pool now also holds the
+# eight past-window round-6 additions (dedup_lines_near_capped,
+# dedup_incremental, shard_plan, corpus_rebalance, lateral_topn,
+# decontaminate_bloom, eval_leak_report, length_histogram) — none has a
+# driver verdict yet, so they are first in line for round-7 slots,
+# freed by this round's twice-verified greens.
+#
 # Load-bearing invariant: raise, don't assert — a bare assert is
 # stripped under `python -O`, silently disarming the guard (r3 ADVICE).
 if len(DRIVER_WINDOW) != DRIVER_WINDOW_SIZE:
