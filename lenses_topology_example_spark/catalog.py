@@ -200,6 +200,10 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
         dedup.SQL_EVAL_LEAK_REPORT,
     ),
     "length_histogram": (text.q_length_histogram, text.SQL_LENGTH_HISTOGRAM),
+    "pmi_collocations": (
+        text.q_pmi_collocations,
+        text.SQL_PMI_COLLOCATIONS,
+    ),
     # rotated out in round 5 (twice-verified greens; see notes above)
     "dedup_exact": (dedup.q_dedup_exact, dedup.SQL_DEDUP_EXACT),
     "dedup_simhash": (dedup.q_dedup_simhash, dedup.SQL_DEDUP_SIMHASH),
@@ -357,11 +361,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # Round-7 rotation plan (r5 verdict ask #6 — execute only AFTER this
 # window converts the 16 r5 env-err'd entries to real verdicts): resume
 # the ≥2-rounds-stale cadence; the rotated-out pool now also holds the
-# eight past-window round-6 additions (dedup_lines_near_capped,
+# nine past-window round-6 additions (dedup_lines_near_capped,
 # dedup_incremental, shard_plan, corpus_rebalance, lateral_topn,
-# decontaminate_bloom, eval_leak_report, length_histogram) — none has a
-# driver verdict yet, so they are first in line for round-7 slots,
-# freed by this round's twice-verified greens.
+# decontaminate_bloom, eval_leak_report, length_histogram,
+# pmi_collocations) — none has a driver verdict yet, so they are first
+# in line for round-7 slots, freed by this round's twice-verified
+# greens.
 #
 # Load-bearing invariant: raise, don't assert — a bare assert is
 # stripped under `python -O`, silently disarming the guard (r3 ADVICE).

@@ -1630,3 +1630,117 @@ SQL_LENGTH_HISTOGRAM = f"""
            CAST(SUM(n) AS BIGINT) AS n_tokens
     FROM t GROUP BY 1
 """
+
+
+# --- PMI collocations (statistically-bound word pairs) -----------------------------
+
+PMI_MIN_COUNT = 5  # bigrams below this are PMI noise (classic cutoff)
+PMI_TOP_K = 50
+
+
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top collocations by pointwise mutual information: bigrams whose
+    observed frequency most exceeds the independence expectation —
+    surfacing multi-word units ("new york") that raw bigram counts bury
+    under stopword pairs. PMI = ln(p(ab) / (p(a)p(b))) with p(ab) over
+    the bigram space and p(a), p(b) over the token space.
+
+    Determinism: counts are exact ints; the PMI argument is computed as
+    one fixed expression tree of double multiplies/divides (identical
+    text both engines → identical IEEE result) and the ln round-trips
+    through DECIMAL(38,6) exactly like lm_score's logs, absorbing libm
+    last-ulp differences.
+
+    Scale shape: one corpus scan feeds the bigram agg; the unigram agg
+    re-derives from the same scan branch (two aggs, both shuffling
+    |vocab|-bounded keys); the two unigram lookups are broadcast joins
+    against the PMI_MIN_COUNT-filtered bigram head, and the final top-k
+    is TakeOrderedAndProject. Scalar totals ride 1-row broadcast
+    cross joins (the repo's deliberate 1-row pattern)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    grams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + F.lit(1))
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    bi = (
+        docs.select(F.explode(grams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= F.lit(PMI_MIN_COUNT))
+    )
+    uni = (
+        docs.select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_tok = uni.agg(F.sum("c").alias("n_t"))
+    n_bi = docs.select(
+        F.greatest(F.size(toks) - 1, F.lit(0)).cast("long").alias("nb")
+    ).agg(F.sum("nb").alias("n_b"))
+
+    a_side = uni.select(F.col("tok").alias("tok_a"), F.col("c").alias("c_a"))
+    b_side = uni.select(F.col("tok").alias("tok_b"), F.col("c").alias("c_b"))
+    joined = (
+        bi.withColumn("tok_a", F.expr("split_part(bigram, ' ', 1)"))
+        .withColumn("tok_b", F.expr("split_part(bigram, ' ', 2)"))
+        .join(F.broadcast(a_side), "tok_a")
+        .join(F.broadcast(b_side), "tok_b")
+        .crossJoin(F.broadcast(n_tok))
+        .crossJoin(F.broadcast(n_bi))
+    )
+    pmi_arg = F.expr(
+        "(cast(c_ab as double) * cast(n_t as double) * cast(n_t as double))"
+        " / (cast(n_b as double) * cast(c_a as double) * cast(c_b as double))"
+    )
+    return (
+        joined.select(
+            "bigram",
+            "c_ab",
+            F.log(pmi_arg).cast("decimal(38,6)").cast("double").alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), F.col("bigram"))
+        .limit(PMI_TOP_K)
+    )
+
+
+SQL_PMI_COLLOCATIONS = f"""
+    WITH t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+    bi AS (
+        SELECT bigram, COUNT(*) AS c_ab
+        FROM (
+            SELECT unnest(CASE WHEN len(toks) >= 2 THEN
+                       list_transform(generate_series(1, len(toks) - 1),
+                                      i -> toks[i] || ' ' || toks[i+1])
+                   ELSE []::VARCHAR[] END) AS bigram
+            FROM t
+        )
+        GROUP BY bigram HAVING COUNT(*) >= {PMI_MIN_COUNT}
+    ), uni AS (
+        SELECT tok, COUNT(*) AS c
+        FROM (SELECT unnest(toks) AS tok FROM t)
+        GROUP BY tok
+    ), nt AS (SELECT CAST(SUM(c) AS BIGINT) AS n_t FROM uni),
+    nb AS (
+        SELECT CAST(SUM(CASE WHEN len(toks) >= 2
+                             THEN len(toks) - 1 ELSE 0 END) AS BIGINT) AS n_b
+        FROM t
+    )
+    SELECT bigram, c_ab,
+           CAST(CAST(ln(
+               (CAST(c_ab AS DOUBLE) * CAST(n_t AS DOUBLE) * CAST(n_t AS DOUBLE))
+               / (CAST(n_b AS DOUBLE) * CAST(a.c AS DOUBLE) * CAST(b.c AS DOUBLE))
+           ) AS DECIMAL(38,6)) AS DOUBLE) AS pmi
+    FROM bi
+    JOIN uni a ON a.tok = split_part(bigram, ' ', 1)
+    JOIN uni b ON b.tok = split_part(bigram, ' ', 2)
+    CROSS JOIN nt CROSS JOIN nb
+    ORDER BY pmi DESC, bigram
+    LIMIT {PMI_TOP_K}
+"""
