@@ -99,6 +99,14 @@ HEADLINE = (
     "dedup_incremental",
     "shard_plan",
     "corpus_rebalance",
+    # round-7 additions (r6 verdict ask #5 — first perf anchors for the
+    # four round-6 ops that had none): fixed-bitmap Bloom screen,
+    # reverse decontamination report, packing histogram, and PMI
+    # collocation ranking (two vocab-bounded aggs + unigram joins).
+    "decontaminate_bloom",
+    "eval_leak_report",
+    "length_histogram",
+    "pmi_collocations",
 )
 
 

@@ -33,19 +33,28 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # ORDER MATTERS: the round driver evaluates only the FIRST 50 entries for
 # its CORRECTNESS report (round-1 finding — the whole training-data tier
 # sat past position 50 and got no external verdict). Registration
-# therefore leads with the tiers that have never been driver-checked
-# (dedup → similarity → text → event-time windows → multimodal →
-# sketches → sink), then the round-1 fix (map_fns), then ten flagship
-# reference-parity queries. The remaining round-1-green breadth queries
-# follow; they keep full pytest oracle-parity coverage regardless of
-# driver position (tests/test_oracle_parity.py runs all of them).
+# therefore leads with the tiers that have never been driver-checked,
+# then once-verified entries due a re-check, then the flagship
+# reference-parity queries. The rotated-out breadth queries follow; they
+# keep full pytest oracle-parity coverage regardless of driver position
+# (tests/test_oracle_parity.py runs all of them).
+#
+# ROUND-7 WINDOW DIFF (r6 verdict ask #1 — executes the rotation plan
+# written in round 6):
+#   IN  (9, zero driver verdicts, all round-6 additions):
+#     dedup_lines_near_capped, dedup_incremental, decontaminate_bloom,
+#     eval_leak_report, shard_plan, corpus_rebalance, length_histogram,
+#     pmi_collocations, lateral_topn
+#   OUT (9, each with >=2 green verdicts, most recent r6):
+#     dedup_lines (r4+r6), sim_topk (r4+r6), tumbling_count (r3+r6),
+#     session_count (r3+r6), asof_rate (r3+r6), scan_events (r3+r6),
+#     json_decode (r3+r6), count_by_currency (r3+r6),
+#     topk_spenders (r3+r6)
+#   HOLD: salted_join_events (r6 verdict ask #2 — in-window until its
+#     first green; its r6 hash-red did not reproduce locally and the
+#     decimal discipline is now hardened, see operators/skew.py).
 _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     # --- training-data extensions (SURVEY.md §2.6): dedup ---
-    # Round-5 rotation: the five twice-verified r3+r4 greens
-    # (dedup_exact, dedup_simhash, dedup_near_jaccard, dedup_cluster,
-    # decontaminate) rotate out; the sub-document tier leads — exact
-    # line dedup (r4, one verdict) + the two round-5 additions that
-    # share its memoized segment table.
     "dedup_near_capped": (dedup.q_dedup_near_capped, dedup.SQL_DEDUP_NEAR_CAPPED),
     # directly after the capped pass: shares its memoized df-capped index
     "dedup_containment": (
@@ -53,44 +62,53 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
         dedup.SQL_DEDUP_CONTAINMENT,
     ),
     "dedup_minhash": (dedup.q_dedup_minhash, dedup.SQL_DEDUP_MINHASH),
-    "dedup_lines": (dedup.q_dedup_lines, dedup.SQL_DEDUP_LINES),
-    # round-5 additions: fuzzy segment near-dup (delete-one blocking
+    # sub-document tier: fuzzy segment near-dup (delete-one blocking
     # proven complete vs the naive quadratic oracle) + reconstruction
     "dedup_lines_near": (dedup.q_dedup_lines_near, dedup.SQL_DEDUP_LINES_NEAR),
     "dedup_lines_rebuild": (
         dedup.q_dedup_lines_rebuild,
         dedup.SQL_DEDUP_LINES_REBUILD,
     ),
-    # --- similarity search (knn/lsh/ivf twice-verified, rotate out) ---
-    "sim_topk": (similarity.q_sim_topk, similarity.SQL_SIM_TOPK),
+    # round-6 additions, first drive (r6 verdict ask #1): production
+    # df-cap for the segment near-dup's hot block keys; continuous-
+    # ingestion classification; fixed-size Bloom membership screen;
+    # reverse decontamination report
+    "dedup_lines_near_capped": (
+        dedup.q_dedup_lines_near_capped,
+        dedup.SQL_DEDUP_LINES_NEAR_CAPPED,
+    ),
+    "dedup_incremental": (
+        dedup.q_dedup_incremental,
+        dedup.SQL_DEDUP_INCREMENTAL,
+    ),
+    "decontaminate_bloom": (
+        dedup.q_decontaminate_bloom,
+        dedup.SQL_DECONTAMINATE_BLOOM,
+    ),
+    "eval_leak_report": (
+        dedup.q_eval_leak_report,
+        dedup.SQL_EVAL_LEAK_REPORT,
+    ),
+    # --- similarity search ---
     # wrapper pins the catalog-only verification threshold (0.3); the
     # production default of q_embed_neardup stays 0.999 (r3 ADVICE)
     "embed_neardup": (
         similarity.q_embed_neardup_catalog,
         similarity.SQL_EMBED_NEARDUP,
     ),
-    # SemDeDup keeper selection (r4, one verdict — keep for a second)
     "embed_dedup_cluster": (
         similarity.q_embed_dedup_cluster,
         similarity.SQL_EMBED_DEDUP_CLUSTER,
     ),
-    # --- text analysis: the r4 once-verified entries stay for second
-    # verdicts; topk_words/bigram_counts/bpe_token_count/pattern_counts
-    # (twice-verified) rotate out; token_count/lang_id rotate BACK IN
-    # (r2 verdicts only — the oldest in the catalog); the three
-    # round-4 past-window text ops get their first drive ---
+    # --- text analysis ---
     "curation_pipeline": (text.q_curation_pipeline, text.SQL_CURATION_PIPELINE),
     "repetition_stats": (text.q_repetition_stats, text.SQL_REPETITION_STATS),
     "corpus_mix": (text.q_corpus_mix, text.SQL_CORPUS_MIX),
     "curation_funnel": (text.q_curation_funnel, text.SQL_CURATION_FUNNEL),
-    # round-5 final-commit orphan, now registered (r5 verdict ask #4):
-    # multi-threshold calibration sweep — single scan, one conditional
-    # sum per candidate bar, stack() unpivot
     "funnel_sweep": (text.q_funnel_sweep, text.SQL_FUNNEL_SWEEP),
     "pii_scrub": (text.q_pii_scrub, text.SQL_PII_SCRUB),
     "lm_score": (text.q_lm_score, text.SQL_LM_SCORE),
     "token_entropy": (text.q_token_entropy, text.SQL_TOKEN_ENTROPY),
-    # round-4 past-window additions — first driver verdicts (r5 ask #1)
     "bigram_lm_score": (text.q_bigram_lm_score, text.SQL_BIGRAM_LM_SCORE),
     "corpus_report": (text.q_corpus_report, text.SQL_CORPUS_REPORT),
     "word_variants": (text.q_word_variants, text.SQL_WORD_VARIANTS),
@@ -98,22 +116,23 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "doc_fingerprint": (text.q_doc_fingerprint, text.SQL_DOC_FINGERPRINT),
     "text_stats": (text.q_text_stats, text.SQL_TEXT_STATS),
     "lang_id": (text.q_lang_id, text.SQL_LANG_ID),
-    # --- event-time windows (sessionize_lag twice-verified after r4,
-    # rotates out; three r3-verified windows rotate back in) ---
-    "tumbling_count": (windows.q_tumbling_count, windows.SQL_TUMBLING_COUNT),
-    "session_count": (windows.q_session_count, windows.SQL_SESSION_COUNT),
-    "asof_rate": (windows.q_asof_rate, windows.SQL_ASOF_RATE),
-    # --- payments/relational returns (r3 verdicts, due re-check) ---
-    "scan_events": (payments.q_scan_events, payments.SQL_SCAN_EVENTS),
-    "json_decode": (payments.q_json_decode, payments.SQL_JSON_DECODE),
-    "count_by_currency": (
-        payments.q_count_by_currency,
-        payments.SQL_COUNT_BY_CURRENCY,
+    # round-6 additions, first drive: write-side shard balance,
+    # target-mix rates, packing-planner histogram, PMI collocations
+    "shard_plan": (text.q_shard_plan, text.SQL_SHARD_PLAN),
+    "corpus_rebalance": (
+        text.q_corpus_rebalance,
+        text.SQL_CORPUS_REBALANCE,
     ),
-    "topk_spenders": (relational.q_topk_spenders, relational.SQL_TOPK_SPENDERS),
-    # round-4 past-window additions — first driver verdicts (r5 ask #1):
-    # salt exactness vs the plain-join oracle; CMS vs the exact counts
-    # (top-N now TakeOrderedAndProject — r5 ask #2)
+    "length_histogram": (text.q_length_histogram, text.SQL_LENGTH_HISTOGRAM),
+    "pmi_collocations": (
+        text.q_pmi_collocations,
+        text.SQL_PMI_COLLOCATIONS,
+    ),
+    # round-6: LATERAL correlated-subquery surface (per-group top-N —
+    # the reference's keyed-processing idiom, kstreams/App.java:108)
+    "lateral_topn": (relational2.q_lateral_topn, relational2.SQL_LATERAL_TOPN),
+    # HOLD for first green (r6 verdict ask #2): salt exactness vs the
+    # plain-join oracle; CMS vs the exact counts
     "salted_join_events": (skew.q_salted_join_events, skew.SQL_SALTED_JOIN_EVENTS),
     "cms_token_freq": (sketches.q_cms_token_freq, sketches.SQL_CMS_TOKEN_FREQ),
     # --- engine-specific sketches (rows-only; accuracy contract in
@@ -151,10 +170,6 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
         sketches.SQL_STRATIFIED_SAMPLE,
     ),
     # --- flagship reference-parity queries (SURVEY.md §2.1-2.4) ---
-    # Round-5 rotation: fx_join/agg_revenue/big_orders (twice-verified
-    # r4) rotate out; wordcount stays as the reference flagship,
-    # payments_pipeline/region_revenue/gen_payments keep their slots
-    # (re-verified r4, cheap, and they anchor the flagship tier).
     "wordcount": (wordcount.q_wordcount, wordcount.SQL_WORDCOUNT),
     "payments_pipeline": (
         payments.q_payments_pipeline,
@@ -163,48 +178,22 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "region_revenue": (relational.q_region_revenue, relational.SQL_REGION_REVENUE),
     "gen_payments": (generator.q_gen_payments, generator.SQL_GEN_PAYMENTS),
     # ==================== end of the driver's 50-entry window =========
-    # rotated out in round 6 (r2+r5 verified; slot freed for the
-    # newly-registered funnel_sweep — the 16 round-5 env-err'd entries
-    # all HOLD their slots per the r5 verdict ask #5)
+    # rotated out in round 7 (each >=2 green verdicts; see window diff)
+    "dedup_lines": (dedup.q_dedup_lines, dedup.SQL_DEDUP_LINES),
+    "sim_topk": (similarity.q_sim_topk, similarity.SQL_SIM_TOPK),
+    "tumbling_count": (windows.q_tumbling_count, windows.SQL_TUMBLING_COUNT),
+    "session_count": (windows.q_session_count, windows.SQL_SESSION_COUNT),
+    "asof_rate": (windows.q_asof_rate, windows.SQL_ASOF_RATE),
+    "scan_events": (payments.q_scan_events, payments.SQL_SCAN_EVENTS),
+    "json_decode": (payments.q_json_decode, payments.SQL_JSON_DECODE),
+    "count_by_currency": (
+        payments.q_count_by_currency,
+        payments.SQL_COUNT_BY_CURRENCY,
+    ),
+    "topk_spenders": (relational.q_topk_spenders, relational.SQL_TOPK_SPENDERS),
+    # rotated out in round 6
     "token_count": (text.q_token_count, text.SQL_TOKEN_COUNT),
-    # round-6 addition (r5 verdict ask #8): production df-cap for the
-    # segment near-dup's hot block keys; oracle mirrors the blocking+cap
-    "dedup_lines_near_capped": (
-        dedup.q_dedup_lines_near_capped,
-        dedup.SQL_DEDUP_LINES_NEAR_CAPPED,
-    ),
-    # round-6 additions: continuous-ingestion classification (new batch
-    # vs existing corpus), write-side shard balance, target-mix rates
-    "dedup_incremental": (
-        dedup.q_dedup_incremental,
-        dedup.SQL_DEDUP_INCREMENTAL,
-    ),
-    "shard_plan": (text.q_shard_plan, text.SQL_SHARD_PLAN),
-    "corpus_rebalance": (
-        text.q_corpus_rebalance,
-        text.SQL_CORPUS_REBALANCE,
-    ),
-    # round-6: LATERAL correlated-subquery surface (per-group top-N)
-    "lateral_topn": (relational2.q_lateral_topn, relational2.SQL_LATERAL_TOPN),
-    # round-6: fixed-size Bloom membership screen (8 KB bitmap broadcast
-    # however large the eval suite grows; md5-derived bit math mirrored
-    # exactly in the oracle — no false negatives vs exact decontaminate)
-    "decontaminate_bloom": (
-        dedup.q_decontaminate_bloom,
-        dedup.SQL_DECONTAMINATE_BLOOM,
-    ),
-    # round-6: reverse decontamination (per eval doc leak fraction) and
-    # the packing-planner's token-length histogram
-    "eval_leak_report": (
-        dedup.q_eval_leak_report,
-        dedup.SQL_EVAL_LEAK_REPORT,
-    ),
-    "length_histogram": (text.q_length_histogram, text.SQL_LENGTH_HISTOGRAM),
-    "pmi_collocations": (
-        text.q_pmi_collocations,
-        text.SQL_PMI_COLLOCATIONS,
-    ),
-    # rotated out in round 5 (twice-verified greens; see notes above)
+    # rotated out in round 5 (twice-verified greens)
     "dedup_exact": (dedup.q_dedup_exact, dedup.SQL_DEDUP_EXACT),
     "dedup_simhash": (dedup.q_dedup_simhash, dedup.SQL_DEDUP_SIMHASH),
     "dedup_near_jaccard": (
@@ -325,28 +314,26 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
 # tuple is edited deliberately alongside any registration-order change.
 DRIVER_WINDOW_SIZE = 50
 DRIVER_WINDOW: tuple[str, ...] = (
-    # dedup tier: sub-document grain leads (dedup_lines' second
-    # verdict + the two round-5 additions sharing its segment table)
+    # dedup tier: the once-verified r6 greens due 2nd verdicts + the
+    # four never-driven round-6 additions (first drive)
     "dedup_near_capped", "dedup_containment", "dedup_minhash",
-    "dedup_lines", "dedup_lines_near", "dedup_lines_rebuild",
-    # similarity: once-verified r4 entries keep slots for 2nd verdicts
-    "sim_topk", "embed_neardup", "embed_dedup_cluster",
-    # text analysis: r4 once-verified composites/screens + the three
-    # round-4 past-window ops (first drive) + token_count/lang_id back
-    # in (oldest verdicts, r2)
-    # round-6: funnel_sweep registered (r5 orphan); token_count
-    # (r2+r5 verified) rotates out to free the slot — all 16 r5
-    # env-err'd entries keep their slots (r5 verdict ask #5)
+    "dedup_lines_near", "dedup_lines_rebuild",
+    "dedup_lines_near_capped", "dedup_incremental",
+    "decontaminate_bloom", "eval_leak_report",
+    # similarity (once-verified r6 entries keep slots)
+    "embed_neardup", "embed_dedup_cluster",
+    # text analysis: the r6 once-verified screens/composites + the four
+    # never-driven round-6 additions (first drive)
     "curation_pipeline", "repetition_stats", "corpus_mix",
     "curation_funnel", "funnel_sweep", "pii_scrub", "lm_score",
     "token_entropy", "bigram_lm_score", "corpus_report",
     "word_variants", "quality_score", "doc_fingerprint", "text_stats",
     "lang_id",
-    # event-time windows: r3-verified trio rotates back in
-    "tumbling_count", "session_count", "asof_rate",
-    # payments/relational returns (r3 verdicts, due re-check)
-    "scan_events", "json_decode", "count_by_currency", "topk_spenders",
-    # round-4 past-window ops, first drive (skew salt + CMS sketch)
+    "shard_plan", "corpus_rebalance", "length_histogram",
+    "pmi_collocations",
+    # round-6 LATERAL surface, first drive
+    "lateral_topn",
+    # HOLD until first green (r6 ask #2) + CMS re-check
     "salted_join_events", "cms_token_freq",
     # sketches / UDAF / sampling / sink
     "approx_distinct_users", "approx_quantiles", "udaf_median",
@@ -358,15 +345,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # reference-parity flagships
     "wordcount", "payments_pipeline", "region_revenue", "gen_payments",
 )
-# Round-7 rotation plan (r5 verdict ask #6 — execute only AFTER this
-# window converts the 16 r5 env-err'd entries to real verdicts): resume
-# the ≥2-rounds-stale cadence; the rotated-out pool now also holds the
-# nine past-window round-6 additions (dedup_lines_near_capped,
-# dedup_incremental, shard_plan, corpus_rebalance, lateral_topn,
-# decontaminate_bloom, eval_leak_report, length_histogram,
-# pmi_collocations) — none has a driver verdict yet, so they are first
-# in line for round-7 slots, freed by this round's twice-verified
-# greens.
+# Round-8 rotation plan: once the nine round-6 additions and
+# salted_join_events hold green verdicts, resume the >=2-rounds-stale
+# cadence — the rotated-out pool's oldest verdicts (token_count r2+r5,
+# the r5-rotated dedup/similarity/text greens) cycle back in as this
+# round's first-driven entries rotate out. Any NEW round-7 operators
+# registered past the window go first in line for round-8 slots.
 #
 # Load-bearing invariant: raise, don't assert — a bare assert is
 # stripped under `python -O`, silently disarming the guard (r3 ADVICE).

@@ -1137,7 +1137,16 @@ def _seg_near_pairs(
         "ts",
         F.xxhash64(F.array_remove(F.col("ts"), F.col("x"))).alias("k"),
     )
-    keys = full.unionByName(dels)
+    # Memoized (r6 verdict ask #3): the full ∪ delete-one explode feeds
+    # THREE consumers in the capped path (the `rare` df-count aggregate
+    # and both sides of the a×b self-join) and two in the uncapped one;
+    # Spark has no cross-branch CSE, so without materialization the
+    # explode + array_remove + xxhash64 key build re-runs per consumer
+    # (driver + two clean-host runs all measured the capped form past
+    # its 10 s regression bar; the uncapped twin shares the fix).
+    keys = _memo_persist(
+        spark, sf_dir, "seg_block_keys", full.unionByName(dels)
+    )
     if max_key_df is not None:
         # df-cap: count once per key, keep rare keys via left_semi so
         # only the 8-byte key column crosses the aggregation shuffle

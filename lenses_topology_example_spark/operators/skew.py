@@ -85,7 +85,15 @@ def q_salted_join_events(spark, sf_dir: str) -> DataFrame:
     would be unnecessary — the entry exists to pin exactness of the
     fallback path used when BOTH sides are too big to broadcast and one
     key is hot (SCALING.md lever 2). n_salts x dim replication is the
-    documented cost."""
+    documented cost.
+
+    sum_value discipline (r6 verdict ask #2 — this query's only driver
+    red was a hash mismatch its values could not explain): the per-row
+    double goes through DECIMAL(38,6) so the SUM is accumulation-order
+    independent, then the SUMMED decimal round-trips to DOUBLE exactly
+    as q_lm_score does its logs, so the output column is a plain
+    float64 on both engines instead of the catalog's only
+    driver-visible Decimal-from-double object."""
     from ..tables import load_table
 
     events = load_table(spark, sf_dir, "events").select(
@@ -97,14 +105,14 @@ def q_salted_join_events(spark, sf_dir: str) -> DataFrame:
     joined = salted_join(events, cust, "k")
     return joined.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.sum(F.col("value").cast("decimal(38,6)")).alias("sum_value"),
+        F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("sum_value"),
     )
 
 
 SQL_SALTED_JOIN_EVENTS = """
     SELECT c.c_mktsegment,
            COUNT(*) AS n_events,
-           SUM(CAST(e.value AS DECIMAL(38,6))) AS sum_value
+           CAST(SUM(CAST(e.value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
     FROM events e JOIN customer c ON e.user_id = c.c_custkey
     GROUP BY c.c_mktsegment
 """

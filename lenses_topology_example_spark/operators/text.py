@@ -1653,9 +1653,12 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one corpus scan feeds the bigram agg; the unigram agg
     re-derives from the same scan branch (two aggs, both shuffling
-    |vocab|-bounded keys); the two unigram lookups are broadcast joins
-    against the PMI_MIN_COUNT-filtered bigram head, and the final top-k
-    is TakeOrderedAndProject. Scalar totals ride 1-row broadcast
+    |vocab|-bounded keys); the PMI_MIN_COUNT-filtered bigram head then
+    joins the unigram table twice WITHOUT a broadcast hint (r6 ADVICE:
+    a vocab-sized forced broadcast risks driver OOM at web scale — AQE
+    picks broadcast at test scale and a shuffle hash join when runtime
+    stats say the vocab is big), and the final top-k is
+    TakeOrderedAndProject. Scalar totals ride 1-row broadcast
     cross joins (the repo's deliberate 1-row pattern)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = tokens_col(F.col("text"))
@@ -1690,8 +1693,13 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = (
         bi.withColumn("tok_a", F.expr("split_part(bigram, ' ', 1)"))
         .withColumn("tok_b", F.expr("split_part(bigram, ' ', 2)"))
-        .join(F.broadcast(a_side), "tok_a")
-        .join(F.broadcast(b_side), "tok_b")
+        # no broadcast hint on the vocab-sized unigram sides (r6
+        # ADVICE): at web scale a forced vocab broadcast risks driver
+        # OOM; left to AQE, the min_count-filtered bigram head joins
+        # the vocab via whatever the runtime stats justify (broadcast
+        # at test scale, shuffle hash join at corpus scale)
+        .join(a_side, "tok_a")
+        .join(b_side, "tok_b")
         .crossJoin(F.broadcast(n_tok))
         .crossJoin(F.broadcast(n_bi))
     )

@@ -58,6 +58,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # AND downstream epoch math (`cast(ts as long)`, disallowed
             # on NTZ) keeps working. This matches the TimestampType the
             # nanos branch has always produced.
+            #
+            # The cast is only correct under UTC (r6 ADVICE): a direct
+            # caller on a non-UTC session would get silently shifted
+            # instants, so fail loudly instead of shifting event times.
+            # Not auto-fixed here — mutating the caller's session TZ
+            # from inside a table loader would shift every OTHER
+            # timestamp they read this session.
+            tz = spark.conf.get("spark.sql.session.timeZone")
+            if tz != "UTC":
+                raise RuntimeError(
+                    f"events.ts is TIMESTAMP_NTZ and the session timezone "
+                    f"is {tz!r}, not UTC — the NTZ→timestamp cast would "
+                    f"shift instants. Call conf.ensure_runtime_confs(spark) "
+                    f"(the catalog's _guarded wrapper does) before loading."
+                )
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         # plain timestamp: pass through unchanged.
         df = df.select(
