@@ -107,6 +107,15 @@ HEADLINE = (
     "eval_leak_report",
     "length_histogram",
     "pmi_collocations",
+    # round-7 additions: rule battery + hashed classifier (zero-shuffle
+    # single scans), deterministic split accounting, cross-doc n-gram
+    # span report, and the two corpus embedding statistics.
+    "gopher_rules",
+    "quality_classifier",
+    "dataset_split",
+    "dedup_ngram_spans",
+    "corpus_diversity",
+    "kmeans_assign",
 )
 
 

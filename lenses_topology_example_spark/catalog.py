@@ -12,8 +12,10 @@ from pyspark.sql import DataFrame, SparkSession
 from .conf import ensure_runtime_confs
 from .operators import (
     dedup,
+    embed_stats,
     multimodal,
     payments,
+    quality,
     relational,
     relational2,
     similarity,
@@ -178,6 +180,24 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "region_revenue": (relational.q_region_revenue, relational.SQL_REGION_REVENUE),
     "gen_payments": (generator.q_gen_payments, generator.SQL_GEN_PAYMENTS),
     # ==================== end of the driver's 50-entry window =========
+    # round-7 additions (no driver verdict yet — first in line for
+    # round-8 slots per the rotation plan below): rule/classifier/split
+    # curation, cross-doc n-gram span dedup, and corpus embedding stats
+    "gopher_rules": (quality.q_gopher_rules, quality.SQL_GOPHER_RULES),
+    "quality_classifier": (
+        quality.q_quality_classifier,
+        quality.SQL_QUALITY_CLASSIFIER,
+    ),
+    "dataset_split": (quality.q_dataset_split, quality.SQL_DATASET_SPLIT),
+    "dedup_ngram_spans": (
+        dedup.q_dedup_ngram_spans,
+        dedup.SQL_DEDUP_NGRAM_SPANS,
+    ),
+    "corpus_diversity": (
+        embed_stats.q_corpus_diversity,
+        embed_stats.SQL_CORPUS_DIVERSITY,
+    ),
+    "kmeans_assign": (embed_stats.q_kmeans_assign, embed_stats.SQL_KMEANS_ASSIGN),
     # rotated out in round 7 (each >=2 green verdicts; see window diff)
     "dedup_lines": (dedup.q_dedup_lines, dedup.SQL_DEDUP_LINES),
     "sim_topk": (similarity.q_sim_topk, similarity.SQL_SIM_TOPK),

@@ -28,6 +28,8 @@ from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from ..functions.texthash import (
     MOD,
+    SQL_MD5_HASH64,
+    md5_hash64,
     md5_hash_mod,
     minhash_component,
     sql_minhash_component,
@@ -1637,4 +1639,111 @@ SQL_EVAL_LEAK_REPORT = f"""
     FROM e LEFT JOIN corpus_sh c USING (shingle)
     WHERE e.source = '{EVAL_SOURCE}'
     GROUP BY e.doc_id
+"""
+
+
+# --- cross-document n-gram span dedup ----------------------------------------------
+
+# Span width for exact substring-grain dedup. The public result this
+# implements (Lee et al. 2022, "Deduplicating Training Data Makes
+# Language Models Better") uses 50-token spans over web corpora; the
+# synthetic corpus' docs are short, so 5 keeps every doc span-bearing at
+# every test SF while the plan is width-independent.
+NGRAM_SPAN_W = 5
+
+
+def q_dedup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-span report at n-gram grain: for every
+    sliding NGRAM_SPAN_W-token window, count how many of the doc's
+    spans also occur elsewhere in the corpus (any document, its own
+    included — total occurrence count >= 2). This is the exact
+    substring-dedup signal (suffix-array ExactSubstr dedup re-expressed
+    at fixed n-gram grain): dup_frac ~ 1 means the doc is assembled
+    from boilerplate the corpus already contains; a production pass
+    drops or trims the flagged spans.
+
+    Plan: the span table is (doc_id, h) where h = md5-derived int64 of
+    the joined window (functions/texthash.py discipline — identical in
+    DuckDB, so the oracle matches EXACTLY, collisions included; at
+    2^60 hash space a cross-span collision is the same
+    injectivity-in-practice bet the digest tier documents). Span
+    frequencies come from one groupBy(h); the dup flag joins spans to
+    frequencies on h — the same key as the aggregation, so AQE reuses
+    the exchange — and the per-doc rollup is keyed by doc_id. Raw text
+    reaches neither shuffle: 8-byte hashes and ids only. Token-less
+    docs (< W tokens) surface with zero counts via the left join from
+    the memoized token table.
+
+    100 TB note: span frequency is Zipf-headed like every corpus
+    artifact; the groupBy's partial aggregation bounds the map-side
+    and AQE skew handling splits the hot reducers. The W-token window
+    explode multiplies rows by ~L, not bytes by W (hashes, not text).
+    """
+    toks = _doc_tokens(spark, sf_dir).select("doc_id", "t")
+    n_spans = F.size(F.col("t")) - F.lit(NGRAM_SPAN_W - 1)
+    spans = toks.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                n_spans >= F.lit(1),
+                F.transform(
+                    F.sequence(F.lit(1), n_spans),
+                    lambda i: md5_hash64(
+                        F.concat_ws(
+                            " ", F.slice(F.col("t"), i, F.lit(NGRAM_SPAN_W))
+                        )
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<long>"))
+        ).alias("h"),
+    )
+    freq = spans.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = (
+        spans.join(freq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.sum((F.col("c") >= F.lit(2)).cast("long")).alias("n_dup"),
+        )
+    )
+    return (
+        toks.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_ngrams"), F.lit(0).cast("long")).alias(
+                "n_ngrams"
+            ),
+            F.coalesce(F.col("n_dup"), F.lit(0).cast("long")).alias("n_dup"),
+            F.try_divide(F.col("n_dup"), F.col("n_ngrams")).alias("dup_frac"),
+        )
+    )
+
+
+_SQL_SPAN_HASH = SQL_MD5_HASH64.format(
+    x=f"array_to_string(toks[i : i + {NGRAM_SPAN_W - 1}], ' ')"
+)
+
+SQL_DEDUP_NGRAM_SPANS = f"""
+    WITH t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+    g AS (
+        SELECT doc_id, {_SQL_SPAN_HASH} AS h
+        FROM t, unnest(generate_series(1,
+                 GREATEST(len(toks) - {NGRAM_SPAN_W - 1}, 0))) AS u(i)
+    ), freq AS (
+        SELECT h, COUNT(*) AS c FROM g GROUP BY h
+    ), per_doc AS (
+        SELECT g.doc_id,
+               COUNT(*) AS n_ngrams,
+               CAST(SUM(CASE WHEN freq.c >= 2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dup
+        FROM g JOIN freq USING (h)
+        GROUP BY g.doc_id
+    )
+    SELECT t.doc_id,
+           COALESCE(per_doc.n_ngrams, 0) AS n_ngrams,
+           COALESCE(per_doc.n_dup, 0) AS n_dup,
+           CASE WHEN per_doc.n_ngrams > 0
+                THEN per_doc.n_dup / per_doc.n_ngrams END AS dup_frac
+    FROM t LEFT JOIN per_doc USING (doc_id)
 """

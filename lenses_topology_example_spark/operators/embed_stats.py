@@ -1,0 +1,196 @@
+"""Corpus-level embedding statistics (training-data tier, SURVEY.md
+§2.6): diversity measurement and fixed-centroid clustering assignment.
+
+- `q_corpus_diversity`  mean pairwise cosine similarity across the WHOLE
+  corpus in ONE pass via the sum-vector identity: for unit-normalized
+  vectors û,  Σ_{i≠j} cos(i,j) = ||Σ û||² − N,  so
+  mean = (||Σ û||² − N) / (N(N−1)). The naive form is N² pairs (10¹⁸ at
+  10⁹ vectors); this is a per-dimension aggregation — the measure
+  SemDeDup-style curation tracks before/after pruning.
+- `q_kmeans_assign`     nearest-centroid assignment against K fixed
+  centroids (the K lowest vec_ids — deterministic, so the oracle
+  reproduces them). One broadcast join + per-vector top-1; the full
+  Lloyd iteration composes by re-deriving centroids from the assignment
+  and repeating (the dedup_cluster fixpoint pattern); a single exact
+  assignment pass is the oracle-checkable unit.
+
+Float discipline (the repo standard): all vector math is double after an
+explicit element cast, folds are sequential left-folds identical to the
+oracle's list_reduce (operators/similarity.py), cross-engine
+accumulation-order hazards (per-dim component sums, per-centroid cosine
+means) go through DECIMAL(38,6) per-row so the aggregation is exact and
+order-independent, and final scalars round-trip decimal like lm_score's
+logs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..tables import load_table
+from .similarity import as_double, cosine_prenorm, dot, sql_dot
+
+KMEANS_K = 4
+
+
+def q_corpus_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus report: vector count and exact mean pairwise
+    cosine via the sum-vector identity (docstring above).
+
+    Exactness across engines: each normalized component (one IEEE
+    divide per element, identical both sides) is rounded to
+    DECIMAL(38,6) BEFORE the per-dimension sum, so the only
+    order-sensitive aggregation is exact; the identity's remaining
+    math is a fixed scalar expression. The decimal rounding perturbs
+    the mean by O(1e-6/√N) — both engines perturb identically, which
+    is the property the driver hash needs.
+
+    Scale shape: normalize per-row (no shuffle), posexplode to
+    (dim, component) — the one corpus-scale exchange, keyed by dim and
+    collapsed by partial aggregation to |dims| rows per partition
+    before it — then |dims|-row scalar math. Zero-norm vectors are
+    excluded (they have no defined cosine to anything).
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    emb = emb.withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v")))).filter(
+        F.col("nrm") > F.lit(0.0)
+    )
+    comps = emb.select(
+        F.posexplode(
+            F.transform(F.col("v"), lambda x: x / F.col("nrm"))
+        ).alias("dim", "x")
+    ).select("dim", F.col("x").cast("decimal(38,6)").alias("xd"))
+    dim_sums = comps.groupBy("dim").agg(F.sum("xd").alias("s"))
+    sq = dim_sums.select(
+        (F.col("s").cast("double") * F.col("s").cast("double"))
+        .cast("decimal(38,6)")
+        .alias("s2")
+    )
+    total = sq.agg(F.sum("s2").cast("double").alias("ss"))
+    n = emb.agg(F.count(F.lit(1)).alias("n_vecs"))
+    # 1-row x 1-row cross join: the repo's deliberate scalar pattern
+    return n.crossJoin(F.broadcast(total)).select(
+        "n_vecs",
+        (
+            (F.col("ss") - F.col("n_vecs"))
+            / (F.col("n_vecs") * (F.col("n_vecs") - F.lit(1.0)))
+        )
+        .cast("decimal(38,6)")
+        .cast("double")
+        .alias("mean_pairwise_cos"),
+    )
+
+
+SQL_CORPUS_DIVERSITY = f"""
+    WITH e AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ), nn AS (
+        SELECT vec_id, v, sqrt({sql_dot('v', 'v')}) AS nrm FROM e
+    ), f AS (
+        SELECT vec_id, list_transform(v, x -> x / nrm) AS u
+        FROM nn WHERE nrm > 0
+    ), comps AS (
+        SELECT unnest(generate_series(1, len(u))) AS dim,
+               CAST(unnest(u) AS DECIMAL(38,6)) AS xd
+        FROM f
+    ), dim_sums AS (
+        SELECT dim, SUM(xd) AS s FROM comps GROUP BY dim
+    ), sq AS (
+        SELECT CAST(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                    AS DECIMAL(38,6)) AS s2
+        FROM dim_sums
+    ), total AS (SELECT CAST(SUM(s2) AS DOUBLE) AS ss FROM sq),
+    cnt AS (SELECT COUNT(*) AS n_vecs FROM f)
+    SELECT n_vecs,
+           CAST(CAST((ss - n_vecs) / (n_vecs * (n_vecs - 1.0))
+                AS DECIMAL(38,6)) AS DOUBLE) AS mean_pairwise_cos
+    FROM cnt CROSS JOIN total
+"""
+
+
+def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign every embedding to its nearest of KMEANS_K fixed
+    centroids (the K lowest vec_ids) by cosine; report per-centroid
+    membership count and mean cosine. Ties break to the lowest
+    centroid id — cosines are bit-identical across engines (same fold,
+    operators/similarity.py), so the argmax is too.
+
+    Scale shape: the K-row centroid frame broadcasts; scoring is K
+    prenorm folds per vector with no shuffle; the per-vector top-1
+    window is partitioned by vec_id and Catalyst's WindowGroupLimit
+    keeps one row per vector per partition ahead of the exchange; the
+    final aggregate is K-row bounded. The cosine mean goes through
+    per-row DECIMAL(38,6) so the sum is order-independent, then one
+    division (lm_score discipline)."""
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    emb = emb.withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v")))).filter(
+        F.col("nrm") > F.lit(0.0)
+    )
+    cent = emb.filter(F.col("vec_id") < F.lit(KMEANS_K)).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cnrm"),
+    )
+    scored = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "centroid_id",
+        cosine_prenorm(
+            F.col("v"), F.col("cv"), F.col("nrm"), F.col("cnrm")
+        ).alias("cos_sim"),
+    )
+    w = W.partitionBy("vec_id").orderBy(
+        F.col("cos_sim").desc(), F.col("centroid_id").asc()
+    )
+    best = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == F.lit(1))
+        .select(
+            "vec_id",
+            "centroid_id",
+            F.col("cos_sim").cast("decimal(38,6)").alias("cos_d"),
+        )
+    )
+    return best.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).alias("n_assigned"),
+        (F.sum("cos_d").cast("double") / F.count(F.lit(1))).alias("mean_cos"),
+    )
+
+
+SQL_KMEANS_ASSIGN = f"""
+    WITH e AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ), nn AS (
+        SELECT vec_id, v, sqrt({sql_dot('v', 'v')}) AS nrm
+        FROM e
+    ), f AS (SELECT * FROM nn WHERE nrm > 0),
+    c AS (
+        SELECT vec_id AS centroid_id, v AS cv, nrm AS cnrm
+        FROM f WHERE vec_id < {KMEANS_K}
+    ), p AS (
+        SELECT f.vec_id, c.centroid_id,
+               {sql_dot('f.v', 'c.cv')} / (f.nrm * c.cnrm) AS cos_sim
+        FROM f CROSS JOIN c
+    ), b AS (
+        SELECT vec_id, centroid_id,
+               CAST(cos_sim AS DECIMAL(38,6)) AS cos_d
+        FROM p
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY vec_id
+            ORDER BY cos_sim DESC, centroid_id ASC) = 1
+    )
+    SELECT centroid_id,
+           COUNT(*) AS n_assigned,
+           CAST(SUM(cos_d) AS DOUBLE) / COUNT(*) AS mean_cos
+    FROM b
+    GROUP BY centroid_id
+"""

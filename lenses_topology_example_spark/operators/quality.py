@@ -1,0 +1,294 @@
+"""Rule- and classifier-based corpus curation (training-data tier,
+SURVEY.md §2.6 extension surface).
+
+Three operators a production LLM-data pipeline runs corpus-wide:
+
+- `q_gopher_rules`      the classic repetition/shape rule battery
+                        (Gopher, Rae et al. 2021 — public paper): per-doc
+                        boolean gates on word count, mean word length,
+                        alphabetic-word fraction, stopword presence,
+                        symbol density and ellipsis-line density, plus
+                        the conjunction `keep`.
+- `q_quality_classifier` fasttext-shaped linear classifier over hashed
+                        bag-of-words features: bucket = md5-derived
+                        hash mod D, fixed deterministic weight per
+                        bucket, sigmoid of the mean weight. The dataflow
+                        (per-token hash → weight lookup → per-doc fold)
+                        is exactly a production classifier's; the
+                        weights here are a deterministic stand-in for a
+                        trained vector (which would arrive as a D-row
+                        broadcast table — same plan).
+- `q_dataset_split`     deterministic 80/10/10 train/valid/test
+                        assignment by md5 of the doc id (the repo's
+                        md5-threshold sampling discipline), reported as
+                        per-(split, source) doc and token counts.
+
+All three are single-scan, whole-stage-codegen expression pipelines —
+no joins, no Python, and (for gopher/classifier) no shuffle at all:
+the classifier folds token weights INSIDE the row via
+aggregate(transform(...)), so a 100 TB corpus never explodes to token
+grain. dataset_split's one shuffle is the final
+(split, source)-bounded aggregation.
+
+No reference counterpart (the reference is a Kafka wordcount demo,
+kstreams/App.java:96-112 tokenization reused via tokens_col); these are
+the curation stages the engine's training-data tier adds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from ..functions.texthash import SQL_MD5_HASH64, md5_hash64
+from ..tables import load_table
+from .dedup import SQL_TOKS
+from .text import _sql_stoplist, _STOPWORDS
+from .wordcount import tokens_col
+
+# --- Gopher-style rule battery -----------------------------------------------------
+
+# Public-paper bars (Gopher §A1.1): word count in [50, 100k], mean word
+# length in [3, 10], >=80% words alphabetic, >=2 distinct stopwords,
+# <=10% '#' symbol density, <=30% of lines ending in an ellipsis.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+
+
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Gopher rule flags and the conjunction keep-gate.
+
+    Every ratio test is evaluated as an exact integer cross-
+    multiplication (3n <= sum_len <= 10n instead of 3 <= sum_len/n <=
+    10), so the booleans carry zero float risk across engines; the one
+    float output, mean_word_len, is a single IEEE division of two exact
+    ints (identical both engines) and NULL for token-less docs.
+
+    Scale shape: one corpus scan, zero shuffles, zero joins — every
+    flag is a codegen'd expression over the row's own token array. The
+    stopword probe is an array_intersect against a 10-element literal
+    array, not a join."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    n = F.size(toks).cast("long")
+    sum_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).cast("long")
+    stop = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_stop = F.size(F.array_intersect(F.array_distinct(toks), stop)).cast("long")
+    n_chars = F.length(F.col("text")).cast("long")
+    n_hash = (n_chars - F.length(F.regexp_replace(F.col("text"), "#", ""))).cast(
+        "long"
+    )
+    lines = F.split(F.col("text"), "\n")
+    n_lines = F.size(lines).cast("long")
+    n_ell = F.size(F.filter(lines, lambda l: l.endswith("..."))).cast("long")
+
+    ok_word_count = (n >= F.lit(GOPHER_MIN_WORDS)) & (n <= F.lit(GOPHER_MAX_WORDS))
+    ok_mean_word_len = (F.lit(3) * n <= sum_len) & (sum_len <= F.lit(10) * n)
+    ok_alpha = F.lit(5) * n_alpha >= F.lit(4) * n
+    ok_stopwords = n_stop >= F.lit(2)
+    ok_symbol = F.lit(10) * n_hash <= n_chars
+    ok_ellipsis = F.lit(10) * n_ell <= F.lit(3) * n_lines
+    return docs.select(
+        "doc_id",
+        n.alias("n_words"),
+        F.try_divide(sum_len, n).alias("mean_word_len"),
+        ok_word_count.alias("ok_word_count"),
+        ok_mean_word_len.alias("ok_mean_word_len"),
+        ok_alpha.alias("ok_alpha"),
+        ok_stopwords.alias("ok_stopwords"),
+        ok_symbol.alias("ok_symbol"),
+        ok_ellipsis.alias("ok_ellipsis"),
+        (
+            ok_word_count
+            & ok_mean_word_len
+            & ok_alpha
+            & ok_stopwords
+            & ok_symbol
+            & ok_ellipsis
+        ).alias("keep"),
+    )
+
+
+SQL_GOPHER_RULES = f"""
+    WITH t AS (
+        SELECT doc_id, text, {SQL_TOKS} AS toks,
+               string_split(text, chr(10)) AS lns
+        FROM documents
+    ), m AS (
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n,
+               CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(toks, x -> CAST(length(x) AS BIGINT))),
+                    (acc, x) -> acc + x) AS BIGINT) AS sum_len,
+               CAST(len(list_filter(toks,
+                    x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha,
+               CAST(len(list_intersect(list_distinct(toks),
+                    {_sql_stoplist()})) AS BIGINT) AS n_stop,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(length(text) - length(replace(text, '#', ''))
+                    AS BIGINT) AS n_hash,
+               CAST(len(lns) AS BIGINT) AS n_lines,
+               CAST(len(list_filter(lns,
+                    l -> ends_with(l, '...'))) AS BIGINT) AS n_ell
+        FROM t
+    )
+    SELECT doc_id,
+           n AS n_words,
+           CASE WHEN n > 0 THEN sum_len / n END AS mean_word_len,
+           (n >= {GOPHER_MIN_WORDS} AND n <= {GOPHER_MAX_WORDS}) AS ok_word_count,
+           (3 * n <= sum_len AND sum_len <= 10 * n) AS ok_mean_word_len,
+           (5 * n_alpha >= 4 * n) AS ok_alpha,
+           (n_stop >= 2) AS ok_stopwords,
+           (10 * n_hash <= n_chars) AS ok_symbol,
+           (10 * n_ell <= 3 * n_lines) AS ok_ellipsis,
+           ((n >= {GOPHER_MIN_WORDS} AND n <= {GOPHER_MAX_WORDS})
+            AND (3 * n <= sum_len AND sum_len <= 10 * n)
+            AND (5 * n_alpha >= 4 * n)
+            AND (n_stop >= 2)
+            AND (10 * n_hash <= n_chars)
+            AND (10 * n_ell <= 3 * n_lines)) AS keep
+    FROM m
+"""
+
+
+# --- hashed linear quality classifier ----------------------------------------------
+
+CLF_BUCKETS = 1024
+# Knuth's multiplicative constant; bucket*MULT < 2^42, exact in int64.
+CLF_MULT = 2_654_435_761
+
+
+def _w_milli(tok: Column) -> Column:
+    """Deterministic per-token weight in milli-units, [-1000, 1000]:
+    bucket = md5-hash mod D, weight = (bucket * MULT) mod 2001 - 1000.
+    Integer end to end — per-doc sums are exact, order-independent."""
+    return ((md5_hash64(tok) % F.lit(CLF_BUCKETS)) * F.lit(CLF_MULT)) % F.lit(
+        2001
+    ) - F.lit(1000)
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fasttext-shaped linear text classifier: hashed bag-of-words,
+    score = sigmoid(mean token weight). The weight table is a
+    deterministic function of the bucket index so the DuckDB oracle
+    rebuilds it exactly; swapping in trained weights turns the
+    arithmetic into a D-row broadcast-join lookup with the same shape.
+
+    Determinism discipline: token weights are INTEGER milli-units, the
+    per-doc sum is an exact int fold INSIDE the row (zero shuffle, no
+    accumulation-order hazard), and the only float math is one fixed
+    expression (sum / (1000*n), then 1/(1+exp(-x))) whose exp
+    round-trips through DECIMAL(38,6) like lm_score's logs. The keep
+    label compares the exact INT sum to zero — sigmoid(x) >= 0.5 iff
+    x >= 0 — so the boolean cannot float-drift.
+
+    Scale shape: one corpus scan, zero shuffles — aggregate(transform)
+    folds per-row; a 100 TB corpus never hits token grain."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    n = F.size(toks).cast("long")
+    s_milli = F.aggregate(
+        F.transform(toks, _w_milli),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    x = F.try_divide(s_milli, F.lit(1000.0) * n)
+    score = (F.lit(1.0) / (F.lit(1.0) + F.exp(-x))).cast("decimal(38,6)").cast(
+        "double"
+    )
+    return docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        score.alias("score"),
+        ((n > F.lit(0)) & (s_milli >= F.lit(0))).alias("keep"),
+    )
+
+
+_SQL_W_MILLI = (
+    f"((({SQL_MD5_HASH64.format(x='x')} % {CLF_BUCKETS}) * {CLF_MULT})"
+    f" % 2001 - 1000)"
+)
+
+SQL_QUALITY_CLASSIFIER = f"""
+    WITH t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+    m AS (
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(toks, x -> CAST({_SQL_W_MILLI} AS BIGINT))),
+                   (acc, x) -> acc + x) AS s_milli
+        FROM t
+    )
+    SELECT doc_id,
+           n AS n_tokens,
+           CASE WHEN n > 0 THEN CAST(CAST(
+               1.0 / (1.0 + exp(-(s_milli / (1000.0 * n))))
+               AS DECIMAL(38,6)) AS DOUBLE) END AS score,
+           (n > 0 AND s_milli >= 0) AS keep
+    FROM m
+"""
+
+
+# --- deterministic train/valid/test split ------------------------------------------
+
+SPLIT_TRAIN_PCT = 80
+SPLIT_VALID_PCT = 10  # test gets the remainder
+
+
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 split by md5 of the doc id, reported as
+    per-(split, source) document and token counts. The hash is salted
+    ('split|') so assignment is independent of every other md5-keyed
+    operator (sampling, sharding) — re-running on a grown corpus keeps
+    every existing doc's split stable, the property that prevents
+    train/test leakage across dataset releases.
+
+    Scale shape: single scan; token counts fold per-row; the one
+    shuffle is the final aggregation, bounded by 3 x |sources| rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = md5_hash64(
+        F.concat(F.lit("split|"), F.col("doc_id").cast("string"))
+    ) % F.lit(100)
+    split = (
+        F.when(bucket < F.lit(SPLIT_TRAIN_PCT), F.lit("train"))
+        .when(bucket < F.lit(SPLIT_TRAIN_PCT + SPLIT_VALID_PCT), F.lit("valid"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.select(
+            split.alias("split"),
+            "source",
+            F.size(tokens_col(F.col("text"))).cast("long").alias("n_toks"),
+        )
+        .groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("n_tokens"),
+        )
+    )
+
+
+_SQL_SPLIT_BUCKET = SQL_MD5_HASH64.format(x="'split|' || CAST(doc_id AS VARCHAR)")
+
+SQL_DATASET_SPLIT = f"""
+    WITH t AS (
+        SELECT CASE
+                 WHEN {_SQL_SPLIT_BUCKET} % 100 < {SPLIT_TRAIN_PCT} THEN 'train'
+                 WHEN {_SQL_SPLIT_BUCKET} % 100
+                      < {SPLIT_TRAIN_PCT + SPLIT_VALID_PCT} THEN 'valid'
+                 ELSE 'test'
+               END AS split,
+               source,
+               CAST(len({SQL_TOKS}) AS BIGINT) AS n_toks
+        FROM documents
+    )
+    SELECT split, source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+    FROM t
+    GROUP BY split, source
+"""

@@ -1660,8 +1660,18 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats say the vocab is big), and the final top-k is
     TakeOrderedAndProject. Scalar totals ride 1-row broadcast
     cross joins (the repo's deliberate 1-row pattern)."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = tokens_col(F.col("text"))
+    # Build from the MEMOIZED token table, not inline tokens_col(text):
+    # the gram transform references the token array inside a lambda
+    # (F.size bound + element_at per gram), and LambdaFunction
+    # expressions are interpreted, outside codegen's subexpression
+    # elimination — with the tokenizer inlined, split+lower+filter
+    # re-ran per element access, O(L²) per doc (the round-5 blowup
+    # dedup.py documents; measured here: 8 s suite floor at sf0.1 vs
+    # ~1 s from the materialized table).
+    from .dedup import _doc_tokens
+
+    docs = _doc_tokens(spark, sf_dir).select("doc_id", "t")
+    toks = F.col("t")
     grams = F.when(
         F.size(toks) >= 2,
         F.transform(

@@ -1,0 +1,166 @@
+"""Semantic and plan pins for the round-7 operators (exactness vs the
+DuckDB oracles is covered for every entry by test_oracle_parity).
+
+- quality.py: gopher rule battery, hashed linear classifier, dataset
+  split — all single-scan; the first two must plan with ZERO exchanges.
+- dedup.py: cross-doc n-gram span report.
+- embed_stats.py: sum-vector-identity corpus diversity (checked against
+  a brute-force numpy O(N^2) recomputation) and fixed-centroid
+  assignment.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import numpy as np
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from lenses_topology_example_spark.operators import dedup, embed_stats, quality
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+# --- gopher_rules ------------------------------------------------------------------
+
+
+def test_gopher_keep_is_conjunction(spark, sf_dir):
+    df = quality.q_gopher_rules(spark, sf_dir)
+    flags = [c for c in df.columns if c.startswith("ok_")]
+    cond = F.lit(True)
+    for c in flags:
+        cond = cond & F.col(c)
+    assert df.filter(F.col("keep") != cond).count() == 0
+    # the battery discriminates on this corpus: both outcomes occur
+    kept = df.filter("keep").count()
+    assert 0 < kept < df.count()
+
+
+def test_gopher_mean_word_len_bounds(spark, sf_dir):
+    df = quality.q_gopher_rules(spark, sf_dir)
+    bad = df.filter(
+        (F.col("n_words") > 0)
+        & (
+            F.col("mean_word_len").isNull()
+            | (F.col("mean_word_len") < 1)
+            | (F.col("mean_word_len") > 50)
+        )
+    )
+    assert bad.count() == 0
+
+
+def test_gopher_rules_zero_shuffle(spark, sf_dir):
+    plan = _plan(quality.q_gopher_rules(spark, sf_dir))
+    assert "Exchange" not in plan, "rule battery must be a pure map"
+
+
+# --- quality_classifier ------------------------------------------------------------
+
+
+def test_classifier_score_range_and_label(spark, sf_dir):
+    df = quality.q_quality_classifier(spark, sf_dir)
+    rows = df.filter(F.col("n_tokens") > 0)
+    assert rows.filter((F.col("score") <= 0) | (F.col("score") >= 1)).count() == 0
+    # sigmoid(x) >= 0.5 iff x >= 0: label must agree with the score
+    assert rows.filter(F.col("keep") != (F.col("score") >= 0.5)).count() == 0
+    # hashed weights split the corpus, not rubber-stamp it
+    kept = rows.filter("keep").count()
+    assert 0 < kept < rows.count()
+
+
+def test_classifier_zero_shuffle(spark, sf_dir):
+    plan = _plan(quality.q_quality_classifier(spark, sf_dir))
+    assert "Exchange" not in plan, "per-row weight fold must not shuffle"
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# --- dataset_split -----------------------------------------------------------------
+
+
+def test_dataset_split_partitions_corpus(spark, sf_dir):
+    df = quality.q_dataset_split(spark, sf_dir).toPandas()
+    n_docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"]).num_rows
+    assert int(df["n_docs"].sum()) == n_docs
+    assert set(df["split"]) <= {"train", "valid", "test"}
+    train_share = df[df["split"] == "train"]["n_docs"].sum() / n_docs
+    assert 0.6 < train_share < 0.95
+
+
+def test_dataset_split_deterministic(spark, sf_dir):
+    a = sorted(map(tuple, quality.q_dataset_split(spark, sf_dir).collect()))
+    b = sorted(map(tuple, quality.q_dataset_split(spark, sf_dir).collect()))
+    assert a == b
+
+
+# --- dedup_ngram_spans -------------------------------------------------------------
+
+
+def test_ngram_spans_invariants(spark, sf_dir):
+    df = dedup.q_dedup_ngram_spans(spark, sf_dir)
+    n_docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"]).num_rows
+    assert df.count() == n_docs, "every doc surfaces, span-less included"
+    assert df.filter(F.col("n_dup") > F.col("n_ngrams")).count() == 0
+    assert (
+        df.filter((F.col("n_ngrams") == 0) & F.col("dup_frac").isNotNull()).count()
+        == 0
+    )
+    # the corpus genuinely repeats spans (measured 2.5k dup occurrences
+    # at sf0.001) — an all-zero n_dup would mean the freq join is dead
+    assert df.agg(F.sum("n_dup")).collect()[0][0] > 0
+
+
+def test_ngram_spans_no_text_in_shuffle(spark, sf_dir):
+    # the exchanges must carry (doc_id, h, ...) only — never the token
+    # array or raw text; 'Exchange hashpartitioning' keys are h/doc_id
+    plan = _plan(dedup.q_dedup_ngram_spans(spark, sf_dir))
+    # formatted mode prints node lines and Arguments separately — match
+    # the partitioning expression itself
+    assert "hashpartitioning(h#" in plan
+    after = plan.split("hashpartitioning", 1)[1]
+    assert "text#" not in after, (
+        "raw text must not survive past the first projection"
+    )
+
+
+# --- corpus_diversity --------------------------------------------------------------
+
+
+def test_corpus_diversity_matches_bruteforce(spark, sf_dir):
+    row = embed_stats.q_corpus_diversity(spark, sf_dir).collect()[0]
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    m = np.array(tbl.column("embedding").to_pylist(), dtype=np.float64)
+    norms = np.linalg.norm(m, axis=1)
+    u = m[norms > 0] / norms[norms > 0, None]
+    n = len(u)
+    assert row["n_vecs"] == n
+    g = u @ u.T
+    brute = (g.sum() - np.trace(g)) / (n * (n - 1))
+    # identity is exact; the 1e-6 per-component decimal rounding and
+    # float64-vs-exact accumulation leave only tiny residue
+    assert abs(row["mean_pairwise_cos"] - brute) < 2e-3
+
+
+# --- kmeans_assign -----------------------------------------------------------------
+
+
+def test_kmeans_assign_partitions_vectors(spark, sf_dir):
+    pdf = embed_stats.q_kmeans_assign(spark, sf_dir).toPandas()
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    m = np.array(tbl.column("embedding").to_pylist(), dtype=np.float64)
+    n_nonzero = int((np.linalg.norm(m, axis=1) > 0).sum())
+    assert int(pdf["n_assigned"].sum()) == n_nonzero
+    assert set(pdf["centroid_id"]) == set(range(embed_stats.KMEANS_K))
+    assert ((pdf["mean_cos"] >= -1.0) & (pdf["mean_cos"] <= 1.0)).all()
+
+
+def test_kmeans_assign_broadcasts_centroids(spark, sf_dir):
+    plan = _plan(embed_stats.q_kmeans_assign(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, "K-row centroid frame must broadcast"
