@@ -116,6 +116,8 @@ HEADLINE = (
     "dedup_ngram_spans",
     "corpus_diversity",
     "kmeans_assign",
+    "ann_recall",
+    "embed_quantize",
 )
 
 

@@ -198,6 +198,11 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
         embed_stats.SQL_CORPUS_DIVERSITY,
     ),
     "kmeans_assign": (embed_stats.q_kmeans_assign, embed_stats.SQL_KMEANS_ASSIGN),
+    "ann_recall": (similarity.q_ann_recall, similarity.SQL_ANN_RECALL),
+    "embed_quantize": (
+        embed_stats.q_embed_quantize,
+        embed_stats.SQL_EMBED_QUANTIZE,
+    ),
     # rotated out in round 7 (each >=2 green verdicts; see window diff)
     "dedup_lines": (dedup.q_dedup_lines, dedup.SQL_DEDUP_LINES),
     "sim_topk": (similarity.q_sim_topk, similarity.SQL_SIM_TOPK),

@@ -194,3 +194,84 @@ SQL_KMEANS_ASSIGN = f"""
     FROM b
     GROUP BY centroid_id
 """
+
+
+# --- int8 scalar quantization error report -----------------------------------------
+
+
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide error report for symmetric int8 scalar quantization
+    (per-vector absmax scale — the layout ANN indexes and KV caches
+    ship at scale: 4x smaller vectors, distance math in int8). One row:
+    vector count, mean per-vector MAE, and the corpus max absolute
+    reconstruction error.
+
+    Rounding is floor(x*127/s + 0.5) — explicit half-up in identical
+    IEEE order on both engines (native round() half-mode differs
+    between engines). Per-vector folds are sequential (deterministic);
+    the cross-vector mean goes through DECIMAL(38,6); the max is exact.
+
+    Scale shape: one scan, per-row expression work, then a 1-row global
+    aggregate (partial aggregation collapses each partition to one
+    row). The absmax scale is an outer expression referenced inside
+    interpreted lambdas — re-evaluated per element, O(d^2) arithmetic
+    per row, which at d=64 is ~4k flops/row: cheap, flagged here so a
+    10k-dim corpus knows to materialize the scale column first (same
+    CollapseProject hazard pmi_collocations hit with the tokenizer,
+    operators/text.py)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    s = F.array_max(F.transform(F.col("v"), F.abs))
+    emb = emb.withColumn("s", s).filter(F.col("s") > F.lit(0.0))
+    err = F.transform(
+        F.col("v"),
+        lambda x: F.abs(
+            F.floor(x * F.lit(127.0) / F.col("s") + F.lit(0.5)).cast("double")
+            * F.col("s")
+            / F.lit(127.0)
+            - x
+        ),
+    )
+    per_vec = emb.select(
+        F.try_divide(
+            F.aggregate(err, F.lit(0.0), lambda acc, x: acc + x),
+            F.size(F.col("v")),
+        )
+        .cast("decimal(38,6)")
+        .alias("mae_d"),
+        F.array_max(err).alias("vmax"),
+    )
+    return per_vec.agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        (F.sum("mae_d").cast("double") / F.count(F.lit(1))).alias("mean_abs_err"),
+        F.max("vmax").alias("max_abs_err"),
+    )
+
+
+_SQL_Q_ERR = (
+    "list_transform(v, x -> abs("
+    "CAST(floor(x * 127.0 / s + 0.5) AS DOUBLE) * s / 127.0 - x))"
+)
+
+SQL_EMBED_QUANTIZE = f"""
+    WITH e AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ), sc AS (
+        SELECT vec_id, v,
+               list_max(list_transform(v, x -> abs(x))) AS s
+        FROM e
+    ), f AS (SELECT * FROM sc WHERE s > 0),
+    per_vec AS (
+        SELECT CAST(list_reduce(list_prepend(0.0::DOUBLE, {_SQL_Q_ERR}),
+                    (acc, x) -> acc + x) / len(v) AS DECIMAL(38,6)) AS mae_d,
+               list_max({_SQL_Q_ERR}) AS vmax
+        FROM f
+    )
+    SELECT COUNT(*) AS n_vecs,
+           CAST(SUM(mae_d) AS DOUBLE) / COUNT(*) AS mean_abs_err,
+           MAX(vmax) AS max_abs_err
+    FROM per_vec
+"""

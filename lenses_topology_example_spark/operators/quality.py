@@ -54,6 +54,53 @@ GOPHER_MIN_WORDS = 50
 GOPHER_MAX_WORDS = 100_000
 
 
+def gopher_rule_cols(text: Column) -> dict[str, Column]:
+    """The rule battery as reusable expressions over any text column —
+    the batch query below and the streaming gate twin
+    (streaming/pipelines.streaming_quality_gate) share them, so stream
+    and batch can never drift."""
+    toks = tokens_col(text)
+    n = F.size(toks).cast("long")
+    sum_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).cast("long")
+    stop = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_stop = F.size(F.array_intersect(F.array_distinct(toks), stop)).cast("long")
+    n_chars = F.length(text).cast("long")
+    n_hash = (n_chars - F.length(F.regexp_replace(text, "#", ""))).cast("long")
+    lines = F.split(text, "\n")
+    n_lines = F.size(lines).cast("long")
+    n_ell = F.size(F.filter(lines, lambda l: l.endswith("..."))).cast("long")
+
+    ok_word_count = (n >= F.lit(GOPHER_MIN_WORDS)) & (n <= F.lit(GOPHER_MAX_WORDS))
+    ok_mean_word_len = (F.lit(3) * n <= sum_len) & (sum_len <= F.lit(10) * n)
+    ok_alpha = F.lit(5) * n_alpha >= F.lit(4) * n
+    ok_stopwords = n_stop >= F.lit(2)
+    ok_symbol = F.lit(10) * n_hash <= n_chars
+    ok_ellipsis = F.lit(10) * n_ell <= F.lit(3) * n_lines
+    return {
+        "n_words": n,
+        "mean_word_len": F.try_divide(sum_len, n),
+        "ok_word_count": ok_word_count,
+        "ok_mean_word_len": ok_mean_word_len,
+        "ok_alpha": ok_alpha,
+        "ok_stopwords": ok_stopwords,
+        "ok_symbol": ok_symbol,
+        "ok_ellipsis": ok_ellipsis,
+        "keep": (
+            ok_word_count
+            & ok_mean_word_len
+            & ok_alpha
+            & ok_stopwords
+            & ok_symbol
+            & ok_ellipsis
+        ),
+    }
+
+
 def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document Gopher rule flags and the conjunction keep-gate.
 
@@ -68,48 +115,9 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     stopword probe is an array_intersect against a 10-element literal
     array, not a join."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = tokens_col(F.col("text"))
-    n = F.size(toks).cast("long")
-    sum_len = F.aggregate(
-        F.transform(toks, lambda t: F.length(t).cast("long")),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).cast("long")
-    stop = F.array(*[F.lit(s) for s in _STOPWORDS])
-    n_stop = F.size(F.array_intersect(F.array_distinct(toks), stop)).cast("long")
-    n_chars = F.length(F.col("text")).cast("long")
-    n_hash = (n_chars - F.length(F.regexp_replace(F.col("text"), "#", ""))).cast(
-        "long"
-    )
-    lines = F.split(F.col("text"), "\n")
-    n_lines = F.size(lines).cast("long")
-    n_ell = F.size(F.filter(lines, lambda l: l.endswith("..."))).cast("long")
-
-    ok_word_count = (n >= F.lit(GOPHER_MIN_WORDS)) & (n <= F.lit(GOPHER_MAX_WORDS))
-    ok_mean_word_len = (F.lit(3) * n <= sum_len) & (sum_len <= F.lit(10) * n)
-    ok_alpha = F.lit(5) * n_alpha >= F.lit(4) * n
-    ok_stopwords = n_stop >= F.lit(2)
-    ok_symbol = F.lit(10) * n_hash <= n_chars
-    ok_ellipsis = F.lit(10) * n_ell <= F.lit(3) * n_lines
+    c = gopher_rule_cols(F.col("text"))
     return docs.select(
-        "doc_id",
-        n.alias("n_words"),
-        F.try_divide(sum_len, n).alias("mean_word_len"),
-        ok_word_count.alias("ok_word_count"),
-        ok_mean_word_len.alias("ok_mean_word_len"),
-        ok_alpha.alias("ok_alpha"),
-        ok_stopwords.alias("ok_stopwords"),
-        ok_symbol.alias("ok_symbol"),
-        ok_ellipsis.alias("ok_ellipsis"),
-        (
-            ok_word_count
-            & ok_mean_word_len
-            & ok_alpha
-            & ok_stopwords
-            & ok_symbol
-            & ok_ellipsis
-        ).alias("keep"),
+        "doc_id", *[c[k].alias(k) for k in c]
     )
 
 
@@ -171,6 +179,27 @@ def _w_milli(tok: Column) -> Column:
     ) - F.lit(1000)
 
 
+def classifier_cols(text: Column) -> dict[str, Column]:
+    """The classifier as reusable expressions over any text column —
+    shared by the batch query and the streaming gate twin."""
+    toks = tokens_col(text)
+    n = F.size(toks).cast("long")
+    s_milli = F.aggregate(
+        F.transform(toks, _w_milli),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    x = F.try_divide(s_milli, F.lit(1000.0) * n)
+    score = (F.lit(1.0) / (F.lit(1.0) + F.exp(-x))).cast("decimal(38,6)").cast(
+        "double"
+    )
+    return {
+        "n_tokens": n,
+        "score": score,
+        "keep": (n > F.lit(0)) & (s_milli >= F.lit(0)),
+    }
+
+
 def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fasttext-shaped linear text classifier: hashed bag-of-words,
     score = sigmoid(mean token weight). The weight table is a
@@ -189,23 +218,8 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one corpus scan, zero shuffles — aggregate(transform)
     folds per-row; a 100 TB corpus never hits token grain."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = tokens_col(F.col("text"))
-    n = F.size(toks).cast("long")
-    s_milli = F.aggregate(
-        F.transform(toks, _w_milli),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    x = F.try_divide(s_milli, F.lit(1000.0) * n)
-    score = (F.lit(1.0) / (F.lit(1.0) + F.exp(-x))).cast("decimal(38,6)").cast(
-        "double"
-    )
-    return docs.select(
-        "doc_id",
-        n.alias("n_tokens"),
-        score.alias("score"),
-        ((n > F.lit(0)) & (s_milli >= F.lit(0))).alias("keep"),
-    )
+    c = classifier_cols(F.col("text"))
+    return docs.select("doc_id", *[c[k].alias(k) for k in c])
 
 
 _SQL_W_MILLI = (

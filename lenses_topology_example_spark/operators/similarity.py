@@ -544,3 +544,60 @@ SQL_EMBED_DEDUP_CLUSTER = f"""
            (MIN(label) = v) AS is_keeper
     FROM reach GROUP BY v
 """
+
+
+# --- ANN self-audit: LSH recall vs the exact top-k ---------------------------------
+
+
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the sign-LSH ANN path against the exact brute-force
+    top-k, per query — the measurement that decides whether a bucketed
+    ANN layout is good enough to replace the exact scan at scale
+    ("measure, don't guess" as a catalog operator, not just a test
+    assertion; tests/test_similarity.py pins a lower bound once, this
+    reports the actual number every run).
+
+    Both branches are the existing catalog plans (q_sim_topk /
+    q_sim_ann_lsh); the audit is a left-semi join of exact hits against
+    approx hits on (query_id, neighbor_id) plus two |Q|-bounded
+    aggregates. n_exact can fall below TOP_K only when the corpus
+    itself is smaller than k."""
+    exact = q_sim_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = q_sim_ann_lsh(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
+    n_exact = exact.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
+    n_hit = hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit"))
+    return (
+        n_exact.join(n_hit, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce(F.col("n_hit"), F.lit(0).cast("long")).alias("n_hit"),
+            F.try_divide(
+                F.coalesce(F.col("n_hit"), F.lit(0)), F.col("n_exact")
+            ).alias("recall"),
+        )
+    )
+
+
+SQL_ANN_RECALL = f"""
+    WITH exact AS ({SQL_SIM_TOPK}),
+    approx AS ({SQL_SIM_ANN_LSH}),
+    hits AS (
+        SELECT e.query_id, e.neighbor_id
+        FROM exact e
+        WHERE EXISTS (SELECT 1 FROM approx a
+                      WHERE a.query_id = e.query_id
+                        AND a.neighbor_id = e.neighbor_id)
+    )
+    SELECT e.query_id,
+           COUNT(*) AS n_exact,
+           CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+           COALESCE(h.n_hit, 0) / COUNT(*) AS recall
+    FROM exact e
+    LEFT JOIN (SELECT query_id, COUNT(*) AS n_hit
+               FROM hits GROUP BY query_id) h USING (query_id)
+    GROUP BY e.query_id, h.n_hit
+"""

@@ -462,6 +462,35 @@ def streaming_pii_scrub(docs: DataFrame) -> DataFrame:
     )
 
 
+# --- streaming quality gate (stateless rule battery + classifier) ------------------
+
+
+def streaming_quality_gate(docs: DataFrame) -> DataFrame:
+    """Streaming twin of the round-7 curation screens: per arriving
+    document, the Gopher rule battery (operators/quality.q_gopher_rules)
+    AND the hashed linear classifier (q_quality_classifier), combined
+    into one inline keep-gate. Shared expression builders
+    (gopher_rule_cols / classifier_cols), so stream and batch can never
+    drift.
+
+    Pure per-row expression work — no state, no watermark, append mode:
+    exactly the screen a continuous ingest runs before anything is
+    persisted (the batch twins are the backfill form). Works on batch
+    frames too; the parity test runs the identical plan both ways."""
+    from ..operators.quality import classifier_cols, gopher_rule_cols
+
+    rules = gopher_rule_cols(F.col("text"))
+    clf = classifier_cols(F.col("text"))
+    return docs.select(
+        "doc_id",
+        rules["n_words"].alias("n_words"),
+        rules["keep"].alias("keep_rules"),
+        clf["score"].alias("clf_score"),
+        clf["keep"].alias("keep_clf"),
+        (rules["keep"] & clf["keep"]).alias("keep"),
+    )
+
+
 # --- streaming Count-Min Sketch (mergeable counters, update mode) ------------------
 
 

@@ -340,3 +340,27 @@ def test_lateral_topn_decorrelates_to_window(spark, sf_dir):
     assert "WindowGroupLimit" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_seg_near_capped_reuses_memoized_keys(spark, sf_dir):
+    """The full∪delete-one block-key frame feeds THREE consumers in the
+    capped segment near-dup (the df-cap aggregate and both self-join
+    sides). Spark has no cross-branch CSE, so without materialization
+    the explode+hash build re-runs per consumer (r6: 12.5-25.9 s vs the
+    5.4-6.3 s band). The memo must surface as >=3 InMemoryTableScans of
+    the same cached relation in the plan."""
+    plan = _formatted_plan(spark, sf_dir, "dedup_lines_near_capped")
+    assert plan.count("InMemoryTableScan") >= 3, (
+        "block-key frame must be read from cache by all three consumers"
+    )
+
+
+def test_pmi_builds_from_materialized_tokens(spark, sf_dir):
+    """The PMI gram transform runs inside a LambdaFunction (interpreted,
+    no codegen subexpression elimination) — if the inline tokenizer ever
+    reappears there, split+lower re-runs per element access, O(L^2) per
+    doc (measured 8 s suite floor at sf0.1, r7). Built correctly, the
+    plan reads the memoized token table: InMemoryTableScans and no
+    raw-text split inside the gram branch."""
+    plan = _formatted_plan(spark, sf_dir, "pmi_collocations")
+    assert "InMemoryTableScan" in plan

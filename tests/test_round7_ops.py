@@ -164,3 +164,40 @@ def test_kmeans_assign_broadcasts_centroids(spark, sf_dir):
     plan = _plan(embed_stats.q_kmeans_assign(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan, "K-row centroid frame must broadcast"
+
+
+# --- ann_recall --------------------------------------------------------------------
+
+
+def test_ann_recall_bounds_and_exact_subset(spark, sf_dir):
+    from lenses_topology_example_spark.operators import similarity
+
+    pdf = similarity.q_ann_recall(spark, sf_dir).toPandas()
+    assert len(pdf) == similarity.N_QUERIES
+    assert (pdf["n_exact"] == similarity.TOP_K).all()
+    assert (pdf["n_hit"] <= pdf["n_exact"]).all()
+    assert ((pdf["recall"] >= 0) & (pdf["recall"] <= 1)).all()
+    # no floor asserted: iid Gaussian vectors are sign-LSH's worst case
+    # (no cluster structure — same-bucket probability ~2^-8), which is
+    # exactly why the audit exists as an operator
+
+
+# --- embed_quantize ----------------------------------------------------------------
+
+
+def test_embed_quantize_error_bound(spark, sf_dir):
+    """Symmetric int8 absmax quantization error is bounded by
+    s/(2*127) per element; MAE and max must respect it (max con
+    scale = corpus max absmax)."""
+    import pyarrow.parquet as pq
+    from lenses_topology_example_spark.operators import embed_stats
+
+    row = embed_stats.q_embed_quantize(spark, sf_dir).collect()[0]
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    m = np.abs(np.array(tbl.column("embedding").to_pylist(), dtype=np.float64))
+    scales = m.max(axis=1)
+    nonzero = scales > 0
+    assert row["n_vecs"] == int(nonzero.sum())
+    bound = scales[nonzero].max() / (2 * 127) + 1e-12
+    assert 0 < row["mean_abs_err"] <= bound
+    assert 0 < row["max_abs_err"] <= bound

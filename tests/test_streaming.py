@@ -881,3 +881,48 @@ def test_transform_with_state_running_count_matches_legacy(spark, tmp_path):
     for line in CORPUS_LINES:
         golden.update(t for t in re.split(r"\W+", line.lower()) if t)
     assert got == dict(golden)
+
+
+def test_streaming_quality_gate_matches_batch(spark, sf_dir, tmp_path):
+    """Stateless streaming curation gate (rule battery + hashed
+    classifier): streamed rows over the real documents table must equal
+    the identical plan run in batch, and the combined keep must be the
+    conjunction of the two component gates."""
+    from lenses_topology_example_spark.streaming.pipelines import (
+        streaming_quality_gate,
+    )
+    from lenses_topology_example_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = tmp_path / "gate_stream_src"
+    docs.write.parquet(str(src))
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(str(src))
+    q = (
+        streaming_quality_gate(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("gate_stream_test")
+        .option("checkpointLocation", str(tmp_path / "gate_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    streamed = {
+        r["doc_id"]: (r["n_words"], r["keep_rules"], r["clf_score"], r["keep_clf"], r["keep"])
+        for r in spark.sql("SELECT * FROM gate_stream_test").collect()
+    }
+    batch = {
+        r["doc_id"]: (r["n_words"], r["keep_rules"], r["clf_score"], r["keep_clf"], r["keep"])
+        for r in streaming_quality_gate(docs).collect()
+    }
+    assert streamed == batch
+    assert len(streamed) == docs.count()
+    for _doc, (_n, kr, _s, kc, k) in streamed.items():
+        assert k == (kr and kc)
+    # the gate discriminates on the real corpus
+    kept = sum(1 for v in streamed.values() if v[4])
+    assert 0 < kept < len(streamed)
