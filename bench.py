@@ -118,6 +118,9 @@ HEADLINE = (
     "kmeans_assign",
     "ann_recall",
     "embed_quantize",
+    # round-7 events-tier analytics
+    "funnel_conversion",
+    "cohort_retention",
 )
 
 

@@ -203,6 +203,16 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
         embed_stats.q_embed_quantize,
         embed_stats.SQL_EMBED_QUANTIZE,
     ),
+    # round-7 events-tier analytics: ordered conversion funnel and the
+    # cohort retention triangle
+    "funnel_conversion": (
+        windows.q_funnel_conversion,
+        windows.SQL_FUNNEL_CONVERSION,
+    ),
+    "cohort_retention": (
+        windows.q_cohort_retention,
+        windows.SQL_COHORT_RETENTION,
+    ),
     # rotated out in round 7 (each >=2 green verdicts; see window diff)
     "dedup_lines": (dedup.q_dedup_lines, dedup.SQL_DEDUP_LINES),
     "sim_topk": (similarity.q_sim_topk, similarity.SQL_SIM_TOPK),

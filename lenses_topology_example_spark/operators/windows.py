@@ -328,3 +328,136 @@ SQL_SESSIONIZE_LAG = f"""
                AS BIGINT) AS session_id
     FROM g
 """
+
+
+# --- sequential conversion funnel (round 7) ----------------------------------------
+
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel over the events stream: per user, the
+    first 'view', the first 'click' STRICTLY AFTER that view, and the
+    first 'purchase' strictly after that click — the product-analytics
+    primitive (a user who purchases before viewing does not convert).
+    One row per user who entered the funnel, with the stage timestamps
+    (NULL once the chain breaks) and the stage count reached.
+
+    Scale shape: each stage is a type-filtered scan branch (the
+    event_type predicate reaches the parquet scan) aggregated per
+    user — partial min-aggs collapse before each exchange; stage
+    frames shrink monotonically, and at production scale the
+    user-bounded stage-k frame broadcasts into the stage-k+1 join.
+    Timestamp comparisons are exact µs instants on both engines
+    (tables.load_table normalizes)."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1 = (
+        e.filter(F.col("event_type") == FUNNEL_STAGES[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    s2 = (
+        e.filter(F.col("event_type") == FUNNEL_STAGES[1])
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == FUNNEL_STAGES[2])
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        s1.join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .select(
+            "user_id",
+            "t_view",
+            "t_click",
+            "t_purchase",
+            (
+                F.lit(1)
+                + F.col("t_click").isNotNull().cast("int")
+                + F.col("t_purchase").isNotNull().cast("int")
+            ).alias("stage_reached"),
+        )
+    )
+
+
+SQL_FUNNEL_CONVERSION = """
+    WITH s1 AS (
+        SELECT user_id, MIN(ts) AS t_view
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), s2 AS (
+        SELECT e.user_id, MIN(e.ts) AS t_click
+        FROM events e JOIN s1 USING (user_id)
+        WHERE e.event_type = 'click' AND e.ts > s1.t_view
+        GROUP BY e.user_id
+    ), s3 AS (
+        SELECT e.user_id, MIN(e.ts) AS t_purchase
+        FROM events e JOIN s2 USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts > s2.t_click
+        GROUP BY e.user_id
+    )
+    SELECT s1.user_id, s1.t_view, s2.t_click, s3.t_purchase,
+           CAST(1 + CASE WHEN s2.t_click IS NOT NULL THEN 1 ELSE 0 END
+                  + CASE WHEN s3.t_purchase IS NOT NULL THEN 1 ELSE 0 END
+                AS INTEGER) AS stage_reached
+    FROM s1
+    LEFT JOIN s2 USING (user_id)
+    LEFT JOIN s3 USING (user_id)
+"""
+
+
+# --- cohort retention (round 7) ----------------------------------------------------
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic retention triangle: users grouped into cohorts by first
+    active day; for each (cohort_day, day_offset), the number of
+    distinct cohort users active that day. Day boundaries are UTC
+    (session TZ pinned by the contract) so both engines bucket
+    identically.
+
+    Scale shape: the cohort table is one min-agg per user (partial agg
+    collapses to |users| rows); the activity table is a distinct over
+    (user, day) — same user_id shuffle key, so AQE reuses the
+    exchange; the final aggregate is bounded by cohorts x horizon, not
+    by event volume."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    first = e.groupBy("user_id").agg(F.min("d").alias("cohort_d"))
+    activity = e.distinct()
+    return (
+        activity.join(first, "user_id")
+        .select(
+            # ISO string, not DATE: DuckDB DATE surfaces as a midnight
+            # datetime in pandas, so a date-typed column can never
+            # canon-match across engines — strings do, losslessly
+            F.date_format(F.col("cohort_d"), "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff(F.col("d"), F.col("cohort_d")).alias("day_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+SQL_COHORT_RETENTION = """
+    WITH e AS (
+        SELECT user_id, CAST(ts AS DATE) AS d FROM events
+    ), first AS (
+        SELECT user_id, MIN(d) AS cohort_d FROM e GROUP BY user_id
+    ), activity AS (
+        SELECT DISTINCT user_id, d FROM e
+    )
+    SELECT strftime(f.cohort_d, '%Y-%m-%d') AS cohort_day,
+           CAST(a.d - f.cohort_d AS INTEGER) AS day_offset,
+           COUNT(DISTINCT a.user_id) AS n_users
+    FROM activity a JOIN first f USING (user_id)
+    GROUP BY f.cohort_d, day_offset
+"""

@@ -201,3 +201,45 @@ def test_embed_quantize_error_bound(spark, sf_dir):
     bound = scales[nonzero].max() / (2 * 127) + 1e-12
     assert 0 < row["mean_abs_err"] <= bound
     assert 0 < row["max_abs_err"] <= bound
+
+
+# --- funnel_conversion / cohort_retention ------------------------------------------
+
+
+def test_funnel_stage_monotonicity(spark, sf_dir):
+    from lenses_topology_example_spark.operators import windows
+
+    df = windows.q_funnel_conversion(spark, sf_dir)
+    # chain breaks stay broken: no purchase without click, click after
+    # view, purchase after click; stage_reached consistent with nulls
+    assert df.filter(F.col("t_click").isNull() & F.col("t_purchase").isNotNull()).count() == 0
+    assert df.filter(F.col("t_click") <= F.col("t_view")).count() == 0
+    assert df.filter(F.col("t_purchase") <= F.col("t_click")).count() == 0
+    bad_stage = df.filter(
+        F.col("stage_reached")
+        != (
+            F.lit(1)
+            + F.col("t_click").isNotNull().cast("int")
+            + F.col("t_purchase").isNotNull().cast("int")
+        )
+    )
+    assert bad_stage.count() == 0
+    # funnel narrows on real data
+    n1 = df.count()
+    n2 = df.filter(F.col("t_click").isNotNull()).count()
+    n3 = df.filter(F.col("t_purchase").isNotNull()).count()
+    assert n1 >= n2 >= n3 and n1 > 0
+
+
+def test_cohort_retention_invariants(spark, sf_dir):
+    from lenses_topology_example_spark.operators import windows
+
+    pdf = windows.q_cohort_retention(spark, sf_dir).toPandas()
+    assert (pdf["day_offset"] >= 0).all()
+    # offset-0 row exists for every cohort (the first-active day itself)
+    cohorts = set(pdf["cohort_day"])
+    assert set(pdf[pdf["day_offset"] == 0]["cohort_day"]) == cohorts
+    # retention never exceeds cohort size
+    day0 = pdf[pdf["day_offset"] == 0].set_index("cohort_day")["n_users"]
+    for _i, r in pdf.iterrows():
+        assert r["n_users"] <= day0[r["cohort_day"]]
