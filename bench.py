@@ -121,6 +121,9 @@ HEADLINE = (
     # round-7 events-tier analytics
     "funnel_conversion",
     "cohort_retention",
+    # round-7: Lloyd iteration + score-weighted sampling
+    "kmeans_refine",
+    "score_weighted_sample",
 )
 
 

@@ -213,6 +213,13 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
         windows.q_cohort_retention,
         windows.SQL_COHORT_RETENTION,
     ),
+    # round-7: one Lloyd iteration (decimal-exact centroid means) and
+    # classifier-score-proportional deterministic sampling
+    "kmeans_refine": (embed_stats.q_kmeans_refine, embed_stats.SQL_KMEANS_REFINE),
+    "score_weighted_sample": (
+        quality.q_score_weighted_sample,
+        quality.SQL_SCORE_WEIGHTED_SAMPLE,
+    ),
     # rotated out in round 7 (each >=2 green verdicts; see window diff)
     "dedup_lines": (dedup.q_dedup_lines, dedup.SQL_DEDUP_LINES),
     "sim_topk": (similarity.q_sim_topk, similarity.SQL_SIM_TOPK),

@@ -275,3 +275,144 @@ SQL_EMBED_QUANTIZE = f"""
            MAX(vmax) AS max_abs_err
     FROM per_vec
 """
+
+
+# --- one Lloyd iteration: recompute centroids, reassign ----------------------------
+
+
+def q_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full Lloyd iteration on top of the fixed seed assignment:
+    (1) assign every vector to its nearest seed centroid (the
+    q_kmeans_assign plan), (2) recompute each centroid as the
+    per-dimension MEAN of its members, (3) reassign every vector to the
+    nearest REFINED centroid. Output: per refined centroid, member
+    count and decimal-exact mean cosine. Iterating to convergence is
+    this plan in the dedup_cluster fixpoint loop; one iteration is the
+    oracle-checkable unit (no recursion needed — a fixed chain of CTEs).
+
+    Exactness: centroid recomputation is the one cross-engine hazard —
+    per-(centroid, dim) component sums go through DECIMAL(38,6)
+    (order-free), then ONE double division by the member count, so both
+    engines derive bit-identical refined centroids; all cosine math
+    then reuses the deterministic fold discipline.
+
+    Scale shape: assignment is the broadcast+window plan of
+    q_kmeans_assign; recomputation is one (K x dims)-keyed aggregate
+    (partial agg collapses each partition to K*dims rows); the refined
+    centroid table is K rows and broadcasts back for reassignment. Two
+    corpus passes per iteration — the Lloyd minimum."""
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    emb = emb.withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v")))).filter(
+        F.col("nrm") > F.lit(0.0)
+    )
+    cent0 = emb.filter(F.col("vec_id") < F.lit(KMEANS_K)).select(
+        F.col("vec_id").alias("cid"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cnrm"),
+    )
+
+    def assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+        w = W.partitionBy("vec_id").orderBy(
+            F.col("cos_sim").desc(), F.col("cid").asc()
+        )
+        return (
+            vecs.crossJoin(F.broadcast(cents))
+            .select(
+                "vec_id",
+                "v",
+                "nrm",
+                "cid",
+                cosine_prenorm(
+                    F.col("v"), F.col("cv"), F.col("nrm"), F.col("cnrm")
+                ).alias("cos_sim"),
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == F.lit(1))
+            .drop("rn")
+        )
+
+    a1 = assign(emb, cent0)
+    comps = a1.select(
+        "cid", F.posexplode(F.col("v")).alias("dim", "x")
+    ).select("cid", "dim", F.col("x").cast("decimal(38,6)").alias("xd"))
+    cent1 = (
+        comps.groupBy("cid", "dim")
+        .agg(
+            (F.sum("xd").cast("double") / F.count(F.lit(1))).alias("m")
+        )
+        .groupBy("cid")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("dim"), F.col("m")))
+            ).alias("dm")
+        )
+        .select(
+            "cid",
+            F.transform(F.col("dm"), lambda s: s.getField("m")).alias("cv"),
+        )
+        .withColumn("cnrm", F.sqrt(dot(F.col("cv"), F.col("cv"))))
+        .filter(F.col("cnrm") > F.lit(0.0))
+    )
+    a2 = assign(emb, cent1)
+    return a2.groupBy(F.col("cid").alias("centroid_id")).agg(
+        F.count(F.lit(1)).alias("n_assigned"),
+        (
+            F.sum(F.col("cos_sim").cast("decimal(38,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_cos"),
+    )
+
+
+SQL_KMEANS_REFINE = f"""
+    WITH e AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ), nn AS (
+        SELECT vec_id, v, sqrt({sql_dot('v', 'v')}) AS nrm FROM e
+    ), f AS (SELECT * FROM nn WHERE nrm > 0),
+    c0 AS (
+        SELECT vec_id AS cid, v AS cv, nrm AS cnrm
+        FROM f WHERE vec_id < {KMEANS_K}
+    ), a1 AS (
+        SELECT vec_id, v, cid FROM (
+            SELECT f.vec_id, f.v, c0.cid,
+                   {sql_dot('f.v', 'c0.cv')} / (f.nrm * c0.cnrm) AS cos_sim
+            FROM f CROSS JOIN c0
+        )
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY cos_sim DESC, cid ASC) = 1
+    ), comps AS (
+        SELECT cid,
+               unnest(generate_series(1, len(v))) AS dim,
+               CAST(unnest(v) AS DECIMAL(38,6)) AS xd
+        FROM a1
+    ), means AS (
+        SELECT cid, dim, CAST(SUM(xd) AS DOUBLE) / COUNT(*) AS m
+        FROM comps GROUP BY cid, dim
+    ), c1 AS (
+        SELECT cid, list(m ORDER BY dim) AS cv FROM means GROUP BY cid
+    ), c1n AS (
+        SELECT cid, cv, sqrt({sql_dot('cv', 'cv')}) AS cnrm
+        FROM c1
+        WHERE sqrt({sql_dot('cv', 'cv')}) > 0
+    ), a2 AS (
+        SELECT vec_id, cid, cos_sim FROM (
+            SELECT f.vec_id, c1n.cid,
+                   {sql_dot('f.v', 'c1n.cv')} / (f.nrm * c1n.cnrm) AS cos_sim
+            FROM f CROSS JOIN c1n
+        )
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY cos_sim DESC, cid ASC) = 1
+    )
+    SELECT cid AS centroid_id,
+           COUNT(*) AS n_assigned,
+           CAST(SUM(CAST(cos_sim AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+               AS mean_cos
+    FROM a2
+    GROUP BY cid
+"""

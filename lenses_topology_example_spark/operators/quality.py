@@ -306,3 +306,65 @@ SQL_DATASET_SPLIT = f"""
     FROM t
     GROUP BY split, source
 """
+
+
+# --- score-proportional deterministic sampling -------------------------------------
+
+SAMPLE_RES = 1_000_000  # md5-uniform resolution (exact rational in 1e6ths)
+
+
+def q_score_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted corpus downsampling: keep each document with
+    probability equal to its classifier score — the standard soft
+    filter between "drop everything under the bar" and "keep all"
+    (used e.g. for quality-pacing web data before mixing). The coin is
+    the repo's salted-md5 uniform (deterministic, stable under corpus
+    growth, independent of the split/sampling salts), so the kept set
+    is reproducible and the oracle re-derives it exactly.
+
+    Boundary discipline: the uniform is an exact rational (md5 mod 1e6
+    / 1e6) and the score is the classifier's decimal-round-tripped
+    double, so the keep comparison is between two values each engine
+    computes bit-identically.
+
+    Scale shape: one scan, zero shuffles — score fold and coin are
+    per-row expressions; output is the kept subset."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = classifier_cols(F.col("text"))
+    u = (
+        md5_hash64(F.concat(F.lit("wsamp|"), F.col("doc_id").cast("string")))
+        % F.lit(SAMPLE_RES)
+    ) / F.lit(float(SAMPLE_RES))
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            c["score"].alias("score"),
+            u.alias("u"),
+        )
+        .filter(F.col("u") < F.col("score"))
+        .select("doc_id", "source", "score")
+    )
+
+
+_SQL_WSAMP_U = SQL_MD5_HASH64.format(x="'wsamp|' || CAST(doc_id AS VARCHAR)")
+
+SQL_SCORE_WEIGHTED_SAMPLE = f"""
+    WITH t AS (SELECT doc_id, source, {SQL_TOKS} AS toks FROM documents),
+    m AS (
+        SELECT doc_id, source,
+               CAST(len(toks) AS BIGINT) AS n,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(toks, x -> CAST({_SQL_W_MILLI} AS BIGINT))),
+                   (acc, x) -> acc + x) AS s_milli
+        FROM t
+    ), scored AS (
+        SELECT doc_id, source,
+               CASE WHEN n > 0 THEN CAST(CAST(
+                   1.0 / (1.0 + exp(-(s_milli / (1000.0 * n))))
+                   AS DECIMAL(38,6)) AS DOUBLE) END AS score,
+               ({_SQL_WSAMP_U} % {SAMPLE_RES}) / {float(SAMPLE_RES)} AS u
+        FROM m
+    )
+    SELECT doc_id, source, score FROM scored WHERE u < score
+"""

@@ -243,3 +243,33 @@ def test_cohort_retention_invariants(spark, sf_dir):
     day0 = pdf[pdf["day_offset"] == 0].set_index("cohort_day")["n_users"]
     for _i, r in pdf.iterrows():
         assert r["n_users"] <= day0[r["cohort_day"]]
+
+
+# --- kmeans_refine / score_weighted_sample -----------------------------------------
+
+
+def test_kmeans_refine_improves_cohesion(spark, sf_dir):
+    """One Lloyd iteration must not hurt mean within-cluster cosine:
+    the weighted mean cosine after refinement >= after seeding (Lloyd's
+    monotonicity, up to the cosine-vs-L2 objective mismatch — allow a
+    tiny epsilon)."""
+    a0 = embed_stats.q_kmeans_assign(spark, sf_dir).toPandas()
+    a1 = embed_stats.q_kmeans_refine(spark, sf_dir).toPandas()
+    assert int(a1["n_assigned"].sum()) == int(a0["n_assigned"].sum())
+    w0 = (a0["mean_cos"] * a0["n_assigned"]).sum() / a0["n_assigned"].sum()
+    w1 = (a1["mean_cos"] * a1["n_assigned"]).sum() / a1["n_assigned"].sum()
+    assert w1 >= w0 - 1e-6
+
+
+def test_score_weighted_sample_rate_tracks_scores(spark, sf_dir):
+    from lenses_topology_example_spark.operators import quality as q
+
+    clf = q.q_quality_classifier(spark, sf_dir).toPandas()
+    kept = q.q_score_weighted_sample(spark, sf_dir).toPandas()
+    # kept set is a subset with rate ~ mean score (md5-uniform coin)
+    mean_score = clf["score"].dropna().mean()
+    rate = len(kept) / len(clf)
+    assert abs(rate - mean_score) < 0.1
+    # determinism: same kept set on rerun
+    again = q.q_score_weighted_sample(spark, sf_dir).toPandas()
+    assert sorted(kept["doc_id"]) == sorted(again["doc_id"])
