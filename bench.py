@@ -121,9 +121,12 @@ HEADLINE = (
     # round-7 events-tier analytics
     "funnel_conversion",
     "cohort_retention",
-    # round-7: Lloyd iteration + score-weighted sampling
+    # round-7: Lloyd iteration + score-weighted sampling + combined
+    # gate + IVF recall audit
     "kmeans_refine",
     "score_weighted_sample",
+    "quality_gate",
+    "ann_recall_ivf",
 )
 
 

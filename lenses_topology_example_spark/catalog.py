@@ -220,6 +220,13 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
         quality.q_score_weighted_sample,
         quality.SQL_SCORE_WEIGHTED_SAMPLE,
     ),
+    # round-7: the combined batch gate (streaming twin's checkable form)
+    # and the IVF-path recall audit
+    "quality_gate": (quality.q_quality_gate, quality.SQL_QUALITY_GATE),
+    "ann_recall_ivf": (
+        similarity.q_ann_recall_ivf,
+        similarity.SQL_ANN_RECALL_IVF,
+    ),
     # rotated out in round 7 (each >=2 green verdicts; see window diff)
     "dedup_lines": (dedup.q_dedup_lines, dedup.SQL_DEDUP_LINES),
     "sim_topk": (similarity.q_sim_topk, similarity.SQL_SIM_TOPK),

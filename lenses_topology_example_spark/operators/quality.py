@@ -368,3 +368,78 @@ SQL_SCORE_WEIGHTED_SAMPLE = f"""
     )
     SELECT doc_id, source, score FROM scored WHERE u < score
 """
+
+
+# --- combined batch gate (the streaming twin's driver-checkable form) --------------
+
+
+def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The combined inline curation gate — Gopher rule battery AND the
+    hashed classifier — as one batch pass: exactly the column set the
+    streaming twin (streaming/pipelines.streaming_quality_gate) emits,
+    built from the same shared expression builders, so the streaming
+    path has a driver-checkable batch twin (parity between the two is
+    additionally pytest-pinned on the real corpus).
+
+    Scale shape: one scan, zero shuffles — both screens are per-row
+    expression folds."""
+    docs = load_table(spark, sf_dir, "documents")
+    rules = gopher_rule_cols(F.col("text"))
+    clf = classifier_cols(F.col("text"))
+    return docs.select(
+        "doc_id",
+        rules["n_words"].alias("n_words"),
+        rules["keep"].alias("keep_rules"),
+        clf["score"].alias("clf_score"),
+        clf["keep"].alias("keep_clf"),
+        (rules["keep"] & clf["keep"]).alias("keep"),
+    )
+
+
+SQL_QUALITY_GATE = f"""
+    WITH t AS (
+        SELECT doc_id, text, {SQL_TOKS} AS toks,
+               string_split(text, chr(10)) AS lns
+        FROM documents
+    ), m AS (
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n,
+               CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(toks, x -> CAST(length(x) AS BIGINT))),
+                    (acc, x) -> acc + x) AS BIGINT) AS sum_len,
+               CAST(len(list_filter(toks,
+                    x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha,
+               CAST(len(list_intersect(list_distinct(toks),
+                    {{stoplist}})) AS BIGINT) AS n_stop,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(length(text) - length(replace(text, '#', ''))
+                    AS BIGINT) AS n_hash,
+               CAST(len(lns) AS BIGINT) AS n_lines,
+               CAST(len(list_filter(lns,
+                    l -> ends_with(l, '...'))) AS BIGINT) AS n_ell,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(toks, x -> CAST({{w_milli}} AS BIGINT))),
+                   (acc, x) -> acc + x) AS s_milli
+        FROM t
+    )
+    SELECT doc_id,
+           n AS n_words,
+           ((n >= {GOPHER_MIN_WORDS} AND n <= {GOPHER_MAX_WORDS})
+            AND (3 * n <= sum_len AND sum_len <= 10 * n)
+            AND (5 * n_alpha >= 4 * n)
+            AND (n_stop >= 2)
+            AND (10 * n_hash <= n_chars)
+            AND (10 * n_ell <= 3 * n_lines)) AS keep_rules,
+           CASE WHEN n > 0 THEN CAST(CAST(
+               1.0 / (1.0 + exp(-(s_milli / (1000.0 * n))))
+               AS DECIMAL(38,6)) AS DOUBLE) END AS clf_score,
+           (n > 0 AND s_milli >= 0) AS keep_clf,
+           (((n >= {GOPHER_MIN_WORDS} AND n <= {GOPHER_MAX_WORDS})
+            AND (3 * n <= sum_len AND sum_len <= 10 * n)
+            AND (5 * n_alpha >= 4 * n)
+            AND (n_stop >= 2)
+            AND (10 * n_hash <= n_chars)
+            AND (10 * n_ell <= 3 * n_lines))
+            AND (n > 0 AND s_milli >= 0)) AS keep
+    FROM m
+""".format(stoplist=_sql_stoplist(), w_milli=_SQL_W_MILLI)

@@ -601,3 +601,50 @@ SQL_ANN_RECALL = f"""
                FROM hits GROUP BY query_id) h USING (query_id)
     GROUP BY e.query_id, h.n_hit
 """
+
+
+def q_ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_ann_recall's twin for the IVF path: recall@k of the
+    N_PROBE-cell inverted-file scan against the exact top-k, per
+    query — the partition-pruning ANN layout's quality number (the LSH
+    audit and this one together choose between the two bucketed
+    layouts at scale)."""
+    exact = q_sim_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = q_sim_ann_ivf(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
+    n_exact = exact.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
+    n_hit = hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit"))
+    return (
+        n_exact.join(n_hit, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce(F.col("n_hit"), F.lit(0).cast("long")).alias("n_hit"),
+            F.try_divide(
+                F.coalesce(F.col("n_hit"), F.lit(0)), F.col("n_exact")
+            ).alias("recall"),
+        )
+    )
+
+
+SQL_ANN_RECALL_IVF = f"""
+    WITH exact AS ({SQL_SIM_TOPK}),
+    approx AS ({SQL_SIM_ANN_IVF}),
+    hits AS (
+        SELECT e.query_id, e.neighbor_id
+        FROM exact e
+        WHERE EXISTS (SELECT 1 FROM approx a
+                      WHERE a.query_id = e.query_id
+                        AND a.neighbor_id = e.neighbor_id)
+    )
+    SELECT e.query_id,
+           COUNT(*) AS n_exact,
+           CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+           COALESCE(h.n_hit, 0) / COUNT(*) AS recall
+    FROM exact e
+    LEFT JOIN (SELECT query_id, COUNT(*) AS n_hit
+               FROM hits GROUP BY query_id) h USING (query_id)
+    GROUP BY e.query_id, h.n_hit
+"""

@@ -273,3 +273,28 @@ def test_score_weighted_sample_rate_tracks_scores(spark, sf_dir):
     # determinism: same kept set on rerun
     again = q.q_score_weighted_sample(spark, sf_dir).toPandas()
     assert sorted(kept["doc_id"]) == sorted(again["doc_id"])
+
+
+# --- quality_gate / ann_recall_ivf -------------------------------------------------
+
+
+def test_quality_gate_matches_components(spark, sf_dir):
+    gate = quality.q_quality_gate(spark, sf_dir)
+    assert gate.filter(
+        F.col("keep") != (F.col("keep_rules") & F.col("keep_clf"))
+    ).count() == 0
+    rules = quality.q_gopher_rules(spark, sf_dir).select("doc_id", "keep")
+    joined = gate.select("doc_id", "keep_rules").join(
+        rules.withColumnRenamed("keep", "keep_batch"), "doc_id"
+    )
+    assert joined.filter(F.col("keep_rules") != F.col("keep_batch")).count() == 0
+
+
+def test_ann_recall_ivf_bounds(spark, sf_dir):
+    from lenses_topology_example_spark.operators import similarity
+
+    pdf = similarity.q_ann_recall_ivf(spark, sf_dir).toPandas()
+    assert len(pdf) == similarity.N_QUERIES
+    assert (pdf["n_exact"] == similarity.TOP_K).all()
+    assert (pdf["n_hit"] <= pdf["n_exact"]).all()
+    assert ((pdf["recall"] >= 0) & (pdf["recall"] <= 1)).all()
