@@ -127,6 +127,7 @@ HEADLINE = (
     "score_weighted_sample",
     "quality_gate",
     "ann_recall_ivf",
+    "corpus_drift",
 )
 
 

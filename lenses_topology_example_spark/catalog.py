@@ -227,6 +227,9 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
         similarity.q_ann_recall_ivf,
         similarity.SQL_ANN_RECALL_IVF,
     ),
+    # round-7: ingestion drift monitor (KL + TV on the same md5-parity
+    # slices dedup_incremental classifies)
+    "corpus_drift": (text.q_corpus_drift, text.SQL_CORPUS_DRIFT),
     # rotated out in round 7 (each >=2 green verdicts; see window diff)
     "dedup_lines": (dedup.q_dedup_lines, dedup.SQL_DEDUP_LINES),
     "sim_topk": (similarity.q_sim_topk, similarity.SQL_SIM_TOPK),

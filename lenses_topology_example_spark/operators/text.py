@@ -12,7 +12,11 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
-from ..functions.texthash import polynomial_fingerprint, sql_polynomial_fingerprint
+from ..functions.texthash import (
+    SQL_MD5_HASH64,
+    polynomial_fingerprint,
+    sql_polynomial_fingerprint,
+)
 from ..tables import load_table
 from .dedup import SQL_TOKS
 from .wordcount import tokens_col
@@ -1761,4 +1765,99 @@ SQL_PMI_COLLOCATIONS = f"""
     CROSS JOIN nt CROSS JOIN nb
     ORDER BY pmi DESC, bigram
     LIMIT {PMI_TOP_K}
+"""
+
+
+# --- corpus drift monitor (round 7) ------------------------------------------------
+
+
+def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift between an incoming batch and the base corpus
+    (the monitor a continuous-ingestion pipeline runs before accepting
+    a day's crawl): smoothed unigram KL(batch ‖ base) and total
+    variation distance. The batch/base split is the same md5 parity
+    dedup_incremental uses, so the two continuous-ingestion operators
+    see the same slices.
+
+    Determinism: Laplace-smoothed probabilities (c+1)/(N+V) are single
+    IEEE divisions of exact ints; each KL/TV term is a fixed expression
+    whose ln round-trips through DECIMAL(38,6) (lm_score discipline)
+    before the exact decimal sum, so accumulation order cannot drift.
+
+    Scale shape: ONE corpus explode with a parity flag feeds ONE
+    groupBy(token) carrying two conditional counts — no second scan,
+    no vocab join; totals are windows over the AGGREGATED |V|-row
+    frame (corpus_mix pattern); the final reduce is one |V|-row global
+    aggregate."""
+    from pyspark.sql import Window as W
+
+    from ..functions.texthash import md5_hash64
+    from .dedup import _doc_tokens
+
+    toks = _doc_tokens(spark, sf_dir).select(
+        "doc_id",
+        (md5_hash64(F.col("doc_id").cast("string")) % 2).alias("p"),
+        F.explode(F.col("t")).alias("token"),
+    )
+    vocab = toks.groupBy("token").agg(
+        F.sum((F.col("p") == 0).cast("long")).alias("c_base"),
+        F.sum((F.col("p") == 1).cast("long")).alias("c_batch"),
+    )
+    w = W.partitionBy()
+    vocab = (
+        vocab.withColumn("n_base", F.sum("c_base").over(w))
+        .withColumn("n_batch", F.sum("c_batch").over(w))
+        .withColumn("v", F.count(F.lit(1)).over(w))
+    )
+    p_base = (F.col("c_base") + F.lit(1)) / (F.col("n_base") + F.col("v"))
+    p_batch = (F.col("c_batch") + F.lit(1)) / (F.col("n_batch") + F.col("v"))
+    terms = vocab.select(
+        "n_base",
+        "n_batch",
+        "v",
+        (p_batch * F.log(p_batch / p_base)).cast("decimal(38,6)").alias("kl_t"),
+        F.abs(p_batch - p_base).cast("decimal(38,6)").alias("tv_t"),
+    )
+    return terms.groupBy("n_base", "n_batch", F.col("v").alias("vocab")).agg(
+        F.sum("kl_t").cast("double").alias("kl_divergence"),
+        (F.lit(0.5) * F.sum("tv_t").cast("double")).alias("tv_distance"),
+    )
+
+
+_SQL_DRIFT_P = SQL_MD5_HASH64.format(x="CAST(doc_id AS VARCHAR)")
+
+SQL_CORPUS_DRIFT = f"""
+    WITH tok AS (
+        SELECT doc_id, ({_SQL_DRIFT_P} % 2) AS p,
+               unnest({SQL_TOKS}) AS token
+        FROM documents
+    ), vocab AS (
+        SELECT token,
+               CAST(SUM(CASE WHEN p = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_base,
+               CAST(SUM(CASE WHEN p = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c_batch
+        FROM tok GROUP BY token
+    ), tot AS (
+        SELECT token, c_base, c_batch,
+               SUM(c_base) OVER () AS n_base,
+               SUM(c_batch) OVER () AS n_batch,
+               COUNT(*) OVER () AS v
+        FROM vocab
+    ), terms AS (
+        SELECT CAST(n_base AS BIGINT) AS n_base,
+               CAST(n_batch AS BIGINT) AS n_batch,
+               CAST(v AS BIGINT) AS vocab,
+               CAST(((c_batch + 1) / (n_batch + v))
+                    * ln(((c_batch + 1) / (n_batch + v))
+                         / ((c_base + 1) / (n_base + v)))
+                    AS DECIMAL(38,6)) AS kl_t,
+               CAST(abs((c_batch + 1) / (n_batch + v)
+                        - (c_base + 1) / (n_base + v))
+                    AS DECIMAL(38,6)) AS tv_t
+        FROM tot
+    )
+    SELECT n_base, n_batch, vocab,
+           CAST(SUM(kl_t) AS DOUBLE) AS kl_divergence,
+           0.5 * CAST(SUM(tv_t) AS DOUBLE) AS tv_distance
+    FROM terms
+    GROUP BY n_base, n_batch, vocab
 """

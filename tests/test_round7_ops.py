@@ -298,3 +298,21 @@ def test_ann_recall_ivf_bounds(spark, sf_dir):
     assert (pdf["n_exact"] == similarity.TOP_K).all()
     assert (pdf["n_hit"] <= pdf["n_exact"]).all()
     assert ((pdf["recall"] >= 0) & (pdf["recall"] <= 1)).all()
+
+
+# --- corpus_drift ------------------------------------------------------------------
+
+
+def test_corpus_drift_properties(spark, sf_dir):
+    """KL >= 0 (Gibbs), TV in [0, 1], and the md5-parity slices cover
+    the corpus; on a random half-split of a homogeneous corpus both
+    divergences should be small."""
+    from lenses_topology_example_spark.operators import text as t
+
+    row = t.q_corpus_drift(spark, sf_dir).collect()[0]
+    assert row["kl_divergence"] >= 0
+    assert 0 <= row["tv_distance"] <= 1
+    assert row["n_base"] > 0 and row["n_batch"] > 0 and row["vocab"] > 0
+    # a parity split of the SAME distribution: drift must be tiny
+    assert row["kl_divergence"] < 0.1
+    assert row["tv_distance"] < 0.2
