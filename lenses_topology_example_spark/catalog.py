@@ -55,26 +55,39 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #   HOLD: salted_join_events (r6 verdict ask #2 — in-window until its
 #     first green; its r6 hash-red did not reproduce locally and the
 #     decimal discipline is now hardened, see operators/skew.py).
+#
+# ROUND-7 WINDOW DIFF, SECOND BATCH (same round, later session): the 15
+# round-7 additions would otherwise wait a full round for any external
+# verdict while 39 in-window entries already held >=2 greens. So:
+#   IN  (15, zero driver verdicts, all round-7 additions):
+#     gopher_rules, quality_classifier, dataset_split, quality_gate,
+#     score_weighted_sample, dedup_ngram_spans, corpus_diversity,
+#     kmeans_assign, kmeans_refine, embed_quantize, ann_recall,
+#     ann_recall_ivf, funnel_conversion, cohort_retention, corpus_drift
+#   OUT (15, each with >=4 green verdicts; latest green r6 for all):
+#     wordcount (6 greens), region_revenue (5), tfidf (5),
+#     text_normalize (5), map_fns (5), embed_neardup (5),
+#     dedup_near_capped (5), dedup_minhash (5), curation_pipeline (5),
+#     corr_text_embedding (5), udaf_median (4), stratified_sample (4),
+#     seq_packing (4), text_stats (4), sink_parquet (4, rows-only)
+#   HOLD: salted_join_events keeps its slot (still no green).
+#   All 25 never-driver-verified entries are now in-window; every
+#   rotated-out entry keeps pytest oracle parity at sf0.001
+#   (tests/test_oracle_parity.py) and was pre-validated at sf0.01 with
+#   the driver-replica gate before this rotation landed.
 _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
-    # --- training-data extensions (SURVEY.md §2.6): dedup ---
-    "dedup_near_capped": (dedup.q_dedup_near_capped, dedup.SQL_DEDUP_NEAR_CAPPED),
-    # directly after the capped pass: shares its memoized df-capped index
+    # ============ driver window (first 50 registrations) ============
+    # dedup tier: never-driven round-6/7 additions (first drive) + the
+    # once/twice-verified segment-grain entries due re-checks
     "dedup_containment": (
         dedup.q_dedup_containment,
         dedup.SQL_DEDUP_CONTAINMENT,
     ),
-    "dedup_minhash": (dedup.q_dedup_minhash, dedup.SQL_DEDUP_MINHASH),
-    # sub-document tier: fuzzy segment near-dup (delete-one blocking
-    # proven complete vs the naive quadratic oracle) + reconstruction
     "dedup_lines_near": (dedup.q_dedup_lines_near, dedup.SQL_DEDUP_LINES_NEAR),
     "dedup_lines_rebuild": (
         dedup.q_dedup_lines_rebuild,
         dedup.SQL_DEDUP_LINES_REBUILD,
     ),
-    # round-6 additions, first drive (r6 verdict ask #1): production
-    # df-cap for the segment near-dup's hot block keys; continuous-
-    # ingestion classification; fixed-size Bloom membership screen;
-    # reverse decontamination report
     "dedup_lines_near_capped": (
         dedup.q_dedup_lines_near_capped,
         dedup.SQL_DEDUP_LINES_NEAR_CAPPED,
@@ -91,19 +104,32 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
         dedup.q_eval_leak_report,
         dedup.SQL_EVAL_LEAK_REPORT,
     ),
-    # --- similarity search ---
-    # wrapper pins the catalog-only verification threshold (0.3); the
-    # production default of q_embed_neardup stays 0.999 (r3 ADVICE)
-    "embed_neardup": (
-        similarity.q_embed_neardup_catalog,
-        similarity.SQL_EMBED_NEARDUP,
+    "dedup_ngram_spans": (
+        dedup.q_dedup_ngram_spans,
+        dedup.SQL_DEDUP_NGRAM_SPANS,
     ),
+    # similarity + embedding stats: round-7 additions, first drive
     "embed_dedup_cluster": (
         similarity.q_embed_dedup_cluster,
         similarity.SQL_EMBED_DEDUP_CLUSTER,
     ),
-    # --- text analysis ---
-    "curation_pipeline": (text.q_curation_pipeline, text.SQL_CURATION_PIPELINE),
+    "ann_recall": (similarity.q_ann_recall, similarity.SQL_ANN_RECALL),
+    "ann_recall_ivf": (
+        similarity.q_ann_recall_ivf,
+        similarity.SQL_ANN_RECALL_IVF,
+    ),
+    "corpus_diversity": (
+        embed_stats.q_corpus_diversity,
+        embed_stats.SQL_CORPUS_DIVERSITY,
+    ),
+    "kmeans_assign": (embed_stats.q_kmeans_assign, embed_stats.SQL_KMEANS_ASSIGN),
+    "kmeans_refine": (embed_stats.q_kmeans_refine, embed_stats.SQL_KMEANS_REFINE),
+    "embed_quantize": (
+        embed_stats.q_embed_quantize,
+        embed_stats.SQL_EMBED_QUANTIZE,
+    ),
+    # text tier: once-verified r6 greens due 2nd verdicts + the four
+    # never-driven round-6 additions + the round-7 drift monitor
     "repetition_stats": (text.q_repetition_stats, text.SQL_REPETITION_STATS),
     "corpus_mix": (text.q_corpus_mix, text.SQL_CORPUS_MIX),
     "curation_funnel": (text.q_curation_funnel, text.SQL_CURATION_FUNNEL),
@@ -116,10 +142,7 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "word_variants": (text.q_word_variants, text.SQL_WORD_VARIANTS),
     "quality_score": (text.q_quality_score, text.SQL_QUALITY_SCORE),
     "doc_fingerprint": (text.q_doc_fingerprint, text.SQL_DOC_FINGERPRINT),
-    "text_stats": (text.q_text_stats, text.SQL_TEXT_STATS),
     "lang_id": (text.q_lang_id, text.SQL_LANG_ID),
-    # round-6 additions, first drive: write-side shard balance,
-    # target-mix rates, packing-planner histogram, PMI collocations
     "shard_plan": (text.q_shard_plan, text.SQL_SHARD_PLAN),
     "corpus_rebalance": (
         text.q_corpus_rebalance,
@@ -130,81 +153,20 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
         text.q_pmi_collocations,
         text.SQL_PMI_COLLOCATIONS,
     ),
-    # round-6: LATERAL correlated-subquery surface (per-group top-N —
-    # the reference's keyed-processing idiom, kstreams/App.java:108)
-    "lateral_topn": (relational2.q_lateral_topn, relational2.SQL_LATERAL_TOPN),
-    # HOLD for first green (r6 verdict ask #2): salt exactness vs the
-    # plain-join oracle; CMS vs the exact counts
-    "salted_join_events": (skew.q_salted_join_events, skew.SQL_SALTED_JOIN_EVENTS),
-    "cms_token_freq": (sketches.q_cms_token_freq, sketches.SQL_CMS_TOKEN_FREQ),
-    # --- engine-specific sketches (rows-only; accuracy contract in
-    # tests/test_sketches.py — no SQL oracle can hash-match an HLL) ---
-    "approx_distinct_users": (sketches.q_approx_distinct_users, None),
-    "approx_quantiles": (sketches.q_approx_quantiles, None),
-    # pandas UDAF surface — oracle-checked (np.median == DuckDB median)
-    "udaf_median": (sketches.q_udaf_median, sketches.SQL_UDAF_MEDIAN),
-    "deterministic_sample": (
-        sketches.q_deterministic_sample,
-        sketches.SQL_DETERMINISTIC_SAMPLE,
-    ),
-    "grouped_map_norm": (
-        sketches.q_grouped_map_norm,
-        sketches.SQL_GROUPED_MAP_NORM,
-    ),
-    "corr_text_embedding": (
-        sketches.q_corr_text_embedding,
-        sketches.SQL_CORR_TEXT_EMBEDDING,
-    ),
-    # --- side-effecting sink (rows-only driver check, no oracle) ---
-    "sink_parquet": (sinks.q_sink_parquet, None),
-    # --- round-1 comparator fix: keep inside the driver window ---
-    "map_fns": (relational2.q_map_fns, relational2.SQL_MAP_FNS),
-    "range_join_buckets": (
-        relational2.q_range_join_buckets,
-        relational2.SQL_RANGE_JOIN_BUCKETS,
-    ),
-    # --- round-2 training-pipeline additions ---
-    "tfidf": (text.q_tfidf, text.SQL_TFIDF),
-    "text_normalize": (text.q_text_normalize, text.SQL_TEXT_NORMALIZE),
-    "seq_packing": (text.q_seq_packing, text.SQL_SEQ_PACKING),
-    "stratified_sample": (
-        sketches.q_stratified_sample,
-        sketches.SQL_STRATIFIED_SAMPLE,
-    ),
-    # --- flagship reference-parity queries (SURVEY.md §2.1-2.4) ---
-    "wordcount": (wordcount.q_wordcount, wordcount.SQL_WORDCOUNT),
-    "payments_pipeline": (
-        payments.q_payments_pipeline,
-        payments.SQL_PAYMENTS_PIPELINE,
-    ),
-    "region_revenue": (relational.q_region_revenue, relational.SQL_REGION_REVENUE),
-    "gen_payments": (generator.q_gen_payments, generator.SQL_GEN_PAYMENTS),
-    # ==================== end of the driver's 50-entry window =========
-    # round-7 additions (no driver verdict yet — first in line for
-    # round-8 slots per the rotation plan below): rule/classifier/split
-    # curation, cross-doc n-gram span dedup, and corpus embedding stats
+    "corpus_drift": (text.q_corpus_drift, text.SQL_CORPUS_DRIFT),
+    # quality screens (round-7 additions, first drive)
     "gopher_rules": (quality.q_gopher_rules, quality.SQL_GOPHER_RULES),
     "quality_classifier": (
         quality.q_quality_classifier,
         quality.SQL_QUALITY_CLASSIFIER,
     ),
     "dataset_split": (quality.q_dataset_split, quality.SQL_DATASET_SPLIT),
-    "dedup_ngram_spans": (
-        dedup.q_dedup_ngram_spans,
-        dedup.SQL_DEDUP_NGRAM_SPANS,
+    "score_weighted_sample": (
+        quality.q_score_weighted_sample,
+        quality.SQL_SCORE_WEIGHTED_SAMPLE,
     ),
-    "corpus_diversity": (
-        embed_stats.q_corpus_diversity,
-        embed_stats.SQL_CORPUS_DIVERSITY,
-    ),
-    "kmeans_assign": (embed_stats.q_kmeans_assign, embed_stats.SQL_KMEANS_ASSIGN),
-    "ann_recall": (similarity.q_ann_recall, similarity.SQL_ANN_RECALL),
-    "embed_quantize": (
-        embed_stats.q_embed_quantize,
-        embed_stats.SQL_EMBED_QUANTIZE,
-    ),
-    # round-7 events-tier analytics: ordered conversion funnel and the
-    # cohort retention triangle
+    "quality_gate": (quality.q_quality_gate, quality.SQL_QUALITY_GATE),
+    # events-tier analytics (round-7 additions, first drive)
     "funnel_conversion": (
         windows.q_funnel_conversion,
         windows.SQL_FUNNEL_CONVERSION,
@@ -213,24 +175,58 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
         windows.q_cohort_retention,
         windows.SQL_COHORT_RETENTION,
     ),
-    # round-7: one Lloyd iteration (decimal-exact centroid means) and
-    # classifier-score-proportional deterministic sampling
-    "kmeans_refine": (embed_stats.q_kmeans_refine, embed_stats.SQL_KMEANS_REFINE),
-    "score_weighted_sample": (
-        quality.q_score_weighted_sample,
-        quality.SQL_SCORE_WEIGHTED_SAMPLE,
+    # LATERAL surface, the salted-join HOLD (in-window until its first
+    # green - r6 verdict ask #2), CMS re-check, sketches, pandas surface
+    "lateral_topn": (relational2.q_lateral_topn, relational2.SQL_LATERAL_TOPN),
+    "salted_join_events": (skew.q_salted_join_events, skew.SQL_SALTED_JOIN_EVENTS),
+    "cms_token_freq": (sketches.q_cms_token_freq, sketches.SQL_CMS_TOKEN_FREQ),
+    "approx_distinct_users": (sketches.q_approx_distinct_users, None),
+    "approx_quantiles": (sketches.q_approx_quantiles, None),
+    "deterministic_sample": (
+        sketches.q_deterministic_sample,
+        sketches.SQL_DETERMINISTIC_SAMPLE,
     ),
-    # round-7: the combined batch gate (streaming twin's checkable form)
-    # and the IVF-path recall audit
-    "quality_gate": (quality.q_quality_gate, quality.SQL_QUALITY_GATE),
-    "ann_recall_ivf": (
-        similarity.q_ann_recall_ivf,
-        similarity.SQL_ANN_RECALL_IVF,
+    "grouped_map_norm": (
+        sketches.q_grouped_map_norm,
+        sketches.SQL_GROUPED_MAP_NORM,
     ),
-    # round-7: ingestion drift monitor (KL + TV on the same md5-parity
-    # slices dedup_incremental classifies)
-    "corpus_drift": (text.q_corpus_drift, text.SQL_CORPUS_DRIFT),
-    # rotated out in round 7 (each >=2 green verdicts; see window diff)
+    "range_join_buckets": (
+        relational2.q_range_join_buckets,
+        relational2.SQL_RANGE_JOIN_BUCKETS,
+    ),
+    # flagship reference-parity anchors
+    "payments_pipeline": (
+        payments.q_payments_pipeline,
+        payments.SQL_PAYMENTS_PIPELINE,
+    ),
+    "gen_payments": (generator.q_gen_payments, generator.SQL_GEN_PAYMENTS),
+    # ============ end of the driver's 50-entry window ================
+    # rotated out in round 7 second batch (each >=4 green verdicts)
+    "dedup_near_capped": (dedup.q_dedup_near_capped, dedup.SQL_DEDUP_NEAR_CAPPED),
+    "dedup_minhash": (dedup.q_dedup_minhash, dedup.SQL_DEDUP_MINHASH),
+    "embed_neardup": (
+        similarity.q_embed_neardup_catalog,
+        similarity.SQL_EMBED_NEARDUP,
+    ),
+    "curation_pipeline": (text.q_curation_pipeline, text.SQL_CURATION_PIPELINE),
+    "text_stats": (text.q_text_stats, text.SQL_TEXT_STATS),
+    "udaf_median": (sketches.q_udaf_median, sketches.SQL_UDAF_MEDIAN),
+    "corr_text_embedding": (
+        sketches.q_corr_text_embedding,
+        sketches.SQL_CORR_TEXT_EMBEDDING,
+    ),
+    "sink_parquet": (sinks.q_sink_parquet, None),
+    "map_fns": (relational2.q_map_fns, relational2.SQL_MAP_FNS),
+    "tfidf": (text.q_tfidf, text.SQL_TFIDF),
+    "text_normalize": (text.q_text_normalize, text.SQL_TEXT_NORMALIZE),
+    "seq_packing": (text.q_seq_packing, text.SQL_SEQ_PACKING),
+    "stratified_sample": (
+        sketches.q_stratified_sample,
+        sketches.SQL_STRATIFIED_SAMPLE,
+    ),
+    "wordcount": (wordcount.q_wordcount, wordcount.SQL_WORDCOUNT),
+    "region_revenue": (relational.q_region_revenue, relational.SQL_REGION_REVENUE),
+    # previously rotated out / breadth tier (full pytest oracle parity)
     "dedup_lines": (dedup.q_dedup_lines, dedup.SQL_DEDUP_LINES),
     "sim_topk": (similarity.q_sim_topk, similarity.SQL_SIM_TOPK),
     "tumbling_count": (windows.q_tumbling_count, windows.SQL_TUMBLING_COUNT),
@@ -243,9 +239,7 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
         payments.SQL_COUNT_BY_CURRENCY,
     ),
     "topk_spenders": (relational.q_topk_spenders, relational.SQL_TOPK_SPENDERS),
-    # rotated out in round 6
     "token_count": (text.q_token_count, text.SQL_TOKEN_COUNT),
-    # rotated out in round 5 (twice-verified greens)
     "dedup_exact": (dedup.q_dedup_exact, dedup.SQL_DEDUP_EXACT),
     "dedup_simhash": (dedup.q_dedup_simhash, dedup.SQL_DEDUP_SIMHASH),
     "dedup_near_jaccard": (
@@ -265,7 +259,6 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "fx_join": (payments.q_fx_join, payments.SQL_FX_JOIN),
     "agg_revenue": (relational.q_agg_revenue, relational.SQL_AGG_REVENUE),
     "big_orders": (relational2.q_big_orders, relational2.SQL_BIG_ORDERS),
-    # rotated out in earlier rounds
     "sliding_count": (windows.q_sliding_count, windows.SQL_SLIDING_COUNT),
     "window_range_interval": (
         windows.q_window_range_interval,
@@ -277,7 +270,6 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "audio_features": (multimodal.q_audio_features, multimodal.SQL_AUDIO_FEATURES),
     "frame_sample": (multimodal.q_frame_sample, multimodal.SQL_FRAME_SAMPLE),
     "image_resize": (multimodal.q_image_resize, multimodal.SQL_IMAGE_RESIZE),
-    # --- core relational tier (reference parity, SURVEY.md §2.1-2.4) ---
     "project_cast": (payments.q_project_cast, payments.SQL_PROJECT_CAST),
     "json_encode": (payments.q_json_encode, payments.SQL_JSON_ENCODE),
     "fx_convert": (payments.q_fx_convert, payments.SQL_FX_CONVERT),
@@ -294,7 +286,6 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
         wordcount.SQL_TOKENIZE_EXPLODE,
     ),
     "scan_lines": (wordcount.q_scan_lines, wordcount.SQL_SCAN_LINES),
-    # --- breadth tier (SURVEY.md §2.4-2.5 extension surface) ---
     "distinct_users": (relational.q_distinct_users, relational.SQL_DISTINCT_USERS),
     "rollup_sales": (relational.q_rollup_sales, relational.SQL_ROLLUP_SALES),
     "cube_sales": (relational.q_cube_sales, relational.SQL_CUBE_SALES),
@@ -366,43 +357,63 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
 # tuple is edited deliberately alongside any registration-order change.
 DRIVER_WINDOW_SIZE = 50
 DRIVER_WINDOW: tuple[str, ...] = (
-    # dedup tier: the once-verified r6 greens due 2nd verdicts + the
-    # four never-driven round-6 additions (first drive)
-    "dedup_near_capped", "dedup_containment", "dedup_minhash",
-    "dedup_lines_near", "dedup_lines_rebuild",
-    "dedup_lines_near_capped", "dedup_incremental",
-    "decontaminate_bloom", "eval_leak_report",
-    # similarity (once-verified r6 entries keep slots)
-    "embed_neardup", "embed_dedup_cluster",
-    # text analysis: the r6 once-verified screens/composites + the four
-    # never-driven round-6 additions (first drive)
-    "curation_pipeline", "repetition_stats", "corpus_mix",
-    "curation_funnel", "funnel_sweep", "pii_scrub", "lm_score",
-    "token_entropy", "bigram_lm_score", "corpus_report",
-    "word_variants", "quality_score", "doc_fingerprint", "text_stats",
+    "dedup_containment",
+    "dedup_lines_near",
+    "dedup_lines_rebuild",
+    "dedup_lines_near_capped",
+    "dedup_incremental",
+    "decontaminate_bloom",
+    "eval_leak_report",
+    "dedup_ngram_spans",
+    "embed_dedup_cluster",
+    "ann_recall",
+    "ann_recall_ivf",
+    "corpus_diversity",
+    "kmeans_assign",
+    "kmeans_refine",
+    "embed_quantize",
+    "repetition_stats",
+    "corpus_mix",
+    "curation_funnel",
+    "funnel_sweep",
+    "pii_scrub",
+    "lm_score",
+    "token_entropy",
+    "bigram_lm_score",
+    "corpus_report",
+    "word_variants",
+    "quality_score",
+    "doc_fingerprint",
     "lang_id",
-    "shard_plan", "corpus_rebalance", "length_histogram",
+    "shard_plan",
+    "corpus_rebalance",
+    "length_histogram",
     "pmi_collocations",
-    # round-6 LATERAL surface, first drive
+    "corpus_drift",
+    "gopher_rules",
+    "quality_classifier",
+    "dataset_split",
+    "score_weighted_sample",
+    "quality_gate",
+    "funnel_conversion",
+    "cohort_retention",
     "lateral_topn",
-    # HOLD until first green (r6 ask #2) + CMS re-check
-    "salted_join_events", "cms_token_freq",
-    # sketches / UDAF / sampling / sink
-    "approx_distinct_users", "approx_quantiles", "udaf_median",
-    "deterministic_sample", "grouped_map_norm", "corr_text_embedding",
-    "sink_parquet",
-    # round-1/2 comparator fixes + round-2 pipeline additions
-    "map_fns", "range_join_buckets", "tfidf", "text_normalize",
-    "seq_packing", "stratified_sample",
-    # reference-parity flagships
-    "wordcount", "payments_pipeline", "region_revenue", "gen_payments",
+    "salted_join_events",
+    "cms_token_freq",
+    "approx_distinct_users",
+    "approx_quantiles",
+    "deterministic_sample",
+    "grouped_map_norm",
+    "range_join_buckets",
+    "payments_pipeline",
+    "gen_payments",
 )
-# Round-8 rotation plan: once the nine round-6 additions and
-# salted_join_events hold green verdicts, resume the >=2-rounds-stale
-# cadence — the rotated-out pool's oldest verdicts (token_count r2+r5,
-# the r5-rotated dedup/similarity/text greens) cycle back in as this
-# round's first-driven entries rotate out. Any NEW round-7 operators
-# registered past the window go first in line for round-8 slots.
+# Round-8 rotation plan: once the round-6 and round-7 first-drives hold
+# green verdicts, resume the >=2-rounds-stale cadence — the rotated-out
+# pool's oldest verdicts (token_count r2+r5, the r5-rotated
+# dedup/similarity/text greens) cycle back in as this round's
+# first-driven entries rotate out. Any operators registered past the
+# window in late round 7 go first in line for round-8 slots.
 #
 # Load-bearing invariant: raise, don't assert — a bare assert is
 # stripped under `python -O`, silently disarming the guard (r3 ADVICE).
