@@ -128,6 +128,16 @@ HEADLINE = (
     "quality_gate",
     "ann_recall_ivf",
     "corpus_drift",
+    # late round-7 additions: boilerplate screen + winnowing fingerprints
+    # (both ride the memoized segment/span-hash tables), zero-shuffle
+    # chunking, single-explode novelty monitor, BM25 top-k, and the
+    # cluster purity report (kmeans_assign's plan + K x |labels| windows)
+    "boilerplate_lines",
+    "winnow_fingerprint",
+    "doc_chunk",
+    "ngram_novelty",
+    "bm25_search",
+    "cluster_purity",
 )
 
 

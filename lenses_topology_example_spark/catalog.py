@@ -201,6 +201,25 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     ),
     "gen_payments": (generator.q_gen_payments, generator.SQL_GEN_PAYMENTS),
     # ============ end of the driver's 50-entry window ================
+    # late round-7 additions (no driver verdict yet — first in line for
+    # round-8 slots): C4 boilerplate screen, winnowing fingerprints,
+    # context-window chunking, batch n-gram novelty, BM25 retrieval,
+    # cluster composition/purity
+    "boilerplate_lines": (
+        dedup.q_boilerplate_lines,
+        dedup.SQL_BOILERPLATE_LINES,
+    ),
+    "winnow_fingerprint": (
+        dedup.q_winnow_fingerprint,
+        dedup.SQL_WINNOW_FINGERPRINT,
+    ),
+    "doc_chunk": (text.q_doc_chunk, text.SQL_DOC_CHUNK),
+    "ngram_novelty": (text.q_ngram_novelty, text.SQL_NGRAM_NOVELTY),
+    "bm25_search": (text.q_bm25_search, text.SQL_BM25_SEARCH),
+    "cluster_purity": (
+        embed_stats.q_cluster_purity,
+        embed_stats.SQL_CLUSTER_PURITY,
+    ),
     # rotated out in round 7 second batch (each >=4 green verdicts)
     "dedup_near_capped": (dedup.q_dedup_near_capped, dedup.SQL_DEDUP_NEAR_CAPPED),
     "dedup_minhash": (dedup.q_dedup_minhash, dedup.SQL_DEDUP_MINHASH),

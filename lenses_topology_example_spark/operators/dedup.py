@@ -1652,6 +1652,35 @@ SQL_EVAL_LEAK_REPORT = f"""
 NGRAM_SPAN_W = 5
 
 
+def _span_hash_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, hs: array<long>) — per-doc sliding NGRAM_SPAN_W-token
+    span hashes in position order, MATERIALIZED (memo-persist). Shared
+    by the cross-doc span-frequency pass (q_dedup_ngram_spans, which
+    explodes it) and the winnowing fingerprint selector
+    (q_winnow_fingerprint, which slices it per-row) — the
+    one-materialization-many-consumers contract of the token/segment
+    tables: without it, each consumer re-runs the O(L*W) md5 build, and
+    any expression referencing `hs` inside a higher-order lambda would
+    re-inline the whole construction per element access (the
+    CollapseProject blowup pmi_collocations measured). Docs shorter
+    than the span width carry an EMPTY array (sequence(1,0) guard, same
+    as token_segments_col)."""
+    toks = _doc_tokens(spark, sf_dir).select("doc_id", "t")
+    n_spans = F.size(F.col("t")) - F.lit(NGRAM_SPAN_W - 1)
+    hs = F.when(
+        n_spans >= F.lit(1),
+        F.transform(
+            F.sequence(F.lit(1), n_spans),
+            lambda i: md5_hash64(
+                F.concat_ws(" ", F.slice(F.col("t"), i, F.lit(NGRAM_SPAN_W)))
+            ),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    return _memo_persist(
+        spark, sf_dir, "span_hashes", toks.select("doc_id", hs.alias("hs"))
+    )
+
+
 def q_dedup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document duplicated-span report at n-gram grain: for every
     sliding NGRAM_SPAN_W-token window, count how many of the doc's
@@ -1672,31 +1701,15 @@ def q_dedup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exchange — and the per-doc rollup is keyed by doc_id. Raw text
     reaches neither shuffle: 8-byte hashes and ids only. Token-less
     docs (< W tokens) surface with zero counts via the left join from
-    the memoized token table.
+    the memoized span-hash table (their `hs` is empty).
 
     100 TB note: span frequency is Zipf-headed like every corpus
     artifact; the groupBy's partial aggregation bounds the map-side
     and AQE skew handling splits the hot reducers. The W-token window
     explode multiplies rows by ~L, not bytes by W (hashes, not text).
     """
-    toks = _doc_tokens(spark, sf_dir).select("doc_id", "t")
-    n_spans = F.size(F.col("t")) - F.lit(NGRAM_SPAN_W - 1)
-    spans = toks.select(
-        "doc_id",
-        F.explode(
-            F.when(
-                n_spans >= F.lit(1),
-                F.transform(
-                    F.sequence(F.lit(1), n_spans),
-                    lambda i: md5_hash64(
-                        F.concat_ws(
-                            " ", F.slice(F.col("t"), i, F.lit(NGRAM_SPAN_W))
-                        )
-                    ),
-                ),
-            ).otherwise(F.array().cast("array<long>"))
-        ).alias("h"),
-    )
+    sh = _span_hash_arrays(spark, sf_dir)
+    spans = sh.select("doc_id", F.explode(F.col("hs")).alias("h"))
     freq = spans.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
     per_doc = (
         spans.join(freq, "h")
@@ -1707,7 +1720,7 @@ def q_dedup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        toks.select("doc_id")
+        sh.select("doc_id")
         .join(per_doc, "doc_id", "left")
         .select(
             "doc_id",
@@ -1746,4 +1759,191 @@ SQL_DEDUP_NGRAM_SPANS = f"""
            CASE WHEN per_doc.n_ngrams > 0
                 THEN per_doc.n_dup / per_doc.n_ngrams END AS dup_frac
     FROM t LEFT JOIN per_doc USING (doc_id)
+"""
+
+
+# --- C4-style boilerplate line report ----------------------------------------------
+
+# A segment is boilerplate when its exact normalized content appears in
+# at least this many DISTINCT documents. 3 (not 2) keeps the screen
+# orthogonal to plain pairwise duplication: df=2 is what dedup_lines
+# already handles via keep-first; df>=3 is the nav-bar/footer class C4
+# drops EVERY occurrence of.
+BOILERPLATE_MIN_DF = 3
+
+
+def q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document boilerplate report at line/segment grain: a segment
+    whose exact content occurs in >= BOILERPLATE_MIN_DF distinct docs
+    is boilerplate, and — unlike the keep-first rule of q_dedup_lines —
+    ALL its occurrences are flagged for removal (C4's repeated-line
+    policy: a nav bar is noise in every document, including the first
+    one crawled). Output per doc: segment count, boilerplate count,
+    boilerplate fraction — the screen that catches template-heavy docs
+    the doc-grain dedup tier never pairs up.
+
+    Scale shape: reuses the memoized segment table; only (doc_id, md5)
+    digests enter the shuffle — segment text never moves. One
+    md5-keyed distinct-doc count (two-phase distinct agg, partially
+    aggregated map-side), then the flag joins back on the SAME md5 key
+    (AQE exchange reuse), then one doc_id-keyed rollup. Line frequency
+    is Zipf-headed; partial aggregation plus AQE skew split carry the
+    hot digests, the same contract as wordcount.
+
+    Reference stake: the corpus replay loop (sparkstreaming
+    App.java:117-122) re-sends the same 15 lines forever — under this
+    screen every line of that corpus is boilerplate at df >= 3, which
+    is exactly the property the wordcount topology exploits.
+    """
+    segs = _line_segments(spark, sf_dir).select(
+        "doc_id", F.md5(F.col("seg")).alias("h")
+    )
+    line_df = segs.groupBy("h").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    return (
+        segs.join(line_df, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(
+                (F.col("df") >= F.lit(BOILERPLATE_MIN_DF)).cast("long")
+            ).alias("n_boiler"),
+        )
+        .select(
+            "doc_id",
+            "n_lines",
+            "n_boiler",
+            F.try_divide(F.col("n_boiler"), F.col("n_lines")).alias(
+                "boiler_frac"
+            ),
+        )
+    )
+
+
+SQL_BOILERPLATE_LINES = f"""
+    WITH t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+    seg AS (
+        SELECT doc_id,
+               md5(array_to_string(
+                   toks[(i-1)*{LINE_SEG_TOKENS}+1 : i*{LINE_SEG_TOKENS}], ' '
+               )) AS h
+        FROM t, unnest(generate_series(1,
+                 CAST(floor(len(toks) / {LINE_SEG_TOKENS}.0) AS INT))) AS u(i)
+    ), line_df AS (
+        SELECT h, COUNT(DISTINCT doc_id) AS df FROM seg GROUP BY h
+    )
+    SELECT seg.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CASE WHEN line_df.df >= {BOILERPLATE_MIN_DF}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+           CAST(SUM(CASE WHEN line_df.df >= {BOILERPLATE_MIN_DF}
+                         THEN 1 ELSE 0 END) AS BIGINT)
+               / CAST(COUNT(*) AS BIGINT) AS boiler_frac
+    FROM seg JOIN line_df USING (h)
+    GROUP BY seg.doc_id
+"""
+
+
+# --- winnowing fingerprint selection -----------------------------------------------
+
+# Winnowing window width (number of consecutive spans per window). With
+# the guarantee that any duplicated run of WINNOW_W + NGRAM_SPAN_W - 1
+# tokens shares at least one selected fingerprint, expected density is
+# 2/(WINNOW_W+1) (Schleimer, Wilkerson, Aiken 2003, "Winnowing: Local
+# Algorithms for Document Fingerprinting").
+WINNOW_W = 4
+
+
+def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust-winnowing fingerprint report per document: slide a
+    WINNOW_W-wide window over the doc's span hashes and select each
+    window's RIGHTMOST minimal hash; the distinct selected positions
+    are the doc's fingerprints (the MOSS document-fingerprinting
+    scheme — a guaranteed-coverage, ~2/(w+1)-density sample of the
+    span-hash stream that a plagiarism/overlap index stores instead of
+    every span). Output per doc: span count, window count, fingerprint
+    count, fingerprint density.
+
+    Determinism: span hashes are md5-derived int64
+    (functions/texthash.py) so both engines see identical streams; the
+    rightmost-min rule is position arithmetic on those ints — no
+    floats anywhere except the final density division.
+
+    Scale shape: ZERO exchanges. The selection runs entirely inside
+    per-row array expressions over the MATERIALIZED span-hash table
+    (each window evaluates one array_min + one array_position over a
+    w-slice — O(L*w) per doc, bounded work per row, whole-stage
+    codegen). The alternative window-function formulation would
+    shuffle the corpus by doc_id twice; this form never shuffles at
+    all — the fingerprint artifact a downstream index consumes is
+    (doc_id, selected positions), derived in the same scan.
+    """
+    sh = _span_hash_arrays(spark, sf_dir)
+    n_win = F.size(F.col("hs")) - F.lit(WINNOW_W - 1)
+
+    def win_slice(i):
+        return F.slice(F.col("hs"), i, F.lit(WINNOW_W))
+
+    sels = F.when(
+        n_win >= F.lit(1),
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n_win),
+                lambda i: (
+                    i.cast("long")
+                    + F.lit(WINNOW_W)
+                    - F.array_position(
+                        F.reverse(win_slice(i)), F.array_min(win_slice(i))
+                    )
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    return sh.select(
+        "doc_id",
+        F.size(F.col("hs")).cast("long").alias("n_spans"),
+        F.greatest(n_win, F.lit(0)).cast("long").alias("n_windows"),
+        F.size(sels).cast("long").alias("n_fp"),
+        F.try_divide(F.size(sels), F.size(F.col("hs"))).alias("fp_density"),
+    )
+
+
+_SQL_WINNOW_SPAN_HASH = SQL_MD5_HASH64.format(
+    x=f"array_to_string(toks[i : i + {NGRAM_SPAN_W - 1}], ' ')"
+)
+_SQL_WINNOW_SLICE = f"hs[i : i + {WINNOW_W - 1}]"
+
+SQL_WINNOW_FINGERPRINT = f"""
+    WITH t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+    h AS (
+        SELECT doc_id,
+               CASE WHEN len(toks) >= {NGRAM_SPAN_W} THEN
+                   list_transform(generate_series(1,
+                       len(toks) - {NGRAM_SPAN_W - 1}),
+                       i -> {_SQL_WINNOW_SPAN_HASH})
+               ELSE CAST([] AS BIGINT[]) END AS hs
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(len(hs) AS BIGINT) AS n_spans,
+           CAST(GREATEST(len(hs) - {WINNOW_W - 1}, 0) AS BIGINT)
+               AS n_windows,
+           CAST(CASE WHEN len(hs) >= {WINNOW_W} THEN
+               len(list_distinct(list_transform(
+                   generate_series(1, len(hs) - {WINNOW_W - 1}),
+                   i -> i + {WINNOW_W} - list_position(
+                            list_reverse({_SQL_WINNOW_SLICE}),
+                            list_min({_SQL_WINNOW_SLICE})))))
+           ELSE 0 END AS BIGINT) AS n_fp,
+           CASE WHEN len(hs) > 0 THEN
+               CAST(CASE WHEN len(hs) >= {WINNOW_W} THEN
+                   len(list_distinct(list_transform(
+                       generate_series(1, len(hs) - {WINNOW_W - 1}),
+                       i -> i + {WINNOW_W} - list_position(
+                                list_reverse({_SQL_WINNOW_SLICE}),
+                                list_min({_SQL_WINNOW_SLICE})))))
+               ELSE 0 END AS BIGINT) / CAST(len(hs) AS BIGINT)
+           END AS fp_density
+    FROM h
 """

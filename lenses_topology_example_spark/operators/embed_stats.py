@@ -416,3 +416,114 @@ SQL_KMEANS_REFINE = f"""
     FROM a2
     GROUP BY cid
 """
+
+# --- cluster composition / label purity report -------------------------------------
+
+
+def q_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster composition report over the fixed-centroid assignment
+    (q_kmeans_assign's plan): member count, corpus share, majority
+    label, and purity (majority fraction). The topic-balance check a
+    cluster-curated corpus runs after SemDeDup-style pruning — skewed
+    shares mean the sampler must rebalance, low purity means the
+    clustering is too coarse for label-stratified work.
+
+    Determinism: cosines are the deterministic fold (similarity.py), so
+    the per-vector argmax matches the oracle; majority ties break to
+    the LOWEST label id; share/purity are single IEEE divisions of
+    exact ints.
+
+    Scale shape: identical to q_kmeans_assign up to the per-vector
+    top-1 (broadcast centroids, WindowGroupLimit); then one
+    (centroid, label)-keyed count — K x |labels| rows out of the
+    partial agg — and every remaining window (member totals, corpus
+    total, majority rank) runs over that K x |labels| frame, never the
+    corpus."""
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("v")
+    )
+    emb = emb.withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v")))).filter(
+        F.col("nrm") > F.lit(0.0)
+    )
+    cent = emb.filter(F.col("vec_id") < F.lit(KMEANS_K)).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cnrm"),
+    )
+    w = W.partitionBy("vec_id").orderBy(
+        F.col("cos_sim").desc(), F.col("centroid_id").asc()
+    )
+    best = (
+        emb.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "label",
+            "centroid_id",
+            cosine_prenorm(
+                F.col("v"), F.col("cv"), F.col("nrm"), F.col("cnrm")
+            ).alias("cos_sim"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == F.lit(1))
+    )
+    by_label = best.groupBy("centroid_id", "label").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w_cl = W.partitionBy("centroid_id")
+    w_rank = W.partitionBy("centroid_id").orderBy(
+        F.col("c").desc(), F.col("label").asc()
+    )
+    return (
+        by_label.withColumn("n_assigned", F.sum("c").over(w_cl))
+        .withColumn("total", F.sum("c").over(W.partitionBy()))
+        .withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") == F.lit(1))
+        .select(
+            "centroid_id",
+            "n_assigned",
+            (F.col("n_assigned") / F.col("total")).alias("share"),
+            F.col("label").alias("top_label"),
+            (F.col("c") / F.col("n_assigned")).alias("purity"),
+        )
+    )
+
+
+SQL_CLUSTER_PURITY = f"""
+    WITH e AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ), nn AS (
+        SELECT vec_id, label, v, sqrt({sql_dot('v', 'v')}) AS nrm FROM e
+    ), f AS (SELECT * FROM nn WHERE nrm > 0),
+    c AS (
+        SELECT vec_id AS centroid_id, v AS cv, nrm AS cnrm
+        FROM f WHERE vec_id < {KMEANS_K}
+    ), b AS (
+        SELECT vec_id, label, centroid_id FROM (
+            SELECT f.vec_id, f.label, c.centroid_id,
+                   {sql_dot('f.v', 'c.cv')} / (f.nrm * c.cnrm) AS cos_sim
+            FROM f CROSS JOIN c
+        )
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY cos_sim DESC, centroid_id ASC) = 1
+    ), bl AS (
+        SELECT centroid_id, label, COUNT(*) AS c
+        FROM b GROUP BY centroid_id, label
+    ), t AS (
+        SELECT centroid_id, label, c,
+               SUM(c) OVER (PARTITION BY centroid_id) AS n_assigned,
+               SUM(c) OVER () AS total
+        FROM bl
+    )
+    SELECT centroid_id,
+           CAST(n_assigned AS BIGINT) AS n_assigned,
+           CAST(n_assigned AS BIGINT) / CAST(total AS BIGINT) AS share,
+           label AS top_label,
+           c / CAST(n_assigned AS BIGINT) AS purity
+    FROM t
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY centroid_id
+                               ORDER BY c DESC, label ASC) = 1
+"""

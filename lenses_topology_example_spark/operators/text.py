@@ -1861,3 +1861,353 @@ SQL_CORPUS_DRIFT = f"""
     FROM terms
     GROUP BY n_base, n_batch, vocab
 """
+
+
+# --- context-window chunking -------------------------------------------------------
+
+# Production values are tokenizer-context-sized (e.g. 2048/1536); the
+# testdata docs are ~30 tokens, so 16/12 keeps every doc multi-chunk at
+# every SF while the plan is width-independent.
+CHUNK_TOKENS = 16
+CHUNK_STRIDE = 12
+
+
+def q_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split every document into overlapping fixed-token context-window
+    chunks (stride < width ⇒ CHUNK_TOKENS−CHUNK_STRIDE tokens of
+    overlap) — the artifact a tokenizer/embedding job consumes when
+    documents exceed the model context. Emits one row per chunk with
+    its 1-based id, token start offset, token count (the tail chunk may
+    be short), and the md5 of the chunk text (the compact identity a
+    chunk-grain dedup or lineage join keys on — the text itself stays
+    reconstructable from (doc_id, chunk_start, chunk_tokens)).
+
+    Chunk count is exact integer arithmetic on both engines:
+    1 + ceil(max(L − C, 0) / S) via (x + S − 1) div S — every token is
+    covered, the last chunk starts at most at L.
+
+    Scale shape: zero shuffles — one explode of a per-row integer
+    sequence over the MATERIALIZED token table, all chunk fields
+    derived in the same codegen projection. Output is ~L/S rows per
+    doc; the md5 runs over token slices, never re-tokenizing (the
+    CollapseProject hazard is void because `t` is a persisted column).
+    """
+    from .dedup import _doc_tokens
+
+    toks = _doc_tokens(spark, sf_dir).select("doc_id", "t")
+    L = F.size(F.col("t"))
+    n_chunks = F.when(
+        L >= F.lit(1),
+        F.lit(1)
+        + F.floor(
+            (F.greatest(L - F.lit(CHUNK_TOKENS), F.lit(0))
+             + F.lit(CHUNK_STRIDE - 1))
+            / F.lit(CHUNK_STRIDE)
+        ).cast("int"),
+    ).otherwise(F.lit(0))
+    start = (F.col("chunk_id") - F.lit(1)) * F.lit(CHUNK_STRIDE) + F.lit(1)
+    return (
+        toks.select(
+            "doc_id",
+            "t",
+            F.size(F.col("t")).alias("l"),
+            F.explode(F.sequence(F.lit(1), n_chunks)).alias("chunk_id"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            start.alias("chunk_start"),
+            F.least(
+                F.lit(CHUNK_TOKENS), F.col("l") - start + F.lit(1)
+            ).alias("chunk_tokens"),
+            F.md5(
+                F.concat_ws(
+                    " ", F.slice(F.col("t"), start, F.lit(CHUNK_TOKENS))
+                )
+            ).alias("chunk_md5"),
+        )
+    )
+
+
+SQL_DOC_CHUNK = f"""
+    WITH t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+    n AS (
+        SELECT doc_id, toks, len(toks) AS l,
+               CASE WHEN len(toks) >= 1 THEN
+                   1 + CAST(floor(
+                       (GREATEST(len(toks) - {CHUNK_TOKENS}, 0)
+                        + {CHUNK_STRIDE - 1}) / {CHUNK_STRIDE}.0) AS INT)
+               ELSE 0 END AS nc
+        FROM t
+    )
+    SELECT doc_id,
+           i AS chunk_id,
+           (i - 1) * {CHUNK_STRIDE} + 1 AS chunk_start,
+           LEAST({CHUNK_TOKENS}, l - ((i - 1) * {CHUNK_STRIDE} + 1) + 1)
+               AS chunk_tokens,
+           md5(array_to_string(
+               toks[(i-1)*{CHUNK_STRIDE}+1 :
+                    (i-1)*{CHUNK_STRIDE}+{CHUNK_TOKENS}], ' ')) AS chunk_md5
+    FROM n, unnest(generate_series(1, nc)) AS u(i)
+"""
+
+
+# --- n-gram novelty of an incoming batch -------------------------------------------
+
+NOVELTY_MAX_N = 3
+
+
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much genuinely NEW text does an incoming batch contribute?
+    Per n in 1..NOVELTY_MAX_N: the count of distinct n-grams in the
+    batch slice, how many of them never occur in the base corpus, and
+    the novelty rate. Complements q_corpus_drift (which measures
+    distribution SHIFT of shared tokens) with a coverage measure — a
+    crawl that is 99 % already-seen n-grams is not worth ingesting;
+    the batch/base split is the same md5 parity dedup_incremental and
+    corpus_drift use, so all three continuous-ingestion monitors see
+    the same slices.
+
+    Scale shape: ONE pass over the materialized token table builds all
+    n orders in a single per-row array (flatten of per-n transforms —
+    one explode, not NOVELTY_MAX_N scans); ONE groupBy (n, gram)
+    carries two boolean presence flags out of the partial agg (the
+    frame is distinct-bounded, Zipf-headed like every vocab artifact);
+    the final rollup is NOVELTY_MAX_N rows. No join — presence of both
+    slices collapses into MAX flags inside the same aggregation.
+    """
+    from ..functions.texthash import md5_hash64
+    from .dedup import _doc_tokens
+
+    def gram_arr(n: int):
+        cnt = F.size(F.col("t")) - F.lit(n - 1)
+        return F.when(
+            cnt >= F.lit(1),
+            F.transform(
+                F.sequence(F.lit(1), cnt),
+                lambda i: F.struct(
+                    F.lit(n).alias("n"),
+                    F.concat_ws(" ", F.slice(F.col("t"), i, F.lit(n))).alias(
+                        "g"
+                    ),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<n:int,g:string>>"))
+
+    toks = _doc_tokens(spark, sf_dir).select(
+        (md5_hash64(F.col("doc_id").cast("string")) % 2).alias("p"),
+        F.explode(
+            F.flatten(
+                F.array(*[gram_arr(n) for n in range(1, NOVELTY_MAX_N + 1)])
+            )
+        ).alias("x"),
+    ).select("p", F.col("x.n").alias("n"), F.col("x.g").alias("g"))
+    presence = toks.groupBy("n", "g").agg(
+        F.max((F.col("p") == 0).cast("int")).alias("has_base"),
+        F.max((F.col("p") == 1).cast("int")).alias("has_batch"),
+    )
+    return (
+        presence.groupBy("n")
+        .agg(
+            F.sum("has_batch").cast("long").alias("batch_distinct"),
+            F.sum(
+                ((F.col("has_batch") == 1) & (F.col("has_base") == 0)).cast(
+                    "long"
+                )
+            ).alias("unseen"),
+        )
+        .select(
+            "n",
+            "batch_distinct",
+            "unseen",
+            F.try_divide(F.col("unseen"), F.col("batch_distinct")).alias(
+                "novelty_rate"
+            ),
+        )
+    )
+
+
+_SQL_NOVELTY_P = SQL_MD5_HASH64.format(x="CAST(doc_id AS VARCHAR)")
+
+SQL_NGRAM_NOVELTY = f"""
+    WITH t AS (
+        SELECT ({_SQL_NOVELTY_P} % 2) AS p, {SQL_TOKS} AS toks
+        FROM documents
+    ), g AS (
+        SELECT p, 1 AS n, unnest(toks) AS g FROM t
+        UNION ALL
+        SELECT p, 2 AS n, array_to_string(toks[i : i + 1], ' ') AS g
+        FROM t, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+        UNION ALL
+        SELECT p, 3 AS n, array_to_string(toks[i : i + 2], ' ') AS g
+        FROM t, unnest(generate_series(1, len(toks) - 2)) AS u(i)
+    ), presence AS (
+        SELECT n, g,
+               MAX(CASE WHEN p = 0 THEN 1 ELSE 0 END) AS has_base,
+               MAX(CASE WHEN p = 1 THEN 1 ELSE 0 END) AS has_batch
+        FROM g GROUP BY n, g
+    )
+    SELECT n,
+           CAST(SUM(has_batch) AS BIGINT) AS batch_distinct,
+           CAST(SUM(CASE WHEN has_batch = 1 AND has_base = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS unseen,
+           CAST(SUM(CASE WHEN has_batch = 1 AND has_base = 0
+                         THEN 1 ELSE 0 END) AS BIGINT)
+               / CAST(SUM(has_batch) AS BIGINT) AS novelty_rate
+    FROM presence GROUP BY n
+"""
+
+
+# --- BM25 ranked retrieval ---------------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 5
+# Fixed query workload over the corpus vocabulary (the retrieval twin of
+# tfidf's keyword extraction): query_id -> bag of terms.
+BM25_QUERIES = (
+    ("q_scan", ("table", "scan")),
+    ("q_join", ("hash", "join", "merge")),
+    ("q_sort", ("window", "sort")),
+)
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-k retrieval for a fixed query set: rank documents
+    by sum over query terms of idf(t) * tf*(k1+1) / (tf + k1*(1−b+b*
+    dl/avgdl)), idf = ln(1 + (N−df+0.5)/(df+0.5)). The quality-aware
+    search primitive a curation pipeline uses to pull topical slices
+    out of a web corpus (tfidf ranks terms per doc; this ranks docs per
+    query).
+
+    Determinism: per-term scores are fixed double expressions (same
+    operation order both engines — the lm_score ln contract) rounded to
+    DECIMAL(38,6) BEFORE the per-(query, doc) sum, so accumulation
+    order cannot drift; ranking sorts the exact decimal with doc_id as
+    tie-break.
+
+    Scale shape: the corpus-scale work is ONE explode of the
+    materialized token table filtered to query terms — a ~|terms|-entry
+    IN list evaluated in codegen ahead of the shuffle, so only matching
+    (doc, term) rows reach the tf aggregation. df and the per-term
+    score derive from windows over that (matching docs × terms) frame;
+    corpus stats (N, Σdl) are ONE 1-row aggregate over the token table
+    broadcast in (the repo's scalar crossJoin pattern); the query map
+    is a literal frame broadcast into the term rows. Final top-k is
+    row_number over |queries| partitions — WindowGroupLimit keeps k
+    rows per partition ahead of the exchange.
+    """
+    from pyspark.sql import Window as W
+
+    from .dedup import _doc_tokens
+
+    all_terms = sorted({t for _, ts in BM25_QUERIES for t in ts})
+    qmap = spark.createDataFrame(
+        [(q, t) for q, ts in BM25_QUERIES for t in ts],
+        "query_id string, token string",
+    )
+    toks = _doc_tokens(spark, sf_dir).select("doc_id", "t")
+    stats = toks.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.col("t"))).alias("total_dl"),
+    )
+    tf = (
+        toks.select(
+            "doc_id",
+            F.size(F.col("t")).alias("dl"),
+            F.explode(F.col("t")).alias("token"),
+        )
+        .filter(F.col("token").isin(*all_terms))
+        .groupBy("doc_id", "dl", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    scored = (
+        tf.withColumn("df", F.count(F.lit(1)).over(W.partitionBy("token")))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "token",
+            (
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                )
+                * (F.col("tf") * F.lit(BM25_K1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(BM25_K1)
+                    * (
+                        F.lit(1.0 - BM25_B)
+                        + F.lit(BM25_B)
+                        * F.col("dl")
+                        / (F.col("total_dl") / F.col("n_docs"))
+                    )
+                )
+            )
+            .cast("decimal(38,6)")
+            .alias("sd"),
+        )
+    )
+    per_doc = (
+        scored.join(F.broadcast(qmap), "token")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("sd").alias("score_d"))
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("score_d").desc(), F.col("doc_id").asc()
+    )
+    return (
+        per_doc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= F.lit(BM25_TOP_K))
+        .select(
+            "query_id",
+            "rank",
+            "doc_id",
+            F.col("score_d").cast("double").alias("score"),
+        )
+    )
+
+
+_SQL_BM25_TERMS = ", ".join(
+    f"('{q}', '{t}')" for q, ts in BM25_QUERIES for t in ts
+)
+_SQL_BM25_IN = ", ".join(
+    f"'{t}'" for t in sorted({t for _, ts in BM25_QUERIES for t in ts})
+)
+
+SQL_BM25_SEARCH = f"""
+    WITH qmap(query_id, token) AS (VALUES {_SQL_BM25_TERMS}),
+    t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+    stats AS (
+        SELECT COUNT(*) AS n_docs, CAST(SUM(len(toks)) AS BIGINT) AS total_dl
+        FROM t
+    ), tf AS (
+        SELECT doc_id, dl, token, COUNT(*) AS tf
+        FROM (SELECT doc_id, len(toks) AS dl, unnest(toks) AS token FROM t)
+        WHERE token IN ({_SQL_BM25_IN})
+        GROUP BY doc_id, dl, token
+    ), scored AS (
+        SELECT doc_id, token,
+               CAST(
+                   ln(1.0 + (stats.n_docs - df + 0.5) / (df + 0.5))
+                   * (tf * {BM25_K1 + 1.0})
+                   / (tf + {BM25_K1}
+                      * ({1.0 - BM25_B} + {BM25_B} * dl
+                         / (stats.total_dl / stats.n_docs)))
+                   AS DECIMAL(38,6)) AS sd
+        FROM (SELECT *, COUNT(*) OVER (PARTITION BY token) AS df FROM tf)
+        CROSS JOIN stats
+    ), per_doc AS (
+        SELECT query_id, doc_id, SUM(sd) AS score_d
+        FROM scored JOIN qmap USING (token)
+        GROUP BY query_id, doc_id
+    )
+    SELECT query_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY score_d DESC, doc_id ASC) AS INT) AS rank,
+           doc_id,
+           CAST(score_d AS DOUBLE) AS score
+    FROM per_doc
+    QUALIFY rank <= {BM25_TOP_K}
+"""

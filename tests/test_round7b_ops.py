@@ -1,0 +1,273 @@
+"""Semantic and plan pins for the late-round-7 operators (exactness vs
+the DuckDB oracles is covered for every entry by test_oracle_parity).
+
+- dedup.py: C4-style boilerplate screen, winnowing fingerprints (checked
+  against a pure-Python reimplementation of robust winnowing).
+- text.py: context-window chunking (coverage algebra), batch n-gram
+  novelty, BM25 retrieval.
+- embed_stats.py: cluster composition / label purity.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import hashlib
+import io
+import math
+import re
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from lenses_topology_example_spark.operators import dedup, embed_stats, text
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+# --- boilerplate_lines -------------------------------------------------------------
+
+
+def test_boilerplate_flags_match_python_reference(spark, sf_dir):
+    """Recompute the df>=3 screen with a Python dict over the same
+    segmentation and compare every per-doc count."""
+    docs = pq.read_table(f"{sf_dir}/documents.parquet").to_pylist()
+    w = dedup.LINE_SEG_TOKENS
+    seg_docs: dict[str, set[int]] = {}
+    doc_segs: dict[int, list[str]] = {}
+    for d in docs:
+        toks = [t for t in re.split(r"\W+", d["text"].lower()) if t]
+        segs = [
+            " ".join(toks[i * w : (i + 1) * w]) for i in range(len(toks) // w)
+        ]
+        doc_segs[d["doc_id"]] = segs
+        for s in segs:
+            seg_docs.setdefault(s, set()).add(d["doc_id"])
+    got = {
+        r["doc_id"]: (r["n_lines"], r["n_boiler"])
+        for r in dedup.q_boilerplate_lines(spark, sf_dir).collect()
+    }
+    want = {
+        doc_id: (
+            len(segs),
+            sum(
+                1
+                for s in segs
+                if len(seg_docs[s]) >= dedup.BOILERPLATE_MIN_DF
+            ),
+        )
+        for doc_id, segs in doc_segs.items()
+        if segs
+    }
+    assert got == want
+
+
+def test_boilerplate_vs_dedup_lines_totals(spark, sf_dir):
+    """Same segmentation => same per-doc n_lines as the keep-first
+    screen; and the corpus genuinely contains boilerplate (an all-zero
+    n_boiler would mean the df join is dead)."""
+    bl = {
+        r["doc_id"]: r["n_lines"]
+        for r in dedup.q_boilerplate_lines(spark, sf_dir).collect()
+    }
+    dl = {
+        r["doc_id"]: r["n_lines"]
+        for r in dedup.q_dedup_lines(spark, sf_dir).collect()
+    }
+    assert bl == dl
+    total_boiler = (
+        dedup.q_boilerplate_lines(spark, sf_dir)
+        .agg(F.sum("n_boiler"))
+        .collect()[0][0]
+    )
+    assert total_boiler > 0
+
+
+def test_boilerplate_no_text_in_shuffle(spark, sf_dir):
+    plan = _plan(dedup.q_boilerplate_lines(spark, sf_dir))
+    assert "hashpartitioning(h#" in plan
+    after = plan.split("hashpartitioning", 1)[1]
+    assert "text#" not in after and "seg#" not in after, (
+        "only md5 digests and ids may shuffle"
+    )
+
+
+# --- winnow_fingerprint ------------------------------------------------------------
+
+
+def _py_winnow(tokens: list[str], span_w: int, win_w: int) -> tuple[int, int, int]:
+    """Pure-Python robust winnowing over md5-derived span hashes —
+    the independent reference for the array-expression form."""
+    spans = [
+        int(
+            hashlib.md5(
+                " ".join(tokens[i : i + span_w]).encode()
+            ).hexdigest()[:15],
+            16,
+        )
+        for i in range(len(tokens) - span_w + 1)
+    ]
+    n_win = max(len(spans) - win_w + 1, 0)
+    sel = set()
+    for i in range(n_win):
+        window = spans[i : i + win_w]
+        m = min(window)
+        # rightmost minimal hash
+        sel.add(i + max(j for j, h in enumerate(window) if h == m))
+    return len(spans), n_win, len(sel)
+
+
+def test_winnow_matches_python_reference(spark, sf_dir):
+    docs = pq.read_table(f"{sf_dir}/documents.parquet").to_pylist()
+    want = {}
+    for d in docs:
+        toks = [t for t in re.split(r"\W+", d["text"].lower()) if t]
+        if len(toks) < dedup.NGRAM_SPAN_W:
+            want[d["doc_id"]] = (0, 0, 0)
+        else:
+            want[d["doc_id"]] = _py_winnow(
+                toks, dedup.NGRAM_SPAN_W, dedup.WINNOW_W
+            )
+    got = {
+        r["doc_id"]: (r["n_spans"], r["n_windows"], r["n_fp"])
+        for r in dedup.q_winnow_fingerprint(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_winnow_density_bounds(spark, sf_dir):
+    """Every window selects a fingerprint and one fingerprint covers at
+    most WINNOW_W windows => ceil(n_win/w) <= n_fp <= n_win."""
+    rows = dedup.q_winnow_fingerprint(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        if r["n_windows"] > 0:
+            assert (
+                math.ceil(r["n_windows"] / dedup.WINNOW_W)
+                <= r["n_fp"]
+                <= r["n_windows"]
+            )
+        else:
+            assert r["n_fp"] == 0 and r["fp_density"] in (None, 0.0)
+
+
+def test_winnow_plan_has_no_exchange(spark, sf_dir):
+    """The selection is per-row array math over the materialized
+    span-hash table — the query itself must add NO exchange (the only
+    allowed one is the _parallel_scan round-robin inside the cached
+    build)."""
+    plan = _plan(dedup.q_winnow_fingerprint(spark, sf_dir))
+    assert "hashpartitioning" not in plan
+    assert "InMemoryTableScan" in plan
+
+
+# --- doc_chunk ---------------------------------------------------------------------
+
+
+def test_doc_chunk_covers_every_token(spark, sf_dir):
+    """Chunk algebra per doc: ids are 1..n contiguous, starts follow the
+    stride, the last chunk ends exactly at L, consecutive chunks overlap
+    by CHUNK_TOKENS - CHUNK_STRIDE tokens (except a short tail)."""
+    from lenses_topology_example_spark.operators.dedup import _doc_tokens
+
+    lens = {
+        r["doc_id"]: len(r["t"])
+        for r in _doc_tokens(spark, sf_dir).select("doc_id", "t").collect()
+    }
+    by_doc: dict[int, list] = {}
+    for r in text.q_doc_chunk(spark, sf_dir).collect():
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == {d for d, l in lens.items() if l >= 1}
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r["chunk_id"])
+        l = lens[doc_id]
+        assert [r["chunk_id"] for r in rows] == list(range(1, len(rows) + 1))
+        for r in rows:
+            assert r["chunk_start"] == (r["chunk_id"] - 1) * text.CHUNK_STRIDE + 1
+            assert 1 <= r["chunk_tokens"] <= text.CHUNK_TOKENS
+        last = rows[-1]
+        assert last["chunk_start"] + last["chunk_tokens"] - 1 == l
+        # no chunk starts past the end; a doc shorter than one chunk
+        # yields exactly one chunk
+        if l <= text.CHUNK_TOKENS:
+            assert len(rows) == 1 and last["chunk_tokens"] == l
+
+
+def test_doc_chunk_plan_has_no_exchange(spark, sf_dir):
+    plan = _plan(text.q_doc_chunk(spark, sf_dir))
+    assert "hashpartitioning" not in plan
+
+
+# --- ngram_novelty -----------------------------------------------------------------
+
+
+def test_ngram_novelty_shape_and_bounds(spark, sf_dir):
+    rows = {r["n"]: r for r in text.q_ngram_novelty(spark, sf_dir).collect()}
+    assert set(rows) == set(range(1, text.NOVELTY_MAX_N + 1))
+    for n, r in rows.items():
+        assert 0 <= r["unseen"] <= r["batch_distinct"]
+        assert r["batch_distinct"] > 0
+    # higher-order n-grams are strictly more numerous and more novel on
+    # any natural corpus slice: distinct trigrams >= distinct unigrams
+    assert rows[3]["batch_distinct"] >= rows[1]["batch_distinct"]
+    assert (rows[3]["novelty_rate"] or 0) >= (rows[1]["novelty_rate"] or 0)
+
+
+# --- bm25_search -------------------------------------------------------------------
+
+
+def test_bm25_ranking_is_sound(spark, sf_dir):
+    rows = text.q_bm25_search(spark, sf_dir).collect()
+    by_q: dict[str, list] = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {q for q, _ in text.BM25_QUERIES}
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= text.BM25_TOP_K
+        # scores weakly decrease with rank; ties broke by doc_id
+        for a, b in zip(rs, rs[1:]):
+            assert a["score"] > b["score"] or (
+                a["score"] == b["score"] and a["doc_id"] < b["doc_id"]
+            )
+        assert all(r["score"] > 0 for r in rs)
+
+
+def test_bm25_plan_broadcasts_and_group_limits(spark, sf_dir):
+    plan = _plan(text.q_bm25_search(spark, sf_dir))
+    assert "WindowGroupLimit" in plan, "top-k must prune ahead of the sort"
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+# --- cluster_purity ----------------------------------------------------------------
+
+
+def test_cluster_purity_algebra(spark, sf_dir):
+    rows = embed_stats.q_cluster_purity(spark, sf_dir).collect()
+    assert len(rows) == embed_stats.KMEANS_K
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-9
+    n_vecs = (
+        pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id"])
+        .num_rows
+    )
+    # zero-norm vectors are excluded; the synthetic embeddings have none
+    assert sum(r["n_assigned"] for r in rows) == n_vecs
+    for r in rows:
+        assert 0.0 < r["purity"] <= 1.0
+
+
+def test_cluster_purity_matches_assignment_counts(spark, sf_dir):
+    a = {
+        r["centroid_id"]: r["n_assigned"]
+        for r in embed_stats.q_kmeans_assign(spark, sf_dir).collect()
+    }
+    p = {
+        r["centroid_id"]: r["n_assigned"]
+        for r in embed_stats.q_cluster_purity(spark, sf_dir).collect()
+    }
+    assert a == p
