@@ -1057,13 +1057,15 @@ def q_dedup_lines_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     block join so the verify filter runs in the join's own codegen'd
     projection (nothing but QUALIFYING pairs ever reaches the dedup
     `distinct`), and the key build is explode-first + `array_remove` +
-    `xxhash64` — plain codegen-able nodes, 8-byte long join keys.
-    Warm sf0.1 runtime dropped ~17 s -> ~1.7 s. xxhash64 is
-    deliberately NOT the repo's portable md5 discipline: block keys
-    never reach the oracle (the naive all-pairs twin has no keys), and
-    a hash collision merely creates a spurious candidate that the
-    exact verify filters — completeness needs equal sets to collide
-    (guaranteed), not distinct sets to differ. The verify filter
+    an md5-derived int64 of the subset contents — plain codegen-able
+    nodes, 8-byte long join keys. Warm sf0.1 runtime dropped
+    ~17 s -> ~1.7 s. For THIS uncapped form any injective-in-practice
+    hash suffices (block keys never reach the naive all-pairs oracle;
+    a collision merely creates a spurious candidate that the exact
+    verify filters — completeness needs equal sets to collide,
+    guaranteed), but the key build is shared with the capped twin,
+    whose df-cap oracle must see identical collisions, so both use the
+    portable md5 discipline (r6 ADVICE). The verify filter
     itself runs in pure int64 arithmetic (DEN*i >= NUM*union); the
     output jaccard double is computed only for qualifying rows."""
     return _seg_near_pairs(spark, sf_dir, max_key_df=None)
@@ -1090,11 +1092,10 @@ def q_dedup_lines_near_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     at MAX_SEG_BLOCK_DF^2 per key. Unlike the uncapped twin this is
     NOT provably complete — pairs whose every shared block key is hot
     are lost — which is exactly the documented production trade; the
-    oracle mirrors the cap (string block keys in DuckDB vs xxhash64 in
-    Spark: equal-sets collide identically in both, and at these key
-    cardinalities a 64-bit cross-set collision perturbing a df COUNT
-    is negligible — same injectivity-in-practice argument as the md5
-    digest discipline)."""
+    oracle mirrors the cap EXACTLY (r6 ADVICE): both engines hash the
+    chr(1)-joined subset contents through the portable md5-derived
+    int64, so key dfs — collisions included — are identical by
+    construction, not merely negligible-probability identical."""
     return _seg_near_pairs(spark, sf_dir, max_key_df=MAX_SEG_BLOCK_DF)
 
 
@@ -1126,10 +1127,17 @@ def _seg_near_pairs(
     )
     # Block keys: hash of the full sorted set, plus hash of every
     # delete-one subset (ts is distinct, so array_remove(ts, x) is
-    # exactly the subset without x).
+    # exactly the subset without x). The hash is the repo's PORTABLE
+    # md5-derived int64 over the chr(1)-joined subset contents (r6
+    # ADVICE): the capped oracle hashes the identical string, so even a
+    # cross-set collision that merges two keys and perturbs a df count
+    # happens IDENTICALLY in both engines — the one place an
+    # engine-private hash could have changed results rather than just
+    # candidates. Still an 8-byte long join key in codegen.
+    _key = lambda ts_col: md5_hash64(F.concat_ws("\x01", ts_col))
     base = canon.select("doc_id", "pos", "ts")
     full = base.select(
-        "doc_id", "pos", "ts", F.xxhash64(F.col("ts")).alias("k")
+        "doc_id", "pos", "ts", _key(F.col("ts")).alias("k")
     )
     dels = base.select(
         "doc_id", "pos", "ts", F.explode(F.col("ts")).alias("x")
@@ -1137,13 +1145,13 @@ def _seg_near_pairs(
         "doc_id",
         "pos",
         "ts",
-        F.xxhash64(F.array_remove(F.col("ts"), F.col("x"))).alias("k"),
+        _key(F.array_remove(F.col("ts"), F.col("x"))).alias("k"),
     )
     # Memoized (r6 verdict ask #3): the full ∪ delete-one explode feeds
     # THREE consumers in the capped path (the `rare` df-count aggregate
     # and both sides of the a×b self-join) and two in the uncapped one;
     # Spark has no cross-branch CSE, so without materialization the
-    # explode + array_remove + xxhash64 key build re-runs per consumer
+    # explode + array_remove + md5 key build re-runs per consumer
     # (driver + two clean-host runs all measured the capped form past
     # its 10 s regression bar; the uncapped twin shares the fix).
     keys = _memo_persist(
@@ -1222,11 +1230,12 @@ SQL_DEDUP_LINES_NEAR = f"""
 # Capped-variant oracle: mirrors the BLOCKING + df-cap exactly (not the
 # naive all-pairs form — the cap deliberately loses hot-key-only pairs,
 # so completeness-vs-naive no longer holds and the oracle must replicate
-# the candidate generation). Block keys are the subset CONTENTS joined
-# with chr(1) (never appears in \\W+-tokenized words); Spark's xxhash64
-# groups the same equal-sets, so per-key dfs and the resulting candidate
-# sets agree. DISTINCT matches the Spark-side .distinct() — a pair
-# sharing several surviving keys must still emit once.
+# the candidate generation). Block keys are the portable md5-derived
+# int64 of the subset CONTENTS joined with chr(1) (never appears in
+# \\W+-tokenized words) — the IDENTICAL hash Spark computes, so per-key
+# dfs agree collisions-included (r6 ADVICE). DISTINCT matches the
+# Spark-side .distinct() — a pair sharing several surviving keys must
+# still emit once.
 SQL_DEDUP_LINES_NEAR_CAPPED = f"""
     {_SQL_SEG_CTES},
     hs AS (
@@ -1237,10 +1246,14 @@ SQL_DEDUP_LINES_NEAR_CAPPED = f"""
         SELECT doc_id, pos, ts FROM hs
         QUALIFY ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) = 1
     ), keyed AS (
-        SELECT doc_id, pos, ts, array_to_string(ts, chr(1)) AS k FROM canon
+        SELECT doc_id, pos, ts,
+               {SQL_MD5_HASH64.format(x="array_to_string(ts, chr(1))")} AS k
+        FROM canon
         UNION ALL
         SELECT doc_id, pos, ts,
-               array_to_string(list_filter(ts, e -> e <> x), chr(1)) AS k
+               {SQL_MD5_HASH64.format(
+                   x="array_to_string(list_filter(ts, e -> e <> x), chr(1))"
+               )} AS k
         FROM canon, unnest(ts) AS u(x)
     ), rare AS (
         SELECT k FROM keyed GROUP BY k HAVING COUNT(*) <= {MAX_SEG_BLOCK_DF}
