@@ -138,6 +138,11 @@ HEADLINE = (
     "ngram_novelty",
     "bm25_search",
     "cluster_purity",
+    # second wave: LSH layout calibration (banded joins + the exact
+    # truth pass), exact-K per-group sampling, fertility report
+    "minhash_band_sweep",
+    "reservoir_sample",
+    "tokenizer_stats",
 )
 
 

@@ -220,6 +220,17 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
         embed_stats.q_cluster_purity,
         embed_stats.SQL_CLUSTER_PURITY,
     ),
+    # late round-7 additions, second wave: measured LSH calibration,
+    # exact-K deterministic per-group sampling, tokenizer fertility
+    "minhash_band_sweep": (
+        dedup.q_minhash_band_sweep,
+        dedup.SQL_MINHASH_BAND_SWEEP,
+    ),
+    "reservoir_sample": (
+        sketches.q_reservoir_sample,
+        sketches.SQL_RESERVOIR_SAMPLE,
+    ),
+    "tokenizer_stats": (text.q_tokenizer_stats, text.SQL_TOKENIZER_STATS),
     # rotated out in round 7 second batch (each >=4 green verdicts)
     "dedup_near_capped": (dedup.q_dedup_near_capped, dedup.SQL_DEDUP_NEAR_CAPPED),
     "dedup_minhash": (dedup.q_dedup_minhash, dedup.SQL_DEDUP_MINHASH),

@@ -1960,3 +1960,184 @@ SQL_WINNOW_FINGERPRINT = f"""
            END AS fp_density
     FROM h
 """
+
+
+# --- MinHash band-configuration sweep (LSH calibration as a query) -----------------
+
+# (bands, rows_per_band) layouts over the N_HASHES-component signature.
+# The S-curve P(candidate | J) = 1 - (1 - J^r)^b trades recall against
+# candidate volume; which point is right depends on the CORPUS, so the
+# audit recomputes measured recall/precision on the actual data — the
+# same "measure, don't guess" contract as ann_recall for the ANN
+# layouts.
+SWEEP_BAND_CONFIGS = ((8, 1), (4, 2), (2, 4), (1, 8))
+
+
+def q_minhash_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured LSH calibration: for each (bands, rows-per-band) layout
+    of the shared MinHash signature, generate the banded candidate set
+    and score it against the EXACT Jaccard >= JACCARD_THRESHOLD truth
+    pairs — per config: candidate volume, hits, recall, precision. The
+    operator a pipeline runs (on a sample at production scale — the
+    truth side is the quadratic-in-hot-shingles exact pass, the same
+    caveat its oracle-exactness twin documents) before committing a
+    band layout to a 100 TB dedup job.
+
+    Determinism: band keys are md5-derived int64 over the '_'-joined
+    decimal rendering of the band's signature components — identical in
+    DuckDB, so candidate sets match collisions-included; metrics are
+    exact-int divisions.
+
+    Scale shape: all configs explode from the MATERIALIZED signature
+    table in one union (k keys per doc total across a config — 8-byte
+    keys + ids only); each candidate join buckets on (config, band,
+    key); the truth frame joins in once as an indicator (broadcast at
+    audit scale); the rollup is |configs| rows."""
+    sigs = minhash_signatures(spark, sf_dir)
+
+    def band_frame(n_bands: int, rpb: int) -> DataFrame:
+        keys = F.transform(
+            F.sequence(F.lit(0), F.lit(n_bands - 1)),
+            lambda i: md5_hash64(
+                F.concat_ws(
+                    "_",
+                    F.transform(
+                        F.slice(
+                            F.col("sig"), i * F.lit(rpb) + F.lit(1), F.lit(rpb)
+                        ),
+                        lambda x: x.cast("string"),
+                    ),
+                )
+            ),
+        )
+        return sigs.select(
+            F.lit(n_bands).alias("bands"),
+            F.lit(rpb).alias("rows_per_band"),
+            "doc_id",
+            F.posexplode(keys).alias("band", "v"),
+        )
+
+    frames = [band_frame(bn, r) for bn, r in SWEEP_BAND_CONFIGS]
+    bands = frames[0]
+    for f in frames[1:]:
+        bands = bands.unionByName(f)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.bands") == F.col("b.bands"))
+            & (F.col("a.rows_per_band") == F.col("b.rows_per_band"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.v") == F.col("b.v"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.bands").alias("bands"),
+            F.col("a.rows_per_band").alias("rows_per_band"),
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    truth = q_dedup_near_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    n_true = truth.agg(F.count(F.lit(1)).alias("n_true_pairs"))
+    return (
+        cand.join(
+            F.broadcast(truth.withColumn("is_true", F.lit(1))),
+            ["doc_a", "doc_b"],
+            "left",
+        )
+        .groupBy("bands", "rows_per_band")
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.sum(F.coalesce(F.col("is_true"), F.lit(0)))
+            .cast("long")
+            .alias("n_hits"),
+        )
+        .crossJoin(F.broadcast(n_true))
+        .select(
+            "bands",
+            "rows_per_band",
+            "n_candidates",
+            "n_hits",
+            "n_true_pairs",
+            F.try_divide(F.col("n_hits"), F.col("n_true_pairs")).alias(
+                "recall"
+            ),
+            F.try_divide(F.col("n_hits"), F.col("n_candidates")).alias(
+                "precision"
+            ),
+        )
+    )
+
+
+def _sql_band_config(n_bands: int, rpb: int) -> str:
+    key = SQL_MD5_HASH64.format(
+        x=(
+            f"array_to_string(list_transform("
+            f"sig[i*{rpb}+1 : i*{rpb}+{rpb}], "
+            f"x -> CAST(x AS VARCHAR)), '_')"
+        )
+    )
+    return (
+        f"SELECT {n_bands} AS bands, {rpb} AS rows_per_band, doc_id,"
+        f" i AS band, {key} AS v"
+        f" FROM sig, unnest(generate_series(0, {n_bands - 1})) AS u(i)"
+    )
+
+
+_SQL_SWEEP_BANDS = "\n        UNION ALL ".join(
+    _sql_band_config(bn, r) for bn, r in SWEEP_BAND_CONFIGS
+)
+
+SQL_MINHASH_BAND_SWEEP = f"""
+    WITH toks AS (
+        SELECT doc_id, {SQL_TOKS} AS t FROM documents
+    ), hs AS (
+        SELECT doc_id,
+               list_distinct(list_transform(list_distinct({SQL_SHINGLES}),
+                   s -> (('0x' || substr(md5(s), 1, 15))::BIGINT) % {MOD})) AS h
+        FROM toks
+    ), sig AS (
+        SELECT doc_id, {_sql_sig_components()} AS sig
+        FROM hs WHERE len(h) > 0
+    ), sh AS (
+        SELECT doc_id, unnest(list_distinct({SQL_SHINGLES})) AS shingle
+        FROM toks
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ), truth AS (
+        SELECT doc_a, doc_b FROM inter
+        JOIN sizes na ON na.doc_id = doc_a
+        JOIN sizes nb ON nb.doc_id = doc_b
+        WHERE inter / (na.n_sh + nb.n_sh - inter) >= {JACCARD_THRESHOLD}
+    ), tcount AS (SELECT COUNT(*) AS n_true_pairs FROM truth),
+    bands AS (
+        {_SQL_SWEEP_BANDS}
+    ), cand AS (
+        SELECT DISTINCT a.bands, a.rows_per_band,
+               a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.bands = b.bands AND a.rows_per_band = b.rows_per_band
+         AND a.band = b.band AND a.v = b.v AND a.doc_id < b.doc_id
+    ), m AS (
+        SELECT bands, rows_per_band,
+               COUNT(*) AS n_candidates,
+               SUM(CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS n_hits
+        FROM cand c
+        LEFT JOIN truth t ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+        GROUP BY bands, rows_per_band
+    )
+    SELECT bands, rows_per_band,
+           CAST(n_candidates AS BIGINT) AS n_candidates,
+           CAST(n_hits AS BIGINT) AS n_hits,
+           CAST(n_true_pairs AS BIGINT) AS n_true_pairs,
+           CAST(n_hits AS BIGINT) / CAST(n_true_pairs AS BIGINT) AS recall,
+           CAST(n_hits AS BIGINT) / CAST(n_candidates AS BIGINT) AS precision
+    FROM m CROSS JOIN tcount
+"""

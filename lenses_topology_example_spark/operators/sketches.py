@@ -408,3 +408,56 @@ SQL_CMS_TOKEN_FREQ = f"""
     FROM lookups l JOIN counters c USING (row, col)
     GROUP BY l.token, l.exact_n
 """
+
+
+RESERVOIR_K = 10
+
+
+def q_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-K-per-group deterministic sample: for every source, keep
+    the RESERVOIR_K documents with the smallest md5-derived content
+    hash — the distributed, rerun-stable equivalent of per-group
+    reservoir sampling (uniform without replacement over each group,
+    conditioned on the hash function), where rate-based sampling
+    (q_stratified_sample) cannot promise an exact per-group count. The
+    fixed-size per-source exhibit set a corpus audit ships.
+
+    Determinism: the order key is md5_hash64(doc_id) with doc_id as
+    tie-break — stable across engines, runs, and repartitioning, and
+    stable under corpus GROWTH in the sense that a doc's key never
+    changes (new docs can displace old ones only by hashing lower).
+
+    Scale shape: one scan, one row_number window partitioned by source
+    — Catalyst's WindowGroupLimit keeps K rows per source per partition
+    ahead of the exchange, so the shuffle carries ~K x |sources| rows,
+    not the corpus."""
+    from pyspark.sql import Window as W
+
+    from ..functions.texthash import md5_hash64
+    from ..tables import load_table as _load
+
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    key = md5_hash64(F.col("doc_id").cast("string"))
+    w = W.partitionBy("source").orderBy(key.asc(), F.col("doc_id").asc())
+    return (
+        docs.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= F.lit(RESERVOIR_K))
+        .select("source", "sample_rank", "doc_id", "n_chars")
+    )
+
+
+SQL_RESERVOIR_SAMPLE = f"""
+    SELECT source, sample_rank, doc_id, n_chars
+    FROM (
+        SELECT source, doc_id, n_chars,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                             1, 15))::BIGINT ASC, doc_id ASC
+               ) AS INT) AS sample_rank
+        FROM documents
+    )
+    WHERE sample_rank <= {RESERVOIR_K}
+"""

@@ -2211,3 +2211,72 @@ SQL_BM25_SEARCH = f"""
     FROM per_doc
     QUALIFY rank <= {BM25_TOP_K}
 """
+
+
+# --- tokenizer fertility statistics ------------------------------------------------
+
+
+def q_tokenizer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source tokenizer planning report: document count, word
+    (\\W+) and BPE-style pre-token totals, character volume, and the
+    two ratios a training-budget estimate runs on — fertility
+    (BPE tokens per word: how much the subword tokenizer inflates the
+    corpus) and chars-per-word. A source whose fertility is an outlier
+    is mis-encoded, non-prose, or out-of-vocabulary-heavy, and its
+    token budget is mispriced by the word-count proxy.
+
+    Scale shape: ONE scan, all per-row counts (regexp token counts,
+    lengths) in the same codegen projection, one |sources|-row
+    aggregate; ratios are single IEEE divisions of exact int sums."""
+    docs = load_table(spark, sf_dir, "documents")
+    bpe = F.expr(f'regexp_extract_all(lower(text), "{BPE_PATTERN}", 0)')
+    per_row = docs.select(
+        "source",
+        F.size(tokens_col(F.col("text"))).alias("n_words"),
+        F.size(bpe).alias("n_bpe"),
+        F.length(F.col("text")).alias("n_chars"),
+    )
+    return (
+        per_row.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("words"),
+            F.sum("n_bpe").alias("bpe_tokens"),
+            F.sum("n_chars").alias("chars"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "words",
+            "bpe_tokens",
+            "chars",
+            F.try_divide(F.col("bpe_tokens"), F.col("words")).alias(
+                "fertility"
+            ),
+            F.try_divide(F.col("chars"), F.col("words")).alias(
+                "chars_per_word"
+            ),
+        )
+    )
+
+
+SQL_TOKENIZER_STATS = f"""
+    WITH per_row AS (
+        SELECT source,
+               len({SQL_TOKS}) AS n_words,
+               len(regexp_extract_all(lower(text),
+                   '''[a-z]+| ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+')) AS n_bpe,
+               length(text) AS n_chars
+        FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS words,
+           CAST(SUM(n_bpe) AS BIGINT) AS bpe_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS chars,
+           CAST(SUM(n_bpe) AS BIGINT) / CAST(SUM(n_words) AS BIGINT)
+               AS fertility,
+           CAST(SUM(n_chars) AS BIGINT) / CAST(SUM(n_words) AS BIGINT)
+               AS chars_per_word
+    FROM per_row GROUP BY source
+"""

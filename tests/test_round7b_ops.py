@@ -271,3 +271,98 @@ def test_cluster_purity_matches_assignment_counts(spark, sf_dir):
         for r in embed_stats.q_cluster_purity(spark, sf_dir).collect()
     }
     assert a == p
+
+
+# --- minhash_band_sweep ------------------------------------------------------------
+
+
+def test_band_sweep_nesting_monotonicity(spark, sf_dir):
+    """Config nesting: any (b, r) candidate shares r consecutive equal
+    components, hence every finer config's candidate set is a subset of
+    the coarser one's => n_candidates and recall are monotone
+    non-increasing along (8,1) -> (4,2) -> (2,4) -> (1,8)."""
+    rows = {
+        (r["bands"], r["rows_per_band"]): r
+        for r in dedup.q_minhash_band_sweep(spark, sf_dir).collect()
+    }
+    assert set(rows) == set(dedup.SWEEP_BAND_CONFIGS)
+    ordered = [rows[c] for c in dedup.SWEEP_BAND_CONFIGS]
+    for a, b in zip(ordered, ordered[1:]):
+        assert a["n_candidates"] >= b["n_candidates"]
+        assert a["n_hits"] >= b["n_hits"]
+    for r in ordered:
+        assert r["n_hits"] <= min(r["n_candidates"], r["n_true_pairs"])
+        assert r["n_true_pairs"] > 0
+        assert 0.0 <= r["recall"] <= 1.0
+        assert r["precision"] is None or 0.0 <= r["precision"] <= 1.0
+
+
+def test_band_sweep_8x1_recall_is_total(spark, sf_dir):
+    """8 bands of 1 row: a true pair at J >= 0.2 over a 31-word synthetic
+    vocabulary collides on at least one of 8 minhash components with
+    near-certainty — measured recall at this corpus must be the maximal
+    of the sweep (and is the measurement the operator exists to make)."""
+    rows = {
+        (r["bands"], r["rows_per_band"]): r["recall"]
+        for r in dedup.q_minhash_band_sweep(spark, sf_dir).collect()
+    }
+    assert rows[(8, 1)] == max(rows.values())
+
+
+# --- reservoir_sample --------------------------------------------------------------
+
+
+def test_reservoir_exact_k_and_python_reference(spark, sf_dir):
+    from lenses_topology_example_spark.operators import sketches
+
+    docs = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    ).to_pylist()
+    by_src: dict[str, list] = {}
+    for d in docs:
+        h = int(
+            hashlib.md5(str(d["doc_id"]).encode()).hexdigest()[:15], 16
+        )
+        by_src.setdefault(d["source"], []).append((h, d["doc_id"]))
+    want = {
+        src: [doc for _, doc in sorted(v)[: sketches.RESERVOIR_K]]
+        for src, v in by_src.items()
+    }
+    got: dict[str, list] = {}
+    for r in sorted(
+        sketches.q_reservoir_sample(spark, sf_dir).collect(),
+        key=lambda r: (r["source"], r["sample_rank"]),
+    ):
+        got.setdefault(r["source"], []).append(r["doc_id"])
+    assert got == want
+    for src, ids in got.items():
+        assert len(ids) == min(sketches.RESERVOIR_K, len(by_src[src]))
+
+
+def test_reservoir_plan_group_limits(spark, sf_dir):
+    from lenses_topology_example_spark.operators import sketches
+
+    plan = _plan(sketches.q_reservoir_sample(spark, sf_dir))
+    assert "WindowGroupLimit" in plan, (
+        "exact-K per group must prune per-partition ahead of the exchange"
+    )
+
+
+# --- tokenizer_stats ---------------------------------------------------------------
+
+
+def test_tokenizer_stats_totals_and_fertility(spark, sf_dir):
+    rows = text.q_tokenizer_stats(spark, sf_dir).collect()
+    n_docs = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).num_rows
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    # every \W+ word maps to >= 1 BPE pre-token on this corpus
+    for r in rows:
+        assert r["fertility"] >= 1.0
+        assert r["chars_per_word"] > 1.0
+    # cross-check the word total against the per-doc token_count op
+    words_total = (
+        text.q_token_count(spark, sf_dir).agg(F.sum("n_tokens")).collect()[0][0]
+    )
+    assert sum(r["words"] for r in rows) == words_total
