@@ -681,3 +681,126 @@ def streaming_running_count_tws(words: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+# --- streaming boilerplate screen (stateless vs a static digest set) ---------------
+
+
+def streaming_boilerplate_filter(
+    docs: DataFrame, boiler_digests: DataFrame
+) -> DataFrame:
+    """Streaming twin of operators/dedup.q_boilerplate_lines' SCREEN
+    side: flag each arriving document by how many of its line/segment
+    occurrences match a STATIC boilerplate digest set (the md5 digests
+    of segments the batch pass found in >= BOILERPLATE_MIN_DF distinct
+    docs — at scale a precomputed artifact refreshed per batch run,
+    exactly like the incremental-dedup base indexes).
+
+    Stateless by the same argument as streaming_decontaminate:
+    membership against a static set collapses to a one-row digest
+    array broadcast + per-row array math, so the query runs append-mode
+    with zero state store. Occurrences (not distinct matches) are
+    counted — F.filter over the per-doc segment digest list — so the
+    numbers line up row-for-row with the batch report's n_boiler.
+    Works on batch frames too (the parity test runs the identical plan
+    both ways)."""
+    from ..operators.dedup import LINE_SEG_TOKENS, token_segments_col
+    from ..operators.wordcount import tokens_col
+
+    bset = boiler_digests.select(F.collect_set("h").alias("bs"))
+    seg_md5s = F.transform(
+        token_segments_col(tokens_col(F.col("text")), LINE_SEG_TOKENS),
+        lambda s: F.md5(s),
+    )
+    return (
+        docs.withColumn("segs", seg_md5s)
+        .crossJoin(F.broadcast(bset))
+        .select(
+            "doc_id",
+            F.size("segs").alias("n_lines"),
+            F.size(
+                F.filter(
+                    F.col("segs"), lambda s: F.array_contains(F.col("bs"), s)
+                )
+            ).alias("n_boiler"),
+        )
+        .withColumn("keep", F.col("n_boiler") == F.lit(0))
+    )
+
+
+# --- streaming drift monitor (per-batch KL/TV vs a static base vocab) --------------
+
+
+def drift_report_batch(batch: DataFrame, base_vocab: DataFrame) -> DataFrame:
+    """One drift report row for a batch of arriving documents
+    (doc_id, text) against a STATIC base-corpus unigram table
+    (token, c_base): smoothed KL(batch ‖ base) and total variation over
+    the UNION vocabulary — the per-micro-batch core of the streaming
+    twin of operators/text.q_corpus_drift (same Laplace smoothing, same
+    DECIMAL(38,6) ln round-trip, so a batch equal to the monitor's
+    batch slice produces the identical numbers).
+
+    Scale shape: one explode + one groupBy(token) over the BATCH only;
+    the base vocab joins in by token (full outer — unseen batch tokens
+    and unvisited base tokens both smooth to c+0+1); every window runs
+    over the union-vocab frame, never a corpus."""
+    from pyspark.sql import Window as W
+
+    from ..operators.wordcount import tokens_col
+
+    bv = batch.select(
+        F.explode(tokens_col(F.col("text"))).alias("token")
+    ).groupBy("token").agg(F.count(F.lit(1)).alias("c_batch"))
+    vocab = (
+        base_vocab.select("token", "c_base")
+        .join(bv, "token", "full_outer")
+        .select(
+            F.coalesce(F.col("c_base"), F.lit(0)).alias("c_base"),
+            F.coalesce(F.col("c_batch"), F.lit(0)).alias("c_batch"),
+        )
+    )
+    w = W.partitionBy()
+    vocab = (
+        vocab.withColumn("n_base", F.sum("c_base").over(w))
+        .withColumn("n_batch", F.sum("c_batch").over(w))
+        .withColumn("v", F.count(F.lit(1)).over(w))
+    )
+    p_base = (F.col("c_base") + F.lit(1)) / (F.col("n_base") + F.col("v"))
+    p_batch = (F.col("c_batch") + F.lit(1)) / (F.col("n_batch") + F.col("v"))
+    terms = vocab.select(
+        "n_base",
+        "n_batch",
+        "v",
+        (p_batch * F.log(p_batch / p_base)).cast("decimal(38,6)").alias("kl_t"),
+        F.abs(p_batch - p_base).cast("decimal(38,6)").alias("tv_t"),
+    )
+    return terms.groupBy("n_base", "n_batch", F.col("v").alias("vocab")).agg(
+        F.sum("kl_t").cast("double").alias("kl_divergence"),
+        (F.lit(0.5) * F.sum("tv_t").cast("double")).alias("tv_distance"),
+    )
+
+
+def start_drift_monitor_stream(
+    docs: DataFrame,
+    base_vocab: DataFrame,
+    out_path: str,
+    checkpoint: str,
+) -> StreamingQuery:
+    """Continuous ingestion drift monitoring: each micro-batch emits ONE
+    report row (KL, TV, counts) against the static base vocabulary via
+    foreachBatch — a global aggregate per batch is not a stateless
+    stream plan, and accumulating it as stream state would conflate
+    batches (the monitor's whole point is per-ingest-batch numbers).
+    Exactly-once by per-batch-directory overwrite idempotency, the
+    incremental-dedup contract."""
+
+    def report(batch: DataFrame, batch_id: int) -> None:
+        drift_report_batch(batch, base_vocab).write.mode(
+            "overwrite"
+        ).parquet(f"{out_path}/batch_id={batch_id}")
+
+    return (
+        docs.writeStream.foreachBatch(report)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

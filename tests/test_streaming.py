@@ -926,3 +926,143 @@ def test_streaming_quality_gate_matches_batch(spark, sf_dir, tmp_path):
     # the gate discriminates on the real corpus
     kept = sum(1 for v in streamed.values() if v[4])
     assert 0 < kept < len(streamed)
+
+
+def test_streaming_boilerplate_filter_matches_batch(spark, tmp_path):
+    """Stateless stream-static boilerplate screen: streamed per-doc
+    (n_lines, n_boiler) must equal (a) the identical plan run in batch
+    and (b) the batch operator q_boilerplate_lines' counts for every
+    segment-bearing doc, given the digest set the batch pass derives."""
+    from lenses_topology_example_spark.operators.dedup import (
+        BOILERPLATE_MIN_DF,
+        LINE_SEG_TOKENS,
+        q_boilerplate_lines,
+        token_segments_col,
+    )
+    from lenses_topology_example_spark.operators.wordcount import tokens_col
+    from lenses_topology_example_spark.streaming.pipelines import (
+        streaming_boilerplate_filter,
+    )
+
+    nav = "home page about contact terms"  # the 5-token boilerplate line
+    rows = [
+        (0, nav + " alpha beta gamma delta epsilon", "en", "s0", 60),
+        (1, nav + " zeta eta theta iota kappa", "en", "s1", 55),
+        (2, nav + " unique words appear right here", "en", "s2", 58),
+        (3, "an entirely original document body text", "en", "s3", 40),
+        (4, "tiny", "en", "s4", 4),  # < one segment: zero lines
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sf = tmp_path / "boiler_sf"
+    sf.mkdir()
+    docs.write.parquet(f"{sf}/documents.parquet")
+
+    segs = docs.select(
+        "doc_id",
+        F.explode(
+            token_segments_col(tokens_col(F.col("text")), LINE_SEG_TOKENS)
+        ).alias("seg"),
+    ).select("doc_id", F.md5("seg").alias("h"))
+    digests = (
+        segs.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= BOILERPLATE_MIN_DF)
+        .select("h")
+    )
+
+    src = tmp_path / "boiler_src"
+    docs.select("doc_id", "text").write.parquet(str(src))
+    stream = spark.readStream.schema("doc_id long, text string").parquet(str(src))
+    q = (
+        streaming_boilerplate_filter(stream, digests)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("boiler_stream_test")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = {
+        r["doc_id"]: (r["n_lines"], r["n_boiler"], r["keep"])
+        for r in spark.sql("SELECT * FROM boiler_stream_test").collect()
+    }
+
+    # (a) identical plan, batch run
+    batch_twin = {
+        r["doc_id"]: (r["n_lines"], r["n_boiler"], r["keep"])
+        for r in streaming_boilerplate_filter(
+            docs.select("doc_id", "text"), digests
+        ).collect()
+    }
+    assert streamed == batch_twin
+    assert streamed[4] == (0, 0, True)
+    assert all(not streamed[d][2] for d in (0, 1, 2)), "nav line flagged"
+
+    # (b) the batch operator's report (segment-bearing docs only)
+    batch_op = {
+        r["doc_id"]: (r["n_lines"], r["n_boiler"])
+        for r in q_boilerplate_lines(spark, str(sf)).collect()
+    }
+    for doc_id, (nl, nb) in batch_op.items():
+        assert streamed[doc_id][:2] == (nl, nb)
+
+
+def test_streaming_drift_monitor_matches_batch_operator(spark, tmp_path):
+    """foreachBatch drift monitor: streaming the monitor's own batch
+    slice against the base slice's static vocab must reproduce the
+    batch operator q_corpus_drift row EXACTLY (same union vocabulary,
+    same smoothing, same decimal ln round-trip)."""
+    from lenses_topology_example_spark.functions.texthash import md5_hash64
+    from lenses_topology_example_spark.operators.text import q_corpus_drift
+    from lenses_topology_example_spark.operators.wordcount import tokens_col
+    from lenses_topology_example_spark.streaming.pipelines import (
+        start_drift_monitor_stream,
+    )
+
+    words = ("scan table join merge hash sort window batch stream value "
+             "key row part filter group order query spark line data").split()
+    rows = [
+        (i, " ".join(words[(i * 3 + j) % len(words)] for j in range(12)),
+         "en", f"s{i % 4}", 60)
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sf = tmp_path / "drift_sf"
+    sf.mkdir()
+    docs.write.parquet(f"{sf}/documents.parquet")
+
+    parity = md5_hash64(F.col("doc_id").cast("string")) % 2
+    base = docs.filter(parity == 0)
+    batch_slice = docs.filter(parity == 1)
+    base_vocab = base.select(
+        F.explode(tokens_col(F.col("text"))).alias("token")
+    ).groupBy("token").agg(F.count(F.lit(1)).alias("c_base"))
+
+    src = tmp_path / "drift_src"
+    batch_slice.select("doc_id", "text").write.parquet(str(src))
+    stream = spark.readStream.schema("doc_id long, text string").parquet(str(src))
+    out = tmp_path / "drift_out"
+    q = start_drift_monitor_stream(
+        stream, base_vocab, str(out), str(tmp_path / "drift_ckpt")
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = spark.read.parquet(f"{out}/batch_id=0").collect()
+    assert len(got) == 1
+    want = q_corpus_drift(spark, str(sf)).collect()
+    assert len(want) == 1
+    g, w = got[0], want[0]
+    assert (g["n_base"], g["n_batch"], g["vocab"]) == (
+        w["n_base"], w["n_batch"], w["vocab"],
+    )
+    assert g["kl_divergence"] == w["kl_divergence"]
+    assert g["tv_distance"] == w["tv_distance"]
