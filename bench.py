@@ -143,6 +143,9 @@ HEADLINE = (
     "minhash_band_sweep",
     "reservoir_sample",
     "tokenizer_stats",
+    # third wave: source governance views over shared dedup machinery
+    "cross_source_leak",
+    "dup_cluster_sizes",
 )
 
 

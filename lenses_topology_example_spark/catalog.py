@@ -231,6 +231,16 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
         sketches.SQL_RESERVOIR_SAMPLE,
     ),
     "tokenizer_stats": (text.q_tokenizer_stats, text.SQL_TOKENIZER_STATS),
+    # late round-7, third wave: source-level governance views over the
+    # shared containment/digest machinery
+    "cross_source_leak": (
+        dedup.q_cross_source_leak,
+        dedup.SQL_CROSS_SOURCE_LEAK,
+    ),
+    "dup_cluster_sizes": (
+        dedup.q_dup_cluster_sizes,
+        dedup.SQL_DUP_CLUSTER_SIZES,
+    ),
     # rotated out in round 7 second batch (each >=4 green verdicts)
     "dedup_near_capped": (dedup.q_dedup_near_capped, dedup.SQL_DEDUP_NEAR_CAPPED),
     "dedup_minhash": (dedup.q_dedup_minhash, dedup.SQL_DEDUP_MINHASH),

@@ -2141,3 +2141,101 @@ SQL_MINHASH_BAND_SWEEP = f"""
            CAST(n_hits AS BIGINT) / CAST(n_candidates AS BIGINT) AS precision
     FROM m CROSS JOIN tcount
 """
+
+
+# --- cross-source leak matrix ------------------------------------------------------
+
+
+def q_cross_source_leak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-to-source content-leak matrix: aggregate the directed
+    containment pairs (q_dedup_containment — doc contained in host) by
+    the SOURCES of the two documents. A hot (src_from, src_to) cell
+    means src_to republishes src_from's content (mirrors, scrapers,
+    aggregator sites) — the governance view that decides which source
+    to de-prioritize at ingest rather than re-litigating doc pairs one
+    at a time. Self-cells (same source) measure internal redundancy.
+
+    Scale shape: rides the SAME memoized df-capped shingle index and
+    pair aggregate as the containment/capped-Jaccard operators
+    (marginal cost is two id-keyed joins of the pair frame onto the
+    (doc_id, source) projection — ids and short strings only), then one
+    |sources|^2-bounded aggregate.
+    """
+    pairs = q_dedup_containment(spark, sf_dir)
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        pairs.join(
+            src.select(
+                F.col("doc_id"), F.col("source").alias("src_from")
+            ),
+            "doc_id",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("host_id"),
+                F.col("source").alias("src_to"),
+            ),
+            "host_id",
+        )
+        .groupBy("src_from", "src_to")
+        .agg(
+            F.count(F.lit(1)).alias("n_links"),
+            F.countDistinct("doc_id").alias("n_docs_leaked"),
+            F.max("containment").alias("max_containment"),
+        )
+    )
+
+
+SQL_CROSS_SOURCE_LEAK = f"""
+    WITH pairs AS ({SQL_DEDUP_CONTAINMENT})
+    SELECT df.source AS src_from, dh.source AS src_to,
+           CAST(COUNT(*) AS BIGINT) AS n_links,
+           CAST(COUNT(DISTINCT pairs.doc_id) AS BIGINT) AS n_docs_leaked,
+           MAX(containment) AS max_containment
+    FROM pairs
+    JOIN documents df ON df.doc_id = pairs.doc_id
+    JOIN documents dh ON dh.doc_id = pairs.host_id
+    GROUP BY df.source, dh.source
+"""
+
+
+# --- exact-duplicate family-size histogram -----------------------------------------
+
+
+def q_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of exact-duplicate family sizes: group documents by
+    content digest, then histogram the family sizes — the one-page
+    answer to "how duplicated is this corpus?" (family_size=1 rows are
+    unique docs; the tail shows how deep the worst boilerplate family
+    goes, and n_docs - n_families at each size is exactly the row
+    count exact dedup will delete).
+
+    Scale shape: one md5-keyed count (partial agg collapses map-side),
+    then a second aggregate over the |families|-row frame keyed by the
+    bounded family size. No joins, no text past the first projection.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    fams = docs.groupBy(F.md5(F.col("text")).alias("h")).agg(
+        F.count(F.lit(1)).alias("family_size")
+    )
+    return (
+        fams.groupBy("family_size")
+        .agg(F.count(F.lit(1)).alias("n_families"))
+        .select(
+            "family_size",
+            "n_families",
+            (F.col("family_size") * F.col("n_families")).alias("n_docs"),
+        )
+    )
+
+
+SQL_DUP_CLUSTER_SIZES = """
+    WITH fams AS (
+        SELECT md5(text) AS h, CAST(COUNT(*) AS BIGINT) AS family_size
+        FROM documents GROUP BY md5(text)
+    )
+    SELECT family_size,
+           CAST(COUNT(*) AS BIGINT) AS n_families,
+           CAST(family_size * COUNT(*) AS BIGINT) AS n_docs
+    FROM fams GROUP BY family_size
+"""

@@ -366,3 +366,71 @@ def test_tokenizer_stats_totals_and_fertility(spark, sf_dir):
         text.q_token_count(spark, sf_dir).agg(F.sum("n_tokens")).collect()[0][0]
     )
     assert sum(r["words"] for r in rows) == words_total
+
+
+# --- cross_source_leak -------------------------------------------------------------
+
+
+def test_cross_source_leak_consistent_with_containment(spark, sf_dir):
+    """The matrix must aggregate EXACTLY the containment pairs: total
+    n_links equals the pair count, per-cell max containment is bounded
+    by the global max, and every (src_from, src_to) cell reproduces a
+    hand-aggregation of the joined pair frame."""
+    pairs = dedup.q_dedup_containment(spark, sf_dir).collect()
+    src = {
+        r["doc_id"]: r["source"]
+        for r in __import__("pyspark").sql.SparkSession.getActiveSession()
+        .read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "source")
+        .collect()
+    }
+    want: dict[tuple, list] = {}
+    for p in pairs:
+        want.setdefault((src[p["doc_id"]], src[p["host_id"]]), []).append(p)
+    got = {
+        (r["src_from"], r["src_to"]): r
+        for r in dedup.q_cross_source_leak(spark, sf_dir).collect()
+    }
+    assert set(got) == set(want)
+    for cell, ps in want.items():
+        r = got[cell]
+        assert r["n_links"] == len(ps)
+        assert r["n_docs_leaked"] == len({p["doc_id"] for p in ps})
+        assert r["max_containment"] == max(p["containment"] for p in ps)
+    assert sum(r["n_links"] for r in got.values()) == len(pairs)
+
+
+# --- dup_cluster_sizes -------------------------------------------------------------
+
+
+def test_dup_cluster_sizes_algebra(spark, sf_dir):
+    rows = dedup.q_dup_cluster_sizes(spark, sf_dir).collect()
+    n_docs = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).num_rows
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    for r in rows:
+        assert r["n_docs"] == r["family_size"] * r["n_families"]
+
+
+def test_dup_cluster_sizes_counts_crafted_duplicates(spark, tmp_path):
+    """The synthetic corpus has no exact dups (one family_size=1 row),
+    so pin the histogram on a crafted corpus: 3 copies + 2 copies + 2
+    unique docs => sizes {1: 2, 2: 1, 3: 1}."""
+    rows = [
+        (0, "aaa bbb ccc"), (1, "aaa bbb ccc"), (2, "aaa bbb ccc"),
+        (3, "ddd eee"), (4, "ddd eee"),
+        (5, "unique one"), (6, "another unique"),
+    ]
+    docs = __import__("pyspark").sql.SparkSession.getActiveSession().createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf = tmp_path / "dup_sf"
+    sf.mkdir()
+    docs.write.parquet(f"{sf}/documents.parquet")
+    got = {
+        r["family_size"]: r["n_families"]
+        for r in dedup.q_dup_cluster_sizes(spark, str(sf)).collect()
+    }
+    assert got == {1: 2, 2: 1, 3: 1}
