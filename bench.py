@@ -146,6 +146,12 @@ HEADLINE = (
     # third wave: source governance views over shared dedup machinery
     "cross_source_leak",
     "dup_cluster_sizes",
+    # fourth wave: lang-ID confusion audit + centroid-outlier report
+    # (embed_outliers adds a deliberate unpartitioned WindowExec WARN —
+    # the rank window runs over the ALREADY-LIMITED 20-row frame, the
+    # same window-above-aggregate class as lm_score/corpus_mix)
+    "lang_confusion",
+    "embed_outliers",
 )
 
 

@@ -241,6 +241,12 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
         dedup.q_dup_cluster_sizes,
         dedup.SQL_DUP_CLUSTER_SIZES,
     ),
+    # late round-7, fourth wave: classifier audit + embedding outliers
+    "lang_confusion": (text.q_lang_confusion, text.SQL_LANG_CONFUSION),
+    "embed_outliers": (
+        embed_stats.q_embed_outliers,
+        embed_stats.SQL_EMBED_OUTLIERS,
+    ),
     # rotated out in round 7 second batch (each >=4 green verdicts)
     "dedup_near_capped": (dedup.q_dedup_near_capped, dedup.SQL_DEDUP_NEAR_CAPPED),
     "dedup_minhash": (dedup.q_dedup_minhash, dedup.SQL_DEDUP_MINHASH),

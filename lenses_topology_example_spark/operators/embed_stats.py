@@ -527,3 +527,118 @@ SQL_CLUSTER_PURITY = f"""
     QUALIFY ROW_NUMBER() OVER (PARTITION BY centroid_id
                                ORDER BY c DESC, label ASC) = 1
 """
+
+
+# --- embedding outlier report ------------------------------------------------------
+
+OUTLIER_BOTTOM_K = 20
+
+
+def q_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OUTLIER_BOTTOM_K vectors least aligned with the corpus mean
+    direction — mislabeled, corrupt, or off-distribution embeddings
+    surface at the bottom of cos(v, centroid); pruning them is the
+    counterpart to SemDeDup's pruning of the over-aligned. Output:
+    rank, vec_id, label, cosine to the mean direction.
+
+    Determinism: the centroid is the per-dimension mean of the UNIT
+    vectors with each component DECIMAL(38,6)-rounded before the sum
+    (order-free — the corpus_diversity discipline) and ONE double
+    division, so both engines derive the bit-identical centroid; the
+    ranking sorts the decimal-rounded cosine with vec_id tie-break.
+
+    Scale shape: one pass to normalize + posexplode into the
+    (dim, component) aggregate (|dims| rows out), centroid re-assembled
+    from the |dims|-row frame and broadcast back as a 1-row constant;
+    scoring is one prenorm fold per vector with no shuffle, and the
+    bottom-k is TakeOrderedAndProject (per-partition k, never a global
+    sort)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("v")
+    )
+    emb = emb.withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v")))).filter(
+        F.col("nrm") > F.lit(0.0)
+    )
+    comps = emb.select(
+        F.posexplode(
+            F.transform(F.col("v"), lambda x: x / F.col("nrm"))
+        ).alias("dim", "x")
+    ).select("dim", F.col("x").cast("decimal(38,6)").alias("xd"))
+    n = emb.agg(F.count(F.lit(1)).alias("n_vecs"))
+    cent = (
+        comps.groupBy("dim")
+        .agg(F.sum("xd").alias("s"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "dim", (F.col("s").cast("double") / F.col("n_vecs")).alias("m")
+        )
+        .groupBy()
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("dim"), F.col("m")))
+            ).alias("dm")
+        )
+        .select(
+            F.transform(F.col("dm"), lambda s: s.getField("m")).alias("cv")
+        )
+        .withColumn("cnrm", F.sqrt(dot(F.col("cv"), F.col("cv"))))
+        .filter(F.col("cnrm") > F.lit(0.0))
+    )
+    scored = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "label",
+        cosine_prenorm(F.col("v"), F.col("cv"), F.col("nrm"), F.col("cnrm"))
+        .cast("decimal(38,6)")
+        .alias("cos_d"),
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy().orderBy(F.col("cos_d").asc(), F.col("vec_id").asc())
+    return (
+        scored.orderBy(F.col("cos_d").asc(), F.col("vec_id").asc())
+        .limit(OUTLIER_BOTTOM_K)
+        .withColumn("rank", F.row_number().over(w))
+        .select(
+            "rank",
+            "vec_id",
+            "label",
+            F.col("cos_d").cast("double").alias("cos_to_centroid"),
+        )
+    )
+
+
+SQL_EMBED_OUTLIERS = f"""
+    WITH e AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ), nn AS (
+        SELECT vec_id, label, v, sqrt({sql_dot('v', 'v')}) AS nrm FROM e
+    ), f AS (SELECT * FROM nn WHERE nrm > 0),
+    comps AS (
+        SELECT unnest(generate_series(1, len(v))) AS dim,
+               CAST(unnest(list_transform(v, x -> x / nrm))
+                    AS DECIMAL(38,6)) AS xd
+        FROM f
+    ), cnt AS (SELECT COUNT(*) AS n_vecs FROM f),
+    means AS (
+        SELECT dim, CAST(SUM(xd) AS DOUBLE) / n_vecs AS m
+        FROM comps CROSS JOIN cnt GROUP BY dim, n_vecs
+    ), c AS (
+        SELECT list(m ORDER BY dim) AS cv FROM means
+    ), cn AS (
+        SELECT cv, sqrt({sql_dot('cv', 'cv')}) AS cnrm FROM c
+        WHERE sqrt({sql_dot('cv', 'cv')}) > 0
+    ), scored AS (
+        SELECT f.vec_id, f.label,
+               CAST({sql_dot('f.v', 'cn.cv')} / (f.nrm * cn.cnrm)
+                    AS DECIMAL(38,6)) AS cos_d
+        FROM f CROSS JOIN cn
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY cos_d ASC, vec_id ASC) AS INT)
+               AS rank,
+           vec_id, label, CAST(cos_d AS DOUBLE) AS cos_to_centroid
+    FROM scored
+    ORDER BY cos_d ASC, vec_id ASC
+    LIMIT {OUTLIER_BOTTOM_K}
+"""

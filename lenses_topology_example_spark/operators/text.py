@@ -2280,3 +2280,66 @@ SQL_TOKENIZER_STATS = f"""
                AS chars_per_word
     FROM per_row GROUP BY source
 """
+
+
+# --- language-ID confusion matrix --------------------------------------------------
+
+
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the heuristic language classifier against
+    the labeled `lang` column: per (actual, predicted) cell, document
+    count plus the cell's share of its actual-language row — the
+    classifier audit a pipeline runs before trusting lang_id to route
+    documents (the same measure-don't-guess contract as ann_recall and
+    minhash_band_sweep, applied to the text tier).
+
+    Scale shape: one scan computing the prediction in-row (shared
+    pred_lang_col expressions — audit and classifier cannot drift), one
+    (lang, pred_lang)-keyed count bounded by |langs|^2, and the row
+    share from a window over that bounded frame."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    cells = (
+        docs.select("lang", pred_lang_col(F.col("text")).alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    return cells.select(
+        "lang",
+        "pred_lang",
+        "n_docs",
+        F.try_divide(
+            F.col("n_docs"), F.sum("n_docs").over(W.partitionBy("lang"))
+        ).alias("row_share"),
+    )
+
+
+SQL_LANG_CONFUSION = f"""
+    WITH t AS (SELECT lang, {SQL_TOKS} AS toks FROM documents),
+    s AS (
+        SELECT lang,
+               {_sql_lang_score('en')} AS score_en,
+               {_sql_lang_score('de')} AS score_de,
+               {_sql_lang_score('es')} AS score_es,
+               {_sql_lang_score('zh')} AS score_zh
+        FROM t
+    ), p AS (
+        SELECT lang,
+               CASE
+                 WHEN score_en >= score_de AND score_en >= score_es
+                      AND score_en >= score_zh THEN 'en'
+                 WHEN score_de >= score_es AND score_de >= score_zh THEN 'de'
+                 WHEN score_es >= score_zh THEN 'es'
+                 ELSE 'zh'
+               END AS pred_lang
+        FROM s
+    ), cells AS (
+        SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM p GROUP BY lang, pred_lang
+    )
+    SELECT lang, pred_lang, n_docs,
+           n_docs / CAST(SUM(n_docs) OVER (PARTITION BY lang) AS BIGINT)
+               AS row_share
+    FROM cells
+"""

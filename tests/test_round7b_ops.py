@@ -434,3 +434,67 @@ def test_dup_cluster_sizes_counts_crafted_duplicates(spark, tmp_path):
         for r in dedup.q_dup_cluster_sizes(spark, str(sf)).collect()
     }
     assert got == {1: 2, 2: 1, 3: 1}
+
+
+# --- lang_confusion ----------------------------------------------------------------
+
+
+def test_lang_confusion_consistent_with_lang_id(spark, sf_dir):
+    """Cells must re-aggregate q_lang_id's per-doc predictions exactly;
+    row shares sum to 1 per actual language."""
+    per_doc = text.q_lang_id(spark, sf_dir).collect()
+    want: dict[tuple, int] = {}
+    for r in per_doc:
+        want[(r["lang"], r["pred_lang"])] = (
+            want.get((r["lang"], r["pred_lang"]), 0) + 1
+        )
+    rows = text.q_lang_confusion(spark, sf_dir).collect()
+    got = {(r["lang"], r["pred_lang"]): r["n_docs"] for r in rows}
+    assert got == want
+    shares: dict[str, float] = {}
+    for r in rows:
+        shares[r["lang"]] = shares.get(r["lang"], 0.0) + r["row_share"]
+    for lang, s in shares.items():
+        assert abs(s - 1.0) < 1e-9, lang
+
+
+# --- embed_outliers ----------------------------------------------------------------
+
+
+def test_embed_outliers_are_global_bottom_k(spark, sf_dir):
+    """The report must be exactly the K least-aligned vectors under a
+    numpy recomputation of the same centroid (unit-mean direction)."""
+    import numpy as np
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    m = np.array(tbl.column("embedding").to_pylist(), dtype=np.float64)
+    ids = np.array(tbl.column("vec_id").to_pylist())
+    norms = np.linalg.norm(m, axis=1)
+    keep = norms > 0
+    u = m[keep] / norms[keep, None]
+    cent = u.mean(axis=0)
+    cent = cent / np.linalg.norm(cent)
+    cos = (m[keep] / norms[keep, None]) @ cent
+    order = sorted(zip(cos, ids[keep]))
+    want_ids = [int(i) for _, i in order[: embed_stats.OUTLIER_BOTTOM_K]]
+    rows = sorted(
+        embed_stats.q_embed_outliers(spark, sf_dir).collect(),
+        key=lambda r: r["rank"],
+    )
+    got_ids = [r["vec_id"] for r in rows]
+    # decimal(38,6) rounding can swap near-ties at the boundary; compare
+    # as sets with a tolerance-checked boundary instead of exact order
+    assert len(got_ids) == embed_stats.OUTLIER_BOTTOM_K
+    sym = set(got_ids) ^ set(want_ids)
+    if sym:
+        # any disagreement must be a rounding-scale near-tie at the cut
+        kth = order[embed_stats.OUTLIER_BOTTOM_K - 1][0]
+        cos_by_id = {int(i): c for c, i in zip(cos, ids[keep])}
+        assert all(abs(cos_by_id[i] - kth) < 1e-5 for i in sym), sym
+    for a, b in zip(rows, rows[1:]):
+        assert a["cos_to_centroid"] <= b["cos_to_centroid"]
+
+
+def test_embed_outliers_plan_take_ordered(spark, sf_dir):
+    plan = _plan(embed_stats.q_embed_outliers(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, "bottom-k must not global-sort"
