@@ -454,12 +454,18 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "payments_pipeline",
     "gen_payments",
 )
-# Round-8 rotation plan: once the round-6 and round-7 first-drives hold
-# green verdicts, resume the >=2-rounds-stale cadence — the rotated-out
-# pool's oldest verdicts (token_count r2+r5, the r5-rotated
-# dedup/similarity/text greens) cycle back in as this round's
-# first-driven entries rotate out. Any operators registered past the
-# window in late round 7 go first in line for round-8 slots.
+# Round-8 rotation plan (concrete): the 13 late-round-7 additions have
+# zero driver verdicts and go IN first — boilerplate_lines,
+# winnow_fingerprint, minhash_band_sweep, cross_source_leak,
+# dup_cluster_sizes, doc_chunk, ngram_novelty, bm25_search,
+# tokenizer_stats, cluster_purity, reservoir_sample, lang_confusion,
+# embed_outliers. Rotate OUT this round's freshly-double-verified
+# entries (the r6+r7 greens among the first 50, e.g. the dedup segment
+# tier and the text screens), keeping salted_join_events IN until its
+# first green if r7 red-flags it again. After that, resume the
+# >=2-rounds-stale cadence — the rotated-out pool's oldest verdicts
+# (token_count r2+r5, the r5-rotated dedup/similarity/text greens)
+# cycle back in.
 #
 # Load-bearing invariant: raise, don't assert — a bare assert is
 # stripped under `python -O`, silently disarming the guard (r3 ADVICE).
