@@ -152,6 +152,9 @@ HEADLINE = (
     # same window-above-aggregate class as lm_score/corpus_mix)
     "lang_confusion",
     "embed_outliers",
+    # fifth wave: events-tier anomaly screen + winnow pair detection
+    "event_rate_anomaly",
+    "winnow_neardup",
 )
 
 

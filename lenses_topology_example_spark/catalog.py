@@ -247,6 +247,13 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
         embed_stats.q_embed_outliers,
         embed_stats.SQL_EMBED_OUTLIERS,
     ),
+    # late round-7, fifth wave: event-rate anomaly screen + winnowing
+    # pair detection
+    "event_rate_anomaly": (
+        windows.q_event_rate_anomaly,
+        windows.SQL_EVENT_RATE_ANOMALY,
+    ),
+    "winnow_neardup": (dedup.q_winnow_neardup, dedup.SQL_WINNOW_NEARDUP),
     # rotated out in round 7 second batch (each >=4 green verdicts)
     "dedup_near_capped": (dedup.q_dedup_near_capped, dedup.SQL_DEDUP_NEAR_CAPPED),
     "dedup_minhash": (dedup.q_dedup_minhash, dedup.SQL_DEDUP_MINHASH),

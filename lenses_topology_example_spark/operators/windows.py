@@ -461,3 +461,95 @@ SQL_COHORT_RETENTION = """
     FROM activity a JOIN first f USING (user_id)
     GROUP BY f.cohort_d, day_offset
 """
+
+
+# --- event-rate anomaly detection (round 7) ----------------------------------------
+
+ANOMALY_Z = 2.0
+
+
+def q_event_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event-volume anomaly screen: per (event_type, day) count,
+    z-scored against that event type's own daily distribution; |z| >=
+    ANOMALY_Z flags the day — the ops-side drift monitor an ingestion
+    pipeline alarms on (a collapsed crawler halves a day's `view`
+    volume; a bot flood doubles `click`).
+
+    Determinism: per-cell counts are exact ints; per-type moments use
+    exact integer sums (sum c, sum c^2 — bounded far below int64 at any
+    realistic day-cell volume), so mean/variance are ONE fixed double
+    expression per type, identical both engines; z is one subtract +
+    divide; a zero-variance type yields NULL z (try_divide) and flags
+    nothing.
+
+    Scale shape: one scan feeds the (type, day)-keyed count (partial
+    agg collapses map-side); every moment/z window runs over the
+    (types x days)-bounded aggregated frame, never the event stream.
+    Day boundaries are UTC (contract-pinned session TZ); days surface
+    as ISO strings (the cohort_retention canon discipline)."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day")
+    )
+    cells = e.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    w = W.partitionBy("event_type")
+    stats = (
+        cells.withColumn("s1", F.sum("n_events").over(w))
+        .withColumn(
+            "s2", F.sum(F.col("n_events") * F.col("n_events")).over(w)
+        )
+        .withColumn("nd", F.count(F.lit(1)).over(w))
+    )
+    mean = F.col("s1") / F.col("nd")
+    var = F.col("s2") / F.col("nd") - mean * mean
+    # explicit sqrt(var) > 0 guard, NOT try_divide: a zero-variance
+    # type's var can round to a tiny NEGATIVE double, where sqrt gives
+    # NaN — `NaN > 0` is false on both engines (-> NULL z), while
+    # try_divide(x, NaN) would yield NaN and diverge from the oracle
+    z = F.when(
+        F.sqrt(var) > F.lit(0.0),
+        (F.col("n_events") - mean) / F.sqrt(var),
+    )
+    return stats.select(
+        "event_type",
+        "day",
+        "n_events",
+        z.alias("z_score"),
+        F.coalesce(
+            F.abs(z) >= F.lit(ANOMALY_Z), F.lit(False)
+        ).alias("is_anomaly"),
+    )
+
+
+SQL_EVENT_RATE_ANOMALY = f"""
+    WITH cells AS (
+        SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1, 2
+    ), stats AS (
+        SELECT event_type, day, n_events,
+               SUM(n_events) OVER (PARTITION BY event_type) AS s1,
+               SUM(n_events * n_events) OVER (PARTITION BY event_type) AS s2,
+               COUNT(*) OVER (PARTITION BY event_type) AS nd
+        FROM cells
+    )
+    SELECT event_type, day, n_events,
+           CASE WHEN sqrt(CAST(s2 AS BIGINT) / CAST(nd AS BIGINT)
+                    - (CAST(s1 AS BIGINT) / CAST(nd AS BIGINT))
+                      * (CAST(s1 AS BIGINT) / CAST(nd AS BIGINT))) > 0
+                THEN (n_events - CAST(s1 AS BIGINT) / CAST(nd AS BIGINT))
+                     / sqrt(CAST(s2 AS BIGINT) / CAST(nd AS BIGINT)
+                        - (CAST(s1 AS BIGINT) / CAST(nd AS BIGINT))
+                          * (CAST(s1 AS BIGINT) / CAST(nd AS BIGINT)))
+           END AS z_score,
+           COALESCE(abs(
+               (n_events - CAST(s1 AS BIGINT) / CAST(nd AS BIGINT))
+               / sqrt(CAST(s2 AS BIGINT) / CAST(nd AS BIGINT)
+                  - (CAST(s1 AS BIGINT) / CAST(nd AS BIGINT))
+                    * (CAST(s1 AS BIGINT) / CAST(nd AS BIGINT)))
+           ) >= {ANOMALY_Z}, FALSE) AS is_anomaly
+    FROM stats
+"""

@@ -498,3 +498,73 @@ def test_embed_outliers_are_global_bottom_k(spark, sf_dir):
 def test_embed_outliers_plan_take_ordered(spark, sf_dir):
     plan = _plan(embed_stats.q_embed_outliers(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan, "bottom-k must not global-sort"
+
+
+# --- event_rate_anomaly ------------------------------------------------------------
+
+
+def test_event_rate_anomaly_moments_match_python(spark, sf_dir):
+    """z-scores recomputed in Python from the same per-cell counts must
+    match to float precision; flags follow the |z| >= 2 rule."""
+    from lenses_topology_example_spark.operators import windows as ow
+
+    rows = ow.q_event_rate_anomaly(spark, sf_dir).collect()
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for et, rs in by_type.items():
+        cs = [r["n_events"] for r in rs]
+        n = len(cs)
+        mean = sum(cs) / n
+        var = sum(c * c for c in cs) / n - mean * mean
+        for r in rs:
+            if var <= 0:
+                assert r["z_score"] is None and not r["is_anomaly"]
+            else:
+                want = (r["n_events"] - mean) / var**0.5
+                assert abs(r["z_score"] - want) < 1e-9
+                assert r["is_anomaly"] == (abs(r["z_score"]) >= ow.ANOMALY_Z)
+
+
+# --- winnow_neardup ----------------------------------------------------------------
+
+
+def test_winnow_neardup_guarantee_on_crafted_overlap(spark, tmp_path):
+    """Winnowing's coverage guarantee: two docs sharing a run of
+    WINNOW_W + NGRAM_SPAN_W - 1 (= 8) tokens MUST surface as a pair.
+    Craft two docs sharing an 8-token run inside different contexts."""
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    rows = [
+        (0, "one two three " + shared + " four five six", "en", "s0", 60),
+        (1, "seven eight nine ten " + shared + " eleven", "en", "s1", 60),
+        (2, "entirely disjoint vocabulary in this document body", "en", "s2", 50),
+    ]
+    docs = __import__("pyspark").sql.SparkSession.getActiveSession().createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sf = tmp_path / "winnow_sf"
+    sf.mkdir()
+    docs.write.parquet(f"{sf}/documents.parquet")
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in dedup.q_winnow_neardup(spark, str(sf)).collect()
+    }
+    assert (0, 1) in pairs, "guaranteed shared fingerprint missed"
+    assert all(2 not in p for p in pairs), "disjoint doc paired"
+    r = pairs[(0, 1)]
+    assert r["n_shared"] >= 1 and 0 < r["overlap"] <= 1.0
+
+
+def test_winnow_neardup_consistent_with_fingerprint_counts(spark, sf_dir):
+    """n_shared can never exceed the smaller doc's fingerprint count;
+    overlap is their exact ratio."""
+    sizes = {
+        r["doc_id"]: r["n_fp"]
+        for r in dedup.q_winnow_fingerprint(spark, sf_dir).collect()
+    }
+    for r in dedup.q_winnow_neardup(spark, sf_dir).collect():
+        # n_fp counts distinct positions; distinct VALUES can be fewer,
+        # so the bound is <=
+        bound = min(sizes[r["doc_a"]], sizes[r["doc_b"]])
+        assert r["n_shared"] <= bound
+        assert r["overlap"] > 0
