@@ -155,6 +155,10 @@ HEADLINE = (
     # fifth wave: events-tier anomaly screen + winnow pair detection
     "event_rate_anomaly",
     "winnow_neardup",
+    # sixth wave: PageRank over the leak graph (3 unrolled iterations
+    # over the |sources|-bounded edge table) + exact length percentiles
+    "source_pagerank",
+    "length_percentiles",
 )
 
 

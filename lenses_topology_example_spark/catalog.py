@@ -254,6 +254,16 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
         windows.SQL_EVENT_RATE_ANOMALY,
     ),
     "winnow_neardup": (dedup.q_winnow_neardup, dedup.SQL_WINNOW_NEARDUP),
+    # late round-7, sixth wave: fixed-iteration graph authority ranking
+    # + exact per-source length percentiles
+    "source_pagerank": (
+        dedup.q_source_pagerank,
+        dedup.SQL_SOURCE_PAGERANK,
+    ),
+    "length_percentiles": (
+        text.q_length_percentiles,
+        text.SQL_LENGTH_PERCENTILES,
+    ),
     # rotated out in round 7 second batch (each >=4 green verdicts)
     "dedup_near_capped": (dedup.q_dedup_near_capped, dedup.SQL_DEDUP_NEAR_CAPPED),
     "dedup_minhash": (dedup.q_dedup_minhash, dedup.SQL_DEDUP_MINHASH),

@@ -2352,3 +2352,134 @@ SQL_WINNOW_NEARDUP = f"""
     JOIN sizes na ON na.doc_id = doc_a
     JOIN sizes nb ON nb.doc_id = doc_b
 """
+
+
+# --- source-graph PageRank (fixed-iteration, decimal-exact) ------------------------
+
+PAGERANK_D = 0.85
+PAGERANK_ITERS = 3
+
+
+def q_source_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the source-level content-leak graph (edges =
+    cross-source containment links, weight = link count): which sources
+    are the AUTHORITATIVE origins the rest of the corpus republishes?
+    A fixed PAGERANK_ITERS power-iteration unroll — the demonstration
+    that iterative graph algorithms compose as plain CTE chains when
+    the iteration count is fixed (the dedup_cluster fixpoint pattern
+    covers the run-to-convergence form). Dangling mass (sources with no
+    outgoing links) is dropped, the simplest deterministic variant —
+    ranks then sum to < 1 and still order authority correctly.
+
+    Determinism: edge fractions w/outw and rank products are fixed
+    double expressions; each per-edge contribution rounds to
+    DECIMAL(38,12) BEFORE the per-node sum (order-free), then one
+    (1-d)/N + d*sum expression — both engines bit-identical.
+
+    Scale shape: the edge table is the |sources|^2-bounded leak matrix
+    (built once from the shared capped-shingle machinery); every
+    iteration is one broadcast join of the |sources|-row rank frame
+    onto the edge table plus one bounded aggregate. At web scale
+    (|sources| ~ 10^7 domains) the same plan runs with shuffle joins —
+    the iteration structure is unchanged."""
+    edges = (
+        q_cross_source_leak(spark, sf_dir)
+        .filter(F.col("src_from") != F.col("src_to"))
+        .select(
+            F.col("src_from").alias("u"),
+            F.col("src_to").alias("v"),
+            F.col("n_links").alias("w"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    frac = edges.withColumn(
+        "frac", F.col("w") / F.sum("w").over(W.partitionBy("u"))
+    )
+    nodes = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.col("source").alias("src"))
+        .distinct()
+    )
+    n_nodes = nodes.agg(F.count(F.lit(1)).alias("n"))
+    ranks = nodes.crossJoin(F.broadcast(n_nodes)).select(
+        "src", "n", (F.lit(1.0) / F.col("n")).alias("rank")
+    )
+    for _ in range(PAGERANK_ITERS):
+        contrib = (
+            frac.join(
+                ranks.select(F.col("src").alias("u"), "rank"), "u"
+            )
+            .select(
+                F.col("v").alias("src"),
+                (F.col("rank") * F.col("frac"))
+                .cast("decimal(38,12)")
+                .alias("c"),
+            )
+            .groupBy("src")
+            .agg(F.sum("c").cast("double").alias("inflow"))
+        )
+        ranks = (
+            ranks.join(contrib, "src", "left")
+            .select(
+                "src",
+                "n",
+                (
+                    (F.lit(1.0) - F.lit(PAGERANK_D)) / F.col("n")
+                    + F.lit(PAGERANK_D)
+                    * F.coalesce(F.col("inflow"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+    return ranks.select("src", F.col("rank").alias("pagerank"))
+
+
+# DOUBLE constants spliced as reprs with explicit casts: DuckDB parses
+# bare `0.85` as DECIMAL and decimal arithmetic would diverge from the
+# JVM's double (1.0 - 0.85 = 0.15000000000000002 in binary); repr
+# round-trips the exact Python double and CAST(... AS DOUBLE) parses it
+# correctly-rounded on the DuckDB side.
+_SQL_PR_D = f"CAST({PAGERANK_D!r} AS DOUBLE)"
+_SQL_PR_OMD = f"CAST({(1.0 - PAGERANK_D)!r} AS DOUBLE)"
+
+
+def _sql_pagerank_iter(prev: str, i: int) -> str:
+    return f"""contrib{i} AS (
+        SELECT v AS src,
+               CAST(SUM(CAST(r.rank * frac AS DECIMAL(38,12))) AS DOUBLE)
+                   AS inflow
+        FROM frac JOIN {prev} r ON r.src = frac.u
+        GROUP BY v
+    ), rank{i} AS (
+        SELECT nodes.src,
+               {_SQL_PR_OMD} / cnt.n
+               + {_SQL_PR_D} * COALESCE(contrib{i}.inflow,
+                                        CAST(0.0 AS DOUBLE)) AS rank
+        FROM nodes CROSS JOIN cnt
+        LEFT JOIN contrib{i} ON contrib{i}.src = nodes.src
+    )"""
+
+
+SQL_SOURCE_PAGERANK = f"""
+    WITH pairs AS ({SQL_DEDUP_CONTAINMENT}),
+    leak AS (
+        SELECT df.source AS u, dh.source AS v,
+               CAST(COUNT(*) AS BIGINT) AS w
+        FROM pairs
+        JOIN documents df ON df.doc_id = pairs.doc_id
+        JOIN documents dh ON dh.doc_id = pairs.host_id
+        WHERE df.source <> dh.source
+        GROUP BY df.source, dh.source
+    ), frac AS (
+        SELECT u, v, w / SUM(w) OVER (PARTITION BY u) AS frac FROM leak
+    ), nodes AS (SELECT DISTINCT source AS src FROM documents),
+    cnt AS (SELECT COUNT(*) AS n FROM nodes),
+    rank0 AS (
+        SELECT src, CAST(1.0 AS DOUBLE) / cnt.n AS rank
+        FROM nodes CROSS JOIN cnt
+    ),
+    {_sql_pagerank_iter('rank0', 1)},
+    {_sql_pagerank_iter('rank1', 2)},
+    {_sql_pagerank_iter('rank2', 3)}
+    SELECT src, rank AS pagerank FROM rank3
+"""

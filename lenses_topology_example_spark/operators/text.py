@@ -2343,3 +2343,74 @@ SQL_LANG_CONFUSION = f"""
                AS row_share
     FROM cells
 """
+
+
+# --- exact length percentiles per source -------------------------------------------
+
+LENGTH_PCTS = (50, 90, 99)
+
+
+def q_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-length percentiles per source (p50/p90/p99 + max):
+    the sequence-length planning numbers a packing/truncation config is
+    sized from, per source because length distributions differ by
+    provenance. Percentile definition is EXPLICIT (value at rank
+    ceil(p/100 * n) under (n_tokens, doc_id) order) rather than an
+    engine quantile function — engine quantile interpolation rules
+    differ, this definition is integer-exact and identical everywhere.
+
+    Scale shape: token counts come from one scan (length of the
+    tokenized array — no explode); the rank window sorts within each
+    source partition (bounded by the largest source, the standard cost
+    of exact per-group percentiles — a production run at petabyte scale
+    subsamples per source first, which changes none of this plan); the
+    final pivot is one |sources|-row aggregate of rank-matched values.
+    """
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(tokens_col(F.col("text"))).alias("n_tok")
+    )
+    w = W.partitionBy("source")
+    ranked = (
+        docs.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("source").orderBy("n_tok", "doc_id")
+            ),
+        )
+        .withColumn("n", F.count(F.lit(1)).over(w))
+    )
+    agg = [F.max("n").alias("n_docs")]
+    for p in LENGTH_PCTS:
+        target = F.ceil(F.col("n") * F.lit(p) / F.lit(100.0))
+        agg.append(
+            F.max(F.when(F.col("rn") == target, F.col("n_tok"))).alias(
+                f"p{p}"
+            )
+        )
+    agg.append(F.max("n_tok").alias("max_tok"))
+    return ranked.groupBy("source").agg(*agg)
+
+
+_SQL_PCT_COLS = ",\n           ".join(
+    f"MAX(CASE WHEN rn = CEIL(n * {p} / 100.0) THEN n_tok END) AS p{p}"
+    for p in LENGTH_PCTS
+)
+
+SQL_LENGTH_PERCENTILES = f"""
+    WITH d AS (
+        SELECT doc_id, source, len({SQL_TOKS}) AS n_tok FROM documents
+    ), ranked AS (
+        SELECT source, n_tok,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY n_tok, doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY source) AS n
+        FROM d
+    )
+    SELECT source,
+           CAST(MAX(n) AS BIGINT) AS n_docs,
+           {_SQL_PCT_COLS},
+           MAX(n_tok) AS max_tok
+    FROM ranked GROUP BY source
+"""

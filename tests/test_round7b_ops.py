@@ -568,3 +568,75 @@ def test_winnow_neardup_consistent_with_fingerprint_counts(spark, sf_dir):
         bound = min(sizes[r["doc_a"]], sizes[r["doc_b"]])
         assert r["n_shared"] <= bound
         assert r["overlap"] > 0
+
+
+# --- source_pagerank ---------------------------------------------------------------
+
+
+def test_source_pagerank_matches_python_power_iteration(spark, sf_dir):
+    """Recompute the 3-iteration power method in Python from the same
+    leak-edge weights; every rank must match to float tolerance, and
+    all sources must appear."""
+    edges = {}
+    for r in dedup.q_cross_source_leak(spark, sf_dir).collect():
+        if r["src_from"] != r["src_to"]:
+            edges[(r["src_from"], r["src_to"])] = r["n_links"]
+    srcs = sorted(
+        {s for e in edges for s in e}
+        | {
+            r["source"]
+            for r in __import__("pyspark").sql.SparkSession.getActiveSession()
+            .read.parquet(f"{sf_dir}/documents.parquet")
+            .select("source")
+            .distinct()
+            .collect()
+        }
+    )
+    outw = {}
+    for (u, _v), w in edges.items():
+        outw[u] = outw.get(u, 0) + w
+    n = len(srcs)
+    rank = {s: 1.0 / n for s in srcs}
+    for _ in range(dedup.PAGERANK_ITERS):
+        inflow = {s: 0.0 for s in srcs}
+        for (u, v), w in edges.items():
+            inflow[v] += rank[u] * (w / outw[u])
+        rank = {
+            s: (1.0 - dedup.PAGERANK_D) / n
+            + dedup.PAGERANK_D * inflow[s]
+            for s in srcs
+        }
+    got = {
+        r["src"]: r["pagerank"]
+        for r in dedup.q_source_pagerank(spark, sf_dir).collect()
+    }
+    assert set(got) == set(srcs)
+    for s in srcs:
+        assert abs(got[s] - rank[s]) < 1e-6, s
+    # dangling-drop variant: total mass stays at or below 1
+    assert sum(got.values()) <= 1.0 + 1e-9
+
+
+# --- length_percentiles ------------------------------------------------------------
+
+
+def test_length_percentiles_match_python_rank_definition(spark, sf_dir):
+    import math as _math
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet").to_pylist()
+    by_src: dict[str, list] = {}
+    for d in docs:
+        toks = [t for t in re.split(r"\W+", d["text"].lower()) if t]
+        by_src.setdefault(d["source"], []).append((len(toks), d["doc_id"]))
+    rows = {r["source"]: r for r in text.q_length_percentiles(spark, sf_dir).collect()}
+    assert set(rows) == set(by_src)
+    for src, lens in by_src.items():
+        lens.sort()
+        n = len(lens)
+        r = rows[src]
+        assert r["n_docs"] == n
+        assert r["max_tok"] == max(l for l, _ in lens)
+        for p in text.LENGTH_PCTS:
+            want = lens[_math.ceil(n * p / 100.0) - 1][0]
+            assert r[f"p{p}"] == want, (src, p)
+        assert r["p50"] <= r["p90"] <= r["p99"] <= r["max_tok"]
