@@ -348,7 +348,20 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     capped Jaccard pass over the SAME memoized df-capped index (one
     materialization feeds both operators); both directions of each
     undirected pair are emitted from one aggregate via stack() — no
-    second join, no doubled candidate generation."""
+    second join, no doubled candidate generation. The thresholded pair
+    frame is itself memoized (late round 7): the catalog entry, the
+    cross-source leak matrix, and the source PageRank all consume it,
+    and without the boundary each consumer re-ran the self-join +
+    aggregate (no cross-branch CSE)."""
+    sizes_inter = _containment_pairs(spark, sf_dir)
+    return sizes_inter
+
+
+def _containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, host_id, containment) directed pairs above
+    CONTAINMENT_THRESHOLD, MATERIALIZED — shared by q_dedup_containment
+    and the source-level governance views built on top of it
+    (q_cross_source_leak, q_source_pagerank)."""
     s2 = _capped_shingles(spark, sf_dir)
     sizes = s2.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = s2.alias("a")
@@ -363,7 +376,7 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
-    return (
+    pairs = (
         inter.join(na, "doc_a")
         .join(nb, "doc_b")
         # try_divide: long/long must be IEEE double division (matching
@@ -378,6 +391,7 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("containment") >= F.lit(CONTAINMENT_THRESHOLD))
     )
+    return _memo_persist(spark, sf_dir, "containment_pairs", pairs)
 
 
 SQL_DEDUP_CONTAINMENT = f"""
