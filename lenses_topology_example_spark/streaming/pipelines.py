@@ -804,3 +804,60 @@ def start_drift_monitor_stream(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+# --- streaming context-window chunker (stateless per-row explode) ------------------
+
+
+def streaming_chunker(docs: DataFrame) -> DataFrame:
+    """Streaming twin of operators/text.q_doc_chunk: split each arriving
+    document into overlapping CHUNK_TOKENS/CHUNK_STRIDE context-window
+    chunks inline — the ingest step that feeds a tokenizer/embedding
+    stage directly from the stream instead of re-scanning a landed
+    corpus. Pure per-row sequence explode + array math: NO streaming
+    state, no watermark, append mode. The chunk identity (md5) and the
+    count algebra are the SAME expressions as the batch operator
+    (integer ceil via (x + S - 1) div S), so stream and batch chunkings
+    can never drift; the parity test runs both on the same docs.
+
+    Note the one semantic difference from the batch catalog entry: the
+    batch op reads the MATERIALIZED token table; the stream pays the
+    tokenizer in-row (the stateless price, bounded per doc — same
+    trade as the incremental-dedup signature computation)."""
+    from ..operators.text import CHUNK_STRIDE, CHUNK_TOKENS
+    from ..operators.wordcount import tokens_col
+
+    toks = tokens_col(F.col("text"))
+    with_t = docs.select("doc_id", toks.alias("t"))
+    L = F.size(F.col("t"))
+    n_chunks = F.when(
+        L >= F.lit(1),
+        F.lit(1)
+        + F.floor(
+            (F.greatest(L - F.lit(CHUNK_TOKENS), F.lit(0))
+             + F.lit(CHUNK_STRIDE - 1))
+            / F.lit(CHUNK_STRIDE)
+        ).cast("int"),
+    ).otherwise(F.lit(0))
+    start = (F.col("chunk_id") - F.lit(1)) * F.lit(CHUNK_STRIDE) + F.lit(1)
+    return (
+        with_t.select(
+            "doc_id",
+            "t",
+            F.size(F.col("t")).alias("l"),
+            F.explode(F.sequence(F.lit(1), n_chunks)).alias("chunk_id"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            start.alias("chunk_start"),
+            F.least(
+                F.lit(CHUNK_TOKENS), F.col("l") - start + F.lit(1)
+            ).alias("chunk_tokens"),
+            F.md5(
+                F.concat_ws(
+                    " ", F.slice(F.col("t"), start, F.lit(CHUNK_TOKENS))
+                )
+            ).alias("chunk_md5"),
+        )
+    )

@@ -1066,3 +1066,47 @@ def test_streaming_drift_monitor_matches_batch_operator(spark, tmp_path):
     )
     assert g["kl_divergence"] == w["kl_divergence"]
     assert g["tv_distance"] == w["tv_distance"]
+
+
+def test_streaming_chunker_matches_batch_operator(spark, tmp_path):
+    """Stateless stream chunking must equal the batch q_doc_chunk rows
+    exactly on the same documents."""
+    from lenses_topology_example_spark.operators.text import q_doc_chunk
+    from lenses_topology_example_spark.streaming.pipelines import (
+        streaming_chunker,
+    )
+
+    words = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    rows = [
+        (i, " ".join(words[(i + j) % len(words)] for j in range(5 + 7 * i)),
+         "en", f"s{i}", 60)
+        for i in range(6)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sf = tmp_path / "chunk_sf"
+    sf.mkdir()
+    docs.write.parquet(f"{sf}/documents.parquet")
+
+    src = tmp_path / "chunk_src"
+    docs.select("doc_id", "text").write.parquet(str(src))
+    stream = spark.readStream.schema("doc_id long, text string").parquet(str(src))
+    q = (
+        streaming_chunker(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("chunk_stream_test")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = sorted(
+        tuple(r) for r in spark.sql("SELECT * FROM chunk_stream_test").collect()
+    )
+    batch = sorted(
+        tuple(r) for r in q_doc_chunk(spark, str(sf)).collect()
+    )
+    assert streamed == batch and len(batch) > 6
