@@ -159,6 +159,8 @@ HEADLINE = (
     # over the |sources|-bounded edge table) + exact length percentiles
     "source_pagerank",
     "length_percentiles",
+    # seventh wave: estimator bias audit (band join + exact-Jaccard side)
+    "minhash_est_audit",
 )
 
 

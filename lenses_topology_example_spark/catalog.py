@@ -264,6 +264,13 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
         text.q_length_percentiles,
         text.SQL_LENGTH_PERCENTILES,
     ),
+    # late round-7, seventh wave: the estimator-bias audit closing the
+    # measured-layout toolkit (band sweep chooses the layout, this
+    # audits the estimator the candidates are ranked by)
+    "minhash_est_audit": (
+        dedup.q_minhash_est_audit,
+        dedup.SQL_MINHASH_EST_AUDIT,
+    ),
     # rotated out in round 7 second batch (each >=4 green verdicts)
     "dedup_near_capped": (dedup.q_dedup_near_capped, dedup.SQL_DEDUP_NEAR_CAPPED),
     "dedup_minhash": (dedup.q_dedup_minhash, dedup.SQL_DEDUP_MINHASH),

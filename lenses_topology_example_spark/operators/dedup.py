@@ -2497,3 +2497,173 @@ SQL_SOURCE_PAGERANK = f"""
     {_sql_pagerank_iter('rank2', 3)}
     SELECT src, rank AS pagerank FROM rank3
 """
+
+
+# --- MinHash estimator bias audit --------------------------------------------------
+
+
+def q_minhash_est_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row bias report for the 8-component MinHash Jaccard
+    estimator over ALL banding candidates (no est threshold): pair
+    count, mean estimated vs mean exact Jaccard, and the mean/max
+    absolute estimation error. Completes the measured-layout toolkit —
+    minhash_band_sweep chooses the BAND layout by recall/volume; this
+    audits the ESTIMATOR the surviving candidates are ranked by (at
+    k=8 the per-pair sd is ~0.17, so thresholding decisions should
+    lean on the verify pass — the number this report puts on the
+    actual corpus).
+
+    Exactness: est is k_matches/8 (exact double); exact Jaccard is one
+    int division; a band collision WITHOUT any shared shingle (affine
+    map collision) is a real candidate whose exact Jaccard coalesces
+    to 0 — included, since that false-candidate mass is precisely what
+    the audit measures. Per-pair errors round to DECIMAL(38,6) before
+    the order-free sums (lm_score discipline).
+
+    Scale shape: candidates from the memoized signature table's band
+    join (signatures only); the exact side reuses the inverted shingle
+    index restricted to the candidate pairs via the SAME pair-keyed
+    aggregate near_jaccard uses; the report is ONE row out of a global
+    aggregate with map-side partials. A production run samples
+    candidates first — shape unchanged."""
+    sigs = minhash_signatures(spark, sf_dir)
+    bands = sigs.select(
+        "doc_id", F.posexplode(F.col("sig")).alias("band", "v")
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.v") == F.col("b.v"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    matches = F.aggregate(
+        F.zip_with(
+            F.col("sig_a"),
+            F.col("sig_b"),
+            lambda x, y: F.when(x == y, F.lit(1)).otherwise(F.lit(0)),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    est = cand.join(sa, "doc_a").join(sb, "doc_b").select(
+        "doc_a", "doc_b", (matches / F.lit(float(N_HASHES))).alias("est_j")
+    )
+    s = _doc_shingles(spark, sf_dir)
+    sizes = s.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    ia = s.alias("ia")
+    ib = s.alias("ib")
+    inter = (
+        ia.join(ib, (F.col("ia.shingle") == F.col("ib.shingle")))
+        .filter(F.col("ia.doc_id") < F.col("ib.doc_id"))
+        .groupBy(
+            F.col("ia.doc_id").alias("doc_a"),
+            F.col("ib.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    exact = (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+            ).alias("exact_j"),
+        )
+    )
+    per_pair = est.join(exact, ["doc_a", "doc_b"], "left").select(
+        F.col("est_j").cast("decimal(38,6)").alias("est_d"),
+        F.coalesce(F.col("exact_j"), F.lit(0.0))
+        .cast("decimal(38,6)")
+        .alias("exact_d"),
+        F.abs(
+            F.col("est_j") - F.coalesce(F.col("exact_j"), F.lit(0.0))
+        )
+        .cast("decimal(38,6)")
+        .alias("err_d"),
+    )
+    return per_pair.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        (F.sum("est_d").cast("double") / F.count(F.lit(1))).alias("mean_est"),
+        (F.sum("exact_d").cast("double") / F.count(F.lit(1))).alias(
+            "mean_exact"
+        ),
+        (F.sum("err_d").cast("double") / F.count(F.lit(1))).alias(
+            "mean_abs_err"
+        ),
+        F.max("err_d").cast("double").alias("max_abs_err"),
+    )
+
+
+SQL_MINHASH_EST_AUDIT = f"""
+    WITH toks AS (
+        SELECT doc_id, {SQL_TOKS} AS t FROM documents
+    ), hs AS (
+        SELECT doc_id,
+               list_distinct(list_transform(list_distinct({SQL_SHINGLES}),
+                   s -> (('0x' || substr(md5(s), 1, 15))::BIGINT) % {MOD})) AS h
+        FROM toks
+    ), sig AS (
+        SELECT doc_id, {_sql_sig_components()} AS sig
+        FROM hs WHERE len(h) > 0
+    ), bands AS (
+        SELECT doc_id,
+               unnest(generate_series(0, {N_HASHES - 1})) AS band,
+               unnest(sig) AS v
+        FROM sig
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.v = b.v AND a.doc_id < b.doc_id
+    ), est AS (
+        SELECT doc_a, doc_b,
+               len(list_filter(list_transform(generate_series(1, {N_HASHES}),
+                   i -> sa.sig[i] = sb.sig[i]), x -> x)) / {float(N_HASHES)}
+                   AS est_j
+        FROM cand
+        JOIN sig sa ON sa.doc_id = doc_a
+        JOIN sig sb ON sb.doc_id = doc_b
+    ), sh AS (
+        SELECT doc_id, unnest(list_distinct({SQL_SHINGLES})) AS shingle
+        FROM toks
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ), exact AS (
+        SELECT doc_a, doc_b,
+               inter / (na.n_sh + nb.n_sh - inter) AS exact_j
+        FROM inter
+        JOIN sizes na ON na.doc_id = doc_a
+        JOIN sizes nb ON nb.doc_id = doc_b
+    ), per_pair AS (
+        SELECT CAST(est_j AS DECIMAL(38,6)) AS est_d,
+               CAST(COALESCE(exact_j, CAST(0.0 AS DOUBLE))
+                    AS DECIMAL(38,6)) AS exact_d,
+               CAST(abs(est_j - COALESCE(exact_j, CAST(0.0 AS DOUBLE)))
+                    AS DECIMAL(38,6)) AS err_d
+        FROM est LEFT JOIN exact USING (doc_a, doc_b)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(est_d) AS DOUBLE) / COUNT(*) AS mean_est,
+           CAST(SUM(exact_d) AS DOUBLE) / COUNT(*) AS mean_exact,
+           CAST(SUM(err_d) AS DOUBLE) / COUNT(*) AS mean_abs_err,
+           CAST(MAX(err_d) AS DOUBLE) AS max_abs_err
+    FROM per_pair
+"""

@@ -640,3 +640,18 @@ def test_length_percentiles_match_python_rank_definition(spark, sf_dir):
             want = lens[_math.ceil(n * p / 100.0) - 1][0]
             assert r[f"p{p}"] == want, (src, p)
         assert r["p50"] <= r["p90"] <= r["p99"] <= r["max_tok"]
+
+
+# --- minhash_est_audit -------------------------------------------------------------
+
+
+def test_minhash_est_audit_measures_selection_bias(spark, sf_dir):
+    """The audit's whole point: banding candidates are selected BY
+    estimator collisions, so mean_est must exceed mean_exact (selection
+    bias), errors are bounded by 1, and the pair universe is at least
+    the thresholded dedup_minhash output."""
+    row = dedup.q_minhash_est_audit(spark, sf_dir).collect()[0]
+    assert row["n_pairs"] > 0
+    assert row["mean_est"] > row["mean_exact"]
+    assert 0 <= row["mean_abs_err"] <= row["max_abs_err"] <= 1.0
+    assert row["n_pairs"] >= dedup.q_dedup_minhash(spark, sf_dir).count()
