@@ -861,3 +861,61 @@ def streaming_chunker(docs: DataFrame) -> DataFrame:
             ).alias("chunk_md5"),
         )
     )
+
+
+# --- streaming event-rate anomaly (per-batch vs a static baseline) -----------------
+
+
+def rate_anomaly_batch(batch: DataFrame, baseline: DataFrame) -> DataFrame:
+    """Per-batch core of the streaming twin of
+    operators/windows.q_event_rate_anomaly: count each micro-batch's
+    (event_type, day) volumes and z-score them against a STATIC
+    baseline table (event_type, mean, std) — at scale the baseline is
+    the batch operator's own moments, recomputed per corpus refresh,
+    exactly the static-artifact contract of the incremental-dedup
+    indexes. The sqrt-guard NULL discipline matches the batch operator
+    (a zero/degenerate std flags nothing).
+
+    Scale shape: one groupBy over the BATCH only; the baseline joins in
+    by event_type (broadcast at |types| scale); no stream state."""
+    cells = batch.select(
+        "event_type",
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"),
+    ).groupBy("event_type", "day").agg(F.count(F.lit(1)).alias("n_events"))
+    from ..operators.windows import ANOMALY_Z
+
+    z = F.when(
+        F.col("std") > F.lit(0.0),
+        (F.col("n_events") - F.col("mean")) / F.col("std"),
+    )
+    return cells.join(F.broadcast(baseline), "event_type").select(
+        "event_type",
+        "day",
+        "n_events",
+        z.alias("z_score"),
+        F.coalesce(F.abs(z) >= F.lit(ANOMALY_Z), F.lit(False)).alias(
+            "is_anomaly"
+        ),
+    )
+
+
+def start_rate_anomaly_stream(
+    events: DataFrame,
+    baseline: DataFrame,
+    out_path: str,
+    checkpoint: str,
+) -> StreamingQuery:
+    """Continuous volume monitoring via foreachBatch (a per-batch global
+    aggregate, the drift-monitor contract) with per-batch-directory
+    idempotent output."""
+
+    def report(batch: DataFrame, batch_id: int) -> None:
+        rate_anomaly_batch(batch, baseline).write.mode("overwrite").parquet(
+            f"{out_path}/batch_id={batch_id}"
+        )
+
+    return (
+        events.writeStream.foreachBatch(report)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

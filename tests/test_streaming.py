@@ -1110,3 +1110,82 @@ def test_streaming_chunker_matches_batch_operator(spark, tmp_path):
         tuple(r) for r in q_doc_chunk(spark, str(sf)).collect()
     )
     assert streamed == batch and len(batch) > 6
+
+
+def test_streaming_rate_anomaly_matches_batch_operator(spark, tmp_path):
+    """foreachBatch rate monitor: streaming the full events slice
+    against a baseline derived from the batch operator's own moments
+    must reproduce q_event_rate_anomaly's rows exactly."""
+    from lenses_topology_example_spark.operators.windows import (
+        q_event_rate_anomaly,
+    )
+    from lenses_topology_example_spark.streaming.pipelines import (
+        start_rate_anomaly_stream,
+    )
+    import datetime as dt
+
+    rows = []
+    eid = 0
+    for day in range(6):
+        for et, base_n in (("view", 10), ("click", 4)):
+            n = base_n + (7 if (day == 5 and et == "view") else day % 2)
+            for _ in range(n):
+                rows.append(
+                    (eid, dt.datetime(2026, 3, 1 + day, 12, 0, 0), eid % 5,
+                     et, 1.0, "{}")
+                )
+                eid += 1
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    sf = tmp_path / "anomaly_sf"
+    sf.mkdir()
+    events.write.parquet(f"{sf}/events.parquet")
+
+    want = {
+        (r["event_type"], r["day"]): (
+            r["n_events"], r["z_score"], r["is_anomaly"]
+        )
+        for r in q_event_rate_anomaly(spark, str(sf)).collect()
+    }
+    assert any(v[2] for v in want.values()), "crafted spike must flag"
+
+    # baseline = the batch op's own per-type moments
+    cells = (
+        events.groupBy(
+            "event_type", F.date_format(F.to_date("ts"), "yyyy-MM-dd")
+        ).count()
+    )
+    stats = cells.groupBy("event_type").agg(
+        (F.sum("count") / F.count(F.lit(1))).alias("mean"),
+        F.sqrt(
+            F.sum(F.col("count") * F.col("count")) / F.count(F.lit(1))
+            - (F.sum("count") / F.count(F.lit(1)))
+            * (F.sum("count") / F.count(F.lit(1)))
+        ).alias("std"),
+    )
+
+    src = tmp_path / "anomaly_src"
+    events.write.parquet(str(src))
+    stream = spark.readStream.schema(events.schema).parquet(str(src))
+    out = tmp_path / "anomaly_out"
+    q = start_rate_anomaly_stream(
+        stream, stats, str(out), str(tmp_path / "anomaly_ckpt")
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["event_type"], r["day"]): (
+            r["n_events"], r["z_score"], r["is_anomaly"]
+        )
+        for r in spark.read.parquet(f"{out}/batch_id=0").collect()
+    }
+    assert set(got) == set(want)
+    for k, (n, z, a) in want.items():
+        gn, gz, ga = got[k]
+        assert gn == n and ga == a
+        assert (z is None and gz is None) or abs(gz - z) < 1e-9
