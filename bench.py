@@ -161,6 +161,16 @@ HEADLINE = (
     "length_percentiles",
     # seventh wave: estimator bias audit (band join + exact-Jaccard side)
     "minhash_est_audit",
+    # eighth wave: the classic multi-join / correlated-subquery TPC-H
+    # shapes (Q4/Q7/Q8/Q9/Q13/Q15/Q2 flavors) — fact-fact shuffle joins
+    # under AQE with broadcast dims; expected ~0.3-1.5 s each at sf0.1
+    "order_priority_count",
+    "volume_shipping",
+    "market_share",
+    "product_profit",
+    "customer_distribution",
+    "top_supplier",
+    "min_cost_supplier",
 )
 
 

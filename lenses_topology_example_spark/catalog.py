@@ -18,6 +18,7 @@ from .operators import (
     quality,
     relational,
     relational2,
+    relational3,
     similarity,
     sinks,
     sketches,
@@ -270,6 +271,31 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "minhash_est_audit": (
         dedup.q_minhash_est_audit,
         dedup.SQL_MINHASH_EST_AUDIT,
+    ),
+    # late round-7, eighth wave: the classic multi-join / correlated-
+    # subquery TPC-H shapes (Q4/Q7/Q8/Q9/Q13/Q15/Q2 flavors) completing
+    # the relational tier's join-and-subquery surface
+    "order_priority_count": (
+        relational3.q_order_priority_count,
+        relational3.SQL_ORDER_PRIORITY_COUNT,
+    ),
+    "volume_shipping": (
+        relational3.q_volume_shipping,
+        relational3.SQL_VOLUME_SHIPPING,
+    ),
+    "market_share": (relational3.q_market_share, relational3.SQL_MARKET_SHARE),
+    "product_profit": (
+        relational3.q_product_profit,
+        relational3.SQL_PRODUCT_PROFIT,
+    ),
+    "customer_distribution": (
+        relational3.q_customer_distribution,
+        relational3.SQL_CUSTOMER_DISTRIBUTION,
+    ),
+    "top_supplier": (relational3.q_top_supplier, relational3.SQL_TOP_SUPPLIER),
+    "min_cost_supplier": (
+        relational3.q_min_cost_supplier,
+        relational3.SQL_MIN_COST_SUPPLIER,
     ),
     # rotated out in round 7 second batch (each >=4 green verdicts)
     "dedup_near_capped": (dedup.q_dedup_near_capped, dedup.SQL_DEDUP_NEAR_CAPPED),

@@ -1,0 +1,401 @@
+"""Relational breadth tier 3: the classic multi-join / correlated-
+subquery TPC-H shapes not yet covered by relational.py / relational2.py
+(SURVEY.md §2.4-2.5 extension surface) — Q4 EXISTS semi-join, Q7 volume
+shipping, Q8 market share, Q9 product profit, Q13 outer-join histogram,
+Q15 top supplier (scalar-aggregate subquery), and a Q2-flavored
+min-cost-supplier correlated subquery.
+
+Same determinism contract as relational.py (decimal-disciplined SUMs via
+dsum/dsum_sql, unique ORDER BY tiebreakers, per-row double expressions
+written with identical operation order in Spark and the oracle).
+
+Scale notes (100 TB): every query here keeps lineitem/orders as the
+probe side of shuffle joins on their natural keys (co-partitioned SMJ
+under AQE), broadcasts only the bounded dims (nation ×2 aliases,
+region), and pushes all date/flag filters into the parquet scan before
+any join. The Q13 histogram's second aggregation runs over |customers|
+rows, and the Q15/Q2 "equal to the max/min" filters compare exact
+DECIMAL(38,6) aggregates — parallelism-independent, so the winner set is
+stable at any cluster size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from ..tables import load_table
+from .relational import dsum, dsum_sql
+
+
+def q_order_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped: orders in one quarter having at least one
+    lineitem shipped >30 days after the order date, counted per
+    priority. The EXISTS is a LEFT SEMI join — lineitem never widens
+    the orders rows, and the 30-day predicate rides inside the join so
+    Spark evaluates it during the probe (no post-join filter pass)."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    qualifying = orders.join(
+        li,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+        "left_semi",
+    )
+    return (
+        qualifying.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+SQL_ORDER_PRIORITY_COUNT = """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate < TIMESTAMP '1997-04-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+"""
+
+
+def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-shaped: shipping volume between two nations per year,
+    both directions. nation joins twice under distinct aliases — both
+    broadcast (25 rows); the nation-pair filter applies after the two
+    broadcasts but before the groupBy, so the shuffle carries only the
+    qualifying pair's rows."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n1 = F.broadcast(
+        load_table(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    n2 = F.broadcast(
+        load_table(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+        )
+    )
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(n1, F.col("s_nationkey") == F.col("sn_key"))
+        .join(n2, F.col("c_nationkey") == F.col("cn_key"))
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(dsum(revenue).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+SQL_VOLUME_SHIPPING = f"""
+    SELECT supp_nation, cust_nation, l_year,
+           {dsum_sql("volume")} AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(EXTRACT(YEAR FROM l_shipdate) AS INTEGER) AS l_year,
+             l_extendedprice * (1.0 - l_discount) AS volume
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
+        AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-shaped: NATION_3's share of PROMO-part revenue sold to
+    ASIA customers, per year. The share is two decimal-disciplined sums
+    in ONE aggregation pass (conditional sum / total sum) and a single
+    IEEE division — identical to the oracle's evaluation order."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n_cust = F.broadcast(
+        load_table(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cr_key")
+        )
+    )
+    region = F.broadcast(
+        load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    )
+    n_supp = F.broadcast(
+        load_table(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    target = F.when(F.col("supp_nation") == "NATION_3", revenue).otherwise(F.lit(0.0))
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(n_cust, F.col("c_nationkey") == F.col("cn_key"))
+        .join(region, F.col("cr_key") == F.col("r_regionkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(n_supp, F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg((dsum(target) / dsum(revenue)).alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+SQL_MARKET_SHARE = f"""
+    SELECT o_year,
+           {dsum_sql("CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0.0 END")}
+             / {dsum_sql("volume")} AS mkt_share
+    FROM (
+      SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year,
+             l_extendedprice * (1.0 - l_discount) AS volume,
+             n2.n_name AS supp_nation
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region ON n1.n_regionkey = r_regionkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+    ) all_nations
+    GROUP BY o_year
+    ORDER BY o_year
+"""
+
+
+def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-shaped (adapted: testdata has no partsupp, so supply
+    cost is modeled as 60% of p_retailprice): profit on parts whose
+    name contains 'bolt', per supplier nation per year. The p_name
+    LIKE filter prunes part BEFORE its join; profit is one per-row
+    double expression with identical operation order on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").contains("bolt"))
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    profit = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) - (
+        F.lit(0.6) * F.col("p_retailprice")
+    ) * F.col("l_quantity")
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
+        )
+        .agg(dsum(profit).alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+SQL_PRODUCT_PROFIT = f"""
+    SELECT nation, o_year, {dsum_sql("amount")} AS sum_profit
+    FROM (
+      SELECT n_name AS nation,
+             CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year,
+             l_extendedprice * (1.0 - l_discount)
+               - (0.6 * p_retailprice) * l_quantity AS amount
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%bolt%'
+    ) profit
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+"""
+
+
+def q_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-shaped: histogram of orders-per-customer, including
+    zero-order customers via LEFT OUTER join with the priority filter
+    INSIDE the join condition (a WHERE would silently drop the
+    zero-order customers the query exists to count). Two aggregations:
+    the first shuffles |customers| keys, the second runs over the tiny
+    distinct-count frame."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    per_cust = (
+        cust.join(
+            orders,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+SQL_CUSTOMER_DISTRIBUTION = """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer
+      LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-shaped: the supplier(s) with maximum revenue in one
+    quarter. The "equal to the max" filter compares the EXACT
+    DECIMAL(38,6) aggregate (not the double projection), so float
+    round-trip can never split or merge winners — parallelism- and
+    engine-independent. Spark side: an empty-frame MAX window over the
+    |suppliers|-row aggregate (tiny; the WindowExec WARN class is the
+    documented window-above-aggregate shape)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    per_supp = li.groupBy("l_suppkey").agg(
+        F.sum(revenue.cast("decimal(38,6)")).alias("rev_dec")
+    )
+    best = per_supp.withColumn(
+        "max_rev", F.max("rev_dec").over(W.partitionBy())
+    ).filter(F.col("rev_dec") == F.col("max_rev"))
+    return (
+        best.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("rev_dec").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+SQL_TOP_SUPPLIER = """
+    WITH revenue0 AS (
+      SELECT l_suppkey AS supplier_no,
+             SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                 AS DECIMAL(38,6))) AS rev_dec
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, CAST(rev_dec AS DOUBLE) AS total_revenue
+    FROM revenue0 JOIN supplier ON supplier_no = s_suppkey
+    WHERE rev_dec = (SELECT MAX(rev_dec) FROM revenue0)
+    ORDER BY s_suppkey
+"""
+
+
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-flavored (adapted: no partsupp — the observed minimum
+    unit price over lineitem plays the supplycost role): for each small
+    part, the supplier(s) that have sold it at the lowest unit price.
+    The correlated `price = (SELECT MIN ...)` decorrelates to a per-part
+    MIN window over the (part, supplier) aggregate; MIN over doubles is
+    exact and order-independent, so the equality filter is stable at
+    any parallelism. Top 25 by retail price with unique tiebreakers."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
+    )
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 5)
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal"
+    )
+    per_ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min("unit_price").alias("min_unit_price")
+    )
+    best = per_ps.withColumn(
+        "part_min", F.min("min_unit_price").over(W.partitionBy("l_partkey"))
+    ).filter(F.col("min_unit_price") == F.col("part_min"))
+    return (
+        best.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "p_partkey",
+            "p_name",
+            "p_retailprice",
+            "s_name",
+            "s_acctbal",
+            "min_unit_price",
+        )
+        .orderBy(
+            F.col("p_retailprice").desc(),
+            F.col("p_partkey"),
+            F.col("s_name"),
+        )
+        .limit(25)
+    )
+
+
+SQL_MIN_COST_SUPPLIER = """
+    WITH per_ps AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(l_extendedprice / l_quantity) AS min_unit_price
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    )
+    SELECT p_partkey, p_name, p_retailprice, s_name, s_acctbal,
+           min_unit_price
+    FROM per_ps
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    WHERE p_size <= 5
+      AND min_unit_price = (
+        SELECT MIN(min_unit_price) FROM per_ps i
+        WHERE i.l_partkey = per_ps.l_partkey
+      )
+    ORDER BY p_retailprice DESC, p_partkey, s_name
+    LIMIT 25
+"""
