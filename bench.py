@@ -171,6 +171,11 @@ HEADLINE = (
     "customer_distribution",
     "top_supplier",
     "min_cost_supplier",
+    # ninth wave: spectral + frequency-structure analysis — two
+    # power-iteration matvecs (4 keyed aggs over the exploded frame)
+    # and the |vocab|-bounded Zipf OLS
+    "embed_pca_power",
+    "zipf_fit",
 )
 
 

@@ -297,6 +297,13 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
         relational3.q_min_cost_supplier,
         relational3.SQL_MIN_COST_SUPPLIER,
     ),
+    # late round-7, ninth wave: spectral + frequency-structure corpus
+    # analysis — distributed power-iteration PCA and the Zipf-law fit
+    "embed_pca_power": (
+        embed_stats.q_embed_pca_power,
+        embed_stats.SQL_EMBED_PCA_POWER,
+    ),
+    "zipf_fit": (text.q_zipf_fit, text.SQL_ZIPF_FIT),
     # rotated out in round 7 second batch (each >=4 green verdicts)
     "dedup_near_capped": (dedup.q_dedup_near_capped, dedup.SQL_DEDUP_NEAR_CAPPED),
     "dedup_minhash": (dedup.q_dedup_minhash, dedup.SQL_DEDUP_MINHASH),

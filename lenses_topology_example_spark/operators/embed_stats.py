@@ -642,3 +642,117 @@ SQL_EMBED_OUTLIERS = f"""
     ORDER BY cos_d ASC, vec_id ASC
     LIMIT {OUTLIER_BOTTOM_K}
 """
+
+
+def q_embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the (uncentered) embedding Gram matrix
+    by TWO unrolled power-iteration matvecs — the distributed shape of
+    spectral corpus analysis (PCA whitening, spectral outlier screens).
+
+    Each matvec w = EᵀE·v is two keyed aggregations, never a DxD
+    matrix: dot_i = Σ_d E[i,d]·v[d] (groupBy vec_id) then
+    w[d] = Σ_i E[i,d]·dot_i (groupBy dim). Both sums go through
+    DECIMAL(38,6) per-row, so every accumulation is exact and
+    order-independent; the remaining scalars (sqrt norm, divisions,
+    the sign fix on dim 0) are single IEEE ops evaluated in the same
+    order as the oracle — cross-engine parity needs no tolerance.
+    The iteration starts from the all-ones vector (its scale cancels
+    in the first normalization), v1 = normalize(EᵀE·1), and reports
+    v2 = sign-fixed normalize(EᵀE·v1) with λ = ||EᵀE·v1|| (a Rayleigh
+    estimate since v1 is unit). More iterations compose by repeating
+    the two aggregations (the kmeans_refine / dedup_cluster fixpoint
+    pattern); two already separate the synthetic data's top eigenvalue.
+
+    Scale shape (100 TB): the exploded frame shuffles only keyed
+    partial aggregates (|vecs| keys then |dims| keys); v broadcasts at
+    |dims| rows; dot_i joins back co-partitioned on vec_id under AQE.
+    Zero driver-side collection — the eigenvector is a DataFrame.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    e = emb.select("vec_id", F.posexplode("v").alias("dim", "val"))
+
+    def dsum6(col: F.Column) -> F.Column:
+        return F.sum(col.cast("decimal(38,6)")).cast("double")
+
+    d1 = e.groupBy("vec_id").agg(dsum6(F.col("val")).alias("dot"))
+    w1 = (
+        e.join(d1, "vec_id")
+        .groupBy("dim")
+        .agg(dsum6(F.col("val") * F.col("dot")).alias("w"))
+    )
+    n1 = w1.agg(F.sqrt(dsum6(F.col("w") * F.col("w"))).alias("nrm"))
+    v1 = w1.crossJoin(F.broadcast(n1)).select(
+        "dim", (F.col("w") / F.col("nrm")).alias("vv")
+    )
+    d2 = (
+        e.join(F.broadcast(v1), "dim")
+        .groupBy("vec_id")
+        .agg(dsum6(F.col("val") * F.col("vv")).alias("dot"))
+    )
+    w2 = (
+        e.join(d2, "vec_id")
+        .groupBy("dim")
+        .agg(dsum6(F.col("val") * F.col("dot")).alias("w"))
+    )
+    lam = w2.agg(F.sqrt(dsum6(F.col("w") * F.col("w"))).alias("eigenvalue"))
+    sgn = w2.filter(F.col("dim") == 0).select(
+        F.when(F.col("w") >= 0, F.lit(1.0)).otherwise(F.lit(-1.0)).alias("s")
+    )
+    return (
+        w2.crossJoin(F.broadcast(lam))
+        .crossJoin(F.broadcast(sgn))
+        .select(
+            "dim",
+            (F.col("s") * (F.col("w") / F.col("eigenvalue"))).alias("component"),
+            "eigenvalue",
+        )
+        .orderBy("dim")
+    )
+
+
+SQL_EMBED_PCA_POWER = """
+    WITH e AS (
+        SELECT vec_id,
+               generate_subscripts(embedding, 1) - 1 AS dim,
+               CAST(unnest(embedding) AS DOUBLE) AS val
+        FROM embeddings
+    ),
+    d1 AS (
+        SELECT vec_id, CAST(SUM(CAST(val AS DECIMAL(38,6))) AS DOUBLE) AS dot
+        FROM e GROUP BY vec_id
+    ),
+    w1 AS (
+        SELECT dim,
+               CAST(SUM(CAST(e.val * d1.dot AS DECIMAL(38,6))) AS DOUBLE) AS w
+        FROM e JOIN d1 USING (vec_id) GROUP BY dim
+    ),
+    n1 AS (
+        SELECT SQRT(CAST(SUM(CAST(w * w AS DECIMAL(38,6))) AS DOUBLE)) AS nrm
+        FROM w1
+    ),
+    v1 AS (SELECT dim, w / nrm AS vv FROM w1 CROSS JOIN n1),
+    d2 AS (
+        SELECT vec_id,
+               CAST(SUM(CAST(e.val * v1.vv AS DECIMAL(38,6))) AS DOUBLE) AS dot
+        FROM e JOIN v1 USING (dim) GROUP BY vec_id
+    ),
+    w2 AS (
+        SELECT dim,
+               CAST(SUM(CAST(e.val * d2.dot AS DECIMAL(38,6))) AS DOUBLE) AS w
+        FROM e JOIN d2 USING (vec_id) GROUP BY dim
+    ),
+    lam AS (
+        SELECT SQRT(CAST(SUM(CAST(w * w AS DECIMAL(38,6))) AS DOUBLE))
+               AS eigenvalue
+        FROM w2
+    ),
+    sgn AS (
+        SELECT CASE WHEN w >= 0 THEN 1.0 ELSE -1.0 END AS s
+        FROM w2 WHERE dim = 0
+    )
+    SELECT dim, s * (w / eigenvalue) AS component, eigenvalue
+    FROM w2 CROSS JOIN lam CROSS JOIN sgn
+    ORDER BY dim
+"""

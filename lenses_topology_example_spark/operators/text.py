@@ -10,7 +10,7 @@ these run at parquet-scan speed inside whole-stage codegen.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions as F
 
 from ..functions.texthash import (
     SQL_MD5_HASH64,
@@ -2414,3 +2414,121 @@ SQL_LENGTH_PERCENTILES = f"""
            MAX(n_tok) AS max_tok
     FROM ranked GROUP BY source
 """
+
+
+ZIPF_TOP_N = 200
+
+
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS fit of the Zipf law ln(freq) = a + b·ln(rank) over the
+    top-200 corpus tokens — the standard sanity check that a crawl
+    slice has natural-language frequency structure (a synthetic or
+    template-heavy corpus shows a flattened head, |b| << 1).
+
+    Determinism: token counts are exact integers; rank is a ROW_NUMBER
+    with the (count DESC, token ASC) total order; both ln() calls
+    round-trip DECIMAL(38,6) before ANY arithmetic (libm ln differs by
+    1 ulp between engines — the lm_score discipline), so every OLS
+    moment accumulates identical decimals and the closed-form
+    slope/intercept/r2 are fixed-order IEEE scalar expressions.
+
+    Scale shape: one corpus scan -> |vocab|-bounded count agg ->
+    TakeOrderedAndProject(200) -> the regression runs on a 200-row
+    frame (sub-millisecond anywhere). The rank window is
+    window-above-aggregate over 200 rows (the documented tiny-frame
+    WindowExec class, never the raw corpus).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(tokens_col(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("tok"))
+        .limit(ZIPF_TOP_N)
+    )
+    ranked = counts.select(
+        F.row_number()
+        .over(W.orderBy(F.col("c").desc(), F.col("tok")))
+        .alias("rank"),
+        "c",
+    ).select(
+        F.log(F.col("rank").cast("double"))
+        .cast("decimal(38,6)")
+        .cast("double")
+        .alias("x"),
+        F.log(F.col("c").cast("double"))
+        .cast("decimal(38,6)")
+        .cast("double")
+        .alias("y"),
+    )
+
+    def m(col: Column) -> Column:
+        return F.sum(col.cast("decimal(38,6)")).cast("double")
+
+    moms = ranked.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        m(F.col("x")).alias("sx"),
+        m(F.col("y")).alias("sy"),
+        m(F.col("x") * F.col("x")).alias("sxx"),
+        m(F.col("x") * F.col("y")).alias("sxy"),
+        m(F.col("y") * F.col("y")).alias("syy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return moms.select(
+        F.col("n").cast("long").alias("n_tokens"),
+        slope.cast("decimal(38,6)").cast("double").alias("zipf_slope"),
+        ((F.col("sy") - slope * F.col("sx")) / F.col("n"))
+        .cast("decimal(38,6)")
+        .cast("double")
+        .alias("intercept"),
+        (
+            ((F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+             * (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")))
+            / (
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+            )
+        )
+        .cast("decimal(38,6)")
+        .cast("double")
+        .alias("r2"),
+    )
+
+
+SQL_ZIPF_FIT = f"""
+    WITH counts AS (
+        SELECT tok, COUNT(*) AS c
+        FROM (SELECT unnest({{toks}}) AS tok FROM documents)
+        GROUP BY tok
+        ORDER BY c DESC, tok
+        LIMIT {ZIPF_TOP_N}
+    ),
+    xy AS (
+        SELECT CAST(CAST(ln(CAST(ROW_NUMBER() OVER
+                     (ORDER BY c DESC, tok) AS DOUBLE))
+                   AS DECIMAL(38,6)) AS DOUBLE) AS x,
+               CAST(CAST(ln(CAST(c AS DOUBLE)) AS DECIMAL(38,6))
+                   AS DOUBLE) AS y
+        FROM counts
+    ),
+    moms AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(x * y AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(y * y AS DECIMAL(38,6))) AS DOUBLE) AS syy
+        FROM xy
+    )
+    SELECT CAST(n AS BIGINT) AS n_tokens,
+           CAST(CAST((n * sxy - sx * sy) / (n * sxx - sx * sx)
+               AS DECIMAL(38,6)) AS DOUBLE) AS zipf_slope,
+           CAST(CAST((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+                     / n AS DECIMAL(38,6)) AS DOUBLE) AS intercept,
+           CAST(CAST(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                     / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+               AS DECIMAL(38,6)) AS DOUBLE) AS r2
+    FROM moms
+""".replace("{toks}", SQL_TOKS)
