@@ -176,6 +176,9 @@ HEADLINE = (
     # and the |vocab|-bounded Zipf OLS
     "embed_pca_power",
     "zipf_fit",
+    # quality-aware keeper: rides the memoized near-dup pair/cluster
+    # machinery + one quality scan
+    "dedup_keeper_quality",
 )
 
 

@@ -304,6 +304,10 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
         embed_stats.SQL_EMBED_PCA_POWER,
     ),
     "zipf_fit": (text.q_zipf_fit, text.SQL_ZIPF_FIT),
+    "dedup_keeper_quality": (
+        text.q_dedup_keeper_quality,
+        text.SQL_DEDUP_KEEPER_QUALITY,
+    ),
     # rotated out in round 7 second batch (each >=4 green verdicts)
     "dedup_near_capped": (dedup.q_dedup_near_capped, dedup.SQL_DEDUP_NEAR_CAPPED),
     "dedup_minhash": (dedup.q_dedup_minhash, dedup.SQL_DEDUP_MINHASH),

@@ -2532,3 +2532,110 @@ SQL_ZIPF_FIT = f"""
                AS DECIMAL(38,6)) AS DOUBLE) AS r2
     FROM moms
 """.replace("{toks}", SQL_TOKS)
+
+
+def q_dedup_keeper_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-dup keeper selection: within each connected
+    near-dup cluster keep the HIGHEST-quality member, not the lowest
+    doc_id. min-id-wins (q_dedup_cluster) is the right contract for
+    exact dups (identical text -> identical quality), but near-dup
+    members genuinely differ — a curation pipeline wants the best
+    version of the page, not the first-crawled one.
+
+    Composes two verified pieces: the capped-Jaccard cluster resolution
+    (dedup.resolve_clusters over dedup.neardup_pairs — exact
+    recursive-CTE oracle) and the quality_score expression. The keeper
+    rank orders by DECIMAL(38,6)-rounded quality DESC then doc_id, so
+    the argmax is engine-portable (both engines rank identical
+    decimals; ties break on the id).
+
+    Scale shape: the fixpoint labels frame is |near-dup docs| rows (a
+    small fraction of the corpus); quality is a single-scan per-row
+    expression joined on doc_id; the rank window partitions by
+    cluster_id (bounded fan-in — the df-cap bounds component sizes).
+    """
+    from .dedup import neardup_pairs, resolve_clusters
+
+    pairs = neardup_pairs(spark, sf_dir)
+    labels = resolve_clusters(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    c = quality_components(F.col("text"))
+    qual = docs.select(
+        "doc_id", c["quality"].cast("decimal(38,6)").alias("q")
+    )
+    members = labels.select(
+        F.col("doc").alias("doc_id"), F.col("label").alias("cluster_id")
+    ).join(qual, "doc_id")
+    w = W.partitionBy("cluster_id").orderBy(F.col("q").desc(), F.col("doc_id"))
+    ranked = members.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.groupBy("cluster_id")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("keeper_id"),
+            F.max(F.when(F.col("rn") == 1, F.col("q")))
+            .cast("double")
+            .alias("keeper_quality"),
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("q").cast("double").alias("min_quality"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+def _sql_quality_expr(text: str, toks: str) -> str:
+    """The q_quality_score combination as an inline SQL expression."""
+    return (
+        f"0.3 * LEAST(length({text}) / 500.0, 1.0) "
+        f"+ 0.4 * (len(list_filter({toks}, t -> list_contains("
+        f"{_sql_stoplist()}, t))) / len({toks})) "
+        f"+ 0.3 * (length(regexp_replace(lower({text}), '[^a-z ]', '', 'g')) "
+        f"/ length({text}))"
+    )
+
+
+SQL_DEDUP_KEEPER_QUALITY = f"""
+    WITH RECURSIVE pairs AS (
+        SELECT doc_a, doc_b FROM ({{near_capped}})
+    ), edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ), reach(doc, label) AS (
+        SELECT DISTINCT src AS doc, src AS label FROM edges
+        UNION
+        SELECT e.dst AS doc, r.label
+        FROM reach r JOIN edges e ON e.src = r.doc
+    ), clusters AS (
+        SELECT doc AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY doc
+    ), t AS (SELECT doc_id, text, {SQL_TOKS} AS toks FROM documents),
+    q AS (
+        SELECT doc_id,
+               CAST({_sql_quality_expr('text', 'toks')} AS DECIMAL(38,6)) AS q
+        FROM t
+    ), m AS (
+        SELECT c.cluster_id, c.doc_id, q.q,
+               ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                                  ORDER BY q.q DESC, c.doc_id) AS rn
+        FROM clusters c JOIN q USING (doc_id)
+    )
+    SELECT cluster_id,
+           MAX(CASE WHEN rn = 1 THEN doc_id END) AS keeper_id,
+           CAST(MAX(CASE WHEN rn = 1 THEN q END) AS DOUBLE) AS keeper_quality,
+           COUNT(*) AS n_members,
+           CAST(MIN(q) AS DOUBLE) AS min_quality
+    FROM m GROUP BY cluster_id
+    ORDER BY cluster_id
+"""
+
+
+def _splice_near_capped() -> str:
+    from .dedup import SQL_DEDUP_NEAR_CAPPED
+
+    return SQL_DEDUP_KEEPER_QUALITY.replace(
+        "{near_capped}", SQL_DEDUP_NEAR_CAPPED
+    )
+
+
+SQL_DEDUP_KEEPER_QUALITY = _splice_near_capped()
