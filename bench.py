@@ -179,6 +179,10 @@ HEADLINE = (
     # quality-aware keeper: rides the memoized near-dup pair/cluster
     # machinery + one quality scan
     "dedup_keeper_quality",
+    # tenth wave: governance — fused conditional-sum audits + the SCD2
+    # dimension merge (one dim scan, broadcast update batch)
+    "constraint_audit",
+    "scd2_apply",
 )
 
 

@@ -13,6 +13,7 @@ from .conf import ensure_runtime_confs
 from .operators import (
     dedup,
     embed_stats,
+    governance,
     multimodal,
     payments,
     quality,
@@ -308,6 +309,13 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
         text.q_dedup_keeper_quality,
         text.SQL_DEDUP_KEEPER_QUALITY,
     ),
+    # late round-7, tenth wave: warehouse governance — declarative
+    # constraint audit + SCD2 dimension versioning
+    "constraint_audit": (
+        governance.q_constraint_audit,
+        governance.SQL_CONSTRAINT_AUDIT,
+    ),
+    "scd2_apply": (governance.q_scd2_apply, governance.SQL_SCD2_APPLY),
     # rotated out in round 7 second batch (each >=4 green verdicts)
     "dedup_near_capped": (dedup.q_dedup_near_capped, dedup.SQL_DEDUP_NEAR_CAPPED),
     "dedup_minhash": (dedup.q_dedup_minhash, dedup.SQL_DEDUP_MINHASH),

@@ -1,0 +1,294 @@
+"""Data-governance tier: declarative quality-constraint auditing and the
+slowly-changing-dimension type-2 merge — the two pipeline components a
+production warehouse runs around every ingest (SURVEY.md §2 extension
+surface; the reference's only governance is the suspicious-payment
+predicate fan-out, PaymentsService.java:94-99 — these are its
+warehouse-scale generalizations).
+
+Scale notes (100 TB): every constraint is a conditional aggregate fused
+into ONE pass over its table (map-side partial aggregation reduces each
+scan to a handful of counters per partition); the two referential
+checks are LEFT ANTI joins on the natural keys (co-partitioned SMJ
+under AQE — the orphan side is the probe, never materialized wide).
+The SCD2 merge touches the dimension twice (current rows to close out,
+via one join with the update batch) and the update batch once; at real
+scale the update batch is days-grain small, so Catalyst broadcasts it
+both times and the dimension never shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..tables import load_table
+from .relational import dsum, dsum_sql
+
+
+def _check(name: str, violations: F.Column, total: F.Column) -> list[F.Column]:
+    return [
+        F.lit(name).alias("check_name"),
+        violations.cast("long").alias("n_violations"),
+        total.cast("long").alias("n_rows"),
+        (violations == 0).alias("passed"),
+    ]
+
+
+def q_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style declarative constraint audit in one report frame:
+    completeness (NOT NULL), domain membership, numeric ranges, key
+    uniqueness, and referential integrity — each a counted-violations
+    row with a pass flag.
+
+    One fused conditional-sum pass per table + one groupBy for the key
+    uniqueness + two anti-joins for referential integrity; the final
+    report is a union of 1-row aggregates (driver-size)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+
+    n1 = F.count(F.lit(1))
+    cnt = lambda cond: F.sum(F.when(cond, 1).otherwise(0))
+
+    li_checks = li.agg(
+        cnt(F.col("l_discount") < 0).alias("v1"),
+        cnt(F.col("l_discount") > 1).alias("v2"),
+        cnt(F.col("l_quantity") <= 0).alias("v3"),
+        cnt(F.col("l_extendedprice") < 0).alias("v4"),
+        n1.alias("n"),
+    )
+    o_checks = orders.agg(
+        cnt(~F.col("o_orderstatus").isin("O", "F", "P")).alias("v1"),
+        cnt(F.col("o_totalprice") <= 0).alias("v2"),
+        cnt(F.col("o_orderdate").isNull()).alias("v3"),
+        n1.alias("n"),
+    )
+    c_checks = cust.agg(
+        cnt(F.col("c_name").isNull()).alias("v1"),
+        n1.alias("n"),
+    )
+    dup_orderkeys = (
+        orders.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("v"),
+            F.sum("c").alias("n"),
+        )
+    )
+    orphan_li = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"), "left_anti")
+        .agg(F.count(F.lit(1)).alias("v"))
+        .crossJoin(F.broadcast(li.agg(F.count(F.lit(1)).alias("n"))))
+    )
+    orphan_orders = (
+        orders.join(cust, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .agg(F.count(F.lit(1)).alias("v"))
+        .crossJoin(F.broadcast(orders.agg(F.count(F.lit(1)).alias("n"))))
+    )
+
+    rows = [
+        li_checks.select(*_check("lineitem.discount >= 0", F.col("v1"), F.col("n"))),
+        li_checks.select(*_check("lineitem.discount <= 1", F.col("v2"), F.col("n"))),
+        li_checks.select(*_check("lineitem.quantity > 0", F.col("v3"), F.col("n"))),
+        li_checks.select(
+            *_check("lineitem.extendedprice >= 0", F.col("v4"), F.col("n"))
+        ),
+        o_checks.select(
+            *_check("orders.status in (O,F,P)", F.col("v1"), F.col("n"))
+        ),
+        o_checks.select(*_check("orders.totalprice > 0", F.col("v2"), F.col("n"))),
+        o_checks.select(*_check("orders.orderdate not null", F.col("v3"), F.col("n"))),
+        c_checks.select(*_check("customer.name not null", F.col("v1"), F.col("n"))),
+        dup_orderkeys.select(
+            *_check("orders.orderkey unique", F.col("v"), F.col("n"))
+        ),
+        orphan_li.select(
+            *_check("lineitem.orderkey in orders", F.col("v"), F.col("n"))
+        ),
+        orphan_orders.select(
+            *_check("orders.custkey in customer", F.col("v"), F.col("n"))
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("check_name")
+
+
+SQL_CONSTRAINT_AUDIT = """
+    WITH li AS (
+        SELECT SUM(CASE WHEN l_discount < 0 THEN 1 ELSE 0 END) AS v1,
+               SUM(CASE WHEN l_discount > 1 THEN 1 ELSE 0 END) AS v2,
+               SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS v3,
+               SUM(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END) AS v4,
+               COUNT(*) AS n
+        FROM lineitem
+    ), o AS (
+        SELECT SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+                        THEN 1 ELSE 0 END) AS v1,
+               SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS v2,
+               SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS v3,
+               COUNT(*) AS n
+        FROM orders
+    ), c AS (
+        SELECT SUM(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS v1,
+               COUNT(*) AS n
+        FROM customer
+    ), dup AS (
+        SELECT SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS v, SUM(c) AS n
+        FROM (SELECT o_orderkey, COUNT(*) AS c FROM orders GROUP BY o_orderkey)
+    ), orph_li AS (
+        SELECT (SELECT COUNT(*) FROM lineitem
+                WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS v,
+               (SELECT COUNT(*) FROM lineitem) AS n
+    ), orph_o AS (
+        SELECT (SELECT COUNT(*) FROM orders
+                WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)) AS v,
+               (SELECT COUNT(*) FROM orders) AS n
+    )
+    SELECT * FROM (
+        SELECT 'lineitem.discount >= 0' AS check_name, CAST(v1 AS BIGINT)
+               AS n_violations, CAST(n AS BIGINT) AS n_rows, v1 = 0 AS passed
+        FROM li
+        UNION ALL
+        SELECT 'lineitem.discount <= 1', CAST(v2 AS BIGINT),
+               CAST(n AS BIGINT), v2 = 0 FROM li
+        UNION ALL
+        SELECT 'lineitem.quantity > 0', CAST(v3 AS BIGINT),
+               CAST(n AS BIGINT), v3 = 0 FROM li
+        UNION ALL
+        SELECT 'lineitem.extendedprice >= 0', CAST(v4 AS BIGINT),
+               CAST(n AS BIGINT), v4 = 0 FROM li
+        UNION ALL
+        SELECT 'orders.status in (O,F,P)', CAST(v1 AS BIGINT),
+               CAST(n AS BIGINT), v1 = 0 FROM o
+        UNION ALL
+        SELECT 'orders.totalprice > 0', CAST(v2 AS BIGINT),
+               CAST(n AS BIGINT), v2 = 0 FROM o
+        UNION ALL
+        SELECT 'orders.orderdate not null', CAST(v3 AS BIGINT),
+               CAST(n AS BIGINT), v3 = 0 FROM o
+        UNION ALL
+        SELECT 'customer.name not null', CAST(v1 AS BIGINT),
+               CAST(n AS BIGINT), v1 = 0 FROM c
+        UNION ALL
+        SELECT 'orders.orderkey unique', CAST(v AS BIGINT),
+               CAST(n AS BIGINT), v = 0 FROM dup
+        UNION ALL
+        SELECT 'lineitem.orderkey in orders', CAST(v AS BIGINT),
+               CAST(n AS BIGINT), v = 0 FROM orph_li
+        UNION ALL
+        SELECT 'orders.custkey in customer', CAST(v AS BIGINT),
+               CAST(n AS BIGINT), v = 0 FROM orph_o
+    )
+    ORDER BY check_name
+"""
+
+
+SCD2_EPOCH = "1995-01-01"
+SCD2_WINDOW_START = "1998-01-01"
+SCD2_WINDOW_END = "1998-07-01"
+
+
+def q_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 merge: apply a batch of
+    account-balance updates to the customer dimension, versioning
+    changed rows instead of overwriting them. The update batch is
+    derived deterministically from the data: every customer who ordered
+    in 1998-H1 gets acctbal += Σ(o_totalprice in the window), effective
+    at their LAST order date in the window.
+
+    Merge shape: the dimension LEFT-joins the (small) update batch
+    once — unmatched rows pass through open (valid_to NULL, current);
+    matched rows fan out via an inline 2-element explode into the
+    closed-out old version (valid_to = effective ts) and the new
+    current version. One scan of the dimension, one broadcastable
+    update aggregate, no union-of-two-joins double scan.
+
+    Balance arithmetic goes through DECIMAL(38,6) (the dsum
+    discipline) so old + delta is exact on both engines."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(SCD2_WINDOW_START).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(SCD2_WINDOW_END).cast("timestamp"))
+    )
+    updates = orders.groupBy("o_custkey").agg(
+        dsum(F.col("o_totalprice")).alias("delta"),
+        F.max("o_orderdate").alias("eff_ts"),
+    )
+    merged = cust.join(
+        updates, F.col("c_custkey") == F.col("o_custkey"), "left"
+    )
+    epoch = F.lit(SCD2_EPOCH).cast("timestamp")
+    # version = 0 -> the original row (closed out if an update matched);
+    # version = 1 -> the new current row (updated customers only)
+    versions = merged.select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        "c_acctbal",
+        "c_mktsegment",
+        "delta",
+        "eff_ts",
+        F.explode(
+            F.when(F.col("eff_ts").isNotNull(), F.array(F.lit(0), F.lit(1)))
+            .otherwise(F.array(F.lit(0)))
+        ).alias("version"),
+    )
+    new_bal = (
+        (
+            F.col("c_acctbal").cast("decimal(38,6)")
+            + F.col("delta").cast("decimal(38,6)")
+        ).cast("double")
+    )
+    return versions.select(
+        "c_custkey",
+        "c_name",
+        "c_mktsegment",
+        F.when(F.col("version") == 1, new_bal)
+        .otherwise(F.col("c_acctbal"))
+        .alias("acctbal"),
+        F.when(F.col("version") == 1, F.col("eff_ts"))
+        .otherwise(epoch)
+        .alias("valid_from"),
+        F.when(
+            (F.col("version") == 0) & F.col("eff_ts").isNotNull(),
+            F.col("eff_ts"),
+        ).alias("valid_to"),
+        (
+            (F.col("version") == 1)
+            | ((F.col("version") == 0) & F.col("eff_ts").isNull())
+        ).alias("is_current"),
+    ).orderBy("c_custkey", "valid_from")
+
+
+SQL_SCD2_APPLY = f"""
+    WITH updates AS (
+        SELECT o_custkey,
+               {dsum_sql("o_totalprice")} AS delta,
+               MAX(o_orderdate) AS eff_ts
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '{SCD2_WINDOW_START}'
+          AND o_orderdate < TIMESTAMP '{SCD2_WINDOW_END}'
+        GROUP BY o_custkey
+    ), merged AS (
+        SELECT c.*, u.delta, u.eff_ts
+        FROM customer c LEFT JOIN updates u ON c.c_custkey = u.o_custkey
+    ), versions AS (
+        SELECT m.*, v.version
+        FROM merged m,
+             UNNEST(CASE WHEN m.eff_ts IS NOT NULL THEN [0, 1]
+                         ELSE [0] END) AS v(version)
+    )
+    SELECT c_custkey, c_name, c_mktsegment,
+           CASE WHEN version = 1 THEN CAST(
+                    CAST(c_acctbal AS DECIMAL(38,6))
+                    + CAST(delta AS DECIMAL(38,6)) AS DOUBLE)
+                ELSE c_acctbal END AS acctbal,
+           CASE WHEN version = 1 THEN eff_ts
+                ELSE TIMESTAMP '{SCD2_EPOCH}' END AS valid_from,
+           CASE WHEN version = 0 AND eff_ts IS NOT NULL THEN eff_ts
+                ELSE NULL END AS valid_to,
+           (version = 1 OR (version = 0 AND eff_ts IS NULL)) AS is_current
+    FROM versions
+    ORDER BY c_custkey, valid_from
+"""
