@@ -919,3 +919,86 @@ def start_rate_anomaly_stream(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+# --- streaming SCD2 / CDC apply (append-only version log + reader-side view) -------
+
+
+def start_scd2_log_stream(
+    updates: DataFrame, out_path: str, checkpoint: str
+) -> StreamingQuery:
+    """Continuous CDC ingestion for a slowly-changing dimension: each
+    arriving micro-batch of (o_custkey, delta, eff_ts) updates is
+    APPENDED to a version log — the dimension itself is never rewritten
+    by the stream (a per-batch dimension rewrite is O(|dim|) per batch;
+    the append-only log is O(|batch|), the only scale-honest shape on a
+    100 TB warehouse without a table format's MERGE). Replay-safe by the
+    per-batch-directory overwrite idempotency every foreachBatch sink
+    here uses; readers resolve current/history views with
+    scd2_resolve() (the batch operator governance.q_scd2_apply is the
+    one-shot special case — parity pinned in tests)."""
+
+    def append(batch: DataFrame, batch_id: int) -> None:
+        batch.select("o_custkey", "delta", "eff_ts").write.mode(
+            "overwrite"
+        ).parquet(f"{out_path}/batch_id={batch_id}")
+
+    return (
+        updates.writeStream.foreachBatch(append)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
+def scd2_resolve(dim: DataFrame, log: DataFrame) -> DataFrame:
+    """Reader-side SCD2 resolution of an append-only update log against
+    the base dimension — the general multi-version form of
+    governance.q_scd2_apply (which it reproduces exactly when each key
+    has at most one log entry).
+
+    Per key, the log's (delta, eff_ts) entries become one version each:
+    balance = base + running Σdelta (DECIMAL(38,6) running sum over the
+    eff_ts order — exact, so the chain is engine/replay-independent),
+    valid_from = eff_ts, valid_to = the next version's eff_ts (open for
+    the last). The base row closes out at the first update (or stays
+    open/current for untouched keys). Cost: one window over the log
+    (|log| rows, partitioned by key — never the dimension) + one join
+    against the dimension on its key."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("o_custkey").orderBy("eff_ts")
+    ver = log.select(
+        "o_custkey",
+        "eff_ts",
+        F.sum(F.col("delta").cast("decimal(38,6)"))
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("cum_delta"),
+        F.lead("eff_ts").over(w).alias("next_ts"),
+    )
+    epoch = F.lit("1995-01-01").cast("timestamp")
+    updated = dim.join(ver, dim["c_custkey"] == ver["o_custkey"]).select(
+        "c_custkey",
+        "c_name",
+        "c_mktsegment",
+        (
+            F.col("c_acctbal").cast("decimal(38,6)") + F.col("cum_delta")
+        )
+        .cast("double")
+        .alias("acctbal"),
+        F.col("eff_ts").alias("valid_from"),
+        F.col("next_ts").alias("valid_to"),
+        F.col("next_ts").isNull().alias("is_current"),
+    )
+    firsts = log.groupBy("o_custkey").agg(F.min("eff_ts").alias("first_ts"))
+    base = dim.join(
+        firsts, dim["c_custkey"] == firsts["o_custkey"], "left"
+    ).select(
+        "c_custkey",
+        "c_name",
+        "c_mktsegment",
+        F.col("c_acctbal").alias("acctbal"),
+        epoch.alias("valid_from"),
+        F.col("first_ts").alias("valid_to"),
+        F.col("first_ts").isNull().alias("is_current"),
+    )
+    return base.unionByName(updated).orderBy("c_custkey", "valid_from")

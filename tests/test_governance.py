@@ -73,3 +73,91 @@ def test_constraint_audit_clean_data_passes(spark, sf_dir):
         assert r.passed, f"{name}: {r.n_violations} violations"
         assert r.n_violations == 0
         assert r.n_rows > 0
+
+
+def test_streaming_scd2_log_matches_batch(spark, sf_dir, tmp_path):
+    """The streamed append-only CDC log, resolved reader-side, must
+    reproduce the one-shot batch SCD2 merge exactly when the update
+    batch is split across micro-batches by key (each key's single
+    aggregated update lands whole in some batch)."""
+    from pyspark.sql import functions as F
+
+    from lenses_topology_example_spark.operators.governance import (
+        SCD2_WINDOW_END,
+        SCD2_WINDOW_START,
+    )
+    from lenses_topology_example_spark.operators.relational import dsum
+    from lenses_topology_example_spark.streaming.pipelines import (
+        scd2_resolve,
+        start_scd2_log_stream,
+    )
+    from lenses_topology_example_spark.tables import load_table
+
+    want = [
+        r.asDict()
+        for r in _CATALOG["scd2_apply"][0](spark, sf_dir).collect()
+    ]
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(SCD2_WINDOW_START).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(SCD2_WINDOW_END).cast("timestamp"))
+    )
+    updates = orders.groupBy("o_custkey").agg(
+        dsum(F.col("o_totalprice")).alias("delta"),
+        F.max("o_orderdate").alias("eff_ts"),
+    )
+
+    # split keys into two micro-batch files by crc parity
+    src = tmp_path / "scd2_src"
+    for p in (0, 1):
+        part = updates.filter(
+            F.crc32(F.col("o_custkey").cast("string")) % 2 == p
+        )
+        part.write.parquet(f"{src}/f{p}")
+    stream = (
+        spark.readStream.schema("o_custkey long, delta double, eff_ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/f*")
+    )
+    out = tmp_path / "scd2_log"
+    q = start_scd2_log_stream(stream, str(out), str(tmp_path / "scd2_ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    dim = load_table(spark, sf_dir, "customer")
+    log = spark.read.parquet(str(out))
+    got = [r.asDict() for r in scd2_resolve(dim, log).collect()]
+
+    key = lambda d: (d["c_custkey"], str(d["valid_from"]))
+    assert sorted(got, key=key) == sorted(want, key=key)
+
+
+def test_scd2_resolve_multi_update_chain(spark, tmp_path):
+    """Multi-version chains (the case the batch operator can't express):
+    two updates to one key across batches yield three versions whose
+    balances accumulate decimal-exactly and whose validity intervals
+    tile [epoch, inf)."""
+    from datetime import datetime
+
+    from lenses_topology_example_spark.streaming.pipelines import scd2_resolve
+
+    dim = spark.createDataFrame(
+        [(1, "Customer#1", 7, 100.0, "BUILDING")],
+        "c_custkey long, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string",
+    )
+    log = spark.createDataFrame(
+        [
+            (1, 10.5, datetime(1998, 2, 1)),
+            (1, 2.25, datetime(1998, 5, 1)),
+        ],
+        "o_custkey long, delta double, eff_ts timestamp",
+    )
+    rows = scd2_resolve(dim, log).collect()
+    assert [r.acctbal for r in rows] == [100.0, 110.5, 112.75]
+    assert [r.is_current for r in rows] == [False, False, True]
+    assert rows[0].valid_to == rows[1].valid_from
+    assert rows[1].valid_to == rows[2].valid_from
+    assert rows[2].valid_to is None
