@@ -183,6 +183,8 @@ HEADLINE = (
     # dimension merge (one dim scan, broadcast update batch)
     "constraint_audit",
     "scd2_apply",
+    "agg_delta_merge",
+    "k_anonymity",
 )
 
 

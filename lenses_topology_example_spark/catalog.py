@@ -316,6 +316,11 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
         governance.SQL_CONSTRAINT_AUDIT,
     ),
     "scd2_apply": (governance.q_scd2_apply, governance.SQL_SCD2_APPLY),
+    "agg_delta_merge": (
+        governance.q_agg_delta_merge,
+        governance.SQL_AGG_DELTA_MERGE,
+    ),
+    "k_anonymity": (governance.q_k_anonymity, governance.SQL_K_ANONYMITY),
     # rotated out in round 7 second batch (each >=4 green verdicts)
     "dedup_near_capped": (dedup.q_dedup_near_capped, dedup.SQL_DEDUP_NEAR_CAPPED),
     "dedup_minhash": (dedup.q_dedup_minhash, dedup.SQL_DEDUP_MINHASH),

@@ -292,3 +292,131 @@ SQL_SCD2_APPLY = f"""
     FROM versions
     ORDER BY c_custkey, valid_from
 """
+
+
+MV_CUTOFF = "1999-01-01"
+
+
+def q_agg_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: a pre-aggregated view
+    (revenue + order count per priority x year) maintained by MERGING
+    the stored base aggregate with a freshly-aggregated delta batch,
+    instead of recomputing over all history. Sums and counts are
+    re-associable partial aggregates, so base ⊎ delta re-aggregated on
+    the same keys IS the full recompute — and because both sums go
+    through DECIMAL(38,6), the merged result is bit-identical to it,
+    which is exactly what the oracle checks (the oracle is the full
+    recompute over all orders; a green hash here PROVES the
+    incremental path is exact, not approximately right).
+
+    Scale shape: the historical side aggregates once (in production
+    it is a stored artifact, read not recomputed); each refresh costs
+    O(delta) + a |view|-key merge, never O(history). avg derives at
+    read time as sum/count (one IEEE division) — never maintained as
+    a running average, which does not merge."""
+    orders = load_table(spark, sf_dir, "orders")
+    cutoff = F.lit(MV_CUTOFF).cast("timestamp")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            "o_orderpriority", F.year("o_orderdate").alias("o_year")
+        ).agg(
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("rev_dec"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+
+    base = partial(orders.filter(F.col("o_orderdate") < cutoff))
+    delta = partial(orders.filter(F.col("o_orderdate") >= cutoff))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("o_orderpriority", "o_year")
+        .agg(
+            F.sum("rev_dec").alias("rev_dec"),
+            F.sum("n_orders").alias("n_orders"),
+        )
+    )
+    return merged.select(
+        "o_orderpriority",
+        "o_year",
+        F.col("rev_dec").cast("double").alias("revenue"),
+        "n_orders",
+        (F.col("rev_dec").cast("double") / F.col("n_orders")).alias(
+            "avg_order_value"
+        ),
+    ).orderBy("o_orderpriority", "o_year")
+
+
+# The oracle is the FULL recompute — parity proves the incremental
+# merge exact.
+SQL_AGG_DELTA_MERGE = f"""
+    SELECT o_orderpriority,
+           CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year,
+           {dsum_sql("o_totalprice")} AS revenue,
+           COUNT(*) AS n_orders,
+           {dsum_sql("o_totalprice")} / COUNT(*) AS avg_order_value
+    FROM orders
+    GROUP BY o_orderpriority, o_year
+    ORDER BY o_orderpriority, o_year
+"""
+
+
+K_ANON = 5
+
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier pair
+    (c_nationkey, c_mktsegment): the minimum equivalence-class size,
+    how many classes and rows fall below k=5, and the at-risk row
+    fraction — the re-identification screen a privacy review runs
+    before any customer-grain export (the PII tier's structural
+    counterpart: pii_scrub redacts direct identifiers, this measures
+    indirect ones).
+
+    One |QI-classes|-bounded aggregation then a scalar fold; the risk
+    fraction rounds through DECIMAL(38,6) (single division, then the
+    repo's standard round-trip)."""
+    cust = load_table(spark, sf_dir, "customer")
+    classes = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    return classes.agg(
+        F.min("sz").alias("k_min"),
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum("sz").alias("n_rows"),
+        F.sum(F.when(F.col("sz") < K_ANON, 1).otherwise(0)).alias(
+            "classes_at_risk"
+        ),
+        F.sum(F.when(F.col("sz") < K_ANON, F.col("sz")).otherwise(0)).alias(
+            "rows_at_risk"
+        ),
+    ).select(
+        "k_min",
+        "n_classes",
+        "n_rows",
+        "classes_at_risk",
+        "rows_at_risk",
+        (F.col("rows_at_risk") / F.col("n_rows"))
+        .cast("decimal(38,6)")
+        .cast("double")
+        .alias("risk_fraction"),
+        (F.col("k_min") >= K_ANON).alias("is_k_anonymous"),
+    )
+
+
+SQL_K_ANONYMITY = f"""
+    WITH classes AS (
+        SELECT c_nationkey, c_mktsegment, COUNT(*) AS sz
+        FROM customer GROUP BY c_nationkey, c_mktsegment
+    )
+    SELECT MIN(sz) AS k_min,
+           COUNT(*) AS n_classes,
+           CAST(SUM(sz) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN sz < {K_ANON} THEN 1 ELSE 0 END) AS BIGINT)
+               AS classes_at_risk,
+           CAST(SUM(CASE WHEN sz < {K_ANON} THEN sz ELSE 0 END) AS BIGINT)
+               AS rows_at_risk,
+           CAST(CAST(SUM(CASE WHEN sz < {K_ANON} THEN sz ELSE 0 END)
+                     / SUM(sz) AS DECIMAL(38,6)) AS DOUBLE) AS risk_fraction,
+           MIN(sz) >= {K_ANON} AS is_k_anonymous
+    FROM classes
+"""

@@ -161,3 +161,32 @@ def test_scd2_resolve_multi_update_chain(spark, tmp_path):
     assert rows[0].valid_to == rows[1].valid_from
     assert rows[1].valid_to == rows[2].valid_from
     assert rows[2].valid_to is None
+
+
+def test_agg_delta_merge_plan_has_cutoff_split(spark, sf_dir):
+    """Both branches must push their cutoff filter to the orders scan —
+    the incremental contract is that the delta side reads only new
+    partitions at scale."""
+    import contextlib
+    import io
+    import re
+
+    df = _CATALOG["agg_delta_merge"][0](spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    filters = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any("LessThan(o_orderdate" in f for f in filters)
+    assert any("GreaterThanOrEqual(o_orderdate" in f for f in filters)
+
+
+def test_k_anonymity_report_consistency(spark, sf_dir):
+    r = _CATALOG["k_anonymity"][0](spark, sf_dir).collect()[0]
+    n_cust = spark.read.parquet(f"{sf_dir}/customer.parquet").count()
+    assert r.n_rows == n_cust
+    assert 0 < r.k_min
+    assert r.classes_at_risk <= r.n_classes
+    assert r.rows_at_risk <= r.n_rows
+    assert r.is_k_anonymous == (r.k_min >= 5)
+    assert abs(r.risk_fraction - round(r.rows_at_risk / r.n_rows, 6)) < 1e-9
