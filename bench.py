@@ -185,6 +185,11 @@ HEADLINE = (
     "scd2_apply",
     "agg_delta_merge",
     "k_anonymity",
+    # twelfth wave: the measurements behind two scale levers — key-skew
+    # stats (plain vs AQE vs salted join) and cross-split near-dup
+    # contamination (rides the memoized pair table)
+    "join_skew_stats",
+    "split_leak_check",
 )
 
 

@@ -321,6 +321,14 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
         governance.SQL_AGG_DELTA_MERGE,
     ),
     "k_anonymity": (governance.q_k_anonymity, governance.SQL_K_ANONYMITY),
+    # late round-7, twelfth wave: the measurement ops behind two scale
+    # levers — key-skew stats (decide plain/AQE/salted join) and the
+    # cross-split near-dup contamination audit
+    "join_skew_stats": (skew.q_join_skew_stats, skew.SQL_JOIN_SKEW_STATS),
+    "split_leak_check": (
+        quality.q_split_leak_check,
+        quality.SQL_SPLIT_LEAK_CHECK,
+    ),
     # rotated out in round 7 second batch (each >=4 green verdicts)
     "dedup_near_capped": (dedup.q_dedup_near_capped, dedup.SQL_DEDUP_NEAR_CAPPED),
     "dedup_minhash": (dedup.q_dedup_minhash, dedup.SQL_DEDUP_MINHASH),

@@ -443,3 +443,85 @@ SQL_QUALITY_GATE = f"""
             AND (n > 0 AND s_milli >= 0)) AS keep
     FROM m
 """.format(stoplist=_sql_stoplist(), w_milli=_SQL_W_MILLI)
+
+
+def q_split_leak_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split contamination audit: near-duplicate pairs whose
+    members land in DIFFERENT dataset splits — the leak q_dataset_split
+    itself cannot see (hash splitting is uniform over docs, so a
+    near-dup family straddles train/test with high probability unless
+    dedup runs FIRST; this measures exactly how much straddling the
+    current corpus carries). The production remedy is split-by-cluster
+    (assign the dedup_cluster label, not the doc, to a split); this
+    audit is the evidence.
+
+    Rides the memoized near-dup pair table (doc-pair grain, built once
+    per session / stored at scale); split labels are the same salted
+    md5 rule as q_dataset_split; the (split, split) matrix is <= 6
+    rows after a LEAST/GREATEST canonicalization."""
+    from .dedup import neardup_pairs
+
+    pairs = neardup_pairs(spark, sf_dir)
+
+    def split_of(doc_id: Column) -> Column:
+        bucket = md5_hash64(
+            F.concat(F.lit("split|"), doc_id.cast("string"))
+        ) % F.lit(100)
+        return (
+            F.when(bucket < F.lit(SPLIT_TRAIN_PCT), F.lit("train"))
+            .when(
+                bucket < F.lit(SPLIT_TRAIN_PCT + SPLIT_VALID_PCT),
+                F.lit("valid"),
+            )
+            .otherwise(F.lit("test"))
+        )
+
+    lab = pairs.select(
+        split_of(F.col("doc_a")).alias("sa"),
+        split_of(F.col("doc_b")).alias("sb"),
+    )
+    return (
+        lab.select(
+            F.least("sa", "sb").alias("split_a"),
+            F.greatest("sa", "sb").alias("split_b"),
+        )
+        .groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .withColumn(
+            "crosses_split", F.col("split_a") != F.col("split_b")
+        )
+        .orderBy("split_a", "split_b")
+    )
+
+
+def _sql_split_case(doc: str) -> str:
+    b = SQL_MD5_HASH64.format(x=f"'split|' || CAST({doc} AS VARCHAR)")
+    return (
+        f"CASE WHEN {b} % 100 < {SPLIT_TRAIN_PCT} THEN 'train' "
+        f"WHEN {b} % 100 < {SPLIT_TRAIN_PCT + SPLIT_VALID_PCT} THEN 'valid' "
+        f"ELSE 'test' END"
+    )
+
+
+def _sql_split_leak_check() -> str:
+    from .dedup import SQL_DEDUP_NEAR_CAPPED
+
+    return f"""
+    WITH pairs AS (
+        SELECT doc_a, doc_b FROM ({SQL_DEDUP_NEAR_CAPPED})
+    ), lab AS (
+        SELECT {_sql_split_case('doc_a')} AS sa,
+               {_sql_split_case('doc_b')} AS sb
+        FROM pairs
+    )
+    SELECT LEAST(sa, sb) AS split_a,
+           GREATEST(sa, sb) AS split_b,
+           COUNT(*) AS n_pairs,
+           LEAST(sa, sb) <> GREATEST(sa, sb) AS crosses_split
+    FROM lab
+    GROUP BY LEAST(sa, sb), GREATEST(sa, sb)
+    ORDER BY split_a, split_b
+    """
+
+
+SQL_SPLIT_LEAK_CHECK = _sql_split_leak_check()

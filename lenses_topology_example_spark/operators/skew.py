@@ -116,3 +116,105 @@ SQL_SALTED_JOIN_EVENTS = """
     FROM events e JOIN customer c ON e.user_id = c.c_custkey
     GROUP BY c.c_mktsegment
 """
+
+
+def q_join_skew_stats(spark, sf_dir: str) -> DataFrame:
+    """Key-distribution skew report for the events->customer join key
+    (user_id): row/key counts, max and exact-p99 key frequency, the hot
+    head's row share, and the max/avg skew ratio — the measurement that
+    DECIDES between a plain shuffle join, AQE skew splitting, and
+    explicit salting (module doc levers 1-2). Measure first: salting an
+    unskewed key pays n_salts x replication for nothing.
+
+    Zero corpus-scale windows: the p99 comes from a cumulative count
+    over the key-frequency HISTOGRAM (|distinct frequency values| rows
+    — the token_entropy sorted-run trick), never a rank over the key
+    dictionary; the top-10 head is TakeOrderedAndProject; everything
+    else is one partial-agg pass over the per-key counts."""
+    from pyspark.sql import Window as W
+
+    from ..tables import load_table
+
+    events = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k")
+    )
+    per_key = events.groupBy("k").agg(F.count(F.lit(1)).alias("df"))
+    totals = per_key.agg(
+        F.sum("df").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("df").alias("max_df"),
+    )
+    hist = per_key.groupBy("df").agg(F.count(F.lit(1)).alias("nk"))
+    cum = hist.withColumn(
+        "cum",
+        F.sum("nk").over(
+            W.orderBy("df").rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    p99 = (
+        cum.crossJoin(F.broadcast(totals.select("n_keys")))
+        .filter(F.col("cum") >= F.ceil(F.col("n_keys") * F.lit(0.99)))
+        .agg(F.min("df").alias("p99_df"))
+    )
+    top10 = (
+        per_key.orderBy(F.col("df").desc(), F.col("k"))
+        .limit(10)
+        .agg(F.sum("df").alias("top10_rows"))
+    )
+    rt = lambda c: c.cast("decimal(38,6)").cast("double")
+    return (
+        totals.crossJoin(F.broadcast(p99))
+        .crossJoin(F.broadcast(top10))
+        .select(
+            "n_rows",
+            "n_keys",
+            "max_df",
+            "p99_df",
+            rt(
+                F.col("n_rows").cast("double") / F.col("n_keys").cast("double")
+            ).alias("avg_df"),
+            rt(
+                (F.col("max_df").cast("double") * F.col("n_keys").cast("double"))
+                / F.col("n_rows").cast("double")
+            ).alias("skew_ratio"),
+            rt(
+                F.col("top10_rows").cast("double")
+                / F.col("n_rows").cast("double")
+            ).alias("top10_share"),
+        )
+    )
+
+
+SQL_JOIN_SKEW_STATS = """
+    WITH per_key AS (
+        SELECT user_id AS k, COUNT(*) AS df FROM events GROUP BY user_id
+    ), totals AS (
+        SELECT CAST(SUM(df) AS BIGINT) AS n_rows,
+               COUNT(*) AS n_keys,
+               CAST(MAX(df) AS BIGINT) AS max_df
+        FROM per_key
+    ), hist AS (
+        SELECT df, COUNT(*) AS nk FROM per_key GROUP BY df
+    ), cum AS (
+        SELECT df, SUM(nk) OVER (ORDER BY df
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+        FROM hist
+    ), p99 AS (
+        SELECT CAST(MIN(df) AS BIGINT) AS p99_df
+        FROM cum CROSS JOIN totals
+        WHERE cum >= CEIL(n_keys * 0.99)
+    ), top10 AS (
+        SELECT CAST(SUM(df) AS BIGINT) AS top10_rows FROM (
+            SELECT df FROM per_key ORDER BY df DESC, k LIMIT 10
+        )
+    )
+    SELECT n_rows, n_keys, max_df, p99_df,
+           CAST(CAST(CAST(n_rows AS DOUBLE) / CAST(n_keys AS DOUBLE)
+                AS DECIMAL(38,6)) AS DOUBLE) AS avg_df,
+           CAST(CAST((CAST(max_df AS DOUBLE) * CAST(n_keys AS DOUBLE))
+                     / CAST(n_rows AS DOUBLE)
+                AS DECIMAL(38,6)) AS DOUBLE) AS skew_ratio,
+           CAST(CAST(CAST(top10_rows AS DOUBLE) / CAST(n_rows AS DOUBLE)
+                AS DECIMAL(38,6)) AS DOUBLE) AS top10_share
+    FROM totals CROSS JOIN p99 CROSS JOIN top10
+"""

@@ -190,3 +190,27 @@ def test_k_anonymity_report_consistency(spark, sf_dir):
     assert r.rows_at_risk <= r.n_rows
     assert r.is_k_anonymous == (r.k_min >= 5)
     assert abs(r.risk_fraction - round(r.rows_at_risk / r.n_rows, 6)) < 1e-9
+
+
+def test_join_skew_stats_consistency(spark, sf_dir):
+    r = _CATALOG["join_skew_stats"][0](spark, sf_dir).collect()[0]
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert r.n_rows == n_events
+    assert 1 <= r.p99_df <= r.max_df
+    assert r.avg_df == round(r.n_rows / r.n_keys, 6)
+    assert r.skew_ratio == round(r.max_df * r.n_keys / r.n_rows, 6)
+    assert 0 < r.top10_share <= 1.0
+
+
+def test_split_leak_check_counts_tie_out(spark, sf_dir):
+    from lenses_topology_example_spark.operators.dedup import neardup_pairs
+
+    rows = _CATALOG["split_leak_check"][0](spark, sf_dir).collect()
+    n_pairs = neardup_pairs(spark, sf_dir).count()
+    assert sum(r.n_pairs for r in rows) == n_pairs
+    for r in rows:
+        assert r.split_a <= r.split_b
+        assert r.crosses_split == (r.split_a != r.split_b)
+    # uniform hash splitting over a corpus with near-dup families MUST
+    # show cross-split pairs — the hazard this audit exists to surface
+    assert any(r.crosses_split for r in rows)
