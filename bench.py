@@ -190,6 +190,7 @@ HEADLINE = (
     # contamination (rides the memoized pair table)
     "join_skew_stats",
     "split_leak_check",
+    "dataset_split_by_cluster",
 )
 
 

@@ -329,6 +329,10 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
         quality.q_split_leak_check,
         quality.SQL_SPLIT_LEAK_CHECK,
     ),
+    "dataset_split_by_cluster": (
+        quality.q_dataset_split_by_cluster,
+        quality.SQL_DATASET_SPLIT_BY_CLUSTER,
+    ),
     # rotated out in round 7 second batch (each >=4 green verdicts)
     "dedup_near_capped": (dedup.q_dedup_near_capped, dedup.SQL_DEDUP_NEAR_CAPPED),
     "dedup_minhash": (dedup.q_dedup_minhash, dedup.SQL_DEDUP_MINHASH),

@@ -525,3 +525,92 @@ def _sql_split_leak_check() -> str:
 
 
 SQL_SPLIT_LEAK_CHECK = _sql_split_leak_check()
+
+
+def q_dataset_split_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leak-proof dataset splitting: the split hash is keyed by the
+    near-dup CLUSTER label (min doc_id of the connected component;
+    singleton docs label themselves), so every near-dup family lands
+    whole in one split — the remedy q_split_leak_check's cross-split
+    counts motivate. Same salted-md5 80/10/10 rule and report shape as
+    q_dataset_split; only the hash key changes.
+    tests/test_governance.py proves the property: ZERO near-dup pairs
+    straddle splits under this assignment.
+
+    Scale shape: the cluster labels are |near-dup docs| rows (left-join
+    + coalesce onto the corpus — docs outside any pair never shuffle
+    into the label frame); the rest is q_dataset_split's single scan +
+    3x|sources| aggregation."""
+    from .dedup import neardup_pairs, resolve_clusters
+
+    pairs = neardup_pairs(spark, sf_dir)
+    labels = resolve_clusters(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    ).select(F.col("doc").alias("doc_id"), F.col("label").alias("cluster_id"))
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(tokens_col(F.col("text"))).cast("long").alias("n_toks")
+    )
+    keyed = docs.join(labels, "doc_id", "left").select(
+        "source",
+        "n_toks",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("split_key"),
+    )
+    bucket = md5_hash64(
+        F.concat(F.lit("split|"), F.col("split_key").cast("string"))
+    ) % F.lit(100)
+    split = (
+        F.when(bucket < F.lit(SPLIT_TRAIN_PCT), F.lit("train"))
+        .when(bucket < F.lit(SPLIT_TRAIN_PCT + SPLIT_VALID_PCT), F.lit("valid"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        keyed.select(split.alias("split"), "source", "n_toks")
+        .groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("n_tokens"),
+        )
+        .orderBy("split", "source")
+    )
+
+
+def _sql_dataset_split_by_cluster() -> str:
+    from .dedup import SQL_DEDUP_NEAR_CAPPED
+
+    bucket = SQL_MD5_HASH64.format(x="'split|' || CAST(split_key AS VARCHAR)")
+    return f"""
+    WITH RECURSIVE pairs AS (
+        SELECT doc_a, doc_b FROM ({SQL_DEDUP_NEAR_CAPPED})
+    ), edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ), reach(doc, label) AS (
+        SELECT DISTINCT src AS doc, src AS label FROM edges
+        UNION
+        SELECT e.dst AS doc, r.label
+        FROM reach r JOIN edges e ON e.src = r.doc
+    ), clusters AS (
+        SELECT doc AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY doc
+    ), keyed AS (
+        SELECT d.source,
+               CAST(len({SQL_TOKS}) AS BIGINT) AS n_toks,
+               COALESCE(c.cluster_id, d.doc_id) AS split_key
+        FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
+    )
+    SELECT CASE
+             WHEN {bucket} % 100 < {SPLIT_TRAIN_PCT} THEN 'train'
+             WHEN {bucket} % 100
+                  < {SPLIT_TRAIN_PCT + SPLIT_VALID_PCT} THEN 'valid'
+             ELSE 'test'
+           END AS split,
+           source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+    FROM keyed
+    GROUP BY 1, source
+    ORDER BY split, source
+    """
+
+
+SQL_DATASET_SPLIT_BY_CLUSTER = _sql_dataset_split_by_cluster()

@@ -214,3 +214,48 @@ def test_split_leak_check_counts_tie_out(spark, sf_dir):
     # uniform hash splitting over a corpus with near-dup families MUST
     # show cross-split pairs — the hazard this audit exists to surface
     assert any(r.crosses_split for r in rows)
+
+
+def test_split_by_cluster_is_leakproof(spark, sf_dir):
+    """The property the operator exists for: under cluster-keyed
+    splitting, ZERO near-dup pairs straddle splits (both members share
+    a cluster label, hence a split key, hence a split)."""
+    from pyspark.sql import functions as F
+
+    from lenses_topology_example_spark.functions.texthash import md5_hash64
+    from lenses_topology_example_spark.operators.dedup import (
+        neardup_pairs,
+        resolve_clusters,
+    )
+    from lenses_topology_example_spark.operators.quality import (
+        SPLIT_TRAIN_PCT,
+        SPLIT_VALID_PCT,
+    )
+
+    pairs = neardup_pairs(spark, sf_dir)
+    labels = resolve_clusters(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    ).select(F.col("doc").alias("doc_id"), F.col("label").alias("k"))
+
+    bucket = md5_hash64(
+        F.concat(F.lit("split|"), F.col("k").cast("string"))
+    ) % F.lit(100)
+    split = (
+        F.when(bucket < F.lit(SPLIT_TRAIN_PCT), F.lit("train"))
+        .when(
+            bucket < F.lit(SPLIT_TRAIN_PCT + SPLIT_VALID_PCT), F.lit("valid")
+        )
+        .otherwise(F.lit("test"))
+    )
+    assign = {r.doc_id: r.split for r in labels.select("doc_id", split.alias("split")).collect()}
+    crossers = [
+        (r.doc_a, r.doc_b)
+        for r in pairs.collect()
+        if assign[r.doc_a] != assign[r.doc_b]
+    ]
+    assert crossers == []
+
+    # and the report's totals still cover the whole corpus
+    rows = _CATALOG["dataset_split_by_cluster"][0](spark, sf_dir).collect()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r.n_docs for r in rows) == n_docs
