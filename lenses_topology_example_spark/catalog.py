@@ -540,18 +540,25 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "payments_pipeline",
     "gen_payments",
 )
-# Round-8 rotation plan (concrete): the 13 late-round-7 additions have
-# zero driver verdicts and go IN first — boilerplate_lines,
+# Round-8 rotation plan (concrete): 35 late-round-7 additions now sit
+# past the window with zero driver verdicts. Priority order for the
+# round-8 window (fit as many as slots allow after any r7 reds are
+# held): (a) the 18 earlier late-wave entries — boilerplate_lines,
 # winnow_fingerprint, minhash_band_sweep, cross_source_leak,
 # dup_cluster_sizes, doc_chunk, ngram_novelty, bm25_search,
 # tokenizer_stats, cluster_purity, reservoir_sample, lang_confusion,
-# embed_outliers. Rotate OUT this round's freshly-double-verified
-# entries (the r6+r7 greens among the first 50, e.g. the dedup segment
-# tier and the text screens), keeping salted_join_events IN until its
-# first green if r7 red-flags it again. After that, resume the
-# >=2-rounds-stale cadence — the rotated-out pool's oldest verdicts
-# (token_count r2+r5, the r5-rotated dedup/similarity/text greens)
-# cycle back in.
+# embed_outliers, event_rate_anomaly, winnow_neardup, source_pagerank,
+# length_percentiles, minhash_est_audit; (b) the 17 wave-8..13 entries
+# — order_priority_count, volume_shipping, market_share,
+# product_profit, customer_distribution, top_supplier,
+# min_cost_supplier, embed_pca_power, zipf_fit, dedup_keeper_quality,
+# constraint_audit, scd2_apply, agg_delta_merge, k_anonymity,
+# join_skew_stats, split_leak_check, dataset_split_by_cluster.
+# Rotate OUT this round's freshly-double-verified entries (the r6+r7
+# greens among the first 50), keeping salted_join_events IN until its
+# first green if r7 red-flags it again. 35 > 50-slot headroom, so the
+# remainder queues for round 9; every past-window entry keeps pytest
+# oracle parity meanwhile.
 #
 # Load-bearing invariant: raise, don't assert — a bare assert is
 # stripped under `python -O`, silently disarming the guard (r3 ADVICE).
