@@ -71,18 +71,31 @@ def test_no_python_udfs_in_oracle_tier(spark, sf_dir):
         "udaf_median",
         "grouped_map_norm",
     }
-    offenders = []
+    # Also audited in the same plan-building pass (plans are the
+    # expensive part — one pass, two structural pins): no
+    # CartesianProduct anywhere. Deliberate scalar constants (Bloom
+    # bitmap, corpus totals, norm/eigenvalue rows) ride 1-row BROADCAST
+    # nested-loop joins — a CartesianProduct means a join lost its keys
+    # or a broadcast hint fell off, which at corpus scale is a job that
+    # never finishes.
+    py_offenders = []
+    cart_offenders = []
     for name, (fn, sql) in _CATALOG.items():
-        if sql is None or name in python_ok:
+        if sql is None:
             continue
         df = fn(spark, sf_dir)
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
             df.explain("formatted")
         plan = buf.getvalue()
-        if re.search(r"BatchEvalPython|ArrowEvalPython|InPandas", plan):
-            offenders.append(name)
-    assert not offenders, f"Python in the hot path of: {offenders}"
+        if name not in python_ok and re.search(
+            r"BatchEvalPython|ArrowEvalPython|InPandas", plan
+        ):
+            py_offenders.append(name)
+        if "CartesianProduct" in plan:
+            cart_offenders.append(name)
+    assert not py_offenders, f"Python in the hot path of: {py_offenders}"
+    assert not cart_offenders, f"CartesianProduct planned in: {cart_offenders}"
 
 
 def test_topk_uses_take_ordered(spark, sf_dir):
