@@ -129,6 +129,16 @@ def _memo_persist(spark: SparkSession, sf_dir: str, key: str, df: DataFrame) -> 
         return _MATERIALIZED[memo_key]
 
 
+def _memo_get(spark: SparkSession, sf_dir: str, key: str) -> DataFrame | None:
+    """Memo lookup WITHOUT construction — for EAGER frames (the cluster
+    fixpoint), whose cost is paid when the DataFrame is BUILT, so the
+    usual construct-then-_memo_persist pattern would re-run the jobs on
+    every memo hit."""
+    app_id = spark.sparkContext.applicationId
+    with _MATERIALIZED_LOCK:
+        return _MATERIALIZED.get((app_id, sf_dir, key))
+
+
 def _parallel_scan(spark: SparkSession, df: DataFrame) -> DataFrame:
     """Degenerate-layout guard for expensive derivation stages.
 
@@ -642,6 +652,25 @@ def neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized (doc, label) connected-component labels over the
+    near-dup pair graph — the fixpoint now has THREE consumers
+    (q_dedup_cluster, text.q_dedup_keeper_quality,
+    quality.q_dataset_split_by_cluster), and resolve_clusters is EAGER,
+    so without this memo each consumer re-runs the whole iterate-to-
+    convergence job chain. At 100 TB the label table is a stored
+    artifact of the dedup job; the memoized persist is the in-session
+    form (same contract as neardup_pairs / the token tables)."""
+    cached = _memo_get(spark, sf_dir, "neardup_cluster_labels")
+    if cached is not None:
+        return cached
+    pairs = neardup_pairs(spark, sf_dir)
+    labels = resolve_clusters(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    return _memo_persist(spark, sf_dir, "neardup_cluster_labels", labels)
+
+
 def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTER resolution: connected components over the
     capped-Jaccard pair graph, min-doc_id label per component, keeper =
@@ -658,10 +687,7 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan for embedding in a lazy sink pipeline when the diameter bound
     is known; parity of both on the real graph is pinned in
     tests/test_dedup.py."""
-    pairs = neardup_pairs(spark, sf_dir)
-    labels = resolve_clusters(
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-    )
+    labels = cluster_labels(spark, sf_dir)
     return labels.select(
         F.col("doc").alias("doc_id"),
         F.col("label").alias("cluster_id"),

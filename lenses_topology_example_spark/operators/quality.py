@@ -541,12 +541,11 @@ def q_dataset_split_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     + coalesce onto the corpus — docs outside any pair never shuffle
     into the label frame); the rest is q_dataset_split's single scan +
     3x|sources| aggregation."""
-    from .dedup import neardup_pairs, resolve_clusters
+    from .dedup import cluster_labels
 
-    pairs = neardup_pairs(spark, sf_dir)
-    labels = resolve_clusters(
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-    ).select(F.col("doc").alias("doc_id"), F.col("label").alias("cluster_id"))
+    labels = cluster_labels(spark, sf_dir).select(
+        F.col("doc").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", F.size(tokens_col(F.col("text"))).cast("long").alias("n_toks")
     )

@@ -2554,12 +2554,9 @@ def q_dedup_keeper_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression joined on doc_id; the rank window partitions by
     cluster_id (bounded fan-in — the df-cap bounds component sizes).
     """
-    from .dedup import neardup_pairs, resolve_clusters
+    from .dedup import cluster_labels
 
-    pairs = neardup_pairs(spark, sf_dir)
-    labels = resolve_clusters(
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-    )
+    labels = cluster_labels(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
     c = quality_components(F.col("text"))
     qual = docs.select(
