@@ -191,6 +191,7 @@ HEADLINE = (
     "join_skew_stats",
     "split_leak_check",
     "dataset_split_by_cluster",
+    "embed_threshold_sweep",
 )
 
 

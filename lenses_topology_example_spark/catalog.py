@@ -333,6 +333,10 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
         quality.q_dataset_split_by_cluster,
         quality.SQL_DATASET_SPLIT_BY_CLUSTER,
     ),
+    "embed_threshold_sweep": (
+        similarity.q_embed_threshold_sweep,
+        similarity.SQL_EMBED_THRESHOLD_SWEEP,
+    ),
     # rotated out in round 7 second batch (each >=4 green verdicts)
     "dedup_near_capped": (dedup.q_dedup_near_capped, dedup.SQL_DEDUP_NEAR_CAPPED),
     "dedup_minhash": (dedup.q_dedup_minhash, dedup.SQL_DEDUP_MINHASH),

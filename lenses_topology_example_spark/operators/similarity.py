@@ -648,3 +648,153 @@ SQL_ANN_RECALL_IVF = f"""
                FROM hits GROUP BY query_id) h USING (query_id)
     GROUP BY e.query_id, h.n_hit
 """
+
+
+SWEEP_THRESHOLDS = (0.20, 0.25, 0.30, 0.35, 0.40)
+
+
+def q_embed_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup threshold calibration: for each candidate cosine cut,
+    how many within-bucket pairs qualify, how many distinct vectors are
+    touched, and how many would be REMOVED under the keep-lowest-id
+    greedy (a vector is removable iff some LOWER-id bucket-mate clears
+    the cut — exactly the per-pair keeper rule, an upper bound on
+    cluster-fixpoint removal). The embedding-side twin of
+    dedup.minhash_band_sweep: measure the layout knob before committing
+    a production threshold (too loose melts the corpus, too tight keeps
+    the near-dups you built the pass to drop).
+
+    One bucketed pair join scores every candidate ONCE; all thresholds
+    then fold as conditional sums over that frame and two per-doc max
+    aggregates (|vectors| keys) — adding a threshold costs one more
+    CASE column, never another join. Cosines are the established
+    prenormalized fold (identical IEEE chain both engines), compared
+    against exact decimal literals."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    bucketed = emb.withColumn("bucket", _bucket_col(F.col("v"))).withColumn(
+        "norm", F.sqrt(dot(F.col("v"), F.col("v")))
+    )
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        cosine_prenorm(
+            F.col("a.v"), F.col("b.v"), F.col("a.norm"), F.col("b.norm")
+        ).alias("cos_sim"),
+    )
+    pair_aggs = pairs.agg(
+        *[
+            F.sum(F.when(F.col("cos_sim") >= F.lit(t), 1).otherwise(0)).alias(
+                f"p{i}"
+            )
+            for i, t in enumerate(SWEEP_THRESHOLDS)
+        ]
+    )
+    touched = (
+        pairs.select(F.col("vec_a").alias("doc"), "cos_sim")
+        .unionByName(pairs.select(F.col("vec_b").alias("doc"), "cos_sim"))
+        .groupBy("doc")
+        .agg(F.max("cos_sim").alias("mc"))
+        .agg(
+            *[
+                F.sum(F.when(F.col("mc") >= F.lit(t), 1).otherwise(0)).alias(
+                    f"d{i}"
+                )
+                for i, t in enumerate(SWEEP_THRESHOLDS)
+            ]
+        )
+    )
+    removable = (
+        pairs.select(F.col("vec_b").alias("doc"), "cos_sim")
+        .groupBy("doc")
+        .agg(F.max("cos_sim").alias("mcl"))
+        .agg(
+            *[
+                F.sum(F.when(F.col("mcl") >= F.lit(t), 1).otherwise(0)).alias(
+                    f"r{i}"
+                )
+                for i, t in enumerate(SWEEP_THRESHOLDS)
+            ]
+        )
+    )
+    n = load_table(spark, sf_dir, "embeddings").agg(
+        F.count(F.lit(1)).alias("n_vecs")
+    )
+    stack_args = ", ".join(
+        f"CAST({t} AS DOUBLE), p{i}, d{i}, r{i}"
+        for i, t in enumerate(SWEEP_THRESHOLDS)
+    )
+    wide = (
+        pair_aggs.crossJoin(F.broadcast(touched))
+        .crossJoin(F.broadcast(removable))
+        .crossJoin(F.broadcast(n))
+    )
+    return (
+        wide.selectExpr(
+            "n_vecs",
+            f"stack({len(SWEEP_THRESHOLDS)}, {stack_args}) AS "
+            "(threshold, n_pairs, n_docs_matched, n_removable)",
+        )
+        .select(
+            "threshold",
+            "n_pairs",
+            "n_docs_matched",
+            "n_removable",
+            (F.col("n_removable").cast("double") / F.col("n_vecs").cast("double"))
+            .cast("decimal(38,6)")
+            .cast("double")
+            .alias("removal_fraction"),
+        )
+        .orderBy("threshold")
+    )
+
+
+def _sql_embed_threshold_sweep() -> str:
+    rows = []
+    for t in SWEEP_THRESHOLDS:
+        rows.append(
+            f"""
+        SELECT CAST({t} AS DOUBLE) AS threshold,
+               CAST((SELECT COUNT(*) FROM pairs WHERE cos_sim >= {t})
+                   AS BIGINT) AS n_pairs,
+               CAST((SELECT COUNT(*) FROM touched WHERE mc >= {t})
+                   AS BIGINT) AS n_docs_matched,
+               CAST((SELECT COUNT(*) FROM removable WHERE mcl >= {t})
+                   AS BIGINT) AS n_removable,
+               CAST(CAST(CAST((SELECT COUNT(*) FROM removable
+                               WHERE mcl >= {t}) AS DOUBLE)
+                         / CAST((SELECT COUNT(*) FROM embeddings) AS DOUBLE)
+                    AS DECIMAL(38,6)) AS DOUBLE) AS removal_fraction"""
+        )
+    body = "\n        UNION ALL\n".join(rows)
+    return f"""
+    WITH emb AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               {_sql_bucket('embedding::DOUBLE[]')} AS bucket
+        FROM embeddings
+    ), pairs AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               {sql_cosine('a.v', 'b.v')} AS cos_sim
+        FROM emb a JOIN emb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ), touched AS (
+        SELECT doc, MAX(cos_sim) AS mc FROM (
+            SELECT vec_a AS doc, cos_sim FROM pairs
+            UNION ALL
+            SELECT vec_b AS doc, cos_sim FROM pairs
+        ) GROUP BY doc
+    ), removable AS (
+        SELECT vec_b AS doc, MAX(cos_sim) AS mcl FROM pairs GROUP BY vec_b
+    )
+    SELECT * FROM ({body})
+    ORDER BY threshold
+    """
+
+
+SQL_EMBED_THRESHOLD_SWEEP = _sql_embed_threshold_sweep()

@@ -82,3 +82,23 @@ def test_embedding_dim(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     n = emb.select(F.size("embedding").alias("d")).distinct().collect()
     assert [r["d"] for r in n] == [64]
+
+
+def test_embed_threshold_sweep_monotone(spark, sf_dir):
+    """Tightening the threshold must monotonically shrink every count,
+    and the 0.30 row must agree with the embed_neardup pair count at
+    the catalog threshold."""
+    from lenses_topology_example_spark.catalog import _CATALOG
+
+    rows = _CATALOG["embed_threshold_sweep"][0](spark, sf_dir).collect()
+    assert [r.threshold for r in rows] == [0.20, 0.25, 0.30, 0.35, 0.40]
+    for lo, hi in zip(rows, rows[1:]):
+        assert lo.n_pairs >= hi.n_pairs
+        assert lo.n_docs_matched >= hi.n_docs_matched
+        assert lo.n_removable >= hi.n_removable
+    for r in rows:
+        assert r.n_removable <= r.n_docs_matched
+        assert 0.0 <= r.removal_fraction <= 1.0
+
+    n_pairs_030 = _CATALOG["embed_neardup"][0](spark, sf_dir).count()
+    assert rows[2].n_pairs == n_pairs_030
