@@ -185,3 +185,70 @@ def test_line_keep_flags_global_first_occurrence(spark, tmp_path_factory, token_
         for r in line_keep_flags(spark, str(d)).collect()
     }
     assert got == expect
+
+
+@_SETTINGS
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=4),  # key
+            st.integers(min_value=-10_000_00, max_value=10_000_00),  # delta in cents
+            st.integers(min_value=0, max_value=1000),  # day offset
+        ),
+        min_size=0,
+        max_size=12,
+        unique_by=lambda t: (t[0], t[2]),  # one update per (key, day)
+    )
+)
+def test_scd2_resolve_invariants(spark, entries):
+    """scd2_resolve on ARBITRARY update logs: per key, versions =
+    1 + #updates, intervals tile [epoch, inf) with exactly one open
+    current row, and the final balance equals base + Σdeltas computed
+    in exact decimal."""
+    from datetime import datetime, timedelta
+    from decimal import Decimal
+
+    from lenses_topology_example_spark.streaming.pipelines import scd2_resolve
+
+    dim = spark.createDataFrame(
+        [(k, f"Customer#{k}", 0, 100.0, "SEG") for k in (1, 2, 3, 4)],
+        "c_custkey long, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string",
+    )
+    log_rows = [
+        (k, cents / 100.0, datetime(1996, 1, 1) + timedelta(days=day))
+        for k, cents, day in entries
+    ]
+    log = spark.createDataFrame(
+        log_rows or [(None, None, None)],
+        "o_custkey long, delta double, eff_ts timestamp",
+    )
+    if not log_rows:
+        log = log.filter(F.col("o_custkey").isNotNull())
+
+    rows = scd2_resolve(dim, log).collect()
+    by_key: dict[int, list] = {}
+    for r in rows:
+        by_key.setdefault(r.c_custkey, []).append(r)
+
+    updates_per_key: dict[int, list] = {}
+    for k, cents, day in entries:
+        updates_per_key.setdefault(k, []).append(cents)
+
+    assert set(by_key) == {1, 2, 3, 4}
+    for k, vers in by_key.items():
+        n_up = len(updates_per_key.get(k, []))
+        assert len(vers) == 1 + n_up
+        vers.sort(key=lambda r: r.valid_from)
+        assert sum(1 for r in vers if r.is_current) == 1
+        assert vers[-1].is_current and vers[-1].valid_to is None
+        for a, b in zip(vers, vers[1:]):
+            assert a.valid_to == b.valid_from
+        want_final = float(
+            Decimal("100.0")
+            + sum(
+                (Decimal(c) / Decimal(100) for c in updates_per_key.get(k, [])),
+                Decimal(0),
+            )
+        )
+        assert abs(vers[-1].acctbal - want_final) < 1e-9
