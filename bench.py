@@ -192,6 +192,7 @@ HEADLINE = (
     "split_leak_check",
     "dataset_split_by_cluster",
     "embed_threshold_sweep",
+    "asset_dedup",
 )
 
 

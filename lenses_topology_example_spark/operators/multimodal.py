@@ -362,3 +362,65 @@ SQL_IMAGE_FEATURES = f"""
            CAST(1 + (n_bytes % 30) AS INTEGER) AS n_frames
     FROM b
 """
+
+
+def q_asset_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact binary-asset dedup accounting: md5 over the OPAQUE payload
+    bytes (codec-free — identical images/audio dedupe without ever
+    decoding, the first pass every multimodal lake runs), reported as
+    per-origin storage savings: asset vs unique counts, total vs
+    post-dedup bytes, bytes reclaimed.
+
+    Oracle note: the payload is the utf-8 encoding of `text`, and
+    DuckDB's md5(VARCHAR) hashes the string's utf-8 bytes — so
+    md5(text) there IS md5(payload) here; byte lengths via
+    octet_length(encode(text)).
+
+    Scale shape: one scan computes (digest, bytes) per asset — payloads
+    never shuffle (the digest group-by moves 16-byte hashes + int
+    lengths); two keyed aggregations, both with map-side partials."""
+    assets = binary_assets(spark, sf_dir)
+    per = assets.select(
+        F.col("meta.origin").alias("origin"),
+        F.md5(F.col("payload")).alias("fp"),
+        F.octet_length(F.col("payload")).cast("long").alias("nb"),
+    )
+    groups = per.groupBy("origin", "fp").agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.sum("nb").alias("bytes_all"),
+        F.max("nb").alias("bytes_one"),
+    )
+    return (
+        groups.groupBy("origin")
+        .agg(
+            F.sum("n_copies").alias("n_assets"),
+            F.count(F.lit(1)).alias("n_unique"),
+            F.sum("bytes_all").alias("bytes_total"),
+            F.sum("bytes_one").alias("bytes_unique"),
+            (F.sum("bytes_all") - F.sum("bytes_one")).alias("bytes_saved"),
+        )
+        .orderBy("origin")
+    )
+
+
+SQL_ASSET_DEDUP = """
+    WITH per AS (
+        SELECT source AS origin, md5(text) AS fp,
+               CAST(octet_length(encode(text)) AS BIGINT) AS nb
+        FROM documents
+    ), groups AS (
+        SELECT origin, fp, COUNT(*) AS n_copies,
+               CAST(SUM(nb) AS BIGINT) AS bytes_all,
+               MAX(nb) AS bytes_one
+        FROM per GROUP BY origin, fp
+    )
+    SELECT origin,
+           CAST(SUM(n_copies) AS BIGINT) AS n_assets,
+           COUNT(*) AS n_unique,
+           CAST(SUM(bytes_all) AS BIGINT) AS bytes_total,
+           CAST(SUM(bytes_one) AS BIGINT) AS bytes_unique,
+           CAST(SUM(bytes_all) - SUM(bytes_one) AS BIGINT) AS bytes_saved
+    FROM groups
+    GROUP BY origin
+    ORDER BY origin
+"""
