@@ -1002,3 +1002,66 @@ def scd2_resolve(dim: DataFrame, log: DataFrame) -> DataFrame:
         F.col("first_ts").isNull().alias("is_current"),
     )
     return base.unionByName(updated).orderBy("c_custkey", "valid_from")
+
+
+# --- streaming data-quality gate (per-batch constraint report) ---------------------
+
+
+def events_dq_batch(batch: DataFrame) -> DataFrame:
+    """One micro-batch's data-quality report over the events schema —
+    the streaming face of operators/governance.q_constraint_audit
+    (same fused conditional-sum shape: every check is a CASE column in
+    ONE aggregation pass, so a batch costs one job however many
+    constraints are registered). Emits (check_name, n_violations,
+    n_rows, passed)."""
+    agg = batch.agg(
+        F.sum(F.when(F.col("value") < 0, 1).otherwise(0)).alias("v1"),
+        F.sum(
+            F.when(
+                ~F.col("event_type").isin(
+                    "view", "click", "purchase", "signup", "error"
+                ),
+                1,
+            ).otherwise(0)
+        ).alias("v2"),
+        F.sum(F.when(F.col("ts").isNull(), 1).otherwise(0)).alias("v3"),
+        F.sum(F.when(F.col("user_id").isNull(), 1).otherwise(0)).alias("v4"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    checks = (
+        ("events.value >= 0", "v1"),
+        ("events.event_type in domain", "v2"),
+        ("events.ts not null", "v3"),
+        ("events.user_id not null", "v4"),
+    )
+    out = None
+    for name, col in checks:
+        row = agg.select(
+            F.lit(name).alias("check_name"),
+            F.col(col).cast("long").alias("n_violations"),
+            F.col("n").cast("long").alias("n_rows"),
+            (F.col(col) == 0).alias("passed"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def start_dq_stream(
+    events: DataFrame, out_path: str, checkpoint: str
+) -> StreamingQuery:
+    """Continuous data-quality monitoring: each micro-batch's fused
+    constraint report lands in its own idempotent batch directory (the
+    repo's foreachBatch exactly-once pattern) — the operational answer
+    to 'did last night's ingest regress', at per-trigger granularity,
+    without a second pass over the data."""
+
+    def report(batch: DataFrame, batch_id: int) -> None:
+        events_dq_batch(batch).write.mode("overwrite").parquet(
+            f"{out_path}/batch_id={batch_id}"
+        )
+
+    return (
+        events.writeStream.foreachBatch(report)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

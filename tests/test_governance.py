@@ -259,3 +259,45 @@ def test_split_by_cluster_is_leakproof(spark, sf_dir):
     rows = _CATALOG["dataset_split_by_cluster"][0](spark, sf_dir).collect()
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     assert sum(r.n_docs for r in rows) == n_docs
+
+
+def test_streaming_dq_report_matches_batch(spark, sf_dir, tmp_path):
+    """The per-batch DQ reports must sum to the whole-table report when
+    the events stream is split across micro-batches (violation counts
+    and denominators are re-associable partial aggregates)."""
+    from pyspark.sql import functions as F
+
+    from lenses_topology_example_spark.streaming.pipelines import (
+        events_dq_batch,
+        start_dq_stream,
+    )
+    from lenses_topology_example_spark.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    want = {
+        r.check_name: (r.n_violations, r.n_rows)
+        for r in events_dq_batch(events).collect()
+    }
+    assert want  # 4 checks
+    assert all(v == 0 for v, _ in want.values()), "clean testdata"
+
+    src = tmp_path / "dq_src"
+    for p in (0, 1):
+        events.filter(F.col("event_id") % 2 == p).write.parquet(f"{src}/f{p}")
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/f*")
+    )
+    out = tmp_path / "dq_out"
+    q = start_dq_stream(stream, str(out), str(tmp_path / "dq_ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got: dict[str, list[int]] = {}
+    for r in spark.read.parquet(str(out)).collect():
+        v, n = got.setdefault(r.check_name, [0, 0])
+        got[r.check_name] = [v + r.n_violations, n + r.n_rows]
+    assert {k: tuple(v) for k, v in got.items()} == want
