@@ -193,6 +193,7 @@ HEADLINE = (
     "dataset_split_by_cluster",
     "embed_threshold_sweep",
     "asset_dedup",
+    "markov_transitions",
 )
 
 

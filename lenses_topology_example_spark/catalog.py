@@ -338,6 +338,10 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
         similarity.SQL_EMBED_THRESHOLD_SWEEP,
     ),
     "asset_dedup": (multimodal.q_asset_dedup, multimodal.SQL_ASSET_DEDUP),
+    "markov_transitions": (
+        windows.q_markov_transitions,
+        windows.SQL_MARKOV_TRANSITIONS,
+    ),
     # rotated out in round 7 second batch (each >=4 green verdicts)
     "dedup_near_capped": (dedup.q_dedup_near_capped, dedup.SQL_DEDUP_NEAR_CAPPED),
     "dedup_minhash": (dedup.q_dedup_minhash, dedup.SQL_DEDUP_MINHASH),

@@ -553,3 +553,66 @@ SQL_EVENT_RATE_ANOMALY = f"""
            ) >= {ANOMALY_Z}, FALSE) AS is_anomaly
     FROM stats
 """
+
+
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavioral transition matrix: for each consecutive
+    event pair within a user's time-ordered stream, P(next_type |
+    cur_type) — the sequence-mining statistic behind next-action
+    prediction and bot detection (a scripted agent's matrix is
+    near-deterministic; organic traffic is diffuse).
+
+    Ordering is total ((ts, event_id) — ties on ts cannot reorder
+    across runs or engines), the lag window partitions BY USER (state
+    scales with one user's history, never the stream), the transition
+    aggregate is |types|² keys, and the probability divides two counts
+    from the SAME aggregate before a DECIMAL(38,6) round-trip."""
+    from pyspark.sql import Window as W
+
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        F.col("event_type").alias("next_type"),
+        F.lag("event_type").over(w).alias("cur_type"),
+    ).filter(F.col("cur_type").isNotNull())
+    counts = seq.groupBy("cur_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    row_tot = counts.groupBy("cur_type").agg(F.sum("n").alias("n_cur"))
+    return (
+        counts.join(row_tot, "cur_type")
+        .select(
+            "cur_type",
+            "next_type",
+            "n",
+            (F.col("n").cast("double") / F.col("n_cur").cast("double"))
+            .cast("decimal(38,6)")
+            .cast("double")
+            .alias("p"),
+        )
+        .orderBy("cur_type", "next_type")
+    )
+
+
+SQL_MARKOV_TRANSITIONS = """
+    WITH seq AS (
+        SELECT LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS cur_type,
+               event_type AS next_type
+        FROM events
+    ), counts AS (
+        SELECT cur_type, next_type, COUNT(*) AS n
+        FROM seq WHERE cur_type IS NOT NULL
+        GROUP BY cur_type, next_type
+    ), row_tot AS (
+        SELECT cur_type, CAST(SUM(n) AS BIGINT) AS n_cur
+        FROM counts GROUP BY cur_type
+    )
+    SELECT c.cur_type, c.next_type, c.n,
+           CAST(CAST(CAST(c.n AS DOUBLE) / CAST(t.n_cur AS DOUBLE)
+                AS DECIMAL(38,6)) AS DOUBLE) AS p
+    FROM counts c JOIN row_tot t ON c.cur_type = t.cur_type
+    ORDER BY c.cur_type, c.next_type
+"""
