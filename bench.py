@@ -194,6 +194,7 @@ HEADLINE = (
     "embed_threshold_sweep",
     "asset_dedup",
     "markov_transitions",
+    "top_paths",
 )
 
 

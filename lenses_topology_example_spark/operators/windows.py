@@ -616,3 +616,103 @@ SQL_MARKOV_TRANSITIONS = """
     FROM counts c JOIN row_tot t ON c.cur_type = t.cur_type
     ORDER BY c.cur_type, c.next_type
 """
+
+
+TOP_PATHS_K = 25
+TOP_PATHS_MAXLEN = 8
+
+
+def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user journeys: the most frequent session-level event-type
+    paths (first TOP_PATHS_MAXLEN steps), ranked by session count —
+    the path-analysis view product teams read next to the funnel and
+    the transition matrix (which see single steps; this sees whole
+    routes).
+
+    Sessions come from the same gaps-and-islands rule as
+    q_sessionize_lag (shared SESSION_GAP_MIN, floor-second gaps,
+    strict >). The path string assembles per (user, session) from a
+    sorted struct collect — bounded by one session's events, truncated
+    to MAXLEN steps so a runaway session cannot build an unbounded
+    string — and the final ranking is TakeOrderedAndProject(K).
+    Oracle note: DuckDB builds the same path with an ORDER BY inside
+    string_agg over the row_number-limited frame."""
+    from pyspark.sql import Window as W
+
+    events = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long"), 1).over(w)
+    is_start = F.when(
+        gap_s.isNull() | (gap_s > SESSION_GAP_MIN * 60), 1
+    ).otherwise(0)
+    sess = (
+        events.withColumn("is_start", is_start)
+        .withColumn(
+            "session_id",
+            F.sum("is_start").over(
+                w.rowsBetween(W.unboundedPreceding, W.currentRow)
+            ),
+        )
+        .withColumn(
+            "step",
+            F.row_number().over(
+                W.partitionBy("user_id", "session_id").orderBy(
+                    "ts", "event_id"
+                )
+            ),
+        )
+        .filter(F.col("step") <= TOP_PATHS_MAXLEN)
+    )
+    paths = sess.groupBy("user_id", "session_id").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("step", "event_type"))
+                ),
+                lambda s: s["event_type"],
+            ),
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), F.col("path"))
+        .limit(TOP_PATHS_K)
+    )
+
+
+SQL_TOP_PATHS = f"""
+    WITH g AS (
+        SELECT user_id, event_id, ts, event_type,
+               CAST(FLOOR(epoch(ts)) AS BIGINT)
+                 - LAG(CAST(FLOOR(epoch(ts)) AS BIGINT), 1)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS gap_s
+        FROM events
+    ), s AS (
+        SELECT user_id, event_id, ts, event_type,
+               SUM(CASE WHEN gap_s IS NULL
+                        OR gap_s > {SESSION_GAP_MIN} * 60
+                        THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM g
+    ), stepped AS (
+        SELECT user_id, session_id, ts, event_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id, session_id
+                                  ORDER BY ts, event_id) AS step
+        FROM s
+    ), paths AS (
+        SELECT user_id, session_id,
+               string_agg(event_type, '>' ORDER BY step) AS path
+        FROM stepped
+        WHERE step <= {TOP_PATHS_MAXLEN}
+        GROUP BY user_id, session_id
+    )
+    SELECT path, COUNT(*) AS n_sessions
+    FROM paths
+    GROUP BY path
+    ORDER BY n_sessions DESC, path
+    LIMIT {TOP_PATHS_K}
+"""
