@@ -195,6 +195,7 @@ HEADLINE = (
     "asset_dedup",
     "markov_transitions",
     "top_paths",
+    "erasure_plan",
 )
 
 

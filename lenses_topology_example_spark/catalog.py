@@ -343,6 +343,7 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
         windows.SQL_MARKOV_TRANSITIONS,
     ),
     "top_paths": (windows.q_top_paths, windows.SQL_TOP_PATHS),
+    "erasure_plan": (governance.q_erasure_plan, governance.SQL_ERASURE_PLAN),
     # rotated out in round 7 second batch (each >=4 green verdicts)
     "dedup_near_capped": (dedup.q_dedup_near_capped, dedup.SQL_DEDUP_NEAR_CAPPED),
     "dedup_minhash": (dedup.q_dedup_minhash, dedup.SQL_DEDUP_MINHASH),

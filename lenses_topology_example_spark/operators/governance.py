@@ -420,3 +420,109 @@ SQL_K_ANONYMITY = f"""
            MIN(sz) >= {K_ANON} AS is_k_anonymous
     FROM classes
 """
+
+
+ERASURE_USER_MOD = 97  # deterministic stand-in for a deletion-request list
+
+
+def q_erasure_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure impact plan: given a deletion-request set (here
+    a deterministic stand-in — every customer key ≡ 0 mod 97; in
+    production a small request table), count the rows each table loses,
+    following the foreign-key cascade: customer rows directly, orders
+    via custkey, lineitem via the affected orderkeys, events via
+    user_id. The PLAN (counts per table) is what a privacy office
+    reviews before the destructive pass runs — and at 100 TB the
+    cascade is two semi-join hops whose build sides are the
+    request-scale key sets, never the facts.
+
+    Shape: the request set broadcasts; each table pays one LEFT SEMI
+    join + count; the orderkey set for the lineitem hop is itself
+    request-scale (orders of deleted customers), derived once."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    events = load_table(spark, sf_dir, "events")
+
+    targets = cust.filter(
+        F.col("c_custkey") % ERASURE_USER_MOD == 0
+    ).select("c_custkey")
+    doomed_orders = orders.join(
+        F.broadcast(targets), F.col("o_custkey") == F.col("c_custkey"), "left_semi"
+    )
+    doomed_orderkeys = doomed_orders.select("o_orderkey")
+
+    counts = [
+        ("customer", targets.agg(F.count(F.lit(1)).alias("n")),
+         cust.agg(F.count(F.lit(1)).alias("t"))),
+        ("orders", doomed_orders.agg(F.count(F.lit(1)).alias("n")),
+         orders.agg(F.count(F.lit(1)).alias("t"))),
+        (
+            "lineitem",
+            li.join(
+                F.broadcast(doomed_orderkeys),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+                "left_semi",
+            ).agg(F.count(F.lit(1)).alias("n")),
+            li.agg(F.count(F.lit(1)).alias("t")),
+        ),
+        (
+            "events",
+            events.join(
+                F.broadcast(targets),
+                F.col("user_id") == F.col("c_custkey"),
+                "left_semi",
+            ).agg(F.count(F.lit(1)).alias("n")),
+            events.agg(F.count(F.lit(1)).alias("t")),
+        ),
+    ]
+    out = None
+    for name, n, t in counts:
+        row = (
+            n.crossJoin(F.broadcast(t))
+            .select(
+                F.lit(name).alias("table_name"),
+                F.col("n").alias("rows_to_delete"),
+                F.col("t").alias("rows_total"),
+                (F.col("n").cast("double") / F.col("t").cast("double"))
+                .cast("decimal(38,6)")
+                .cast("double")
+                .alias("delete_fraction"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("table_name")
+
+
+SQL_ERASURE_PLAN = f"""
+    WITH targets AS (
+        SELECT c_custkey FROM customer WHERE c_custkey % {ERASURE_USER_MOD} = 0
+    ), doomed_orders AS (
+        SELECT o_orderkey FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM targets)
+    ), rows AS (
+        SELECT 'customer' AS table_name,
+               (SELECT COUNT(*) FROM targets) AS rows_to_delete,
+               (SELECT COUNT(*) FROM customer) AS rows_total
+        UNION ALL
+        SELECT 'orders',
+               (SELECT COUNT(*) FROM doomed_orders),
+               (SELECT COUNT(*) FROM orders)
+        UNION ALL
+        SELECT 'lineitem',
+               (SELECT COUNT(*) FROM lineitem
+                WHERE l_orderkey IN (SELECT o_orderkey FROM doomed_orders)),
+               (SELECT COUNT(*) FROM lineitem)
+        UNION ALL
+        SELECT 'events',
+               (SELECT COUNT(*) FROM events
+                WHERE user_id IN (SELECT c_custkey FROM targets)),
+               (SELECT COUNT(*) FROM events)
+    )
+    SELECT table_name, rows_to_delete, rows_total,
+           CAST(CAST(CAST(rows_to_delete AS DOUBLE)
+                     / CAST(rows_total AS DOUBLE)
+                AS DECIMAL(38,6)) AS DOUBLE) AS delete_fraction
+    FROM rows
+    ORDER BY table_name
+"""
