@@ -301,3 +301,42 @@ def test_streaming_dq_report_matches_batch(spark, sf_dir, tmp_path):
         v, n = got.setdefault(r.check_name, [0, 0])
         got[r.check_name] = [v + r.n_violations, n + r.n_rows]
     assert {k: tuple(v) for k, v in got.items()} == want
+
+
+def test_top_paths_take_ordered(spark, sf_dir):
+    import contextlib
+    import io
+
+    df = _CATALOG["top_paths"][0](spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    assert "TakeOrderedAndProject" in buf.getvalue()
+
+
+def test_erasure_plan_cascade_consistency(spark, sf_dir):
+    rows = {r.table_name: r for r in _CATALOG["erasure_plan"][0](spark, sf_dir).collect()}
+    assert set(rows) == {"customer", "orders", "lineitem", "events"}
+    for r in rows.values():
+        assert 0 <= r.rows_to_delete <= r.rows_total
+        assert abs(r.delete_fraction - round(r.rows_to_delete / r.rows_total, 6)) < 1e-9
+    # the cascade can only delete lineitems belonging to doomed orders
+    assert rows["lineitem"].rows_to_delete >= rows["orders"].rows_to_delete or (
+        rows["orders"].rows_to_delete == 0
+    )
+    assert rows["customer"].rows_to_delete > 0, "mod-97 stand-in must match someone"
+
+
+def test_markov_transitions_probabilities_sum_to_one(spark, sf_dir):
+    from collections import defaultdict
+
+    rows = _CATALOG["markov_transitions"][0](spark, sf_dir).collect()
+    by_cur = defaultdict(float)
+    n_by_cur = defaultdict(int)
+    for r in rows:
+        by_cur[r.cur_type] += r.p
+        n_by_cur[r.cur_type] += r.n
+    for cur, s in by_cur.items():
+        # each p is rounded to 1e-6; row sums drift at most #types * 5e-7
+        assert abs(s - 1.0) < 1e-5, (cur, s)
+        assert n_by_cur[cur] > 0
