@@ -196,6 +196,7 @@ HEADLINE = (
     "markov_transitions",
     "top_paths",
     "erasure_plan",
+    "order_backlog",
 )
 
 

@@ -716,3 +716,90 @@ SQL_TOP_PATHS = f"""
     ORDER BY n_sessions DESC, path
     LIMIT {TOP_PATHS_K}
 """
+
+
+def q_order_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily open-order backlog by SWEEP-LINE: each order contributes a
+    +1 event at its order date and a -1 at its close (= the max
+    shipdate of its lineitems); the running sum over day-grain net
+    deltas is the number of orders open that day. The naive form is an
+    interval-stabbing range join (|days| x |orders| candidate pairs);
+    the sweep-line is two keyed aggregations and ONE window over the
+    |days|-bounded frame — the classic concurrent-intervals trick
+    (same family as concurrent-sessions counting), absent from the
+    catalog's range-join and window tiers until now.
+
+    Orders with no lineitems never close and are excluded up front so
+    opened/closed tie out; orders whose max shipdate PRECEDES their
+    order date (the synthetic generator emits ~2% such rows — exactly
+    the anomaly a constraint_audit screen would flag) get their close
+    CLAMPED to the open day (GREATEST), so every interval is valid and
+    the sweep equals brute-force interval stabbing (pinned in tests).
+    Day grain via date_trunc; the cumulative window orders by day over
+    the aggregated frame (thousands of rows — the documented
+    window-above-aggregate class, never the fact table)."""
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    closed = li.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("close_ts"))
+    orders = orders.join(
+        closed, F.col("o_orderkey") == F.col("l_orderkey"), "inner"
+    )
+    open_day = F.date_trunc("day", F.col("o_orderdate"))
+    close_day = F.greatest(F.date_trunc("day", F.col("close_ts")), open_day)
+    opens = orders.select(
+        open_day.alias("day"),
+        F.lit(1).alias("opened"),
+        F.lit(0).alias("closed"),
+    )
+    closes = orders.select(
+        close_day.alias("day"),
+        F.lit(0).alias("opened"),
+        F.lit(1).alias("closed"),
+    )
+    daily = (
+        opens.unionByName(closes)
+        .groupBy("day")
+        .agg(
+            F.sum("opened").alias("opened"),
+            F.sum("closed").alias("closed"),
+        )
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return daily.select(
+        "day",
+        "opened",
+        "closed",
+        F.sum(F.col("opened") - F.col("closed")).over(w).alias("backlog"),
+    ).orderBy("day")
+
+
+SQL_ORDER_BACKLOG = """
+    WITH closed AS (
+        SELECT l_orderkey, MAX(l_shipdate) AS close_ts
+        FROM lineitem GROUP BY l_orderkey
+    ), o AS (
+        SELECT o_orderdate, close_ts
+        FROM orders JOIN closed ON o_orderkey = l_orderkey
+    ), ev AS (
+        SELECT date_trunc('day', o_orderdate) AS day, 1 AS opened, 0 AS closed
+        FROM o
+        UNION ALL
+        SELECT GREATEST(date_trunc('day', close_ts),
+                        date_trunc('day', o_orderdate)) AS day,
+               0 AS opened, 1 AS closed
+        FROM o
+    ), daily AS (
+        SELECT day, CAST(SUM(opened) AS BIGINT) AS opened,
+               CAST(SUM(closed) AS BIGINT) AS closed
+        FROM ev GROUP BY day
+    )
+    SELECT day, opened, closed,
+           CAST(SUM(opened - closed) OVER (ORDER BY day
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS backlog
+    FROM daily
+    ORDER BY day
+"""

@@ -340,3 +340,36 @@ def test_markov_transitions_probabilities_sum_to_one(spark, sf_dir):
         # each p is rounded to 1e-6; row sums drift at most #types * 5e-7
         assert abs(s - 1.0) < 1e-5, (cur, s)
         assert n_by_cur[cur] > 0
+
+
+def test_order_backlog_sweep_line_semantics(spark, sf_dir):
+    """The cumulative backlog must equal the brute-force interval-stab
+    count on sampled days, and the final backlog must be zero (every
+    included order eventually closes)."""
+    rows = _CATALOG["order_backlog"][0](spark, sf_dir).collect()
+    assert rows == sorted(rows, key=lambda r: r.day)
+    assert rows[-1].backlog == 0
+    assert sum(r.opened for r in rows) == sum(r.closed for r in rows)
+    assert all(r.backlog >= 0 for r in rows)
+
+    import duckdb
+
+    con = duckdb.connect()
+    sample_days = [rows[len(rows) // 4].day, rows[len(rows) // 2].day]
+    for day in sample_days:
+        want = con.execute(
+            f"""
+            WITH closed AS (
+                SELECT l_orderkey, MAX(l_shipdate) AS close_ts
+                FROM '{sf_dir}/lineitem.parquet' GROUP BY l_orderkey
+            )
+            SELECT COUNT(*) FROM '{sf_dir}/orders.parquet'
+            JOIN closed ON o_orderkey = l_orderkey
+            WHERE date_trunc('day', o_orderdate) <= TIMESTAMP '{day}'
+              AND GREATEST(date_trunc('day', close_ts),
+                           date_trunc('day', o_orderdate))
+                  > TIMESTAMP '{day}'
+            """
+        ).fetchone()[0]
+        got = [r.backlog for r in rows if r.day == day][0]
+        assert got == want, (day, got, want)
