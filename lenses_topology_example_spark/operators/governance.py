@@ -79,6 +79,21 @@ def q_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("v"))
         .crossJoin(F.broadcast(li.agg(F.count(F.lit(1)).alias("n"))))
     )
+    # cross-table temporal constraint — the one check here that FAILS
+    # on the synthetic data (~47% of lineitems ship before their order
+    # date: the generator draws shipdates independently of order
+    # dates; discovered by the order_backlog sweep-line, which has to
+    # clamp the inverted intervals). An audit that only ever passes
+    # proves nothing; this row is the live demonstration.
+    temporal = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .agg(
+            F.sum(
+                F.when(F.col("l_shipdate") < F.col("o_orderdate"), 1).otherwise(0)
+            ).alias("v"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
     orphan_orders = (
         orders.join(cust, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
         .agg(F.count(F.lit(1)).alias("v"))
@@ -106,6 +121,9 @@ def q_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         orphan_orders.select(
             *_check("orders.custkey in customer", F.col("v"), F.col("n"))
+        ),
+        temporal.select(
+            *_check("lineitem.shipdate >= order date", F.col("v"), F.col("n"))
         ),
     ]
     out = rows[0]
@@ -144,6 +162,10 @@ SQL_CONSTRAINT_AUDIT = """
         SELECT (SELECT COUNT(*) FROM orders
                 WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)) AS v,
                (SELECT COUNT(*) FROM orders) AS n
+    ), temporal AS (
+        SELECT SUM(CASE WHEN l_shipdate < o_orderdate THEN 1 ELSE 0 END) AS v,
+               COUNT(*) AS n
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     )
     SELECT * FROM (
         SELECT 'lineitem.discount >= 0' AS check_name, CAST(v1 AS BIGINT)
@@ -179,6 +201,9 @@ SQL_CONSTRAINT_AUDIT = """
         UNION ALL
         SELECT 'orders.custkey in customer', CAST(v AS BIGINT),
                CAST(n AS BIGINT), v = 0 FROM orph_o
+        UNION ALL
+        SELECT 'lineitem.shipdate >= order date', CAST(v AS BIGINT),
+               CAST(n AS BIGINT), v = 0 FROM temporal
     )
     ORDER BY check_name
 """
