@@ -197,6 +197,7 @@ HEADLINE = (
     "top_paths",
     "erasure_plan",
     "order_backlog",
+    "source_concentration",
 )
 
 

@@ -345,6 +345,10 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "top_paths": (windows.q_top_paths, windows.SQL_TOP_PATHS),
     "erasure_plan": (governance.q_erasure_plan, governance.SQL_ERASURE_PLAN),
     "order_backlog": (windows.q_order_backlog, windows.SQL_ORDER_BACKLOG),
+    "source_concentration": (
+        text.q_source_concentration,
+        text.SQL_SOURCE_CONCENTRATION,
+    ),
     # rotated out in round 7 second batch (each >=4 green verdicts)
     "dedup_near_capped": (dedup.q_dedup_near_capped, dedup.SQL_DEDUP_NEAR_CAPPED),
     "dedup_minhash": (dedup.q_dedup_minhash, dedup.SQL_DEDUP_MINHASH),

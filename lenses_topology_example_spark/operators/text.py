@@ -2636,3 +2636,85 @@ def _splice_near_capped() -> str:
 
 
 SQL_DEDUP_KEEPER_QUALITY = _splice_near_capped()
+
+
+def q_source_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus concentration report: how unevenly tokens distribute over
+    sources — Gini coefficient (sorted cumulative formula), the largest
+    source's share, and the effective number of sources (inverse
+    Herfindahl, 1/Σs²) — the one-row summary a rebalancing decision
+    (corpus_rebalance) starts from.
+
+    All inputs are exact integer token sums; the Gini uses
+    G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over ascending (x, source) order —
+    rank products stay integers, the two divisions are single IEEE
+    ops, and every reported ratio round-trips DECIMAL(38,6). The rank
+    window runs over the |sources|-row aggregate (the documented
+    window-above-aggregate class)."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = (
+        docs.select(
+            "source", F.size(tokens_col(F.col("text"))).cast("long").alias("nt")
+        )
+        .groupBy("source")
+        .agg(F.sum("nt").alias("x"))
+    )
+    ranked = per_src.select(
+        "x",
+        F.row_number().over(W.orderBy("x", "source")).alias("i"),
+    )
+    rt = lambda c: c.cast("decimal(38,6)").cast("double")
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_sources"),
+        F.sum("x").alias("total_tokens"),
+        F.max("x").alias("max_tokens"),
+        F.sum(F.col("i") * F.col("x")).alias("iw"),
+        F.sum(F.col("x") * F.col("x")).alias("xx"),
+    ).select(
+        "n_sources",
+        "total_tokens",
+        rt(
+            F.lit(2.0) * F.col("iw").cast("double")
+            / (F.col("n_sources").cast("double") * F.col("total_tokens").cast("double"))
+            - (F.col("n_sources").cast("double") + F.lit(1.0))
+            / F.col("n_sources").cast("double")
+        ).alias("gini"),
+        rt(
+            F.col("max_tokens").cast("double") / F.col("total_tokens").cast("double")
+        ).alias("top_share"),
+        rt(
+            (F.col("total_tokens").cast("double") * F.col("total_tokens").cast("double"))
+            / F.col("xx").cast("double")
+        ).alias("effective_sources"),
+    )
+
+
+SQL_SOURCE_CONCENTRATION = f"""
+    WITH per_src AS (
+        SELECT source, CAST(SUM(len({SQL_TOKS})) AS BIGINT) AS x
+        FROM documents GROUP BY source
+    ), ranked AS (
+        SELECT x, ROW_NUMBER() OVER (ORDER BY x, source) AS i FROM per_src
+    ), m AS (
+        SELECT COUNT(*) AS n_sources,
+               CAST(SUM(x) AS BIGINT) AS total_tokens,
+               CAST(MAX(x) AS BIGINT) AS max_tokens,
+               CAST(SUM(i * x) AS BIGINT) AS iw,
+               CAST(SUM(x * x) AS BIGINT) AS xx
+        FROM ranked
+    )
+    SELECT n_sources, total_tokens,
+           CAST(CAST(2.0 * CAST(iw AS DOUBLE)
+                     / (CAST(n_sources AS DOUBLE) * CAST(total_tokens AS DOUBLE))
+                     - (CAST(n_sources AS DOUBLE) + 1.0)
+                       / CAST(n_sources AS DOUBLE)
+                AS DECIMAL(38,6)) AS DOUBLE) AS gini,
+           CAST(CAST(CAST(max_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)
+                AS DECIMAL(38,6)) AS DOUBLE) AS top_share,
+           CAST(CAST((CAST(total_tokens AS DOUBLE) * CAST(total_tokens AS DOUBLE))
+                     / CAST(xx AS DOUBLE)
+                AS DECIMAL(38,6)) AS DOUBLE) AS effective_sources
+    FROM m
+"""
