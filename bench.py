@@ -198,6 +198,7 @@ HEADLINE = (
     "erasure_plan",
     "order_backlog",
     "source_concentration",
+    "dedup_savings",
 )
 
 

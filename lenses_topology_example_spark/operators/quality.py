@@ -613,3 +613,115 @@ def _sql_dataset_split_by_cluster() -> str:
 
 
 SQL_DATASET_SPLIT_BY_CLUSTER = _sql_dataset_split_by_cluster()
+
+
+def q_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What dedup actually buys, per source: token counts before
+    dedup, after exact dedup (keep min doc_id per md5(text)), and
+    after near dedup on top (drop every non-keeper member of a
+    near-dup cluster) — the measurement that decides whether the
+    near-dup pass is worth its join cost on a given corpus slice.
+
+    Rides two memoized artifacts (exact digests are a single scan;
+    cluster labels come from dedup.cluster_labels) plus one token-count
+    scan; the report is |sources| rows. A doc counts toward its OWN
+    source even when its keeper lives elsewhere — savings are
+    attributed where the bytes are dropped."""
+    from .dedup import cluster_labels
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(tokens_col(F.col("text"))).cast("long").alias("nt"),
+        F.md5(F.col("text")).alias("fp"),
+    )
+    from pyspark.sql import Window as W
+
+    exact_keep = docs.withColumn(
+        "rn", F.row_number().over(W.partitionBy("fp").orderBy("doc_id"))
+    ).withColumn("exact_kept", F.col("rn") == 1)
+    labels = cluster_labels(spark, sf_dir).select(
+        F.col("doc").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+    joined = exact_keep.join(labels, "doc_id", "left").withColumn(
+        "near_kept",
+        F.col("exact_kept")
+        & (
+            F.col("cluster_id").isNull()
+            | (F.col("cluster_id") == F.col("doc_id"))
+        ),
+    )
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").alias("tokens_raw"),
+            F.sum(F.when(F.col("exact_kept"), F.col("nt")).otherwise(0)).alias(
+                "tokens_after_exact"
+            ),
+            F.sum(F.when(F.col("near_kept"), F.col("nt")).otherwise(0)).alias(
+                "tokens_after_near"
+            ),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "tokens_raw",
+            "tokens_after_exact",
+            "tokens_after_near",
+            (F.col("tokens_raw") - F.col("tokens_after_near"))
+            .alias("tokens_saved"),
+        )
+        .orderBy("source")
+    )
+
+
+def _sql_dedup_savings() -> str:
+    from .dedup import SQL_DEDUP_NEAR_CAPPED
+
+    return f"""
+    WITH RECURSIVE pairs AS (
+        SELECT doc_a, doc_b FROM ({SQL_DEDUP_NEAR_CAPPED})
+    ), edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ), reach(doc, label) AS (
+        SELECT DISTINCT src AS doc, src AS label FROM edges
+        UNION
+        SELECT e.dst AS doc, r.label
+        FROM reach r JOIN edges e ON e.src = r.doc
+    ), clusters AS (
+        SELECT doc AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY doc
+    ), d AS (
+        SELECT doc_id, source,
+               CAST(len({SQL_TOKS}) AS BIGINT) AS nt,
+               md5(text) AS fp
+        FROM documents
+    ), ek AS (
+        SELECT doc_id, source, nt,
+               ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) = 1
+                   AS exact_kept
+        FROM d
+    ), j AS (
+        SELECT ek.*, c.cluster_id,
+               ek.exact_kept AND (c.cluster_id IS NULL
+                                  OR c.cluster_id = ek.doc_id) AS near_kept
+        FROM ek LEFT JOIN clusters c USING (doc_id)
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(nt) AS BIGINT) AS tokens_raw,
+           CAST(SUM(CASE WHEN exact_kept THEN nt ELSE 0 END) AS BIGINT)
+               AS tokens_after_exact,
+           CAST(SUM(CASE WHEN near_kept THEN nt ELSE 0 END) AS BIGINT)
+               AS tokens_after_near,
+           CAST(SUM(nt) - SUM(CASE WHEN near_kept THEN nt ELSE 0 END)
+               AS BIGINT) AS tokens_saved
+    FROM j
+    GROUP BY source
+    ORDER BY source
+    """
+
+
+SQL_DEDUP_SAVINGS = _sql_dedup_savings()

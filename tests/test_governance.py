@@ -381,3 +381,20 @@ def test_order_backlog_sweep_line_semantics(spark, sf_dir):
         ).fetchone()[0]
         got = [r.backlog for r in rows if r.day == day][0]
         assert got == want, (day, got, want)
+
+
+def test_dedup_savings_monotone_and_ties_out(spark, sf_dir):
+    rows = _CATALOG["dedup_savings"][0](spark, sf_dir).collect()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    for r in rows:
+        assert r.tokens_after_near <= r.tokens_after_exact <= r.tokens_raw
+        assert r.tokens_saved == r.tokens_raw - r.tokens_after_near
+    # the sf0.001 slice has no exact-dup documents, but near-dup
+    # clusters exist — the near pass must save something
+    assert sum(r.tokens_after_exact for r in rows) <= sum(
+        r.tokens_raw for r in rows
+    )
+    assert sum(r.tokens_after_near for r in rows) < sum(
+        r.tokens_after_exact for r in rows
+    )
