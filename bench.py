@@ -199,6 +199,7 @@ HEADLINE = (
     "order_backlog",
     "source_concentration",
     "dedup_savings",
+    "embed_dedup_incremental",
 )
 
 

@@ -350,6 +350,10 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
         text.SQL_SOURCE_CONCENTRATION,
     ),
     "dedup_savings": (quality.q_dedup_savings, quality.SQL_DEDUP_SAVINGS),
+    "embed_dedup_incremental": (
+        similarity.q_embed_dedup_incremental,
+        similarity.SQL_EMBED_DEDUP_INCREMENTAL,
+    ),
     # rotated out in round 7 second batch (each >=4 green verdicts)
     "dedup_near_capped": (dedup.q_dedup_near_capped, dedup.SQL_DEDUP_NEAR_CAPPED),
     "dedup_minhash": (dedup.q_dedup_minhash, dedup.SQL_DEDUP_MINHASH),

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
+from ..functions.texthash import SQL_MD5_HASH64, md5_hash64
 from ..tables import load_table
 
 N_QUERIES = 5  # query set = vec_id < 5
@@ -798,3 +799,87 @@ def _sql_embed_threshold_sweep() -> str:
 
 
 SQL_EMBED_THRESHOLD_SWEEP = _sql_embed_threshold_sweep()
+
+
+def q_embed_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingestion SEMANTIC dedup: classify each INCOMING
+    vector against the EXISTING corpus as near_dup (some base
+    bucket-mate's cosine clears the catalog threshold) or new — the
+    embedding twin of dedup.q_dedup_incremental (same md5-parity
+    batch/base split so the oracle reproduces the partition; same
+    "cost scales with the batch, not the corpus" contract).
+
+    Scale shape: the base side's bucketed vectors are a PRECOMPUTED
+    artifact of prior runs (the IVF/LSH layout similarity.py already
+    documents); the incoming batch joins only within its LSH buckets —
+    incoming x base, never base x base — and the verdict returns to
+    the incoming frame as a left-semi-derived flag, no row explosion.
+    Cosines are the established prenormalized fold."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        as_double(F.col("embedding")).alias("v"),
+        (md5_hash64(F.col("vec_id").cast("string")) % 2).alias("p"),
+    )
+    bucketed = emb.withColumn("bucket", _bucket_col(F.col("v"))).withColumn(
+        "norm", F.sqrt(dot(F.col("v"), F.col("v")))
+    )
+    base = bucketed.filter(F.col("p") == 0).select(
+        F.col("vec_id").alias("base_id"),
+        F.col("v").alias("bv"),
+        F.col("norm").alias("bnorm"),
+        "bucket",
+    )
+    inc = bucketed.filter(F.col("p") == 1).select(
+        "vec_id", "v", "norm", "bucket"
+    )
+    hits = (
+        inc.join(base, "bucket")
+        .filter(
+            cosine_prenorm(
+                F.col("v"), F.col("bv"), F.col("norm"), F.col("bnorm")
+            )
+            >= F.lit(NEARDUP_COS_CATALOG)
+        )
+        .select("vec_id")
+        .distinct()
+        .withColumn("is_near", F.lit(True))
+    )
+    return (
+        inc.select("vec_id")
+        .join(hits, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.when(F.col("is_near"), F.lit("near_dup"))
+            .otherwise(F.lit("new"))
+            .alias("status"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def _sql_embed_dedup_incremental() -> str:
+    bucket = _sql_bucket("embedding::DOUBLE[]")
+    par = SQL_MD5_HASH64.format(x="CAST(vec_id AS VARCHAR)")
+    return f"""
+    WITH emb AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v, {bucket} AS bucket,
+               {par} % 2 AS p
+        FROM embeddings
+    ), base AS (
+        SELECT vec_id AS base_id, v AS bv, bucket FROM emb WHERE p = 0
+    ), inc AS (
+        SELECT vec_id, v, bucket FROM emb WHERE p = 1
+    ), hits AS (
+        SELECT DISTINCT inc.vec_id
+        FROM inc JOIN base USING (bucket)
+        WHERE {sql_cosine('inc.v', 'base.bv')} >= {NEARDUP_COS_CATALOG}
+    )
+    SELECT inc.vec_id,
+           CASE WHEN hits.vec_id IS NOT NULL THEN 'near_dup'
+                ELSE 'new' END AS status
+    FROM inc LEFT JOIN hits ON inc.vec_id = hits.vec_id
+    ORDER BY inc.vec_id
+    """
+
+
+SQL_EMBED_DEDUP_INCREMENTAL = _sql_embed_dedup_incremental()
