@@ -1065,3 +1065,77 @@ def start_dq_stream(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+# --- streaming semantic-dedup ingestion (foreachBatch vs static bucketed base) -----
+
+
+def embed_classify_batch(batch: DataFrame, base_bucketed: DataFrame) -> DataFrame:
+    """Classify one micro-batch of arriving vectors (vec_id,
+    embedding array<double>) against the STATIC bucketed base corpus:
+    'near_dup' when some base bucket-mate's cosine clears the catalog
+    threshold, else 'new' — the per-batch core of the continuous
+    embedding-ingest twin of operators/similarity.
+    q_embed_dedup_incremental (parity pinned in tests; same threshold,
+    same bucket function, same cosine fold).
+
+    base_bucketed: (base_id, bv, bnorm, bucket) — at scale the stored
+    LSH/IVF layout of prior runs, read once per stream start."""
+    from ..operators.similarity import (
+        NEARDUP_COS_CATALOG,
+        _bucket_col,
+        cosine_prenorm,
+        dot,
+    )
+
+    inc = batch.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    inc = inc.withColumn("bucket", _bucket_col(F.col("v"))).withColumn(
+        "norm", F.sqrt(dot(F.col("v"), F.col("v")))
+    )
+    hits = (
+        inc.join(base_bucketed, "bucket")
+        .filter(
+            cosine_prenorm(
+                F.col("v"), F.col("bv"), F.col("norm"), F.col("bnorm")
+            )
+            >= F.lit(NEARDUP_COS_CATALOG)
+        )
+        .select("vec_id")
+        .distinct()
+        .withColumn("is_near", F.lit(True))
+    )
+    return (
+        inc.select("vec_id")
+        .join(hits, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.when(F.col("is_near"), F.lit("near_dup"))
+            .otherwise(F.lit("new"))
+            .alias("status"),
+        )
+    )
+
+
+def start_embed_ingest_stream(
+    vectors: DataFrame,
+    base_bucketed: DataFrame,
+    out_path: str,
+    checkpoint: str,
+) -> StreamingQuery:
+    """Continuous semantic-dedup ingestion via foreachBatch (the joins
+    + distinct need full batch semantics; the base layout is a static
+    artifact, not stream state) with the per-batch-directory
+    idempotent output every foreachBatch sink here uses."""
+
+    def classify(batch: DataFrame, batch_id: int) -> None:
+        embed_classify_batch(batch, base_bucketed).write.mode(
+            "overwrite"
+        ).parquet(f"{out_path}/batch_id={batch_id}")
+
+    return (
+        vectors.writeStream.foreachBatch(classify)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

@@ -1189,3 +1189,65 @@ def test_streaming_rate_anomaly_matches_batch_operator(spark, tmp_path):
         gn, gz, ga = got[k]
         assert gn == n and ga == a
         assert (z is None and gz is None) or abs(gz - z) < 1e-9
+
+
+def test_streaming_embed_ingest_matches_batch(spark, sf_dir, tmp_path):
+    """foreachBatch semantic-dedup ingestion == the batch operator
+    embed_dedup_incremental on the same md5-parity split, with the
+    incoming vectors streamed across two micro-batches."""
+    from lenses_topology_example_spark.functions.texthash import md5_hash64
+    from lenses_topology_example_spark.operators.similarity import (
+        _bucket_col,
+        as_double,
+        dot,
+        q_embed_dedup_incremental,
+    )
+    from lenses_topology_example_spark.streaming.pipelines import (
+        start_embed_ingest_stream,
+    )
+
+    want = {
+        r.vec_id: r.status
+        for r in q_embed_dedup_incremental(spark, sf_dir).collect()
+    }
+    assert set(want.values()) == {"near_dup", "new"}, "both classes present"
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        as_double(F.col("embedding")).alias("v"),
+        (md5_hash64(F.col("vec_id").cast("string")) % 2).alias("p"),
+    )
+    base = (
+        emb.filter(F.col("p") == 0)
+        .withColumn("bucket", _bucket_col(F.col("v")))
+        .select(
+            F.col("vec_id").alias("base_id"),
+            F.col("v").alias("bv"),
+            F.sqrt(dot(F.col("v"), F.col("v"))).alias("bnorm"),
+            "bucket",
+        )
+    )
+    inc = emb.filter(F.col("p") == 1).select(
+        "vec_id", F.col("v").alias("embedding")
+    )
+    src = tmp_path / "emb_src"
+    for p in (0, 1):
+        inc.filter(F.col("vec_id") % 2 == p).write.parquet(f"{src}/f{p}")
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/f*")
+    )
+    out = tmp_path / "emb_out"
+    q = start_embed_ingest_stream(
+        stream, base, str(out), str(tmp_path / "emb_ckpt")
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        r.vec_id: r.status for r in spark.read.parquet(str(out)).collect()
+    }
+    assert got == want
