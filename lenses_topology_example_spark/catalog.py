@@ -561,7 +561,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "payments_pipeline",
     "gen_payments",
 )
-# Round-8 rotation plan (concrete): 35 late-round-7 additions now sit
+# Round-8 rotation plan (concrete): 44 late-round-7 additions now sit
 # past the window with zero driver verdicts. Priority order for the
 # round-8 window (fit as many as slots allow after any r7 reds are
 # held): (a) the 18 earlier late-wave entries — boilerplate_lines,
@@ -574,12 +574,16 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # product_profit, customer_distribution, top_supplier,
 # min_cost_supplier, embed_pca_power, zipf_fit, dedup_keeper_quality,
 # constraint_audit, scd2_apply, agg_delta_merge, k_anonymity,
-# join_skew_stats, split_leak_check, dataset_split_by_cluster.
+# join_skew_stats, split_leak_check, dataset_split_by_cluster; (c) the
+# 9 closing-wave entries — embed_threshold_sweep, asset_dedup,
+# markov_transitions, top_paths, erasure_plan, order_backlog,
+# source_concentration, dedup_savings, embed_dedup_incremental.
 # Rotate OUT this round's freshly-double-verified entries (the r6+r7
 # greens among the first 50), keeping salted_join_events IN until its
-# first green if r7 red-flags it again. 35 > 50-slot headroom, so the
+# first green if r7 red-flags it again. 44 > 50-slot headroom, so the
 # remainder queues for round 9; every past-window entry keeps pytest
-# oracle parity meanwhile.
+# oracle parity meanwhile (and the whole catalog was re-verified on a
+# vanilla session at sf0.01 this round: 0 mismatches).
 #
 # Load-bearing invariant: raise, don't assert — a bare assert is
 # stripped under `python -O`, silently disarming the guard (r3 ADVICE).
