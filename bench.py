@@ -200,6 +200,7 @@ HEADLINE = (
     "source_concentration",
     "dedup_savings",
     "embed_dedup_incremental",
+    "seasonality_profile",
 )
 
 

@@ -354,6 +354,10 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
         similarity.q_embed_dedup_incremental,
         similarity.SQL_EMBED_DEDUP_INCREMENTAL,
     ),
+    "seasonality_profile": (
+        windows.q_seasonality_profile,
+        windows.SQL_SEASONALITY_PROFILE,
+    ),
     # rotated out in round 7 second batch (each >=4 green verdicts)
     "dedup_near_capped": (dedup.q_dedup_near_capped, dedup.SQL_DEDUP_NEAR_CAPPED),
     "dedup_minhash": (dedup.q_dedup_minhash, dedup.SQL_DEDUP_MINHASH),

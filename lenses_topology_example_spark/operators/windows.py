@@ -803,3 +803,64 @@ SQL_ORDER_BACKLOG = """
     FROM daily
     ORDER BY day
 """
+
+
+def q_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar seasonality: event volume and mean value per
+    (day-of-week x hour) cell with each cell's share of total traffic —
+    the capacity-planning heatmap behind batch-window scheduling and
+    anomaly baselines (event_rate_anomaly screens days; this profiles
+    the weekly cycle itself).
+
+    One scan -> 168-cell aggregate; shares divide each cell by the
+    broadcast scalar total; the mean is decimal-sum / count (one IEEE
+    division). dayofweek is normalized to ISO (Mon=1..Sun=7) explicitly
+    on both engines — Spark's dayofweek() is Sun=1 while DuckDB's
+    isodow is Mon=1, an off-by-one that silently rotates the heatmap
+    if either engine's native convention is trusted."""
+    events = load_table(spark, sf_dir, "events")
+    cells = events.select(
+        # ISO dow from Spark's Sun=1 convention: ((dayofweek+5) % 7) + 1
+        (((F.dayofweek("ts") + F.lit(5)) % F.lit(7)) + F.lit(1)).alias("dow"),
+        F.hour("ts").alias("hour"),
+        "value",
+    ).groupBy("dow", "hour").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("sum_value"),
+    )
+    total = cells.agg(F.sum("n_events").alias("n_total"))
+    return (
+        cells.crossJoin(F.broadcast(total))
+        .select(
+            "dow",
+            "hour",
+            "n_events",
+            (F.col("sum_value") / F.col("n_events"))
+            .cast("decimal(38,6)")
+            .cast("double")
+            .alias("mean_value"),
+            (F.col("n_events").cast("double") / F.col("n_total").cast("double"))
+            .cast("decimal(38,6)")
+            .cast("double")
+            .alias("traffic_share"),
+        )
+        .orderBy("dow", "hour")
+    )
+
+
+SQL_SEASONALITY_PROFILE = """
+    WITH cells AS (
+        SELECT CAST(isodow(ts) AS INTEGER) AS dow,
+               CAST(EXTRACT(HOUR FROM ts) AS INTEGER) AS hour,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1, 2
+    ), total AS (SELECT CAST(SUM(n_events) AS BIGINT) AS n_total FROM cells)
+    SELECT dow, hour, n_events,
+           CAST(CAST(sum_value / n_events AS DECIMAL(38,6)) AS DOUBLE)
+               AS mean_value,
+           CAST(CAST(CAST(n_events AS DOUBLE) / CAST(n_total AS DOUBLE)
+                AS DECIMAL(38,6)) AS DOUBLE) AS traffic_share
+    FROM cells CROSS JOIN total
+    ORDER BY dow, hour
+"""

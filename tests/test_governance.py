@@ -398,3 +398,43 @@ def test_dedup_savings_monotone_and_ties_out(spark, sf_dir):
     assert sum(r.tokens_after_near for r in rows) < sum(
         r.tokens_after_exact for r in rows
     )
+
+
+def test_markov_transitions_golden_matrix(spark, tmp_path):
+    """Crafted two-user stream with a known transition matrix: the
+    operator must recover exact counts and probabilities, including
+    the ts-tie broken by event_id and the per-user sequence boundary
+    (no transition across users)."""
+    from datetime import datetime, timedelta
+
+    from lenses_topology_example_spark.operators.windows import (
+        q_markov_transitions,
+    )
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    # user 1: view > click > view > click > purchase
+    for i, et in enumerate(["view", "click", "view", "click", "purchase"]):
+        rows.append((100 + i, t0 + timedelta(minutes=i), 1, et, 1.0, "{}"))
+    # user 2: view > view  (ts TIE on the second pair -> event_id order)
+    rows.append((200, t0, 2, "view", 1.0, "{}"))
+    rows.append((201, t0 + timedelta(minutes=1), 2, "view", 1.0, "{}"))
+    rows.append((202, t0 + timedelta(minutes=1), 2, "click", 1.0, "{}"))
+
+    d = tmp_path / "mkv"
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(f"{d}/events.parquet")
+
+    got = {
+        (r.cur_type, r.next_type): (r.n, r.p)
+        for r in q_markov_transitions(spark, str(d)).collect()
+    }
+    assert got == {
+        ("view", "click"): (3, round(3 / 4, 6)),
+        ("view", "view"): (1, 0.25),
+        ("click", "view"): (1, 0.5),
+        ("click", "purchase"): (1, 0.5),
+    }
