@@ -963,9 +963,20 @@ def scd2_resolve(dim: DataFrame, log: DataFrame) -> DataFrame:
     the last). The base row closes out at the first update (or stays
     open/current for untouched keys). Cost: one window over the log
     (|log| rows, partitioned by key — never the dimension) + one join
-    against the dimension on its key."""
+    against the dimension on its key.
+
+    Same-instant updates MERGE before the window (deltas summed in
+    decimal): two log entries with equal (key, eff_ts) would otherwise
+    make the running sum's per-row value and the lead() interval chain
+    depend on an engine-arbitrary tie order — after the merge, eff_ts
+    is unique per key and the version chain is total-ordered."""
     from pyspark.sql import Window as W
 
+    log = log.groupBy("o_custkey", "eff_ts").agg(
+        F.sum(F.col("delta").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("delta")
+    )
     w = W.partitionBy("o_custkey").orderBy("eff_ts")
     ver = log.select(
         "o_custkey",

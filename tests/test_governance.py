@@ -438,3 +438,32 @@ def test_markov_transitions_golden_matrix(spark, tmp_path):
         ("click", "view"): (1, 0.5),
         ("click", "purchase"): (1, 0.5),
     }
+
+
+def test_scd2_resolve_merges_same_instant_updates(spark):
+    """Two log entries with equal (key, eff_ts) must merge into ONE
+    version whose delta is the decimal-exact sum — not two
+    arbitrarily-ordered zero-length versions."""
+    from datetime import datetime
+
+    from lenses_topology_example_spark.streaming.pipelines import scd2_resolve
+
+    dim = spark.createDataFrame(
+        [(1, "Customer#1", 7, 100.0, "SEG")],
+        "c_custkey long, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string",
+    )
+    log = spark.createDataFrame(
+        [
+            (1, 10.25, datetime(1998, 2, 1)),
+            (1, 5.50, datetime(1998, 2, 1)),
+            (1, 1.00, datetime(1998, 6, 1)),
+        ],
+        "o_custkey long, delta double, eff_ts timestamp",
+    )
+    rows = scd2_resolve(dim, log).collect()
+    assert len(rows) == 3  # base + merged instant + later update
+    assert [r.acctbal for r in rows] == [100.0, 115.75, 116.75]
+    assert [r.is_current for r in rows] == [False, False, True]
+    assert rows[0].valid_to == rows[1].valid_from
+    assert rows[1].valid_to == rows[2].valid_from
