@@ -15,7 +15,12 @@ window. The surviving ones are DELIBERATE and tiny — they run over
 ALREADY-AGGREGATED frames, never the raw corpus: lm_score's global token
 total (|V| rows, text.py q_lm_score) and corpus_mix's global-share
 denominator (#sources x #langs rows, text.py q_corpus_mix); both shapes
-are pinned window-above-aggregate by tests/test_plans.py. Do not
+are pinned window-above-aggregate by tests/test_plans.py. Round-7 adds
+more of the same deliberate tiny-frame class: zipf_fit's rank over the
+200-row head, top_supplier's max over the |suppliers| aggregate,
+join_skew_stats' cumulative count over the |distinct df| histogram,
+order_backlog's running sum over the |days| frame, and
+source_concentration's rank over |sources| rows. Do not
 re-investigate these warnings; a NEW one appearing here means a
 corpus-scale window crept in (cms_token_freq's top-N was exactly that
 bug in round 4 — now TakeOrderedAndProject, plan-pinned window-free).
