@@ -206,6 +206,7 @@ HEADLINE = (
     "dedup_savings",
     "embed_dedup_incremental",
     "seasonality_profile",
+    "token_budget_plan",
 )
 
 

@@ -358,6 +358,10 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
         windows.q_seasonality_profile,
         windows.SQL_SEASONALITY_PROFILE,
     ),
+    "token_budget_plan": (
+        text.q_token_budget_plan,
+        text.SQL_TOKEN_BUDGET_PLAN,
+    ),
     # rotated out in round 7 second batch (each >=4 green verdicts)
     "dedup_near_capped": (dedup.q_dedup_near_capped, dedup.SQL_DEDUP_NEAR_CAPPED),
     "dedup_minhash": (dedup.q_dedup_minhash, dedup.SQL_DEDUP_MINHASH),

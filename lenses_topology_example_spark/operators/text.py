@@ -2718,3 +2718,129 @@ SQL_SOURCE_CONCENTRATION = f"""
                 AS DECIMAL(38,6)) AS DOUBLE) AS effective_sources
     FROM m
 """
+
+
+BUDGET_NUM, BUDGET_DEN = 3, 5  # budget = 60% of corpus tokens, exact int
+
+
+def q_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Water-filling token-budget allocation: given a training budget
+    B (here 3/5 of corpus tokens, computed in exact integer division),
+    cap every source at the level c where Σ min(xᵢ, c) = B — small
+    sources keep everything, big sources are clipped to a COMMON
+    ceiling (the standard mixture-planning step under a fixed budget:
+    proportional sampling over-weights the biggest crawl, uniform
+    starves it; water-filling is the max-min-fair middle).
+
+    The cap comes from the classic sorted-prefix argument: ascending
+    by (x, source), the first row i where
+    prefix_{i-1} + (n-i+1)·xᵢ >= B is where the water level lands;
+    c = (B - prefix_{i-1}) / (n-i+1). The FEASIBILITY test is pure
+    int64 (no float can flip it); only the reported cap/allocations
+    are doubles, each one IEEE division then the DECIMAL(38,6)
+    round-trip. Windows run over the |sources|-row aggregate (the
+    documented tiny-frame class). If B >= Σx every source keeps
+    everything and the cap reports NULL."""
+    from pyspark.sql import Window as W
+
+    per_src = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "source", F.size(tokens_col(F.col("text"))).cast("long").alias("nt")
+        )
+        .groupBy("source")
+        .agg(F.sum("nt").alias("x"))
+    )
+    totals = per_src.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("total")
+    ).select(
+        "n",
+        "total",
+        F.expr(f"(total * {BUDGET_NUM}) div {BUDGET_DEN}").alias("budget"),
+    )
+    w = W.orderBy("x", "source")
+    ranked = (
+        per_src.crossJoin(F.broadcast(totals))
+        .withColumn("i", F.row_number().over(w))
+        .withColumn(
+            "prefix",
+            F.sum("x").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+        )
+        .withColumn("prefix_prev", F.col("prefix") - F.col("x"))
+        .withColumn(
+            "feasible",
+            F.col("prefix_prev")
+            + (F.col("n") - F.col("i") + F.lit(1)) * F.col("x")
+            >= F.col("budget"),
+        )
+    )
+    wall = W.orderBy("x", "source").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    ranked = ranked.withColumn(
+        "f_i", F.min(F.when(F.col("feasible"), F.col("i"))).over(wall)
+    ).withColumn(
+        "cap",
+        F.max(
+            F.when(
+                F.col("i") == F.col("f_i"),
+                (F.col("budget") - F.col("prefix_prev")).cast("double")
+                / (F.col("n") - F.col("i") + F.lit(1)).cast("double"),
+            )
+        ).over(wall),
+    )
+    rt = lambda c: c.cast("decimal(38,6)").cast("double")
+    alloc = F.when(
+        F.col("f_i").isNull() | (F.col("i") < F.col("f_i")),
+        F.col("x").cast("double"),
+    ).otherwise(F.col("cap"))
+    return ranked.select(
+        "source",
+        F.col("x").alias("tokens"),
+        rt(alloc).alias("allocation"),
+        rt(alloc / F.col("x").cast("double")).alias("kept_frac"),
+        rt(F.col("cap")).alias("cap"),
+    ).orderBy("source")
+
+
+SQL_TOKEN_BUDGET_PLAN = f"""
+    WITH per_src AS (
+        SELECT source, CAST(SUM(len({SQL_TOKS})) AS BIGINT) AS x
+        FROM documents GROUP BY source
+    ), totals AS (
+        SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS total,
+               CAST((SUM(x) * {BUDGET_NUM}) // {BUDGET_DEN} AS BIGINT)
+                   AS budget
+        FROM per_src
+    ), ranked AS (
+        SELECT p.*, t.n, t.budget,
+               ROW_NUMBER() OVER (ORDER BY x, source) AS i,
+               CAST(SUM(x) OVER (ORDER BY x, source
+                    ROWS UNBOUNDED PRECEDING) - x AS BIGINT) AS prefix_prev
+        FROM per_src p CROSS JOIN totals t
+    ), flagged AS (
+        SELECT *,
+               (prefix_prev + (n - i + 1) * x >= budget) AS feasible
+        FROM ranked
+    ), with_fi AS (
+        SELECT *, MIN(CASE WHEN feasible THEN i END) OVER () AS f_i
+        FROM flagged
+    ), capped AS (
+        SELECT *,
+               MAX(CASE WHEN i = f_i
+                        THEN CAST(budget - prefix_prev AS DOUBLE)
+                             / CAST(n - i + 1 AS DOUBLE) END) OVER () AS cap
+        FROM with_fi
+    )
+    SELECT source, x AS tokens,
+           CAST(CAST(CASE WHEN f_i IS NULL OR i < f_i
+                          THEN CAST(x AS DOUBLE) ELSE cap END
+                AS DECIMAL(38,6)) AS DOUBLE) AS allocation,
+           CAST(CAST((CASE WHEN f_i IS NULL OR i < f_i
+                           THEN CAST(x AS DOUBLE) ELSE cap END)
+                     / CAST(x AS DOUBLE)
+                AS DECIMAL(38,6)) AS DOUBLE) AS kept_frac,
+           CAST(CAST(cap AS DECIMAL(38,6)) AS DOUBLE) AS cap
+    FROM capped
+    ORDER BY source
+"""

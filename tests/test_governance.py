@@ -467,3 +467,28 @@ def test_scd2_resolve_merges_same_instant_updates(spark):
     assert [r.is_current for r in rows] == [False, False, True]
     assert rows[0].valid_to == rows[1].valid_from
     assert rows[1].valid_to == rows[2].valid_from
+
+
+def test_token_budget_plan_water_filling_properties(spark, sf_dir):
+    """Σ allocations == budget (exactly, within the 1e-6 decimal
+    rounding of |sources| terms); small sources keep everything; every
+    clipped source sits at the common cap; kept fractions are
+    monotone non-increasing in source size."""
+    rows = _CATALOG["token_budget_plan"][0](spark, sf_dir).collect()
+    total = sum(r.tokens for r in rows)
+    budget = (total * 3) // 5
+
+    assert abs(sum(r.allocation for r in rows) - budget) < 1e-4 * len(rows)
+    caps = {r.cap for r in rows if r.cap is not None}
+    assert len(caps) == 1
+    cap = caps.pop()
+    for r in rows:
+        if r.tokens <= cap:
+            assert r.allocation == float(r.tokens)
+            assert r.kept_frac == 1.0
+        else:
+            assert abs(r.allocation - cap) < 1e-9
+            assert r.kept_frac < 1.0
+    by_size = sorted(rows, key=lambda r: r.tokens)
+    fracs = [r.kept_frac for r in by_size]
+    assert all(a >= b - 1e-9 for a, b in zip(fracs, fracs[1:]))
