@@ -207,6 +207,7 @@ HEADLINE = (
     "embed_dedup_incremental",
     "seasonality_profile",
     "token_budget_plan",
+    "interval_merge",
 )
 
 

@@ -362,6 +362,7 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
         text.q_token_budget_plan,
         text.SQL_TOKEN_BUDGET_PLAN,
     ),
+    "interval_merge": (windows.q_interval_merge, windows.SQL_INTERVAL_MERGE),
     # rotated out in round 7 second batch (each >=4 green verdicts)
     "dedup_near_capped": (dedup.q_dedup_near_capped, dedup.SQL_DEDUP_NEAR_CAPPED),
     "dedup_minhash": (dedup.q_dedup_minhash, dedup.SQL_DEDUP_MINHASH),

@@ -864,3 +864,100 @@ SQL_SEASONALITY_PROFILE = """
     FROM cells CROSS JOIN total
     ORDER BY dow, hour
 """
+
+
+SHIP_WINDOW_DAYS = 7
+
+
+def q_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key interval UNION (merge overlapping/touching ranges): each
+    shipment opens a 7-day activity window; overlapping windows per
+    supplier merge into maximal disjoint islands, reported as island
+    count, covered days, and raw shipment count — the classic
+    gaps-and-islands generalization from points to RANGES (coverage
+    accounting, maintenance-window consolidation, on-call overlap).
+
+    Pure integer math end-to-end: days since epoch via datediff, an
+    island starts where start > running max(end) over all EARLIER
+    intervals (rowsBetween(-inf, -1) — lag(end) alone is WRONG when a
+    long interval swallows its successors), touching intervals
+    ([a,b),[b,c)) merge. Windows partition by supplier and the final
+    aggregate is |suppliers| rows."""
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.datediff(F.col("l_shipdate"), F.lit("1990-01-01").cast("date")).alias(
+            "start_d"
+        ),
+    )
+    iv = li.withColumn("end_d", F.col("start_d") + F.lit(SHIP_WINDOW_DAYS))
+    w = W.partitionBy("l_suppkey").orderBy("start_d", "end_d")
+    iv = iv.withColumn(
+        "prev_max_end",
+        F.max("end_d").over(w.rowsBetween(W.unboundedPreceding, -1)),
+    ).withColumn(
+        "new_island",
+        F.when(
+            F.col("prev_max_end").isNull()
+            | (F.col("start_d") > F.col("prev_max_end")),
+            1,
+        ).otherwise(0),
+    )
+    iv = iv.withColumn(
+        "island",
+        F.sum("new_island").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    islands = iv.groupBy("l_suppkey", "island").agg(
+        F.min("start_d").alias("s"),
+        F.max("end_d").alias("e"),
+        F.count(F.lit(1)).alias("n_ship"),
+    )
+    return (
+        islands.groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_islands"),
+            F.sum(F.col("e") - F.col("s")).alias("days_covered"),
+            F.sum("n_ship").alias("n_shipments"),
+        )
+        .orderBy("l_suppkey")
+    )
+
+
+SQL_INTERVAL_MERGE = f"""
+    WITH iv AS (
+        SELECT l_suppkey,
+               datediff('day', DATE '1990-01-01', l_shipdate) AS start_d,
+               datediff('day', DATE '1990-01-01', l_shipdate)
+                 + {SHIP_WINDOW_DAYS} AS end_d
+        FROM lineitem
+    ), flagged AS (
+        SELECT *,
+               CASE WHEN MAX(end_d) OVER (PARTITION BY l_suppkey
+                        ORDER BY start_d, end_d
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                        IS NULL
+                      OR start_d > MAX(end_d) OVER (PARTITION BY l_suppkey
+                        ORDER BY start_d, end_d
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    THEN 1 ELSE 0 END AS new_island
+        FROM iv
+    ), numbered AS (
+        SELECT *,
+               SUM(new_island) OVER (PARTITION BY l_suppkey
+                   ORDER BY start_d, end_d
+                   ROWS UNBOUNDED PRECEDING) AS island
+        FROM flagged
+    ), islands AS (
+        SELECT l_suppkey, island, MIN(start_d) AS s, MAX(end_d) AS e,
+               COUNT(*) AS n_ship
+        FROM numbered GROUP BY l_suppkey, island
+    )
+    SELECT l_suppkey,
+           COUNT(*) AS n_islands,
+           CAST(SUM(e - s) AS BIGINT) AS days_covered,
+           CAST(SUM(n_ship) AS BIGINT) AS n_shipments
+    FROM islands
+    GROUP BY l_suppkey
+    ORDER BY l_suppkey
+"""

@@ -492,3 +492,50 @@ def test_token_budget_plan_water_filling_properties(spark, sf_dir):
     by_size = sorted(rows, key=lambda r: r.tokens)
     fracs = [r.kept_frac for r in by_size]
     assert all(a >= b - 1e-9 for a, b in zip(fracs, fracs[1:]))
+
+
+def test_interval_merge_crafted_islands(spark, tmp_path):
+    """Crafted interval set with known islands: overlap merges,
+    touching merges, a long interval swallowing later short ones stays
+    ONE island (the lag(end)-only bug this operator's running-max
+    guard exists for), and a gap splits."""
+    from datetime import datetime
+
+    from lenses_topology_example_spark.operators.windows import (
+        q_interval_merge,
+    )
+
+    d = lambda day: datetime(2024, 1, day)
+    rows = [
+        # supplier 1: [1,8) [5,12) overlap -> island; [12,19) touches
+        # -> same island; [25,32) gap -> second island
+        (1, 1, 10, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", d(1)),
+        (1, 1, 10, 2, 1.0, 1.0, 0.0, 0.0, "N", "O", d(5)),
+        (1, 1, 10, 3, 1.0, 1.0, 0.0, 0.0, "N", "O", d(12)),
+        (1, 1, 10, 4, 1.0, 1.0, 0.0, 0.0, "N", "O", d(25)),
+        # supplier 2: long [1,8) swallows [2,9)? no — equal length;
+        # craft swallow via duplicates: [1,8) then [3,10) then [4,11):
+        # all chain-overlap -> ONE island [1,11)
+        (2, 1, 20, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", d(1)),
+        (2, 1, 20, 2, 1.0, 1.0, 0.0, 0.0, "N", "O", d(3)),
+        (2, 1, 20, 3, 1.0, 1.0, 0.0, 0.0, "N", "O", d(4)),
+    ]
+    p = tmp_path / "ivm"
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    ).write.parquet(f"{p}/lineitem.parquet")
+
+    got = {r.l_suppkey: r for r in q_interval_merge(spark, str(p)).collect()}
+    # supplier 10 (key col is l_suppkey=10 for rows above): islands
+    # [1,19) and [25,32) -> 2 islands, 18 + 7 = 25 days, 4 shipments
+    assert got[10].n_islands == 2
+    assert got[10].days_covered == 25
+    assert got[10].n_shipments == 4
+    # supplier 20: one island [1,11) -> 10 days, 3 shipments
+    assert got[20].n_islands == 1
+    assert got[20].days_covered == 10
+    assert got[20].n_shipments == 3
