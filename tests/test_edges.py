@@ -175,3 +175,50 @@ def test_grouped_map_norm_null_value_stays_null(spark):
     assert out[3] == 0.5
     assert out[2] is None, f"null value must stay null, got {out[2]}"
     assert out[4] is None, "all-null group must yield null, not NaN"
+
+
+def test_new_wave_ops_on_empty_tables(spark, tmp_path):
+    """The round-7 wave must degrade gracefully on EMPTY inputs (a
+    filtered-out partition at scale): empty result frames with the
+    right schema, never a crash (ANSI division, element_at, or a
+    window over nothing are the usual traps)."""
+    from lenses_topology_example_spark.catalog import _CATALOG
+
+    d = tmp_path / "empty"
+    for t, schema in (
+        (
+            "documents",
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ),
+        (
+            "lineitem",
+            "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+            "l_quantity double, l_extendedprice double, l_discount double, "
+            "l_tax double, l_returnflag string, l_linestatus string, "
+            "l_shipdate timestamp",
+        ),
+        (
+            "orders",
+            "o_orderkey long, o_custkey long, o_orderstatus string, "
+            "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+        ),
+        (
+            "events",
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        ),
+    ):
+        spark.createDataFrame([], schema).write.parquet(f"{d}/{t}.parquet")
+
+    for name, want_rows in (
+        ("token_budget_plan", 0),
+        ("source_concentration", 1),  # one row of NULL/zero aggregates
+        ("order_backlog", 0),
+        ("interval_merge", 0),
+        ("markov_transitions", 0),
+        ("top_paths", 0),
+        ("seasonality_profile", 0),
+        ("zipf_fit", 1),
+    ):
+        rows = _CATALOG[name][0](spark, str(d)).collect()
+        assert len(rows) == want_rows, (name, rows)
