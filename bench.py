@@ -208,6 +208,7 @@ HEADLINE = (
     "seasonality_profile",
     "token_budget_plan",
     "interval_merge",
+    "source_vocab_overlap",
 )
 
 

@@ -363,6 +363,10 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
         text.SQL_TOKEN_BUDGET_PLAN,
     ),
     "interval_merge": (windows.q_interval_merge, windows.SQL_INTERVAL_MERGE),
+    "source_vocab_overlap": (
+        text.q_source_vocab_overlap,
+        text.SQL_SOURCE_VOCAB_OVERLAP,
+    ),
     # rotated out in round 7 second batch (each >=4 green verdicts)
     "dedup_near_capped": (dedup.q_dedup_near_capped, dedup.SQL_DEDUP_NEAR_CAPPED),
     "dedup_minhash": (dedup.q_dedup_minhash, dedup.SQL_DEDUP_MINHASH),

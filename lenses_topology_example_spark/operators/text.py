@@ -2844,3 +2844,82 @@ SQL_TOKEN_BUDGET_PLAN = f"""
     FROM capped
     ORDER BY source
 """
+
+
+def q_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise LEXICAL similarity of sources: Jaccard of their
+    vocabularies (distinct-token sets) for every source pair — the
+    style/domain-affinity matrix that complements cross_source_leak's
+    shingle-containment view (two sources can share most of their
+    vocabulary yet no 3-gram spans, and vice versa).
+
+    Shape: one distinct (token, source) projection (|vocab|·|sources|
+    bound), a self-join keyed on TOKEN (the inverted-index form — a
+    token contributes |sources(token)|² pairs, bounded by |sources|²,
+    never |docs|²), per-source vocab sizes from the same projection,
+    then |sources|²/2 output cells. Counts are exact ints; the one
+    division round-trips DECIMAL(38,6)."""
+    ts = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(tokens_col(F.col("text"))).alias("tok"), "source")
+        .distinct()
+    )
+    sizes = ts.groupBy("source").agg(F.count(F.lit(1)).alias("vocab"))
+    a = ts.select("tok", F.col("source").alias("source_a"))
+    b = ts.select("tok", F.col("source").alias("source_b"))
+    inter = (
+        a.join(b, "tok")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(
+        F.col("source").alias("source_a"), F.col("vocab").alias("vocab_a")
+    )
+    sb = sizes.select(
+        F.col("source").alias("source_b"), F.col("vocab").alias("vocab_b")
+    )
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            "vocab_a",
+            "vocab_b",
+            (
+                F.col("n_shared").cast("double")
+                / (
+                    F.col("vocab_a") + F.col("vocab_b") - F.col("n_shared")
+                ).cast("double")
+            )
+            .cast("decimal(38,6)")
+            .cast("double")
+            .alias("vocab_jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+SQL_SOURCE_VOCAB_OVERLAP = f"""
+    WITH ts AS (
+        SELECT DISTINCT unnest({SQL_TOKS}) AS tok, source FROM documents
+    ), sizes AS (
+        SELECT source, COUNT(*) AS vocab FROM ts GROUP BY source
+    ), inter AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               COUNT(*) AS n_shared
+        FROM ts a JOIN ts b ON a.tok = b.tok AND a.source < b.source
+        GROUP BY a.source, b.source
+    )
+    SELECT source_a, source_b, n_shared,
+           sa.vocab AS vocab_a, sb.vocab AS vocab_b,
+           CAST(CAST(CAST(n_shared AS DOUBLE)
+                     / CAST(sa.vocab + sb.vocab - n_shared AS DOUBLE)
+                AS DECIMAL(38,6)) AS DOUBLE) AS vocab_jaccard
+    FROM inter
+    JOIN sizes sa ON source_a = sa.source
+    JOIN sizes sb ON source_b = sb.source
+    ORDER BY source_a, source_b
+"""
