@@ -1,9 +1,20 @@
 #!/usr/bin/env python
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line:
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Output contract (round-8 revision — BENCH_r07 came back unparseable
+because the 103-query map on the final line overflowed the driver's
+tail-capture buffer):
+  * an EARLY line `{"metric": "suite_seconds_full_map", ...}` with the
+    complete per-query map, also persisted to ./bench_full_latest.json;
+  * the LAST line is compact and always fits:
     {"metric": "suite_seconds", "value": N, "unit": "sec",
-     "queries": {name: sec, ...}, "sf": 0.1}
+     "queries": {<top-10 slowest>: sec}, "n_queries": K,
+     "tier": "full"|"core", "full_map": "bench_full_latest.json",
+     "sf": 0.1}
+
+`--headline-core` runs only HEADLINE_CORE (the long-lived comparable
+set) for fast iteration; the round's final BENCH runs the full tier.
 
 Each query is forced through the noop sink (full plan execution, zero
 result-materialization overhead on the driver) — the number measures the
@@ -212,7 +223,18 @@ HEADLINE = (
 )
 
 
+# Two-tier protocol (round-8, BASELINE.md "bench tiers"): the full
+# 103-query headline takes ~110-125 s quiet; `--headline-core` runs the
+# long-lived comparable set (every entry present since round 7's early
+# waves — flagship pipeline through pmi_collocations) for fast iteration.
+# The round's final BENCH always runs the full tier.
+_CORE_END = "pmi_collocations"
+HEADLINE_CORE = HEADLINE[: HEADLINE.index(_CORE_END) + 1]
+
+
 def main() -> None:
+    core = "--headline-core" in sys.argv[1:]
+    names = HEADLINE_CORE if core else HEADLINE
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
@@ -227,25 +249,54 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     warm_dir = sf_dir.replace("sf0.1", "sf0.001")
     if warm_dir != sf_dir and os.path.isdir(warm_dir):
-        for name in HEADLINE:
+        for name in names:
             qs[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     t_suite = time.perf_counter()
-    for name in HEADLINE:
+    for name in names:
         t0 = time.perf_counter()
         df = qs[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
     total = round(time.perf_counter() - t_suite, 3)
 
+    # Full per-query map: emitted EARLY (not last) and persisted next to
+    # this script — BENCH_r07 came back `"parsed": null` because the
+    # 103-entry map on the final line overflowed the driver's
+    # tail-capture buffer, so the tail started mid-line (r7 verdict
+    # ask #2). The LAST line below is bounded (top-10 slowest only) and
+    # always fits.
+    full = {
+        "metric": "suite_seconds_full_map",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(full))
+    try:
+        out = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "bench_full_latest.json"
+        )
+        with open(out, "w") as f:
+            json.dump(full, f, indent=1, sort_keys=True)
+    except OSError:
+        pass  # read-only checkout: the stdout copy above still has it
+
+    top10 = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:10]
+    )
     print(
         json.dumps(
             {
                 "metric": "suite_seconds",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": {k: round(v, 2) for k, v in top10.items()},
+                "n_queries": len(names),
+                "tier": "core" if core else "full",
+                "full_map": "bench_full_latest.json",
                 "sf": sf,
             }
         )

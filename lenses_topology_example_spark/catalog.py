@@ -518,98 +518,103 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
 # The driver evaluates only the first DRIVER_WINDOW_SIZE catalog entries
 # for its CORRECTNESS report. The window is an explicit LITERAL list
 # (round-2 ADVICE): a future insertion can't silently reshuffle which
-# queries get driver-checked — the module-load check below (and
-# tests/test_catalog.py::test_driver_window_is_pinned) fails unless this
-# tuple is edited deliberately alongside any registration-order change.
+# queries get driver-checked. Since round 8 this tuple is the SOURCE OF
+# TRUTH: _CATALOG is reordered below so the window entries become exactly
+# the first 50 registrations — a rotation is now one deliberate edit of
+# this tuple (tests/test_catalog.py::test_driver_window_is_pinned still
+# pins size and first-50 order).
+#
+# ROUND-8 WINDOW DIFF (r7 verdict ask #1 — executes the rotation plan
+# written in round 7 as a SINGLE batch: exactly 48 entries carried zero
+# external verdicts, and 48 <= 50 slots):
+#   IN  (48, zero driver verdicts, all late-round-7 additions):
+#     (a) the 18 earlier late-wave entries, boilerplate_lines ..
+#     minhash_est_audit; (b) the 17 wave-8..13 entries,
+#     order_priority_count .. dataset_split_by_cluster; (c) the 9
+#     closing-wave entries, embed_threshold_sweep ..
+#     embed_dedup_incremental; (d) the 4 final-suite entries,
+#     seasonality_profile, token_budget_plan, interval_merge,
+#     source_vocab_overlap.
+#   OUT (48): every round-7 in-window entry except the 2 holds — the r7
+#     window closed 48/48 oracle-green (+2 rows-only sketches), so every
+#     rotated-out entry leaves with >=1 green external verdict and keeps
+#     pytest oracle parity at sf0.001 (tests/test_oracle_parity.py).
+#   HOLD (2): salted_join_events (1 green after the r6 red — a second
+#     consecutive green closes that history), payments_pipeline (flagship
+#     reference-parity pipeline, S3/P4/P5/J1). These two slots are the
+#     first to yield if round-8 additions land (r7 verdict ask #3: new
+#     operators register at the window head, not past it).
 DRIVER_WINDOW_SIZE = 50
 DRIVER_WINDOW: tuple[str, ...] = (
-    "dedup_containment",
-    "dedup_lines_near",
-    "dedup_lines_rebuild",
-    "dedup_lines_near_capped",
-    "dedup_incremental",
-    "decontaminate_bloom",
-    "eval_leak_report",
-    "dedup_ngram_spans",
-    "embed_dedup_cluster",
-    "ann_recall",
-    "ann_recall_ivf",
-    "corpus_diversity",
-    "kmeans_assign",
-    "kmeans_refine",
-    "embed_quantize",
-    "repetition_stats",
-    "corpus_mix",
-    "curation_funnel",
-    "funnel_sweep",
-    "pii_scrub",
-    "lm_score",
-    "token_entropy",
-    "bigram_lm_score",
-    "corpus_report",
-    "word_variants",
-    "quality_score",
-    "doc_fingerprint",
-    "lang_id",
-    "shard_plan",
-    "corpus_rebalance",
-    "length_histogram",
-    "pmi_collocations",
-    "corpus_drift",
-    "gopher_rules",
-    "quality_classifier",
-    "dataset_split",
-    "score_weighted_sample",
-    "quality_gate",
-    "funnel_conversion",
-    "cohort_retention",
-    "lateral_topn",
+    "boilerplate_lines",
+    "winnow_fingerprint",
+    "minhash_band_sweep",
+    "cross_source_leak",
+    "dup_cluster_sizes",
+    "doc_chunk",
+    "ngram_novelty",
+    "bm25_search",
+    "tokenizer_stats",
+    "cluster_purity",
+    "reservoir_sample",
+    "lang_confusion",
+    "embed_outliers",
+    "event_rate_anomaly",
+    "winnow_neardup",
+    "source_pagerank",
+    "length_percentiles",
+    "minhash_est_audit",
+    "order_priority_count",
+    "volume_shipping",
+    "market_share",
+    "product_profit",
+    "customer_distribution",
+    "top_supplier",
+    "min_cost_supplier",
+    "embed_pca_power",
+    "zipf_fit",
+    "dedup_keeper_quality",
+    "constraint_audit",
+    "scd2_apply",
+    "agg_delta_merge",
+    "k_anonymity",
+    "join_skew_stats",
+    "split_leak_check",
+    "dataset_split_by_cluster",
+    "embed_threshold_sweep",
+    "asset_dedup",
+    "markov_transitions",
+    "top_paths",
+    "erasure_plan",
+    "order_backlog",
+    "source_concentration",
+    "dedup_savings",
+    "embed_dedup_incremental",
+    "seasonality_profile",
+    "token_budget_plan",
+    "interval_merge",
+    "source_vocab_overlap",
     "salted_join_events",
-    "cms_token_freq",
-    "approx_distinct_users",
-    "approx_quantiles",
-    "deterministic_sample",
-    "grouped_map_norm",
-    "range_join_buckets",
     "payments_pipeline",
-    "gen_payments",
 )
-# Round-8 rotation plan (concrete): 44 late-round-7 additions now sit
-# past the window with zero driver verdicts. Priority order for the
-# round-8 window (fit as many as slots allow after any r7 reds are
-# held): (a) the 18 earlier late-wave entries — boilerplate_lines,
-# winnow_fingerprint, minhash_band_sweep, cross_source_leak,
-# dup_cluster_sizes, doc_chunk, ngram_novelty, bm25_search,
-# tokenizer_stats, cluster_purity, reservoir_sample, lang_confusion,
-# embed_outliers, event_rate_anomaly, winnow_neardup, source_pagerank,
-# length_percentiles, minhash_est_audit; (b) the 17 wave-8..13 entries
-# — order_priority_count, volume_shipping, market_share,
-# product_profit, customer_distribution, top_supplier,
-# min_cost_supplier, embed_pca_power, zipf_fit, dedup_keeper_quality,
-# constraint_audit, scd2_apply, agg_delta_merge, k_anonymity,
-# join_skew_stats, split_leak_check, dataset_split_by_cluster; (c) the
-# 9 closing-wave entries — embed_threshold_sweep, asset_dedup,
-# markov_transitions, top_paths, erasure_plan, order_backlog,
-# source_concentration, dedup_savings, embed_dedup_incremental.
-# Rotate OUT this round's freshly-double-verified entries (the r6+r7
-# greens among the first 50), keeping salted_join_events IN until its
-# first green if r7 red-flags it again. 44 > 50-slot headroom, so the
-# remainder queues for round 9; every past-window entry keeps pytest
-# oracle parity meanwhile (and the whole catalog was re-verified on a
-# vanilla session at sf0.01 this round: 0 mismatches).
+
 #
-# Load-bearing invariant: raise, don't assert — a bare assert is
+# Load-bearing invariants: raise, don't assert — a bare assert is
 # stripped under `python -O`, silently disarming the guard (r3 ADVICE).
 if len(DRIVER_WINDOW) != DRIVER_WINDOW_SIZE:
     raise RuntimeError(
         f"DRIVER_WINDOW has {len(DRIVER_WINDOW)} entries, expected "
         f"{DRIVER_WINDOW_SIZE}"
     )
-if tuple(_CATALOG)[:DRIVER_WINDOW_SIZE] != DRIVER_WINDOW:
-    raise RuntimeError(
-        "catalog registration order no longer matches DRIVER_WINDOW — edit "
-        "both deliberately (driver coverage depends on this order)"
-    )
+_missing = [n for n in DRIVER_WINDOW if n not in _CATALOG]
+if _missing:
+    raise RuntimeError(f"DRIVER_WINDOW names not registered: {_missing}")
+# Reorder so the driver's first-50 slice IS the pinned window; entries
+# past the window keep their registration order (they stay covered by
+# the sf0.001 oracle-parity suite on every pytest run).
+_CATALOG = {n: _CATALOG[n] for n in DRIVER_WINDOW} | {
+    k: v for k, v in _CATALOG.items() if k not in set(DRIVER_WINDOW)
+}
 
 
 def _guarded(fn: QueryFn) -> QueryFn:

@@ -5,11 +5,15 @@ surface; the reference's only governance is the suspicious-payment
 predicate fan-out, PaymentsService.java:94-99 — these are its
 warehouse-scale generalizations).
 
-Scale notes (100 TB): every constraint is a conditional aggregate fused
-into ONE pass over its table (map-side partial aggregation reduces each
-scan to a handful of counters per partition); the two referential
-checks are LEFT ANTI joins on the natural keys (co-partitioned SMJ
-under AQE — the orphan side is the probe, never materialized wide).
+Scale notes (100 TB): the single-table checks fuse into ONE conditional
+aggregate per table (map-side partial aggregation reduces each scan to a
+handful of counters per partition); the key-uniqueness, referential, and
+temporal checks each add their own scan or join on top of that — the two
+referential checks are LEFT ANTI joins on the natural keys
+(co-partitioned SMJ under AQE — the orphan side is the probe, never
+materialized wide), so lineitem is read more than once in the full
+audit (r7 ADVICE: the fusion claim applies per single-table pass, not
+to the whole report).
 The SCD2 merge touches the dimension twice (current rows to close out,
 via one join with the update batch) and the update batch once; at real
 scale the update batch is days-grain small, so Catalyst broadcasts it
@@ -155,12 +159,18 @@ SQL_CONSTRAINT_AUDIT = """
         SELECT SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS v, SUM(c) AS n
         FROM (SELECT o_orderkey, COUNT(*) AS c FROM orders GROUP BY o_orderkey)
     ), orph_li AS (
+        -- NOT EXISTS, not NOT IN: a NULL in the referenced key column
+        -- would make NOT IN yield zero rows (0 orphans) while the Spark
+        -- side's left_anti counts every orphan (r7 ADVICE — null-safe,
+        -- matches left_anti semantics)
         SELECT (SELECT COUNT(*) FROM lineitem
-                WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS v,
+                WHERE NOT EXISTS (SELECT 1 FROM orders
+                                  WHERE o_orderkey = l_orderkey)) AS v,
                (SELECT COUNT(*) FROM lineitem) AS n
     ), orph_o AS (
         SELECT (SELECT COUNT(*) FROM orders
-                WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)) AS v,
+                WHERE NOT EXISTS (SELECT 1 FROM customer
+                                  WHERE c_custkey = o_custkey)) AS v,
                (SELECT COUNT(*) FROM orders) AS n
     ), temporal AS (
         SELECT SUM(CASE WHEN l_shipdate < o_orderdate THEN 1 ELSE 0 END) AS v,

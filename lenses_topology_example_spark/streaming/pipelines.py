@@ -1024,19 +1024,35 @@ def events_dq_batch(batch: DataFrame) -> DataFrame:
     (same fused conditional-sum shape: every check is a CASE column in
     ONE aggregation pass, so a batch costs one job however many
     constraints are registered). Emits (check_name, n_violations,
-    n_rows, passed)."""
+    n_rows, passed).
+
+    Every violation counter is coalesced to 0: SUM over an EMPTY
+    micro-batch (a replayed/no-data trigger) is NULL, which would make
+    n_violations NULL and passed NULL — a report row that is neither
+    pass nor fail, silently missed by `passed = false` alerting
+    (r7 ADVICE). An empty batch now reports 0 violations / passed=true."""
+    zero = F.lit(0)
     agg = batch.agg(
-        F.sum(F.when(F.col("value") < 0, 1).otherwise(0)).alias("v1"),
-        F.sum(
-            F.when(
-                ~F.col("event_type").isin(
-                    "view", "click", "purchase", "signup", "error"
-                ),
-                1,
-            ).otherwise(0)
+        F.coalesce(
+            F.sum(F.when(F.col("value") < 0, 1).otherwise(0)), zero
+        ).alias("v1"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    ~F.col("event_type").isin(
+                        "view", "click", "purchase", "signup", "error"
+                    ),
+                    1,
+                ).otherwise(0)
+            ),
+            zero,
         ).alias("v2"),
-        F.sum(F.when(F.col("ts").isNull(), 1).otherwise(0)).alias("v3"),
-        F.sum(F.when(F.col("user_id").isNull(), 1).otherwise(0)).alias("v4"),
+        F.coalesce(
+            F.sum(F.when(F.col("ts").isNull(), 1).otherwise(0)), zero
+        ).alias("v3"),
+        F.coalesce(
+            F.sum(F.when(F.col("user_id").isNull(), 1).otherwise(0)), zero
+        ).alias("v4"),
         F.count(F.lit(1)).alias("n"),
     )
     checks = (

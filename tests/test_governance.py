@@ -311,6 +311,25 @@ def test_streaming_dq_report_matches_batch(spark, sf_dir, tmp_path):
     assert {k: tuple(v) for k, v in got.items()} == want
 
 
+def test_streaming_dq_empty_batch_reports_zero(spark, sf_dir):
+    """An EMPTY micro-batch (replayed/no-data trigger) must report 0
+    violations / passed=true on every check — SUM over an empty frame
+    is NULL, and an uncoalesced NULL row is neither pass nor fail, so
+    `passed = false` alerting silently misses it (r7 ADVICE)."""
+    from lenses_topology_example_spark.streaming.pipelines import (
+        events_dq_batch,
+    )
+    from lenses_topology_example_spark.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    rows = events_dq_batch(events.limit(0)).collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert r.n_violations == 0, r
+        assert r.n_rows == 0, r
+        assert r.passed is True, r
+
+
 def test_top_paths_take_ordered(spark, sf_dir):
     import contextlib
     import io
