@@ -220,6 +220,15 @@ HEADLINE = (
     "token_budget_plan",
     "interval_merge",
     "source_vocab_overlap",
+    # round-8 wave: contrastive hard-negative mining (sim_topk's
+    # WindowGroupLimit join-form with the label-mismatch predicate in
+    # the join), two more TPC-H shapes (Q17/Q22 flavors — Q10/Q18 were
+    # already covered by returned_items/big_orders), and the per-user
+    # inter-arrival profile (user-partitioned lag window)
+    "hard_negative_mining",
+    "small_qty_revenue",
+    "sales_opportunity",
+    "interarrival_stats",
 )
 
 

@@ -513,6 +513,31 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     ),
     "null_fns": (relational2.q_null_fns, relational2.SQL_NULL_FNS),
     "column_stats": (relational2.q_column_stats, relational2.SQL_COLUMN_STATS),
+    # ---- round-8 wave (literal position is irrelevant: the reorder
+    # below puts DRIVER_WINDOW members first). hard_negative_mining and
+    # small_qty_revenue are IN-WINDOW this round (the two hold slots);
+    # sales_opportunity and interarrival_stats are past-window and are
+    # the round-9 rotation's FIRST candidates (r7 verdict ask #3: at
+    # most one round old). NOTE: the Q10/Q18 shapes were NOT added here
+    # — relational2's returned_items / big_orders already cover them (a
+    # draft duplicate key briefly shadowed returned_items; guarded now
+    # by test_catalog_registration_has_no_shadowed_names).
+    "hard_negative_mining": (
+        similarity.q_hard_negative_mining,
+        similarity.SQL_HARD_NEGATIVE_MINING,
+    ),
+    "small_qty_revenue": (
+        relational3.q_small_qty_revenue,
+        relational3.SQL_SMALL_QTY_REVENUE,
+    ),
+    "sales_opportunity": (
+        relational3.q_sales_opportunity,
+        relational3.SQL_SALES_OPPORTUNITY,
+    ),
+    "interarrival_stats": (
+        windows.q_interarrival_stats,
+        windows.SQL_INTERARRIVAL_STATS,
+    ),
 }
 
 # The driver evaluates only the first DRIVER_WINDOW_SIZE catalog entries
@@ -539,11 +564,13 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
 #     window closed 48/48 oracle-green (+2 rows-only sketches), so every
 #     rotated-out entry leaves with >=1 green external verdict and keeps
 #     pytest oracle parity at sf0.001 (tests/test_oracle_parity.py).
-#   HOLD (2): salted_join_events (1 green after the r6 red — a second
-#     consecutive green closes that history), payments_pipeline (flagship
-#     reference-parity pipeline, S3/P4/P5/J1). These two slots are the
-#     first to yield if round-8 additions land (r7 verdict ask #3: new
-#     operators register at the window head, not past it).
+#   The 2 remaining slots went to the round-8 additions
+#   hard_negative_mining and small_qty_revenue (r7 verdict ask #3: new
+#   operators register at the window head, not past it). The other 2
+#   round-8 additions (sales_opportunity, interarrival_stats) are
+#   past-window — they are the round-9 rotation's FIRST in-candidates,
+#   alongside rotating salted_join_events back in for its second
+#   consecutive green.
 DRIVER_WINDOW_SIZE = 50
 DRIVER_WINDOW: tuple[str, ...] = (
     "boilerplate_lines",
@@ -594,8 +621,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "token_budget_plan",
     "interval_merge",
     "source_vocab_overlap",
-    "salted_join_events",
-    "payments_pipeline",
+    "hard_negative_mining",
+    "small_qty_revenue",
 )
 
 #

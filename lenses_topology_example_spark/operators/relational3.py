@@ -399,3 +399,124 @@ SQL_MIN_COST_SUPPLIER = """
     ORDER BY p_retailprice DESC, p_partkey, s_name
     LIMIT 25
 """
+
+
+# --- round-8 wave: Q17 / Q22 shapes ------------------------------------------
+# (Q10 and Q18 shapes already live in relational2.py as returned_items
+# and big_orders — do not re-add them here.)
+
+
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-shaped: average yearly revenue that would be lost by
+    refusing small-quantity orders of one brand's parts — lineitems
+    whose quantity is under 20% of that part's average order quantity.
+
+    The correlated `qty < 0.2 * (SELECT AVG ... WHERE same part)`
+    decorrelates to one per-part aggregate joined back to the brand's
+    lineitems. Determinism: the per-part mean is
+    CAST(decimal-sum AS DOUBLE) / count — one IEEE division in the same
+    order on both engines (engine-native AVG over doubles is
+    order-dependent and banned, relational.py module doc). Scale shape:
+    the brand filter prunes part to ~1/25 before either scan-side join;
+    both joins broadcast the pruned part key set, so lineitem is
+    scanned twice (once per aggregate) but never shuffled."""
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#11"
+    ).select("p_partkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    brand_li = li.join(
+        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+    )
+    per_part = brand_li.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
+        (
+            F.sum(F.col("l_quantity").cast("decimal(38,6)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avg_qty")
+    )
+    return (
+        brand_li.join(
+            F.broadcast(per_part),
+            F.col("l_partkey") == F.col("ap_partkey"),
+        )
+        .filter(F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty"))
+        .agg(
+            (dsum(F.col("l_extendedprice")) / F.lit(7.0)).alias("avg_yearly")
+        )
+    )
+
+
+SQL_SMALL_QTY_REVENUE = """
+    WITH brand_li AS (
+      SELECT l_partkey, l_quantity, l_extendedprice
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_brand = 'Brand#11'
+    ), per_part AS (
+      SELECT l_partkey AS ap_partkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS avg_qty
+      FROM brand_li GROUP BY l_partkey
+    )
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+           / 7.0 AS avg_yearly
+    FROM brand_li JOIN per_part ON l_partkey = ap_partkey
+    WHERE l_quantity < 0.2 * avg_qty
+"""
+
+
+def q_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-flavored (adapted: market segment plays the country-
+    code role — the schema has no phone column): per segment, the
+    customers with above-average positive account balance and NO order
+    since the cutoff — the dormant-but-funded accounts a sales team
+    would call first.
+
+    Scale shape: the global mean balance is one scalar aggregate
+    (decimal-sum / count) broadcast via a 1-row cross join; the
+    "no recent order" predicate is a LEFT ANTI join against the
+    date-pruned orders scan (the NOT EXISTS decorrelation — never a
+    count-then-filter materialization); the final aggregate is
+    |segments| keys."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(38,6)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avg_bal")
+    )
+    recent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
+    ).select("o_custkey")
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))  # 1-row scalar broadcast
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            dsum(F.col("c_acctbal")).alias("total_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+SQL_SALES_OPPORTUNITY = f"""
+    SELECT c_mktsegment, COUNT(*) AS n_cust,
+           {dsum_sql('c_acctbal')} AS total_bal
+    FROM customer c
+    WHERE c_acctbal > (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE)
+        FROM customer WHERE c_acctbal > 0
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c.c_custkey
+          AND o_orderdate >= TIMESTAMP '1999-01-01'
+      )
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+"""

@@ -198,6 +198,73 @@ SQL_KNN_CLASSIFY = f"""
 """
 
 
+def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector (vec_id < N_QUERIES), the TOP_K most-similar corpus vectors
+    whose label DIFFERS from the query's — the highest-similarity
+    wrong-class examples, i.e. the negatives a contrastive or
+    metric-learning objective gains the most from. (The reference has
+    no ANN/labels surface; this extends SURVEY.md §2.6's similarity
+    tier the same way knn_classify does.)
+
+    Plan shape = q_sim_topk's join-form: one broadcast of the bounded
+    query set (vectors + labels), prenorm cosine scoring in codegen,
+    and the rn <= k filter rewritten by Catalyst into WindowGroupLimit
+    — only ~k (query, neighbor, label, score) quads per query per
+    input partition cross the shuffle. The label-mismatch predicate
+    rides INSIDE the join condition, so same-class pairs are dropped
+    at probe time, never scored rows materialized then filtered."""
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        as_double(F.col("embedding")).alias("v"),
+    )
+    emb = emb.withColumn("norm", F.sqrt(dot(F.col("v"), F.col("v"))))
+    q = emb.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    ).filter(F.col("query_id") < N_QUERIES)
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        emb.join(F.broadcast(q), F.col("label") != F.col("qlabel"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("neighbor_label"),
+            cosine_prenorm(
+                F.col("qv"), F.col("v"), F.col("qnorm"), F.col("norm")
+            ).alias("cos_sim"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", "neighbor_label", "cos_sim")
+    )
+
+
+SQL_HARD_NEGATIVE_MINING = f"""
+    WITH emb AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    ), q AS (
+        SELECT vec_id AS query_id, label AS qlabel, v AS qv
+        FROM emb WHERE vec_id < {N_QUERIES}
+    ), scored AS (
+        SELECT query_id, e.vec_id AS neighbor_id,
+               e.label AS neighbor_label,
+               {sql_cosine('qv', 'e.v')} AS cos_sim
+        FROM q JOIN emb e ON e.label <> q.qlabel
+    )
+    SELECT query_id, neighbor_id, neighbor_label, cos_sim FROM scored
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id ASC)
+            <= {TOP_K}
+"""
+
 
 # --- LSH (sign random hyperplanes) --------------------------------------------
 

@@ -961,3 +961,70 @@ SQL_INTERVAL_MERGE = f"""
     GROUP BY l_suppkey
     ORDER BY l_suppkey
 """
+
+
+def q_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type inter-arrival statistics over each user's
+    time-ordered stream: for every consecutive event pair within a
+    user, the gap in seconds, aggregated by the LATER event's type —
+    the latency-profile input behind session-timeout tuning and
+    arrival-process modeling (is `purchase` bursty or Poisson-ish?).
+
+    Ordering is total ((ts, event_id) — same tiebreak discipline as
+    q_markov_transitions) and the lag window partitions BY USER, so
+    window state scales with one user's history, never the stream.
+    The gap is epoch-seconds double arithmetic (both engines divide
+    the same microsecond integer by 1e6); the mean goes through the
+    DECIMAL(38,6) sum / count round-trip (engine-native AVG over
+    doubles is order-dependent and banned); min/max over doubles are
+    exact at any parallelism. Output is |event types| rows."""
+    from pyspark.sql import Window as W
+
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = events.select(
+        "event_type",
+        (
+            F.col("ts").cast("double") - F.lag(F.col("ts")).over(w).cast("double")
+        ).alias("gap_s"),
+    ).filter(F.col("gap_s").isNotNull())
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            (
+                F.sum(F.col("gap_s").cast("decimal(38,6)")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            )
+            .cast("decimal(38,6)")
+            .cast("double")
+            .alias("mean_gap_s"),
+            F.min("gap_s").alias("min_gap_s"),
+            F.max("gap_s").alias("max_gap_s"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_INTERARRIVAL_STATS = """
+    WITH seq AS (
+        SELECT event_type,
+               epoch(ts) - epoch(LAG(ts) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id))
+                   AS gap_s
+        FROM events
+    )
+    SELECT event_type,
+           COUNT(*) AS n_gaps,
+           CAST(CAST(
+               CAST(SUM(CAST(gap_s AS DECIMAL(38,6))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE)
+             AS DECIMAL(38,6)) AS DOUBLE) AS mean_gap_s,
+           MIN(gap_s) AS min_gap_s,
+           MAX(gap_s) AS max_gap_s
+    FROM seq WHERE gap_s IS NOT NULL
+    GROUP BY event_type
+    ORDER BY event_type
+"""

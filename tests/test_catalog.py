@@ -24,6 +24,28 @@ def test_catalog_shape():
         assert callable(fn), name
 
 
+def test_catalog_registration_has_no_shadowed_names():
+    """A duplicate key in the _CATALOG literal silently drops the
+    earlier registration (Python keeps the last), shrinking coverage
+    with zero errors — a round-8 draft briefly shadowed returned_items
+    this way. Parse the source, not the dict: the dict can't see its
+    own casualties."""
+    import collections
+    import pathlib
+    import re
+
+    import lenses_topology_example_spark.catalog as cat
+
+    src = pathlib.Path(cat.__file__).read_text()
+    body = src[src.index("_CATALOG:") : src.index("DRIVER_WINDOW_SIZE")]
+    keys = re.findall(r'^    "([a-z0-9_]+)": \(', body, re.MULTILINE)
+    dupes = [k for k, n in collections.Counter(keys).items() if n > 1]
+    assert not dupes, f"shadowed catalog registrations: {dupes}"
+    assert len(keys) == len(_CATALOG), (
+        "source-parsed key count disagrees with the dict — key regex drifted"
+    )
+
+
 def test_driver_window_is_pinned():
     """The driver checks exactly the first 50 registrations; the window
     is a reviewed literal, so an insertion can't silently reshuffle

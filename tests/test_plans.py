@@ -377,3 +377,26 @@ def test_pmi_builds_from_materialized_tokens(spark, sf_dir):
     raw-text split inside the gram branch."""
     plan = _formatted_plan(spark, sf_dir, "pmi_collocations")
     assert "InMemoryTableScan" in plan
+
+
+def test_hard_negative_mining_partial_topk_broadcast_queries(spark, sf_dir):
+    """The label-mismatch join is non-equi, so the correct plan is a
+    BroadcastNestedLoopJoin with the BOUNDED query set as the build
+    side (corpus scans the |Q|-row broadcast — never the reverse), and
+    the rn <= k filter must compile to WindowGroupLimit so only ~k
+    quads per query per partition cross the exchange."""
+    plan = _formatted_plan(spark, sf_dir, "hard_negative_mining")
+    assert "WindowGroupLimit" in plan, "partial top-k pushdown missing"
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan, "query set must broadcast, not shuffle"
+
+
+def test_small_qty_revenue_broadcasts_brand_parts(spark, sf_dir):
+    """Q17 shape: the brand filter must reach the part scan, and both
+    lineitem joins must broadcast the pruned part/per-part-average
+    sides — lineitem is scanned (twice) but never shuffled."""
+    plan = _formatted_plan(spark, sf_dir, "small_qty_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, "lineitem must not shuffle"
+    pushed = " ".join(re.findall(r"PushedFilters: \[([^\]]*)\]", plan))
+    assert "p_brand" in pushed, "brand filter must reach the part scan"
