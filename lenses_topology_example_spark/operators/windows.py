@@ -990,6 +990,14 @@ def q_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ts").cast("double") - F.lag(F.col("ts")).over(w).cast("double")
         ).alias("gap_s"),
     ).filter(F.col("gap_s").isNotNull())
+    return gap_report(gaps)
+
+
+def gap_report(gaps: DataFrame) -> DataFrame:
+    """The (event_type, gap_s) -> per-type stats aggregate, shared by
+    the batch operator above and the streaming twin
+    (streaming/pipelines.streaming_interarrival_gaps) so their parity
+    is the gap emission, never a reimplemented aggregation."""
     return (
         gaps.groupBy("event_type")
         .agg(

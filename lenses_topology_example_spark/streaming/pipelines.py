@@ -1094,6 +1094,75 @@ def start_dq_stream(
     )
 
 
+# --- streaming inter-arrival gaps (per-user state) ---------------------------------
+
+
+def streaming_interarrival_gaps(events: DataFrame) -> DataFrame:
+    """Per-user inter-arrival gap emission with keyed state — the
+    streaming face of operators/windows.q_interarrival_stats. State is
+    ONE row per user (the last-seen event's epoch-microseconds), so the
+    store is |active users|-bounded however long the stream runs; each
+    micro-batch emits the (event_type, gap_s) rows its arrivals
+    complete, and the shared windows.gap_report aggregate turns the gap
+    log into the per-type stats frame.
+
+    Determinism contract: within a batch, a user's rows are processed
+    in (ts, event_id) order — the batch operator's total order — and
+    the gap is computed as ts_us/1e6 - prev_us/1e6 (each timestamp
+    divided FIRST, then subtracted), the exact IEEE sequence the batch
+    lag-window's double-cast subtraction performs, so the parity test
+    can require bitwise-equal aggregates. Event-time parity across
+    batches requires arrivals in per-user time order (true for replayed
+    logs; a late event would produce an arrival-order gap — the
+    documented semantic difference, same as any last-value state
+    operator without event-time buffering)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        last_us = state.get[0] if state.exists else None
+        types: list = []
+        gaps: list = []
+        pdf = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        for ts_ns, etype in zip(
+            pdf["ts"].astype("int64"), pdf["event_type"]
+        ):
+            us = int(ts_ns) // 1000
+            if last_us is not None:
+                gaps.append(us / 1e6 - last_us / 1e6)
+                types.append(etype)
+            last_us = us
+        state.update((last_us,))
+        yield pd.DataFrame({"event_type": types, "gap_s": gaps})
+
+    return events.select(
+        "user_id", "ts", "event_id", "event_type"
+    ).groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="event_type string, gap_s double",
+        stateStructType="last_us long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def start_interarrival_stream(
+    events: DataFrame, out_path: str, checkpoint: str
+) -> StreamingQuery:
+    """Append the per-batch gap log to parquet; downstream consumers
+    run windows.gap_report over the log (or any time-slice of it) —
+    the aggregation is shared with the batch operator, so streaming
+    parity is proven at the gap-emission layer."""
+    return (
+        streaming_interarrival_gaps(events)
+        .writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+    )
+
+
 # --- streaming semantic-dedup ingestion (foreachBatch vs static bucketed base) -----
 
 

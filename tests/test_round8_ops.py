@@ -132,3 +132,61 @@ def test_sales_opportunity_members_are_dormant(spark, sf_dir):
         for r in _CATALOG["sales_opportunity"][0](spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_streaming_interarrival_matches_batch(spark, sf_dir, tmp_path):
+    """Replay the events table in two time-ordered micro-batches: the
+    streaming gap log aggregated through the SHARED windows.gap_report
+    must equal the batch operator's stats frame EXACTLY (bitwise: the
+    stateful emitter performs the same divide-then-subtract IEEE
+    sequence as the batch lag window)."""
+    import os
+    import time
+
+    from lenses_topology_example_spark.operators.windows import gap_report
+    from lenses_topology_example_spark.streaming.pipelines import (
+        start_interarrival_stream,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    # split purely on ts: all rows with an identical ts land in the same
+    # file, so cross-batch arrival order == (ts, event_id) event order
+    med_ts = events.agg(
+        F.expr("percentile(CAST(ts AS DOUBLE), 0.5)")
+    ).collect()[0][0]
+    src = tmp_path / "ia_src"
+    events.filter(F.col("ts").cast("double") <= med_ts).write.parquet(
+        f"{src}/f0"
+    )
+    events.filter(F.col("ts").cast("double") > med_ts).write.parquet(
+        f"{src}/f1"
+    )
+    now = time.time()
+    for sub, off in (("f0", 0), ("f1", 60)):
+        d = f"{src}/{sub}"
+        for fn in os.listdir(d):
+            os.utime(f"{d}/{fn}", (now + off, now + off))
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/f*")
+    )
+    out = tmp_path / "ia_gaps"
+    q = start_interarrival_stream(
+        stream, str(out), str(tmp_path / "ia_ckpt")
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        r.event_type: (r.n_gaps, r.mean_gap_s, r.min_gap_s, r.max_gap_s)
+        for r in gap_report(spark.read.parquet(str(out))).collect()
+    }
+    want = {
+        r.event_type: (r.n_gaps, r.mean_gap_s, r.min_gap_s, r.max_gap_s)
+        for r in _CATALOG["interarrival_stats"][0](spark, sf_dir).collect()
+    }
+    assert got == want

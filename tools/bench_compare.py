@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Adjudicate a bench run against the recorded anchors.
+
+Usage:
+    python tools/bench_compare.py [bench_full_latest.json]
+
+Reads the full per-query map bench.py persists (default:
+./bench_full_latest.json next to the repo root) and compares every
+query against bench_anchors.json minimums. Prints one line per flagged
+query (ratio > BAR x anchor) and a summary line; exit code 1 when
+anything is flagged.
+
+A FLAG is a TRIAGE item, not a verdict: the host has multi-minute
+noise phases during which individual in-suite readings run 3-9x their
+quiet minimums with unchanged plans (measured and adjudicated in
+BASELINE.md round 8 — kmeans_refine read 5.6 s in-suite, 1.3 s
+isolated). The adjudication protocol is: rerun every flagged query
+with `python tools/iso_bench.py <name> ...` (fresh JVM, warmup, n=3)
+and only an ISOLATED reading above the bar is a regression. Known
+first-execution entries (the dedup fixpoint/segment family) carry
+their own documented bands in BASELINE.md and a wider ceiling here.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+BAR = 3.0
+# First-execution entries: in-suite they pay a one-time cache/fixpoint
+# build (BASELINE.md bands); adjudicate at the documented band ceiling
+# instead of 2x the steady-state anchor.
+FIRST_EXECUTION_CEILING = {
+    "dedup_lines_near": 12.0,
+    "dedup_lines_near_capped": 30.0,
+    "dedup_keeper_quality": 10.0,
+    "dedup_savings": 8.0,  # rides whichever consumer builds the memo
+}
+
+def main() -> int:
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    bench_path = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
+        root, "bench_full_latest.json"
+    )
+    bench = json.load(open(bench_path))
+    anchors = json.load(open(os.path.join(root, "bench_anchors.json")))[
+        "anchors"
+    ]
+    flagged, unanchored = [], []
+    for name, sec in sorted(bench["queries"].items()):
+        a = anchors.get(name)
+        if a is None:
+            unanchored.append(name)
+            continue
+        ceiling = FIRST_EXECUTION_CEILING.get(name, BAR * a)
+        if sec > ceiling:
+            flagged.append((name, sec, a, sec / a))
+    for name, sec, a, ratio in sorted(flagged, key=lambda t: -t[3]):
+        print(f"FLAG {name}: {sec:.2f}s vs anchor {a:.2f}s ({ratio:.1f}x)")
+    for name in unanchored:
+        print(f"NO-ANCHOR {name} (add to bench_anchors.json next quiet run)")
+    n = len(bench["queries"])
+    print(
+        f"bench_compare: {n} queries, {len(flagged)} flagged, "
+        f"{len(unanchored)} unanchored, suite {bench['value']}s "
+        f"(sf {bench.get('sf')})"
+    )
+    return 1 if flagged else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
