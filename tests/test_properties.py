@@ -252,3 +252,112 @@ def test_scd2_resolve_invariants(spark, entries):
             )
         )
         assert abs(vers[-1].acctbal - want_final) < 1e-9
+
+
+@_SETTINGS
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),      # user_id
+            st.integers(min_value=0, max_value=10_000), # epoch seconds
+            st.sampled_from(["a", "b", "c"]),           # event_type
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_interarrival_gaps_agree_with_python(spark, events):
+    """q_interarrival_stats vs a pure-Python replica on arbitrary
+    per-user streams: same (ts, event_id) total order, same
+    later-event-type attribution, same decimal-round-tripped mean."""
+    import datetime as dt
+    from collections import defaultdict
+    from decimal import Decimal
+
+    import lenses_topology_example_spark.operators.windows as wmod
+
+    rows = [
+        (i, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=sec), uid, et)
+        for i, (uid, sec, et) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    orig = wmod.load_table
+    wmod.load_table = lambda _s, _d, _t: df
+    try:
+        got = {
+            r.event_type: (r.n_gaps, r.mean_gap_s, r.min_gap_s, r.max_gap_s)
+            for r in wmod.q_interarrival_stats(spark, "unused").collect()
+        }
+    finally:
+        wmod.load_table = orig
+
+    per_user = defaultdict(list)
+    for i, (uid, sec, et) in enumerate(events):
+        per_user[uid].append((sec, i, et))
+    gaps = defaultdict(list)
+    for seq in per_user.values():
+        seq.sort()
+        for (s0, _, _), (s1, _, et1) in zip(seq, seq[1:]):
+            gaps[et1].append(float(s1 - s0))
+    want = {}
+    for et, gs in gaps.items():
+        mean = float(
+            Decimal(
+                float(sum(Decimal(f"{g:.6f}") for g in gs)) / len(gs)
+            ).quantize(Decimal("0.000001"))
+        )
+        want[et] = (len(gs), mean, min(gs), max(gs))
+    assert got == want
+
+
+@_SETTINGS
+@given(
+    st.lists(st.integers(min_value=0, max_value=4), min_size=6, max_size=12),
+)
+def test_hard_negatives_property_random_labels(spark, sf_dir, labels):
+    """On random labelings of the real embedding vectors: the mined set
+    for each query must be exactly the brute-force top-k among
+    different-label vectors (numpy replica), for every query id."""
+    import numpy as np
+
+    import lenses_topology_example_spark.operators.similarity as smod
+    from lenses_topology_example_spark.operators.similarity import (
+        N_QUERIES,
+        TOP_K,
+    )
+    from lenses_topology_example_spark.tables import load_table
+
+    base = load_table(spark, sf_dir, "embeddings").limit(len(labels)).collect()
+    rows = [
+        (r.vec_id, r.embedding, labels[i]) for i, r in enumerate(base)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    orig = smod.load_table
+    smod.load_table = lambda _s, _d, _t: df
+    try:
+        out = smod.q_hard_negative_mining(spark, "unused").collect()
+    finally:
+        smod.load_table = orig
+
+    vecs = {r[0]: np.asarray(r[1], dtype=np.float64) for r in rows}
+    labs = {r[0]: r[2] for r in rows}
+    for qid in range(min(N_QUERIES, len(rows))):
+        scored = sorted(
+            (
+                -float(
+                    vecs[qid]
+                    @ v
+                    / (np.linalg.norm(vecs[qid]) * np.linalg.norm(v))
+                ),
+                vid,
+            )
+            for vid, v in vecs.items()
+            if labs[vid] != labs[qid]
+        )
+        want = {vid for _, vid in scored[:TOP_K]}
+        got = {r.neighbor_id for r in out if r.query_id == qid}
+        assert got == want, (qid, got, want)
