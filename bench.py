@@ -233,10 +233,11 @@ HEADLINE = (
 
 
 # Two-tier protocol (round-8, BASELINE.md "bench tiers"): the full
-# 103-query headline takes ~110-125 s quiet; `--headline-core` runs the
-# long-lived comparable set (every entry present since round 7's early
-# waves — flagship pipeline through pmi_collocations) for fast iteration.
-# The round's final BENCH always runs the full tier.
+# headline (len(HEADLINE) queries) takes ~115-130 s quiet;
+# `--headline-core` runs the long-lived comparable set (every entry
+# present since round 7's early waves — flagship pipeline through
+# pmi_collocations) for fast iteration. The round's final BENCH always
+# runs the full tier.
 _CORE_END = "pmi_collocations"
 HEADLINE_CORE = HEADLINE[: HEADLINE.index(_CORE_END) + 1]
 
@@ -276,17 +277,24 @@ def main() -> None:
     # tail-capture buffer, so the tail started mid-line (r7 verdict
     # ask #2). The LAST line below is bounded (top-10 slowest only) and
     # always fits.
+    tier = "core" if core else "full"
     full = {
         "metric": "suite_seconds_full_map",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "n_queries": len(names),
+        "tier": tier,
         "sf": sf,
     }
     print(json.dumps(full))
     try:
+        # core runs persist to their OWN file: a --headline-core
+        # iteration must never clobber the committed full-suite
+        # adjudication artifact bench_full_latest.json
         out = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "bench_full_latest.json"
+            os.path.dirname(os.path.abspath(__file__)),
+            f"bench_{tier}_latest.json",
         )
         with open(out, "w") as f:
             json.dump(full, f, indent=1, sort_keys=True)
@@ -304,8 +312,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": {k: round(v, 2) for k, v in top10.items()},
                 "n_queries": len(names),
-                "tier": "core" if core else "full",
-                "full_map": "bench_full_latest.json",
+                "tier": tier,
+                "full_map": f"bench_{tier}_latest.json",
                 "sf": sf,
             }
         )

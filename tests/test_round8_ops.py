@@ -155,12 +155,16 @@ def test_streaming_interarrival_matches_batch(spark, sf_dir, tmp_path):
         F.expr("percentile(CAST(ts AS DOUBLE), 0.5)")
     ).collect()[0][0]
     src = tmp_path / "ia_src"
-    events.filter(F.col("ts").cast("double") <= med_ts).write.parquet(
-        f"{src}/f0"
-    )
-    events.filter(F.col("ts").cast("double") > med_ts).write.parquet(
-        f"{src}/f1"
-    )
+    # coalesce(1): exactly ONE part file per half — same-mtime sibling
+    # part files would drain as separate micro-batches in unspecified
+    # order and break the cross-batch (ts, event_id) ordering the
+    # bitwise parity claim needs
+    events.filter(F.col("ts").cast("double") <= med_ts).coalesce(
+        1
+    ).write.parquet(f"{src}/f0")
+    events.filter(F.col("ts").cast("double") > med_ts).coalesce(
+        1
+    ).write.parquet(f"{src}/f1")
     now = time.time()
     for sub, off in (("f0", 0), ("f1", 60)):
         d = f"{src}/{sub}"

@@ -30,7 +30,7 @@ import sys
 BAR = 3.0
 # First-execution entries: in-suite they pay a one-time cache/fixpoint
 # build (BASELINE.md bands); adjudicate at the documented band ceiling
-# instead of 2x the steady-state anchor.
+# instead of BAR x the steady-state anchor.
 FIRST_EXECUTION_CEILING = {
     "dedup_lines_near": 12.0,
     "dedup_lines_near_capped": 30.0,
@@ -44,9 +44,21 @@ def main() -> int:
         root, "bench_full_latest.json"
     )
     bench = json.load(open(bench_path))
-    anchors = json.load(open(os.path.join(root, "bench_anchors.json")))[
-        "anchors"
-    ]
+    if bench.get("tier", "full") != "full":
+        print(
+            f"WARNING: {os.path.basename(bench_path)} is a "
+            f"'{bench['tier']}'-tier run ({bench.get('n_queries')} "
+            "queries) — full-suite adjudication needs a plain "
+            "`python bench.py` run"
+        )
+    book = json.load(open(os.path.join(root, "bench_anchors.json")))
+    if bench.get("sf") != book.get("sf"):
+        print(
+            f"WARNING: bench sf={bench.get('sf')} but anchors were "
+            f"recorded at sf={book.get('sf')} — ratios are not "
+            "comparable across scale factors"
+        )
+    anchors = book["anchors"]
     flagged, unanchored = [], []
     for name, sec in sorted(bench["queries"].items()):
         a = anchors.get(name)

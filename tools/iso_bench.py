@@ -26,7 +26,11 @@ from lenses_topology_example_spark.session import get_spark  # noqa: E402
 def main() -> None:
     args = sys.argv[1:]
     runs = 3
-    sf_dir = "/root/testdata/sf0.1"
+    # same default + env override as bench.py, so an adjudication rerun
+    # times the SAME dataset as the flagged in-suite reading
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
     names = []
     i = 0
     while i < len(args):
@@ -36,13 +40,15 @@ def main() -> None:
             sf_dir = args[i + 1]; i += 2
         else:
             names.append(args[i]); i += 1
-    warm_dir = "/root/testdata/sf0.001"
+    warm_dir = sf_dir.replace("sf0.1", "sf0.001")
+    warm = warm_dir != sf_dir and os.path.isdir(warm_dir)
     spark = get_spark("iso-bench", driver_memory="40g")
     qs = catalog.queries()
     for name in names:
-        qs[name](spark, warm_dir).write.format("noop").mode(
-            "overwrite"
-        ).save()
+        if warm:
+            qs[name](spark, warm_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
         best = None
         for r in range(runs):
             t0 = time.perf_counter()
