@@ -229,6 +229,9 @@ HEADLINE = (
     "small_qty_revenue",
     "sales_opportunity",
     "interarrival_stats",
+    # round-8: REAL stdlib container codecs (BMP writer/parser pair +
+    # wave-written WAV parsed by an independent RIFF chunk walker)
+    "asset_codec_meta",
 )
 
 

@@ -538,6 +538,10 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
         windows.q_interarrival_stats,
         windows.SQL_INTERARRIVAL_STATS,
     ),
+    "asset_codec_meta": (
+        multimodal.q_asset_codec_meta,
+        multimodal.SQL_ASSET_CODEC_META,
+    ),
 }
 
 # The driver evaluates only the first DRIVER_WINDOW_SIZE catalog entries
@@ -566,11 +570,11 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
 #     pytest oracle parity at sf0.001 (tests/test_oracle_parity.py).
 #   The 2 remaining slots went to the round-8 additions
 #   hard_negative_mining and small_qty_revenue (r7 verdict ask #3: new
-#   operators register at the window head, not past it). The other 2
-#   round-8 additions (sales_opportunity, interarrival_stats) are
-#   past-window — they are the round-9 rotation's FIRST in-candidates,
-#   alongside rotating salted_join_events back in for its second
-#   consecutive green.
+#   operators register at the window head, not past it). The other 3
+#   round-8 additions (sales_opportunity, interarrival_stats,
+#   asset_codec_meta) are past-window — they are the round-9 rotation's
+#   FIRST in-candidates, alongside rotating salted_join_events back in
+#   for its second consecutive green.
 DRIVER_WINDOW_SIZE = 50
 DRIVER_WINDOW: tuple[str, ...] = (
     "boilerplate_lines",

@@ -424,3 +424,98 @@ SQL_ASSET_DEDUP = """
     GROUP BY origin
     ORDER BY origin
 """
+
+
+# --- real stdlib codecs (round 8): BMP + RIFF/WAV header decode --------------------
+
+ASSET_CODEC_SCHEMA = (
+    "doc_id long, fmt string, width long, height long, n_frames long, "
+    "sample_rate long, n_bytes long"
+)
+
+
+def q_asset_codec_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL container-format decoding, no PIL/ffmpeg: each document
+    becomes an actual on-disk asset (even doc_id -> a valid 24-bit BMP,
+    odd -> a mono 16-bit PCM WAV written by the stdlib wave module),
+    and the metadata row is produced by PARSING those bytes back with
+    the struct-level codecs in functions/codecs.py — the header-decode
+    pass (dimensions / frame counts / sample rates / true byte sizes) a
+    curation pipeline runs over a binary asset column before any pixel
+    work.
+
+    This is a round trip through two independent implementations for
+    WAV (stdlib wave writes, our RIFF chunk walker reads) and through a
+    spec-exact writer/parser pair for BMP, so a header-layout bug on
+    either side breaks oracle parity: the DuckDB twin recomputes the
+    intended dimensions AND the exact container byte sizes (BMP 4-byte
+    row padding included) from doc_id/n_chars arithmetic alone.
+
+    Scale shape: one scan, mapInPandas Arrow batches (codec init
+    amortized per batch, bytes never touch the JVM heap), zero
+    shuffles; output is one row per asset. Full raster decode of
+    compressed formats stays env-gated (decode_image above)."""
+    from ..functions.codecs import make_bmp, make_wav, parse_bmp, parse_wav
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", F.encode(F.col("text"), "utf-8").alias("seed")
+    )
+
+    def decode_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                c: []
+                for c in (
+                    "doc_id",
+                    "fmt",
+                    "width",
+                    "height",
+                    "n_frames",
+                    "sample_rate",
+                    "n_bytes",
+                )
+            }
+            for doc_id, n_chars, seed in zip(
+                pdf["doc_id"], pdf["n_chars"], pdf["seed"]
+            ):
+                seed_b = bytes(seed)
+                if doc_id % 2 == 0:
+                    payload = make_bmp(
+                        1 + int(doc_id) % 16, 1 + int(n_chars) % 16, seed_b
+                    )
+                    w, h, bpp = parse_bmp(payload)
+                    if bpp != 24:
+                        raise ValueError(f"doc {doc_id}: bpp {bpp}")
+                    row = (doc_id, "bmp", w, h, 1, 0, len(payload))
+                else:
+                    payload = make_wav(1 + int(n_chars) % 100, 8000, seed_b)
+                    ch, sw, rate, frames = parse_wav(payload)
+                    if (ch, sw) != (1, 2):
+                        raise ValueError(f"doc {doc_id}: layout {ch},{sw}")
+                    row = (doc_id, "wav", 0, 0, frames, rate, len(payload))
+                for c, v in zip(out, row):
+                    out[c].append(v)
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(decode_batches, schema=ASSET_CODEC_SCHEMA)
+
+
+SQL_ASSET_CODEC_META = """
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'wav' END AS fmt,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 1 + doc_id % 16
+                ELSE 0 END AS BIGINT) AS width,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 1 + n_chars % 16
+                ELSE 0 END AS BIGINT) AS height,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 1
+                ELSE 1 + n_chars % 100 END AS BIGINT) AS n_frames,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 0
+                ELSE 8000 END AS BIGINT) AS sample_rate,
+           CAST(CASE WHEN doc_id % 2 = 0
+                THEN 54 + ((24 * (1 + doc_id % 16) + 31) // 32) * 4
+                          * (1 + n_chars % 16)
+                ELSE 44 + 2 * (1 + n_chars % 100) END AS BIGINT) AS n_bytes
+    FROM documents
+"""
