@@ -51,7 +51,14 @@ def q_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
 
     n1 = F.count(F.lit(1))
-    cnt = lambda cond: F.sum(F.when(cond, 1).otherwise(0))
+    # coalesce: SUM over an EMPTY table is NULL — a NULL violation count
+    # makes `passed` NULL (neither pass nor fail, invisible to
+    # passed=false alerting); an empty table audits as 0 violations /
+    # passed=true (same contract as the streaming events_dq_batch,
+    # r7 ADVICE; generalized after the round-8 empty-input sweep)
+    cnt = lambda cond: F.coalesce(
+        F.sum(F.when(cond, 1).otherwise(0)), F.lit(0)
+    )
 
     li_checks = li.agg(
         cnt(F.col("l_discount") < 0).alias("v1"),
@@ -74,8 +81,11 @@ def q_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.groupBy("o_orderkey")
         .agg(F.count(F.lit(1)).alias("c"))
         .agg(
-            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("v"),
-            F.sum("c").alias("n"),
+            F.coalesce(
+                F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)),
+                F.lit(0),
+            ).alias("v"),
+            F.coalesce(F.sum("c"), F.lit(0)).alias("n"),
         )
     )
     orphan_li = (
@@ -92,8 +102,13 @@ def q_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     temporal = (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .agg(
-            F.sum(
-                F.when(F.col("l_shipdate") < F.col("o_orderdate"), 1).otherwise(0)
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("l_shipdate") < F.col("o_orderdate"), 1
+                    ).otherwise(0)
+                ),
+                F.lit(0),
             ).alias("v"),
             F.count(F.lit(1)).alias("n"),
         )
@@ -138,25 +153,26 @@ def q_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_CONSTRAINT_AUDIT = """
     WITH li AS (
-        SELECT SUM(CASE WHEN l_discount < 0 THEN 1 ELSE 0 END) AS v1,
-               SUM(CASE WHEN l_discount > 1 THEN 1 ELSE 0 END) AS v2,
-               SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS v3,
-               SUM(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END) AS v4,
+        SELECT COALESCE(SUM(CASE WHEN l_discount < 0 THEN 1 ELSE 0 END), 0) AS v1,
+               COALESCE(SUM(CASE WHEN l_discount > 1 THEN 1 ELSE 0 END), 0) AS v2,
+               COALESCE(SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END), 0) AS v3,
+               COALESCE(SUM(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END), 0) AS v4,
                COUNT(*) AS n
         FROM lineitem
     ), o AS (
-        SELECT SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P')
-                        THEN 1 ELSE 0 END) AS v1,
-               SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS v2,
-               SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS v3,
+        SELECT COALESCE(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+                        THEN 1 ELSE 0 END), 0) AS v1,
+               COALESCE(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END), 0) AS v2,
+               COALESCE(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END), 0) AS v3,
                COUNT(*) AS n
         FROM orders
     ), c AS (
-        SELECT SUM(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS v1,
+        SELECT COALESCE(SUM(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END), 0) AS v1,
                COUNT(*) AS n
         FROM customer
     ), dup AS (
-        SELECT SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS v, SUM(c) AS n
+        SELECT COALESCE(SUM(CASE WHEN c > 1 THEN c ELSE 0 END), 0) AS v,
+               COALESCE(SUM(c), 0) AS n
         FROM (SELECT o_orderkey, COUNT(*) AS c FROM orders GROUP BY o_orderkey)
     ), orph_li AS (
         -- NOT EXISTS, not NOT IN: a NULL in the referenced key column
@@ -173,7 +189,8 @@ SQL_CONSTRAINT_AUDIT = """
                                   WHERE c_custkey = o_custkey)) AS v,
                (SELECT COUNT(*) FROM orders) AS n
     ), temporal AS (
-        SELECT SUM(CASE WHEN l_shipdate < o_orderdate THEN 1 ELSE 0 END) AS v,
+        SELECT COALESCE(SUM(CASE WHEN l_shipdate < o_orderdate
+                            THEN 1 ELSE 0 END), 0) AS v,
                COUNT(*) AS n
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     )
@@ -414,23 +431,29 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     classes = cust.groupBy("c_nationkey", "c_mktsegment").agg(
         F.count(F.lit(1)).alias("sz")
     )
+    # empty-input contract (round-8 sweep): MIN/SUM over zero classes
+    # are NULL — coalesce to 0 so the report stays typed and the
+    # is_k_anonymous flag is a real boolean (k_min=0 < k reads as NOT
+    # anonymous: conservative for an empty export); the risk fraction
+    # is try_divide (0 rows -> NULL, matching the oracle's NaN/NULL)
     return classes.agg(
-        F.min("sz").alias("k_min"),
+        F.coalesce(F.min("sz"), F.lit(0)).alias("k_min"),
         F.count(F.lit(1)).alias("n_classes"),
-        F.sum("sz").alias("n_rows"),
-        F.sum(F.when(F.col("sz") < K_ANON, 1).otherwise(0)).alias(
-            "classes_at_risk"
-        ),
-        F.sum(F.when(F.col("sz") < K_ANON, F.col("sz")).otherwise(0)).alias(
-            "rows_at_risk"
-        ),
+        F.coalesce(F.sum("sz"), F.lit(0)).alias("n_rows"),
+        F.coalesce(
+            F.sum(F.when(F.col("sz") < K_ANON, 1).otherwise(0)), F.lit(0)
+        ).alias("classes_at_risk"),
+        F.coalesce(
+            F.sum(F.when(F.col("sz") < K_ANON, F.col("sz")).otherwise(0)),
+            F.lit(0),
+        ).alias("rows_at_risk"),
     ).select(
         "k_min",
         "n_classes",
         "n_rows",
         "classes_at_risk",
         "rows_at_risk",
-        (F.col("rows_at_risk") / F.col("n_rows"))
+        F.try_divide(F.col("rows_at_risk"), F.col("n_rows"))
         .cast("decimal(38,6)")
         .cast("double")
         .alias("risk_fraction"),
@@ -443,16 +466,18 @@ SQL_K_ANONYMITY = f"""
         SELECT c_nationkey, c_mktsegment, COUNT(*) AS sz
         FROM customer GROUP BY c_nationkey, c_mktsegment
     )
-    SELECT MIN(sz) AS k_min,
+    SELECT COALESCE(MIN(sz), 0) AS k_min,
            COUNT(*) AS n_classes,
-           CAST(SUM(sz) AS BIGINT) AS n_rows,
-           CAST(SUM(CASE WHEN sz < {K_ANON} THEN 1 ELSE 0 END) AS BIGINT)
-               AS classes_at_risk,
-           CAST(SUM(CASE WHEN sz < {K_ANON} THEN sz ELSE 0 END) AS BIGINT)
-               AS rows_at_risk,
-           CAST(CAST(SUM(CASE WHEN sz < {K_ANON} THEN sz ELSE 0 END)
-                     / SUM(sz) AS DECIMAL(38,6)) AS DOUBLE) AS risk_fraction,
-           MIN(sz) >= {K_ANON} AS is_k_anonymous
+           CAST(COALESCE(SUM(sz), 0) AS BIGINT) AS n_rows,
+           CAST(COALESCE(SUM(CASE WHEN sz < {K_ANON} THEN 1 ELSE 0 END), 0)
+               AS BIGINT) AS classes_at_risk,
+           CAST(COALESCE(SUM(CASE WHEN sz < {K_ANON} THEN sz ELSE 0 END), 0)
+               AS BIGINT) AS rows_at_risk,
+           CAST(CAST(CAST(COALESCE(SUM(CASE WHEN sz < {K_ANON}
+                                        THEN sz ELSE 0 END), 0) AS DOUBLE)
+                     / CAST(COALESCE(SUM(sz), 0) AS DOUBLE)
+                AS DECIMAL(38,6)) AS DOUBLE) AS risk_fraction,
+           COALESCE(MIN(sz), 0) >= {K_ANON} AS is_k_anonymous
     FROM classes
 """
 
@@ -519,7 +544,12 @@ def q_erasure_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(name).alias("table_name"),
                 F.col("n").alias("rows_to_delete"),
                 F.col("t").alias("rows_total"),
-                (F.col("n").cast("double") / F.col("t").cast("double"))
+                # try_divide: an EMPTY table (t=0) must yield a NULL
+                # fraction, not an ANSI DIVIDE_BY_ZERO crash mid-plan
+                # (found by the round-8 empty-input sweep)
+                F.try_divide(
+                    F.col("n").cast("double"), F.col("t").cast("double")
+                )
                 .cast("decimal(38,6)")
                 .cast("double")
                 .alias("delete_fraction"),

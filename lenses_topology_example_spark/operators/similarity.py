@@ -757,11 +757,16 @@ def q_embed_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.v"), F.col("b.v"), F.col("a.norm"), F.col("b.norm")
         ).alias("cos_sim"),
     )
+    # coalesce each conditional sum to 0: on an EMPTY corpus (or an
+    # empty bucket-pair frame) SUM is NULL, and the sweep must report
+    # 0 pairs/docs/removals like the oracle's COUNT subqueries do
+    # (round-8 empty-input sweep)
+    czero = lambda c: F.coalesce(c, F.lit(0))
     pair_aggs = pairs.agg(
         *[
-            F.sum(F.when(F.col("cos_sim") >= F.lit(t), 1).otherwise(0)).alias(
-                f"p{i}"
-            )
+            czero(
+                F.sum(F.when(F.col("cos_sim") >= F.lit(t), 1).otherwise(0))
+            ).alias(f"p{i}")
             for i, t in enumerate(SWEEP_THRESHOLDS)
         ]
     )
@@ -772,9 +777,9 @@ def q_embed_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("cos_sim").alias("mc"))
         .agg(
             *[
-                F.sum(F.when(F.col("mc") >= F.lit(t), 1).otherwise(0)).alias(
-                    f"d{i}"
-                )
+                czero(
+                    F.sum(F.when(F.col("mc") >= F.lit(t), 1).otherwise(0))
+                ).alias(f"d{i}")
                 for i, t in enumerate(SWEEP_THRESHOLDS)
             ]
         )
@@ -785,9 +790,9 @@ def q_embed_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("cos_sim").alias("mcl"))
         .agg(
             *[
-                F.sum(F.when(F.col("mcl") >= F.lit(t), 1).otherwise(0)).alias(
-                    f"r{i}"
-                )
+                czero(
+                    F.sum(F.when(F.col("mcl") >= F.lit(t), 1).otherwise(0))
+                ).alias(f"r{i}")
                 for i, t in enumerate(SWEEP_THRESHOLDS)
             ]
         )
@@ -815,7 +820,10 @@ def q_embed_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_pairs",
             "n_docs_matched",
             "n_removable",
-            (F.col("n_removable").cast("double") / F.col("n_vecs").cast("double"))
+            F.try_divide(
+                F.col("n_removable").cast("double"),
+                F.col("n_vecs").cast("double"),
+            )
             .cast("decimal(38,6)")
             .cast("double")
             .alias("removal_fraction"),
