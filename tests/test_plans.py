@@ -68,6 +68,7 @@ def test_no_python_udfs_in_oracle_tier(spark, sf_dir):
         "image_features",
         "audio_features",
         "image_resize",
+        "asset_codec_meta",  # real BMP/WAV codecs ride mapInPandas by design
         "udaf_median",
         "grouped_map_norm",
     }
