@@ -1,0 +1,121 @@
+#!/usr/bin/env python
+"""Faithful replica of the external driver's correctness gate, as a
+committed tool (the recipe in .claude/skills/verify/SKILL.md, runnable
+directly).
+
+Usage:
+    python tools/driver_sim.py                 # every oracle entry
+    python tools/driver_sim.py --window        # DRIVER_WINDOW only
+    python tools/driver_sim.py name1 name2 ... # specific entries
+
+Builds a VANILLA SparkSession (no session.py tuning — semantics-
+critical confs must come from the contract itself, or the real driver
+will crash where this passes), loads __spark_entry__.py the way the
+driver does, runs entry(), and compares each query against its DuckDB
+oracle at sf0.01 with the dtype-strict canon. Exit 1 on any mismatch."""
+
+from __future__ import annotations
+
+import importlib.util
+import math
+import os
+import sys
+import time
+from decimal import Decimal
+
+import duckdb
+import numpy as np
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF = os.environ.get("SPARK_GRAFT_DRIVER_SF_DIR", "/root/testdata/sf0.01")
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def canon(v):
+    """Dtype-strict canonical value — keep in sync with
+    tests/oracle.py::_canon (int64 1 vs float64 1.0 must MISMATCH,
+    like the driver's hash)."""
+    if v is None:
+        return None
+    if isinstance(v, (bool, np.bool_)):
+        return ("b", bool(v))
+    if isinstance(v, Decimal):
+        return ("f", float(v))
+    if isinstance(v, float):
+        return ("f", "NaN") if math.isnan(v) else ("f", v)
+    if isinstance(v, int):
+        return ("i", int(v))
+    if isinstance(v, np.generic):
+        return canon(v.item())
+    if hasattr(v, "isoformat"):
+        return ("t", v.isoformat())
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return ("a", tuple(canon(x) for x in v))
+    return v
+
+
+def rows(pdf):
+    return sorted(
+        tuple(canon(v) for v in r)
+        for r in pdf[sorted(pdf.columns)].itertuples(index=False)
+    )
+
+
+def main() -> int:
+    from pyspark.sql import SparkSession
+
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    window_only = "--window" in sys.argv[1:]
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("driver-sim")
+        .getOrCreate()
+    )
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", os.path.join(ROOT, "__spark_entry__.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    print("entry rows:", len(mod.entry(spark).collect()), flush=True)
+
+    qs, osql = mod.queries(), mod.oracle_sql()
+    if window_only:
+        sys.path.insert(0, ROOT)
+        from lenses_topology_example_spark.catalog import DRIVER_WINDOW
+
+        names = list(DRIVER_WINDOW)
+    elif args:
+        names = args
+    else:
+        names = sorted(qs)
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+
+    bad = []
+    t0 = time.time()
+    for name in names:
+        if name not in osql:
+            print(f"{name} rows-only: {qs[name](spark, SF).count()}", flush=True)
+            continue
+        try:
+            got = rows(qs[name](spark, SF).toPandas())
+            want = rows(con.sql(osql[name]).df())
+            ok = got == want
+            if not ok:
+                bad.append(name)
+            print(name, "MATCH" if ok else "MISMATCH", flush=True)
+        except Exception as e:  # noqa: BLE001 — report, don't die
+            bad.append(name)
+            print(f"{name} ERROR {type(e).__name__}: {str(e)[:150]}", flush=True)
+    print(f"DONE {len(names)} entries in {time.time()-t0:.0f}s, BAD: {bad}")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
