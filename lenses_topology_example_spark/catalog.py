@@ -575,6 +575,26 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
 #   asset_codec_meta) are past-window — they are the round-9 rotation's
 #   FIRST in-candidates, alongside rotating salted_join_events back in
 #   for its second consecutive green.
+#
+# ROUND-9 ROTATION PLAN (write the new DRIVER_WINDOW from this once
+# CORRECTNESS_r08 lands; assuming the r8 window goes green, every
+# member leaves with >=1 verdict):
+#   IN (4, priority order): sales_opportunity, interarrival_stats,
+#     asset_codec_meta (the three sub-one-round-old r8 additions),
+#     salted_join_events (second consecutive green after the r6 red).
+#   IN (re-checks, fill remaining slots oldest-verdict-first): the
+#     reference-parity flagships whose last green is r7 or older —
+#     payments_pipeline, gen_payments, wordcount, region_revenue,
+#     agg_revenue — then the dedup tier by last-verdict age
+#     (dedup_exact, dedup_minhash, dedup_near_capped, dedup_lines,
+#     sim_topk, tumbling_count, session_count, asof_rate, scan_events,
+#     json_decode, count_by_currency, topk_spenders, ...), keeping any
+#     r8 RED in-window until it closes green.
+#   OUT: the freshly-green r8 block (each leaves with its first
+#     verdict; the sf0.001 oracle-parity suite still covers them on
+#     every pytest run).
+#   New round-9 operators take window-head slots ahead of re-checks,
+#   same as this round.
 DRIVER_WINDOW_SIZE = 50
 DRIVER_WINDOW: tuple[str, ...] = (
     "boilerplate_lines",
