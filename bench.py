@@ -230,8 +230,10 @@ HEADLINE = (
     "sales_opportunity",
     "interarrival_stats",
     # round-8: REAL stdlib container codecs (BMP writer/parser pair +
-    # wave-written WAV parsed by an independent RIFF chunk walker)
+    # wave-written WAV parsed by an independent RIFF chunk walker) and
+    # the temperature-sampling mixture plan (|sources|-row frame)
     "asset_codec_meta",
+    "temperature_mix",
 )
 
 

@@ -542,6 +542,7 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
         multimodal.q_asset_codec_meta,
         multimodal.SQL_ASSET_CODEC_META,
     ),
+    "temperature_mix": (text.q_temperature_mix, text.SQL_TEMPERATURE_MIX),
 }
 
 # The driver evaluates only the first DRIVER_WINDOW_SIZE catalog entries
@@ -579,9 +580,10 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
 # ROUND-9 ROTATION PLAN (write the new DRIVER_WINDOW from this once
 # CORRECTNESS_r08 lands; assuming the r8 window goes green, every
 # member leaves with >=1 verdict):
-#   IN (4, priority order): sales_opportunity, interarrival_stats,
-#     asset_codec_meta (the three sub-one-round-old r8 additions),
-#     salted_join_events (second consecutive green after the r6 red).
+#   IN (5, priority order): sales_opportunity, interarrival_stats,
+#     asset_codec_meta, temperature_mix (the sub-one-round-old r8
+#     additions), salted_join_events (second consecutive green after
+#     the r6 red).
 #   IN (re-checks, fill remaining slots oldest-verdict-first): the
 #     reference-parity flagships whose last green is r7 or older —
 #     payments_pipeline, gen_payments, wordcount, region_revenue,

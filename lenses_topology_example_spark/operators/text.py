@@ -2923,3 +2923,115 @@ SQL_SOURCE_VOCAB_OVERLAP = f"""
     JOIN sizes sb ON source_b = sb.source
     ORDER BY source_a, source_b
 """
+
+
+# Temperature-mix constants: tau is the standard multilingual-LLM
+# sampling temperature (mT5/XLM-R alpha ~ 0.7 softens the head without
+# starving the tail); the budget reuses token_budget_plan's 3/5 split.
+MIX_TAU = 0.7
+MIX_BUDGET_NUM, MIX_BUDGET_DEN = BUDGET_NUM, BUDGET_DEN
+
+
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixing (the mT5/XLM-R alpha-sampling
+    recipe): sampling share_i = x_i^tau / SUM x_j^tau with tau=0.7 —
+    the OTHER standard mixture-planning answer next to
+    q_token_budget_plan's water-filling (temperature compresses the
+    head-to-tail ratio smoothly; water-filling clips it at a hard cap).
+    Reports, per source: raw tokens, raw share, temperature share, the
+    token allocation under the same 3/5 budget, and the epoch boost
+    (allocation / raw tokens — >1 means the source repeats).
+
+    Determinism: x_i are exact int64 token sums; each pow(x, tau)
+    double is DECIMAL(38,6)-round-tripped BEFORE the denominator sum,
+    so the sum is decimal-exact in any order; every ratio then does one
+    IEEE division in the same operand order on both engines followed
+    by the standard round-trip. The frame is |sources| rows end to end
+    (one scan + one aggregate; the window-free shape)."""
+    per_src = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "source", F.size(tokens_col(F.col("text"))).cast("long").alias("nt")
+        )
+        .groupBy("source")
+        .agg(F.sum("nt").alias("x"))
+    )
+    powed = per_src.select(
+        "source",
+        "x",
+        F.pow(F.col("x").cast("double"), F.lit(MIX_TAU))
+        .cast("decimal(38,6)")
+        .alias("w_dec"),
+    )
+    totals = powed.agg(
+        F.sum("w_dec").alias("wsum_dec"),
+        F.sum("x").alias("total"),
+    ).select(
+        F.col("wsum_dec").cast("double").alias("wsum"),
+        "total",
+        F.expr(
+            f"(total * {MIX_BUDGET_NUM}) div {MIX_BUDGET_DEN}"
+        ).alias("budget"),
+    )
+    rt = lambda c: c.cast("decimal(38,6)").cast("double")
+    return (
+        powed.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            F.col("x").alias("n_tokens"),
+            rt(
+                F.col("x").cast("double") / F.col("total").cast("double")
+            ).alias("raw_share"),
+            rt(F.col("w_dec").cast("double") / F.col("wsum")).alias(
+                "temp_share"
+            ),
+            F.floor(
+                F.col("w_dec").cast("double")
+                / F.col("wsum")
+                * F.col("budget").cast("double")
+            )
+            .cast("long")
+            .alias("alloc_tokens"),
+            rt(
+                (
+                    F.col("w_dec").cast("double")
+                    / F.col("wsum")
+                    * F.col("budget").cast("double")
+                )
+                / F.col("x").cast("double")
+            ).alias("epoch_boost"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_TEMPERATURE_MIX = f"""
+    WITH per_src AS (
+        SELECT source, CAST(SUM(len({SQL_TOKS})) AS BIGINT) AS x
+        FROM documents GROUP BY source
+    ), powed AS (
+        SELECT source, x,
+               CAST(POWER(CAST(x AS DOUBLE), {MIX_TAU}) AS DECIMAL(38,6))
+                   AS w_dec
+        FROM per_src
+    ), totals AS (
+        SELECT CAST(SUM(w_dec) AS DOUBLE) AS wsum,
+               CAST(SUM(x) AS BIGINT) AS total,
+               CAST((SUM(x) * {MIX_BUDGET_NUM}) // {MIX_BUDGET_DEN}
+                    AS BIGINT) AS budget
+        FROM powed
+    )
+    SELECT source,
+           x AS n_tokens,
+           CAST(CAST(CAST(x AS DOUBLE) / CAST(total AS DOUBLE)
+                AS DECIMAL(38,6)) AS DOUBLE) AS raw_share,
+           CAST(CAST(CAST(w_dec AS DOUBLE) / wsum
+                AS DECIMAL(38,6)) AS DOUBLE) AS temp_share,
+           CAST(FLOOR(CAST(w_dec AS DOUBLE) / wsum
+                      * CAST(budget AS DOUBLE)) AS BIGINT) AS alloc_tokens,
+           CAST(CAST((CAST(w_dec AS DOUBLE) / wsum
+                      * CAST(budget AS DOUBLE)) / CAST(x AS DOUBLE)
+                AS DECIMAL(38,6)) AS DOUBLE) AS epoch_boost
+    FROM powed CROSS JOIN totals
+    ORDER BY source
+"""

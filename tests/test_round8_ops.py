@@ -4,6 +4,8 @@ catch."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from lenses_topology_example_spark.catalog import _CATALOG
@@ -194,3 +196,25 @@ def test_streaming_interarrival_matches_batch(spark, sf_dir, tmp_path):
         for r in _CATALOG["interarrival_stats"][0](spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_temperature_mix_compresses_head_to_tail(spark, sf_dir):
+    """tau=0.7 must boost tail sources and damp the head: every
+    below-average source's temp_share exceeds its raw_share, every
+    above-average source's is below, share ordering is preserved, and
+    the temperature shares sum to ~1 with allocations within budget."""
+    rows = _CATALOG["temperature_mix"][0](spark, sf_dir).collect()
+    assert len(rows) >= 2
+    total = sum(r.n_tokens for r in rows)
+    budget = total * 3 // 5
+    assert sum(r.temp_share for r in rows) == pytest.approx(1.0, abs=1e-4)
+    assert sum(r.alloc_tokens for r in rows) <= budget
+    mean = total / len(rows)
+    for r in rows:
+        if r.n_tokens < mean:
+            assert r.temp_share > r.raw_share, r
+        elif r.n_tokens > mean * 1.05:
+            assert r.temp_share < r.raw_share, r
+    by_raw = sorted(rows, key=lambda r: r.n_tokens)
+    shares = [r.temp_share for r in by_raw]
+    assert shares == sorted(shares), "temperature must preserve ordering"
