@@ -1320,7 +1320,17 @@ def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = tokens_col(F.col("text"))
     n = F.size("t").cast("long")
-    lnn = F.log(n).cast("decimal(38,6)").cast("double")
+    # Per-doc entropy in EXACT integer picounits: hd_pico =
+    # lnn_micro*1e6 - (sd_micro*1e6 div n). The previous form rounded
+    # the double (lnn - sd/n) to DECIMAL(38,6) per doc — but sd/n with a
+    # 2^a*5^b token count terminates EXACTLY on a .xxxxxx5 boundary, and
+    # Spark (rounds the binary value) vs DuckDB (rounds the decimal
+    # rendering) disagree on boundary-adjacent doubles. Found by the
+    # round-8 sf0.1 sweep: 13 docs, e.g. raw 2.8152044999999997 ->
+    # 2.815204 (Spark) vs 2.815205 (DuckDB). Integer div has no boundary
+    # at all. Bound: sd_micro*1e6 fits int64 for docs up to ~6e5 tokens
+    # (n*ln n <= 9.2e6); widen to DECIMAL(38,0) beyond that.
+    lnn_micro = (F.log(n).cast("decimal(38,6)") * 1_000_000).cast("long")
     per_doc = docs.select(
         "source",
         quality_components(F.col("text"))["quality"].alias("q"),
@@ -1331,18 +1341,25 @@ def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("q").cast("decimal(38,6)").alias("qd"),
         "lang_ok",
         n.alias("n_tokens"),
+        F.when(n > 0, lnn_micro).alias("lnn_micro"),
         F.when(
-            n > 0,
-            (lnn - entropy_sum_col("t").cast("double") / n).cast("decimal(38,6)"),
-        ).alias("hd"),
+            n > 0, (entropy_sum_col("t") * 1_000_000).cast("long")
+        ).alias("sd_micro"),
         F.when(n > 0, dup_frac_col("t")).cast("decimal(38,6)").alias("dupd"),
+    ).withColumn(
+        "hd_pico",
+        F.expr("lnn_micro * 1000000L - (sd_micro * 1000000L) div n_tokens"),
     )
     c = F.count(F.lit(1))
     return per_doc.groupBy("source").agg(
         c.alias("n_docs"),
         F.sum("n_tokens").alias("n_tokens"),
         (F.sum("qd").cast("double") / F.count("qd")).alias("avg_quality"),
-        (F.sum("hd").cast("double") / F.count("hd")).alias("avg_entropy"),
+        (
+            F.sum(F.col("hd_pico").cast("decimal(38,0)")).cast("double")
+            / F.count("hd_pico").cast("double")
+            / F.lit(1e12)
+        ).alias("avg_entropy"),
         (F.sum("dupd").cast("double") / F.count("dupd")).alias("avg_dup_frac"),
         (F.sum(F.col("lang_ok").cast("long")).cast("double") / c).alias(
             "lang_agree_share"
@@ -1380,9 +1397,10 @@ SQL_CORPUS_REPORT = f"""
                 END = t.lang) AS lang_ok,
                CAST(len(t.t) AS BIGINT) AS n_tokens,
                CASE WHEN ent.n > 0 THEN
-                 CAST(CAST(CAST(ln(ent.n) AS DECIMAL(38,6)) AS DOUBLE)
-                      - CAST(ent.sd AS DOUBLE) / ent.n AS DECIMAL(38,6))
-               END AS hd,
+                 CAST(CAST(ln(ent.n) AS DECIMAL(38,6)) * 1000000 AS BIGINT)
+                     * 1000000
+                   - (CAST(ent.sd * 1000000 AS BIGINT) * 1000000) // ent.n
+               END AS hd_pico,
                CASE WHEN len(t.t) > 0 THEN
                  CAST(1.0 - (len(list_distinct(t.t)) / len(t.t)) AS DECIMAL(38,6))
                END AS dupd
@@ -1392,7 +1410,8 @@ SQL_CORPUS_REPORT = f"""
            COUNT(*) AS n_docs,
            CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
            CAST(SUM(qd) AS DOUBLE) / COUNT(qd) AS avg_quality,
-           CAST(SUM(hd) AS DOUBLE) / COUNT(hd) AS avg_entropy,
+           CAST(SUM(hd_pico) AS DOUBLE) / CAST(COUNT(hd_pico) AS DOUBLE)
+               / 1000000000000.0 AS avg_entropy,
            CAST(SUM(dupd) AS DOUBLE) / COUNT(dupd) AS avg_dup_frac,
            CAST(SUM(CASE WHEN lang_ok THEN 1 ELSE 0 END) AS BIGINT)
                / (COUNT(*) * 1.0) AS lang_agree_share

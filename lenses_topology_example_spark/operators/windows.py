@@ -887,12 +887,25 @@ def q_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
         F.datediff(F.col("l_shipdate"), F.lit("1990-01-01").cast("date")).alias(
             "start_d"
         ),
     )
     iv = li.withColumn("end_d", F.col("start_d") + F.lit(SHIP_WINDOW_DAYS))
-    w = W.partitionBy("l_suppkey").orderBy("start_d", "end_d")
+    # (l_orderkey, l_linenumber) tiebreak makes the order TOTAL: same-day
+    # shipments are full ties on (start_d, end_d), and an engine that
+    # sorts the flag window and the numbering window in separate passes
+    # (DuckDB's two CTEs) may permute a tie group differently per pass,
+    # splitting it across islands — found by the round-8 sf0.1 sweep
+    # (suppliers 62/555: identical island counts, days_covered inflated
+    # by the split). Spark computes all three windows over ONE sort, so
+    # it never diverged from the python replica — the tiebreak pins both
+    # engines to the same total order.
+    w = W.partitionBy("l_suppkey").orderBy(
+        "start_d", "end_d", "l_orderkey", "l_linenumber"
+    )
     iv = iv.withColumn(
         "prev_max_end",
         F.max("end_d").over(w.rowsBetween(W.unboundedPreceding, -1)),
@@ -926,7 +939,7 @@ def q_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_INTERVAL_MERGE = f"""
     WITH iv AS (
-        SELECT l_suppkey,
+        SELECT l_suppkey, l_orderkey, l_linenumber,
                datediff('day', DATE '1990-01-01', l_shipdate) AS start_d,
                datediff('day', DATE '1990-01-01', l_shipdate)
                  + {SHIP_WINDOW_DAYS} AS end_d
@@ -934,18 +947,18 @@ SQL_INTERVAL_MERGE = f"""
     ), flagged AS (
         SELECT *,
                CASE WHEN MAX(end_d) OVER (PARTITION BY l_suppkey
-                        ORDER BY start_d, end_d
+                        ORDER BY start_d, end_d, l_orderkey, l_linenumber
                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
                         IS NULL
                       OR start_d > MAX(end_d) OVER (PARTITION BY l_suppkey
-                        ORDER BY start_d, end_d
+                        ORDER BY start_d, end_d, l_orderkey, l_linenumber
                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
                     THEN 1 ELSE 0 END AS new_island
         FROM iv
     ), numbered AS (
         SELECT *,
                SUM(new_island) OVER (PARTITION BY l_suppkey
-                   ORDER BY start_d, end_d
+                   ORDER BY start_d, end_d, l_orderkey, l_linenumber
                    ROWS UNBOUNDED PRECEDING) AS island
         FROM flagged
     ), islands AS (
