@@ -96,15 +96,21 @@ def q_session_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_SESSION_COUNT = """
     WITH flagged AS (
-        SELECT user_id, ts,
+        SELECT user_id, ts, event_id,
                -- Spark sessions are [start, last+gap): a gap of exactly
                -- 30min starts a NEW session, hence strict '<'.
-               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+               -- event_id tiebreak: same flag-then-cumsum two-pass shape
+               -- that diverged in interval_merge at sf0.1 when the
+               -- window order wasn't total — no (user_id, ts) ties exist
+               -- in current testdata, but the order must be total by
+               -- rule, not by luck.
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id)
                          < INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS is_new
         FROM events
     ), numbered AS (
         SELECT user_id, ts,
-               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                  ROWS UNBOUNDED PRECEDING) AS sess_id
         FROM flagged
     )
