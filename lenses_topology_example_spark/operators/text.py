@@ -1330,6 +1330,12 @@ def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 2.815204 (Spark) vs 2.815205 (DuckDB). Integer div has no boundary
     # at all. Bound: sd_micro*1e6 fits int64 for docs up to ~6e5 tokens
     # (n*ln n <= 9.2e6); widen to DECIMAL(38,0) beyond that.
+    # Latent same-class hazard: qd/dupd below are also rounded ratios
+    # with terminating k/n structure — a divergence needs the TRUE value
+    # to be an exact 7-decimal tie that is not binary-representable
+    # (engines agree on binary-exact ties, tested round 8), which needs
+    # token counts with large 2^a*5^b denominators; none exist in any
+    # current SF. The per-round sf0.1 sweep (verify skill) is the canary.
     lnn_micro = (F.log(n).cast("decimal(38,6)") * 1_000_000).cast("long")
     per_doc = docs.select(
         "source",
