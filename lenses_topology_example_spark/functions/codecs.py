@@ -28,6 +28,7 @@ from __future__ import annotations
 import io
 import struct
 import wave
+import zlib
 
 BMP_HEADER_SIZE = 14 + 40  # BITMAPFILEHEADER + BITMAPINFOHEADER
 
@@ -122,8 +123,17 @@ def parse_wav(payload: bytes) -> tuple[int, int, int, int]:
     data_len = None
     while pos + 8 <= len(payload):
         cid, clen = struct.unpack("<4sI", payload[pos : pos + 8])
+        if pos + 8 + clen > len(payload):
+            raise ValueError(
+                f"malformed RIFF: chunk {cid!r} length {clen} runs past "
+                f"payload end"
+            )
         body = payload[pos + 8 : pos + 8 + clen]
         if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError(
+                    f"malformed fmt chunk: {len(body)} bytes, need >= 16"
+                )
             audio_fmt, n_ch, rate = struct.unpack("<HHI", body[:8])
             bits = struct.unpack("<H", body[14:16])[0]
             if audio_fmt != 1:
@@ -136,3 +146,176 @@ def parse_wav(payload: bytes) -> tuple[int, int, int, int]:
         raise ValueError("missing fmt or data chunk")
     n_ch, sampwidth, rate = fmt
     return n_ch, sampwidth, rate, data_len // (n_ch * sampwidth)
+
+
+# --- PNG (round 9): a COMPRESSED container, still pure stdlib ---------------
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# DEFLATE stored-block payload cap (the format's 16-bit LEN field).
+_STORED_MAX = 65535
+
+
+def _deflate_stored(data: bytes) -> bytes:
+    """A real zlib stream holding `data` in stored (BTYPE=00) DEFLATE
+    blocks — hand-rolled, so the emitted size is EXACTLY
+    2 + 5*ceil(len/65535) + len + 4 (zlib.compress(level=0) pads its
+    blocks to internal buffer boundaries, which makes the container
+    size unpredictable; an oracle must be able to recompute it).
+    zlib.decompress() accepts the stream, so the PNG round trip below
+    pairs this writer with an independent C inflate implementation."""
+    out = [b"\x78\x01"]  # CMF/FLG: deflate, 32K window, check bits ok
+    chunks = [
+        data[i : i + _STORED_MAX] for i in range(0, len(data), _STORED_MAX)
+    ] or [b""]
+    for i, ch in enumerate(chunks):
+        final = 1 if i == len(chunks) - 1 else 0
+        out.append(
+            bytes([final])
+            + struct.pack("<HH", len(ch), 0xFFFF ^ len(ch))
+            + ch
+        )
+    out.append(struct.pack(">I", zlib.adler32(data)))
+    return b"".join(out)
+
+
+def png_stream_size(n_raw_filtered: int) -> int:
+    """Exact byte size of the zlib stream _deflate_stored emits."""
+    blocks = max(1, -(-n_raw_filtered // _STORED_MAX))
+    return 2 + 5 * blocks + n_raw_filtered + 4
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body))
+    )
+
+
+def make_png(width: int, height: int, fill: int) -> bytes:
+    """A valid truecolor 8-bit PNG (color type 2), every pixel byte =
+    `fill`. Scanline filters CYCLE row index % 3 -> None/Sub/Up, so a
+    parser that ignores filtering cannot reproduce the pixels: with a
+    constant fill the Sub rows serialize as (fill,fill,fill,0,0,...)
+    and the Up rows as all zeros — only a correct unfilter pass
+    recovers the flat image. IDAT is one hand-rolled stored-block zlib
+    stream (see _deflate_stored) so the total container size is
+    arithmetic in (width, height)."""
+    if width <= 0 or height <= 0:
+        raise ValueError("PNG dimensions must be positive")
+    if not 0 <= fill <= 255:
+        raise ValueError("fill must be a byte value")
+    stride = 3 * width
+    row = bytes([fill]) * stride
+    lines = []
+    prev = b"\x00" * stride
+    for y in range(height):
+        f = y % 3
+        if f == 0:  # None
+            lines.append(b"\x00" + row)
+        elif f == 1:  # Sub: raw[x] - raw[x-3]
+            lines.append(
+                b"\x01"
+                + row[:3]
+                + bytes((row[x] - row[x - 3]) & 0xFF for x in range(3, stride))
+            )
+        else:  # Up: raw[x] - prior_row[x]
+            lines.append(
+                b"\x02"
+                + bytes((row[x] - prev[x]) & 0xFF for x in range(stride))
+            )
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", _deflate_stored(b"".join(lines)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def parse_png(payload: bytes) -> tuple[int, int, int, int, bytes]:
+    """(width, height, bit_depth, color_type, raw_pixels) — a COMPLETE
+    truecolor-8 PNG decode in stdlib: chunk walk with CRC verification
+    on every chunk, IDAT concatenation, zlib inflate, and full scanline
+    unfiltering (all five filter types 0-4). Raises ValueError on any
+    malformed structure — bad signature, bad CRC, truncated chunk,
+    missing IHDR/IDAT/IEND, or a decompressed length that disagrees
+    with the IHDR geometry."""
+    if len(payload) < 8 or payload[:8] != PNG_SIG:
+        raise ValueError("not a PNG: bad signature")
+    pos = 8
+    ihdr = None
+    idat = bytearray()
+    saw_iend = False
+    while pos < len(payload):
+        if pos + 8 > len(payload):
+            raise ValueError("truncated PNG: partial chunk header")
+        clen, ctype = struct.unpack(">I4s", payload[pos : pos + 8])
+        end = pos + 8 + clen + 4
+        if end > len(payload):
+            raise ValueError(
+                f"malformed PNG: chunk {ctype!r} length {clen} runs past "
+                f"payload end"
+            )
+        body = payload[pos + 8 : pos + 8 + clen]
+        crc = struct.unpack(">I", payload[pos + 8 + clen : end])[0]
+        if crc != zlib.crc32(ctype + body):
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat.extend(body)
+        elif ctype == b"IEND":
+            saw_iend = True
+        pos = end
+    if ihdr is None or not idat or not saw_iend:
+        raise ValueError("PNG missing IHDR, IDAT, or IEND")
+    width, height, depth, ctype_v, comp, filt, interlace = ihdr
+    if (depth, ctype_v, comp, filt, interlace) != (8, 2, 0, 0, 0):
+        raise ValueError(
+            f"unsupported PNG layout: depth={depth} color={ctype_v} "
+            f"interlace={interlace}"
+        )
+    data = zlib.decompress(bytes(idat))
+    stride = 3 * width
+    if len(data) != height * (1 + stride):
+        raise ValueError(
+            f"PNG pixel data {len(data)} bytes, IHDR implies "
+            f"{height * (1 + stride)}"
+        )
+    out = bytearray()
+    prev = bytes(stride)
+    for y in range(height):
+        at = y * (1 + stride)
+        ft = data[at]
+        line = bytearray(data[at + 1 : at + 1 + stride])
+        if ft == 1:  # Sub
+            for x in range(3, stride):
+                line[x] = (line[x] + line[x - 3]) & 0xFF
+        elif ft == 2:  # Up
+            for x in range(stride):
+                line[x] = (line[x] + prev[x]) & 0xFF
+        elif ft == 3:  # Average
+            for x in range(stride):
+                a = line[x - 3] if x >= 3 else 0
+                line[x] = (line[x] + (a + prev[x]) // 2) & 0xFF
+        elif ft == 4:  # Paeth
+            for x in range(stride):
+                a = line[x - 3] if x >= 3 else 0
+                c = prev[x - 3] if x >= 3 else 0
+                line[x] = (line[x] + _paeth(a, prev[x], c)) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"PNG row {y}: unknown filter type {ft}")
+        out.extend(line)
+        prev = bytes(line)
+    return width, height, depth, ctype_v, bytes(out)

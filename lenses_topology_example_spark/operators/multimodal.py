@@ -519,3 +519,96 @@ SQL_ASSET_CODEC_META = """
                 ELSE 44 + 2 * (1 + n_chars % 100) END AS BIGINT) AS n_bytes
     FROM documents
 """
+
+
+# --- round 9: PNG — the compressed-container tier, still pure stdlib ---------
+
+ASSET_PNG_SCHEMA = (
+    "doc_id long, fmt string, width long, height long, bit_depth long, "
+    "color_type long, n_raw long, pixel_sum long, n_bytes long"
+)
+
+
+def q_asset_png_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL raster decode of a COMPRESSED image format with no
+    PIL/ffmpeg: each document becomes a valid truecolor-8 PNG
+    (width 1+doc_id%16, height 1+n_chars%16, every pixel byte
+    doc_id%251, scanline filters cycling None/Sub/Up), and the output
+    row is produced by completely DECODING those bytes back — chunk
+    walk with per-chunk CRC verification, zlib inflate (the C inflate
+    is independent of our hand-rolled stored-block deflate writer, so
+    the compression layer round-trips across two implementations), and
+    full PNG unfiltering. pixel_sum is summed from the DECODED raster,
+    so a bug anywhere in the filter/compress/CRC pipeline breaks
+    oracle parity: the DuckDB twin recomputes dimensions, raster sum,
+    AND the exact container byte size from doc_id/n_chars arithmetic
+    alone (the stored-block zlib framing makes the compressed size
+    arithmetic: 68 + height * (1 + 3*width) for these dims).
+
+    Scale shape: one scan, mapInPandas Arrow batches, zero shuffles,
+    one row per asset; with this the codec tier covers an
+    uncompressed container (BMP), a chunked audio container (WAV), and
+    a compressed image container (PNG) — only lossy formats (JPEG,
+    video) remain env-gated on PIL/ffmpeg in decode_image above."""
+    from ..functions.codecs import make_png, parse_png
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    def decode_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                c: []
+                for c in (
+                    "doc_id",
+                    "fmt",
+                    "width",
+                    "height",
+                    "bit_depth",
+                    "color_type",
+                    "n_raw",
+                    "pixel_sum",
+                    "n_bytes",
+                )
+            }
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                payload = make_png(
+                    1 + int(doc_id) % 16,
+                    1 + int(n_chars) % 16,
+                    int(doc_id) % 251,
+                )
+                w, h, depth, ctype, raw = parse_png(payload)
+                row = (
+                    doc_id,
+                    "png",
+                    w,
+                    h,
+                    depth,
+                    ctype,
+                    len(raw),
+                    sum(raw),
+                    len(payload),
+                )
+                for c, v in zip(out, row):
+                    out[c].append(v)
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(decode_batches, schema=ASSET_PNG_SCHEMA)
+
+
+SQL_ASSET_PNG_META = """
+    SELECT doc_id,
+           'png' AS fmt,
+           CAST(1 + doc_id % 16 AS BIGINT) AS width,
+           CAST(1 + n_chars % 16 AS BIGINT) AS height,
+           CAST(8 AS BIGINT) AS bit_depth,
+           CAST(2 AS BIGINT) AS color_type,
+           CAST(3 * (1 + doc_id % 16) * (1 + n_chars % 16) AS BIGINT)
+               AS n_raw,
+           CAST((doc_id % 251) * 3 * (1 + doc_id % 16) * (1 + n_chars % 16)
+               AS BIGINT) AS pixel_sum,
+           CAST(68 + (1 + n_chars % 16) * (1 + 3 * (1 + doc_id % 16))
+               AS BIGINT) AS n_bytes
+    FROM documents
+"""

@@ -1124,9 +1124,12 @@ def streaming_interarrival_gaps(events: DataFrame) -> DataFrame:
         types: list = []
         gaps: list = []
         pdf = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
-        for ts_ns, etype in zip(
-            pdf["ts"].astype("int64"), pdf["event_type"]
-        ):
+        # Pin nanosecond resolution explicitly: a future pandas/Arrow
+        # default of datetime64[us] would otherwise make the int64 view
+        # microseconds and the // 1000 below silently shrink gaps 1000x
+        # (r8 ADVICE).
+        ts_i64 = pdf["ts"].astype("datetime64[ns]").astype("int64")
+        for ts_ns, etype in zip(ts_i64, pdf["event_type"]):
             us = int(ts_ns) // 1000
             if last_us is not None:
                 gaps.append(us / 1e6 - last_us / 1e6)

@@ -5,14 +5,10 @@ the driver runs at sf0.01."""
 
 from __future__ import annotations
 
-import math
-from decimal import Decimal
-
 import duckdb
-import numpy as np
-import pandas as pd
 
 from lenses_topology_example_spark.tables import TABLES
+from tools.canon import canon_rows as _rows  # the ONE dtype-strict canon
 
 
 def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
@@ -22,40 +18,6 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
     return con
-
-
-def _canon(v):
-    """Dtype-STRICT canonical value: carries a numeric-class tag so that
-    int64 `1` vs float64 `1.0` MISMATCH, exactly like the driver's hash
-    (round 2: DuckDB HUGEINT window-SUMs land in pandas as float64 and
-    the driver failed two queries the loose Python `==` canon passed).
-    Decimal is float-class: duckdb.df() renders DECIMAL as float64, so
-    that is the class the driver compares it in."""
-    if v is None:
-        return None
-    if isinstance(v, (bool, np.bool_)):
-        return ("b", bool(v))
-    if isinstance(v, Decimal):
-        return ("f", float(v))
-    if isinstance(v, float):
-        if math.isnan(v):
-            return ("f", "NaN")
-        return ("f", v)
-    if isinstance(v, int):
-        return ("i", int(v))
-    if isinstance(v, np.generic):
-        return _canon(v.item())
-    if hasattr(v, "isoformat"):  # datetime/date
-        return ("t", v.isoformat())
-    if isinstance(v, (list, tuple, np.ndarray)):
-        return ("a", tuple(_canon(x) for x in v))
-    return v
-
-
-def _rows(pdf: pd.DataFrame) -> list[tuple]:
-    cols = sorted(pdf.columns)
-    out = [tuple(_canon(v) for v in row) for row in pdf[cols].itertuples(index=False)]
-    return sorted(out, key=lambda r: tuple((str(type(x)), str(x)) for x in r))
 
 
 def compare(spark_df, sql: str, sf_dir: str) -> None:

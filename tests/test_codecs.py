@@ -98,3 +98,146 @@ def test_wav_rejects_malformed():
     payload = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
     with pytest.raises(ValueError, match="PCM"):
         parse_wav(payload)
+
+
+# --- round 9: parse_wav malformed-input bounds (r8 ADVICE) -------------------
+
+
+def test_wav_rejects_chunk_running_past_end():
+    good = make_wav(10, 8000, b"ab")
+    # inflate the data chunk's length field so it points past the payload
+    bad = bytearray(good)
+    pos = bad.find(b"data")
+    struct.pack_into("<I", bad, pos + 4, 10_000)
+    with pytest.raises(ValueError, match="runs past"):
+        parse_wav(bytes(bad))
+
+
+def test_wav_rejects_short_fmt_chunk():
+    # hand-build a RIFF/WAVE whose fmt chunk is 8 bytes (< the 16 a PCM
+    # fmt needs) — must raise the documented ValueError, not struct.error
+    fmt_body = struct.pack("<HHI", 1, 1, 8000)  # truncated: no rates/bits
+    fmt = b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
+    data = b"data" + struct.pack("<I", 4) + b"\x00" * 4
+    payload = b"RIFF" + struct.pack("<I", 4 + len(fmt) + len(data)) + b"WAVE" + fmt + data
+    with pytest.raises(ValueError, match="fmt chunk"):
+        parse_wav(payload)
+
+
+# --- round 9: PNG — compressed container, full stdlib decode -----------------
+
+import zlib
+
+from lenses_topology_example_spark.functions.codecs import (
+    PNG_SIG,
+    _deflate_stored,
+    make_png,
+    parse_png,
+    png_stream_size,
+)
+
+
+def test_png_golden_bytes_1x1():
+    """Hand-computed layout for a 1x1 fill=7 PNG: sig 8 + IHDR 25 +
+    IDAT 12+15 + IEND 12 = 72 bytes; the one scanline is filter-0 over
+    3 pixel bytes, so the stored zlib stream is 2+5+4+4=15 bytes."""
+    p = make_png(1, 1, 7)
+    assert len(p) == 72
+    assert p[:8] == PNG_SIG
+    # IHDR: 1x1, depth 8, color 2, no compression/filter/interlace
+    assert struct.unpack(">I4s", p[8:16]) == (13, b"IHDR")
+    assert struct.unpack(">IIBBBBB", p[16:29]) == (1, 1, 8, 2, 0, 0, 0)
+    w, h, depth, ctype, raw = parse_png(p)
+    assert (w, h, depth, ctype) == (1, 1, 8, 2)
+    assert raw == b"\x07\x07\x07"
+
+
+def test_png_independent_construction_decodes():
+    """A reference PNG assembled by explicit bytes (zlib.compress for
+    the IDAT — the OTHER deflate implementation) decodes identically:
+    2x2 RGB, both rows filter 0, distinct per-pixel bytes."""
+    pixels = bytes(range(12))  # 2 rows x 2 px x 3 bytes
+    scan = b"\x00" + pixels[:6] + b"\x00" + pixels[6:]
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+
+    def chunk(t, b):
+        return struct.pack(">I", len(b)) + t + b + struct.pack(
+            ">I", zlib.crc32(t + b)
+        )
+
+    p = (
+        PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(scan, 6))
+        + chunk(b"IEND", b"")
+    )
+    assert parse_png(p) == (2, 2, 8, 2, pixels)
+
+
+def test_png_filters_are_exercised_and_undone():
+    """make_png cycles filters None/Sub/Up; with a constant fill the
+    SERIALIZED scanlines differ per filter (Sub rows carry zeros after
+    the first pixel, Up rows are all zero), so only a correct unfilter
+    pass reconstructs the flat raster."""
+    p = make_png(4, 6, 200)
+    # pull the raw filtered bytes back out of the stored zlib stream
+    idat_at = p.find(b"IDAT") + 4
+    idat_len = struct.unpack(">I", p[idat_at - 8 : idat_at - 4])[0]
+    filtered = zlib.decompress(p[idat_at : idat_at + idat_len])
+    stride = 13  # 1 filter byte + 12 pixel bytes
+    rows = [filtered[i : i + stride] for i in range(0, len(filtered), stride)]
+    assert [r[0] for r in rows] == [0, 1, 2, 0, 1, 2]
+    assert rows[0] == b"\x00" + b"\xc8" * 12          # None: verbatim
+    assert rows[1] == b"\x01" + b"\xc8" * 3 + b"\x00" * 9  # Sub
+    assert rows[2] == b"\x02" + b"\x00" * 12          # Up
+    # and the decode undoes all three
+    assert parse_png(p)[4] == b"\xc8" * (3 * 4 * 6)
+
+
+def test_png_multiblock_stored_stream():
+    """>64 KiB of filtered data spans multiple stored DEFLATE blocks;
+    the size formula stays exact and zlib's C inflate (an independent
+    implementation) accepts our hand-rolled stream."""
+    p = make_png(300, 80, 42)          # filtered = 80*901 = 72 080 bytes
+    n = 80 * (1 + 3 * 300)
+    assert png_stream_size(n) == 2 + 5 * 2 + n + 4   # exactly 2 blocks
+    assert len(p) == 8 + 25 + 12 + png_stream_size(n) + 12
+    w, h, _, _, raw = parse_png(p)
+    assert (w, h) == (300, 80) and raw == b"\x2a" * (3 * 300 * 80)
+    data = bytes(range(256)) * 512     # also: raw stream round trip
+    assert zlib.decompress(_deflate_stored(data)) == data
+
+
+def test_png_rejects_malformed():
+    good = make_png(4, 4, 9)
+    with pytest.raises(ValueError, match="signature"):
+        parse_png(b"JFIF" + good[4:])
+    with pytest.raises(ValueError, match="truncated|runs past"):
+        parse_png(good[:30])
+    bad_crc = bytearray(good)
+    bad_crc[-5] ^= 0xFF                # IEND CRC byte
+    with pytest.raises(ValueError, match="CRC"):
+        parse_png(bytes(bad_crc))
+    with pytest.raises(ValueError, match="missing"):
+        parse_png(PNG_SIG)             # no chunks at all
+    # grayscale (color type 0) is a valid PNG but outside this decoder's
+    # declared truecolor-8 support — must refuse, not mis-decode
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0)
+
+    def chunk(t, b):
+        return struct.pack(">I", len(b)) + t + b + struct.pack(
+            ">I", zlib.crc32(t + b)
+        )
+
+    gray = (
+        PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"\x00\x55", 6))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="unsupported"):
+        parse_png(gray)
+    with pytest.raises(ValueError, match="dimensions"):
+        make_png(0, 5, 1)
+    with pytest.raises(ValueError, match="byte value"):
+        make_png(1, 1, 300)

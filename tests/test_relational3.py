@@ -80,3 +80,89 @@ def test_min_cost_supplier_partitioned_window(spark, sf_dir):
     assert re.search(r"partitionBy.*l_partkey|l_partkey.*windowspecdef", plan) or (
         "l_partkey" in plan
     )
+
+
+# --- round-9 wave: Q3/Q6/Q11/Q16/Q19/Q20/Q21 plan pins ----------------------
+
+
+def _final_plan(spark, sf_dir, name: str) -> str:
+    """Execute, then explain — AQE's exchange-reuse only shows in the
+    final adaptive plan."""
+    df = _CATALOG[name][0](spark, sf_dir)
+    df.collect()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_shipping_priority_topk_and_pushdown(spark, sf_dir):
+    plan = _formatted_plan(spark, sf_dir, "shipping_priority")
+    assert "TakeOrderedAndProject" in plan, "top-10 must not full-sort"
+    m = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any("o_orderdate" in f for f in m)
+    assert any("l_shipdate" in f for f in m)
+    assert any("c_mktsegment" in f for f in m)
+    assert "CartesianProduct" not in plan
+
+
+def test_forecast_revenue_zero_join_full_pushdown(spark, sf_dir):
+    plan = _formatted_plan(spark, sf_dir, "forecast_revenue")
+    assert "Join" not in plan and "Exchange hashpartitioning" not in plan
+    m = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any(
+        "l_shipdate" in f and "l_discount" in f and "l_quantity" in f
+        for f in m
+    ), "all three predicates must reach the scan"
+
+
+def test_important_parts_reuses_value_exchange(spark, sf_dir):
+    # the scalar-average branch must ride pv's shuffle, not rescan
+    plan = _final_plan(spark, sf_dir, "important_parts")
+    assert "ReusedExchange" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row scalar broadcast
+    assert "CartesianProduct" not in plan
+    # and no unpartitioned window over the part aggregate
+    assert "Window" not in plan
+
+
+def test_parts_supplier_rel_anti_join_and_pruning(spark, sf_dir):
+    plan = _formatted_plan(spark, sf_dir, "parts_supplier_rel")
+    assert "LeftAnti" in plan, "excluded suppliers must anti-join"
+    assert "BroadcastHashJoin" in plan
+    m = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any("p_size" in f and "p_brand" in f for f in m), (
+        "part filters must prune the part scan before the join"
+    )
+
+
+def test_discounted_revenue_channel_inside_join(spark, sf_dir):
+    plan = _formatted_plan(spark, sf_dir, "discounted_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("lineitem.parquet") == 1
+    m = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    # implied superset predicates prune BOTH scans
+    assert any("In(p_brand" in f for f in m)
+    assert any("l_quantity" in f for f in m), (
+        "the OR'd quantity bands must reach the lineitem scan"
+    )
+
+
+def test_promo_suppliers_reuses_volume_exchange(spark, sf_dir):
+    plan = _final_plan(spark, sf_dir, "promo_suppliers")
+    assert "ReusedExchange" in plan
+    m = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any("StringStartsWith(p_name,red)" in f for f in m)
+    assert any("l_shipdate" in f for f in m)
+    assert "CartesianProduct" not in plan
+
+
+def test_waiting_suppliers_no_self_join_blowup(spark, sf_dir):
+    # the EXISTS/NOT-EXISTS pair is decorrelated to keyed aggregates —
+    # lineitem must appear exactly once as a live scan (the second
+    # occurrence is subsumed by exchange reuse) and never self-join
+    plan = _final_plan(spark, sf_dir, "waiting_suppliers")
+    assert "ReusedExchange" in plan
+    m = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any("EqualTo(o_orderstatus,F)" in f for f in m)
+    assert "CartesianProduct" not in plan

@@ -1,0 +1,58 @@
+"""The ONE dtype-strict canonicalization used by both local replicas of
+the driver's correctness gate — tests/oracle.py (pytest, sf0.001) and
+tools/driver_sim.py (driver replica, sf0.01/0.1). Previously each
+carried its own copy kept in sync by comment discipline only (r8
+VERDICT ask #6); a drift between them would let pytest pass a value the
+driver hashes differently.
+
+Semantics (round 2): carries a numeric-class tag so that int64 `1` vs
+float64 `1.0` MISMATCH, exactly like the driver's hash — DuckDB HUGEINT
+window-SUMs land in pandas as float64 and the loose Python `==` canon
+passed two queries the driver failed. Decimal is float-class because
+duckdb.df() renders DECIMAL as float64, so that is the class the driver
+compares it in.
+"""
+
+from __future__ import annotations
+
+import math
+from decimal import Decimal
+
+import numpy as np
+
+
+def canon(v):
+    """Dtype-strict canonical value (see module docstring)."""
+    if v is None:
+        return None
+    if isinstance(v, (bool, np.bool_)):
+        return ("b", bool(v))
+    if isinstance(v, Decimal):
+        return ("f", float(v))
+    if isinstance(v, float):
+        return ("f", "NaN") if math.isnan(v) else ("f", v)
+    if isinstance(v, int):
+        return ("i", int(v))
+    if isinstance(v, np.generic):
+        return canon(v.item())
+    if hasattr(v, "isoformat"):  # datetime/date
+        return ("t", v.isoformat())
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return ("a", tuple(canon(x) for x in v))
+    return v
+
+
+def canon_rows(pdf) -> list[tuple]:
+    """Column-name-sorted, canonicalized, deterministically ordered rows
+    of a pandas frame. Both replicas compare sorted lists for equality,
+    so any total order shared by the two sides is equivalent to the
+    driver's order-insensitive multiset hash; the str-keyed sort below
+    is total even when a column mixes None with tuples."""
+    cols = sorted(pdf.columns)
+    out = [
+        tuple(canon(v) for v in row)
+        for row in pdf[cols].itertuples(index=False)
+    ]
+    return sorted(
+        out, key=lambda r: tuple((str(type(x)), str(x)) for x in r)
+    )

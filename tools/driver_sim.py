@@ -17,51 +17,21 @@ oracle at sf0.01 with the dtype-strict canon. Exit 1 on any mismatch."""
 from __future__ import annotations
 
 import importlib.util
-import math
 import os
 import sys
 import time
-from decimal import Decimal
 
 import duckdb
-import numpy as np
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+from tools.canon import canon_rows as rows  # the ONE dtype-strict canon
 SF = os.environ.get("SPARK_GRAFT_DRIVER_SF_DIR", "/root/testdata/sf0.01")
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
 ]
-
-
-def canon(v):
-    """Dtype-strict canonical value — keep in sync with
-    tests/oracle.py::_canon (int64 1 vs float64 1.0 must MISMATCH,
-    like the driver's hash)."""
-    if v is None:
-        return None
-    if isinstance(v, (bool, np.bool_)):
-        return ("b", bool(v))
-    if isinstance(v, Decimal):
-        return ("f", float(v))
-    if isinstance(v, float):
-        return ("f", "NaN") if math.isnan(v) else ("f", v)
-    if isinstance(v, int):
-        return ("i", int(v))
-    if isinstance(v, np.generic):
-        return canon(v.item())
-    if hasattr(v, "isoformat"):
-        return ("t", v.isoformat())
-    if isinstance(v, (list, tuple, np.ndarray)):
-        return ("a", tuple(canon(x) for x in v))
-    return v
-
-
-def rows(pdf):
-    return sorted(
-        tuple(canon(v) for v in r)
-        for r in pdf[sorted(pdf.columns)].itertuples(index=False)
-    )
 
 
 def main() -> int:
