@@ -234,6 +234,17 @@ HEADLINE = (
     # the temperature-sampling mixture plan (|sources|-row frame)
     "asset_codec_meta",
     "temperature_mix",
+    # round-9 wave: the remaining TPC-H archetypes (Q3/Q6/Q11/Q16/Q19/
+    # Q20/Q21) and the compressed-container codec tier (full PNG decode
+    # in pure stdlib — CRC walk + inflate + unfilter per document)
+    "shipping_priority",
+    "forecast_revenue",
+    "important_parts",
+    "parts_supplier_rel",
+    "discounted_revenue",
+    "promo_suppliers",
+    "waiting_suppliers",
+    "asset_png_meta",
 )
 
 

@@ -550,51 +550,55 @@ def q_asset_png_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     uncompressed container (BMP), a chunked audio container (WAV), and
     a compressed image container (PNG) — only lossy formats (JPEG,
     video) remain env-gated on PIL/ffmpeg in decode_image above."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return docs.mapInPandas(png_decode_batches, schema=ASSET_PNG_SCHEMA)
+
+
+def png_decode_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """The encode-then-fully-decode kernel behind q_asset_png_meta —
+    module-level so the streaming twin (streaming/pipelines.
+    streaming_asset_decode) runs the IDENTICAL mapInPandas plan and can
+    never drift from the batch operator."""
     from ..functions.codecs import make_png, parse_png
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
-
-    def decode_batches(
-        batches: Iterator[pd.DataFrame],
-    ) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out: dict[str, list] = {
-                c: []
-                for c in (
-                    "doc_id",
-                    "fmt",
-                    "width",
-                    "height",
-                    "bit_depth",
-                    "color_type",
-                    "n_raw",
-                    "pixel_sum",
-                    "n_bytes",
-                )
-            }
-            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
-                payload = make_png(
-                    1 + int(doc_id) % 16,
-                    1 + int(n_chars) % 16,
-                    int(doc_id) % 251,
-                )
-                w, h, depth, ctype, raw = parse_png(payload)
-                row = (
-                    doc_id,
-                    "png",
-                    w,
-                    h,
-                    depth,
-                    ctype,
-                    len(raw),
-                    sum(raw),
-                    len(payload),
-                )
-                for c, v in zip(out, row):
-                    out[c].append(v)
-            yield pd.DataFrame(out)
-
-    return docs.mapInPandas(decode_batches, schema=ASSET_PNG_SCHEMA)
+    for pdf in batches:
+        out: dict[str, list] = {
+            c: []
+            for c in (
+                "doc_id",
+                "fmt",
+                "width",
+                "height",
+                "bit_depth",
+                "color_type",
+                "n_raw",
+                "pixel_sum",
+                "n_bytes",
+            )
+        }
+        for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+            payload = make_png(
+                1 + int(doc_id) % 16,
+                1 + int(n_chars) % 16,
+                int(doc_id) % 251,
+            )
+            w, h, depth, ctype, raw = parse_png(payload)
+            row = (
+                doc_id,
+                "png",
+                w,
+                h,
+                depth,
+                ctype,
+                len(raw),
+                sum(raw),
+                len(payload),
+            )
+            for c, v in zip(out, row):
+                out[c].append(v)
+        yield pd.DataFrame(out)
 
 
 SQL_ASSET_PNG_META = """

@@ -1238,3 +1238,27 @@ def start_embed_ingest_stream(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+# --- streaming asset decode (stateless codec tier, round 9) ------------------------
+
+
+def streaming_asset_decode(docs: DataFrame) -> DataFrame:
+    """Streaming twin of operators/multimodal.q_asset_png_meta: per
+    arriving document, build the PNG asset and FULLY decode it back
+    (CRC-checked chunk walk, stdlib inflate, scanline unfilter) via the
+    SHARED png_decode_batches kernel — stream and batch run the
+    identical mapInPandas plan, so any drift is a bug.
+
+    Stateless Arrow-batched per-row work: no streaming state, no
+    watermark, append mode — the decode/validate pass a continuous
+    multimodal ingest runs inline before persisting asset metadata
+    (reject-on-malformed comes free: the codec raises on any corrupt
+    container, failing the batch instead of persisting bad rows).
+    Works on batch frames too; the parity test runs the plan both
+    ways."""
+    from ..operators.multimodal import ASSET_PNG_SCHEMA, png_decode_batches
+
+    return docs.select("doc_id", "n_chars").mapInPandas(
+        png_decode_batches, schema=ASSET_PNG_SCHEMA
+    )

@@ -56,6 +56,11 @@ _CASES = [
     ("lenses_topology_example_spark.operators.dedup", "q_source_pagerank"),
     ("lenses_topology_example_spark.operators.embed_stats", "q_kmeans_refine"),
     ("lenses_topology_example_spark.operators.windows", "q_interarrival_stats"),
+    # round 9: scalar-threshold shapes — a decimal-exact sum feeds a
+    # double-divide average whose 1.2x/1.25x comparison must admit the
+    # SAME boundary rows at any accumulation order
+    ("lenses_topology_example_spark.operators.relational3", "q_important_parts"),
+    ("lenses_topology_example_spark.operators.relational3", "q_shipping_priority"),
 ]
 
 

@@ -1251,3 +1251,57 @@ def test_streaming_embed_ingest_matches_batch(spark, sf_dir, tmp_path):
         r.vec_id: r.status for r in spark.read.parquet(str(out)).collect()
     }
     assert got == want
+
+
+def test_streaming_asset_decode_matches_batch(spark, tmp_path):
+    """Stateless streaming codec screen: the streamed PNG
+    encode-then-full-decode rows (dims, raster sum, container size)
+    must equal the identical mapInPandas plan run in batch — shared
+    png_decode_batches kernel, so any drift is a bug — and both must
+    agree with the pure-Python codec ground truth."""
+    from lenses_topology_example_spark.functions.codecs import png_stream_size
+    from lenses_topology_example_spark.streaming.pipelines import (
+        streaming_asset_decode,
+    )
+
+    rows = [(0, 3), (1, 17), (7, 40), (250, 251), (16, 16)]
+    docs = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    src = tmp_path / "asset_stream_src"
+    docs.write.parquet(str(src))
+
+    stream = spark.readStream.schema("doc_id long, n_chars long").parquet(
+        str(src)
+    )
+    q = (
+        streaming_asset_decode(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("asset_decode_stream_test")
+        .option("checkpointLocation", str(tmp_path / "asset_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    cols = (
+        "fmt", "width", "height", "bit_depth", "color_type",
+        "n_raw", "pixel_sum", "n_bytes",
+    )
+    streamed = {
+        r["doc_id"]: tuple(r[c] for c in cols)
+        for r in spark.sql("SELECT * FROM asset_decode_stream_test").collect()
+    }
+    batch = {
+        r["doc_id"]: tuple(r[c] for c in cols)
+        for r in streaming_asset_decode(docs).collect()
+    }
+    assert streamed == batch
+    for doc_id, n_chars in rows:
+        w, h, fill = 1 + doc_id % 16, 1 + n_chars % 16, doc_id % 251
+        n_raw = 3 * w * h
+        assert streamed[doc_id] == (
+            "png", w, h, 8, 2, n_raw, fill * n_raw,
+            8 + 25 + 12 + png_stream_size(h * (1 + 3 * w)) + 12,
+        )
