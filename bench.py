@@ -245,6 +245,11 @@ HEADLINE = (
     "promo_suppliers",
     "waiting_suppliers",
     "asset_png_meta",
+    # round-9 second wave: embedding-space drift (its unpartitioned
+    # window is over the K-row assignment histogram — the documented
+    # tiny-frame class) and the decode-validate asset screen
+    "embed_drift",
+    "asset_quality_screen",
 )
 
 

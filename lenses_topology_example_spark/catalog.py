@@ -539,6 +539,14 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
         relational3.q_waiting_suppliers,
         relational3.SQL_WAITING_SUPPLIERS,
     ),
+    # second round-9 wave: embedding-space drift monitor (the semantic
+    # complement of corpus_drift) and the decode-validate asset screen
+    # (rejection path of the PNG codec exercised at scale)
+    "embed_drift": (embed_stats.q_embed_drift, embed_stats.SQL_EMBED_DRIFT),
+    "asset_quality_screen": (
+        multimodal.q_asset_quality_screen,
+        multimodal.SQL_ASSET_QUALITY_SCREEN,
+    ),
 }
 
 # The driver evaluates only the first DRIVER_WINDOW_SIZE catalog entries
@@ -552,20 +560,23 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
 # ask #7 — only the CURRENT window and the NEXT plan live here).
 #
 # ROUND-9 WINDOW (executes the plan written in round 8 verbatim):
-#   Slots 1-8:   the round-9 additions (new operators take window-head
+#   Slots 1-10:  the round-9 additions (new operators take window-head
 #                slots): asset_png_meta + the seven remaining TPC-H
-#                archetype shapes.
-#   Slots 9-13:  priority ins per the written plan — the four r8
+#                archetype shapes + the second wave (embed_drift,
+#                asset_quality_screen).
+#   Slots 11-15: priority ins per the written plan — the four r8
 #                past-window additions (first drives) +
 #                salted_join_events (second consecutive green after its
 #                r6 red).
-#   Slots 14-30: re-checks, flagships first then by last-verdict age —
+#   Slots 16-32: re-checks, flagships first then by last-verdict age —
 #                payments_pipeline/gen_payments (r7), wordcount/
 #                region_revenue (r6), agg_revenue (r4), then the named
 #                dedup/streaming-parity tier (r4-r6 greens).
-#   Slots 31-50: oldest-verdict re-checks from the r1 block, reference-
+#   Slots 33-50: oldest-verdict re-checks from the r1 block, reference-
 #                parity payments/wordcount surfaces first, then the r1
-#                relational breadth tier.
+#                relational breadth tier (except_users and scalar_fns
+#                yielded their slots to the second r9 wave; they join
+#                the round-10 re-check queue).
 #   OUT: the freshly-green r8 block (each left with its first verdict;
 #   pytest oracle parity at sf0.001 still covers every rotated-out
 #   entry on every run).
@@ -574,8 +585,9 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
 # CORRECTNESS_r09 lands; assuming the r9 window goes green):
 #   IN (priority): any round-10 additions at the window head; then any
 #     r9 RED held in-window until it closes green.
-#   IN (re-checks, oldest-verdict-first): the 18 remaining r1-verdict
-#     entries (array_fns, column_stats, date_fns2, explode_variants,
+#   IN (re-checks, oldest-verdict-first): the 20 remaining r1-verdict
+#     entries (except_users, scalar_fns — displaced by the second r9
+#     wave — then array_fns, column_stats, date_fns2, explode_variants,
 #     filtered_agg, grouping_sets, late_shipments, null_fns,
 #     outer_join_nulls, percentiles, pivot_status, promo_revenue,
 #     returned_items, scalar_subquery, sql_top_customers, string_fns2,
@@ -598,6 +610,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "discounted_revenue",
     "promo_suppliers",
     "waiting_suppliers",
+    "embed_drift",
+    "asset_quality_screen",
     # priority ins: r8 past-window additions + salted_join_events
     "sales_opportunity",
     "interarrival_stats",
@@ -642,8 +656,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "rank_top_payments",
     "window_running",
     "intersect_users",
-    "except_users",
-    "scalar_fns",
 )
 
 #

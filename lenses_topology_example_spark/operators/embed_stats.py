@@ -756,3 +756,131 @@ SQL_EMBED_PCA_POWER = """
     FROM w2 CROSS JOIN lam CROSS JOIN sgn
     ORDER BY dim
 """
+
+
+# --- embedding-space drift monitor (round 9) ---------------------------------
+
+
+def q_embed_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift between an incoming batch and the base
+    corpus — the semantic complement of text.q_corpus_drift (same
+    md5-parity batch/base slices as embed_dedup_incremental, so the
+    continuous-ingestion operators see consistent splits): assign every
+    vector to its nearest of KMEANS_K fixed centroids and compare the
+    base vs batch assignment histograms per centroid (counts, shares,
+    absolute share shift). A centroid whose batch share moves is the
+    drift signal a SemDeDup-style pipeline alerts on before accepting a
+    day's embeddings.
+
+    Determinism: assignment argmax ties break to the lowest centroid id
+    over bit-identical cosines (kmeans_assign discipline); shares are
+    single IEEE divisions of exact int64 counts, identical on both
+    engines; the share-shift |a-b| is one subtraction of those doubles.
+
+    Scale shape: K-row centroid broadcast, per-vector prenorm fold with
+    zero shuffle, WindowGroupLimit top-1 per vector, then ONE K-row
+    bounded aggregate carrying two conditional counts (no second scan);
+    batch totals are windows over the K-row aggregated frame."""
+    from pyspark.sql import Window as W
+
+    from ..functions.texthash import md5_hash64
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        (md5_hash64(F.col("vec_id").cast("string")) % 2).alias("p"),
+        as_double(F.col("embedding")).alias("v"),
+    )
+    emb = emb.withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v")))).filter(
+        F.col("nrm") > F.lit(0.0)
+    )
+    cent = emb.filter(F.col("vec_id") < F.lit(KMEANS_K)).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cnrm"),
+    )
+    scored = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "p",
+        "centroid_id",
+        cosine_prenorm(
+            F.col("v"), F.col("cv"), F.col("nrm"), F.col("cnrm")
+        ).alias("cos_sim"),
+    )
+    w = W.partitionBy("vec_id").orderBy(
+        F.col("cos_sim").desc(), F.col("centroid_id").asc()
+    )
+    best = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == F.lit(1))
+        .select("vec_id", "p", "centroid_id")
+    )
+    hist = best.groupBy("centroid_id").agg(
+        F.sum((F.col("p") == 0).cast("long")).alias("c_base"),
+        F.sum((F.col("p") == 1).cast("long")).alias("c_batch"),
+    )
+    wt = W.partitionBy()
+    hist = hist.withColumn("n_base", F.sum("c_base").over(wt)).withColumn(
+        "n_batch", F.sum("c_batch").over(wt)
+    )
+    share_base = F.col("c_base").cast("double") / F.col("n_base").cast(
+        "double"
+    )
+    share_batch = F.col("c_batch").cast("double") / F.col("n_batch").cast(
+        "double"
+    )
+    return hist.select(
+        "centroid_id",
+        "c_base",
+        "c_batch",
+        share_base.alias("share_base"),
+        share_batch.alias("share_batch"),
+        F.abs(share_batch - share_base).alias("share_shift"),
+    ).orderBy("centroid_id")
+
+
+_SQL_EMBED_DRIFT_P = "(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT)"
+
+SQL_EMBED_DRIFT = f"""
+    WITH e AS (
+        SELECT vec_id,
+               ({_SQL_EMBED_DRIFT_P} % 2) AS p,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ), nn AS (
+        SELECT vec_id, p, v, sqrt({sql_dot('v', 'v')}) AS nrm FROM e
+    ), f AS (SELECT * FROM nn WHERE nrm > 0),
+    c AS (
+        SELECT vec_id AS centroid_id, v AS cv, nrm AS cnrm
+        FROM f WHERE vec_id < {KMEANS_K}
+    ), b AS (
+        SELECT vec_id, p, centroid_id
+        FROM (
+            SELECT f.vec_id, f.p, c.centroid_id,
+                   {sql_dot('f.v', 'c.cv')} / (f.nrm * c.cnrm) AS cos_sim
+            FROM f CROSS JOIN c
+        )
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY vec_id
+            ORDER BY cos_sim DESC, centroid_id ASC) = 1
+    ), hist AS (
+        SELECT centroid_id,
+               CAST(SUM(CASE WHEN p = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS c_base,
+               CAST(SUM(CASE WHEN p = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS c_batch
+        FROM b GROUP BY centroid_id
+    ), tot AS (
+        SELECT centroid_id, c_base, c_batch,
+               SUM(c_base) OVER () AS n_base,
+               SUM(c_batch) OVER () AS n_batch
+        FROM hist
+    )
+    SELECT centroid_id, c_base, c_batch,
+           CAST(c_base AS DOUBLE) / CAST(n_base AS DOUBLE) AS share_base,
+           CAST(c_batch AS DOUBLE) / CAST(n_batch AS DOUBLE) AS share_batch,
+           abs(CAST(c_batch AS DOUBLE) / CAST(n_batch AS DOUBLE)
+               - CAST(c_base AS DOUBLE) / CAST(n_base AS DOUBLE))
+               AS share_shift
+    FROM tot
+    ORDER BY centroid_id
+"""

@@ -616,3 +616,106 @@ SQL_ASSET_PNG_META = """
                AS BIGINT) AS n_bytes
     FROM documents
 """
+
+
+# --- decode-validate quality screen (round 9) --------------------------------
+
+ASSET_SCREEN_ROW_SCHEMA = "source string, ok int, n_bytes long"
+
+
+def q_asset_quality_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode-validate screen over a binary asset column — the
+    reject-malformed pass a multimodal ingest runs before persisting
+    anything: every asset is FULLY decoded (the PNG pipeline of
+    q_asset_png_meta) and rejected when the container is corrupt. To
+    exercise the rejection path at scale the corruption is synthesized
+    deterministically: docs with doc_id % 7 == 0 get one IDAT byte
+    flipped, which the decoder's per-chunk CRC verification must catch
+    (parse_png raises; the kernel records a rejection instead of
+    propagating bad rows downstream). Reports per-source acceptance
+    counts, accepted bytes, and the acceptance rate.
+
+    The DuckDB twin recomputes all of it from doc_id arithmetic alone —
+    a decoder that either misses the corruption (CRC not actually
+    checked) or rejects a VALID container breaks oracle parity in
+    opposite directions, pinning both failure modes.
+
+    Scale shape: one scan, mapInPandas Arrow batches, then ONE
+    |sources|-bounded keyed aggregate of 3-column rows (the text never
+    shuffles; only (source, ok, n_bytes) does). ok_rate is a single
+    IEEE division of exact int64 counts, identical on both engines."""
+    from ..functions.codecs import make_png, parse_png
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", "source"
+    )
+
+    def screen_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            srcs: list = []
+            oks: list = []
+            nbytes: list = []
+            for doc_id, n_chars, source in zip(
+                pdf["doc_id"], pdf["n_chars"], pdf["source"]
+            ):
+                payload = bytearray(
+                    make_png(
+                        1 + int(doc_id) % 16,
+                        1 + int(n_chars) % 16,
+                        int(doc_id) % 251,
+                    )
+                )
+                if doc_id % 7 == 0:
+                    payload[44] ^= 0xA5  # inside the IDAT body: CRC must trip
+                try:
+                    parse_png(bytes(payload))
+                    ok = 1
+                except ValueError:
+                    ok = 0
+                srcs.append(source)
+                oks.append(ok)
+                nbytes.append(len(payload))
+            yield pd.DataFrame(
+                {"source": srcs, "ok": oks, "n_bytes": nbytes}
+            )
+
+    rows = docs.mapInPandas(screen_batches, schema=ASSET_SCREEN_ROW_SCHEMA)
+    return (
+        rows.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_assets"),
+            F.sum("ok").cast("long").alias("n_ok"),
+            (F.count(F.lit(1)) - F.sum("ok")).cast("long").alias("n_rejected"),
+            F.sum(
+                F.when(F.col("ok") == 1, F.col("n_bytes")).otherwise(F.lit(0))
+            ).cast("long").alias("bytes_ok"),
+            (
+                F.sum("ok").cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("ok_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_ASSET_QUALITY_SCREEN = """
+    WITH per AS (
+        SELECT source,
+               CASE WHEN doc_id % 7 = 0 THEN 0 ELSE 1 END AS ok,
+               68 + (1 + n_chars % 16) * (1 + 3 * (1 + doc_id % 16))
+                   AS n_bytes
+        FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_assets,
+           CAST(SUM(ok) AS BIGINT) AS n_ok,
+           CAST(COUNT(*) - SUM(ok) AS BIGINT) AS n_rejected,
+           CAST(SUM(CASE WHEN ok = 1 THEN n_bytes ELSE 0 END) AS BIGINT)
+               AS bytes_ok,
+           CAST(SUM(ok) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS ok_rate
+    FROM per
+    GROUP BY source
+    ORDER BY source
+"""

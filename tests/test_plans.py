@@ -69,6 +69,8 @@ def test_no_python_udfs_in_oracle_tier(spark, sf_dir):
         "audio_features",
         "image_resize",
         "asset_codec_meta",  # real BMP/WAV codecs ride mapInPandas by design
+        "asset_png_meta",  # real PNG full decode, mapInPandas by design
+        "asset_quality_screen",  # decode-validate screen, same codec tier
         "udaf_median",
         "grouped_map_norm",
     }
