@@ -250,6 +250,14 @@ HEADLINE = (
     # tiny-frame class) and the decode-validate asset screen
     "embed_drift",
     "asset_quality_screen",
+    # round-9 third wave: hybrid retrieval fusion, the privacy release
+    # pair, CRM quartile segmentation, and the K-selection elbow (its
+    # lag window is over the 4-row K frame — the tiny-frame class)
+    "hybrid_rrf",
+    "l_diversity",
+    "private_release",
+    "rfm_segments",
+    "kmeans_elbow",
 )
 
 

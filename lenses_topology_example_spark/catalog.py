@@ -20,6 +20,7 @@ from .operators import (
     relational,
     relational2,
     relational3,
+    retrieval,
     similarity,
     sinks,
     sketches,
@@ -547,6 +548,18 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
         multimodal.q_asset_quality_screen,
         multimodal.SQL_ASSET_QUALITY_SCREEN,
     ),
+    # third round-9 wave (registered past the window; first in the
+    # round-10 head per the plan below): hybrid retrieval, the privacy
+    # pair extending k_anonymity, CRM segmentation, and the K-selection
+    # audit
+    "hybrid_rrf": (retrieval.q_hybrid_rrf, retrieval.SQL_HYBRID_RRF),
+    "l_diversity": (governance.q_l_diversity, governance.SQL_L_DIVERSITY),
+    "private_release": (
+        governance.q_private_release,
+        governance.SQL_PRIVATE_RELEASE,
+    ),
+    "rfm_segments": (relational2.q_rfm_segments, relational2.SQL_RFM_SEGMENTS),
+    "kmeans_elbow": (embed_stats.q_kmeans_elbow, embed_stats.SQL_KMEANS_ELBOW),
 }
 
 # The driver evaluates only the first DRIVER_WINDOW_SIZE catalog entries
@@ -583,8 +596,10 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
 #
 # ROUND-10 ROTATION PLAN (write the new DRIVER_WINDOW from this once
 # CORRECTNESS_r09 lands; assuming the r9 window goes green):
-#   IN (priority): any round-10 additions at the window head; then any
-#     r9 RED held in-window until it closes green.
+#   IN (priority): any round-10 additions at the window head — the
+#     five third-wave r9 entries first (hybrid_rrf, l_diversity,
+#     private_release, rfm_segments, kmeans_elbow) — then any r9 RED
+#     held in-window until it closes green.
 #   IN (re-checks, oldest-verdict-first): the 20 remaining r1-verdict
 #     entries (except_users, scalar_fns — displaced by the second r9
 #     wave — then array_fns, column_stats, date_fns2, explode_variants,

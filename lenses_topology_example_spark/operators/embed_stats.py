@@ -884,3 +884,142 @@ SQL_EMBED_DRIFT = f"""
     FROM tot
     ORDER BY centroid_id
 """
+
+
+# --- K-selection elbow audit (round 9) ---------------------------------------
+
+# nested candidate centroid sets: the K lowest vec_ids for each K (the
+# kmeans_assign convention), so the sets are prefixes of one another and
+# ONE scored frame answers every K
+ELBOW_KS = (2, 4, 8, 16)
+
+
+def q_kmeans_elbow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-selection elbow curve: total cosine-distance inertia
+    Σ_v min_{c in C_K} (1 − cos(v, c)) for each candidate K — the
+    measure-don't-guess audit that chooses K before committing a full
+    Lloyd run (the clustering analogue of ann_recall choosing between
+    ANN layouts). Because the candidate centroid sets are NESTED
+    prefixes (C_2 ⊂ C_4 ⊂ C_8 ⊂ C_16), inertia is provably
+    non-increasing in K — a property the tests pin — and one scored
+    frame serves all four curves.
+
+    Determinism: cosines are the bit-identical prenorm expressions of
+    kmeans_assign; per-vector minima select among bit-identical doubles
+    (no arithmetic); each minimum rounds to DECIMAL(38,6) before the
+    global sum, so accumulation order cannot drift; the improvement
+    column is one subtraction of those exact sums over a 4-row frame.
+
+    Scale shape: ONE |Kmax|-row centroid broadcast onto the corpus scan
+    (never re-scanned per K), per-vector conditional minima collapse in
+    the same keyed aggregation, then a single 1-row global fold and a
+    4-row stack + lag window (the documented tiny-frame class)."""
+    from pyspark.sql import Window as W
+
+    kmax = max(ELBOW_KS)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    emb = emb.withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v")))).filter(
+        F.col("nrm") > F.lit(0.0)
+    )
+    cent = emb.filter(F.col("vec_id") < F.lit(kmax)).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cnrm"),
+    )
+    scored = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "centroid_id",
+        (
+            F.lit(1.0)
+            - cosine_prenorm(
+                F.col("v"), F.col("cv"), F.col("nrm"), F.col("cnrm")
+            )
+        ).alias("dist"),
+    )
+    per_vec = scored.groupBy("vec_id").agg(
+        *[
+            F.min(
+                F.when(F.col("centroid_id") < F.lit(k), F.col("dist"))
+            ).alias(f"d{k}")
+            for k in ELBOW_KS
+        ]
+    )
+    tot = per_vec.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        *[
+            F.sum(F.col(f"d{k}").cast("decimal(38,6)"))
+            .cast("double")
+            .alias(f"i{k}")
+            for k in ELBOW_KS
+        ],
+    )
+    stack_args = ", ".join(f"{k}, i{k}" for k in ELBOW_KS)
+    rows = tot.select(
+        "n_vectors",
+        F.expr(
+            f"stack({len(ELBOW_KS)}, {stack_args}) AS (k, inertia)"
+        ),
+    ).select(F.col("k").cast("int").alias("k"), "inertia", "n_vectors")
+    wl = W.orderBy("k")
+    return rows.select(
+        "k",
+        "n_vectors",
+        "inertia",
+        F.coalesce(
+            F.lag("inertia").over(wl) - F.col("inertia"), F.lit(0.0)
+        ).alias("improvement"),
+    ).orderBy("k")
+
+
+def _build_sql_kmeans_elbow() -> str:
+    kmax = max(ELBOW_KS)
+    mins = ",\n               ".join(
+        f"MIN(CASE WHEN centroid_id < {k} THEN dist END) AS d{k}"
+        for k in ELBOW_KS
+    )
+    sums = ",\n               ".join(
+        f"CAST(SUM(CAST(d{k} AS DECIMAL(38,6))) AS DOUBLE) AS i{k}"
+        for k in ELBOW_KS
+    )
+    unions = "\n        UNION ALL ".join(
+        f"SELECT {k} AS k, n_vectors, i{k} AS inertia FROM tot"
+        for k in ELBOW_KS
+    )
+    return f"""
+    WITH e AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ), nn AS (
+        SELECT vec_id, v, sqrt({sql_dot('v', 'v')}) AS nrm FROM e
+    ), f AS (SELECT * FROM nn WHERE nrm > 0),
+    c AS (
+        SELECT vec_id AS centroid_id, v AS cv, nrm AS cnrm
+        FROM f WHERE vec_id < {kmax}
+    ), scored AS (
+        SELECT f.vec_id, c.centroid_id,
+               1.0::DOUBLE - {sql_dot('f.v', 'c.cv')} / (f.nrm * c.cnrm)
+                   AS dist
+        FROM f CROSS JOIN c
+    ), per_vec AS (
+        SELECT vec_id,
+               {mins}
+        FROM scored GROUP BY vec_id
+    ), tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+               {sums}
+        FROM per_vec
+    ), rows_k AS (
+        {unions}
+    )
+    SELECT CAST(k AS INTEGER) AS k, n_vectors, inertia,
+           COALESCE(LAG(inertia) OVER (ORDER BY k) - inertia, 0.0::DOUBLE)
+               AS improvement
+    FROM rows_k
+    ORDER BY k
+"""
+
+
+SQL_KMEANS_ELBOW = _build_sql_kmeans_elbow()

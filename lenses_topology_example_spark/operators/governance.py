@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..functions.texthash import SQL_MD5_HASH64
 from ..tables import load_table
 from .relational import dsum, dsum_sql
 
@@ -591,3 +592,190 @@ SQL_ERASURE_PLAN = f"""
     FROM rows
     ORDER BY table_name
 """
+
+
+# --- l-diversity audit (round 9) ---------------------------------------------
+
+# distinct-sensitive-values floor per QI class (Machanavajjhala et al.,
+# "l-Diversity: Privacy Beyond k-Anonymity", ICDE'06). 8 splits the
+# class population at the driver SF (sf0.01: l_distinct ranges 4..10
+# over the 125 classes) so the verdict column is actually falsifiable
+# there — the NEARDUP_COS_CATALOG parameter discipline.
+L_DIV = 8
+# sensitive attribute = account-balance band (1000-unit buckets): one
+# IEEE division + floor, identical both engines
+SENS_BAND = 1000.0
+
+
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit over the same quasi-identifier pair as
+    q_k_anonymity (c_nationkey, c_mktsegment), sensitive attribute =
+    the customer's account-balance band: a class can be k-anonymous yet
+    leak the sensitive value when everyone in it shares one band —
+    that homogeneity is exactly what this measures. Per-class rows
+    (size, distinct sensitive values l, the diversity verdict) so a
+    privacy review can target the failing classes; q_k_anonymity's
+    scalar report is the companion summary.
+
+    Scale shape: sensitive band is a per-row double division + floor
+    (no shuffle), then ONE |QI-classes|-bounded two-level aggregation —
+    count-distinct of the band inside each class collapses map-side
+    because (QI, band) is grouped first, so the wide shuffle carries
+    |QI x bands| rows, not |customers|."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / F.lit(SENS_BAND)).alias("band"),
+    )
+    # two-level: (QI, band) first so the distinct collapses map-side
+    per_band = cust.groupBy("c_nationkey", "c_mktsegment", "band").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        per_band.groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.sum("n").cast("long").alias("class_size"),
+            F.count(F.lit(1)).cast("long").alias("l_distinct"),
+        )
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "class_size",
+            "l_distinct",
+            (F.col("l_distinct") >= F.lit(L_DIV)).alias("is_l_diverse"),
+        )
+        .orderBy("c_nationkey", "c_mktsegment")
+    )
+
+
+SQL_L_DIVERSITY = f"""
+    WITH bands AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(floor(c_acctbal / {SENS_BAND}) AS BIGINT) AS band
+        FROM customer
+    ), per_band AS (
+        SELECT c_nationkey, c_mktsegment, band, COUNT(*) AS n
+        FROM bands GROUP BY c_nationkey, c_mktsegment, band
+    )
+    SELECT c_nationkey, c_mktsegment,
+           CAST(SUM(n) AS BIGINT) AS class_size,
+           CAST(COUNT(*) AS BIGINT) AS l_distinct,
+           COUNT(*) >= {L_DIV} AS is_l_diverse
+    FROM per_band
+    GROUP BY c_nationkey, c_mktsegment
+    ORDER BY c_nationkey, c_mktsegment
+"""
+
+
+# --- small-cell-safe release (round 9) ---------------------------------------
+
+# release parameters: suppress below RELEASE_K, perturb by a seeded
+# integer in [-NOISE_HALF, +NOISE_HALF], publish rounded to ROUND_BASE.
+# The release grain is the FINER (QI, band) cell — small cells exist
+# there by construction, and RELEASE_K=3 yields a real suppressed /
+# released mix at both sf0.01 (765/136) and sf0.1 (4/1371).
+RELEASE_K = 3
+NOISE_HALF = 3
+ROUND_BASE = 5
+
+
+def q_private_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Census-style small-cell-safe release of the (QI, balance-band)
+    cell counts: cells below RELEASE_K are SUPPRESSED (released as
+    NULL), surviving cells are perturbed by a seeded integer noise draw
+    in [-3, +3] and published rounded to base-5 — the suppression +
+    perturbation + controlled-rounding stack statistical agencies apply
+    before publishing small-area tabulations. The noise source is a
+    deterministic md5 draw keyed by the cell (the repo's seeded-coin
+    pattern, score_weighted_sample discipline) standing in for the
+    calibrated DP mechanism — the release SHAPE (which cells survive,
+    integer-exact post-processing) is the operator under test and is
+    what the oracle pins in both directions (a cell wrongly released
+    AND a cell wrongly suppressed each break parity).
+
+    Integer-exact end-to-end: the band is one IEEE division + floor
+    identical on both engines; the noise is an int64 remainder; the
+    rounding is pure integer arithmetic on nonneg values (cnt >= 3,
+    noise >= -3, so v + 2 >= 2 — both engines' % agree on
+    nonnegatives); no floating point past the band.
+
+    Scale shape: ONE |QI x bands|-bounded aggregation then per-row
+    integer expressions; nothing after the groupBy exceeds |cells|."""
+    from ..functions.texthash import md5_hash64
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / F.lit(SENS_BAND)).alias("band"),
+    )
+    cells = cust.groupBy("c_nationkey", "c_mktsegment", "band").agg(
+        F.count(F.lit(1)).alias("true_count")
+    )
+    noise = (
+        md5_hash64(
+            F.concat(
+                F.lit("release|"),
+                F.col("c_nationkey").cast("string"),
+                F.lit("|"),
+                F.col("c_mktsegment"),
+                F.lit("|"),
+                F.col("band").cast("string"),
+            )
+        )
+        % F.lit(2 * NOISE_HALF + 1)
+        - F.lit(NOISE_HALF)
+    )
+    cells = cells.withColumn("noise", noise.cast("long")).withColumn(
+        "suppressed", F.col("true_count") < F.lit(RELEASE_K)
+    )
+    v = F.col("true_count") + F.col("noise")
+    rounded = (v + F.lit(ROUND_BASE // 2)) - (
+        v + F.lit(ROUND_BASE // 2)
+    ) % F.lit(ROUND_BASE)
+    return cells.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.col("band").cast("long").alias("band"),
+        "true_count",
+        "noise",
+        "suppressed",
+        F.when(F.col("suppressed"), F.lit(None).cast("long"))
+        .otherwise(rounded.cast("long"))
+        .alias("released_count"),
+    ).orderBy("c_nationkey", "c_mktsegment", "band")
+
+
+_SQL_RELEASE_NOISE = (
+    "(("
+    + SQL_MD5_HASH64.format(
+        x="'release|' || CAST(c_nationkey AS VARCHAR) || '|' || c_mktsegment"
+        " || '|' || CAST(band AS VARCHAR)"
+    )
+    + f" % {2 * NOISE_HALF + 1}) - {NOISE_HALF})"
+)
+
+SQL_PRIVATE_RELEASE = f"""
+    WITH cells AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(floor(c_acctbal / {SENS_BAND}) AS BIGINT) AS band,
+               COUNT(*) AS true_count
+        FROM customer GROUP BY c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / {SENS_BAND}) AS BIGINT)
+    ), seeded AS (
+        SELECT c_nationkey, c_mktsegment, band,
+               CAST(true_count AS BIGINT) AS true_count,
+               CAST({{noise}} AS BIGINT) AS noise,
+               true_count < {RELEASE_K} AS suppressed
+        FROM cells
+    )
+    SELECT c_nationkey, c_mktsegment, band, true_count, noise, suppressed,
+           CASE WHEN suppressed THEN NULL
+                ELSE CAST(
+                    (true_count + noise + {ROUND_BASE // 2})
+                    - (true_count + noise + {ROUND_BASE // 2})
+                      % {ROUND_BASE}
+                    AS BIGINT)
+           END AS released_count
+    FROM seeded
+    ORDER BY c_nationkey, c_mktsegment, band
+""".format(noise=_SQL_RELEASE_NOISE)

@@ -743,3 +743,108 @@ SQL_LATERAL_TOPN = """
         LIMIT 2
     ) t
 """
+
+
+# --- RFM customer segmentation (round 9) -------------------------------------
+
+# recency anchor: the day after the dataset's last order date — fixed so
+# the report is reproducible (never now())
+RFM_ANCHOR = "2002-01-01"
+RFM_NTILES = 4
+
+
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) quartile segmentation — the
+    classic CRM marketing segmentation, computed within each nation so
+    segments compare like-for-like markets: per customer, days since
+    last order, order count, and decimal-exact revenue; NTILE(4) per
+    metric inside the nation; then the segment-grain report (customer
+    count + exact revenue per (nation, r, f, m) cell). Customers with
+    no orders have no RFM signal and are excluded by construction (the
+    orders aggregation defines the population).
+
+    Determinism: every NTILE rides a TOTAL order ((metric, custkey) —
+    the interval_merge lesson), and NTILE's bucket arithmetic is the
+    standard equal-fill definition both engines implement identically.
+    Monetary sums go through DECIMAL(38,6) at both levels (per
+    customer, per segment), so no accumulation-order drift; recency is
+    integer datediff from the fixed anchor.
+
+    Scale shape (100 TB): orders aggregates to |customers| rows keyed
+    by custkey BEFORE joining customer (co-partitioned SMJ under AQE —
+    the join carries one row per customer, never raw orders); the three
+    windows partition by nation (each partition is one market, the
+    segmentation's own grain); the final aggregate is bounded by
+    |nations| x 4^3 cells."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.datediff(
+            F.lit(RFM_ANCHOR).cast("date"), F.max("o_orderdate")
+        ).alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        dsum(F.col("o_totalprice")).alias("monetary"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    rfm = per_cust.join(cust, "o_custkey")
+    w_r = W.partitionBy("c_nationkey").orderBy(
+        F.col("recency_days").asc(), F.col("o_custkey").asc()
+    )
+    w_f = W.partitionBy("c_nationkey").orderBy(
+        F.col("frequency").desc(), F.col("o_custkey").asc()
+    )
+    w_m = W.partitionBy("c_nationkey").orderBy(
+        F.col("monetary").desc(), F.col("o_custkey").asc()
+    )
+    scored = rfm.select(
+        "c_nationkey",
+        "monetary",
+        F.ntile(RFM_NTILES).over(w_r).alias("r_q"),
+        F.ntile(RFM_NTILES).over(w_f).alias("f_q"),
+        F.ntile(RFM_NTILES).over(w_m).alias("m_q"),
+    )
+    return (
+        scored.groupBy("c_nationkey", "r_q", "f_q", "m_q")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            dsum(F.col("monetary")).alias("segment_revenue"),
+        )
+        .orderBy("c_nationkey", "r_q", "f_q", "m_q")
+    )
+
+
+SQL_RFM_SEGMENTS = f"""
+    WITH per_cust AS (
+        SELECT o_custkey,
+               CAST(date_diff('day', MAX(o_orderdate),
+                              TIMESTAMP '{RFM_ANCHOR} 00:00:00')
+                    AS INTEGER) AS recency_days,
+               COUNT(*) AS frequency,
+               {dsum_sql('o_totalprice')} AS monetary
+        FROM orders GROUP BY o_custkey
+    ), rfm AS (
+        SELECT p.*, c.c_nationkey
+        FROM per_cust p JOIN customer c ON c.c_custkey = p.o_custkey
+    ), scored AS (
+        SELECT c_nationkey, monetary,
+               NTILE({RFM_NTILES}) OVER (PARTITION BY c_nationkey
+                   ORDER BY recency_days ASC, o_custkey ASC) AS r_q,
+               NTILE({RFM_NTILES}) OVER (PARTITION BY c_nationkey
+                   ORDER BY frequency DESC, o_custkey ASC) AS f_q,
+               NTILE({RFM_NTILES}) OVER (PARTITION BY c_nationkey
+                   ORDER BY monetary DESC, o_custkey ASC) AS m_q
+        FROM rfm
+    )
+    SELECT c_nationkey,
+           CAST(r_q AS INTEGER) AS r_q,
+           CAST(f_q AS INTEGER) AS f_q,
+           CAST(m_q AS INTEGER) AS m_q,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           {dsum_sql('monetary')} AS segment_revenue
+    FROM scored
+    GROUP BY c_nationkey, r_q, f_q, m_q
+    ORDER BY c_nationkey, r_q, f_q, m_q
+"""

@@ -403,3 +403,41 @@ def test_small_qty_revenue_broadcasts_brand_parts(spark, sf_dir):
     assert "SortMergeJoin" not in plan, "lineitem must not shuffle"
     pushed = " ".join(re.findall(r"PushedFilters: \[([^\]]*)\]", plan))
     assert "p_brand" in pushed, "brand filter must reach the part scan"
+
+
+def test_hybrid_rrf_every_topk_is_window_group_limited(spark, sf_dir):
+    """All three rank windows (lexical, semantic, fused) must compile
+    to WindowGroupLimit partial top-k (partial+final pairs), and the
+    only nested-loop joins are the deliberate bounded broadcasts (the
+    3-row query-vector frame and the 1-row corpus-stats scalar) — never
+    a shuffled cartesian."""
+    plan = _formatted_plan(spark, sf_dir, "hybrid_rrf")
+    # 3 windows x (partial + final) WindowGroupLimit, twice in the
+    # formatted output (tree + details list)
+    assert len(re.findall(r"WindowGroupLimit", plan)) >= 6
+    assert "CartesianProduct" not in plan
+    # every cross join must build its bounded side as the broadcast
+    assert "BroadcastNestedLoopJoin Cross BuildRight" in plan
+    assert "BroadcastNestedLoopJoin Cross BuildLeft" not in plan
+
+
+def test_rfm_windows_share_one_shuffle(spark, sf_dir):
+    """The three NTILE windows all partition by c_nationkey, so they
+    must reuse ONE hash exchange (three sorts, one shuffle) — a plan
+    that re-exchanges per window triples the shuffle volume for no
+    semantic gain. Orders must pre-aggregate (partial+final) before
+    the customer join."""
+    plan = _formatted_plan(spark, sf_dir, "rfm_segments")
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) >= 3
+    nation_exchanges = re.findall(r"hashpartitioning\(c_nationkey", plan)
+    assert len(nation_exchanges) == 1, "windows must share one shuffle"
+    assert "CartesianProduct" not in plan
+
+
+def test_kmeans_elbow_one_scored_frame(spark, sf_dir):
+    """All four K-curves must derive from ONE broadcast cross-join of
+    the 16-row centroid set (a plan that re-scans per K would show 4
+    joins) and collapse in a single partial+final keyed aggregation."""
+    plan = _formatted_plan(spark, sf_dir, "kmeans_elbow")
+    assert len(re.findall(r"BroadcastNestedLoopJoin Cross BuildRight", plan)) == 1
+    assert "CartesianProduct" not in plan

@@ -1,0 +1,169 @@
+"""Semantic tests for the round-9 third-wave operators, beyond oracle
+parity: invariants an oracle twin that shares the formula cannot catch
+(leg-membership of fused results, nested-centroid monotonicity, privacy
+release bounds, quartile population conservation)."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from pyspark.sql import functions as F
+
+from lenses_topology_example_spark.catalog import _CATALOG
+from lenses_topology_example_spark.operators.governance import (
+    L_DIV,
+    NOISE_HALF,
+    RELEASE_K,
+    ROUND_BASE,
+)
+from lenses_topology_example_spark.operators.retrieval import (
+    BM25_TOP_K,
+    HYBRID_TOP_K,
+    RRF_K,
+)
+from lenses_topology_example_spark.tables import load_table
+
+
+# --- hybrid_rrf --------------------------------------------------------------
+
+
+def test_hybrid_rrf_results_come_from_a_leg(spark, sf_dir):
+    """Every fused doc must be a candidate of at least one leg (its leg
+    rank columns cannot both be 0), the score must equal the RRF formula
+    over those ranks, and each query emits exactly HYBRID_TOP_K rows
+    with ranks 1..k."""
+    rows = _CATALOG["hybrid_rrf"][0](spark, sf_dir).collect()
+    per_q = defaultdict(list)
+    for r in rows:
+        assert r.lex_rank > 0 or r.sem_rank > 0, r
+        want = (1.0 / (RRF_K + r.lex_rank) if r.lex_rank else 0.0) + (
+            1.0 / (RRF_K + r.sem_rank) if r.sem_rank else 0.0
+        )
+        assert abs(r.rrf_score - want) < 1e-12, r
+        per_q[r.query_id].append(r)
+    for q, rs in per_q.items():
+        assert sorted(x.rank for x in rs) == list(range(1, HYBRID_TOP_K + 1))
+        # fused order is non-increasing in score
+        rs = sorted(rs, key=lambda x: x.rank)
+        for a, b in zip(rs, rs[1:]):
+            assert a.rrf_score >= b.rrf_score
+
+
+def test_hybrid_rrf_both_leg_docs_outrank_single_leg(spark, sf_dir):
+    """A doc retrieved by BOTH legs at rank r scores strictly above any
+    doc retrieved by one leg at the same rank — the fusion property that
+    makes RRF prefer cross-evidence."""
+    rows = _CATALOG["hybrid_rrf"][0](spark, sf_dir).collect()
+    both = [r for r in rows if r.lex_rank > 0 and r.sem_rank > 0]
+    single = [r for r in rows if (r.lex_rank > 0) != (r.sem_rank > 0)]
+    for b in both:
+        for s in single:
+            if (
+                s.query_id == b.query_id
+                and max(s.lex_rank, s.sem_rank)
+                >= max(b.lex_rank, b.sem_rank)
+            ):
+                assert b.rrf_score > s.rrf_score
+    # leg ranks never exceed the leg depth
+    for r in rows:
+        assert 0 <= r.lex_rank <= BM25_TOP_K
+        assert 0 <= r.sem_rank <= BM25_TOP_K
+
+
+# --- l_diversity -------------------------------------------------------------
+
+
+def test_l_diversity_bounds_and_verdict(spark, sf_dir):
+    rows = _CATALOG["l_diversity"][0](spark, sf_dir).collect()
+    assert rows, "QI classes expected"
+    cust = load_table(spark, sf_dir, "customer")
+    n_cust = cust.count()
+    assert sum(r.class_size for r in rows) == n_cust
+    for r in rows:
+        assert 1 <= r.l_distinct <= r.class_size
+        assert r.is_l_diverse == (r.l_distinct >= L_DIV)
+
+
+# --- private_release ---------------------------------------------------------
+
+
+def test_private_release_suppression_and_bounds(spark, sf_dir):
+    rows = _CATALOG["private_release"][0](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert -NOISE_HALF <= r.noise <= NOISE_HALF
+        assert r.suppressed == (r.true_count < RELEASE_K)
+        if r.suppressed:
+            assert r.released_count is None
+        else:
+            assert r.released_count is not None
+            assert r.released_count % ROUND_BASE == 0
+            assert r.released_count >= 0
+            # perturbation + rounding moves a cell by at most
+            # NOISE_HALF + ROUND_BASE/2
+            assert (
+                abs(r.released_count - r.true_count)
+                <= NOISE_HALF + ROUND_BASE // 2
+            )
+
+
+def test_private_release_totals_conserve_population(spark, sf_dir):
+    """Suppressed + released true counts partition the customer table —
+    the release never drops or double-counts a row."""
+    rows = _CATALOG["private_release"][0](spark, sf_dir).collect()
+    n_cust = load_table(spark, sf_dir, "customer").count()
+    assert sum(r.true_count for r in rows) == n_cust
+
+
+# --- rfm_segments ------------------------------------------------------------
+
+
+def test_rfm_segments_conserve_customers(spark, sf_dir):
+    rows = _CATALOG["rfm_segments"][0](spark, sf_dir).collect()
+    assert rows
+    n_with_orders = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_customers for r in rows) == n_with_orders
+    for r in rows:
+        assert 1 <= r.r_q <= 4 and 1 <= r.f_q <= 4 and 1 <= r.m_q <= 4
+        assert r.n_customers >= 1
+        assert r.segment_revenue > 0.0
+
+
+def test_rfm_quartiles_balance_within_nation(spark, sf_dir):
+    """NTILE's equal-fill contract: within a nation, quartile
+    populations along each axis differ by at most one customer."""
+    rows = _CATALOG["rfm_segments"][0](spark, sf_dir).collect()
+    for axis in ("r_q", "f_q", "m_q"):
+        per = defaultdict(lambda: defaultdict(int))
+        for r in rows:
+            per[r.c_nationkey][getattr(r, axis)] += r.n_customers
+        for nation, buckets in per.items():
+            sizes = [buckets.get(q, 0) for q in (1, 2, 3, 4)]
+            present = [s for s in sizes if s > 0]
+            assert max(present) - min(present) <= 1, (axis, nation, sizes)
+
+
+# --- kmeans_elbow ------------------------------------------------------------
+
+
+def test_kmeans_elbow_monotone_in_k(spark, sf_dir):
+    """Nested centroid prefixes make inertia non-increasing in K, and
+    the improvement column is exactly the successive difference."""
+    rows = sorted(
+        _CATALOG["kmeans_elbow"][0](spark, sf_dir).collect(),
+        key=lambda r: r.k,
+    )
+    assert [r.k for r in rows] == [2, 4, 8, 16]
+    n = {r.n_vectors for r in rows}
+    assert len(n) == 1 and n.pop() > 0
+    for a, b in zip(rows, rows[1:]):
+        assert b.inertia <= a.inertia + 1e-9
+        assert abs(b.improvement - (a.inertia - b.inertia)) < 1e-9
+    assert rows[0].improvement == 0.0
+    # cosine distance to the nearest centroid is in [0, 2] per vector
+    assert 0.0 <= rows[-1].inertia <= 2.0 * rows[-1].n_vectors
