@@ -258,6 +258,12 @@ HEADLINE = (
     "private_release",
     "rfm_segments",
     "kmeans_elbow",
+    # round-9 fourth wave: IVF calibration, BPE trainer statistic,
+    # attribution, and sketch join-size estimation
+    "ivf_probe_sweep",
+    "bpe_merge_candidates",
+    "attribution_revenue",
+    "cms_join_cardinality",
 )
 
 

@@ -560,6 +560,25 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     ),
     "rfm_segments": (relational2.q_rfm_segments, relational2.SQL_RFM_SEGMENTS),
     "kmeans_elbow": (embed_stats.q_kmeans_elbow, embed_stats.SQL_KMEANS_ELBOW),
+    # fourth round-9 wave (also past-window, round-10 head queue): the
+    # IVF probe-depth calibration, the BPE trainer inner loop, marketing
+    # attribution, and sketch-based join-cardinality estimation
+    "ivf_probe_sweep": (
+        similarity.q_ivf_probe_sweep,
+        similarity.SQL_IVF_PROBE_SWEEP,
+    ),
+    "bpe_merge_candidates": (
+        text.q_bpe_merge_candidates,
+        text.SQL_BPE_MERGE_CANDIDATES,
+    ),
+    "attribution_revenue": (
+        windows.q_attribution_revenue,
+        windows.SQL_ATTRIBUTION_REVENUE,
+    ),
+    "cms_join_cardinality": (
+        sketches.q_cms_join_cardinality,
+        sketches.SQL_CMS_JOIN_CARDINALITY,
+    ),
 }
 
 # The driver evaluates only the first DRIVER_WINDOW_SIZE catalog entries
@@ -597,9 +616,10 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
 # ROUND-10 ROTATION PLAN (write the new DRIVER_WINDOW from this once
 # CORRECTNESS_r09 lands; assuming the r9 window goes green):
 #   IN (priority): any round-10 additions at the window head — the
-#     five third-wave r9 entries first (hybrid_rrf, l_diversity,
-#     private_release, rfm_segments, kmeans_elbow) — then any r9 RED
-#     held in-window until it closes green.
+#     nine third/fourth-wave r9 entries first (hybrid_rrf, l_diversity,
+#     private_release, rfm_segments, kmeans_elbow, ivf_probe_sweep,
+#     bpe_merge_candidates, attribution_revenue, cms_join_cardinality)
+#     — then any r9 RED held in-window until it closes green.
 #   IN (re-checks, oldest-verdict-first): the 20 remaining r1-verdict
 #     entries (except_users, scalar_fns — displaced by the second r9
 #     wave — then array_fns, column_stats, date_fns2, explode_variants,

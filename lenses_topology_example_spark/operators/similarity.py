@@ -958,3 +958,259 @@ def _sql_embed_dedup_incremental() -> str:
 
 
 SQL_EMBED_DEDUP_INCREMENTAL = _sql_embed_dedup_incremental()
+
+
+# --- IVF probe-depth sweep (round 9) -----------------------------------------
+
+# probe depths measured by the sweep; N_PROBE (=3) sits inside the range
+# so the sweep directly justifies (or indicts) the production setting
+PROBE_SWEEP = (1, 2, 4, 8)
+
+
+def q_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall@k AND scan cost of the IVF layout for probe
+    depths 1/2/4/8 — the calibration audit that chooses N_PROBE the way
+    minhash_band_sweep chooses the LSH banding: from data, not folklore.
+    Per depth p: how many candidate vectors a query scans (the cost the
+    partition-pruning layout exists to bound) and what fraction of the
+    exact top-k survives.
+
+    One scored frame answers every depth: candidates are scored against
+    the max probe depth once, and the rank of a candidate at depth p is
+    the CUMULATIVE count of candidates from cells ranked <= p, taken in
+    the one total (cos_sim DESC, neighbor_id ASC) window order — so all
+    four depth curves are conditional sums inside a single window pass,
+    never four re-joins. (Nested probe sets: cells at depth p are a
+    prefix of depth p', p < p', which is what makes the cumulative-rank
+    trick exact.)
+
+    Determinism: cosines are the bit-identical prenorm expressions of
+    q_sim_ann_ivf; ranks are integer cumulative counts over a total
+    order; recall is one decimal-rounded division of exact int64 sums.
+
+    Scale shape: assignment and probe selection are the q_sim_ann_ivf
+    broadcast plans; the candidate frame is bounded by the max-depth
+    probe fraction of the corpus (p_max/K of it); the final report is a
+    |sweep|-row aggregate."""
+    from pyspark.sql import Window as W
+
+    p_max = max(PROBE_SWEEP)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    ).withColumn("norm", F.sqrt(dot(F.col("v"), F.col("v"))))
+    cent = emb.filter(
+        (F.col("vec_id") >= _CB_LO) & (F.col("vec_id") < _CB_HI)
+    ).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("v").alias("cv"),
+        F.col("norm").alias("cnorm"),
+    )
+    by_vec = W.partitionBy("vec_id").orderBy(
+        F.col("cos_c").desc(), F.col("cent_id").asc()
+    )
+    assigned = (
+        emb.join(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "v",
+            "norm",
+            "cent_id",
+            cosine_prenorm(
+                F.col("cv"), F.col("v"), F.col("cnorm"), F.col("norm")
+            ).alias("cos_c"),
+        )
+        .withColumn("rn", F.row_number().over(by_vec))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "norm", F.col("cent_id").alias("cell"))
+    )
+    qcells = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .join(F.broadcast(cent))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("norm").alias("qnorm"),
+            "cent_id",
+            cosine_prenorm(
+                F.col("cv"), F.col("v"), F.col("cnorm"), F.col("norm")
+            ).alias("cos_c"),
+        )
+        .withColumn(
+            "cell_rank",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy(
+                    F.col("cos_c").desc(), F.col("cent_id").asc()
+                )
+            ),
+        )
+        .filter(F.col("cell_rank") <= F.lit(p_max))
+        .select(
+            "query_id", "qv", "qnorm", F.col("cent_id").alias("cell"),
+            "cell_rank",
+        )
+    )
+    truth = q_sim_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("is_exact")
+    )
+    cands = (
+        assigned.join(F.broadcast(qcells), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "cell_rank",
+            cosine_prenorm(
+                F.col("qv"), F.col("v"), F.col("qnorm"), F.col("norm")
+            ).alias("cos_sim"),
+        )
+        .join(truth, ["query_id", "neighbor_id"], "left")
+    )
+    wcum = (
+        W.partitionBy("query_id")
+        .orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    ranked = cands.select(
+        "query_id",
+        "neighbor_id",
+        "cell_rank",
+        F.coalesce(F.col("is_exact"), F.lit(0)).alias("is_exact"),
+        *[
+            F.sum(
+                F.when(F.col("cell_rank") <= F.lit(p), 1).otherwise(0)
+            )
+            .over(wcum)
+            .alias(f"rank_p{p}")
+            for p in PROBE_SWEEP
+        ],
+    )
+    n_exact_total = truth.agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact_total")
+    )
+    per_p = ranked.agg(
+        *[
+            F.sum(
+                F.when(F.col("cell_rank") <= F.lit(p), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias(f"cand_p{p}")
+            for p in PROBE_SWEEP
+        ],
+        *[
+            F.sum(
+                F.when(
+                    (F.col("cell_rank") <= F.lit(p))
+                    & (F.col(f"rank_p{p}") <= F.lit(TOP_K))
+                    & (F.col("is_exact") == 1),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias(f"hit_p{p}")
+            for p in PROBE_SWEEP
+        ],
+    )
+    stack_args = ", ".join(
+        f"{p}, cand_p{p}, hit_p{p}" for p in PROBE_SWEEP
+    )
+    rows = per_p.crossJoin(F.broadcast(n_exact_total)).select(
+        F.expr(
+            f"stack({len(PROBE_SWEEP)}, {stack_args})"
+            " AS (probe, n_candidates, n_hits)"
+        ),
+        "n_exact_total",
+    )
+    return rows.select(
+        F.col("probe").cast("int").alias("probe"),
+        "n_candidates",
+        "n_hits",
+        F.try_divide(F.col("n_hits"), F.col("n_exact_total"))
+        .cast("decimal(38,6)")
+        .cast("double")
+        .alias("recall"),
+    ).orderBy("probe")
+
+
+def _build_sql_ivf_probe_sweep() -> str:
+    p_max = max(PROBE_SWEEP)
+    rank_cols = ",\n                   ".join(
+        f"SUM(CASE WHEN cell_rank <= {p} THEN 1 ELSE 0 END) OVER ("
+        f"PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC "
+        f"ROWS UNBOUNDED PRECEDING) AS rank_p{p}"
+        for p in PROBE_SWEEP
+    )
+    aggs = ",\n               ".join(
+        f"CAST(SUM(CASE WHEN cell_rank <= {p} THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS cand_p{p},\n               "
+        f"CAST(SUM(CASE WHEN cell_rank <= {p} AND rank_p{p} <= {TOP_K}"
+        f" AND is_exact = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hit_p{p}"
+        for p in PROBE_SWEEP
+    )
+    unions = "\n        UNION ALL ".join(
+        f"SELECT {p} AS probe, cand_p{p} AS n_candidates,"
+        f" hit_p{p} AS n_hits FROM agg"
+        for p in PROBE_SWEEP
+    )
+    return f"""
+    WITH emb AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), nrm AS (
+        SELECT vec_id, v, sqrt({sql_dot('v', 'v')}) AS norm FROM emb
+    ), cent AS (
+        SELECT vec_id AS cent_id, v AS cv, norm AS cnorm FROM nrm
+        WHERE vec_id >= {_CB_LO} AND vec_id < {_CB_HI}
+    ), assigned AS (
+        SELECT vec_id, v, norm, cent_id AS cell
+        FROM (
+            SELECT n.vec_id, n.v, n.norm, c.cent_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY n.vec_id
+                       ORDER BY {sql_dot('c.cv', 'n.v')}
+                                / (c.cnorm * n.norm) DESC,
+                                c.cent_id ASC) AS rn
+            FROM nrm n CROSS JOIN cent c
+        ) WHERE rn = 1
+    ), qcells AS (
+        SELECT query_id, qv, qnorm, cell, cell_rank
+        FROM (
+            SELECT n.vec_id AS query_id, n.v AS qv, n.norm AS qnorm,
+                   c.cent_id AS cell,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY n.vec_id
+                       ORDER BY {sql_dot('c.cv', 'n.v')}
+                                / (c.cnorm * n.norm) DESC,
+                                c.cent_id ASC) AS cell_rank
+            FROM nrm n CROSS JOIN cent c
+            WHERE n.vec_id < {N_QUERIES}
+        ) WHERE cell_rank <= {p_max}
+    ), truth AS (
+        SELECT query_id, neighbor_id, 1 AS is_exact FROM ({SQL_SIM_TOPK})
+    ), cands AS (
+        SELECT q.query_id, a.vec_id AS neighbor_id, q.cell_rank,
+               {sql_dot('q.qv', 'a.v')} / (q.qnorm * a.norm) AS cos_sim,
+               COALESCE(t.is_exact, 0) AS is_exact
+        FROM assigned a JOIN qcells q USING (cell)
+        LEFT JOIN truth t
+          ON t.query_id = q.query_id AND t.neighbor_id = a.vec_id
+        WHERE a.vec_id <> q.query_id
+    ), ranked AS (
+        SELECT query_id, neighbor_id, cell_rank, is_exact,
+                   {rank_cols}
+        FROM cands
+    ), agg AS (
+        SELECT {aggs}
+        FROM ranked
+    ), rows_p AS (
+        {unions}
+    ), tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_total FROM truth
+    )
+    SELECT CAST(probe AS INTEGER) AS probe, n_candidates, n_hits,
+           CAST(CAST(CAST(n_hits AS DOUBLE) / CAST(n_exact_total AS DOUBLE)
+                AS DECIMAL(38,6)) AS DOUBLE) AS recall
+    FROM rows_p CROSS JOIN tot
+    ORDER BY probe
+"""
+
+
+SQL_IVF_PROBE_SWEEP = _build_sql_ivf_probe_sweep()

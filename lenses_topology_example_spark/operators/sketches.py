@@ -461,3 +461,153 @@ SQL_RESERVOIR_SAMPLE = f"""
     )
     WHERE sample_rank <= {RESERVOIR_K}
 """
+
+
+# --- CMS join-cardinality estimation (round 9) -------------------------------
+
+
+# Join sketches use a wider counter table than the token CMS: the token
+# catalog width (16) is sized to FORCE collisions for the overestimate
+# demo, but a join estimator that overestimates 100x is planner noise.
+# 256 cells keeps the table trivially broadcastable while landing the
+# estimate within a small factor of truth at the test scales.
+CMS_JOIN_WIDTH = 256
+
+
+def _cms_key_counters(df: DataFrame, key: F.Column) -> DataFrame:
+    """Generic CMS counter table over an arbitrary key column — the
+    cms_counters shape applied to join keys instead of tokens (same
+    md5 cell scheme, same mergeable partial-agg property)."""
+    return (
+        df.select(
+            F.posexplode(
+                F.array(
+                    *[
+                        cms_cell_col(r, key.cast("string"), CMS_JOIN_WIDTH)
+                        for r in range(CMS_DEPTH)
+                    ]
+                )
+            ).alias("row", "col")
+        )
+        .groupBy("row", "col")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def q_cms_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join cardinality estimation from Count-Min sketches: the
+    output size of events ⋈ orders ON user_id = o_custkey, estimated as
+    the CMS inner product min_r Σ_col cntA(r,col)·cntB(r,col) (Cormode
+    & Muthukrishnan's join-size estimator) and audited against the
+    exact Σ_k cA(k)·cB(k) — the measurement a planner (or
+    join_skew_stats' consumer) wants BEFORE committing to a join
+    strategy, computable from two fixed-size sketches without
+    co-locating either table. Per-depth-row estimates are emitted so
+    the report shows the estimator's spread; row_estimate >= exact
+    always (collision mass only adds), pinned in tests. The over_ratio
+    column is the AUDIT: the estimator's additive error is bounded by
+    e·|A|·|B|/w, so the measured ratio tells the planner whether the
+    configured width is adequate for this key pair (production sizes w
+    from that bound; the test-scale ratio is deliberately loose enough
+    to show a width that needs growing).
+
+    Determinism: md5-derived cells (the engine-portable-sketch
+    discipline), pure int64 products and sums; the ratio is one
+    decimal-rounded division.
+
+    Scale shape: each side collapses to a depth x width counter table
+    via partial aggregation (fixed size however large the table); the
+    inner product joins two 64-cell frames; the exact audit is the
+    only key-grain work — two keyed aggs and a bounded key join (at
+    100 TB the audit runs on a sample day while the sketches run on
+    everything; here both run in full so the oracle can pin them)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k")
+    )
+    od = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k")
+    )
+    ca = _cms_key_counters(ev, F.col("k"))
+    cb = _cms_key_counters(od, F.col("k"))
+    per_row = (
+        ca.alias("a")
+        .join(cb.alias("b"), ["row", "col"])
+        .groupBy("row")
+        .agg(
+            F.sum(F.col("a.cnt") * F.col("b.cnt"))
+            .cast("long")
+            .alias("row_estimate")
+        )
+    )
+    exact = (
+        ev.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("ca"))
+        .join(od.groupBy("k").agg(F.count(F.lit(1)).alias("cb")), "k")
+        .agg(
+            F.coalesce(F.sum(F.col("ca") * F.col("cb")), F.lit(0))
+            .cast("long")
+            .alias("exact_pairs")
+        )
+    )
+    from pyspark.sql import Window as W
+
+    wt = W.partitionBy()
+    return (
+        per_row.crossJoin(F.broadcast(exact))
+        .withColumn(
+            "cms_estimate", F.min("row_estimate").over(wt).cast("long")
+        )
+        .select(
+            F.col("row").cast("int").alias("row"),
+            "row_estimate",
+            "cms_estimate",
+            "exact_pairs",
+            F.try_divide(F.col("cms_estimate"), F.col("exact_pairs"))
+            .cast("decimal(38,6)")
+            .cast("double")
+            .alias("over_ratio"),
+        )
+        .orderBy("row")
+    )
+
+
+def _build_sql_cms_join_cardinality() -> str:
+    def cells(r: int, key: str) -> str:
+        return (
+            f"((('0x' || substr(md5('{r}|' || CAST({key} AS VARCHAR)), 1, 15))"
+            f"::BIGINT) % {CMS_JOIN_WIDTH})"
+        )
+
+    def counters(table: str, key: str) -> str:
+        arms = " UNION ALL ".join(
+            f"SELECT {r} AS row, {cells(r, key)} AS col FROM {table}"
+            for r in range(CMS_DEPTH)
+        )
+        return f"SELECT row, col, COUNT(*) AS cnt FROM ({arms}) GROUP BY row, col"
+
+    return f"""
+    WITH ca AS ({counters('events', 'user_id')}),
+    cb AS ({counters('orders', 'o_custkey')}),
+    per_row AS (
+        SELECT ca.row,
+               CAST(SUM(ca.cnt * cb.cnt) AS BIGINT) AS row_estimate
+        FROM ca JOIN cb ON ca.row = cb.row AND ca.col = cb.col
+        GROUP BY ca.row
+    ), exact AS (
+        SELECT CAST(COALESCE(SUM(ca.n * cb.n), 0) AS BIGINT) AS exact_pairs
+        FROM (SELECT user_id AS k, COUNT(*) AS n FROM events GROUP BY 1) ca
+        JOIN (SELECT o_custkey AS k, COUNT(*) AS n FROM orders GROUP BY 1) cb
+          USING (k)
+    )
+    SELECT CAST(row AS INTEGER) AS row, row_estimate,
+           CAST(MIN(row_estimate) OVER () AS BIGINT) AS cms_estimate,
+           exact_pairs,
+           CAST(CAST(CAST(MIN(row_estimate) OVER () AS DOUBLE)
+                     / CAST(exact_pairs AS DOUBLE)
+                AS DECIMAL(38,6)) AS DOUBLE) AS over_ratio
+    FROM per_row CROSS JOIN exact
+    ORDER BY row
+"""
+
+
+SQL_CMS_JOIN_CARDINALITY = _build_sql_cms_join_cardinality()

@@ -3060,3 +3060,82 @@ SQL_TEMPERATURE_MIX = f"""
     FROM powed CROSS JOIN totals
     ORDER BY source
 """
+
+
+# --- BPE merge-candidate statistics (round 9) --------------------------------
+
+BPE_MERGE_TOPK = 20
+
+
+def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE/WordPiece tokenizer-training inner loop as a corpus
+    operator: frequency-weighted adjacent character-pair counts over
+    the vocabulary, reporting the top merge candidates (the pair a BPE
+    trainer would merge next is row 1; re-running after applying a
+    merge yields the next, so the full training loop is this operator
+    iterated). Complements bpe_token_count (which APPLIES a fixed
+    tokenizer) with the statistic that BUILDS one.
+
+    Determinism: pure integer counts over exact string slicing — no
+    floats anywhere; the top-k selection totals its order on
+    (pair_count DESC, pair ASC).
+
+    Scale shape: the corpus-scale work is ONE token aggregation to the
+    vocabulary (vocab-bounded output, partial agg collapses each
+    partition first); pair explosion then runs over |vocab| rows, not
+    the corpus — the word-frequency table IS the sufficient statistic,
+    which is why real BPE trainers operate on it. Top-k is orderBy +
+    limit => TakeOrderedAndProject (per-partition local top-k, no
+    global window funnel — the cms_token_freq discipline)."""
+    from .dedup import _doc_tokens
+
+    vocab = (
+        _doc_tokens(spark, sf_dir)
+        .select(F.explode(F.col("t")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.length(F.col("token")) >= 2)
+    )
+    pairs = vocab.select(
+        "token",
+        "freq",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(token) - 1),"
+                " i -> substring(token, i, 2))"
+            )
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(
+            F.sum("freq").cast("long").alias("pair_count"),
+            F.countDistinct("token").cast("long").alias("n_words"),
+        )
+        .orderBy(F.col("pair_count").desc(), F.col("pair").asc())
+        .limit(BPE_MERGE_TOPK)
+    )
+
+
+SQL_BPE_MERGE_CANDIDATES = f"""
+    WITH vocab AS (
+        SELECT token, COUNT(*) AS freq
+        FROM (
+            SELECT unnest({SQL_TOKS}) AS token FROM documents
+        )
+        GROUP BY token
+        HAVING length(token) >= 2
+    ), pairs AS (
+        SELECT token, freq,
+               unnest(list_transform(range(1, length(token)),
+                                     i -> substr(token, i, 2))) AS pair
+        FROM vocab
+    )
+    SELECT pair,
+           CAST(SUM(freq) AS BIGINT) AS pair_count,
+           CAST(COUNT(DISTINCT token) AS BIGINT) AS n_words
+    FROM pairs
+    GROUP BY pair
+    ORDER BY pair_count DESC, pair ASC
+    LIMIT {BPE_MERGE_TOPK}
+"""

@@ -1055,3 +1055,171 @@ SQL_INTERARRIVAL_STATS = """
     GROUP BY event_type
     ORDER BY event_type
 """
+
+
+# --- marketing attribution (round 9) -----------------------------------------
+
+
+def q_attribution_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch AND last-touch revenue attribution over the events
+    stream: each purchase's value is credited to the user's first
+    (respectively most recent) preceding non-purchase event type — the
+    two classic marketing-attribution models, side by side so their
+    disagreement (the thing attribution fights are made of) is visible
+    per channel. Purchases with no preceding touch credit 'direct'.
+
+    Determinism: the per-user window rides the (ts, event_id) total
+    order (the interval_merge lesson); channel picks are first/last
+    over that order with ignorenulls (matching DuckDB's IGNORE NULLS);
+    revenue sums go through DECIMAL(38,6); shares are one decimal
+    division of those exact sums.
+
+    Scale shape: ONE user-partitioned window pass computes both touch
+    columns (state per partition = one user's history); the two
+    attribution views then unpivot into (channel, model) rows so a
+    single |channels|-bounded aggregate carries both models; the share
+    denominators are windows over that bounded frame."""
+    from pyspark.sql import Window as W
+
+    from .relational import dsum, dsum_sql  # noqa: F401 (dsum_sql for twin)
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    touch = F.when(
+        F.col("event_type") != F.lit("purchase"), F.col("event_type")
+    )
+    purchases = (
+        ev.withColumn("first_touch", F.first(touch, ignorenulls=True).over(w))
+        .withColumn("last_touch", F.last(touch, ignorenulls=True).over(w))
+        .filter(F.col("event_type") == F.lit("purchase"))
+        .select(
+            F.coalesce(F.col("first_touch"), F.lit("direct")).alias("fch"),
+            F.coalesce(F.col("last_touch"), F.lit("direct")).alias("lch"),
+            "value",
+        )
+    )
+    unpivoted = purchases.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("fch").alias("channel"),
+                    F.lit("first").alias("model"),
+                    F.col("value"),
+                ),
+                F.struct(
+                    F.col("lch").alias("channel"),
+                    F.lit("last").alias("model"),
+                    F.col("value"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.channel", "r.model", "r.value")
+    agg = unpivoted.groupBy("channel").agg(
+        F.sum(F.when(F.col("model") == "first", 1).otherwise(0))
+        .cast("long")
+        .alias("n_first"),
+        dsum(F.when(F.col("model") == "first", F.col("value")).otherwise(0.0))
+        .alias("rev_first"),
+        F.sum(F.when(F.col("model") == "last", 1).otherwise(0))
+        .cast("long")
+        .alias("n_last"),
+        dsum(F.when(F.col("model") == "last", F.col("value")).otherwise(0.0))
+        .alias("rev_last"),
+    )
+    wt = W.partitionBy()
+    # totals sum the DECIMAL view of the per-channel sums (exact 1e-6
+    # multiples), so the |channels|-row fold is order-independent
+    return (
+        agg.withColumn(
+            "tot_first",
+            F.sum(F.col("rev_first").cast("decimal(38,6)")).over(wt)
+            .cast("double"),
+        )
+        .withColumn(
+            "tot_last",
+            F.sum(F.col("rev_last").cast("decimal(38,6)")).over(wt)
+            .cast("double"),
+        )
+        .select(
+            "channel",
+            "n_first",
+            "rev_first",
+            F.try_divide(F.col("rev_first"), F.col("tot_first"))
+            .cast("decimal(38,6)")
+            .cast("double")
+            .alias("share_first"),
+            "n_last",
+            "rev_last",
+            F.try_divide(F.col("rev_last"), F.col("tot_last"))
+            .cast("decimal(38,6)")
+            .cast("double")
+            .alias("share_last"),
+        )
+        .orderBy("channel")
+    )
+
+
+def _build_sql_attribution_revenue() -> str:
+    from .relational import dsum_sql
+
+    first_val = 'CASE WHEN model = \'first\' THEN "value" ELSE 0.0 END'
+    last_val = 'CASE WHEN model = \'last\' THEN "value" ELSE 0.0 END'
+    return f"""
+    WITH touched AS (
+        SELECT event_type, "value",
+               first_value(CASE WHEN event_type <> 'purchase'
+                                THEN event_type END IGNORE NULLS)
+                   OVER (PARTITION BY user_id
+                         ORDER BY ts ASC, event_id ASC
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) AS first_touch,
+               last_value(CASE WHEN event_type <> 'purchase'
+                               THEN event_type END IGNORE NULLS)
+                   OVER (PARTITION BY user_id
+                         ORDER BY ts ASC, event_id ASC
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) AS last_touch
+        FROM events
+    ), purchases AS (
+        SELECT COALESCE(first_touch, 'direct') AS fch,
+               COALESCE(last_touch, 'direct') AS lch,
+               "value"
+        FROM touched WHERE event_type = 'purchase'
+    ), unpiv AS (
+        SELECT fch AS channel, 'first' AS model, "value" FROM purchases
+        UNION ALL
+        SELECT lch AS channel, 'last' AS model, "value" FROM purchases
+    ), agg AS (
+        SELECT channel,
+               CAST(SUM(CASE WHEN model = 'first' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_first,
+               {dsum_sql(first_val)}
+                   AS rev_first,
+               CAST(SUM(CASE WHEN model = 'last' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_last,
+               {dsum_sql(last_val)}
+                   AS rev_last
+        FROM unpiv GROUP BY channel
+    )
+    SELECT channel, n_first, rev_first,
+           CAST(CAST(rev_first /
+                CAST(SUM(CAST(rev_first AS DECIMAL(38,6))) OVER ()
+                     AS DOUBLE)
+                AS DECIMAL(38,6)) AS DOUBLE) AS share_first,
+           n_last, rev_last,
+           CAST(CAST(rev_last /
+                CAST(SUM(CAST(rev_last AS DECIMAL(38,6))) OVER ()
+                     AS DOUBLE)
+                AS DECIMAL(38,6)) AS DOUBLE) AS share_last
+    FROM agg
+    ORDER BY channel
+"""
+
+
+SQL_ATTRIBUTION_REVENUE = _build_sql_attribution_revenue()

@@ -167,3 +167,114 @@ def test_kmeans_elbow_monotone_in_k(spark, sf_dir):
     assert rows[0].improvement == 0.0
     # cosine distance to the nearest centroid is in [0, 2] per vector
     assert 0.0 <= rows[-1].inertia <= 2.0 * rows[-1].n_vectors
+
+
+# --- ivf_probe_sweep ---------------------------------------------------------
+
+
+def test_ivf_probe_sweep_monotone_in_depth(spark, sf_dir):
+    """Probing more cells can only add candidates and hits (nested
+    probe prefixes), and recall stays a valid fraction."""
+    from lenses_topology_example_spark.operators.similarity import (
+        PROBE_SWEEP,
+    )
+
+    rows = sorted(
+        _CATALOG["ivf_probe_sweep"][0](spark, sf_dir).collect(),
+        key=lambda r: r.probe,
+    )
+    assert [r.probe for r in rows] == list(PROBE_SWEEP)
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_candidates >= a.n_candidates
+        assert b.n_hits >= a.n_hits
+        assert b.recall >= a.recall
+    for r in rows:
+        assert 0 <= r.n_hits <= r.n_candidates or r.n_candidates == 0
+        assert 0.0 <= r.recall <= 1.0
+
+
+# --- bpe_merge_candidates ----------------------------------------------------
+
+
+def test_bpe_merge_candidates_are_real_bigrams(spark, sf_dir):
+    from lenses_topology_example_spark.operators.text import (
+        BPE_MERGE_TOPK,
+    )
+
+    rows = _CATALOG["bpe_merge_candidates"][0](spark, sf_dir).collect()
+    assert 0 < len(rows) <= BPE_MERGE_TOPK
+    counts = [r.pair_count for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    for r in rows:
+        assert len(r.pair) == 2
+        assert 1 <= r.n_words <= r.pair_count
+
+
+def test_bpe_merge_counts_match_pure_python(spark, sf_dir):
+    """Replica check on the raw corpus: weighted bigram counts from a
+    pure-Python tokenizer fold must equal the top rows."""
+    import re as _re
+    from collections import Counter
+
+    docs = load_table(spark, sf_dir, "documents").select("text").collect()
+    freq = Counter()
+    for row in docs:
+        for tok in _re.split(r"\W+", row.text.lower()):
+            if tok:
+                freq[tok] += 1
+    pairs = Counter()
+    words = {}
+    for tok, f in freq.items():
+        if len(tok) < 2:
+            continue
+        for i in range(len(tok) - 1):
+            p = tok[i : i + 2]
+            pairs[p] += f
+            words.setdefault(p, set()).add(tok)
+    for r in _CATALOG["bpe_merge_candidates"][0](spark, sf_dir).collect():
+        assert pairs[r.pair] == r.pair_count, r.pair
+        assert len(words[r.pair]) == r.n_words, r.pair
+
+
+# --- attribution_revenue -----------------------------------------------------
+
+
+def test_attribution_conserves_purchases_and_revenue(spark, sf_dir):
+    """Both models must attribute every purchase exactly once: counts
+    and revenue totals agree across models and equal the raw purchase
+    aggregate; shares sum to 1."""
+    rows = _CATALOG["attribution_revenue"][0](spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    n_purch = ev.count()
+    assert sum(r.n_first for r in rows) == n_purch
+    assert sum(r.n_last for r in rows) == n_purch
+    total = float(
+        ev.agg(
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double")
+        ).collect()[0][0]
+    )
+    assert abs(sum(r.rev_first for r in rows) - total) < 1e-6
+    assert abs(sum(r.rev_last for r in rows) - total) < 1e-6
+    assert abs(sum(r.share_first for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r.share_last for r in rows) - 1.0) < 1e-4
+    assert all(r.channel != "purchase" for r in rows)
+
+
+# --- cms_join_cardinality ----------------------------------------------------
+
+
+def test_cms_join_estimate_never_underestimates(spark, sf_dir):
+    """The CMS inner product only ADDS collision mass: every depth
+    row's estimate bounds the exact join size from above, and the
+    published estimate is the min across rows."""
+    rows = _CATALOG["cms_join_cardinality"][0](spark, sf_dir).collect()
+    assert len(rows) == 4
+    exact = {r.exact_pairs for r in rows}
+    assert len(exact) == 1
+    exact = exact.pop()
+    for r in rows:
+        assert r.row_estimate >= exact
+        assert r.cms_estimate == min(x.row_estimate for x in rows)
+        assert r.over_ratio >= 1.0
