@@ -1081,8 +1081,6 @@ def q_attribution_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     denominators are windows over that bounded frame."""
     from pyspark.sql import Window as W
 
-    from .relational import dsum, dsum_sql  # noqa: F401 (dsum_sql for twin)
-
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "ts", "event_id", "event_type", "value"
     )
@@ -1104,6 +1102,21 @@ def q_attribution_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value",
         )
     )
+    return attribution_report(purchases)
+
+
+def attribution_report(purchases: DataFrame) -> DataFrame:
+    """(fch, lch, value) touch log -> the per-channel two-model report.
+    SHARED between the batch operator above and the streaming twin
+    (streaming/pipelines.py streaming_attribution_touches): the
+    stateful emitter produces the identical touch rows, so running this
+    aggregate over its output is the parity claim the twin test pins
+    (no arithmetic happens before this point — the values pass through
+    the emitter untouched)."""
+    from pyspark.sql import Window as W
+
+    from .relational import dsum
+
     unpivoted = purchases.select(
         F.explode(
             F.array(

@@ -1262,3 +1262,72 @@ def streaming_asset_decode(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", "n_chars").mapInPandas(
         png_decode_batches, schema=ASSET_PNG_SCHEMA
     )
+
+
+# --- streaming marketing attribution (round 9) -------------------------------
+
+
+def streaming_attribution_touches(events: DataFrame) -> DataFrame:
+    """Per-user first/last-touch tracking with keyed state — the
+    streaming face of operators/windows.q_attribution_revenue. State is
+    ONE row per user (its first-ever and most recent non-purchase
+    event type), so the store is |active users|-bounded however long
+    the stream runs; each micro-batch emits one (fch, lch, value) row
+    per purchase it completes, and the shared
+    windows.attribution_report aggregate turns the touch log into the
+    two-model report.
+
+    Determinism contract: within a batch, a user's rows are processed
+    in (ts, event_id) order — the batch operator's total order — and
+    the emitter performs NO arithmetic (channel strings and the raw
+    value pass through), so the parity test can require exact-equal
+    reports. Event-time parity across batches requires arrivals in
+    per-user time order (true for replayed logs) — the same
+    documented semantic boundary as streaming_interarrival_gaps."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        first_t, last_t = state.get if state.exists else (None, None)
+        fchs: list = []
+        lchs: list = []
+        vals: list = []
+        pdf = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        for etype, value in zip(pdf["event_type"], pdf["value"]):
+            if etype == "purchase":
+                fchs.append(first_t if first_t is not None else "direct")
+                lchs.append(last_t if last_t is not None else "direct")
+                vals.append(float(value))
+            else:
+                if first_t is None:
+                    first_t = etype
+                last_t = etype
+        state.update((first_t, last_t))
+        yield pd.DataFrame({"fch": fchs, "lch": lchs, "value": vals})
+
+    return events.select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    ).groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="fch string, lch string, value double",
+        stateStructType="first_touch string, last_touch string",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def start_attribution_stream(
+    events: DataFrame, out_path: str, checkpoint: str
+) -> StreamingQuery:
+    """Append the per-batch touch log to parquet; downstream consumers
+    run windows.attribution_report over the log (or any time-slice) —
+    the aggregation is shared with the batch operator, so streaming
+    parity is proven at the touch-emission layer."""
+    return (
+        streaming_attribution_touches(events)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

@@ -278,3 +278,74 @@ def test_cms_join_estimate_never_underestimates(spark, sf_dir):
         assert r.row_estimate >= exact
         assert r.cms_estimate == min(x.row_estimate for x in rows)
         assert r.over_ratio >= 1.0
+
+
+# --- streaming attribution twin ----------------------------------------------
+
+
+def test_streaming_attribution_matches_batch(spark, sf_dir, tmp_path):
+    """Replay the events table in two time-ordered micro-batches: the
+    streaming touch log aggregated through the SHARED
+    windows.attribution_report must equal the batch operator's report
+    EXACTLY (the stateful emitter performs no arithmetic — channels
+    and values pass through untouched)."""
+    import os
+    import time
+
+    from lenses_topology_example_spark.operators.windows import (
+        attribution_report,
+    )
+    from lenses_topology_example_spark.streaming.pipelines import (
+        start_attribution_stream,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    med_ts = events.agg(
+        F.expr("percentile(CAST(ts AS DOUBLE), 0.5)")
+    ).collect()[0][0]
+    src = tmp_path / "at_src"
+    # one part file per half: same-mtime siblings would drain in
+    # unspecified order and break cross-batch per-user time order
+    events.filter(F.col("ts").cast("double") <= med_ts).coalesce(
+        1
+    ).write.parquet(f"{src}/f0")
+    events.filter(F.col("ts").cast("double") > med_ts).coalesce(
+        1
+    ).write.parquet(f"{src}/f1")
+    now = time.time()
+    for sub, off in (("f0", 0), ("f1", 60)):
+        d = f"{src}/{sub}"
+        for fn in os.listdir(d):
+            os.utime(f"{d}/{fn}", (now + off, now + off))
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/f*")
+    )
+    out = tmp_path / "at_touches"
+    q = start_attribution_stream(
+        stream, str(out), str(tmp_path / "at_ckpt")
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        r.channel: (
+            r.n_first, r.rev_first, r.share_first,
+            r.n_last, r.rev_last, r.share_last,
+        )
+        for r in attribution_report(
+            spark.read.parquet(str(out))
+        ).collect()
+    }
+    want = {
+        r.channel: (
+            r.n_first, r.rev_first, r.share_first,
+            r.n_last, r.rev_last, r.share_last,
+        )
+        for r in _CATALOG["attribution_revenue"][0](spark, sf_dir).collect()
+    }
+    assert got == want
