@@ -264,6 +264,11 @@ HEADLINE = (
     "bpe_merge_candidates",
     "attribution_revenue",
     "cms_join_cardinality",
+    # round-9 fifth wave: cohort LTV, A/B readout, CUSUM, bootstrap
+    "ltv_curve",
+    "ab_test_report",
+    "cusum_changepoint",
+    "bootstrap_stderr",
 )
 
 

@@ -579,6 +579,19 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
         sketches.q_cms_join_cardinality,
         sketches.SQL_CMS_JOIN_CARDINALITY,
     ),
+    # fifth round-9 wave (same past-window protocol): cohort LTV, the
+    # A/B readout, offline change-point localization, and deterministic
+    # bootstrap uncertainty
+    "ltv_curve": (windows.q_ltv_curve, windows.SQL_LTV_CURVE),
+    "ab_test_report": (windows.q_ab_test_report, windows.SQL_AB_TEST_REPORT),
+    "cusum_changepoint": (
+        windows.q_cusum_changepoint,
+        windows.SQL_CUSUM_CHANGEPOINT,
+    ),
+    "bootstrap_stderr": (
+        sketches.q_bootstrap_stderr,
+        sketches.SQL_BOOTSTRAP_STDERR,
+    ),
 }
 
 # The driver evaluates only the first DRIVER_WINDOW_SIZE catalog entries
@@ -616,10 +629,12 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
 # ROUND-10 ROTATION PLAN (write the new DRIVER_WINDOW from this once
 # CORRECTNESS_r09 lands; assuming the r9 window goes green):
 #   IN (priority): any round-10 additions at the window head — the
-#     nine third/fourth-wave r9 entries first (hybrid_rrf, l_diversity,
-#     private_release, rfm_segments, kmeans_elbow, ivf_probe_sweep,
-#     bpe_merge_candidates, attribution_revenue, cms_join_cardinality)
-#     — then any r9 RED held in-window until it closes green.
+#     thirteen third/fourth/fifth-wave r9 entries first (hybrid_rrf,
+#     l_diversity, private_release, rfm_segments, kmeans_elbow,
+#     ivf_probe_sweep, bpe_merge_candidates, attribution_revenue,
+#     cms_join_cardinality, ltv_curve, ab_test_report,
+#     cusum_changepoint, bootstrap_stderr) — then any r9 RED held
+#     in-window until it closes green.
 #   IN (re-checks, oldest-verdict-first): the 20 remaining r1-verdict
 #     entries (except_users, scalar_fns — displaced by the second r9
 #     wave — then array_fns, column_stats, date_fns2, explode_variants,

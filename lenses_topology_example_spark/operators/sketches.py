@@ -611,3 +611,145 @@ def _build_sql_cms_join_cardinality() -> str:
 
 
 SQL_CMS_JOIN_CARDINALITY = _build_sql_cms_join_cardinality()
+
+
+# --- deterministic bootstrap standard error (round 9) ------------------------
+
+BOOT_B = 8  # bootstrap replicas
+
+
+def _boot_weight(b: int) -> F.Column:
+    """Replica b's resampling weight for the current row: md5-seeded
+    draw from {0, 1, 1, 2} (mean 1, variance 0.5 — the Poisson(1)
+    bootstrap's first two moments, integer-exact and engine-portable)."""
+    h = cms_cell_col(b, F.concat(F.lit("boot|"), F.col("key")), 4)
+    return (
+        F.when(h == 0, 0).when(h == 3, 2).otherwise(1).cast("long")
+    )
+
+
+def q_bootstrap_stderr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap standard error of the mean order value — uncertainty
+    quantification as a corpus operator: BOOT_B deterministic
+    multiplier-bootstrap replicas (integer weights from the md5 cell
+    scheme, the seeded-coin discipline) each yield a weighted mean;
+    their spread is the standard error a report attaches to the point
+    estimate. The md5 weights make the whole resampling plan
+    reproducible AND oracle-checkable — no RNG state anywhere.
+
+    Determinism: replica sums fold DECIMAL(38,6); each replica mean is
+    one decimal-rounded division; the across-replica moments square
+    those exact 1e-6-multiple means, round each square to decimal, and
+    sum exactly — so the stderr is order-independent.
+
+    Scale shape: ONE scan with 2·BOOT_B conditional aggregates (no
+    row explosion — the weights are per-row expressions, so partial
+    aggregation collapses everything map-side); the replica frame is
+    BOOT_B rows; stderr is a window over it (tiny-frame class)."""
+    from pyspark.sql import Window as W
+
+    od = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("string").alias("key"),
+        F.col("o_totalprice").alias("x"),
+    )
+    d = lambda c: F.sum(c.cast("decimal(38,6)")).cast("double")  # noqa: E731
+    agg = od.agg(
+        *[
+            F.sum(_boot_weight(b)).cast("long").alias(f"n{b}")
+            for b in range(BOOT_B)
+        ],
+        *[
+            d(_boot_weight(b).cast("double") * F.col("x")).alias(f"s{b}")
+            for b in range(BOOT_B)
+        ],
+    )
+    stack_args = ", ".join(f"{b}, n{b}, s{b}" for b in range(BOOT_B))
+    reps = agg.select(
+        F.expr(
+            f"stack({BOOT_B}, {stack_args}) AS (replica, n_eff, wsum)"
+        )
+    ).select(
+        F.col("replica").cast("int").alias("replica"),
+        "n_eff",
+        F.try_divide(F.col("wsum"), F.col("n_eff"))
+        .cast("decimal(38,6)")
+        .cast("double")
+        .alias("mean_b"),
+    )
+    wall = W.partitionBy()
+    staged = (
+        reps.withColumn(
+            "sm",
+            F.sum(F.col("mean_b").cast("decimal(38,6)")).over(wall)
+            .cast("double"),
+        )
+        .withColumn(
+            "smm",
+            F.sum(
+                (F.col("mean_b") * F.col("mean_b")).cast("decimal(38,6)")
+            ).over(wall)
+            .cast("double"),
+        )
+        .withColumn("nb", F.count(F.lit(1)).over(wall))
+    )
+    var = (
+        F.col("smm") - F.col("sm") * F.col("sm") / F.col("nb")
+    ) / (F.col("nb") - 1)
+    stderr = F.when(var > F.lit(0.0), F.sqrt(var))
+    return staged.select(
+        "replica",
+        "n_eff",
+        "mean_b",
+        stderr.cast("decimal(38,6)").cast("double").alias("boot_stderr"),
+    ).orderBy("replica")
+
+
+def _build_sql_bootstrap_stderr() -> str:
+    def w(b: int) -> str:
+        h = (
+            f"((('0x' || substr(md5('{b}|' || 'boot|' || CAST(o_orderkey"
+            f" AS VARCHAR)), 1, 15))::BIGINT) % 4)"
+        )
+        return f"(CASE WHEN {h} = 0 THEN 0 WHEN {h} = 3 THEN 2 ELSE 1 END)"
+
+    aggs = ",\n            ".join(
+        f"CAST(SUM({w(b)}) AS BIGINT) AS n{b},\n            "
+        f"CAST(SUM(CAST(CAST({w(b)} AS DOUBLE) * o_totalprice"
+        f" AS DECIMAL(38,6))) AS DOUBLE) AS s{b}"
+        for b in range(BOOT_B)
+    )
+    unions = "\n        UNION ALL ".join(
+        f"SELECT {b} AS replica, n{b} AS n_eff, s{b} AS wsum FROM agg"
+        for b in range(BOOT_B)
+    )
+    return f"""
+    WITH agg AS (
+        SELECT
+            {aggs}
+        FROM orders
+    ), reps AS (
+        {unions}
+    ), means AS (
+        SELECT CAST(replica AS INTEGER) AS replica, n_eff,
+               CAST(CAST(CAST(wsum AS DOUBLE) / CAST(n_eff AS DOUBLE)
+                    AS DECIMAL(38,6)) AS DOUBLE) AS mean_b
+        FROM reps
+    ), staged AS (
+        SELECT replica, n_eff, mean_b,
+               CAST(SUM(CAST(mean_b AS DECIMAL(38,6))) OVER ()
+                    AS DOUBLE) AS sm,
+               CAST(SUM(CAST(mean_b * mean_b AS DECIMAL(38,6))) OVER ()
+                    AS DOUBLE) AS smm,
+               COUNT(*) OVER () AS nb
+        FROM means
+    )
+    SELECT replica, n_eff, mean_b,
+           CASE WHEN (smm - sm * sm / nb) / (nb - 1) > 0.0
+                THEN CAST(CAST(sqrt((smm - sm * sm / nb) / (nb - 1))
+                     AS DECIMAL(38,6)) AS DOUBLE) END AS boot_stderr
+    FROM staged
+    ORDER BY replica
+"""
+
+
+SQL_BOOTSTRAP_STDERR = _build_sql_bootstrap_stderr()

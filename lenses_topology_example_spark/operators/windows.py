@@ -1236,3 +1236,308 @@ def _build_sql_attribution_revenue() -> str:
 
 
 SQL_ATTRIBUTION_REVENUE = _build_sql_attribution_revenue()
+
+
+# --- cohort lifetime-value curve (round 9) -----------------------------------
+
+
+def q_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curve — cohort_retention's revenue-side companion:
+    customers cohort by their FIRST order month; each later month's
+    revenue accrues to (cohort, age_months); the running cumulative
+    revenue divided by cohort size is the per-customer lifetime value
+    a growth team projects forward. Month-grain on purpose (the
+    reporting grain LTV curves are read at).
+
+    Determinism: ages are exact month diffs of month-truncated dates;
+    revenue sums and the running cumulative both fold DECIMAL(38,6)
+    (the per-cell sums are exact 1e-6 multiples, so the cumulative is
+    order-independent); LTV is one decimal-rounded division.
+
+    Scale shape: orders aggregates twice, both keyed and map-side
+    partial (first-order per customer, then revenue per (cohort, age)
+    cell); the cumulative window runs over the (cohorts x ages)-bounded
+    cell frame, partitioned by cohort; cohort sizes broadcast in."""
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.trunc(F.to_date("o_orderdate"), "month").alias("m"),
+        "o_totalprice",
+    )
+    first = orders.groupBy("o_custkey").agg(F.min("m").alias("cohort_m"))
+    sizes = first.groupBy("cohort_m").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers")
+    )
+    cells = (
+        orders.join(first, "o_custkey")
+        .select(
+            "cohort_m",
+            F.months_between(F.col("m"), F.col("cohort_m"))
+            .cast("int")
+            .alias("age_months"),
+            "o_totalprice",
+        )
+        .groupBy("cohort_m", "age_months")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    wc = (
+        W.partitionBy("cohort_m")
+        .orderBy("age_months")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        cells.withColumn(
+            "cum_revenue",
+            F.sum(F.col("revenue").cast("decimal(38,6)")).over(wc)
+            .cast("double"),
+        )
+        .join(F.broadcast(sizes), "cohort_m")
+        .select(
+            F.date_format("cohort_m", "yyyy-MM").alias("cohort_month"),
+            "age_months",
+            "revenue",
+            "cum_revenue",
+            "n_customers",
+            F.try_divide(F.col("cum_revenue"), F.col("n_customers"))
+            .cast("decimal(38,6)")
+            .cast("double")
+            .alias("ltv_per_customer"),
+        )
+        .orderBy("cohort_month", "age_months")
+    )
+
+
+SQL_LTV_CURVE = """
+    WITH o AS (
+        SELECT o_custkey,
+               date_trunc('month', CAST(o_orderdate AS DATE)) AS m,
+               o_totalprice
+        FROM orders
+    ), first AS (
+        SELECT o_custkey, MIN(m) AS cohort_m FROM o GROUP BY o_custkey
+    ), sizes AS (
+        SELECT cohort_m, CAST(COUNT(*) AS BIGINT) AS n_customers
+        FROM first GROUP BY cohort_m
+    ), cells AS (
+        SELECT cohort_m,
+               CAST(date_diff('month', cohort_m, m) AS INTEGER)
+                   AS age_months,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+                   AS revenue
+        FROM o JOIN first USING (o_custkey)
+        GROUP BY cohort_m, CAST(date_diff('month', cohort_m, m) AS INTEGER)
+    ), cum AS (
+        SELECT cohort_m, age_months, revenue,
+               CAST(SUM(CAST(revenue AS DECIMAL(38,6))) OVER (
+                   PARTITION BY cohort_m ORDER BY age_months
+                   ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_revenue
+        FROM cells
+    )
+    SELECT strftime(cum.cohort_m, '%Y-%m') AS cohort_month,
+           age_months, revenue, cum_revenue, n_customers,
+           CAST(CAST(cum_revenue / CAST(n_customers AS DOUBLE)
+                AS DECIMAL(38,6)) AS DOUBLE) AS ltv_per_customer
+    FROM cum JOIN sizes USING (cohort_m)
+    ORDER BY cohort_month, age_months
+"""
+
+
+# --- deterministic A/B analysis (round 9) ------------------------------------
+
+
+def q_ab_test_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-arm experiment readout over purchase events: users split
+    into arms by a seeded md5 coin (the dataset_split discipline — the
+    assignment IS the experiment infrastructure), then the classic
+    Welch readout on purchase value: per-arm n / mean / variance, the
+    mean difference, and its z-score. The analysis layer every
+    event-stream experimentation stack ends in.
+
+    Determinism: moments come from DECIMAL(38,6) sums (corr_
+    text_embedding discipline) so they are order-independent; mean /
+    variance / z are ONE fixed double expression written identically
+    in both engines; a degenerate arm (n < 2 or zero variance) yields
+    NULL z via the sqrt-guard pattern of event_rate_anomaly.
+
+    Scale shape: single scan, ONE conditional 1-row aggregate (six
+    decimal sums + two counts), then scalar math — nothing after the
+    map-side partial exceeds one row."""
+    from ..functions.texthash import md5_hash64
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == F.lit("purchase")
+    )
+    arm = (
+        md5_hash64(F.concat(F.lit("ab|"), F.col("user_id").cast("string")))
+        % 2
+    )
+    x = F.col("value")
+    d = lambda c: F.sum(c.cast("decimal(38,6)")).cast("double")  # noqa: E731
+    agg = ev.select(arm.alias("arm"), x.alias("x")).agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_1"),
+        d(F.when(F.col("arm") == 0, F.col("x")).otherwise(0.0)).alias("s_0"),
+        d(F.when(F.col("arm") == 1, F.col("x")).otherwise(0.0)).alias("s_1"),
+        d(
+            F.when(F.col("arm") == 0, F.col("x") * F.col("x")).otherwise(0.0)
+        ).alias("ss_0"),
+        d(
+            F.when(F.col("arm") == 1, F.col("x") * F.col("x")).otherwise(0.0)
+        ).alias("ss_1"),
+    )
+    mean0 = F.col("s_0") / F.col("n_0")
+    mean1 = F.col("s_1") / F.col("n_1")
+    var0 = (F.col("ss_0") - F.col("s_0") * F.col("s_0") / F.col("n_0")) / (
+        F.col("n_0") - 1
+    )
+    var1 = (F.col("ss_1") - F.col("s_1") * F.col("s_1") / F.col("n_1")) / (
+        F.col("n_1") - 1
+    )
+    se = F.sqrt(var0 / F.col("n_0") + var1 / F.col("n_1"))
+    z = F.when(se > F.lit(0.0), (mean1 - mean0) / se)
+    rnd = lambda c: c.cast("decimal(38,6)").cast("double")  # noqa: E731
+    return agg.select(
+        "n_0",
+        "n_1",
+        F.when(F.col("n_0") > 0, rnd(mean0)).alias("mean_0"),
+        F.when(F.col("n_1") > 0, rnd(mean1)).alias("mean_1"),
+        F.when(
+            (F.col("n_0") > 0) & (F.col("n_1") > 0), rnd(mean1 - mean0)
+        ).alias("mean_diff"),
+        F.when(
+            (F.col("n_0") > 1) & (F.col("n_1") > 1), rnd(z)
+        ).alias("z_score"),
+    )
+
+
+_SQL_AB_ARM = (
+    "((('0x' || substr(md5('ab|' || CAST(user_id AS VARCHAR)), 1, 15))"
+    "::BIGINT) % 2)"
+)
+
+SQL_AB_TEST_REPORT = f"""
+    WITH p AS (
+        SELECT {_SQL_AB_ARM} AS arm, "value" AS x
+        FROM events WHERE event_type = 'purchase'
+    ), agg AS (
+        SELECT
+            CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_0,
+            CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_1,
+            CAST(SUM(CAST(CASE WHEN arm = 0 THEN x ELSE 0.0 END
+                 AS DECIMAL(38,6))) AS DOUBLE) AS s_0,
+            CAST(SUM(CAST(CASE WHEN arm = 1 THEN x ELSE 0.0 END
+                 AS DECIMAL(38,6))) AS DOUBLE) AS s_1,
+            CAST(SUM(CAST(CASE WHEN arm = 0 THEN x * x ELSE 0.0 END
+                 AS DECIMAL(38,6))) AS DOUBLE) AS ss_0,
+            CAST(SUM(CAST(CASE WHEN arm = 1 THEN x * x ELSE 0.0 END
+                 AS DECIMAL(38,6))) AS DOUBLE) AS ss_1
+        FROM p
+    )
+    SELECT n_0, n_1,
+           CASE WHEN n_0 > 0 THEN CAST(CAST(s_0 / n_0 AS DECIMAL(38,6))
+                AS DOUBLE) END AS mean_0,
+           CASE WHEN n_1 > 0 THEN CAST(CAST(s_1 / n_1 AS DECIMAL(38,6))
+                AS DOUBLE) END AS mean_1,
+           CASE WHEN n_0 > 0 AND n_1 > 0 THEN
+                CAST(CAST(s_1 / n_1 - s_0 / n_0 AS DECIMAL(38,6))
+                     AS DOUBLE) END AS mean_diff,
+           CASE WHEN n_0 > 1 AND n_1 > 1 AND
+                sqrt((ss_0 - s_0 * s_0 / n_0) / (n_0 - 1) / n_0
+                     + (ss_1 - s_1 * s_1 / n_1) / (n_1 - 1) / n_1) > 0.0
+                THEN CAST(CAST(
+                    (s_1 / n_1 - s_0 / n_0)
+                    / sqrt((ss_0 - s_0 * s_0 / n_0) / (n_0 - 1) / n_0
+                           + (ss_1 - s_1 * s_1 / n_1) / (n_1 - 1) / n_1)
+                    AS DECIMAL(38,6)) AS DOUBLE) END AS z_score
+    FROM agg
+"""
+
+
+# --- CUSUM change-point screen (round 9) -------------------------------------
+
+
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point screen over daily total event volume: the
+    cumulative sum of deviations from the global daily mean peaks (in
+    absolute value) at the most likely level-shift point — the
+    classical offline change-point statistic, complementing
+    event_rate_anomaly's per-day z-screen (which flags outlier DAYS;
+    this localizes a persistent SHIFT).
+
+    Determinism: integer-exact end-to-end — the statistic is carried as
+    the int64 numerator nd·cum_x − k·s1 (cusum = numerator/nd), so the
+    only float is ONE final division of exact ints (bit-identical both
+    engines, no decimal-rounding boundary — the corpus_report r8 bug
+    class cannot occur) and the argmax flag compares integers.
+
+    Scale shape: one scan to the |days|-bounded daily frame (partial
+    agg map-side); the ordered cumsum window runs over that bounded
+    frame (the documented tiny-frame class)."""
+    from pyspark.sql import Window as W
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .select(F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    wcum = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    wall = W.partitionBy()
+    staged = (
+        daily.withColumn("cum_x", F.sum("n_events").over(wcum))
+        .withColumn("k", F.count(F.lit(1)).over(wcum))
+        .withColumn("s1", F.sum("n_events").over(wall))
+        .withColumn("nd", F.count(F.lit(1)).over(wall))
+    )
+    num = (F.col("nd") * F.col("cum_x") - F.col("k") * F.col("s1")).cast(
+        "long"
+    )
+    staged = staged.withColumn("cusum_num", num).withColumn(
+        "max_abs_num", F.max(F.abs(F.col("cusum_num"))).over(wall)
+    )
+    return staged.select(
+        "day",
+        "n_events",
+        F.try_divide(
+            F.col("cusum_num").cast("double"), F.col("nd").cast("double")
+        ).alias("cusum"),
+        (F.abs(F.col("cusum_num")) == F.col("max_abs_num")).alias(
+            "is_changepoint"
+        ),
+    ).orderBy("day")
+
+
+SQL_CUSUM_CHANGEPOINT = """
+    WITH daily AS (
+        SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1
+    ), staged AS (
+        SELECT day, n_events,
+               SUM(n_events) OVER (ORDER BY day
+                   ROWS UNBOUNDED PRECEDING) AS cum_x,
+               COUNT(*) OVER (ORDER BY day
+                   ROWS UNBOUNDED PRECEDING) AS k,
+               SUM(n_events) OVER () AS s1,
+               COUNT(*) OVER () AS nd
+        FROM daily
+    ), scored AS (
+        SELECT day, n_events, nd,
+               CAST(nd * cum_x - k * s1 AS BIGINT) AS cusum_num
+        FROM staged
+    )
+    SELECT day, n_events,
+           CAST(cusum_num AS DOUBLE) / CAST(nd AS DOUBLE) AS cusum,
+           abs(cusum_num) = MAX(abs(cusum_num)) OVER () AS is_changepoint
+    FROM scored
+    ORDER BY day
+"""

@@ -349,3 +349,131 @@ def test_streaming_attribution_matches_batch(spark, sf_dir, tmp_path):
         for r in _CATALOG["attribution_revenue"][0](spark, sf_dir).collect()
     }
     assert got == want
+
+
+# --- ltv_curve ---------------------------------------------------------------
+
+
+def test_ltv_curve_accumulates_and_conserves(spark, sf_dir):
+    """Revenue cells sum to total order revenue; cumulative revenue is
+    the running prefix per cohort and never decreases; LTV times cohort
+    size re-derives the cumulative (to rounding)."""
+    rows = _CATALOG["ltv_curve"][0](spark, sf_dir).collect()
+    assert rows
+    total = float(
+        load_table(spark, sf_dir, "orders")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast("double"))
+        .collect()[0][0]
+    )
+    assert abs(sum(r.revenue for r in rows) - total) < 1e-4
+    per_cohort = defaultdict(list)
+    for r in rows:
+        assert r.age_months >= 0
+        per_cohort[r.cohort_month].append(r)
+    for rs in per_cohort.values():
+        rs = sorted(rs, key=lambda r: r.age_months)
+        run = 0.0
+        for r in rs:
+            run += r.revenue
+            assert abs(r.cum_revenue - run) < 1e-4
+            assert (
+                abs(r.ltv_per_customer * r.n_customers - r.cum_revenue)
+                < r.n_customers * 1e-5
+            )
+
+
+# --- ab_test_report ----------------------------------------------------------
+
+
+def test_ab_test_matches_pure_python(spark, sf_dir):
+    """Full replica: arms from the md5 coin, Welch z from exact
+    moments, computed in Python over the collected purchases."""
+    import hashlib
+    import math
+
+    rows = _CATALOG["ab_test_report"][0](spark, sf_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "value")
+        .collect()
+    )
+    arms = {0: [], 1: []}
+    for e in ev:
+        h = int(hashlib.md5(f"ab|{e.user_id}".encode()).hexdigest()[:15], 16)
+        arms[h % 2].append(e.value)
+    assert (r.n_0, r.n_1) == (len(arms[0]), len(arms[1]))
+    m0 = sum(arms[0]) / len(arms[0])
+    m1 = sum(arms[1]) / len(arms[1])
+    assert abs(r.mean_0 - m0) < 1e-4 and abs(r.mean_1 - m1) < 1e-4
+    v0 = sum((x - m0) ** 2 for x in arms[0]) / (len(arms[0]) - 1)
+    v1 = sum((x - m1) ** 2 for x in arms[1]) / (len(arms[1]) - 1)
+    z = (m1 - m0) / math.sqrt(v0 / len(arms[0]) + v1 / len(arms[1]))
+    assert abs(r.z_score - z) < 1e-3
+
+
+# --- cusum_changepoint -------------------------------------------------------
+
+
+def test_cusum_ends_at_zero_and_flags_argmax(spark, sf_dir):
+    """By construction the CUSUM of deviations from the global mean
+    returns exactly to 0 on the last day, counts conserve the event
+    total, and the flag marks exactly the max-|S| days."""
+    rows = sorted(
+        _CATALOG["cusum_changepoint"][0](spark, sf_dir).collect(),
+        key=lambda r: r.day,
+    )
+    assert rows
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert sum(r.n_events for r in rows) == n_events
+    assert rows[-1].cusum == 0.0
+    mx = max(abs(r.cusum) for r in rows)
+    for r in rows:
+        assert r.is_changepoint == (abs(r.cusum) == mx)
+    assert any(r.is_changepoint for r in rows)
+
+
+# --- bootstrap_stderr --------------------------------------------------------
+
+
+def test_bootstrap_matches_pure_python(spark, sf_dir):
+    """Full replica of the md5 multiplier weights and replica means in
+    Python; stderr equals the spread of those means."""
+    import hashlib
+    import math
+
+    from lenses_topology_example_spark.operators.sketches import BOOT_B
+
+    rows = sorted(
+        _CATALOG["bootstrap_stderr"][0](spark, sf_dir).collect(),
+        key=lambda r: r.replica,
+    )
+    assert [r.replica for r in rows] == list(range(BOOT_B))
+    od = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .collect()
+    )
+    means = []
+    for b in range(BOOT_B):
+        n_eff, s = 0, 0.0
+        for o in od:
+            h = int(
+                hashlib.md5(f"{b}|boot|{o.o_orderkey}".encode()).hexdigest()[
+                    :15
+                ],
+                16,
+            ) % 4
+            w = 0 if h == 0 else (2 if h == 3 else 1)
+            n_eff += w
+            s += w * o.o_totalprice
+        assert rows[b].n_eff == n_eff
+        m = s / n_eff
+        assert abs(rows[b].mean_b - m) < 1e-4
+        means.append(m)
+    mbar = sum(means) / BOOT_B
+    se = math.sqrt(sum((m - mbar) ** 2 for m in means) / (BOOT_B - 1))
+    for r in rows:
+        assert abs(r.boot_stderr - se) < 1e-2
