@@ -269,6 +269,12 @@ HEADLINE = (
     "ab_test_report",
     "cusum_changepoint",
     "bootstrap_stderr",
+    # round-9 sixth wave: distinctive terms, basket lift, ranker eval,
+    # self-auditing histogram quantiles
+    "topic_keywords",
+    "basket_lift",
+    "retrieval_eval",
+    "histogram_quantiles",
 )
 
 

@@ -592,6 +592,19 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
         sketches.q_bootstrap_stderr,
         sketches.SQL_BOOTSTRAP_STDERR,
     ),
+    # sixth round-9 wave (same past-window protocol): distinctive-term
+    # extraction, market-basket lift, the ranker-evaluation harness,
+    # and self-auditing histogram quantiles
+    "topic_keywords": (text.q_topic_keywords, text.SQL_TOPIC_KEYWORDS),
+    "basket_lift": (relational2.q_basket_lift, relational2.SQL_BASKET_LIFT),
+    "retrieval_eval": (
+        retrieval.q_retrieval_eval,
+        retrieval.SQL_RETRIEVAL_EVAL,
+    ),
+    "histogram_quantiles": (
+        sketches.q_histogram_quantiles,
+        sketches.SQL_HISTOGRAM_QUANTILES,
+    ),
 }
 
 # The driver evaluates only the first DRIVER_WINDOW_SIZE catalog entries
@@ -629,12 +642,13 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
 # ROUND-10 ROTATION PLAN (write the new DRIVER_WINDOW from this once
 # CORRECTNESS_r09 lands; assuming the r9 window goes green):
 #   IN (priority): any round-10 additions at the window head — the
-#     thirteen third/fourth/fifth-wave r9 entries first (hybrid_rrf,
-#     l_diversity, private_release, rfm_segments, kmeans_elbow,
-#     ivf_probe_sweep, bpe_merge_candidates, attribution_revenue,
-#     cms_join_cardinality, ltv_curve, ab_test_report,
-#     cusum_changepoint, bootstrap_stderr) — then any r9 RED held
-#     in-window until it closes green.
+#     seventeen wave-3..6 r9 entries first (hybrid_rrf, l_diversity,
+#     private_release, rfm_segments, kmeans_elbow, ivf_probe_sweep,
+#     bpe_merge_candidates, attribution_revenue, cms_join_cardinality,
+#     ltv_curve, ab_test_report, cusum_changepoint, bootstrap_stderr,
+#     topic_keywords, basket_lift, retrieval_eval,
+#     histogram_quantiles) — then any r9 RED held in-window until it
+#     closes green.
 #   IN (re-checks, oldest-verdict-first): the 20 remaining r1-verdict
 #     entries (except_users, scalar_fns — displaced by the second r9
 #     wave — then array_fns, column_stats, date_fns2, explode_variants,

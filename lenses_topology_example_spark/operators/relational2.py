@@ -848,3 +848,116 @@ SQL_RFM_SEGMENTS = f"""
     GROUP BY c_nationkey, r_q, f_q, m_q
     ORDER BY c_nationkey, r_q, f_q, m_q
 """
+
+
+# --- market-basket lift (round 9) --------------------------------------------
+
+BASKET_MIN_SUPPORT = 2
+BASKET_TOPK = 20
+
+
+def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining over order line items: for part
+    pairs co-ordered in at least BASKET_MIN_SUPPORT orders, the lift
+    support(a,b)·N / (cnt(a)·cnt(b)) — the co-purchase signal a
+    recommender or assortment planner ranks by. Top-BASKET_TOPK by
+    lift (exact total order: lift DESC, then the pair).
+
+    Determinism: supports and counts are exact int64 (distinct
+    (order, part) first, so a part listed twice in one order counts
+    once); lift is one fixed double expression of those ints,
+    decimal-rounded.
+
+    Scale shape: the pair generation is a SELF-JOIN of the distinct
+    (order, part) table on orderkey with partkey_a < partkey_b — a
+    co-partitioned SMJ whose output is Σ_orders k²/2 (bounded by the
+    basket-size distribution, the standard a-priori cost); everything
+    after is |pairs|- or |parts|-bounded; part counts broadcast in;
+    top-k is orderBy+limit => TakeOrderedAndProject."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_orders = li.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
+    )
+    part_cnt = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    a = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb")
+    )
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        .filter(F.col("support") >= F.lit(BASKET_MIN_SUPPORT))
+    )
+    scored = (
+        pairs.join(
+            F.broadcast(part_cnt.select(F.col("l_partkey").alias("pa"),
+                                        F.col("cnt").alias("cnt_a"))),
+            "pa",
+        )
+        .join(
+            F.broadcast(part_cnt.select(F.col("l_partkey").alias("pb"),
+                                        F.col("cnt").alias("cnt_b"))),
+            "pb",
+        )
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            F.col("pa").alias("part_a"),
+            F.col("pb").alias("part_b"),
+            "support",
+            "cnt_a",
+            "cnt_b",
+            (
+                F.col("support").cast("double")
+                * F.col("n_orders").cast("double")
+                / (
+                    F.col("cnt_a").cast("double")
+                    * F.col("cnt_b").cast("double")
+                )
+            )
+            .cast("decimal(38,6)")
+            .cast("double")
+            .alias("lift"),
+        )
+    )
+    return scored.orderBy(
+        F.col("lift").desc(), F.col("part_a").asc(), F.col("part_b").asc()
+    ).limit(BASKET_TOPK)
+
+
+SQL_BASKET_LIFT = f"""
+    WITH li AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+    ), n AS (
+        SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_orders FROM li
+    ), pc AS (
+        SELECT p, CAST(COUNT(*) AS BIGINT) AS cnt FROM li GROUP BY p
+    ), pairs AS (
+        SELECT a.p AS part_a, b.p AS part_b,
+               CAST(COUNT(*) AS BIGINT) AS support
+        FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p
+        GROUP BY a.p, b.p
+        HAVING COUNT(*) >= {BASKET_MIN_SUPPORT}
+    )
+    SELECT part_a, part_b, support,
+           ca.cnt AS cnt_a, cb.cnt AS cnt_b,
+           CAST(CAST(
+               CAST(support AS DOUBLE) * CAST(n_orders AS DOUBLE)
+               / (CAST(ca.cnt AS DOUBLE) * CAST(cb.cnt AS DOUBLE))
+               AS DECIMAL(38,6)) AS DOUBLE) AS lift
+    FROM pairs
+    JOIN pc ca ON ca.p = pairs.part_a
+    JOIN pc cb ON cb.p = pairs.part_b
+    CROSS JOIN n
+    ORDER BY lift DESC, part_a ASC, part_b ASC
+    LIMIT {BASKET_TOPK}
+"""

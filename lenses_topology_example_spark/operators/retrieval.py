@@ -33,6 +33,8 @@ partitions.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from ..tables import load_table
@@ -187,3 +189,246 @@ def _build_sql_hybrid_rrf() -> str:
 
 
 SQL_HYBRID_RRF = _build_sql_hybrid_rrf()
+
+
+# --- ranker evaluation harness (round 9) -------------------------------------
+
+# DCG discount for rank r and ideal-DCG prefix sums, precomputed in
+# Python so BOTH engines consume the identical IEEE double literals
+# (no cross-engine log2 evaluation at all)
+_DCG_AT = {r: 1.0 / math.log2(r + 1) for r in range(1, BM25_TOP_K + 1)}
+_IDCG_AT = {
+    m: sum(_DCG_AT[r] for r in range(1, m + 1))
+    for m in range(1, BM25_TOP_K + 1)
+}
+
+
+def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IR-eval harness over the three rankers this repo ships (BM25
+    lexical, cosine semantic, RRF hybrid): per method, mean
+    precision@5 / MRR / NDCG@5 against label relevance (a doc is
+    relevant to a query iff it carries the query vector's label — the
+    weak-supervision relevance the knn_classify tier is built on).
+    The measure-don't-guess audit that justifies shipping the fusion:
+    if rrf does not beat its legs here, hybrid_rrf is complexity for
+    nothing.
+
+    Determinism: ranks are the rankers' own total-order integers;
+    every DCG discount and ideal-DCG prefix is a PRECOMPUTED Python
+    double literal identical in both engines (no runtime log2);
+    per-query metrics round through DECIMAL(38,6) before the per-
+    method mean (an exact sum of exact 1e-6 multiples).
+
+    Scale shape: all three rankers end in WindowGroupLimit top-k, so
+    the eval joins see 3·|Q|·k rows; labels join against that tiny
+    broadcast frame; per-label corpus counts are one bounded
+    aggregate."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v"), "label"
+    )
+    nrm = emb.withColumn(
+        "nrm", F.sqrt(dot(F.col("v"), F.col("v")))
+    ).filter(F.col("nrm") > F.lit(0.0))
+    qmap = spark.createDataFrame(
+        list(HYBRID_QUERY_VECS), "query_id string, qvec_id long"
+    )
+    qvec = qmap.join(
+        nrm.select(
+            F.col("vec_id").alias("qvec_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qnrm"),
+        ),
+        "qvec_id",
+    ).select("query_id", "qvec_id", "qv", "qnrm")
+    wsem = W.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("doc_id").asc()
+    )
+    cosine_ranked = (
+        nrm.crossJoin(F.broadcast(qvec.select("query_id", "qv", "qnrm")))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("doc_id"),
+            cosine_prenorm(
+                F.col("qv"), F.col("v"), F.col("qnrm"), F.col("nrm")
+            ).alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(wsem))
+        .filter(F.col("rank") <= F.lit(BM25_TOP_K))
+        .select(F.lit("cosine").alias("method"), "query_id", "rank", "doc_id")
+    )
+    lex_ranked = q_bm25_search(spark, sf_dir).select(
+        F.lit("bm25").alias("method"), "query_id", "rank", "doc_id"
+    )
+    rrf_ranked = q_hybrid_rrf(spark, sf_dir).select(
+        F.lit("rrf").alias("method"), "query_id", "rank", "doc_id"
+    )
+    ranked = lex_ranked.unionByName(cosine_ranked).unionByName(rrf_ranked)
+
+    labels = emb.select(F.col("vec_id").alias("doc_id"), "label")
+    qlabels = qmap.join(
+        emb.select(F.col("vec_id").alias("qvec_id"),
+                   F.col("label").alias("qlabel")),
+        "qvec_id",
+    ).select("query_id", "qlabel")
+    label_counts = emb.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_relevant")
+    )
+    scored = (
+        labels.join(F.broadcast(ranked), "doc_id")
+        .join(F.broadcast(qlabels), "query_id")
+        .select(
+            "method",
+            "query_id",
+            "rank",
+            (F.col("label") == F.col("qlabel")).cast("int").alias("rel"),
+            "qlabel",
+        )
+    )
+    dcg_term = F.lit(0.0)
+    for r, dr in sorted(_DCG_AT.items()):
+        dcg_term = F.when(F.col("rank") == r, F.lit(dr)).otherwise(dcg_term)
+    per_q = (
+        scored.groupBy("method", "query_id", "qlabel")
+        .agg(
+            F.sum("rel").alias("n_rel_ret"),
+            F.min(F.when(F.col("rel") == 1, F.col("rank"))).alias(
+                "first_rel"
+            ),
+            F.sum(
+                (F.col("rel").cast("double") * dcg_term).cast(
+                    "decimal(38,6)"
+                )
+            )
+            .cast("double")
+            .alias("dcg"),
+        )
+        .join(
+            F.broadcast(label_counts.select(
+                F.col("label").alias("qlabel"), "n_relevant")),
+            "qlabel",
+        )
+    )
+    idcg = F.lit(0.0)
+    for m, cm in sorted(_IDCG_AT.items()):
+        idcg = F.when(
+            F.least(F.col("n_relevant"), F.lit(BM25_TOP_K)) == m, F.lit(cm)
+        ).otherwise(idcg)
+    rnd = lambda c: c.cast("decimal(38,6)").cast("double")  # noqa: E731
+    per_q = per_q.select(
+        "method",
+        rnd(
+            F.col("n_rel_ret").cast("double") / F.lit(float(BM25_TOP_K))
+        ).alias("p_at_k"),
+        rnd(
+            F.coalesce(
+                F.lit(1.0) / F.col("first_rel").cast("double"), F.lit(0.0)
+            )
+        ).alias("mrr"),
+        rnd(F.try_divide(F.col("dcg"), idcg)).alias("ndcg"),
+    )
+    d = lambda c: F.sum(c.cast("decimal(38,6)")).cast("double")  # noqa: E731
+    return (
+        per_q.groupBy("method")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_queries"),
+            rnd(d(F.col("p_at_k")) / F.count(F.lit(1))).alias("mean_p_at_k"),
+            rnd(d(F.col("mrr")) / F.count(F.lit(1))).alias("mean_mrr"),
+            rnd(d(F.col("ndcg")) / F.count(F.lit(1))).alias("mean_ndcg"),
+        )
+        .orderBy("method")
+    )
+
+
+def _build_sql_retrieval_eval() -> str:
+    from .similarity import sql_dot
+
+    dcg_case = " ".join(
+        f"WHEN rank = {r} THEN {dr!r}::DOUBLE"
+        for r, dr in sorted(_DCG_AT.items())
+    )
+    idcg_case = " ".join(
+        f"WHEN LEAST(n_relevant, {BM25_TOP_K}) = {m} THEN {cm!r}::DOUBLE"
+        for m, cm in sorted(_IDCG_AT.items())
+    )
+    return f"""
+    WITH emb AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+               label
+        FROM embeddings
+    ), nrmd AS (
+        SELECT vec_id, v, label, sqrt({sql_dot('v', 'v')}) AS nrm FROM emb
+    ), f AS (SELECT * FROM nrmd WHERE nrm > 0),
+    qmap(query_id, qvec_id) AS (VALUES {_SQL_QVECS}),
+    qvec AS (
+        SELECT qmap.query_id, f.v AS qv, f.nrm AS qnrm
+        FROM qmap JOIN f ON f.vec_id = qmap.qvec_id
+    ), cosine_ranked AS (
+        SELECT 'cosine' AS method, query_id, rank, doc_id
+        FROM (
+            SELECT qvec.query_id, f.vec_id AS doc_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY qvec.query_id
+                       ORDER BY {sql_dot('qvec.qv', 'f.v')}
+                                / (qvec.qnrm * f.nrm) DESC,
+                                f.vec_id ASC) AS rank
+            FROM f CROSS JOIN qvec
+        )
+        WHERE rank <= {BM25_TOP_K}
+    ), lex_ranked AS (
+        SELECT 'bm25' AS method, query_id, rank, doc_id
+        FROM ({SQL_BM25_SEARCH})
+    ), rrf_ranked AS (
+        SELECT 'rrf' AS method, query_id, rank, doc_id
+        FROM ({SQL_HYBRID_RRF})
+    ), ranked AS (
+        SELECT * FROM lex_ranked
+        UNION ALL SELECT * FROM cosine_ranked
+        UNION ALL SELECT * FROM rrf_ranked
+    ), qlabels AS (
+        SELECT qmap.query_id, emb.label AS qlabel
+        FROM qmap JOIN emb ON emb.vec_id = qmap.qvec_id
+    ), label_counts AS (
+        SELECT label, CAST(COUNT(*) AS BIGINT) AS n_relevant
+        FROM emb GROUP BY label
+    ), scored AS (
+        SELECT r.method, r.query_id, r.rank, q.qlabel,
+               CAST(e.label = q.qlabel AS INTEGER) AS rel
+        FROM ranked r
+        JOIN emb e ON e.vec_id = r.doc_id
+        JOIN qlabels q ON q.query_id = r.query_id
+    ), per_q0 AS (
+        SELECT method, query_id, qlabel,
+               SUM(rel) AS n_rel_ret,
+               MIN(CASE WHEN rel = 1 THEN rank END) AS first_rel,
+               CAST(SUM(CAST(CAST(rel AS DOUBLE)
+                    * (CASE {dcg_case} ELSE 0.0::DOUBLE END)
+                    AS DECIMAL(38,6))) AS DOUBLE) AS dcg
+        FROM scored GROUP BY method, query_id, qlabel
+    ), per_q AS (
+        SELECT method,
+               CAST(CAST(CAST(n_rel_ret AS DOUBLE)
+                    / {float(BM25_TOP_K)!r}::DOUBLE
+                    AS DECIMAL(38,6)) AS DOUBLE) AS p_at_k,
+               CAST(CAST(COALESCE(1.0::DOUBLE
+                    / CAST(first_rel AS DOUBLE), 0.0::DOUBLE)
+                    AS DECIMAL(38,6)) AS DOUBLE) AS mrr,
+               CAST(CAST(dcg / (CASE {idcg_case} ELSE NULL END)
+                    AS DECIMAL(38,6)) AS DOUBLE) AS ndcg
+        FROM per_q0 JOIN label_counts lc ON lc.label = per_q0.qlabel
+    )
+    SELECT method,
+           CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(CAST(CAST(SUM(CAST(p_at_k AS DECIMAL(38,6))) AS DOUBLE)
+                / COUNT(*) AS DECIMAL(38,6)) AS DOUBLE) AS mean_p_at_k,
+           CAST(CAST(CAST(SUM(CAST(mrr AS DECIMAL(38,6))) AS DOUBLE)
+                / COUNT(*) AS DECIMAL(38,6)) AS DOUBLE) AS mean_mrr,
+           CAST(CAST(CAST(SUM(CAST(ndcg AS DECIMAL(38,6))) AS DOUBLE)
+                / COUNT(*) AS DECIMAL(38,6)) AS DOUBLE) AS mean_ndcg
+    FROM per_q
+    GROUP BY method
+    ORDER BY method
+"""
+
+
+SQL_RETRIEVAL_EVAL = _build_sql_retrieval_eval()

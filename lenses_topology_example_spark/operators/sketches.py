@@ -753,3 +753,189 @@ def _build_sql_bootstrap_stderr() -> str:
 
 
 SQL_BOOTSTRAP_STDERR = _build_sql_bootstrap_stderr()
+
+
+# --- mergeable histogram quantiles with exact audit (round 9) ----------------
+
+HIST_BINS = 32
+HIST_PCTS = (50, 90, 99)
+
+
+def q_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width-histogram quantile estimation per event type, with
+    its exact audit: the 32-bin counts are a MERGEABLE sketch (cell-wise
+    addition across partitions / micro-batches — the CMS property for
+    order statistics), the estimate interpolates inside the covering
+    bin, and the report puts estimate, exact rank-definition quantile,
+    and their absolute error side by side — approx_quantiles' rows-only
+    sketch upgraded to an oracle-checkable, self-auditing operator.
+
+    Determinism: bin indices come from one fixed double expression
+    (identical division/floor both engines); interpolation is a fixed
+    expression of exact int64 cumulative counts and the exact min/max,
+    emitted as the RAW double (bit-identical both engines; a decimal
+    round here HITS the .xxxxxx5 boundary by construction — the /32 bin
+    width has a terminating 7-digit decimal expansion, the r8
+    corpus_report class — so pass-through is the correct discipline);
+    the exact quantile uses the explicit rank definition of
+    length_percentiles (value at rank ceil(p/100·n) in (value,
+    event_id) order).
+
+    Scale shape: min/max and bin counts are two bounded aggregations
+    (partial map-side); interpolation runs over the |types|·32-bin
+    frame; ONLY the exact-audit rank window sorts within each type
+    partition — the audit's standard cost (a production run audits a
+    sample; the sketch path never sorts)."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", F.col("value").cast("double").alias("x")
+    )
+    rng = ev.groupBy("event_type").agg(
+        F.min("x").alias("lo"),
+        F.max("x").alias("hi"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    binned = (
+        ev.join(F.broadcast(rng), "event_type")
+        .select(
+            "event_type",
+            F.when(
+                F.col("hi") > F.col("lo"),
+                F.least(
+                    F.floor(
+                        (F.col("x") - F.col("lo"))
+                        / ((F.col("hi") - F.col("lo")) / F.lit(float(HIST_BINS)))
+                    ),
+                    F.lit(HIST_BINS - 1),
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("bin"),
+        )
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    wb = (
+        W.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = binned.withColumn("cum", F.sum("c").over(wb)).withColumn(
+        "cum_prev", F.col("cum") - F.col("c")
+    )
+    pcts = spark.createDataFrame(
+        [(p,) for p in HIST_PCTS], "pct int"
+    )
+    targets = rng.crossJoin(F.broadcast(pcts)).select(
+        "event_type",
+        "lo",
+        "hi",
+        "n",
+        "pct",
+        F.ceil(F.col("n") * F.col("pct") / F.lit(100.0))
+        .cast("long")
+        .alias("target"),
+    )
+    est = (
+        targets.join(cum, "event_type")
+        .filter(
+            (F.col("cum_prev") < F.col("target"))
+            & (F.col("target") <= F.col("cum"))
+        )
+        .select(
+            "event_type",
+            "pct",
+            (
+                F.col("lo")
+                + ((F.col("hi") - F.col("lo")) / F.lit(float(HIST_BINS)))
+                * (
+                    F.col("bin").cast("double")
+                    + (F.col("target") - F.col("cum_prev")).cast("double")
+                    / F.col("c").cast("double")
+                )
+            ).alias("estimate"),
+        )
+    )
+    wr = W.partitionBy("event_type").orderBy("x", "event_id")
+    ranked = ev.withColumn("rn", F.row_number().over(wr)).join(
+        F.broadcast(targets.select("event_type", "pct", "target")),
+        "event_type",
+    )
+    exact = (
+        ranked.filter(F.col("rn") == F.col("target"))
+        .select("event_type", "pct", F.col("x").alias("exact"))
+    )
+    return (
+        est.join(exact, ["event_type", "pct"])
+        .select(
+            "event_type",
+            "pct",
+            "estimate",
+            "exact",
+            F.abs(F.col("estimate") - F.col("exact")).alias("abs_err"),
+        )
+        .orderBy("event_type", "pct")
+    )
+
+
+def _build_sql_histogram_quantiles() -> str:
+    pcts_vals = ", ".join(f"({p})" for p in HIST_PCTS)
+    return f"""
+    WITH ev AS (
+        SELECT event_type, event_id, CAST("value" AS DOUBLE) AS x
+        FROM events
+    ), rng AS (
+        SELECT event_type, MIN(x) AS lo, MAX(x) AS hi,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM ev GROUP BY event_type
+    ), binned AS (
+        SELECT event_type, bin, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (
+            SELECT ev.event_type,
+                   CASE WHEN hi > lo THEN CAST(LEAST(
+                       floor((x - lo) / ((hi - lo) / {float(HIST_BINS)!r})),
+                       {HIST_BINS - 1}) AS INTEGER)
+                   ELSE 0 END AS bin
+            FROM ev JOIN rng USING (event_type)
+        ) GROUP BY event_type, bin
+    ), cum AS (
+        SELECT event_type, bin, c,
+               SUM(c) OVER (PARTITION BY event_type ORDER BY bin
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(c) OVER (PARTITION BY event_type ORDER BY bin
+                            ROWS UNBOUNDED PRECEDING) - c AS cum_prev
+        FROM binned
+    ), pcts(pct) AS (VALUES {pcts_vals}),
+    targets AS (
+        SELECT event_type, lo, hi, n, pct,
+               CAST(CEIL(n * pct / 100.0) AS BIGINT) AS target
+        FROM rng CROSS JOIN pcts
+    ), est AS (
+        SELECT t.event_type, t.pct,
+               lo + ((hi - lo) / {float(HIST_BINS)!r})
+                    * (CAST(bin AS DOUBLE)
+                       + CAST(target - cum_prev AS DOUBLE)
+                         / CAST(c AS DOUBLE)) AS estimate
+        FROM targets t JOIN cum USING (event_type)
+        WHERE cum_prev < target AND target <= cum
+    ), ranked AS (
+        SELECT event_type, x,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY x, event_id) AS rn
+        FROM ev
+    ), exact AS (
+        SELECT t.event_type, t.pct, r.x AS exact
+        FROM targets t JOIN ranked r
+          ON r.event_type = t.event_type AND r.rn = t.target
+    )
+    SELECT est.event_type, CAST(est.pct AS INTEGER) AS pct,
+           estimate, exact,
+           abs(estimate - exact) AS abs_err
+    FROM est JOIN exact USING (event_type, pct)
+    ORDER BY event_type, pct
+"""
+
+
+SQL_HISTOGRAM_QUANTILES = _build_sql_histogram_quantiles()

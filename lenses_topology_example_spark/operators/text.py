@@ -3139,3 +3139,124 @@ SQL_BPE_MERGE_CANDIDATES = f"""
     ORDER BY pair_count DESC, pair ASC
     LIMIT {BPE_MERGE_TOPK}
 """
+
+
+# --- distinctive-term extraction (round 9) -----------------------------------
+
+TOPIC_PRIOR = 0.5  # Dirichlet pseudo-count per (source, token)
+TOPIC_TOPK = 5
+
+
+def q_topic_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What does each source talk about that the others don't? The
+    log-odds-ratio-with-Dirichlet-prior z-score of Monroe/Colaresi/
+    Quinn ("Fightin' Words", Political Analysis 2008) per (source,
+    token), top-TOPIC_TOPK per source — the statistically-grounded
+    distinctive-term extractor (raw TF-IDF over-weights rare noise;
+    the prior and the variance term fix exactly that). The corpus-mix
+    complement: corpus_mix says how MUCH each source contributes,
+    this says WHAT it contributes.
+
+    Determinism: all inputs to the z expression are exact int64 counts
+    plus the binary-exact 0.5 prior; delta and the variance are ONE
+    fixed double expression written identically in both engines
+    (lm_score ln discipline), and z rounds through DECIMAL(38,6)
+    before the rank window's total order (z DESC, token ASC).
+
+    Scale shape: one corpus-scale token aggregation to the
+    (sources x vocab)-bounded count frame; source and token marginals
+    are windows over that bounded frame; |V| broadcasts as the repo's
+    1-row scalar; top-k per source is WindowGroupLimit."""
+    from pyspark.sql import Window as W
+
+    from .dedup import _doc_tokens
+
+    toks = _doc_tokens(spark, sf_dir).select(
+        "source", F.explode(F.col("t")).alias("token")
+    )
+    counts = toks.groupBy("source", "token").agg(
+        F.count(F.lit(1)).alias("y")
+    )
+    vsize = counts.select("token").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("v")
+    )
+    ws = W.partitionBy("source")
+    wt = W.partitionBy("token")
+    wall = W.partitionBy()
+    staged = (
+        counts.withColumn("n_s", F.sum("y").over(ws))
+        .withColumn("y_all", F.sum("y").over(wt))
+        .withColumn("n", F.sum("y").over(wall))
+        .crossJoin(F.broadcast(vsize))
+    )
+    a = F.lit(TOPIC_PRIOR)
+    big_a = a * F.col("v").cast("double")
+    y = F.col("y").cast("double")
+    y_rest = (F.col("y_all") - F.col("y")).cast("double")
+    n_s = F.col("n_s").cast("double")
+    n_rest = (F.col("n") - F.col("n_s")).cast("double")
+    delta = F.log(
+        (y + a) / (n_s + big_a - y - a)
+    ) - F.log((y_rest + a) / (n_rest + big_a - y_rest - a))
+    var = F.lit(1.0) / (y + a) + F.lit(1.0) / (y_rest + a)
+    z = (delta / F.sqrt(var)).cast("decimal(38,6)").cast("double")
+    wr = W.partitionBy("source").orderBy(
+        F.col("z_score").desc(), F.col("token").asc()
+    )
+    return (
+        staged.select("source", "token", "y", z.alias("z_score"))
+        .withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= F.lit(TOPIC_TOPK))
+        .select(
+            "source",
+            F.col("rank").cast("int").alias("rank"),
+            "token",
+            F.col("y").cast("long").alias("y"),
+            "z_score",
+        )
+        .orderBy("source", "rank")
+    )
+
+
+SQL_TOPIC_KEYWORDS = f"""
+    WITH toks AS (
+        SELECT source, unnest({SQL_TOKS}) AS token FROM documents
+    ), counts AS (
+        SELECT source, token, COUNT(*) AS y
+        FROM toks GROUP BY source, token
+    ), vsize AS (
+        SELECT CAST(COUNT(DISTINCT token) AS BIGINT) AS v FROM counts
+    ), staged AS (
+        SELECT source, token, y,
+               SUM(y) OVER (PARTITION BY source) AS n_s,
+               SUM(y) OVER (PARTITION BY token) AS y_all,
+               SUM(y) OVER () AS n
+        FROM counts
+    ), scored AS (
+        SELECT source, token, y,
+               CAST(CAST(
+                   (ln((CAST(y AS DOUBLE) + {TOPIC_PRIOR})
+                       / (CAST(n_s AS DOUBLE)
+                          + {TOPIC_PRIOR} * CAST(v AS DOUBLE)
+                          - CAST(y AS DOUBLE) - {TOPIC_PRIOR}))
+                    - ln((CAST(y_all - y AS DOUBLE) + {TOPIC_PRIOR})
+                         / (CAST(n - n_s AS DOUBLE)
+                            + {TOPIC_PRIOR} * CAST(v AS DOUBLE)
+                            - CAST(y_all - y AS DOUBLE) - {TOPIC_PRIOR})))
+                   / sqrt(1.0::DOUBLE / (CAST(y AS DOUBLE) + {TOPIC_PRIOR})
+                          + 1.0::DOUBLE
+                            / (CAST(y_all - y AS DOUBLE) + {TOPIC_PRIOR}))
+                   AS DECIMAL(38,6)) AS DOUBLE) AS z_score
+        FROM staged CROSS JOIN vsize
+    )
+    SELECT source, CAST(rank AS INTEGER) AS rank, token,
+           CAST(y AS BIGINT) AS y, z_score
+    FROM (
+        SELECT source, token, y, z_score,
+               ROW_NUMBER() OVER (PARTITION BY source
+                   ORDER BY z_score DESC, token ASC) AS rank
+        FROM scored
+    )
+    WHERE rank <= {TOPIC_TOPK}
+    ORDER BY source, rank
+"""

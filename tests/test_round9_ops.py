@@ -477,3 +477,135 @@ def test_bootstrap_matches_pure_python(spark, sf_dir):
     se = math.sqrt(sum((m - mbar) ** 2 for m in means) / (BOOT_B - 1))
     for r in rows:
         assert abs(r.boot_stderr - se) < 1e-2
+
+
+# --- topic_keywords ----------------------------------------------------------
+
+
+def test_topic_keywords_z_matches_pure_python(spark, sf_dir):
+    """Full replica of the Fightin' Words z-score from raw counts."""
+    import math
+    import re as _re
+    from collections import Counter
+
+    rows = _CATALOG["topic_keywords"][0](spark, sf_dir).collect()
+    assert rows
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "text"
+    ).collect()
+    counts = Counter()
+    for d in docs:
+        for tok in _re.split(r"\W+", d.text.lower()):
+            if tok:
+                counts[(d.source, tok)] += 1
+    vocab = {t for _, t in counts}
+    v = len(vocab)
+    n = sum(counts.values())
+    n_s = Counter()
+    y_all = Counter()
+    for (s_, t), y in counts.items():
+        n_s[s_] += y
+        y_all[t] += y
+    a = 0.5
+    for r in rows:
+        y = counts[(r.source, r.token)]
+        assert y == r.y
+        yr = y_all[r.token] - y
+        nr = n - n_s[r.source]
+        delta = math.log((y + a) / (n_s[r.source] + a * v - y - a)) - math.log(
+            (yr + a) / (nr + a * v - yr - a)
+        )
+        z = delta / math.sqrt(1.0 / (y + a) + 1.0 / (yr + a))
+        assert abs(r.z_score - z) < 1e-5, (r.source, r.token)
+    # per source: TOPIC_TOPK rows, ranks 1..k, z non-increasing
+    per_s = defaultdict(list)
+    for r in rows:
+        per_s[r.source].append(r)
+    for rs in per_s.values():
+        rs = sorted(rs, key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        for x, yy in zip(rs, rs[1:]):
+            assert x.z_score >= yy.z_score
+
+
+# --- basket_lift -------------------------------------------------------------
+
+
+def test_basket_lift_supports_match_recount(spark, sf_dir):
+    """Support and per-part counts re-derive from the distinct
+    (order, part) table; lift recomputes from them."""
+    from lenses_topology_example_spark.operators.relational2 import (
+        BASKET_MIN_SUPPORT,
+        BASKET_TOPK,
+    )
+
+    rows = _CATALOG["basket_lift"][0](spark, sf_dir).collect()
+    assert 0 < len(rows) <= BASKET_TOPK
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .collect()
+    )
+    from collections import defaultdict as dd
+
+    orders = dd(set)
+    part_orders = dd(set)
+    for r in li:
+        orders[r.l_orderkey].add(r.l_partkey)
+        part_orders[r.l_partkey].add(r.l_orderkey)
+    n_orders = len(orders)
+    for r in rows:
+        assert r.part_a < r.part_b
+        support = len(
+            part_orders[r.part_a] & part_orders[r.part_b]
+        )
+        assert support == r.support >= BASKET_MIN_SUPPORT
+        assert r.cnt_a == len(part_orders[r.part_a])
+        assert r.cnt_b == len(part_orders[r.part_b])
+        want = r.support * n_orders / (r.cnt_a * r.cnt_b)
+        assert abs(r.lift - want) < 1e-4
+
+
+# --- retrieval_eval ----------------------------------------------------------
+
+
+def test_retrieval_eval_metric_ranges_and_fusion_sanity(spark, sf_dir):
+    rows = {r.method: r for r in
+            _CATALOG["retrieval_eval"][0](spark, sf_dir).collect()}
+    assert set(rows) == {"bm25", "cosine", "rrf"}
+    for r in rows.values():
+        assert r.n_queries >= 1
+        for m in (r.mean_p_at_k, r.mean_mrr, r.mean_ndcg):
+            assert 0.0 <= m <= 1.0
+    # the fused ranker must not be strictly worse than BOTH legs on
+    # every metric (rrf >= min(legs) per metric is the sanity floor)
+    for metric in ("mean_p_at_k", "mean_mrr", "mean_ndcg"):
+        legs_min = min(
+            getattr(rows["bm25"], metric), getattr(rows["cosine"], metric)
+        )
+        assert getattr(rows["rrf"], metric) >= legs_min - 1e-9
+
+
+# --- histogram_quantiles -----------------------------------------------------
+
+
+def test_histogram_quantiles_error_bounded_by_bin_width(spark, sf_dir):
+    """The interpolated estimate can never miss the exact quantile by
+    more than one bin width (the estimator's a-priori guarantee)."""
+    from lenses_topology_example_spark.operators.sketches import HIST_BINS
+
+    rows = _CATALOG["histogram_quantiles"][0](spark, sf_dir).collect()
+    assert rows
+    rng = {
+        r.event_type: (r.lo, r.hi)
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+        .collect()
+    }
+    for r in rows:
+        lo, hi = rng[r.event_type]
+        w = (hi - lo) / HIST_BINS
+        assert r.abs_err <= w + 1e-9, (r.event_type, r.pct, r.abs_err, w)
+        assert lo <= r.estimate <= hi + 1e-9
