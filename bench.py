@@ -275,6 +275,9 @@ HEADLINE = (
     "basket_lift",
     "retrieval_eval",
     "histogram_quantiles",
+    # round-9 seventh wave: diversified retrieval + column profiler
+    "mmr_rerank",
+    "table_profile",
 )
 
 

@@ -779,3 +779,129 @@ SQL_PRIVATE_RELEASE = f"""
     FROM seeded
     ORDER BY c_nationkey, c_mktsegment, band
 """.format(noise=_SQL_RELEASE_NOISE)
+
+
+# --- declarative column profiler (round 9) -----------------------------------
+
+
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ/Glue-style column profile of the orders table: per column,
+    row count, null count and rate, exact distinct count, and min/max
+    rendered through type-pinned formats — the profiling pass a
+    warehouse runs BEFORE writing constraints (constraint_audit checks
+    rules someone already wrote; this is where the rules come from).
+
+    Min/max render via explicit per-type formats (decimal string for
+    the money column, fixed strftime for the timestamp, raw casts for
+    ints/strings) because engine-native double/timestamp -> string
+    formatting differs; the formats are part of the operator contract.
+
+    Determinism: counts are exact int64; null_rate is one decimal
+    division; distincts are exact (the production variant swaps in
+    approx_count_distinct at petabyte scale — the plan shape is
+    identical, this form is the oracle-checkable calibration of that
+    swap).
+
+    Scale shape: ONE scan; the multi-column exact COUNT(DISTINCT)
+    battery compiles to Spark's Expand (|columns| x rows map-side,
+    partial-agged before the exchange) — the standard profiling cost;
+    the unpivot emits |columns| rows."""
+    od = load_table(spark, sf_dir, "orders")
+    ts_fmt = "yyyy-MM-dd HH:mm:ss"
+
+    def prof(col: str, mn, mx):
+        return F.struct(
+            F.lit(col).alias("column"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.col(col).isNull().cast("long"))
+            .cast("long")
+            .alias("n_null"),
+            F.countDistinct(F.col(col)).cast("long").alias("n_distinct"),
+            mn.alias("min_display"),
+            mx.alias("max_display"),
+        )
+
+    def s(col):  # plain cast
+        return F.min(F.col(col)).cast("string"), F.max(
+            F.col(col)
+        ).cast("string")
+
+    def dec(col):  # 2-decimal money
+        return (
+            F.min(F.col(col)).cast("decimal(38,2)").cast("string"),
+            F.max(F.col(col)).cast("decimal(38,2)").cast("string"),
+        )
+
+    def ts(col):
+        return (
+            F.date_format(F.min(F.col(col)), ts_fmt),
+            F.date_format(F.max(F.col(col)), ts_fmt),
+        )
+
+    agg = od.agg(
+        F.array(
+            prof("o_orderkey", *s("o_orderkey")),
+            prof("o_custkey", *s("o_custkey")),
+            prof("o_orderstatus", *s("o_orderstatus")),
+            prof("o_totalprice", *dec("o_totalprice")),
+            prof("o_orderdate", *ts("o_orderdate")),
+            prof("o_orderpriority", *s("o_orderpriority")),
+        ).alias("cols")
+    )
+    return (
+        agg.select(F.explode("cols").alias("c"))
+        .select("c.*")
+        .select(
+            "column",
+            "n_rows",
+            "n_null",
+            F.try_divide(F.col("n_null"), F.col("n_rows"))
+            .cast("decimal(38,6)")
+            .cast("double")
+            .alias("null_rate"),
+            "n_distinct",
+            "min_display",
+            "max_display",
+        )
+        .orderBy("column")
+    )
+
+
+def _sql_profile_arm(col: str, mn: str, mx: str) -> str:
+    return f"""
+        SELECT '{col}' AS "column",
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_null,
+               CAST(COUNT(DISTINCT {col}) AS BIGINT) AS n_distinct,
+               {mn} AS min_display,
+               {mx} AS max_display
+        FROM orders"""
+
+
+SQL_TABLE_PROFILE = f"""
+    WITH arms AS (
+        {_sql_profile_arm('o_orderkey',
+            'CAST(MIN(o_orderkey) AS VARCHAR)',
+            'CAST(MAX(o_orderkey) AS VARCHAR)')}
+        UNION ALL {_sql_profile_arm('o_custkey',
+            'CAST(MIN(o_custkey) AS VARCHAR)',
+            'CAST(MAX(o_custkey) AS VARCHAR)')}
+        UNION ALL {_sql_profile_arm('o_orderstatus',
+            'MIN(o_orderstatus)', 'MAX(o_orderstatus)')}
+        UNION ALL {_sql_profile_arm('o_totalprice',
+            'CAST(CAST(MIN(o_totalprice) AS DECIMAL(38,2)) AS VARCHAR)',
+            'CAST(CAST(MAX(o_totalprice) AS DECIMAL(38,2)) AS VARCHAR)')}
+        UNION ALL {_sql_profile_arm('o_orderdate',
+            "strftime(MIN(o_orderdate), '%Y-%m-%d %H:%M:%S')",
+            "strftime(MAX(o_orderdate), '%Y-%m-%d %H:%M:%S')")}
+        UNION ALL {_sql_profile_arm('o_orderpriority',
+            'MIN(o_orderpriority)', 'MAX(o_orderpriority)')}
+    )
+    SELECT "column", n_rows, n_null,
+           CAST(CAST(CAST(n_null AS DOUBLE) / CAST(n_rows AS DOUBLE)
+                AS DECIMAL(38,6)) AS DOUBLE) AS null_rate,
+           n_distinct, min_display, max_display
+    FROM arms
+    ORDER BY "column"
+"""

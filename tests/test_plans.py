@@ -73,6 +73,9 @@ def test_no_python_udfs_in_oracle_tier(spark, sf_dir):
         "asset_quality_screen",  # decode-validate screen, same codec tier
         "udaf_median",
         "grouped_map_norm",
+        # per-query greedy re-rank is grouped-local by nature; every
+        # cosine stays a JVM fold, only the scalar greedy is pandas
+        "mmr_rerank",
     }
     # Also audited in the same plan-building pass (plans are the
     # expensive part — one pass, two structural pins): no

@@ -609,3 +609,88 @@ def test_histogram_quantiles_error_bounded_by_bin_width(spark, sf_dir):
         w = (hi - lo) / HIST_BINS
         assert r.abs_err <= w + 1e-9, (r.event_type, r.pct, r.abs_err, w)
         assert lo <= r.estimate <= hi + 1e-9
+
+
+# --- mmr_rerank --------------------------------------------------------------
+
+
+def test_mmr_matches_pure_python_greedy(spark, sf_dir):
+    """Full replica: cosine pool, pairwise sims, and the greedy MMR
+    loop in numpy — the unrolled dataframe stages must pick the same
+    docs in the same order."""
+    import numpy as np
+
+    from lenses_topology_example_spark.operators.retrieval import (
+        HYBRID_QUERY_VECS,
+        MMR_CANDIDATES,
+        MMR_K,
+        MMR_LAMBDA,
+    )
+
+    rows = _CATALOG["mmr_rerank"][0](spark, sf_dir).collect()
+    emb = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    nrm = {k: float(np.sqrt(v @ v)) for k, v in emb.items() if np.sqrt(v @ v) > 0}
+
+    def cos(a, b):
+        return float(emb[a] @ emb[b]) / (nrm[a] * nrm[b])
+
+    got = defaultdict(list)
+    for r in rows:
+        got[r.query_id].append((r.step, r.doc_id))
+    for qid, qv in HYBRID_QUERY_VECS:
+        rel = sorted(
+            ((cos(qv, d), -d) for d in nrm),
+            reverse=True,
+        )[:MMR_CANDIDATES]
+        pool = [(-negd, s) for s, negd in rel]
+        picked = []
+        rel_map = dict(pool)
+        # step 1: max rel
+        first = max(pool, key=lambda t: (t[1], -t[0]))[0]
+        picked.append(first)
+        for _step in range(2, MMR_K + 1):
+            best, best_score = None, None
+            for d, rl in sorted(pool):
+                if d in picked:
+                    continue
+                red = max(cos(d, p) for p in picked)
+                sc = MMR_LAMBDA * rl - (1 - MMR_LAMBDA) * red
+                if best_score is None or sc > best_score + 1e-12:
+                    best, best_score = d, sc
+            picked.append(best)
+        want = list(enumerate(picked, start=1))
+        assert sorted(got[qid]) == want, (qid, got[qid], want)
+
+
+def test_mmr_picks_are_distinct_pool_members(spark, sf_dir):
+    from lenses_topology_example_spark.operators.retrieval import MMR_K
+
+    rows = _CATALOG["mmr_rerank"][0](spark, sf_dir).collect()
+    per_q = defaultdict(list)
+    for r in rows:
+        per_q[r.query_id].append(r)
+    for rs in per_q.values():
+        assert sorted(r.step for r in rs) == list(range(1, MMR_K + 1))
+        assert len({r.doc_id for r in rs}) == MMR_K
+
+
+# --- table_profile -----------------------------------------------------------
+
+
+def test_table_profile_matches_recount(spark, sf_dir):
+    rows = {r.column: r for r in
+            _CATALOG["table_profile"][0](spark, sf_dir).collect()}
+    od = load_table(spark, sf_dir, "orders")
+    n = od.count()
+    assert set(rows) == {
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority",
+    }
+    for col, r in rows.items():
+        assert r.n_rows == n
+        assert r.n_null == od.filter(F.col(col).isNull()).count()
+        assert r.n_distinct == od.select(col).distinct().count()
+        assert r.min_display is not None and r.max_display is not None
