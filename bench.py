@@ -278,6 +278,9 @@ HEADLINE = (
     # round-9 seventh wave: diversified retrieval + column profiler
     "mmr_rerank",
     "table_profile",
+    # round-9 eighth wave: weighted lexical near-dup + trend forecast
+    "dedup_tfidf_cosine",
+    "holt_forecast",
 )
 
 

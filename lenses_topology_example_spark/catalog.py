@@ -612,6 +612,13 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
         governance.q_table_profile,
         governance.SQL_TABLE_PROFILE,
     ),
+    # eighth round-9 wave (same past-window protocol): weighted lexical
+    # near-dup and the Holt trend forecast
+    "dedup_tfidf_cosine": (
+        dedup.q_dedup_tfidf_cosine,
+        dedup.SQL_DEDUP_TFIDF_COSINE,
+    ),
+    "holt_forecast": (windows.q_holt_forecast, windows.SQL_HOLT_FORECAST),
 }
 
 # The driver evaluates only the first DRIVER_WINDOW_SIZE catalog entries
@@ -649,13 +656,13 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
 # ROUND-10 ROTATION PLAN (write the new DRIVER_WINDOW from this once
 # CORRECTNESS_r09 lands; assuming the r9 window goes green):
 #   IN (priority): any round-10 additions at the window head — the
-#     nineteen wave-3..7 r9 entries first (hybrid_rrf, l_diversity,
+#     twenty-one wave-3..8 r9 entries first (hybrid_rrf, l_diversity,
 #     private_release, rfm_segments, kmeans_elbow, ivf_probe_sweep,
 #     bpe_merge_candidates, attribution_revenue, cms_join_cardinality,
 #     ltv_curve, ab_test_report, cusum_changepoint, bootstrap_stderr,
 #     topic_keywords, basket_lift, retrieval_eval, histogram_quantiles,
-#     mmr_rerank, table_profile) — then any r9 RED held in-window
-#     until it closes green.
+#     mmr_rerank, table_profile, dedup_tfidf_cosine, holt_forecast) —
+#     then any r9 RED held in-window until it closes green.
 #   IN (re-checks, oldest-verdict-first): the 20 remaining r1-verdict
 #     entries (except_users, scalar_fns — displaced by the second r9
 #     wave — then array_fns, column_stats, date_fns2, explode_variants,

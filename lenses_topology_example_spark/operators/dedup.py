@@ -2693,3 +2693,123 @@ SQL_MINHASH_EST_AUDIT = f"""
            CAST(MAX(err_d) AS DOUBLE) AS max_abs_err
     FROM per_pair
 """
+
+
+# --- TF-IDF-weighted shingle cosine near-dup (round 9) -----------------------
+
+TFIDF_COS_THRESHOLD = 0.35
+TFIDF_COS_DF_CAP = MAX_SHINGLE_DF  # same informative-universe cap
+
+
+def q_dedup_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by TF-IDF-weighted shingle cosine — the weighted
+    complement of q_dedup_near_capped: Jaccard treats every shared
+    shingle equally, the weighted cosine lets one rare shared passage
+    outvote scattered common trigrams (and repeated occurrences count,
+    via tf). This is the similarity SpamAssassin-style near-dup and
+    many production clustering passes actually rank by; pairs at
+    >= TFIDF_COS_THRESHOLD over the df-capped shingle universe.
+
+    Determinism: weights follow the tfidf operator's ROUND(tf ·
+    ln(N/df), 4) contract (libm ln ties resolved by rounding the
+    identical double on both engines); dot products and norms sum
+    DECIMAL(38,8)-rounded term products, so accumulation order cannot
+    drift; the final cosine is ONE raw pass-through double expression
+    of those exact sums (the histogram_quantiles lesson: no decimal
+    round on a constructed value).
+
+    Scale shape: the inverted index is df-capped BEFORE the self-join
+    (per-shingle fan-out <= cap², the dedup_near_capped bound); norms
+    are a keyed aggregate on the capped index; the pair join carries
+    8-byte weight pairs, never text."""
+    toks = _doc_tokens(spark, sf_dir)
+    sh = (
+        toks.select(
+            "doc_id", F.explode(shingles_col(F.col("t"))).alias("shingle")
+        )
+        .groupBy("doc_id", "shingle")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_tbl = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = load_table(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w = (
+        sh.join(df_tbl, "shingle")
+        .filter(F.col("df") <= F.lit(TFIDF_COS_DF_CAP))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "shingle",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n").cast("double") / F.col("df")),
+                4,
+            ).alias("w"),
+        )
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.sum((F.col("w") * F.col("w")).cast("decimal(38,8)"))
+        .cast("double")
+        .alias("nn")
+    )
+    dots = (
+        w.alias("a")
+        .join(w.alias("b"), "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(
+            F.sum((F.col("a.w") * F.col("b.w")).cast("decimal(38,8)"))
+            .cast("double")
+            .alias("dot")
+        )
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("nn").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("nn").alias("nb"))
+    cos = F.col("dot") / F.sqrt(F.col("na") * F.col("nb"))
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .withColumn("cos_sim", cos)
+        .filter(F.col("cos_sim") >= F.lit(TFIDF_COS_THRESHOLD))
+        .select("doc_a", "doc_b", "cos_sim")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+SQL_DEDUP_TFIDF_COSINE = f"""
+    WITH toks AS (
+        SELECT doc_id, {SQL_TOKS} AS t FROM documents
+    ), sh AS (
+        SELECT doc_id, shingle, COUNT(*) AS tf
+        FROM (SELECT doc_id, unnest({SQL_SHINGLES}) AS shingle FROM toks)
+        GROUP BY doc_id, shingle
+    ), dft AS (
+        SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle
+    ), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+    w AS (
+        SELECT doc_id, sh.shingle,
+               ROUND(tf * ln(CAST(n AS DOUBLE) / df), 4) AS w
+        FROM sh JOIN dft USING (shingle) CROSS JOIN n
+        WHERE df <= {TFIDF_COS_DF_CAP}
+    ), norms AS (
+        SELECT doc_id,
+               CAST(SUM(CAST(w * w AS DECIMAL(38,8))) AS DOUBLE) AS nn
+        FROM w GROUP BY doc_id
+    ), dots AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(SUM(CAST(a.w * b.w AS DECIMAL(38,8))) AS DOUBLE) AS dot
+        FROM w a JOIN w b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b, dot / sqrt(na.nn * nb.nn) AS cos_sim
+    FROM dots
+    JOIN norms na ON na.doc_id = doc_a
+    JOIN norms nb ON nb.doc_id = doc_b
+    WHERE dot / sqrt(na.nn * nb.nn) >= {TFIDF_COS_THRESHOLD}
+    ORDER BY doc_a, doc_b
+"""

@@ -761,6 +761,38 @@ HIST_BINS = 32
 HIST_PCTS = (50, 90, 99)
 
 
+def value_bin_counts(ev: DataFrame, rng: DataFrame) -> DataFrame:
+    """(event_type, bin, c) equal-width bin counters for a values frame
+    against per-type (lo, hi) bounds — the SHARED mergeable-sketch core
+    of q_histogram_quantiles and its streaming twin
+    (streaming/pipelines.streaming_value_bins): one definition of the
+    bin expression, so batch and stream cannot drift (the
+    cms_counters delegation contract). Works identically on a
+    streaming frame (the groupBy becomes an update-mode aggregate with
+    |types|·HIST_BINS bounded state)."""
+    return (
+        ev.join(F.broadcast(rng), "event_type")
+        .select(
+            "event_type",
+            F.when(
+                F.col("hi") > F.col("lo"),
+                F.least(
+                    F.floor(
+                        (F.col("x") - F.col("lo"))
+                        / ((F.col("hi") - F.col("lo")) / F.lit(float(HIST_BINS)))
+                    ),
+                    F.lit(HIST_BINS - 1),
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("bin"),
+        )
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+
+
 def q_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equal-width-histogram quantile estimation per event type, with
     its exact audit: the 32-bin counts are a MERGEABLE sketch (cell-wise
@@ -796,27 +828,7 @@ def q_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("x").alias("hi"),
         F.count(F.lit(1)).cast("long").alias("n"),
     )
-    binned = (
-        ev.join(F.broadcast(rng), "event_type")
-        .select(
-            "event_type",
-            F.when(
-                F.col("hi") > F.col("lo"),
-                F.least(
-                    F.floor(
-                        (F.col("x") - F.col("lo"))
-                        / ((F.col("hi") - F.col("lo")) / F.lit(float(HIST_BINS)))
-                    ),
-                    F.lit(HIST_BINS - 1),
-                ),
-            )
-            .otherwise(F.lit(0))
-            .cast("int")
-            .alias("bin"),
-        )
-        .groupBy("event_type", "bin")
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
-    )
+    binned = value_bin_counts(ev, rng)
     wb = (
         W.partitionBy("event_type")
         .orderBy("bin")

@@ -1541,3 +1541,145 @@ SQL_CUSUM_CHANGEPOINT = """
     FROM scored
     ORDER BY day
 """
+
+
+# --- Holt linear-trend forecast (round 9) ------------------------------------
+
+HOLT_ALPHA = 0.5  # level smoothing (binary-exact literal)
+HOLT_BETA = 0.3  # trend smoothing (same literal -> same double both engines)
+HOLT_HORIZON = 3
+
+
+def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend exponential smoothing over monthly order
+    revenue, forecasting HOLT_HORIZON months ahead — the planning
+    forecast every revenue dashboard bolts onto ltv_curve's history
+    (seasonality_profile describes the past; this extrapolates).
+    Standard init: level_1 = x_1, trend_1 = x_2 − x_1.
+
+    Determinism: monthly revenues are DECIMAL(38,6)-exact doubles; the
+    recurrence is a SEQUENTIAL left fold in explicit month order with
+    the identical operation order on both engines (Spark F.aggregate
+    over the sorted struct array vs DuckDB list_reduce — the
+    token_entropy sorted-run-fold discipline), so level and trend are
+    bit-identical; forecasts are raw pass-through doubles.
+
+    Scale shape: one scan collapses to the |months|-bounded frame
+    (partial agg map-side); the fold runs over ONE collected array of
+    that bounded frame inside a 1-row aggregate — the history length
+    is reporting-grain (dozens of months), never data-scale."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.trunc(F.to_date("o_orderdate"), "month").alias("m"),
+        "o_totalprice",
+    )
+    monthly = orders.groupBy("m").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("x")
+    )
+    packed = monthly.agg(
+        F.array_sort(F.collect_list(F.struct("m", "x"))).alias("h"),
+        F.max("m").alias("last_m"),
+    )
+    a, b = HOLT_ALPHA, HOLT_BETA
+    fold = F.aggregate(
+        F.slice(F.col("h"), 2, F.greatest(F.size("h") - 1, F.lit(0))),
+        F.struct(
+            F.element_at(F.col("h"), 1).getField("x").alias("level"),
+            F.when(
+                F.size("h") >= 2,
+                F.element_at(F.col("h"), 2).getField("x")
+                - F.element_at(F.col("h"), 1).getField("x"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("trend"),
+        ),
+        lambda acc, e: F.struct(
+            (
+                F.lit(a) * e.getField("x")
+                + F.lit(1.0 - a) * (acc.getField("level") + acc.getField("trend"))
+            ).alias("level"),
+            (
+                F.lit(b)
+                * (
+                    F.lit(a) * e.getField("x")
+                    + F.lit(1.0 - a)
+                    * (acc.getField("level") + acc.getField("trend"))
+                    - acc.getField("level")
+                )
+                + F.lit(1.0 - b) * acc.getField("trend")
+            ).alias("trend"),
+        ),
+    )
+    fitted = packed.filter(F.size("h") >= 1).select(
+        "last_m", fold.alias("f")
+    )
+    hs = spark.createDataFrame(
+        [(h,) for h in range(1, HOLT_HORIZON + 1)], "h int"
+    )
+    return (
+        fitted.crossJoin(F.broadcast(hs))
+        .select(
+            "h",
+            F.date_format(F.add_months(F.col("last_m"), F.col("h")), "yyyy-MM")
+            .alias("forecast_month"),
+            F.col("f").getField("level").alias("level"),
+            F.col("f").getField("trend").alias("trend"),
+            (
+                F.col("f").getField("level")
+                + F.col("h").cast("double") * F.col("f").getField("trend")
+            ).alias("forecast"),
+        )
+        .orderBy("h")
+    )
+
+
+def _build_sql_holt_forecast() -> str:
+    a, b = HOLT_ALPHA, HOLT_BETA
+    # DuckDB 1.0 hazard (probed, not folklore): inside a list_reduce
+    # STRUCT accumulator, later struct_pack fields see the already-
+    # updated earlier fields ([a := acc.a + acc.b, b := acc.a - ...]
+    # reads the NEW a in b's expression). A LIST accumulator evaluates
+    # its element expressions against the unmodified acc, so the state
+    # rides as [level, trend] DOUBLE[2]; elements ride as [x, 0.0] to
+    # satisfy the shared accumulator/element type. Operation order
+    # matches the Spark fold exactly, incl. the inline-recomputed
+    # level_new inside trend_new.
+    step = (
+        f"[{a!r}::DOUBLE * x[1]"
+        f" + {1.0 - a!r}::DOUBLE * (acc[1] + acc[2]),"
+        f" {b!r}::DOUBLE * ({a!r}::DOUBLE * x[1]"
+        f" + {1.0 - a!r}::DOUBLE * (acc[1] + acc[2]) - acc[1])"
+        f" + {1.0 - b!r}::DOUBLE * acc[2]]"
+    )
+    return f"""
+    WITH monthly AS (
+        SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS m,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS x
+        FROM orders GROUP BY 1
+    ), packed AS (
+        SELECT list_sort(list(struct_pack(m := m, x := x))) AS h,
+               MAX(m) AS last_m
+        FROM monthly
+    ), fitted AS (
+        SELECT last_m,
+               list_reduce(
+                   list_prepend(
+                       [h[1].x,
+                        CASE WHEN len(h) >= 2 THEN h[2].x - h[1].x
+                             ELSE 0.0::DOUBLE END],
+                       list_transform(h[2:], e -> [e.x, 0.0::DOUBLE])),
+                   (acc, x) -> {step}) AS f
+        FROM packed
+        WHERE len(h) >= 1
+    ), hs(hh) AS (VALUES (1), (2), (3))
+    SELECT CAST(hh AS INTEGER) AS h,
+           strftime(last_m + to_months(hh), '%Y-%m') AS forecast_month,
+           f[1] AS level, f[2] AS trend,
+           f[1] + CAST(hh AS DOUBLE) * f[2] AS forecast
+    FROM fitted CROSS JOIN hs
+    ORDER BY h
+"""
+
+
+SQL_HOLT_FORECAST = _build_sql_holt_forecast()

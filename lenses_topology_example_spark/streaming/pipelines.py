@@ -1331,3 +1331,27 @@ def start_attribution_stream(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+# --- streaming value-histogram counters (round 9) ----------------------------
+
+
+def streaming_value_bins(events: DataFrame, bounds: DataFrame) -> DataFrame:
+    """Streaming twin of the bin-counter build inside
+    operators/sketches.q_histogram_quantiles: the (event_type, bin) ->
+    c table as an update-mode aggregate over arriving events, against
+    STATIC calibrated bounds (a streaming histogram cannot re-derive
+    min/max and re-bucket mid-stream — production calibrates bounds on
+    a sample, which is exactly the `bounds` frame here; stream-static
+    broadcast join, the asof_rate contract).
+
+    Same mergeable-counter property as streaming_cms_counters: state
+    is |types| x HIST_BINS cells however much data streams through.
+    DELEGATES to sketches.value_bin_counts — one definition of the bin
+    expression for batch and stream."""
+    from ..operators.sketches import value_bin_counts
+
+    ev = events.select(
+        "event_type", F.col("value").cast("double").alias("x")
+    )
+    return value_bin_counts(ev, bounds)

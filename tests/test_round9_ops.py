@@ -694,3 +694,146 @@ def test_table_profile_matches_recount(spark, sf_dir):
         assert r.n_null == od.filter(F.col(col).isNull()).count()
         assert r.n_distinct == od.select(col).distinct().count()
         assert r.min_display is not None and r.max_display is not None
+
+
+# --- streaming value-bin twin ------------------------------------------------
+
+
+def test_streaming_value_bins_match_batch(spark, sf_dir, tmp_path):
+    """The streaming bin-counter table (update mode, bounded state,
+    static calibrated bounds) must converge to exactly the batch
+    counter table over the same events."""
+    from lenses_topology_example_spark.operators.sketches import (
+        value_bin_counts,
+    )
+    from lenses_topology_example_spark.streaming.pipelines import (
+        streaming_value_bins,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", F.col("value").cast("double").alias("x")
+    )
+    bounds = ev.groupBy("event_type").agg(
+        F.min("x").alias("lo"), F.max("x").alias("hi")
+    )
+    bounds.persist().count()
+
+    src = tmp_path / "vb_src"
+    load_table(spark, sf_dir, "events").write.parquet(str(src))
+    stream = spark.readStream.schema(
+        load_table(spark, sf_dir, "events").schema
+    ).parquet(str(src))
+    q = (
+        streaming_value_bins(stream, bounds)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("vb_stream_test")
+        .option("checkpointLocation", str(tmp_path / "vb_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    streamed: dict = {}
+    for r in spark.sql("SELECT * FROM vb_stream_test").collect():
+        streamed[(r["event_type"], r["bin"])] = r["c"]
+    batch = {
+        (r["event_type"], r["bin"]): r["c"]
+        for r in value_bin_counts(ev, bounds).collect()
+    }
+    assert streamed == batch
+    bounds.unpersist()
+
+
+# --- dedup_tfidf_cosine ------------------------------------------------------
+
+
+def test_tfidf_cosine_pairs_match_pure_python(spark, sf_dir):
+    """Full replica: tf, df-capped weights, dot/norm cosine in Python
+    over the raw corpus."""
+    import math
+    import re as _re
+    from collections import Counter, defaultdict as dd
+
+    from lenses_topology_example_spark.operators.dedup import (
+        TFIDF_COS_DF_CAP,
+        TFIDF_COS_THRESHOLD,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).collect()
+    tf = dd(Counter)
+    for d in docs:
+        toks = [t for t in _re.split(r"\W+", d.text.lower()) if t]
+        for i in range(len(toks) - 2):
+            tf[d.doc_id][" ".join(toks[i : i + 3])] += 1
+    df = Counter()
+    for c in tf.values():
+        for sh in c:
+            df[sh] += 1
+    n = len(docs)
+    w = {
+        doc: {
+            sh: round(c * math.log(n / df[sh]), 4)
+            for sh, c in cnt.items()
+            if df[sh] <= TFIDF_COS_DF_CAP
+        }
+        for doc, cnt in tf.items()
+    }
+    rows = _CATALOG["dedup_tfidf_cosine"][0](spark, sf_dir).collect()
+    assert rows, "non-empty pair set expected at test SF"
+    for r in rows:
+        wa, wb = w[r.doc_a], w[r.doc_b]
+        dot = sum(wa[s] * wb[s] for s in set(wa) & set(wb))
+        na = sum(x * x for x in wa.values())
+        nb = sum(x * x for x in wb.values())
+        want = dot / math.sqrt(na * nb)
+        assert abs(r.cos_sim - want) < 1e-5, (r.doc_a, r.doc_b)
+        assert r.cos_sim >= TFIDF_COS_THRESHOLD
+        assert r.doc_a < r.doc_b
+
+
+# --- holt_forecast -----------------------------------------------------------
+
+
+def test_holt_matches_pure_python_recurrence(spark, sf_dir):
+    from lenses_topology_example_spark.operators.windows import (
+        HOLT_ALPHA,
+        HOLT_BETA,
+        HOLT_HORIZON,
+    )
+
+    rows = sorted(
+        _CATALOG["holt_forecast"][0](spark, sf_dir).collect(),
+        key=lambda r: r.h,
+    )
+    assert [r.h for r in rows] == list(range(1, HOLT_HORIZON + 1))
+    monthly = sorted(
+        (r.m, r.x)
+        for r in load_table(spark, sf_dir, "orders")
+        .select(
+            F.trunc(F.to_date("o_orderdate"), "month").alias("m"),
+            "o_totalprice",
+        )
+        .groupBy("m")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("x")
+        )
+        .collect()
+    )
+    xs = [x for _, x in monthly]
+    a, b = HOLT_ALPHA, HOLT_BETA
+    level, trend = xs[0], (xs[1] - xs[0] if len(xs) >= 2 else 0.0)
+    for x in xs[1:]:
+        ln = a * x + (1 - a) * (level + trend)
+        trend = b * (ln - level) + (1 - b) * trend
+        level = ln
+    for r in rows:
+        assert abs(r.level - level) < 1e-6
+        assert abs(r.trend - trend) < 1e-6
+        assert abs(r.forecast - (level + r.h * trend)) < 1e-6
