@@ -281,6 +281,11 @@ HEADLINE = (
     # round-9 eighth wave: weighted lexical near-dup + trend forecast
     "dedup_tfidf_cosine",
     "holt_forecast",
+    # round-9 ninth wave: experimentation/monitoring quartet
+    "cuped_ab_report",
+    "quantile_treatment_effect",
+    "drift_psi",
+    "auc_report",
 )
 
 

@@ -619,6 +619,19 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
         dedup.SQL_DEDUP_TFIDF_COSINE,
     ),
     "holt_forecast": (windows.q_holt_forecast, windows.SQL_HOLT_FORECAST),
+    # ninth round-9 wave (same past-window protocol): the
+    # experimentation/monitoring quartet — CUPED, quantile treatment
+    # effects, PSI score drift, rank-sum AUC
+    "cuped_ab_report": (
+        windows.q_cuped_ab_report,
+        windows.SQL_CUPED_AB_REPORT,
+    ),
+    "quantile_treatment_effect": (
+        windows.q_quantile_treatment_effect,
+        windows.SQL_QUANTILE_TREATMENT_EFFECT,
+    ),
+    "drift_psi": (quality.q_drift_psi, quality.SQL_DRIFT_PSI),
+    "auc_report": (embed_stats.q_auc_report, embed_stats.SQL_AUC_REPORT),
 }
 
 # The driver evaluates only the first DRIVER_WINDOW_SIZE catalog entries
@@ -656,13 +669,15 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
 # ROUND-10 ROTATION PLAN (write the new DRIVER_WINDOW from this once
 # CORRECTNESS_r09 lands; assuming the r9 window goes green):
 #   IN (priority): any round-10 additions at the window head — the
-#     twenty-one wave-3..8 r9 entries first (hybrid_rrf, l_diversity,
+#     twenty-five wave-3..9 r9 entries first (hybrid_rrf, l_diversity,
 #     private_release, rfm_segments, kmeans_elbow, ivf_probe_sweep,
 #     bpe_merge_candidates, attribution_revenue, cms_join_cardinality,
 #     ltv_curve, ab_test_report, cusum_changepoint, bootstrap_stderr,
 #     topic_keywords, basket_lift, retrieval_eval, histogram_quantiles,
-#     mmr_rerank, table_profile, dedup_tfidf_cosine, holt_forecast) —
-#     then any r9 RED held in-window until it closes green.
+#     mmr_rerank, table_profile, dedup_tfidf_cosine, holt_forecast,
+#     cuped_ab_report, quantile_treatment_effect, drift_psi,
+#     auc_report) — then any r9 RED held in-window until it closes
+#     green. That is HALF the 50-slot window; the rest re-checks.
 #   IN (re-checks, oldest-verdict-first): the 20 remaining r1-verdict
 #     entries (except_users, scalar_fns — displaced by the second r9
 #     wave — then array_fns, column_stats, date_fns2, explode_variants,

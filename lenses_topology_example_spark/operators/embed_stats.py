@@ -1023,3 +1023,117 @@ def _build_sql_kmeans_elbow() -> str:
 
 
 SQL_KMEANS_ELBOW = _build_sql_kmeans_elbow()
+
+
+# --- rank-sum AUC audit (round 9) --------------------------------------------
+
+AUC_POS_LABEL = 0  # positives = the label of centroid 0's class
+AUC_CENTROID = 0  # score = cosine similarity to this fixed centroid
+
+
+def q_auc_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC of "cosine to centroid 0" as a classifier for label 0 —
+    the Mann-Whitney rank-sum form, exactly: AUC = (R_pos −
+    n_pos(n_pos+1)/2) / (n_pos·n_neg) with ranks from the (score,
+    vec_id) TOTAL order. The classifier-evaluation primitive the
+    quality/similarity tiers lacked: kmeans_assign gives you a score,
+    cluster_purity a confusion-style readout — this is the
+    threshold-free quality number a model card reports.
+
+    Rank definition note (part of the operator contract): ranks are
+    row_number over the total order, not midranks — with continuous
+    cosine scores ties have measure zero, and the vec_id tiebreak
+    makes the statistic deterministic on any engine.
+
+    Determinism: scores are bit-identical prenorm cosines; ranks and
+    both counts are exact int64; AUC is ONE division of exact ints,
+    decimal-rounded.
+
+    Scale shape: one broadcast of the single centroid vector, one
+    rank window (global by AUC's nature — the documented audit cost;
+    a production run subsamples, same plan), one 1-row aggregate."""
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v"), "label"
+    )
+    emb = emb.withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v")))).filter(
+        F.col("nrm") > F.lit(0.0)
+    )
+    cent = emb.filter(F.col("vec_id") == F.lit(AUC_CENTROID)).select(
+        F.col("v").alias("cv"), F.col("nrm").alias("cnrm")
+    )
+    scored = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        (F.col("label") == F.lit(AUC_POS_LABEL)).cast("int").alias("pos"),
+        cosine_prenorm(
+            F.col("v"), F.col("cv"), F.col("nrm"), F.col("cnrm")
+        ).alias("score"),
+    )
+    w = W.orderBy(F.col("score").asc(), F.col("vec_id").asc())
+    ranked = scored.withColumn("rnk", F.row_number().over(w))
+    agg = ranked.agg(
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.sum(F.lit(1) - F.col("pos")).cast("long").alias("n_neg"),
+        F.sum(F.when(F.col("pos") == 1, F.col("rnk")).otherwise(0))
+        .cast("long")
+        .alias("rank_sum_pos"),
+    )
+    auc = (
+        (
+            F.col("rank_sum_pos").cast("double")
+            - F.col("n_pos").cast("double")
+            * (F.col("n_pos").cast("double") + F.lit(1.0))
+            / F.lit(2.0)
+        )
+        / (F.col("n_pos").cast("double") * F.col("n_neg").cast("double"))
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        "rank_sum_pos",
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            auc.cast("decimal(38,6)").cast("double"),
+        ).alias("auc"),
+    )
+
+
+SQL_AUC_REPORT = f"""
+    WITH emb AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+               label
+        FROM embeddings
+    ), nn AS (
+        SELECT vec_id, v, label, sqrt({sql_dot('v', 'v')}) AS nrm FROM emb
+    ), f AS (SELECT * FROM nn WHERE nrm > 0),
+    c AS (
+        SELECT v AS cv, nrm AS cnrm FROM f WHERE vec_id = {AUC_CENTROID}
+    ), scored AS (
+        SELECT vec_id,
+               CAST(label = {AUC_POS_LABEL} AS INTEGER) AS pos,
+               {sql_dot('f.v', 'c.cv')} / (f.nrm * c.cnrm) AS score
+        FROM f CROSS JOIN c
+    ), ranked AS (
+        SELECT pos,
+               ROW_NUMBER() OVER (ORDER BY score ASC, vec_id ASC) AS rnk
+        FROM scored
+    ), agg AS (
+        SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+               CAST(SUM(1 - pos) AS BIGINT) AS n_neg,
+               CAST(SUM(CASE WHEN pos = 1 THEN rnk ELSE 0 END) AS BIGINT)
+                   AS rank_sum_pos
+        FROM ranked
+    )
+    SELECT n_pos, n_neg, rank_sum_pos,
+           CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+               CAST(CAST(
+                   (CAST(rank_sum_pos AS DOUBLE)
+                    - CAST(n_pos AS DOUBLE)
+                      * (CAST(n_pos AS DOUBLE) + 1.0::DOUBLE)
+                      / 2.0::DOUBLE)
+                   / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))
+                   AS DECIMAL(38,6)) AS DOUBLE) END AS auc
+    FROM agg
+"""

@@ -725,3 +725,147 @@ def _sql_dedup_savings() -> str:
 
 
 SQL_DEDUP_SAVINGS = _sql_dedup_savings()
+
+
+# --- Population Stability Index drift monitor (round 9) ----------------------
+
+PSI_BINS = 10  # fixed [0,1) decile bins over the quality score
+PSI_SMOOTH = 0.5  # additive bin smoothing (binary-exact literal)
+
+
+def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index over the quality-score distribution,
+    base vs batch (the same md5-parity slices every continuous-
+    ingestion operator uses) — THE industry-standard model-monitoring
+    drift number, complementing corpus_drift's unigram KL (content
+    drift) and embed_drift's centroid shares (semantic drift) with
+    SCORE drift: a quality classifier whose input distribution moves
+    gets retrained before it silently rots. Per-bin rows expose where
+    the mass moved; the PSI total and the standard verdict bands
+    (<0.1 stable, <0.25 moderate, else major) ride every row.
+
+    Determinism: bins are fixed [0,1) deciles of the shared
+    quality_components expression (identical doubles -> identical
+    bins); smoothed shares are single divisions of exact counts;
+    each (p−q)·ln(p/q) term round-trips DECIMAL(38,6) before the
+    exact decimal sum (lm_score ln discipline); the verdict compares
+    the decimal-rounded total.
+
+    Scale shape: one scan to per-doc (parity, bin), ONE
+    PSI_BINS-bounded aggregate carrying two conditional counts,
+    windows over the 10-row frame."""
+    from pyspark.sql import Window as W
+
+    from .text import quality_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = quality_components(F.col("text"))["quality"]
+    binned = docs.select(
+        (md5_hash64(F.col("doc_id").cast("string")) % 2).alias("p"),
+        F.least(
+            F.floor(q * F.lit(float(PSI_BINS))), F.lit(PSI_BINS - 1)
+        )
+        .cast("int")
+        .alias("bin"),
+    )
+    cells = binned.groupBy("bin").agg(
+        F.sum((F.col("p") == 0).cast("long")).alias("c_base"),
+        F.sum((F.col("p") == 1).cast("long")).alias("c_batch"),
+    )
+    wall = W.partitionBy()
+    s = F.lit(PSI_SMOOTH)
+    denom_base = F.sum("c_base").over(wall).cast("double") + s * F.lit(
+        float(PSI_BINS)
+    )
+    denom_batch = F.sum("c_batch").over(wall).cast("double") + s * F.lit(
+        float(PSI_BINS)
+    )
+    p_base = (F.col("c_base").cast("double") + s) / denom_base
+    p_batch = (F.col("c_batch").cast("double") + s) / denom_batch
+    term = (
+        ((p_batch - p_base) * F.log(p_batch / p_base))
+        .cast("decimal(38,6)")
+        .cast("double")
+    )
+    staged = cells.select(
+        "bin",
+        F.col("c_base").cast("long").alias("c_base"),
+        F.col("c_batch").cast("long").alias("c_batch"),
+        term.alias("psi_term"),
+    )
+    psi = (
+        F.sum(F.col("psi_term").cast("decimal(38,6)"))
+        .over(wall)
+        .cast("double")
+    )
+    return staged.select(
+        "bin",
+        "c_base",
+        "c_batch",
+        "psi_term",
+        psi.alias("psi"),
+        F.when(psi < F.lit(0.1), F.lit("stable"))
+        .when(psi < F.lit(0.25), F.lit("moderate"))
+        .otherwise(F.lit("major"))
+        .alias("verdict"),
+    ).orderBy("bin")
+
+
+_SQL_PSI_PARITY = SQL_MD5_HASH64.format(x="CAST(doc_id AS VARCHAR)")
+
+SQL_DRIFT_PSI = f"""
+    WITH t AS (SELECT doc_id, text, {SQL_TOKS} AS toks FROM documents),
+    q AS (
+        SELECT ({_SQL_PSI_PARITY} % 2) AS p,
+               0.3 * LEAST(length(text) / 500.0, 1.0)
+                 + 0.4 * (len(list_filter(toks,
+                       x -> list_contains({_sql_stoplist()}, x)))
+                          / len(toks))
+                 + 0.3 * (length(regexp_replace(lower(text),
+                       '[^a-z ]', '', 'g')) / length(text)) AS quality
+        FROM t
+    ), binned AS (
+        SELECT p,
+               CAST(LEAST(floor(quality * {float(PSI_BINS)!r}),
+                          {PSI_BINS - 1}) AS INTEGER) AS bin
+        FROM q
+    ), cells AS (
+        SELECT bin,
+               CAST(SUM(CASE WHEN p = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS c_base,
+               CAST(SUM(CASE WHEN p = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS c_batch
+        FROM binned GROUP BY bin
+    ), staged AS (
+        SELECT bin, c_base, c_batch,
+               CAST(CAST(
+                   ((CAST(c_batch AS DOUBLE) + {PSI_SMOOTH!r}::DOUBLE)
+                    / (CAST(SUM(c_batch) OVER () AS DOUBLE)
+                       + {PSI_SMOOTH!r}::DOUBLE * {float(PSI_BINS)!r}::DOUBLE)
+                    - (CAST(c_base AS DOUBLE) + {PSI_SMOOTH!r}::DOUBLE)
+                      / (CAST(SUM(c_base) OVER () AS DOUBLE)
+                         + {PSI_SMOOTH!r}::DOUBLE
+                           * {float(PSI_BINS)!r}::DOUBLE))
+                   * ln(((CAST(c_batch AS DOUBLE) + {PSI_SMOOTH!r}::DOUBLE)
+                         / (CAST(SUM(c_batch) OVER () AS DOUBLE)
+                            + {PSI_SMOOTH!r}::DOUBLE
+                              * {float(PSI_BINS)!r}::DOUBLE))
+                        / ((CAST(c_base AS DOUBLE) + {PSI_SMOOTH!r}::DOUBLE)
+                           / (CAST(SUM(c_base) OVER () AS DOUBLE)
+                              + {PSI_SMOOTH!r}::DOUBLE
+                                * {float(PSI_BINS)!r}::DOUBLE)))
+                   AS DECIMAL(38,6)) AS DOUBLE) AS psi_term
+        FROM cells
+    ), tot AS (
+        SELECT bin, c_base, c_batch, psi_term,
+               CAST(SUM(CAST(psi_term AS DECIMAL(38,6))) OVER ()
+                    AS DOUBLE) AS psi
+        FROM staged
+    )
+    SELECT bin, c_base, c_batch, psi_term, psi,
+           CASE WHEN psi < 0.1 THEN 'stable'
+                WHEN psi < 0.25 THEN 'moderate'
+                ELSE 'major' END AS verdict
+    FROM tot
+    ORDER BY bin
+"""

@@ -1683,3 +1683,376 @@ def _build_sql_holt_forecast() -> str:
 
 
 SQL_HOLT_FORECAST = _build_sql_holt_forecast()
+
+
+# --- CUPED variance-reduced A/B readout (round 9) ----------------------------
+
+CUPED_SPLIT_TS = "2024-01-16 00:00:00"  # pre-period | experiment period
+
+
+def q_cuped_ab_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED (Deng et al., WSDM'13) variance-reduced A/B readout —
+    ab_test_report's production upgrade: each user's PRE-period mean
+    event value is the covariate X; the experiment metric Y is their
+    post-period purchase revenue; Y_adj = Y − θ(X − X̄) with
+    θ = cov(X,Y)/var(X) pooled across arms removes the X-explained
+    variance, shrinking the standard error without touching the
+    treatment effect. Reports both readouts side by side plus the
+    variance-reduction percentage — the number that justifies running
+    CUPED at all. Population: users with at least one pre-period
+    event (X is undefined otherwise — the standard CUPED triage);
+    users without post purchases carry Y = 0.
+
+    Determinism: per-user X/Y and every pooled moment fold
+    DECIMAL(38,6); θ, both z-scores, and the reduction are fixed
+    double expressions written identically in both engines; degenerate
+    cases (an empty arm, zero var(X)) yield NULLs via the
+    event_rate_anomaly guard pattern.
+
+    Scale shape: one scan splits pre/post by timestamp into ONE
+    per-user conditional aggregate (X, Y in the same pass); arms come
+    from the md5 coin; everything after the user-grain aggregate is a
+    1-row conditional moment fold."""
+    from ..functions.texthash import md5_hash64
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", "value"
+    )
+    split = F.lit(CUPED_SPLIT_TS).cast("timestamp")
+    pre = F.col("ts") < split
+    post_purchase = (~pre) & (F.col("event_type") == F.lit("purchase"))
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sum(F.when(pre, 1).otherwise(0)).alias("n_pre"),
+            F.sum(
+                F.when(pre, F.col("value")).otherwise(0.0).cast(
+                    "decimal(38,6)"
+                )
+            )
+            .cast("double")
+            .alias("s_pre"),
+            F.sum(
+                F.when(post_purchase, F.col("value"))
+                .otherwise(0.0)
+                .cast("decimal(38,6)")
+            )
+            .cast("double")
+            .alias("y"),
+        )
+        .filter(F.col("n_pre") > 0)
+        .select(
+            (
+                md5_hash64(
+                    F.concat(F.lit("ab|"), F.col("user_id").cast("string"))
+                )
+                % 2
+            ).alias("arm"),
+            (F.col("s_pre") / F.col("n_pre").cast("double")).alias("x"),
+            "y",
+        )
+    )
+    d = lambda c: F.sum(c.cast("decimal(38,6)")).cast("double")  # noqa: E731
+    arm0 = F.col("arm") == 0
+    arm1 = F.col("arm") == 1
+    agg = per_user.agg(
+        F.sum(arm0.cast("long")).cast("long").alias("n_0"),
+        F.sum(arm1.cast("long")).cast("long").alias("n_1"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+        d(F.col("x")).alias("sx"),
+        d(F.col("x") * F.col("x")).alias("sxx"),
+        d(F.col("y")).alias("sy"),
+        d(F.col("x") * F.col("y")).alias("sxy"),
+        d(F.when(arm0, F.col("y")).otherwise(0.0)).alias("sy_0"),
+        d(F.when(arm1, F.col("y")).otherwise(0.0)).alias("sy_1"),
+        d(F.when(arm0, F.col("y") * F.col("y")).otherwise(0.0)).alias(
+            "syy_0"
+        ),
+        d(F.when(arm1, F.col("y") * F.col("y")).otherwise(0.0)).alias(
+            "syy_1"
+        ),
+        d(F.when(arm0, F.col("x")).otherwise(0.0)).alias("sx_0"),
+        d(F.when(arm1, F.col("x")).otherwise(0.0)).alias("sx_1"),
+        d(F.when(arm0, F.col("x") * F.col("y")).otherwise(0.0)).alias(
+            "sxy_0"
+        ),
+        d(F.when(arm1, F.col("x") * F.col("y")).otherwise(0.0)).alias(
+            "sxy_1"
+        ),
+        d(F.when(arm0, F.col("x") * F.col("x")).otherwise(0.0)).alias(
+            "sxx_0"
+        ),
+        d(F.when(arm1, F.col("x") * F.col("x")).otherwise(0.0)).alias(
+            "sxx_1"
+        ),
+    )
+    n, n0, n1 = F.col("n"), F.col("n_0"), F.col("n_1")
+    xbar = F.col("sx") / n
+    var_x = F.col("sxx") / n - xbar * xbar
+    cov_xy = F.col("sxy") / n - xbar * (F.col("sy") / n)
+    theta = cov_xy / var_x
+    mean_y0 = F.col("sy_0") / n0
+    mean_y1 = F.col("sy_1") / n1
+    var_y0 = (F.col("syy_0") - F.col("sy_0") * F.col("sy_0") / n0) / (n0 - 1)
+    var_y1 = (F.col("syy_1") - F.col("sy_1") * F.col("sy_1") / n1) / (n1 - 1)
+    se_raw = F.sqrt(var_y0 / n0 + var_y1 / n1)
+    diff_raw = mean_y1 - mean_y0
+    # adjusted per-arm moments of y_adj = y - theta*(x - xbar):
+    # mean_adj_a = mean_y_a - theta*(mean_x_a - xbar)
+    mean_adj0 = mean_y0 - theta * (F.col("sx_0") / n0 - xbar)
+    mean_adj1 = mean_y1 - theta * (F.col("sx_1") / n1 - xbar)
+    # var of y_adj within arm: var_y + theta^2 var_x_a - 2 theta cov_a
+    # (sample forms, identical expression order both engines)
+    var_x0 = (F.col("sxx_0") - F.col("sx_0") * F.col("sx_0") / n0) / (n0 - 1)
+    var_x1 = (F.col("sxx_1") - F.col("sx_1") * F.col("sx_1") / n1) / (n1 - 1)
+    cov0 = (F.col("sxy_0") - F.col("sx_0") * F.col("sy_0") / n0) / (n0 - 1)
+    cov1 = (F.col("sxy_1") - F.col("sx_1") * F.col("sy_1") / n1) / (n1 - 1)
+    var_adj0 = var_y0 + theta * theta * var_x0 - F.lit(2.0) * theta * cov0
+    var_adj1 = var_y1 + theta * theta * var_x1 - F.lit(2.0) * theta * cov1
+    se_adj = F.sqrt(var_adj0 / n0 + var_adj1 / n1)
+    diff_adj = mean_adj1 - mean_adj0
+    rnd = lambda c: c.cast("decimal(38,6)").cast("double")  # noqa: E731
+    ok = (n0 > 1) & (n1 > 1) & (var_x > F.lit(0.0))
+    return agg.select(
+        "n_0",
+        "n_1",
+        F.when(ok, rnd(theta)).alias("theta"),
+        F.when(ok, rnd(diff_raw)).alias("diff_raw"),
+        F.when(ok & (se_raw > 0.0), rnd(diff_raw / se_raw)).alias("z_raw"),
+        F.when(ok, rnd(diff_adj)).alias("diff_adj"),
+        F.when(ok & (se_adj > 0.0), rnd(diff_adj / se_adj)).alias("z_adj"),
+        F.when(
+            ok & (se_raw > 0.0),
+            rnd(
+                (F.lit(1.0) - (se_adj * se_adj) / (se_raw * se_raw))
+                * F.lit(100.0)
+            ),
+        ).alias("var_reduction_pct"),
+    )
+
+
+def _build_sql_cuped_ab_report() -> str:
+    arm = (
+        "((('0x' || substr(md5('ab|' || CAST(user_id AS VARCHAR)), 1, 15))"
+        "::BIGINT) % 2)"
+    )
+    dec = lambda e: f"CAST(SUM(CAST({e} AS DECIMAL(38,6))) AS DOUBLE)"  # noqa: E731
+    moments = f"""
+        SELECT
+            CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_0,
+            CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_1,
+            CAST(COUNT(*) AS BIGINT) AS n,
+            {dec('x')} AS sx, {dec('x * x')} AS sxx,
+            {dec('y')} AS sy, {dec('x * y')} AS sxy,
+            {dec("CASE WHEN arm = 0 THEN y ELSE 0.0 END")} AS sy_0,
+            {dec("CASE WHEN arm = 1 THEN y ELSE 0.0 END")} AS sy_1,
+            {dec("CASE WHEN arm = 0 THEN y * y ELSE 0.0 END")} AS syy_0,
+            {dec("CASE WHEN arm = 1 THEN y * y ELSE 0.0 END")} AS syy_1,
+            {dec("CASE WHEN arm = 0 THEN x ELSE 0.0 END")} AS sx_0,
+            {dec("CASE WHEN arm = 1 THEN x ELSE 0.0 END")} AS sx_1,
+            {dec("CASE WHEN arm = 0 THEN x * y ELSE 0.0 END")} AS sxy_0,
+            {dec("CASE WHEN arm = 1 THEN x * y ELSE 0.0 END")} AS sxy_1,
+            {dec("CASE WHEN arm = 0 THEN x * x ELSE 0.0 END")} AS sxx_0,
+            {dec("CASE WHEN arm = 1 THEN x * x ELSE 0.0 END")} AS sxx_1
+        FROM per_user"""
+    # scalar expression fragments, written once and substituted so the
+    # operation order is visibly identical to the Spark column exprs
+    xbar = "(sx / n)"
+    var_x = f"(sxx / n - {xbar} * {xbar})"
+    cov_xy = f"(sxy / n - {xbar} * (sy / n))"
+    theta = f"({cov_xy} / {var_x})"
+    mean_y0, mean_y1 = "(sy_0 / n_0)", "(sy_1 / n_1)"
+    var_y0 = "((syy_0 - sy_0 * sy_0 / n_0) / (n_0 - 1))"
+    var_y1 = "((syy_1 - sy_1 * sy_1 / n_1) / (n_1 - 1))"
+    se_raw = f"sqrt({var_y0} / n_0 + {var_y1} / n_1)"
+    diff_raw = f"({mean_y1} - {mean_y0})"
+    mean_adj0 = f"({mean_y0} - {theta} * (sx_0 / n_0 - {xbar}))"
+    mean_adj1 = f"({mean_y1} - {theta} * (sx_1 / n_1 - {xbar}))"
+    var_x0 = "((sxx_0 - sx_0 * sx_0 / n_0) / (n_0 - 1))"
+    var_x1 = "((sxx_1 - sx_1 * sx_1 / n_1) / (n_1 - 1))"
+    cov0 = "((sxy_0 - sx_0 * sy_0 / n_0) / (n_0 - 1))"
+    cov1 = "((sxy_1 - sx_1 * sy_1 / n_1) / (n_1 - 1))"
+    var_adj0 = (
+        f"({var_y0} + {theta} * {theta} * {var_x0}"
+        f" - 2.0::DOUBLE * {theta} * {cov0})"
+    )
+    var_adj1 = (
+        f"({var_y1} + {theta} * {theta} * {var_x1}"
+        f" - 2.0::DOUBLE * {theta} * {cov1})"
+    )
+    se_adj = f"sqrt({var_adj0} / n_0 + {var_adj1} / n_1)"
+    diff_adj = f"({mean_adj1} - {mean_adj0})"
+    ok = f"(n_0 > 1 AND n_1 > 1 AND {var_x} > 0.0)"
+    r = lambda e: f"CAST(CAST({e} AS DECIMAL(38,6)) AS DOUBLE)"  # noqa: E731
+    return f"""
+    WITH per_user0 AS (
+        SELECT user_id,
+               SUM(CASE WHEN ts < TIMESTAMP '{CUPED_SPLIT_TS}'
+                        THEN 1 ELSE 0 END) AS n_pre,
+               CAST(SUM(CAST(CASE WHEN ts < TIMESTAMP '{CUPED_SPLIT_TS}'
+                        THEN "value" ELSE 0.0 END AS DECIMAL(38,6)))
+                    AS DOUBLE) AS s_pre,
+               CAST(SUM(CAST(CASE WHEN ts >= TIMESTAMP '{CUPED_SPLIT_TS}'
+                             AND event_type = 'purchase'
+                        THEN "value" ELSE 0.0 END AS DECIMAL(38,6)))
+                    AS DOUBLE) AS y
+        FROM events GROUP BY user_id
+    ), per_user AS (
+        SELECT ({arm}) AS arm,
+               (s_pre / CAST(n_pre AS DOUBLE)) AS x, y
+        FROM per_user0 WHERE n_pre > 0
+    ), agg AS ({moments})
+    SELECT n_0, n_1,
+           CASE WHEN {ok} THEN {r(theta)} END AS theta,
+           CASE WHEN {ok} THEN {r(diff_raw)} END AS diff_raw,
+           CASE WHEN {ok} AND {se_raw} > 0.0
+                THEN {r(f'{diff_raw} / {se_raw}')} END AS z_raw,
+           CASE WHEN {ok} THEN {r(diff_adj)} END AS diff_adj,
+           CASE WHEN {ok} AND {se_adj} > 0.0
+                THEN {r(f'{diff_adj} / {se_adj}')} END AS z_adj,
+           CASE WHEN {ok} AND {se_raw} > 0.0
+                THEN {r(f'(1.0::DOUBLE - ({se_adj} * {se_adj}) / ({se_raw} * {se_raw})) * 100.0::DOUBLE')}
+                END AS var_reduction_pct
+    FROM agg
+"""
+
+
+SQL_CUPED_AB_REPORT = _build_sql_cuped_ab_report()
+
+
+# --- quantile treatment effects (round 9) ------------------------------------
+
+QTE_PCTS = (25, 50, 75, 90)
+
+
+def q_quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile treatment effects for the md5-coin experiment:
+    per-arm exact purchase-value quantiles (the length_percentiles
+    rank definition — value at rank ceil(p/100·n) under (value,
+    event_id) order) and their differences — the distributional
+    readout ab_test_report's mean difference hides (a treatment that
+    helps the median but hurts the tail shows ZERO mean effect and a
+    textbook QTE signature).
+
+    Determinism: ranks and targets are exact integers; quantile
+    values are raw pass-through doubles picked by rank; each QTE is
+    one subtraction of those doubles.
+
+    Scale shape: the rank window partitions by arm (two partitions —
+    the exact-quantile audit cost, same caveat as length_percentiles:
+    production subsamples per arm, identical plan); everything after
+    is a 2·|pcts|-row pivot."""
+    from pyspark.sql import Window as W
+
+    from ..functions.texthash import md5_hash64
+
+    p = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == F.lit("purchase")
+    ).select(
+        (
+            md5_hash64(F.concat(F.lit("ab|"), F.col("user_id").cast("string")))
+            % 2
+        ).alias("arm"),
+        "event_id",
+        F.col("value").cast("double").alias("x"),
+    )
+    w = W.partitionBy("arm")
+    ranked = p.withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("arm").orderBy("x", "event_id")
+        ),
+    ).withColumn("n", F.count(F.lit(1)).over(w))
+    per_arm = ranked.groupBy("arm").agg(
+        F.max("n").cast("long").alias("n"),
+        *[
+            F.max(
+                F.when(
+                    F.col("rn")
+                    == F.ceil(F.col("n") * F.lit(pct) / F.lit(100.0)),
+                    F.col("x"),
+                )
+            ).alias(f"p{pct}")
+            for pct in QTE_PCTS
+        ],
+    )
+    a0 = per_arm.filter(F.col("arm") == 0).drop("arm")
+    a1 = per_arm.filter(F.col("arm") == 1).drop("arm")
+    stacked0 = a0.select(
+        F.expr(
+            "stack({n}, {args}) AS (pct, v_control)".format(
+                n=len(QTE_PCTS),
+                args=", ".join(f"{p}, p{p}" for p in QTE_PCTS),
+            )
+        ),
+        F.col("n").alias("n_control"),
+    )
+    stacked1 = a1.select(
+        F.expr(
+            "stack({n}, {args}) AS (pct, v_treatment)".format(
+                n=len(QTE_PCTS),
+                args=", ".join(f"{p}, p{p}" for p in QTE_PCTS),
+            )
+        ),
+        F.col("n").alias("n_treatment"),
+    )
+    return (
+        stacked0.join(stacked1, "pct")
+        .select(
+            F.col("pct").cast("int").alias("pct"),
+            "n_control",
+            "n_treatment",
+            "v_control",
+            "v_treatment",
+            (F.col("v_treatment") - F.col("v_control")).alias("qte"),
+        )
+        .orderBy("pct")
+    )
+
+
+def _build_sql_qte() -> str:
+    arm = (
+        "((('0x' || substr(md5('ab|' || CAST(user_id AS VARCHAR)), 1, 15))"
+        "::BIGINT) % 2)"
+    )
+    pct_cols = ",\n               ".join(
+        f"MAX(CASE WHEN rn = CAST(CEIL(n * {p} / 100.0) AS BIGINT)"
+        f" THEN x END) AS p{p}"
+        for p in QTE_PCTS
+    )
+    unions0 = "\n        UNION ALL ".join(
+        f"SELECT {p} AS pct, n AS n_control, p{p} AS v_control"
+        f" FROM arm0"
+        for p in QTE_PCTS
+    )
+    unions1 = "\n        UNION ALL ".join(
+        f"SELECT {p} AS pct, n AS n_treatment, p{p} AS v_treatment"
+        f" FROM arm1"
+        for p in QTE_PCTS
+    )
+    return f"""
+    WITH p AS (
+        SELECT ({arm}) AS arm, event_id, CAST("value" AS DOUBLE) AS x
+        FROM events WHERE event_type = 'purchase'
+    ), ranked AS (
+        SELECT arm, x,
+               ROW_NUMBER() OVER (PARTITION BY arm
+                                  ORDER BY x, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY arm) AS n
+        FROM p
+    ), per_arm AS (
+        SELECT arm, CAST(MAX(n) AS BIGINT) AS n,
+               {pct_cols}
+        FROM ranked GROUP BY arm
+    ), arm0 AS (SELECT * FROM per_arm WHERE arm = 0),
+    arm1 AS (SELECT * FROM per_arm WHERE arm = 1),
+    s0 AS ({unions0}), s1 AS ({unions1})
+    SELECT CAST(pct AS INTEGER) AS pct, n_control, n_treatment,
+           v_control, v_treatment,
+           v_treatment - v_control AS qte
+    FROM s0 JOIN s1 USING (pct)
+    ORDER BY pct
+"""
+
+
+SQL_QUANTILE_TREATMENT_EFFECT = _build_sql_qte()

