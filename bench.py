@@ -286,6 +286,13 @@ HEADLINE = (
     "quantile_treatment_effect",
     "drift_psi",
     "auc_report",
+    # round-10 first wave: skyline, Benford, OLS trend, calibration,
+    # blocked entity resolution
+    "pareto_frontier",
+    "benford_digits",
+    "ols_trend",
+    "calibration_bins",
+    "er_part_names",
 )
 
 

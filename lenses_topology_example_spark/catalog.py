@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .conf import ensure_runtime_confs
 from .operators import (
+    analytics,
     dedup,
     embed_stats,
     governance,
@@ -632,6 +633,26 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     ),
     "drift_psi": (quality.q_drift_psi, quality.SQL_DRIFT_PSI),
     "auc_report": (embed_stats.q_auc_report, embed_stats.SQL_AUC_REPORT),
+    # first round-10 wave (window-head per the round-10 plan below):
+    # the sort-based skyline, the Benford forensic screen, closed-form
+    # OLS trend, reliability/ECE bins, and blocked ER over part names
+    "pareto_frontier": (
+        analytics.q_pareto_frontier,
+        analytics.SQL_PARETO_FRONTIER,
+    ),
+    "benford_digits": (
+        analytics.q_benford_digits,
+        analytics.SQL_BENFORD_DIGITS,
+    ),
+    "ols_trend": (analytics.q_ols_trend, analytics.SQL_OLS_TREND),
+    "calibration_bins": (
+        analytics.q_calibration_bins,
+        analytics.SQL_CALIBRATION_BINS,
+    ),
+    "er_part_names": (
+        analytics.q_er_part_names,
+        analytics.SQL_ER_PART_NAMES,
+    ),
 }
 
 # The driver evaluates only the first DRIVER_WINDOW_SIZE catalog entries
@@ -644,111 +665,92 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
 # and first-50 order). Full rotation history: ROTATION.md (r8 VERDICT
 # ask #7 — only the CURRENT window and the NEXT plan live here).
 #
-# ROUND-9 WINDOW (executes the plan written in round 8 verbatim):
-#   Slots 1-10:  the round-9 additions (new operators take window-head
-#                slots): asset_png_meta + the seven remaining TPC-H
-#                archetype shapes + the second wave (embed_drift,
-#                asset_quality_screen).
-#   Slots 11-15: priority ins per the written plan — the four r8
-#                past-window additions (first drives) +
-#                salted_join_events (second consecutive green after its
-#                r6 red).
-#   Slots 16-32: re-checks, flagships first then by last-verdict age —
-#                payments_pipeline/gen_payments (r7), wordcount/
-#                region_revenue (r6), agg_revenue (r4), then the named
-#                dedup/streaming-parity tier (r4-r6 greens).
-#   Slots 33-50: oldest-verdict re-checks from the r1 block, reference-
-#                parity payments/wordcount surfaces first, then the r1
-#                relational breadth tier (except_users and scalar_fns
-#                yielded their slots to the second r9 wave; they join
-#                the round-10 re-check queue).
-#   OUT: the freshly-green r8 block (each left with its first verdict;
-#   pytest oracle parity at sf0.001 still covers every rotated-out
-#   entry on every run).
+# ROUND-10 WINDOW (executes the plan written in round 9 verbatim;
+# CORRECTNESS_r09 came back 50/50 green, so the r9 window rotates out):
+#   Slots 1-25:  the twenty-five r9 wave-3..9 past-window entries, in
+#                registration order — every catalog entry's FIRST
+#                driver verdict comes within one round of registration.
+#   Slots 26-30: the round-10 first-wave additions (pareto_frontier,
+#                benford_digits, ols_trend, calibration_bins,
+#                er_part_names) — three-SF oracle parity + empty-input
+#                OK at registration.
+#   Slots 31-50: oldest-verdict re-checks — the 20 remaining r1-verdict
+#                entries (except_users and scalar_fns first; they
+#                yielded their r9 slots to the second r9 wave).
+#   OUT: the freshly-green r9 window block (each leaves with a current
+#   verdict; pytest oracle parity at sf0.001 still covers every
+#   rotated-out entry on every run).
 #
-# ROUND-10 ROTATION PLAN (write the new DRIVER_WINDOW from this once
-# CORRECTNESS_r09 lands; assuming the r9 window goes green):
-#   IN (priority): any round-10 additions at the window head — the
-#     twenty-five wave-3..9 r9 entries first (hybrid_rrf, l_diversity,
-#     private_release, rfm_segments, kmeans_elbow, ivf_probe_sweep,
-#     bpe_merge_candidates, attribution_revenue, cms_join_cardinality,
-#     ltv_curve, ab_test_report, cusum_changepoint, bootstrap_stderr,
-#     topic_keywords, basket_lift, retrieval_eval, histogram_quantiles,
-#     mmr_rerank, table_profile, dedup_tfidf_cosine, holt_forecast,
-#     cuped_ab_report, quantile_treatment_effect, drift_psi,
-#     auc_report) — then any r9 RED held in-window until it closes
-#     green. That is HALF the 50-slot window; the rest re-checks.
-#   IN (re-checks, oldest-verdict-first): the 20 remaining r1-verdict
-#     entries (except_users, scalar_fns — displaced by the second r9
-#     wave — then array_fns, column_stats, date_fns2, explode_variants,
-#     filtered_agg, grouping_sets, late_shipments, null_fns,
-#     outer_join_nulls, percentiles, pivot_status, promo_revenue,
-#     returned_items, scalar_subquery, sql_top_customers, string_fns2,
-#     unpivot_part, window_fns2), then the r3 block (audio_features,
+# ROUND-11 ROTATION PLAN (write the new DRIVER_WINDOW from this once
+# CORRECTNESS_r10 lands; assuming the r10 window goes green):
+#   IN (priority): any round-10 past-window additions (registered after
+#     this window froze — see ROTATION.md round-10 waves) at the window
+#     head, then any r10 RED held in-window until it closes green.
+#   IN (re-checks, oldest-verdict-first): the r3 block (audio_features,
 #     frame_sample, image_features, image_resize, moving_avg,
 #     multimodal_meta, sliding_count, window_range_interval), then the
 #     r4 block (big_orders, bigram_counts, bpe_token_count,
 #     decontaminate, dedup_cluster, dedup_near_jaccard, dedup_simhash,
 #     fx_join, knn_classify, pattern_counts, sessionize_lag,
-#     sim_ann_ivf, sim_ann_lsh, topk_words) and token_count (r5).
-#   OUT: the freshly-green r9 block.
+#     sim_ann_ivf, sim_ann_lsh, topk_words), token_count (r5), then the
+#     r6 block oldest-first as slots allow.
+#   OUT: the freshly-green r10 block.
 DRIVER_WINDOW_SIZE = 50
 DRIVER_WINDOW: tuple[str, ...] = (
-    # round-9 additions (window head)
-    "asset_png_meta",
-    "shipping_priority",
-    "forecast_revenue",
-    "important_parts",
-    "parts_supplier_rel",
-    "discounted_revenue",
-    "promo_suppliers",
-    "waiting_suppliers",
-    "embed_drift",
-    "asset_quality_screen",
-    # priority ins: r8 past-window additions + salted_join_events
-    "sales_opportunity",
-    "interarrival_stats",
-    "asset_codec_meta",
-    "temperature_mix",
-    "salted_join_events",
-    # re-checks: flagships, then last-verdict age (r4-r6)
-    "payments_pipeline",
-    "gen_payments",
-    "wordcount",
-    "region_revenue",
-    "agg_revenue",
-    "dedup_exact",
-    "dedup_minhash",
-    "dedup_near_capped",
-    "dedup_lines",
-    "sim_topk",
-    "tumbling_count",
-    "session_count",
-    "asof_rate",
-    "scan_events",
-    "json_decode",
-    "count_by_currency",
-    "topk_spenders",
-    # re-checks: oldest (r1) — reference-parity payments/wordcount
-    # surfaces first, then the r1 relational breadth tier
-    "project_cast",
-    "json_encode",
-    "fx_convert",
-    "filter_suspicious",
-    "union_payment_streams",
-    "semi_join_suspicious",
-    "tokenize_explode",
-    "scan_lines",
-    "distinct_users",
-    "rollup_sales",
-    "cube_sales",
-    "join_orders_customer",
-    "semi_join_customers",
-    "anti_join_customers",
-    "theta_join_parts",
-    "rank_top_payments",
-    "window_running",
-    "intersect_users",
+    # r9 wave-3..9 past-window entries (first driver verdicts)
+    "hybrid_rrf",
+    "l_diversity",
+    "private_release",
+    "rfm_segments",
+    "kmeans_elbow",
+    "ivf_probe_sweep",
+    "bpe_merge_candidates",
+    "attribution_revenue",
+    "cms_join_cardinality",
+    "ltv_curve",
+    "ab_test_report",
+    "cusum_changepoint",
+    "bootstrap_stderr",
+    "topic_keywords",
+    "basket_lift",
+    "retrieval_eval",
+    "histogram_quantiles",
+    "mmr_rerank",
+    "table_profile",
+    "dedup_tfidf_cosine",
+    "holt_forecast",
+    "cuped_ab_report",
+    "quantile_treatment_effect",
+    "drift_psi",
+    "auc_report",
+    # round-10 first-wave additions
+    "pareto_frontier",
+    "benford_digits",
+    "ols_trend",
+    "calibration_bins",
+    "er_part_names",
+    # re-checks: the 20 remaining r1-verdict entries, displaced pair
+    # first, then alphabetical within the r1 relational breadth tier
+    "except_users",
+    "scalar_fns",
+    "array_fns",
+    "column_stats",
+    "date_fns2",
+    "explode_variants",
+    "filtered_agg",
+    "grouping_sets",
+    "late_shipments",
+    "null_fns",
+    "outer_join_nulls",
+    "percentiles",
+    "pivot_status",
+    "promo_revenue",
+    "returned_items",
+    "scalar_subquery",
+    "sql_top_customers",
+    "string_fns2",
+    "unpivot_part",
+    "window_fns2",
 )
 
 #

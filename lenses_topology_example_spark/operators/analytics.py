@@ -1,0 +1,515 @@
+"""Round-10 first-wave analytics operators: skyline (Pareto frontier),
+Benford first-digit audit, closed-form OLS trend, classifier
+calibration / ECE bins, and blocked entity resolution over part names.
+
+These extend the engine the same way the round-7..9 tiers did — each is
+a classic production analytics shape a reference-pipeline user would
+reach for next, expressed as a declarative DataFrame plan with an exact
+DuckDB oracle twin.
+
+House determinism rules applied throughout (BASELINE.md / the
+interval_merge + corpus_report lessons):
+  * cross-row accumulation goes through DECIMAL or exact integers —
+    never raw-double SUM/AVG;
+  * libm calls (exp) are rounded to a fixed scale immediately, so a
+    1-ulp cross-engine difference cannot propagate;
+  * constants shared by both engines (Benford shares, the calibration
+    weight vector) are Python-computed literals injected into BOTH the
+    Spark plan and the oracle SQL — no query-time libm on constants;
+  * every window rides a total order.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from ..tables import load_table
+from .similarity import as_double, dot, sql_dot
+
+
+# --- pareto_frontier ---------------------------------------------------------
+
+
+def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline query: within each p_type, the parts not dominated on
+    (p_retailprice, p_size) — part q dominates p iff q is no worse on
+    both dimensions and strictly better on at least one. The classic
+    2-D skyline (Börzsönyi et al., ICDE 2001) without the O(n²)
+    dominance self-join: sort by price, keep a row iff its size is the
+    minimum at its price AND strictly below the running minimum size of
+    all strictly-cheaper rows.
+
+    Determinism: no floating arithmetic at all — prices and sizes are
+    only COMPARED, never combined; the window rides the per-price
+    grouped frame (one row per (type, price)), so ORDER BY price is a
+    total order within the partition.
+
+    Scale shape (100 TB): the grouped frame is |distinct (type,
+    price)| rows; the running-min window partitions by p_type (each
+    partition a single product family); the join back to part is a
+    broadcast-or-SMJ equi join on (type, price). No pair blow-up
+    anywhere — the sort-based skyline is O(n log n) where the naive
+    dominance join is O(n²)."""
+    part = load_table(spark, sf_dir, "part").select(
+        "p_type", "p_partkey", "p_name", "p_retailprice", "p_size"
+    )
+    grp = part.groupBy("p_type", "p_retailprice").agg(
+        F.min("p_size").alias("grp_min_size")
+    )
+    w_prev = (
+        W.partitionBy("p_type")
+        .orderBy(F.col("p_retailprice").asc())
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    frontier_prices = grp.select(
+        "p_type",
+        "p_retailprice",
+        "grp_min_size",
+        F.min("grp_min_size").over(w_prev).alias("prev_min_size"),
+    )
+    return (
+        part.join(frontier_prices, ["p_type", "p_retailprice"])
+        .filter(
+            (F.col("p_size") == F.col("grp_min_size"))
+            & (
+                F.col("prev_min_size").isNull()
+                | (F.col("prev_min_size") > F.col("p_size"))
+            )
+        )
+        .select("p_type", "p_partkey", "p_name", "p_retailprice", "p_size")
+        .orderBy("p_type", "p_retailprice", "p_size", "p_partkey")
+    )
+
+
+SQL_PARETO_FRONTIER = """
+    WITH grp AS (
+        SELECT p_type, p_retailprice, MIN(p_size) AS grp_min_size
+        FROM part GROUP BY p_type, p_retailprice
+    ), fp AS (
+        SELECT p_type, p_retailprice, grp_min_size,
+               MIN(grp_min_size) OVER (
+                   PARTITION BY p_type ORDER BY p_retailprice
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS prev_min_size
+        FROM grp
+    )
+    SELECT p.p_type, p.p_partkey, p.p_name, p.p_retailprice, p.p_size
+    FROM part p JOIN fp USING (p_type, p_retailprice)
+    WHERE p.p_size = fp.grp_min_size
+      AND (fp.prev_min_size IS NULL OR fp.prev_min_size > p.p_size)
+    ORDER BY p_type, p_retailprice, p_size, p_partkey
+"""
+
+
+# --- benford_digits ----------------------------------------------------------
+
+# Benford's-law expected first-digit shares log10(1 + 1/d), computed ONCE
+# in Python and injected as full-precision literals into both engines —
+# no query-time log10, so no cross-libm hazard.
+BENFORD_SHARES: dict[int, float] = {
+    d: math.log10(1.0 + 1.0 / d) for d in range(1, 10)
+}
+
+
+def q_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-significant-digit audit of o_totalprice —
+    the classic forensic-accounting / data-quality screen: per digit
+    1..9, the observed count, observed share, Benford expected share,
+    and the chi-square contribution (n_d − N·e_d)² / (N·e_d).
+
+    Determinism: the first digit is extracted from the DECIMAL(18,2)
+    string rendering (pure string op — no log10/floor on doubles);
+    counts are exact integers; shares are single exact-integer
+    divisions; expected shares are shared Python literals; each
+    chi-square term is ONE double expression per output row — there is
+    no cross-row double sum anywhere.
+
+    Scale shape (100 TB): one map-side-combinable groupBy on a 9-value
+    key; the total-count frame is a 1-row broadcast. Output is ≤ 9
+    rows regardless of input size."""
+    digit = F.regexp_extract(
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
+        "[1-9]",
+        0,
+    )
+    counts = (
+        load_table(spark, sf_dir, "orders")
+        .select(digit.alias("digit"))
+        .filter(F.col("digit") != "")
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    total = counts.agg(F.sum("n").cast("long").alias("n_total"))
+    exp_share = F.element_at(
+        F.create_map(
+            *[
+                x
+                for d, e in sorted(BENFORD_SHARES.items())
+                for x in (F.lit(str(d)), F.lit(e))
+            ]
+        ),
+        F.col("digit"),
+    )
+    expected_n = F.col("exp_share") * F.col("n_total").cast("double")
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("exp_share", exp_share)
+        .select(
+            F.col("digit").cast("int").alias("digit"),
+            "n",
+            (
+                F.col("n").cast("double")
+                / F.col("n_total").cast("double")
+            ).alias("obs_share"),
+            "exp_share",
+            (
+                (F.col("n").cast("double") - expected_n)
+                * (F.col("n").cast("double") - expected_n)
+                / expected_n
+            ).alias("chi2_term"),
+        )
+        .orderBy("digit")
+    )
+
+
+_BENFORD_CASE = "CASE digit " + " ".join(
+    f"WHEN '{d}' THEN {e!r}" for d, e in sorted(BENFORD_SHARES.items())
+) + " END"
+
+SQL_BENFORD_DIGITS = f"""
+    WITH counts AS (
+        SELECT regexp_extract(
+                   CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+                   '[1-9]', 0) AS digit,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders
+        WHERE regexp_extract(
+                  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+                  '[1-9]', 0) <> ''
+        GROUP BY 1
+    ), total AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM counts),
+    shares AS (
+        SELECT digit, n, n_total, {_BENFORD_CASE} AS exp_share
+        FROM counts CROSS JOIN total
+    )
+    SELECT CAST(digit AS INTEGER) AS digit, n,
+           CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE) AS obs_share,
+           exp_share,
+           (CAST(n AS DOUBLE) - exp_share * CAST(n_total AS DOUBLE))
+           * (CAST(n AS DOUBLE) - exp_share * CAST(n_total AS DOUBLE))
+           / (exp_share * CAST(n_total AS DOUBLE)) AS chi2_term
+    FROM shares
+    ORDER BY digit
+"""
+
+
+# --- ols_trend ---------------------------------------------------------------
+
+
+def q_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form OLS revenue trend per market segment: regress
+    monthly order revenue on the month index (year*12 + month-1) and
+    report slope ($/month), intercept, and R² from the normal
+    equations — the textbook single-feature regression every BI stack
+    ships, computed as one aggregate (no iterative solver).
+
+    Determinism: monthly revenue is held as EXACT integer micro-dollars
+    (DECIMAL(38,6) sum × 1e6 → DECIMAL(38,0)); all five OLS sums (Σx,
+    Σx², Σy, Σxy, Σy²) are exact integer/decimal arithmetic (the y²
+    products reach ~1e27, inside DECIMAL(38,0) on Spark and HUGEINT on
+    the oracle); slope/intercept/R² are then single double expressions
+    over those exact sums with identical shapes on both engines — the
+    only doubles are final casts of identical exact values.
+
+    Scale shape (100 TB): orders joins customer on custkey
+    (co-partitioned SMJ under AQE); the month-grain rollup is
+    map-side-combinable down to |segments| × |months| rows; the OLS
+    aggregate then runs on that tiny frame. Nothing downstream of the
+    first aggregate scales with row count."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (
+            F.year("o_orderdate") * F.lit(12)
+            + F.month("o_orderdate")
+            - F.lit(1)
+        ).alias("mon_idx"),
+        "o_totalprice",
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    monthly = (
+        orders.join(cust, "o_custkey")
+        .groupBy("c_mktsegment", "mon_idx")
+        .agg(
+            (
+                F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+                * F.lit(1000000)
+            )
+            .cast("decimal(38,0)")
+            .alias("ymic")
+        )
+    )
+    sums = monthly.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_months"),
+        F.sum("mon_idx").cast("long").alias("sx"),
+        F.sum(F.col("mon_idx") * F.col("mon_idx")).cast("long").alias("sxx"),
+        F.sum("ymic").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("ymic") * F.col("mon_idx"))
+        .cast("decimal(38,0)")
+        .alias("sxy"),
+        F.sum(F.col("ymic") * F.col("ymic")).cast("decimal(38,0)").alias("syy"),
+    )
+    num = (
+        F.col("n_months") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ).cast("double")
+    den = (
+        F.col("n_months") * F.col("sxx") - F.col("sx") * F.col("sx")
+    ).cast("double")
+    denyy = (
+        F.col("n_months") * F.col("syy") - F.col("sy") * F.col("sy")
+    ).cast("double")
+    slope_mu = num / den
+    return sums.select(
+        "c_mktsegment",
+        "n_months",
+        (slope_mu / F.lit(1000000.0)).alias("slope"),
+        (
+            (
+                F.col("sy").cast("double")
+                - slope_mu * F.col("sx").cast("double")
+            )
+            / F.col("n_months").cast("double")
+            / F.lit(1000000.0)
+        ).alias("intercept"),
+        (num * num / (den * denyy)).alias("r2"),
+    ).orderBy("c_mktsegment")
+
+
+SQL_OLS_TREND = """
+    WITH monthly AS (
+        SELECT c_mktsegment,
+               year(o_orderdate) * 12 + month(o_orderdate) - 1 AS mon_idx,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) * 1000000
+                    AS HUGEINT) AS ymic
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1, 2
+    ), sums AS (
+        SELECT c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n_months,
+               CAST(SUM(mon_idx) AS BIGINT) AS sx,
+               CAST(SUM(mon_idx * mon_idx) AS BIGINT) AS sxx,
+               SUM(ymic) AS sy,
+               SUM(ymic * mon_idx) AS sxy,
+               SUM(ymic * ymic) AS syy
+        FROM monthly GROUP BY 1
+    )
+    SELECT c_mktsegment, n_months,
+           CAST(n_months * sxy - sx * sy AS DOUBLE)
+           / CAST(n_months * sxx - sx * sx AS DOUBLE)
+           / 1000000.0 AS slope,
+           (CAST(sy AS DOUBLE)
+            - (CAST(n_months * sxy - sx * sy AS DOUBLE)
+               / CAST(n_months * sxx - sx * sx AS DOUBLE))
+              * CAST(sx AS DOUBLE))
+           / CAST(n_months AS DOUBLE) / 1000000.0 AS intercept,
+           CAST(n_months * sxy - sx * sy AS DOUBLE)
+           * CAST(n_months * sxy - sx * sy AS DOUBLE)
+           / (CAST(n_months * sxx - sx * sx AS DOUBLE)
+              * CAST(n_months * syy - sy * sy AS DOUBLE)) AS r2
+    FROM sums
+    ORDER BY c_mktsegment
+"""
+
+
+# --- calibration_bins --------------------------------------------------------
+
+# Deterministic 64-dim probe weights, shared by both engines as
+# literals (same no-query-time-constant-math rule as BENFORD_SHARES).
+CALIB_DIM = 64
+CALIB_WEIGHTS: list[float] = [
+    ((i * 37) % 21 - 10) / 10.0 for i in range(CALIB_DIM)
+]
+CALIB_BINS = 10
+
+
+def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + ECE contributions for a linear probe over
+    the embedding table: score each vector with a fixed logistic probe
+    sigmoid(w·x), label y = label % 2, bin scores into 10 equal-width
+    confidence bins, and report per bin the count, mean confidence,
+    empirical accuracy, and the bin's weighted ECE contribution
+    (n_b/N)·|acc_b − conf_b| — the standard expected-calibration-error
+    decomposition (Guo et al., ICML 2017), which auc_report (ranking
+    quality) deliberately cannot see.
+
+    Determinism: the dot product is the bit-identical left-fold shared
+    with the similarity tier (similarity.dot / sql_dot); sigmoid is the
+    single libm call and is ROUNDed to 6dp immediately (the tfidf
+    ln-rounding contract), so a 1-ulp exp() divergence cannot move a
+    bin or a sum; confidence sums go through DECIMAL(38,6) over
+    exact-6dp values; accuracy is an exact integer division.
+
+    Scale shape (100 TB): one narrow projection per vector (a 64-wide
+    fold, JVM-side codegen), a map-side-combinable groupBy on a 10-value
+    key, and a 1-row broadcast total. Output is ≤ 10 rows."""
+    wts = F.array(*[F.lit(w) for w in CALIB_WEIGHTS])
+    z = dot(as_double(F.col("embedding")), wts)
+    s = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    scored = load_table(spark, sf_dir, "embeddings").select(
+        s.alias("s"),
+        (F.col("label") % 2).cast("long").alias("y"),
+    )
+    binned = scored.select(
+        F.least(
+            F.floor(F.col("s") * CALIB_BINS).cast("int"),
+            F.lit(CALIB_BINS - 1),
+        ).alias("bin"),
+        "s",
+        "y",
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("n_pos"),
+        F.sum(F.col("s").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("s_sum"),
+    )
+    total = per_bin.agg(F.sum("n").cast("long").alias("n_total"))
+    conf = F.col("s_sum") / F.col("n").cast("double")
+    acc = F.col("n_pos").cast("double") / F.col("n").cast("double")
+    return (
+        per_bin.crossJoin(F.broadcast(total))
+        .select(
+            "bin",
+            "n",
+            conf.alias("conf"),
+            acc.alias("acc"),
+            (
+                F.col("n").cast("double")
+                / F.col("n_total").cast("double")
+                * F.abs(acc - conf)
+            ).alias("ece_term"),
+        )
+        .orderBy("bin")
+    )
+
+
+_CALIB_WLIST = "[" + ", ".join(repr(w) for w in CALIB_WEIGHTS) + "]"
+
+SQL_CALIBRATION_BINS = f"""
+    WITH scored AS (
+        SELECT round(1.0 / (1.0 + exp(
+                   -{sql_dot('list_transform(embedding, e -> CAST(e AS DOUBLE))', _CALIB_WLIST)}
+               )), 6) AS s,
+               CAST(label % 2 AS BIGINT) AS y
+        FROM embeddings
+    ), binned AS (
+        SELECT LEAST(CAST(FLOOR(s * {CALIB_BINS}) AS INTEGER),
+                     {CALIB_BINS - 1}) AS bin, s, y
+        FROM scored
+    ), per_bin AS (
+        SELECT bin,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS n_pos,
+               CAST(SUM(CAST(s AS DECIMAL(38,6))) AS DOUBLE) AS s_sum
+        FROM binned GROUP BY bin
+    ), total AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM per_bin)
+    SELECT bin, n,
+           s_sum / CAST(n AS DOUBLE) AS conf,
+           CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS acc,
+           CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE)
+           * ABS(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)
+                 - s_sum / CAST(n AS DOUBLE)) AS ece_term
+    FROM per_bin CROSS JOIN total
+    ORDER BY bin
+"""
+
+
+# --- er_part_names -----------------------------------------------------------
+
+ER_SIM_THRESHOLD = 0.5
+
+
+def q_er_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked entity resolution over the part catalog: candidate pairs
+    of DISTINCT part names sharing a blocking key (the last name token
+    — the product noun), scored by normalized Levenshtein similarity
+    1 − lev/max(len), kept at ≥ 0.5 — the textbook blocking + edit-
+    distance ER pipeline (Fellegi-Sunter style candidate generation),
+    with per-name part counts carried through so a reviewer sees the
+    match's data mass.
+
+    Determinism: Levenshtein is the classic DP distance with identical
+    semantics on both engines; lengths and counts are exact integers;
+    the similarity is one double division per row.
+
+    Scale shape (100 TB): the exact-dup collapse BEFORE blocking
+    (dedup_lines_near's lesson) reduces the pair space from |parts|² to
+    |distinct names|² — name vocabulary is bounded (modifier × noun),
+    so blocks are small and the within-block join is |block|² over a
+    frame that no longer scales with the table; counts re-attach as a
+    pre-aggregated frame, never the raw table."""
+    names = (
+        load_table(spark, sf_dir, "part")
+        .groupBy("p_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_parts"))
+        .select(
+            "p_name",
+            "n_parts",
+            F.regexp_extract(F.col("p_name"), "[^ ]+$", 0).alias("block"),
+        )
+    )
+    a = names.select(
+        F.col("p_name").alias("name_a"),
+        F.col("n_parts").alias("n_a"),
+        "block",
+    )
+    b = names.select(
+        F.col("p_name").alias("name_b"),
+        F.col("n_parts").alias("n_b"),
+        "block",
+    )
+    lev = F.levenshtein(F.col("name_a"), F.col("name_b"))
+    sim = F.lit(1.0) - lev.cast("double") / F.greatest(
+        F.length("name_a"), F.length("name_b")
+    ).cast("double")
+    return (
+        a.join(b, "block")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .select(
+            "block",
+            "name_a",
+            "name_b",
+            "n_a",
+            "n_b",
+            lev.cast("int").alias("lev"),
+            sim.alias("sim"),
+        )
+        .filter(F.col("sim") >= ER_SIM_THRESHOLD)
+        .orderBy("block", "name_a", "name_b")
+    )
+
+
+SQL_ER_PART_NAMES = f"""
+    WITH names AS (
+        SELECT p_name, CAST(COUNT(*) AS BIGINT) AS n_parts,
+               regexp_extract(p_name, '[^ ]+$', 0) AS block
+        FROM part GROUP BY p_name
+    )
+    SELECT a.block AS block,
+           a.p_name AS name_a, b.p_name AS name_b,
+           a.n_parts AS n_a, b.n_parts AS n_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS lev,
+           1.0 - CAST(levenshtein(a.p_name, b.p_name) AS DOUBLE)
+                 / CAST(GREATEST(LENGTH(a.p_name), LENGTH(b.p_name))
+                        AS DOUBLE) AS sim
+    FROM names a JOIN names b
+      ON a.block = b.block AND a.p_name < b.p_name
+    WHERE 1.0 - CAST(levenshtein(a.p_name, b.p_name) AS DOUBLE)
+          / CAST(GREATEST(LENGTH(a.p_name), LENGTH(b.p_name)) AS DOUBLE)
+          >= {ER_SIM_THRESHOLD}
+    ORDER BY block, name_a, name_b
+"""

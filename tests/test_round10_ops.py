@@ -1,0 +1,244 @@
+"""Semantic tests for the round-10 first-wave operators, beyond oracle
+parity: invariants an oracle twin that shares the formula cannot catch
+(dominance completeness of the skyline, count conservation of the
+Benford screen, a numpy least-squares cross-check of the closed-form
+OLS, a pure-Python calibration replica, and blocking completeness of
+the ER candidate generator)."""
+
+from __future__ import annotations
+
+import math
+
+from lenses_topology_example_spark.catalog import _CATALOG
+from lenses_topology_example_spark.operators.analytics import (
+    BENFORD_SHARES,
+    CALIB_BINS,
+    CALIB_WEIGHTS,
+    ER_SIM_THRESHOLD,
+)
+from lenses_topology_example_spark.tables import load_table
+
+
+# --- pareto_frontier ---------------------------------------------------------
+
+
+def _dominates(q, p) -> bool:
+    return (
+        q.p_retailprice <= p.p_retailprice
+        and q.p_size <= p.p_size
+        and (q.p_retailprice < p.p_retailprice or q.p_size < p.p_size)
+    )
+
+
+def test_pareto_frontier_is_exactly_the_nondominated_set(spark, sf_dir):
+    """The sort-based skyline must equal the brute-force O(n²)
+    dominance filter: every returned part is non-dominated within its
+    type, and every omitted part is dominated by some part of the same
+    type."""
+    parts = (
+        load_table(spark, sf_dir, "part")
+        .select("p_type", "p_partkey", "p_retailprice", "p_size")
+        .collect()
+    )
+    by_type: dict[str, list] = {}
+    for r in parts:
+        by_type.setdefault(r.p_type, []).append(r)
+    want = set()
+    for t, rows in by_type.items():
+        for p in rows:
+            if not any(_dominates(q, p) for q in rows if q is not p):
+                want.add((t, p.p_partkey))
+    got = {
+        (r.p_type, r.p_partkey)
+        for r in _CATALOG["pareto_frontier"][0](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_pareto_frontier_no_internal_dominance(spark, sf_dir):
+    """No frontier member may dominate another frontier member of the
+    same type (the frontier is an antichain)."""
+    rows = _CATALOG["pareto_frontier"][0](spark, sf_dir).collect()
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r.p_type, []).append(r)
+    for rs in by_type.values():
+        for p in rs:
+            assert not any(_dominates(q, p) for q in rs if q is not p)
+
+
+# --- benford_digits ----------------------------------------------------------
+
+
+def test_benford_counts_conserve_and_shares_sum(spark, sf_dir):
+    rows = _CATALOG["benford_digits"][0](spark, sf_dir).collect()
+    n_orders = load_table(spark, sf_dir, "orders").count()
+    # every order with a nonzero totalprice contributes exactly once
+    assert sum(r.n for r in rows) == n_orders
+    assert abs(sum(r.obs_share for r in rows) - 1.0) < 1e-12
+    assert abs(sum(BENFORD_SHARES.values()) - 1.0) < 1e-12
+    for r in rows:
+        assert r.exp_share == BENFORD_SHARES[r.digit]
+
+
+def test_benford_first_digit_matches_python(spark, sf_dir):
+    prices = [
+        r.o_totalprice
+        for r in load_table(spark, sf_dir, "orders")
+        .select("o_totalprice")
+        .collect()
+    ]
+    want: dict[int, int] = {}
+    for p in prices:
+        s = f"{p:.2f}"
+        d = next((c for c in s if c in "123456789"), None)
+        if d is not None:
+            want[int(d)] = want.get(int(d), 0) + 1
+    got = {
+        r.digit: r.n
+        for r in _CATALOG["benford_digits"][0](spark, sf_dir).collect()
+    }
+    assert got == want
+    # chi-square terms recompute from (n, exp_share, N)
+    n_total = sum(want.values())
+    for r in _CATALOG["benford_digits"][0](spark, sf_dir).collect():
+        e = r.exp_share * n_total
+        assert abs(r.chi2_term - (r.n - e) ** 2 / e) < 1e-9
+
+
+# --- ols_trend ---------------------------------------------------------------
+
+
+def test_ols_trend_matches_numpy_lstsq(spark, sf_dir):
+    """The closed-form decimal-exact OLS must agree with numpy's
+    QR-based least squares on the same monthly frame."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+
+    frame = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            "c_mktsegment",
+            (
+                F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1
+            ).alias("x"),
+        )
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("y"))
+        .collect()
+    )
+    by_seg: dict[str, list] = {}
+    for r in frame:
+        by_seg.setdefault(r.c_mktsegment, []).append((r.x, float(r.y)))
+    got = {
+        r.c_mktsegment: r
+        for r in _CATALOG["ols_trend"][0](spark, sf_dir).collect()
+    }
+    assert set(got) == set(by_seg)
+    for seg, pts in by_seg.items():
+        xs = np.array([p[0] for p in pts], dtype=float)
+        ys = np.array([p[1] for p in pts], dtype=float)
+        A = np.vstack([xs, np.ones_like(xs)]).T
+        (slope, intercept), res, *_ = np.linalg.lstsq(A, ys, rcond=None)
+        r = got[seg]
+        assert r.n_months == len(pts)
+        assert abs(r.slope - slope) < 1e-6 * max(1.0, abs(slope))
+        assert abs(r.intercept - intercept) < 1e-6 * max(1.0, abs(intercept))
+        ss_res = float(np.sum((ys - (slope * xs + intercept)) ** 2))
+        ss_tot = float(np.sum((ys - ys.mean()) ** 2))
+        assert abs(r.r2 - (1.0 - ss_res / ss_tot)) < 1e-9
+
+
+# --- calibration_bins --------------------------------------------------------
+
+
+def test_calibration_bins_match_pure_python(spark, sf_dir):
+    rows = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("embedding", "label")
+        .collect()
+    )
+    bins: dict[int, list] = {}
+    for r in rows:
+        z = 0.0
+        for w, e in zip(CALIB_WEIGHTS, r.embedding):
+            z += w * float(e)
+        s = round(1.0 / (1.0 + math.exp(-z)), 6)
+        b = min(int(s * CALIB_BINS), CALIB_BINS - 1)
+        bins.setdefault(b, []).append((s, r.label % 2))
+    n_total = len(rows)
+    got = {
+        r.bin: r
+        for r in _CATALOG["calibration_bins"][0](spark, sf_dir).collect()
+    }
+    assert set(got) == set(bins)
+    for b, members in bins.items():
+        r = got[b]
+        assert r.n == len(members)
+        conf = sum(s for s, _ in members) / len(members)
+        acc = sum(y for _, y in members) / len(members)
+        assert abs(r.conf - conf) < 1e-9
+        assert abs(r.acc - acc) < 1e-12
+        assert abs(
+            r.ece_term - len(members) / n_total * abs(acc - conf)
+        ) < 1e-12
+
+
+def test_calibration_bins_cover_population(spark, sf_dir):
+    rows = _CATALOG["calibration_bins"][0](spark, sf_dir).collect()
+    n = load_table(spark, sf_dir, "embeddings").count()
+    assert sum(r.n for r in rows) == n
+    for r in rows:
+        assert 0 <= r.bin < CALIB_BINS
+        assert 0.0 <= r.conf <= 1.0 and 0.0 <= r.acc <= 1.0
+
+
+# --- er_part_names -----------------------------------------------------------
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(
+                    prev[j] + 1,
+                    cur[j - 1] + 1,
+                    prev[j - 1] + (ca != cb),
+                )
+            )
+        prev = cur
+    return prev[-1]
+
+
+def test_er_part_names_matches_python_blocked_dp(spark, sf_dir):
+    """Blocking completeness + score correctness: the result is exactly
+    the set of distinct-name pairs that share a last-token block and
+    clear the normalized-Levenshtein threshold, with the counts of the
+    underlying parts conserved."""
+    parts = load_table(spark, sf_dir, "part").select("p_name").collect()
+    counts: dict[str, int] = {}
+    for r in parts:
+        counts[r.p_name] = counts.get(r.p_name, 0) + 1
+    names = sorted(counts)
+    want = {}
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            if a.split()[-1] != b.split()[-1]:
+                continue
+            lev = _lev(a, b)
+            sim = 1.0 - lev / max(len(a), len(b))
+            if sim >= ER_SIM_THRESHOLD:
+                want[(a, b)] = (lev, sim)
+    got = _CATALOG["er_part_names"][0](spark, sf_dir).collect()
+    assert {(r.name_a, r.name_b) for r in got} == set(want)
+    for r in got:
+        lev, sim = want[(r.name_a, r.name_b)]
+        assert r.lev == lev
+        assert abs(r.sim - sim) < 1e-12
+        assert r.n_a == counts[r.name_a] and r.n_b == counts[r.name_b]
+        assert r.block == r.name_a.split()[-1] == r.name_b.split()[-1]
