@@ -653,6 +653,23 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
         analytics.q_er_part_names,
         analytics.SQL_ER_PART_NAMES,
     ),
+    # second round-10 wave (registered past the window; round-11 head
+    # queue per the plan above): m-estimate target encoding, WOE/IV
+    # scorecard binning, the Hampel/MAD robust outlier screen, and the
+    # co-purchase triangle census
+    "target_encode": (
+        analytics.q_target_encode,
+        analytics.SQL_TARGET_ENCODE,
+    ),
+    "woe_iv": (analytics.q_woe_iv, analytics.SQL_WOE_IV),
+    "mad_outliers": (
+        analytics.q_mad_outliers,
+        analytics.SQL_MAD_OUTLIERS,
+    ),
+    "copurchase_triangles": (
+        analytics.q_copurchase_triangles,
+        analytics.SQL_COPURCHASE_TRIANGLES,
+    ),
 }
 
 # The driver evaluates only the first DRIVER_WINDOW_SIZE catalog entries

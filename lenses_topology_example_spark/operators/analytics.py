@@ -513,3 +513,464 @@ SQL_ER_PART_NAMES = f"""
           >= {ER_SIM_THRESHOLD}
     ORDER BY block, name_a, name_b
 """
+
+
+# --- target_encode (round-10 second wave) -------------------------------------
+
+TE_SMOOTHING_M = 50.0  # m-estimate pseudo-observations, shared literal
+
+
+def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed (m-estimate) target encoding of the nation categorical
+    against the binary target "account in credit" (c_acctbal > 0) — the
+    standard leakage-safe categorical encoder for tabular ML:
+    encoded = (n_pos + M·prior) / (n + M), shrinking small categories
+    toward the global prior (Micci-Barreca, SIGKDD Expl. 2001).
+
+    Determinism: counts are exact integers; prior, raw rate, and the
+    encoded value are single double expressions over those integers
+    with the shared literal M — identical trees on both engines.
+
+    Scale shape (100 TB): one map-side-combinable groupBy on the
+    category key plus a 1-row broadcast global; nothing scales past
+    the first aggregate."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        (F.col("c_acctbal") > 0).cast("long").alias("y"),
+    )
+    per_cat = cust.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("n_pos"),
+    )
+    glob = per_cat.agg(
+        F.sum("n").cast("long").alias("n_tot"),
+        F.sum("n_pos").cast("long").alias("pos_tot"),
+    )
+    prior = F.col("pos_tot").cast("double") / F.col("n_tot").cast("double")
+    return (
+        per_cat.crossJoin(F.broadcast(glob))
+        .select(
+            "c_nationkey",
+            "n",
+            "n_pos",
+            (
+                F.col("n_pos").cast("double") / F.col("n").cast("double")
+            ).alias("raw_rate"),
+            prior.alias("prior"),
+            (
+                (
+                    F.col("n_pos").cast("double")
+                    + F.lit(TE_SMOOTHING_M) * prior
+                )
+                / (F.col("n").cast("double") + F.lit(TE_SMOOTHING_M))
+            ).alias("encoded"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+SQL_TARGET_ENCODE = f"""
+    WITH per_cat AS (
+        SELECT c_nationkey,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_pos
+        FROM customer GROUP BY c_nationkey
+    ), gtot AS (
+        -- 'glob' is a DuckDB table function and unusable as a CTE name
+        SELECT CAST(SUM(n) AS BIGINT) AS n_tot,
+               CAST(SUM(n_pos) AS BIGINT) AS pos_tot
+        FROM per_cat
+    )
+    SELECT c_nationkey, n, n_pos,
+           CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS raw_rate,
+           CAST(pos_tot AS DOUBLE) / CAST(n_tot AS DOUBLE) AS prior,
+           (CAST(n_pos AS DOUBLE)
+            + {TE_SMOOTHING_M!r} * (CAST(pos_tot AS DOUBLE)
+                                    / CAST(n_tot AS DOUBLE)))
+           / (CAST(n AS DOUBLE) + {TE_SMOOTHING_M!r}) AS encoded
+    FROM per_cat CROSS JOIN gtot
+    ORDER BY c_nationkey
+"""
+
+
+# --- woe_iv (round-10 second wave) --------------------------------------------
+
+WOE_BINS = 10
+
+
+def q_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence / information-value scorecard binning: within
+    each market segment, decile-bin customers by account balance
+    (NTILE over the (acctbal, custkey) total order) against the binary
+    outcome "customer has at least one order", and report per bin the
+    good/bad counts, class distributions, the 0.5-smoothed WOE
+    ln(((n_good+0.5)/G) / ((n_bad+0.5)/B)), and the IV contribution
+    (dist_good − dist_bad)·WOE — the classic credit-scoring feature
+    screen (Siddiqi, Credit Risk Scorecards).
+
+    Determinism: the NTILE rides a total order (the interval_merge
+    lesson) and its equal-fill arithmetic is engine-identical; counts
+    are exact ints; the WOE argument is ONE double expression over
+    exact ints + the 0.5 literal, and the ln round-trips through
+    DECIMAL(38,6) (lm_score's libm-ulp contract); degenerate segments
+    (no goods or no bads) yield NULL woe/iv rather than ±inf.
+
+    Scale shape (100 TB): the binning window partitions by segment and
+    sorts the customer DIMENSION (never facts); good/bad flags come
+    from a pre-aggregated distinct-buyer frame (orders collapses to
+    |customers| keys before the join); everything after the window is
+    |segments|×10 rows."""
+    buyers = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+        .withColumn("is_good", F.lit(1).cast("long"))
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+        .join(buyers, "c_custkey", "left")
+        .select(
+            "c_mktsegment",
+            "c_acctbal",
+            "c_custkey",
+            F.coalesce(F.col("is_good"), F.lit(0)).alias("g"),
+        )
+    )
+    w = W.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+    )
+    binned = cust.select(
+        "c_mktsegment", "g", F.ntile(WOE_BINS).over(w).alias("bin")
+    )
+    per_bin = binned.groupBy("c_mktsegment", "bin").agg(
+        F.sum("g").cast("long").alias("n_good"),
+        F.sum(F.lit(1) - F.col("g")).cast("long").alias("n_bad"),
+    )
+    w_seg = W.partitionBy("c_mktsegment")
+    seg = per_bin.select(
+        "c_mktsegment",
+        "bin",
+        "n_good",
+        "n_bad",
+        F.sum("n_good").over(w_seg).alias("g_tot"),
+        F.sum("n_bad").over(w_seg).alias("b_tot"),
+    )
+    # try_divide, not `/`: ANSI mode crashes on a degenerate segment
+    # (all goods or all bads → a zero denominator); NULL matches the
+    # oracle's CASE guards and propagates into woe/iv_term identically
+    dist_g = F.try_divide(
+        F.col("n_good").cast("double"), F.col("g_tot").cast("double")
+    )
+    dist_b = F.try_divide(
+        F.col("n_bad").cast("double"), F.col("b_tot").cast("double")
+    )
+    woe_arg = (
+        (F.col("n_good").cast("double") + F.lit(0.5))
+        * F.col("b_tot").cast("double")
+    ) / (
+        (F.col("n_bad").cast("double") + F.lit(0.5))
+        * F.col("g_tot").cast("double")
+    )
+    woe = F.when(
+        (F.col("g_tot") > 0) & (F.col("b_tot") > 0),
+        F.log(woe_arg).cast("decimal(38,6)").cast("double"),
+    )
+    return (
+        seg.select(
+            "c_mktsegment",
+            "bin",
+            "n_good",
+            "n_bad",
+            dist_g.alias("dist_good"),
+            dist_b.alias("dist_bad"),
+            woe.alias("woe"),
+            ((dist_g - dist_b) * woe).alias("iv_term"),
+        )
+        .orderBy("c_mktsegment", "bin")
+    )
+
+
+SQL_WOE_IV = f"""
+    WITH buyers AS (
+        SELECT DISTINCT o_custkey AS c_custkey, 1 AS is_good FROM orders
+    ), cust AS (
+        SELECT c.c_mktsegment, c.c_acctbal, c.c_custkey,
+               COALESCE(b.is_good, 0) AS g
+        FROM customer c LEFT JOIN buyers b USING (c_custkey)
+    ), binned AS (
+        SELECT c_mktsegment, g,
+               NTILE({WOE_BINS}) OVER (
+                   PARTITION BY c_mktsegment
+                   ORDER BY c_acctbal, c_custkey
+               ) AS bin
+        FROM cust
+    ), per_bin AS (
+        SELECT c_mktsegment, bin,
+               CAST(SUM(g) AS BIGINT) AS n_good,
+               CAST(SUM(1 - g) AS BIGINT) AS n_bad
+        FROM binned GROUP BY 1, 2
+    ), seg AS (
+        SELECT c_mktsegment, bin, n_good, n_bad,
+               SUM(n_good) OVER (PARTITION BY c_mktsegment) AS g_tot,
+               SUM(n_bad) OVER (PARTITION BY c_mktsegment) AS b_tot
+        FROM per_bin
+    )
+    SELECT c_mktsegment, bin, n_good, n_bad,
+           CAST(n_good AS DOUBLE) / CAST(g_tot AS DOUBLE) AS dist_good,
+           CAST(n_bad AS DOUBLE) / CAST(b_tot AS DOUBLE) AS dist_bad,
+           CASE WHEN g_tot > 0 AND b_tot > 0 THEN
+               CAST(CAST(ln(
+                   ((CAST(n_good AS DOUBLE) + 0.5) * CAST(b_tot AS DOUBLE))
+                   / ((CAST(n_bad AS DOUBLE) + 0.5) * CAST(g_tot AS DOUBLE))
+               ) AS DECIMAL(38,6)) AS DOUBLE)
+           END AS woe,
+           (CAST(n_good AS DOUBLE) / CAST(g_tot AS DOUBLE)
+            - CAST(n_bad AS DOUBLE) / CAST(b_tot AS DOUBLE))
+           * (CASE WHEN g_tot > 0 AND b_tot > 0 THEN
+               CAST(CAST(ln(
+                   ((CAST(n_good AS DOUBLE) + 0.5) * CAST(b_tot AS DOUBLE))
+                   / ((CAST(n_bad AS DOUBLE) + 0.5) * CAST(g_tot AS DOUBLE))
+               ) AS DECIMAL(38,6)) AS DOUBLE)
+           END) AS iv_term
+    FROM seg
+    ORDER BY c_mktsegment, bin
+"""
+
+
+# --- mad_outliers (round-10 second wave) --------------------------------------
+
+MAD_SCALE = 1.4826  # consistency constant for normal data, shared literal
+MAD_Z = 3.0
+
+
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier screen per event type: median and MAD (median
+    absolute deviation) of `value` by the EXPLICIT exact rank
+    definition (value at rank ceil(n/2) under a (metric, event_id)
+    total order — engine quantile interpolation rules differ, this is
+    integer-exact and identical everywhere, the length_percentiles
+    contract), then flag rows with |x − med| > 3·1.4826·MAD — the
+    Hampel identifier that a mean/stddev z-score cannot match on
+    heavy-tailed data (Leys et al., JESP 2013).
+
+    Determinism: both medians are values picked by exact integer rank;
+    absolute deviations are single double expressions; the outlier
+    comparison uses the shared MAD_SCALE/MAD_Z literals; counts are
+    exact ints and the rate one exact division.
+
+    Scale shape (100 TB): two rank windows partitioned by event_type
+    (the standard cost of exact per-group medians — a petabyte run
+    subsamples per group first, which changes none of this plan); the
+    per-type median/MAD frames are |types| rows and broadcast back;
+    the final aggregate is map-side-combinable."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", "value"
+    )
+    w_rank = W.partitionBy("event_type").orderBy("value", "event_id")
+    w_type = W.partitionBy("event_type")
+    med_tbl = (
+        ev.select(
+            "event_type",
+            "value",
+            F.row_number().over(w_rank).alias("rn"),
+            F.count(F.lit(1)).over(w_type).alias("n"),
+        )
+        .filter(F.col("rn") == F.ceil(F.col("n") / F.lit(2.0)))
+        .select("event_type", F.col("value").alias("med"))
+    )
+    dev = ev.join(F.broadcast(med_tbl), "event_type").select(
+        "event_type",
+        "event_id",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+        "med",
+    )
+    w_rank2 = W.partitionBy("event_type").orderBy("adev", "event_id")
+    mad_tbl = (
+        dev.select(
+            "event_type",
+            "adev",
+            F.row_number().over(w_rank2).alias("rn"),
+            F.count(F.lit(1)).over(w_type).alias("n"),
+        )
+        .filter(F.col("rn") == F.ceil(F.col("n") / F.lit(2.0)))
+        .select("event_type", F.col("adev").alias("mad"))
+    )
+    flagged = dev.join(F.broadcast(mad_tbl), "event_type")
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.max("med").alias("median"),
+            F.max("mad").alias("mad"),
+            F.sum(
+                (
+                    F.col("adev")
+                    > F.lit(MAD_Z) * F.lit(MAD_SCALE) * F.col("mad")
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+        .withColumn(
+            "outlier_rate",
+            F.col("n_outliers").cast("double") / F.col("n").cast("double"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_MAD_OUTLIERS = f"""
+    WITH ranked AS (
+        SELECT event_type, event_id, value,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY value, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM events
+    ), med_tbl AS (
+        SELECT event_type, value AS med FROM ranked
+        WHERE rn = CAST(CEIL(n / 2.0) AS BIGINT)
+    ), dev AS (
+        SELECT e.event_type, e.event_id,
+               ABS(e.value - m.med) AS adev, m.med
+        FROM events e JOIN med_tbl m USING (event_type)
+    ), ranked2 AS (
+        SELECT event_type, adev,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY adev, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM dev
+    ), mad_tbl AS (
+        SELECT event_type, adev AS mad FROM ranked2
+        WHERE rn = CAST(CEIL(n / 2.0) AS BIGINT)
+    )
+    SELECT d.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MAX(d.med) AS median,
+           MAX(t.mad) AS mad,
+           CAST(SUM(CASE WHEN d.adev > {MAD_Z!r} * {MAD_SCALE!r} * t.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           CAST(SUM(CASE WHEN d.adev > {MAD_Z!r} * {MAD_SCALE!r} * t.mad
+                         THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS outlier_rate
+    FROM dev d JOIN mad_tbl t USING (event_type)
+    GROUP BY d.event_type
+    ORDER BY d.event_type
+"""
+
+
+# --- copurchase_triangles (round-10 second wave) -------------------------------
+
+TRI_MIN_SUPPORT = 2
+
+
+def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the co-purchase graph: nodes are parts, an
+    (undirected) edge joins two parts co-occurring in >= 2 orders, and
+    the report is the one-row graph summary — nodes, edges, wedges
+    (Σ d(d−1)/2), triangles, and the global clustering coefficient
+    3·T/W — the standard graph-health readout (triangle counting via
+    the oriented edge-edge-edge join, Schank & Wagner 2005).
+
+    Determinism: everything except the final coefficient is exact
+    integer counting; the coefficient is one double division.
+
+    Scale shape (100 TB): the (order, part) frame collapses to
+    DISTINCT before the self-join (the dedup-before-pairing rule); the
+    per-order pair fan-out is Σ k_o² over basket sizes (bounded by the
+    largest basket, not the table); the support filter then prunes the
+    edge set by ~340× (measured sf0.1: 1.2M raw pairs → 3.6k edges),
+    so the triangle join runs on a broadcast-size frame — the support
+    threshold IS the blow-up guard, and a production run raises it (or
+    degree-orients the join) as the graph densifies."""
+    op = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a = op.alias("a")
+    b = op.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")),
+        )
+        .groupBy(F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("sup"))
+        .filter(F.col("sup") >= F.lit(TRI_MIN_SUPPORT))
+        .select("pa", "pb")
+    )
+    deg = (
+        edges.select(F.col("pa").alias("node"))
+        .unionAll(edges.select(F.col("pb").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    wedges = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.sum(F.col("d") * (F.col("d") - 1) / F.lit(2))
+        .cast("long")
+        .alias("n_wedges"),
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    e3 = edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.pb") == F.col("e2.pa"))
+        .join(
+            e3,
+            (F.col("e3.pa") == F.col("e1.pa"))
+            & (F.col("e3.pb") == F.col("e2.pb")),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    return (
+        wedges.crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.when(
+                F.col("n_wedges") > 0,
+                F.lit(3.0)
+                * F.col("n_triangles").cast("double")
+                / F.col("n_wedges").cast("double"),
+            ).alias("clustering_coef"),
+        )
+    )
+
+
+SQL_COPURCHASE_TRIANGLES = f"""
+    WITH op AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ), edges AS (
+        SELECT a.p AS pa, b.p AS pb
+        FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {TRI_MIN_SUPPORT}
+    ), deg AS (
+        SELECT node, COUNT(*) AS d FROM (
+            SELECT pa AS node FROM edges
+            UNION ALL SELECT pb AS node FROM edges
+        ) GROUP BY node
+    ), wedges AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+               CAST(SUM(d * (d - 1) / 2) AS BIGINT) AS n_wedges
+        FROM deg
+    ), ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM edges),
+    tri AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+        FROM edges e1
+        JOIN edges e2 ON e1.pb = e2.pa
+        JOIN edges e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+    )
+    SELECT n_nodes, n_edges, n_wedges, n_triangles,
+           CASE WHEN n_wedges > 0 THEN
+               3.0 * CAST(n_triangles AS DOUBLE) / CAST(n_wedges AS DOUBLE)
+           END AS clustering_coef
+    FROM wedges CROSS JOIN ne CROSS JOIN tri
+"""

@@ -242,3 +242,152 @@ def test_er_part_names_matches_python_blocked_dp(spark, sf_dir):
         assert abs(r.sim - sim) < 1e-12
         assert r.n_a == counts[r.name_a] and r.n_b == counts[r.name_b]
         assert r.block == r.name_a.split()[-1] == r.name_b.split()[-1]
+
+
+# --- target_encode (wave 2) ---------------------------------------------------
+
+
+def test_target_encode_matches_replica_and_shrinks(spark, sf_dir):
+    """Exact m-estimate replica, plus the shrinkage property: every
+    encoded value lies between the category's raw rate and the global
+    prior (that interpolation IS the point of the encoder)."""
+    from lenses_topology_example_spark.operators.analytics import (
+        TE_SMOOTHING_M,
+    )
+
+    rows = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_nationkey", "c_acctbal")
+        .collect()
+    )
+    per = {}
+    for r in rows:
+        n, p = per.get(r.c_nationkey, (0, 0))
+        per[r.c_nationkey] = (n + 1, p + (1 if r.c_acctbal > 0 else 0))
+    n_tot = sum(n for n, _ in per.values())
+    pos_tot = sum(p for _, p in per.values())
+    prior = pos_tot / n_tot
+    got = {
+        r.c_nationkey: r
+        for r in _CATALOG["target_encode"][0](spark, sf_dir).collect()
+    }
+    assert set(got) == set(per)
+    for k, (n, p) in per.items():
+        r = got[k]
+        assert (r.n, r.n_pos) == (n, p)
+        want = (p + TE_SMOOTHING_M * prior) / (n + TE_SMOOTHING_M)
+        assert abs(r.encoded - want) < 1e-12
+        lo, hi = sorted((p / n, prior))
+        assert lo - 1e-12 <= r.encoded <= hi + 1e-12
+
+
+# --- woe_iv (wave 2) ------------------------------------------------------------
+
+
+def test_woe_iv_matches_python_replica(spark, sf_dir):
+    """NTILE bin fills differ by at most one within a segment, class
+    distributions sum to 1, and woe / iv_term recompute exactly from
+    the counts."""
+    rows = _CATALOG["woe_iv"][0](spark, sf_dir).collect()
+    by_seg = {}
+    for r in rows:
+        by_seg.setdefault(r.c_mktsegment, []).append(r)
+    for seg, rs in by_seg.items():
+        fills = [r.n_good + r.n_bad for r in rs]
+        assert max(fills) - min(fills) <= 1
+        G = sum(r.n_good for r in rs)
+        B = sum(r.n_bad for r in rs)
+        if G:
+            assert abs(sum(r.dist_good for r in rs) - 1.0) < 1e-12
+        if B:
+            assert abs(sum(r.dist_bad for r in rs) - 1.0) < 1e-12
+        for r in rs:
+            if G and B:
+                import math as _m
+
+                arg = ((r.n_good + 0.5) * B) / ((r.n_bad + 0.5) * G)
+                # decimal(38,6) round-trip truncates toward the 6dp grid
+                # identically on both engines; replicate via round
+                assert abs(r.woe - _m.log(arg)) < 1e-5
+                assert abs(
+                    r.iv_term - (r.dist_good - r.dist_bad) * r.woe
+                ) < 1e-12
+            else:
+                assert r.woe is None and r.iv_term is None
+
+
+# --- mad_outliers (wave 2) -----------------------------------------------------
+
+
+def test_mad_outliers_matches_python_replica(spark, sf_dir):
+    import math as _m
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "event_id", "value")
+        .collect()
+    )
+    by_type = {}
+    for r in ev:
+        by_type.setdefault(r.event_type, []).append((r.value, r.event_id))
+    got = {
+        r.event_type: r
+        for r in _CATALOG["mad_outliers"][0](spark, sf_dir).collect()
+    }
+    assert set(got) == set(by_type)
+    for t, vals in by_type.items():
+        vals.sort()
+        n = len(vals)
+        med = vals[_m.ceil(n / 2) - 1][0]
+        devs = sorted(
+            (abs(v - med), eid) for v, eid in vals
+        )
+        mad = devs[_m.ceil(n / 2) - 1][0]
+        n_out = sum(1 for d, _ in devs if d > 3.0 * 1.4826 * mad)
+        r = got[t]
+        assert r.n == n
+        assert r.median == med
+        assert r.mad == mad
+        assert r.n_outliers == n_out
+        assert abs(r.outlier_rate - n_out / n) < 1e-15
+
+
+# --- copurchase_triangles (wave 2) ----------------------------------------------
+
+
+def test_copurchase_triangles_matches_python_replica(spark, sf_dir):
+    from lenses_topology_example_spark.operators.analytics import (
+        TRI_MIN_SUPPORT,
+    )
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .collect()
+    )
+    orders = {}
+    for r in li:
+        orders.setdefault(r.l_orderkey, set()).add(r.l_partkey)
+    sup = {}
+    for parts in orders.values():
+        ps = sorted(parts)
+        for i, a in enumerate(ps):
+            for b in ps[i + 1 :]:
+                sup[(a, b)] = sup.get((a, b), 0) + 1
+    edges = {e for e, s in sup.items() if s >= TRI_MIN_SUPPORT}
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri = 0
+    for a, b in edges:
+        # count c adjacent to both with a < b < c to match orientation
+        tri += sum(1 for c in adj[a] & adj[b] if c > b)
+    wedges = sum(len(s) * (len(s) - 1) // 2 for s in adj.values())
+    r = _CATALOG["copurchase_triangles"][0](spark, sf_dir).collect()[0]
+    assert r.n_nodes == len(adj)
+    assert r.n_edges == len(edges)
+    assert r.n_wedges == wedges
+    assert r.n_triangles == tri
+    if wedges:
+        assert abs(r.clustering_coef - 3.0 * tri / wedges) < 1e-15
