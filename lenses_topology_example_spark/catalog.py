@@ -670,6 +670,16 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
         analytics.q_copurchase_triangles,
         analytics.SQL_COPURCHASE_TRIANGLES,
     ),
+    # third round-10 wave (same past-window protocol): the GIF/LZW
+    # real-codec tier extension and the Kaplan-Meier survival curve
+    "asset_gif_meta": (
+        multimodal.q_asset_gif_meta,
+        multimodal.SQL_ASSET_GIF_META,
+    ),
+    "survival_curve": (
+        windows.q_survival_curve,
+        windows.SQL_SURVIVAL_CURVE,
+    ),
 }
 
 # The driver evaluates only the first DRIVER_WINDOW_SIZE catalog entries

@@ -319,3 +319,255 @@ def parse_png(payload: bytes) -> tuple[int, int, int, int, bytes]:
         out.extend(line)
         prev = bytes(line)
     return width, height, depth, ctype_v, bytes(out)
+
+
+# --- GIF (LZW-compressed indexed image container, round 10) ------------------
+#
+# Spec: GIF89a (CompuServe, 1990). The READER side is a complete,
+# general LZW decoder — variable code width (min_code_size+1 .. 12),
+# CLEAR table resets, EOI, and the KwKwK self-referencing case — plus a
+# block walker that skips extensions and verifies the logical screen /
+# image descriptor layout. Two WRITER sides exist on purpose:
+#
+#   * lzw_encode: a REAL table-growing LZW compressor (dictionary up to
+#     4096 entries, emits CLEAR and rebuilds when full), used by the
+#     tests to round-trip arbitrary byte strings through the decoder —
+#     writer and reader maintain their code widths independently, so a
+#     width-synchronization bug on either side breaks the round trip;
+#   * make_gif: the operator's writer, which (exactly like make_png's
+#     stored-block zlib framing) emits a valid-but-simple LZW stream —
+#     a CLEAR before every literal pixel code, so every code is
+#     (min_code_size+1) bits and the container byte size stays pure
+#     arithmetic for the DuckDB oracle:
+#       data_bytes = ceil(9 * (2*npix + 1) / 8)        (256-color GIF)
+#       total      = 794 + data_bytes + ceil(data_bytes / 255)
+#     (6 header + 7 LSD + 768 GCT + 10 image descriptor + 1 min-code
+#     byte + sub-block length prefixes + 1 block terminator + 1
+#     trailer). The general decoder consumes both streams.
+
+GIF_HEADER = b"GIF89a"
+GIF_MIN_CODE_SIZE = 8  # 256-color palette
+GIF_FIXED_OVERHEAD = 6 + 7 + 768 + 10 + 1 + 1 + 1  # = 794
+
+
+class _BitWriter:
+    """LSB-first bit packer (the GIF LZW byte order)."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, width: int) -> None:
+        self.acc |= code << self.nbits
+        self.nbits += width
+        while self.nbits >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.nbits -= 8
+
+    def done(self) -> bytes:
+        if self.nbits:
+            self.out.append(self.acc & 0xFF)
+        return bytes(self.out)
+
+
+class _BitReader:
+    """LSB-first bit reader matching _BitWriter."""
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def read(self, width: int) -> int:
+        while self.nbits < width:
+            if self.pos >= len(self.data):
+                raise ValueError("LZW stream truncated")
+            self.acc |= self.data[self.pos] << self.nbits
+            self.pos += 1
+            self.nbits += 8
+        code = self.acc & ((1 << width) - 1)
+        self.acc >>= width
+        self.nbits -= width
+        return code
+
+
+def lzw_encode(data: bytes, min_code_size: int = GIF_MIN_CODE_SIZE) -> bytes:
+    """Real GIF-flavor LZW: greedy longest-match against a growing
+    dictionary, CLEAR + rebuild at 4096 entries, code width growing in
+    lockstep with the decoder's post-append rule."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    bw = _BitWriter()
+
+    def reset() -> tuple[dict, int, int]:
+        return (
+            {bytes([i]): i for i in range(clear)},
+            eoi + 1,
+            min_code_size + 1,
+        )
+
+    table, next_code, width = reset()
+    bw.write(clear, width)
+    buf = b""
+    for byte in data:
+        cand = buf + bytes([byte])
+        if cand in table:
+            buf = cand
+            continue
+        bw.write(table[buf], width)
+        table[cand] = next_code
+        next_code += 1
+        # decoder grows its width AFTER appending the mirror entry;
+        # mirror that exactly (12-bit ceiling per the spec)
+        if next_code - 1 == (1 << width) - 1 and width < 12:
+            width += 1
+        elif next_code - 1 == (1 << 12) - 1:
+            bw.write(clear, width)
+            table, next_code, width = reset()
+        buf = bytes([byte])
+    if buf:
+        bw.write(table[buf], width)
+    bw.write(eoi, width)
+    return bw.done()
+
+
+def lzw_decode(data: bytes, min_code_size: int = GIF_MIN_CODE_SIZE) -> bytes:
+    """General GIF LZW decoder: variable width, CLEAR resets, KwKwK."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    br = _BitReader(data)
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    width = min_code_size + 1
+    out = bytearray()
+    prev: bytes | None = None
+    while True:
+        code = br.read(width)
+        if code == clear:
+            table = list(base)
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            return bytes(out)
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise ValueError(f"bad LZW code {code}")
+        out += entry
+        if prev is not None:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) - 1 and width < 12:
+                width += 1
+        prev = entry
+
+
+def _gif_lzw_flat(pixels: bytes) -> bytes:
+    """The arithmetic-size stream: CLEAR before every literal, so the
+    table never grows and every code is (min_code_size+1) bits."""
+    clear = 1 << GIF_MIN_CODE_SIZE
+    eoi = clear + 1
+    width = GIF_MIN_CODE_SIZE + 1
+    bw = _BitWriter()
+    for p in pixels:
+        bw.write(clear, width)
+        bw.write(p, width)
+    bw.write(eoi, width)
+    return bw.done()
+
+
+def gif_data_bytes(n_pixels: int) -> int:
+    """Byte size of the flat stream: ceil(9 * (2*npix + 1) / 8)."""
+    return (9 * (2 * n_pixels + 1) + 7) // 8
+
+
+def gif_total_bytes(n_pixels: int) -> int:
+    d = gif_data_bytes(n_pixels)
+    return GIF_FIXED_OVERHEAD + d + (d + 254) // 255
+
+
+def make_gif(width: int, height: int, color_index: int) -> bytes:
+    """Valid single-frame 256-color GIF89a, every pixel the same
+    palette index (palette entry i is gray (i,i,i)). The LZW stream is
+    the flat clear-per-literal form so the byte size stays arithmetic
+    (gif_total_bytes); the general decoder reads it like any other."""
+    if not (0 < width <= 0xFFFF and 0 < height <= 0xFFFF):
+        raise ValueError("bad dimensions")
+    if not 0 <= color_index <= 255:
+        raise ValueError("bad color index")
+    # logical screen descriptor: GCT present, color resolution 8,
+    # GCT size 2^(7+1)=256
+    lsd = struct.pack("<HHBBB", width, height, 0xF7, 0, 0)
+    gct = bytes(bytearray(c for i in range(256) for c in (i, i, i)))
+    imgdesc = b"\x2C" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+    data = _gif_lzw_flat(bytes([color_index]) * (width * height))
+    blocks = b"".join(
+        bytes([len(data[i : i + 255])]) + data[i : i + 255]
+        for i in range(0, len(data), 255)
+    )
+    return (
+        GIF_HEADER
+        + lsd
+        + gct
+        + imgdesc
+        + bytes([GIF_MIN_CODE_SIZE])
+        + blocks
+        + b"\x00"
+        + b"\x3B"
+    )
+
+
+def parse_gif(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Decode a GIF89a/87a: returns (width, height, n_colors, raster)
+    where raster is the fully LZW-decoded index array of the FIRST
+    image. Walks and skips extension blocks like a real reader."""
+    if payload[:6] not in (b"GIF89a", b"GIF87a"):
+        raise ValueError("not a GIF")
+    w_screen, h_screen, flags, _bg, _aspect = struct.unpack(
+        "<HHBBB", payload[6:13]
+    )
+    pos = 13
+    n_colors = 0
+    if flags & 0x80:
+        n_colors = 2 << (flags & 0x07)
+        pos += 3 * n_colors
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            left, top, w, h, iflags = struct.unpack(
+                "<HHHHB", payload[pos + 1 : pos + 10]
+            )
+            pos += 10
+            if iflags & 0x80:  # local color table
+                pos += 3 * (2 << (iflags & 0x07))
+            min_code = payload[pos]
+            pos += 1
+            data = bytearray()
+            while payload[pos] != 0:
+                ln = payload[pos]
+                data += payload[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            raster = lzw_decode(bytes(data), min_code)
+            if len(raster) != w * h:
+                raise ValueError(
+                    f"raster size {len(raster)} != {w}x{h}"
+                )
+            if (left, top, w, h) != (0, 0, w_screen, h_screen):
+                raise ValueError("sub-rectangle frames unsupported")
+            return w, h, n_colors, raster
+        elif b == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"bad block introducer 0x{b:02x}")
+    raise ValueError("no image block")

@@ -719,3 +719,109 @@ SQL_ASSET_QUALITY_SCREEN = """
     GROUP BY source
     ORDER BY source
 """
+
+
+# --- GIF full decode (round 10) -----------------------------------------------
+
+ASSET_GIF_SCHEMA = (
+    "doc_id long, fmt string, width long, height long, n_colors long, "
+    "n_pixels long, pixel_sum long, n_bytes long"
+)
+
+
+def q_asset_gif_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL raster decode of an LZW-COMPRESSED image format with no
+    PIL/ffmpeg: each document becomes a valid single-frame 256-color
+    GIF89a (width 1+doc_id%16, height 1+n_chars%16, every pixel the
+    palette index doc_id%251), and the output row is produced by
+    completely DECODING those bytes back — block walk (logical screen
+    descriptor, global color table, image descriptor, sub-block
+    reassembly) plus a GENERAL LZW decoder (variable code width,
+    CLEAR resets, the KwKwK case; functions/codecs.py, round-tripped
+    in tests against an independent table-growing LZW encoder).
+    pixel_sum is summed from the DECODED raster, so a bug anywhere in
+    the LZW/container pipeline breaks oracle parity: the DuckDB twin
+    recomputes dimensions, raster sum, AND the exact container byte
+    size from doc_id/n_chars arithmetic alone (the writer's
+    clear-per-literal LZW framing makes the compressed size
+    arithmetic — codecs.gif_total_bytes).
+
+    With this the real-codec tier covers an uncompressed container
+    (BMP), a chunked audio container (WAV), a DEFLATE-compressed image
+    (PNG), and an LZW-compressed image (GIF); only lossy formats
+    (JPEG, video) remain env-gated on PIL/ffmpeg in decode_image.
+
+    Scale shape: one scan, mapInPandas Arrow batches, zero shuffles,
+    one row per asset."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return docs.mapInPandas(gif_decode_batches, schema=ASSET_GIF_SCHEMA)
+
+
+def gif_decode_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Encode-then-fully-decode kernel behind q_asset_gif_meta —
+    module-level so a streaming twin can run the identical plan."""
+    from ..functions.codecs import make_gif, parse_gif
+
+    for pdf in batches:
+        out: dict[str, list] = {
+            c: []
+            for c in (
+                "doc_id",
+                "fmt",
+                "width",
+                "height",
+                "n_colors",
+                "n_pixels",
+                "pixel_sum",
+                "n_bytes",
+            )
+        }
+        for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+            payload = make_gif(
+                1 + int(doc_id) % 16,
+                1 + int(n_chars) % 16,
+                int(doc_id) % 251,
+            )
+            w, h, n_colors, raster = parse_gif(payload)
+            row = (
+                doc_id,
+                "gif",
+                w,
+                h,
+                n_colors,
+                len(raster),
+                sum(raster),
+                len(payload),
+            )
+            for c, v in zip(out, row):
+                out[c].append(v)
+        yield pd.DataFrame(out)
+
+
+SQL_ASSET_GIF_META = """
+    WITH dims AS (
+        SELECT doc_id,
+               1 + doc_id % 16 AS w,
+               1 + n_chars % 16 AS h,
+               doc_id % 251 AS idx
+        FROM documents
+    ), sized AS (
+        -- flat LZW stream: ceil(9*(2*npix+1)/8) data bytes,
+        -- one length prefix per 255-byte sub-block, 794 fixed bytes
+        SELECT doc_id, w, h, idx, w * h AS npix,
+               (18 * (w * h) + 16) // 8 AS data_bytes
+        FROM dims
+    )
+    SELECT doc_id,
+           'gif' AS fmt,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(256 AS BIGINT) AS n_colors,
+           CAST(npix AS BIGINT) AS n_pixels,
+           CAST(idx * npix AS BIGINT) AS pixel_sum,
+           CAST(794 + data_bytes + (data_bytes + 254) // 255 AS BIGINT)
+               AS n_bytes
+    FROM sized
+"""

@@ -2056,3 +2056,176 @@ def _build_sql_qte() -> str:
 
 
 SQL_QUANTILE_TREATMENT_EFFECT = _build_sql_qte()
+
+
+# --- Kaplan-Meier repeat-purchase survival (round 10) --------------------------
+
+
+def q_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve for time-to-repeat-purchase: each
+    first-time buyer enters at their first order date; the EVENT is
+    the second order (duration = days between them); buyers with no
+    second order are RIGHT-CENSORED at the global last order date —
+    the estimator that handles censoring correctly where a naive
+    average-gap readout silently drops every loyal-but-slow customer
+    (Kaplan & Meier, JASA 1958; the standard churn/retention curve).
+    Emits one row per event time: days, at-risk count, events,
+    censorings at that time, and S(t) = Π(1 − d_i/n_i).
+
+    Determinism: durations and at-risk counts are exact integer
+    date/count arithmetic; the survival products are a SEQUENTIAL left
+    fold over the time-sorted event array with identical operation
+    order on both engines (Spark F.aggregate building the
+    prefix-product array vs DuckDB list_reduce over a DOUBLE[] list
+    accumulator — the holt_forecast discipline, list accumulator
+    because of the probed DuckDB struct-accumulator aliasing bug) —
+    bit-identical doubles with NO libm anywhere (no exp(Σln)
+    shortcut).
+
+    Scale shape (100 TB): orders collapses to one row per customer in
+    a single window+aggregate pass (rank rides the custkey partition);
+    the per-time frame is bounded by |distinct durations| (a few
+    thousand days), so the at-risk cumulative window and the 1-row
+    fold run on reporting-grain frames — the same
+    window-above-aggregate shape as order_backlog, never over raw
+    orders."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.to_date("o_orderdate").alias("d"), "o_orderkey"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    per_cust = (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .groupBy("o_custkey")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("d"))).alias("d1"),
+            F.max(F.when(F.col("rn") == 2, F.col("d"))).alias("d2"),
+        )
+    )
+    window_end = orders.agg(F.max("d").alias("d_end"))
+    subj = per_cust.crossJoin(F.broadcast(window_end)).select(
+        F.when(
+            F.col("d2").isNotNull(), F.datediff(F.col("d2"), F.col("d1"))
+        )
+        .otherwise(F.datediff(F.col("d_end"), F.col("d1")))
+        .cast("long")
+        .alias("t"),
+        F.col("d2").isNotNull().cast("long").alias("ev"),
+    )
+    per_time = subj.groupBy("t").agg(
+        F.sum("ev").cast("long").alias("d"),
+        F.sum(F.lit(1) - F.col("ev")).cast("long").alias("c"),
+    )
+    w_all = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    at_risk = per_time.select(
+        "t",
+        "d",
+        "c",
+        (
+            F.sum(F.col("d") + F.col("c")).over(w_all)
+            - F.coalesce(
+                F.sum(F.col("d") + F.col("c")).over(w_prev), F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("n_risk"),
+    ).filter(F.col("d") > 0)
+    packed = at_risk.agg(
+        F.array_sort(
+            F.collect_list(F.struct("t", "d", "c", "n_risk"))
+        ).alias("rows")
+    )
+    folded = packed.select(
+        "rows",
+        F.aggregate(
+            F.col("rows"),
+            F.array(F.lit(1.0)),
+            lambda acc, x: F.array_append(
+                acc,
+                F.element_at(acc, -1)
+                * (
+                    F.lit(1.0)
+                    - x["d"].cast("double") / x["n_risk"].cast("double")
+                ),
+            ),
+        ).alias("s"),
+    )
+    return (
+        folded.select(
+            F.posexplode("rows").alias("i", "r"), F.col("s")
+        )
+        .select(
+            F.col("r.t").alias("t_days"),
+            F.col("r.n_risk").alias("n_risk"),
+            F.col("r.d").alias("d_events"),
+            F.col("r.c").alias("c_censored"),
+            F.element_at(F.col("s"), F.col("i") + 2).alias("survival"),
+        )
+        .orderBy("t_days")
+    )
+
+
+SQL_SURVIVAL_CURVE = """
+    WITH ranked AS (
+        SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY CAST(o_orderdate AS DATE),
+                                           o_orderkey) AS rn
+        FROM orders
+    ), per_cust AS (
+        SELECT o_custkey,
+               MAX(CASE WHEN rn = 1 THEN d END) AS d1,
+               MAX(CASE WHEN rn = 2 THEN d END) AS d2
+        FROM ranked WHERE rn <= 2 GROUP BY o_custkey
+    ), wend AS (
+        SELECT MAX(CAST(o_orderdate AS DATE)) AS d_end FROM orders
+    ), subj AS (
+        SELECT CASE WHEN d2 IS NOT NULL
+                    THEN date_diff('day', d1, d2)
+                    ELSE date_diff('day', d1, d_end) END AS t,
+               CASE WHEN d2 IS NOT NULL THEN 1 ELSE 0 END AS ev
+        FROM per_cust CROSS JOIN wend
+    ), per_time AS (
+        SELECT CAST(t AS BIGINT) AS t,
+               CAST(SUM(ev) AS BIGINT) AS d,
+               CAST(SUM(1 - ev) AS BIGINT) AS c
+        FROM subj GROUP BY 1
+    ), at_risk AS (
+        SELECT t, d, c,
+               CAST(SUM(d + c) OVER ()
+                    - COALESCE(SUM(d + c) OVER (
+                          ORDER BY t
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0)
+                    AS BIGINT) AS n_risk
+        FROM per_time
+    ), packed AS (
+        SELECT list_sort(list(struct_pack(
+                   t := t, d := d, c := c, n_risk := n_risk))) AS rows
+        FROM at_risk WHERE d > 0
+    ), folded AS (
+        -- DOUBLE[] list accumulator (holt_forecast's probed DuckDB
+        -- struct-accumulator aliasing workaround): prefix survival
+        -- products in explicit time order
+        SELECT rows,
+               list_reduce(
+                   list_prepend([1.0::DOUBLE],
+                       list_transform(rows, e ->
+                           [CAST(e.d AS DOUBLE), CAST(e.n_risk AS DOUBLE)])),
+                   (acc, x) -> list_append(acc, acc[-1] * (1.0 - x[1] / x[2]))
+               ) AS s
+        FROM packed
+    )
+    SELECT rows[i].t AS t_days,
+           rows[i].n_risk AS n_risk,
+           rows[i].d AS d_events,
+           rows[i].c AS c_censored,
+           s[i + 1] AS survival
+    FROM folded, unnest(generate_series(1, len(rows))) AS u(i)
+    ORDER BY t_days
+"""

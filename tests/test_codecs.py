@@ -241,3 +241,85 @@ def test_png_rejects_malformed():
         make_png(0, 5, 1)
     with pytest.raises(ValueError, match="byte value"):
         make_png(1, 1, 300)
+
+
+# --- GIF / LZW (round 10) ------------------------------------------------------
+
+
+def test_lzw_round_trips_random_and_repetitive():
+    """The REAL table-growing encoder through the general decoder:
+    pseudo-random data (forces width growth to 12 bits and table-full
+    CLEAR rebuilds) and repetitive data (exercises long dictionary
+    hits), plus the KwKwK-heavy pattern."""
+    import hashlib
+
+    from lenses_topology_example_spark.functions.codecs import (
+        lzw_decode,
+        lzw_encode,
+    )
+
+    rnd = b"".join(
+        hashlib.md5(bytes([i % 256, i // 256])).digest() for i in range(3000)
+    )
+    assert lzw_decode(lzw_encode(rnd)) == rnd
+    rep = b"abcabcabd" * 5000
+    enc = lzw_encode(rep)
+    assert lzw_decode(enc) == rep
+    assert len(enc) < len(rep) // 10  # the dictionary actually compresses
+    # KwKwK: aaa... makes the decoder hit code == len(table)
+    kwk = b"a" * 1000
+    assert lzw_decode(lzw_encode(kwk)) == kwk
+    for n in range(0, 40):
+        data = bytes((i * 31 + n) % 256 for i in range(n * 13))
+        assert lzw_decode(lzw_encode(data)) == data
+
+
+def test_make_gif_size_is_arithmetic_and_decodes():
+    from lenses_topology_example_spark.functions.codecs import (
+        gif_total_bytes,
+        make_gif,
+        parse_gif,
+    )
+
+    for w, h, idx in [(1, 1, 0), (16, 16, 250), (7, 13, 42), (16, 1, 255)]:
+        g = make_gif(w, h, idx)
+        assert len(g) == gif_total_bytes(w * h)
+        pw, ph, nc, raster = parse_gif(g)
+        assert (pw, ph, nc) == (w, h, 256)
+        assert raster == bytes([idx]) * (w * h)
+
+
+def test_parse_gif_rejects_malformed():
+    import pytest
+
+    from lenses_topology_example_spark.functions.codecs import (
+        make_gif,
+        parse_gif,
+    )
+
+    g = bytearray(make_gif(5, 4, 9))
+    with pytest.raises(ValueError):
+        parse_gif(b"NOTGIF" + bytes(g[6:]))
+    # corrupt a byte inside the LZW data region -> bad code / size
+    bad = bytearray(g)
+    bad[-10] ^= 0xFF
+    with pytest.raises(ValueError):
+        parse_gif(bytes(bad))
+    # truncated stream
+    with pytest.raises((ValueError, IndexError)):
+        parse_gif(bytes(g[:-8]))
+
+
+def test_parse_gif_skips_extension_blocks():
+    """A real reader walks 0x21 extensions (GCE, comments) before the
+    image descriptor — splice one in and decode through it."""
+    from lenses_topology_example_spark.functions.codecs import (
+        make_gif,
+        parse_gif,
+    )
+
+    g = make_gif(3, 3, 7)
+    head, rest = g[: 13 + 768], g[13 + 768 :]
+    gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # graphic control ext
+    w, h, nc, raster = parse_gif(head + gce + rest)
+    assert (w, h, nc) == (3, 3, 256) and raster == bytes([7]) * 9

@@ -391,3 +391,80 @@ def test_copurchase_triangles_matches_python_replica(spark, sf_dir):
     assert r.n_triangles == tri
     if wedges:
         assert abs(r.clustering_coef - 3.0 * tri / wedges) < 1e-15
+
+
+# --- asset_gif_meta / survival_curve (wave 3) -----------------------------------
+
+
+def test_asset_gif_meta_matches_codec_replica(spark, sf_dir):
+    """Recompute a sample of rows by running the codec in-process —
+    the operator's mapInPandas kernel must agree with a direct
+    encode/decode, and every n_bytes with the arithmetic formula."""
+    from lenses_topology_example_spark.functions.codecs import (
+        gif_total_bytes,
+        make_gif,
+        parse_gif,
+    )
+
+    rows = _CATALOG["asset_gif_meta"][0](spark, sf_dir).collect()
+    docs = {
+        r.doc_id: r.n_chars
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .collect()
+    }
+    assert {r.doc_id for r in rows} == set(docs)
+    for r in rows[:50]:
+        w, h = 1 + r.doc_id % 16, 1 + docs[r.doc_id] % 16
+        payload = make_gif(w, h, r.doc_id % 251)
+        pw, ph, nc, raster = parse_gif(payload)
+        assert (r.width, r.height, r.n_colors) == (pw, ph, nc)
+        assert r.n_pixels == len(raster)
+        assert r.pixel_sum == sum(raster)
+        assert r.n_bytes == len(payload) == gif_total_bytes(w * h)
+
+
+def test_survival_curve_matches_python_km(spark, sf_dir):
+    """Pure-Python Kaplan-Meier replica: durations/censoring from the
+    raw orders, classic product-limit estimator."""
+    rows = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderdate", "o_orderkey")
+        .collect()
+    )
+    by_cust = {}
+    for r in rows:
+        by_cust.setdefault(r.o_custkey, []).append(
+            (r.o_orderdate.date(), r.o_orderkey)
+        )
+    d_end = max(d for v in by_cust.values() for d, _ in v)
+    subj = []
+    for v in by_cust.values():
+        v.sort()
+        if len(v) >= 2:
+            subj.append(((v[1][0] - v[0][0]).days, 1))
+        else:
+            subj.append(((d_end - v[0][0]).days, 0))
+    times = {}
+    for t, ev in subj:
+        d, c = times.get(t, (0, 0))
+        times[t] = (d + ev, c + (1 - ev))
+    got = _CATALOG["survival_curve"][0](spark, sf_dir).collect()
+    n_at_risk = len(subj)
+    s = 1.0
+    want = []
+    for t in sorted(times):
+        d, c = times[t]
+        if d > 0:
+            s = s * (1.0 - d / n_at_risk)
+            want.append((t, n_at_risk, d, c, s))
+        n_at_risk -= d + c
+    assert [(r.t_days, r.n_risk, r.d_events, r.c_censored) for r in got] == [
+        w[:4] for w in want
+    ]
+    for r, w in zip(got, want):
+        assert abs(r.survival - w[4]) < 1e-12
+    # survival is a proper non-increasing step function in (0, 1]
+    for a, b in zip(got, got[1:]):
+        assert b.survival <= a.survival
+    assert all(0.0 <= r.survival <= 1.0 for r in got)
