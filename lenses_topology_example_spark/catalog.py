@@ -680,6 +680,18 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
         windows.q_survival_curve,
         windows.SQL_SURVIVAL_CURVE,
     ),
+    # fourth round-10 wave (same past-window protocol): the word2vec
+    # sampling plan, the EWMA/Poisson control chart, and the chi-square
+    # independence contingency scan
+    "negative_sampling_plan": (
+        text.q_negative_sampling_plan,
+        text.SQL_NEGATIVE_SAMPLING_PLAN,
+    ),
+    "ewma_anomaly": (windows.q_ewma_anomaly, windows.SQL_EWMA_ANOMALY),
+    "chi2_independence": (
+        analytics.q_chi2_independence,
+        analytics.SQL_CHI2_INDEPENDENCE,
+    ),
 }
 
 # The driver evaluates only the first DRIVER_WINDOW_SIZE catalog entries

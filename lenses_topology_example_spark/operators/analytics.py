@@ -974,3 +974,104 @@ SQL_COPURCHASE_TRIANGLES = f"""
            END AS clustering_coef
     FROM wedges CROSS JOIN ne CROSS JOIN tri
 """
+
+
+# --- chi2_independence (round-10 fourth wave) -----------------------------------
+
+
+def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence scan of market segment × order priority:
+    the full contingency table with observed counts, margins, expected
+    counts under independence (row·col/N), each cell's chi-square
+    contribution, and the standardized Pearson residual
+    (obs − exp)/sqrt(exp) — the per-cell decomposition an analyst
+    reads to see WHERE the association lives, not just that it exists.
+
+    Determinism: all counts and margins are exact integers (margins by
+    two map-side-combinable re-aggregations of the cell frame, never a
+    second scan); expected/chi2/residual are single double expressions
+    per output row over those integers — no cross-row double sum (the
+    benford_digits contract; a total chi-square is the reader's
+    one-line fold over the ≤ |segments|×|priorities| rows).
+
+    Scale shape (100 TB): one orders scan joins the customer dimension
+    on custkey (AQE SMJ), collapses to the cell frame map-side; both
+    margin frames and the 1-row total derive FROM the cell frame and
+    broadcast back."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    cells = (
+        orders.join(cust, "o_custkey")
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    row_m = cells.groupBy("c_mktsegment").agg(
+        F.sum("n").cast("long").alias("row_tot")
+    )
+    col_m = cells.groupBy("o_orderpriority").agg(
+        F.sum("n").cast("long").alias("col_tot")
+    )
+    total = cells.agg(F.sum("n").cast("long").alias("n_total"))
+    expected = (
+        F.col("row_tot").cast("double")
+        * F.col("col_tot").cast("double")
+        / F.col("n_total").cast("double")
+    )
+    diff = F.col("n").cast("double") - expected
+    return (
+        cells.join(F.broadcast(row_m), "c_mktsegment")
+        .join(F.broadcast(col_m), "o_orderpriority")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "c_mktsegment",
+            "o_orderpriority",
+            "n",
+            "row_tot",
+            "col_tot",
+            expected.alias("expected"),
+            (diff * diff / expected).alias("chi2_term"),
+            (diff / F.sqrt(expected)).alias("std_residual"),
+        )
+        .orderBy("c_mktsegment", "o_orderpriority")
+    )
+
+
+SQL_CHI2_INDEPENDENCE = """
+    WITH cells AS (
+        SELECT c_mktsegment, o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1, 2
+    ), row_m AS (
+        SELECT c_mktsegment, CAST(SUM(n) AS BIGINT) AS row_tot
+        FROM cells GROUP BY 1
+    ), col_m AS (
+        SELECT o_orderpriority, CAST(SUM(n) AS BIGINT) AS col_tot
+        FROM cells GROUP BY 1
+    ), total AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM cells)
+    SELECT c.c_mktsegment, c.o_orderpriority, c.n, row_tot, col_tot,
+           CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
+               / CAST(n_total AS DOUBLE) AS expected,
+           (CAST(n AS DOUBLE)
+            - CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
+              / CAST(n_total AS DOUBLE))
+           * (CAST(n AS DOUBLE)
+              - CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
+                / CAST(n_total AS DOUBLE))
+           / (CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
+              / CAST(n_total AS DOUBLE)) AS chi2_term,
+           (CAST(n AS DOUBLE)
+            - CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
+              / CAST(n_total AS DOUBLE))
+           / SQRT(CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
+                  / CAST(n_total AS DOUBLE)) AS std_residual
+    FROM cells c
+    JOIN row_m USING (c_mktsegment)
+    JOIN col_m USING (o_orderpriority)
+    CROSS JOIN total
+    ORDER BY c_mktsegment, o_orderpriority
+"""

@@ -3260,3 +3260,96 @@ SQL_TOPIC_KEYWORDS = f"""
     WHERE rank <= {TOPIC_TOPK}
     ORDER BY source, rank
 """
+
+
+# --- word2vec negative-sampling plan (round 10) --------------------------------
+
+NEG_SAMPLE_POW = 0.75  # the word2vec unigram-distribution exponent
+SUBSAMPLE_T = 0.001  # Mikolov frequent-word subsampling threshold
+
+
+def q_negative_sampling_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The word2vec training-table plan (Mikolov et al., NIPS 2013):
+    per vocabulary token, the negative-sampling probability
+    f(w)^0.75 / Σ f^0.75 (the unigram distribution raised to 3/4 — the
+    published constant that outperforms both uniform and raw-unigram)
+    and the frequent-word subsampling keep probability
+    min(1, (sqrt(f/(tN)) + 1) · tN/f) with t = 1e-3. This is the
+    temperature_mix discipline applied at TOKEN grain — the plan an
+    embedding trainer materializes before touching the corpus.
+
+    Determinism: frequencies are exact int64; each pow(f, 0.75) double
+    round-trips through DECIMAL(38,6) BEFORE the denominator sum (the
+    temperature_mix contract) so the sum is order-free; sqrt is
+    IEEE-exact on both engines; every ratio is one fixed-shape
+    expression followed by the standard round-trip.
+
+    Scale shape (100 TB): one corpus scan collapses to the
+    |vocabulary|-bounded frame map-side; the pow/share/keep arithmetic
+    runs on that bounded frame with a 1-row broadcast total."""
+    from .dedup import _doc_tokens
+
+    toks = _doc_tokens(spark, sf_dir).select(
+        F.explode(F.col("t")).alias("token")
+    )
+    per_tok = toks.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("f")
+    )
+    powed = per_tok.select(
+        "token",
+        "f",
+        F.pow(F.col("f").cast("double"), F.lit(NEG_SAMPLE_POW))
+        .cast("decimal(38,6)")
+        .alias("w_dec"),
+    )
+    totals = powed.agg(
+        F.sum("w_dec").cast("double").alias("wsum"),
+        F.sum("f").cast("long").alias("n_total"),
+    )
+    rt = lambda c: c.cast("decimal(38,6)").cast("double")
+    tn = F.lit(SUBSAMPLE_T) * F.col("n_total").cast("double")
+    keep_raw = (
+        F.sqrt(F.col("f").cast("double") / tn) + F.lit(1.0)
+    ) * tn / F.col("f").cast("double")
+    return (
+        powed.crossJoin(F.broadcast(totals))
+        .select(
+            "token",
+            "f",
+            rt(F.col("w_dec").cast("double") / F.col("wsum")).alias(
+                "p_negative"
+            ),
+            rt(F.least(F.lit(1.0), keep_raw)).alias("keep_prob"),
+        )
+        .orderBy("token")
+    )
+
+
+SQL_NEGATIVE_SAMPLING_PLAN = f"""
+    WITH toks AS (
+        SELECT unnest({SQL_TOKS}) AS token FROM documents
+    ), per_tok AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS f
+        FROM toks GROUP BY token
+    ), powed AS (
+        SELECT token, f,
+               CAST(POWER(CAST(f AS DOUBLE), {NEG_SAMPLE_POW})
+                    AS DECIMAL(38,6)) AS w_dec
+        FROM per_tok
+    ), totals AS (
+        SELECT CAST(SUM(w_dec) AS DOUBLE) AS wsum,
+               CAST(SUM(f) AS BIGINT) AS n_total
+        FROM powed
+    )
+    SELECT token, f,
+           CAST(CAST(CAST(w_dec AS DOUBLE) / wsum AS DECIMAL(38,6))
+                AS DOUBLE) AS p_negative,
+           CAST(CAST(LEAST(1.0,
+                (SQRT(CAST(f AS DOUBLE)
+                      / ({SUBSAMPLE_T!r} * CAST(n_total AS DOUBLE))) + 1.0)
+                * ({SUBSAMPLE_T!r} * CAST(n_total AS DOUBLE))
+                / CAST(f AS DOUBLE)) AS DECIMAL(38,6)) AS DOUBLE)
+               AS keep_prob
+    FROM powed CROSS JOIN totals
+    ORDER BY token
+"""

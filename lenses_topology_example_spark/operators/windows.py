@@ -2229,3 +2229,104 @@ SQL_SURVIVAL_CURVE = """
     FROM folded, unnest(generate_series(1, len(rows))) AS u(i)
     ORDER BY t_days
 """
+
+
+# --- EWMA control chart over daily event counts (round 10) ---------------------
+
+EWMA_ALPHA = 0.2
+EWMA_POISSON_Z = 3.0
+
+
+def q_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA control chart per event type over daily counts: the
+    forecast for day i is the exponentially-weighted moving average of
+    days 1..i−1 (α = 0.2, init = day 1's count), and a day is flagged
+    when |n_i − ewma| exceeds 3·sqrt(ewma) — the Poisson c-chart band
+    (σ ≈ sqrt(mean) for counts; Roberts, Technometrics 1959). The
+    one-sided complement to event_rate_anomaly's global z-score: EWMA
+    adapts to drifting baselines, the z-score does not.
+
+    Determinism: daily counts are exact ints; the EWMA recurrence is a
+    sequential left fold over the day-sorted array with identical
+    operation order on both engines (list accumulator — the
+    holt_forecast/survival_curve discipline); sqrt is IEEE-exact; the
+    flag compares identically-derived doubles.
+
+    Scale shape (100 TB): one scan collapses to the |types|×|days|
+    frame map-side; each type's fold runs over its bounded day array
+    inside a |types|-row aggregate — reporting grain, never
+    data-scale."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day")
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    packed = daily.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("day", "n"))).alias("rows")
+    )
+    # prefix EWMA list: s[1] = x1; s[i] = a*x_i + (1-a)*s[i-1]
+    folded = packed.select(
+        "event_type",
+        "rows",
+        F.aggregate(
+            F.expr("slice(rows, 2, greatest(size(rows) - 1, 0))"),
+            F.array(F.element_at(F.col("rows"), 1)["n"].cast("double")),
+            lambda acc, x: F.array_append(
+                acc,
+                F.lit(EWMA_ALPHA) * x["n"].cast("double")
+                + F.lit(1.0 - EWMA_ALPHA) * F.element_at(acc, -1),
+            ),
+        ).alias("s"),
+    )
+    exploded = folded.select(
+        "event_type",
+        F.posexplode("rows").alias("i", "r"),
+        F.col("s"),
+    ).filter(F.col("i") >= 1)
+    forecast = F.element_at(F.col("s"), F.col("i"))  # ewma of days 1..i
+    resid = F.col("r.n").cast("double") - forecast
+    band = F.lit(EWMA_POISSON_Z) * F.sqrt(forecast)
+    return exploded.select(
+        "event_type",
+        F.date_format(F.col("r.day"), "yyyy-MM-dd").alias("day"),
+        F.col("r.n").alias("n"),
+        forecast.alias("ewma_forecast"),
+        resid.alias("resid"),
+        (F.abs(resid) > band).alias("flagged"),
+    ).orderBy("event_type", "day")
+
+
+SQL_EWMA_ANOMALY = f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ), packed AS (
+        SELECT event_type,
+               list_sort(list(struct_pack(day := day, n := n))) AS rows
+        FROM daily GROUP BY event_type
+    ), folded AS (
+        SELECT event_type, rows,
+               list_reduce(
+                   list_prepend([CAST(rows[1].n AS DOUBLE)],
+                       list_transform(rows[2:],
+                                      e -> [CAST(e.n AS DOUBLE)])),
+                   (acc, x) -> list_append(acc,
+                       {EWMA_ALPHA!r} * x[1]
+                       + {1.0 - EWMA_ALPHA!r} * acc[-1])
+               ) AS s
+        FROM packed
+    )
+    SELECT event_type,
+           strftime(rows[i].day, '%Y-%m-%d') AS day,
+           rows[i].n AS n,
+           s[i - 1] AS ewma_forecast,
+           CAST(rows[i].n AS DOUBLE) - s[i - 1] AS resid,
+           ABS(CAST(rows[i].n AS DOUBLE) - s[i - 1])
+               > {EWMA_POISSON_Z!r} * SQRT(s[i - 1]) AS flagged
+    FROM folded, unnest(generate_series(2, len(rows))) AS u(i)
+    ORDER BY event_type, day
+"""

@@ -468,3 +468,91 @@ def test_survival_curve_matches_python_km(spark, sf_dir):
     for a, b in zip(got, got[1:]):
         assert b.survival <= a.survival
     assert all(0.0 <= r.survival <= 1.0 for r in got)
+
+
+# --- negative_sampling_plan / ewma_anomaly / chi2_independence (wave 4) ---------
+
+
+def test_negative_sampling_matches_python(spark, sf_dir):
+    """Replica over the exact vocabulary counts; shares sum to 1 and
+    the subsample keep-probability is monotone non-increasing in
+    frequency (the whole point of Mikolov subsampling)."""
+    import math as _m
+
+    from lenses_topology_example_spark.operators.dedup import _doc_tokens
+
+    toks = _doc_tokens(spark, sf_dir).select("t").collect()
+    freq: dict[str, int] = {}
+    for r in toks:
+        for t in r.t:
+            freq[t] = freq.get(t, 0) + 1
+    n_total = sum(freq.values())
+    wsum = sum(
+        float(f"{(f ** 0.75):.6f}".rstrip())  # decimal(38,6) round-trip
+        for f in freq.values()
+    )
+    rows = _CATALOG["negative_sampling_plan"][0](spark, sf_dir).collect()
+    assert {r.token for r in rows} == set(freq)
+    assert abs(sum(r.p_negative for r in rows) - 1.0) < 1e-4
+    by_f = sorted(rows, key=lambda r: r.f)
+    for a, b in zip(by_f, by_f[1:]):
+        assert b.keep_prob <= a.keep_prob + 1e-12
+    for r in rows:
+        assert r.f == freq[r.token]
+        tn = 0.001 * n_total
+        want_keep = min(1.0, (_m.sqrt(r.f / tn) + 1.0) * tn / r.f)
+        assert abs(r.keep_prob - want_keep) < 1e-5
+        assert abs(r.p_negative - (r.f ** 0.75) / wsum) < 1e-4
+
+
+def test_ewma_anomaly_matches_python_recurrence(spark, sf_dir):
+    from collections import defaultdict
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .selectExpr("event_type", "CAST(ts AS DATE) AS day")
+        .collect()
+    )
+    daily = defaultdict(lambda: defaultdict(int))
+    for r in ev:
+        daily[r.event_type][r.day] += 1
+    got = {}
+    for r in _CATALOG["ewma_anomaly"][0](spark, sf_dir).collect():
+        got[(r.event_type, r.day)] = r
+    n_expected = 0
+    for t, days in daily.items():
+        ds = sorted(days)
+        ewma = float(days[ds[0]])
+        for d in ds[1:]:
+            n = days[d]
+            key = (t, d.isoformat())
+            r = got[key]
+            assert r.n == n
+            assert abs(r.ewma_forecast - ewma) < 1e-9
+            assert abs(r.resid - (n - ewma)) < 1e-9
+            assert r.flagged == (abs(n - ewma) > 3.0 * ewma ** 0.5)
+            ewma = 0.2 * n + 0.8 * ewma
+            n_expected += 1
+    assert len(got) == n_expected
+
+
+def test_chi2_cells_margins_and_terms(spark, sf_dir):
+    rows = _CATALOG["chi2_independence"][0](spark, sf_dir).collect()
+    n_total = sum(r.n for r in rows)
+    # margins recompute from the cells themselves
+    row_tot: dict[str, int] = {}
+    col_tot: dict[str, int] = {}
+    for r in rows:
+        row_tot[r.c_mktsegment] = row_tot.get(r.c_mktsegment, 0) + r.n
+        col_tot[r.o_orderpriority] = col_tot.get(r.o_orderpriority, 0) + r.n
+    for r in rows:
+        assert r.row_tot == row_tot[r.c_mktsegment]
+        assert r.col_tot == col_tot[r.o_orderpriority]
+        e = r.row_tot * r.col_tot / n_total
+        assert abs(r.expected - e) < 1e-9
+        assert abs(r.chi2_term - (r.n - e) ** 2 / e) < 1e-9
+        assert abs(r.std_residual - (r.n - e) / e ** 0.5) < 1e-9
+    # expected counts conserve the total within each row margin
+    for seg in row_tot:
+        exp_sum = sum(r.expected for r in rows if r.c_mktsegment == seg)
+        assert abs(exp_sum - row_tot[seg]) < 1e-6
