@@ -293,6 +293,21 @@ HEADLINE = (
     "ols_trend",
     "calibration_bins",
     "er_part_names",
+    # round-10 waves 2-5: encoders/screens, graph census, codec tier,
+    # survival, sampling plan, control chart, contingency, zone maps.
+    # survival_curve adds one DELIBERATE unpartitioned window of the
+    # documented tiny-frame class (the at-risk cumulative sum over the
+    # |distinct durations| aggregate — order_backlog's shape).
+    "target_encode",
+    "woe_iv",
+    "mad_outliers",
+    "copurchase_triangles",
+    "asset_gif_meta",
+    "survival_curve",
+    "negative_sampling_plan",
+    "ewma_anomaly",
+    "chi2_independence",
+    "zonemap_prune_audit",
 )
 
 

@@ -692,6 +692,13 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
         analytics.q_chi2_independence,
         analytics.SQL_CHI2_INDEPENDENCE,
     ),
+    # fifth round-10 wave (same past-window protocol): the zone-map /
+    # data-skipping layout audit (plus engine infra registered with it:
+    # the streaming GIF decode twin)
+    "zonemap_prune_audit": (
+        governance.q_zonemap_prune_audit,
+        governance.SQL_ZONEMAP_PRUNE_AUDIT,
+    ),
 }
 
 # The driver evaluates only the first DRIVER_WINDOW_SIZE catalog entries

@@ -905,3 +905,78 @@ SQL_TABLE_PROFILE = f"""
     FROM arms
     ORDER BY "column"
 """
+
+
+# --- zone-map / data-skipping layout audit (round 10) ---------------------------
+
+ZM_FILE_KEYS = 500  # orderkeys per simulated data file
+ZM_PRUNE_LO = "1997-01-01"  # the audited predicate: shipdate in [LO, HI)
+ZM_PRUNE_HI = "1998-01-01"
+
+
+def q_zonemap_prune_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map / data-skipping audit — the lakehouse layout question
+    behind every Delta/Iceberg OPTIMIZE decision: if lineitem were laid
+    out as files of ZM_FILE_KEYS consecutive orderkeys, what do each
+    file's min/max shipdate zone maps look like, and can the standard
+    one-year predicate [ZM_PRUNE_LO, ZM_PRUNE_HI) skip the file
+    entirely (max < LO or min >= HI)? Emits one row per simulated
+    file: row count, the zone map, its span in days, and the prunable
+    verdict — wide spans with prunable=false across the board is the
+    signature that says "cluster by shipdate before you ship this
+    table" (Moerkotte, Small Materialized Aggregates, VLDB 1998 — the
+    zone-map paper).
+
+    Determinism: file ids are exact integer division; zone maps are
+    MIN/MAX of dates (comparisons only); the span is integer datediff;
+    the verdict compares dates against shared literals.
+
+    Scale shape (100 TB): ONE map-side-combinable aggregate keyed by
+    file id (the exact zone-map build a writer performs); output is
+    |files| rows. No joins, no windows."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") / F.lit(ZM_FILE_KEYS))
+        .cast("long")
+        .alias("file_id"),
+        F.to_date("l_shipdate").alias("ship"),
+    )
+    lo = F.lit(ZM_PRUNE_LO).cast("date")
+    hi = F.lit(ZM_PRUNE_HI).cast("date")
+    return (
+        li.groupBy("file_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("ship").alias("mn"),
+            F.max("ship").alias("mx"),
+        )
+        .select(
+            "file_id",
+            "n_rows",
+            F.date_format("mn", "yyyy-MM-dd").alias("min_ship"),
+            F.date_format("mx", "yyyy-MM-dd").alias("max_ship"),
+            F.datediff(F.col("mx"), F.col("mn"))
+            .cast("long")
+            .alias("span_days"),
+            ((F.col("mx") < lo) | (F.col("mn") >= hi)).alias("prunable"),
+        )
+        .orderBy("file_id")
+    )
+
+
+SQL_ZONEMAP_PRUNE_AUDIT = f"""
+    WITH zm AS (
+        SELECT l_orderkey // {ZM_FILE_KEYS} AS file_id,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               MIN(CAST(l_shipdate AS DATE)) AS mn,
+               MAX(CAST(l_shipdate AS DATE)) AS mx
+        FROM lineitem GROUP BY 1
+    )
+    SELECT CAST(file_id AS BIGINT) AS file_id, n_rows,
+           strftime(mn, '%Y-%m-%d') AS min_ship,
+           strftime(mx, '%Y-%m-%d') AS max_ship,
+           CAST(date_diff('day', mn, mx) AS BIGINT) AS span_days,
+           (mx < DATE '{ZM_PRUNE_LO}' OR mn >= DATE '{ZM_PRUNE_HI}')
+               AS prunable
+    FROM zm
+    ORDER BY file_id
+"""

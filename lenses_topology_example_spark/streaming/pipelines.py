@@ -1264,6 +1264,20 @@ def streaming_asset_decode(docs: DataFrame) -> DataFrame:
     )
 
 
+def streaming_gif_decode(docs: DataFrame) -> DataFrame:
+    """Streaming twin of operators/multimodal.q_asset_gif_meta: per
+    arriving document, build the GIF asset and FULLY decode it back
+    (block walk + general LZW) via the SHARED gif_decode_batches
+    kernel — same stateless append-mode contract as
+    streaming_asset_decode; the codec raises on any corrupt container,
+    so reject-on-malformed comes free."""
+    from ..operators.multimodal import ASSET_GIF_SCHEMA, gif_decode_batches
+
+    return docs.select("doc_id", "n_chars").mapInPandas(
+        gif_decode_batches, schema=ASSET_GIF_SCHEMA
+    )
+
+
 # --- streaming marketing attribution (round 9) -------------------------------
 
 

@@ -556,3 +556,44 @@ def test_chi2_cells_margins_and_terms(spark, sf_dir):
     for seg in row_tot:
         exp_sum = sum(r.expected for r in rows if r.c_mktsegment == seg)
         assert abs(exp_sum - row_tot[seg]) < 1e-6
+
+
+# --- zonemap_prune_audit (wave 5) ------------------------------------------------
+
+
+def test_zonemap_audit_matches_python_replica(spark, sf_dir):
+    from datetime import date
+
+    from lenses_topology_example_spark.operators.governance import (
+        ZM_FILE_KEYS,
+        ZM_PRUNE_HI,
+        ZM_PRUNE_LO,
+    )
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .selectExpr("l_orderkey", "CAST(l_shipdate AS DATE) AS ship")
+        .collect()
+    )
+    files = {}
+    for r in li:
+        fid = r.l_orderkey // ZM_FILE_KEYS
+        n, mn, mx = files.get(fid, (0, r.ship, r.ship))
+        files[fid] = (n + 1, min(mn, r.ship), max(mx, r.ship))
+    lo = date.fromisoformat(ZM_PRUNE_LO)
+    hi = date.fromisoformat(ZM_PRUNE_HI)
+    got = {
+        r.file_id: r
+        for r in _CATALOG["zonemap_prune_audit"][0](spark, sf_dir).collect()
+    }
+    assert set(got) == set(files)
+    total_rows = 0
+    for fid, (n, mn, mx) in files.items():
+        r = got[fid]
+        assert r.n_rows == n
+        assert r.min_ship == mn.isoformat()
+        assert r.max_ship == mx.isoformat()
+        assert r.span_days == (mx - mn).days
+        assert r.prunable == (mx < lo or mn >= hi)
+        total_rows += n
+    assert total_rows == len(li)  # zone maps cover every row exactly once

@@ -1305,3 +1305,56 @@ def test_streaming_asset_decode_matches_batch(spark, tmp_path):
             "png", w, h, 8, 2, n_raw, fill * n_raw,
             8 + 25 + 12 + png_stream_size(h * (1 + 3 * w)) + 12,
         )
+
+
+def test_streaming_gif_decode_matches_batch(spark, tmp_path):
+    """Stateless streaming GIF screen: streamed encode-then-LZW-decode
+    rows must equal the identical mapInPandas plan in batch (shared
+    gif_decode_batches kernel) and the pure-Python codec ground
+    truth."""
+    from lenses_topology_example_spark.functions.codecs import (
+        gif_total_bytes,
+    )
+    from lenses_topology_example_spark.streaming.pipelines import (
+        streaming_gif_decode,
+    )
+
+    rows = [(0, 3), (1, 17), (7, 40), (250, 251), (16, 16)]
+    docs = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    src = tmp_path / "gif_stream_src"
+    docs.write.parquet(str(src))
+
+    stream = spark.readStream.schema("doc_id long, n_chars long").parquet(
+        str(src)
+    )
+    q = (
+        streaming_gif_decode(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("gif_decode_stream_test")
+        .option("checkpointLocation", str(tmp_path / "gif_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    cols = (
+        "fmt", "width", "height", "n_colors",
+        "n_pixels", "pixel_sum", "n_bytes",
+    )
+    streamed = {
+        r["doc_id"]: tuple(r[c] for c in cols)
+        for r in spark.sql("SELECT * FROM gif_decode_stream_test").collect()
+    }
+    batch = {
+        r["doc_id"]: tuple(r[c] for c in cols)
+        for r in streaming_gif_decode(docs).collect()
+    }
+    assert streamed == batch
+    for doc_id, n_chars in rows:
+        w, h, idx = 1 + doc_id % 16, 1 + n_chars % 16, doc_id % 251
+        assert streamed[doc_id] == (
+            "gif", w, h, 256, w * h, idx * w * h, gif_total_bytes(w * h),
+        )
