@@ -699,6 +699,21 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
         governance.q_zonemap_prune_audit,
         governance.SQL_ZONEMAP_PRUNE_AUDIT,
     ),
+    # sixth round-10 wave (same past-window protocol): robust location
+    # report, the information-theoretic association readout, and the
+    # runtime-filter bloom join-pruning audit
+    "winsorized_stats": (
+        analytics.q_winsorized_stats,
+        analytics.SQL_WINSORIZED_STATS,
+    ),
+    "mutual_information": (
+        analytics.q_mutual_information,
+        analytics.SQL_MUTUAL_INFORMATION,
+    ),
+    "bloom_join_audit": (
+        analytics.q_bloom_join_audit,
+        analytics.SQL_BLOOM_JOIN_AUDIT,
+    ),
 }
 
 # The driver evaluates only the first DRIVER_WINDOW_SIZE catalog entries

@@ -26,6 +26,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from ..tables import load_table
+from .relational import dsum_sql
 from .similarity import as_double, dot, sql_dot
 
 
@@ -1075,3 +1076,441 @@ SQL_CHI2_INDEPENDENCE = """
     CROSS JOIN total
     ORDER BY c_mktsegment, o_orderpriority
 """
+
+
+# --- winsorized_stats (round-10 sixth wave) --------------------------------------
+
+WINSOR_LO_PCT = 5
+WINSOR_HI_PCT = 95
+
+
+def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust location report per market segment over order totals:
+    the raw mean beside the 5/95 winsorized mean (tails CLAMPED to the
+    cutoff values) and the 5/95 trimmed mean (tails DROPPED) — the
+    outlier-resistant pair every reporting layer puts next to a mean
+    that one fat-finger order can move (Tukey; the mad_outliers
+    complement at aggregate grain). Cutoffs use the EXPLICIT exact
+    rank definition (value at rank ceil(p/100·n) under a
+    (value, orderkey) total order — the length_percentiles contract);
+    trimmed keeps ranks in (lo_rank, hi_rank].
+
+    Determinism: ranks and counts are exact integers; every mean is a
+    DECIMAL(38,6) sum over exact-2dp values (clamped values are one of
+    the original values, so still on the grid) divided once.
+
+    Scale shape (100 TB): orders joins the customer dimension on
+    custkey, then ONE rank window partitioned by segment (the standard
+    exact-percentile cost; a petabyte run subsamples per group first);
+    cutoffs ride the same frame via a max-over-flag aggregate — no
+    second scan, no join back."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    w_rank = W.partitionBy("c_mktsegment").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    w_seg = W.partitionBy("c_mktsegment")
+    ranked = (
+        orders.join(cust, "o_custkey")
+        .select("c_mktsegment", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w_rank))
+        .withColumn("n", F.count(F.lit(1)).over(w_seg))
+    )
+    lo_rank = F.ceil(F.col("n") * F.lit(WINSOR_LO_PCT) / F.lit(100.0))
+    hi_rank = F.ceil(F.col("n") * F.lit(WINSOR_HI_PCT) / F.lit(100.0))
+    flagged = ranked.select(
+        "c_mktsegment",
+        "o_totalprice",
+        "rn",
+        "n",
+        F.when(F.col("rn") == lo_rank, F.col("o_totalprice")).alias("lo_v"),
+        F.when(F.col("rn") == hi_rank, F.col("o_totalprice")).alias("hi_v"),
+        ((F.col("rn") > lo_rank) & (F.col("rn") <= hi_rank)).alias("inner"),
+    )
+    cuts = flagged.groupBy("c_mktsegment").agg(
+        F.max("n").cast("long").alias("n_seg"),
+        F.max("lo_v").alias("lo_cut"),
+        F.max("hi_v").alias("hi_cut"),
+    )
+    joined = flagged.join(F.broadcast(cuts), "c_mktsegment")
+    clamped = F.least(
+        F.greatest(F.col("o_totalprice"), F.col("lo_cut")), F.col("hi_cut")
+    )
+    from .relational import dsum
+
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.max("n_seg").cast("long").alias("n"),
+            F.max("lo_cut").alias("lo_cut"),
+            F.max("hi_cut").alias("hi_cut"),
+            (
+                dsum(F.col("o_totalprice"))
+                / F.max("n_seg").cast("double")
+            ).alias("mean_raw"),
+            (dsum(clamped) / F.max("n_seg").cast("double")).alias(
+                "mean_winsor"
+            ),
+            F.try_divide(
+                dsum(F.when(F.col("inner"), F.col("o_totalprice"))),
+                F.sum(F.col("inner").cast("long")).cast("double"),
+            ).alias("mean_trimmed"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+SQL_WINSORIZED_STATS = f"""
+    WITH ranked AS (
+        SELECT c_mktsegment, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                  ORDER BY o_totalprice, o_orderkey) AS rn,
+               COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    ), flagged AS (
+        SELECT c_mktsegment, o_totalprice, rn, n,
+               CASE WHEN rn = CEIL(n * {WINSOR_LO_PCT} / 100.0)
+                    THEN o_totalprice END AS lo_v,
+               CASE WHEN rn = CEIL(n * {WINSOR_HI_PCT} / 100.0)
+                    THEN o_totalprice END AS hi_v,
+               rn > CEIL(n * {WINSOR_LO_PCT} / 100.0)
+                   AND rn <= CEIL(n * {WINSOR_HI_PCT} / 100.0) AS inner_row
+        FROM ranked
+    ), cuts AS (
+        SELECT c_mktsegment, CAST(MAX(n) AS BIGINT) AS n,
+               MAX(lo_v) AS lo_cut, MAX(hi_v) AS hi_cut
+        FROM flagged GROUP BY c_mktsegment
+    )
+    SELECT f.c_mktsegment,
+           CAST(MAX(c.n) AS BIGINT) AS n,
+           MAX(c.lo_cut) AS lo_cut,
+           MAX(c.hi_cut) AS hi_cut,
+           {dsum_sql('f.o_totalprice')} / CAST(MAX(c.n) AS DOUBLE)
+               AS mean_raw,
+           {dsum_sql('LEAST(GREATEST(f.o_totalprice, c.lo_cut), c.hi_cut)')}
+               / CAST(MAX(c.n) AS DOUBLE) AS mean_winsor,
+           {dsum_sql('CASE WHEN f.inner_row THEN f.o_totalprice END')}
+               / CAST(SUM(CASE WHEN f.inner_row THEN 1 ELSE 0 END)
+                      AS DOUBLE) AS mean_trimmed
+    FROM flagged f JOIN cuts c USING (c_mktsegment)
+    GROUP BY f.c_mktsegment
+    ORDER BY f.c_mktsegment
+"""
+
+
+# --- mutual_information (round-10 sixth wave) ------------------------------------
+
+
+def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information and uncertainty coefficients of market
+    segment × order priority — the information-theoretic companion to
+    chi2_independence (chi-square says "associated"; MI says how many
+    nats of one the other carries, and Theil's U normalizes it per
+    direction). One-row report: N, cell count, MI, the two marginal
+    entropies, and U(row|col) = MI/H(row), U(col|row) = MI/H(col).
+
+    Determinism (the pmi_collocations ln contract, strengthened): each
+    ln is DECIMAL(38,6)-round-tripped, multiplied by its EXACT INTEGER
+    count (n_ij or margin), decimal-summed (exact in any order), and
+    divided by N ONCE at the end — no constructed per-term fraction
+    ever meets a decimal cast, so the corpus_report terminating-
+    boundary class cannot occur.
+
+    Scale shape (100 TB): the same cell frame as chi2_independence
+    (one scan + map-side aggregate); margins re-aggregate the cells;
+    all arithmetic runs on ≤ |segments|·|priorities| rows."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    cells = (
+        orders.join(cust, "o_custkey")
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    row_m = cells.groupBy("c_mktsegment").agg(
+        F.sum("n").cast("long").alias("row_tot")
+    )
+    col_m = cells.groupBy("o_orderpriority").agg(
+        F.sum("n").cast("long").alias("col_tot")
+    )
+    rln = lambda c: F.log(c).cast("decimal(38,6)")
+    # Σ n_ij * ln(n_ij * N / (row*col)) with N folded in exactly:
+    # ln(n*N/(row*col)) as ONE double expression, rounded, times int n
+    joined = (
+        cells.join(F.broadcast(row_m), "c_mktsegment")
+        .join(F.broadcast(col_m), "o_orderpriority")
+    )
+    totals = joined.agg(
+        F.sum("n").cast("long").alias("n_total"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+    )
+    mi_terms = joined.crossJoin(F.broadcast(totals)).select(
+        "n_total",
+        "n_cells",
+        (
+            F.col("n")
+            * rln(
+                F.col("n").cast("double")
+                * F.col("n_total").cast("double")
+                / (
+                    F.col("row_tot").cast("double")
+                    * F.col("col_tot").cast("double")
+                )
+            )
+        ).alias("mi_term"),
+    )
+    mi_sum = mi_terms.groupBy("n_total", "n_cells").agg(
+        F.sum("mi_term").cast("double").alias("mi_num")
+    )
+    h_row = (
+        row_m.crossJoin(F.broadcast(totals))
+        .select(
+            (
+                F.col("row_tot")
+                * rln(
+                    F.col("n_total").cast("double")
+                    / F.col("row_tot").cast("double")
+                )
+            ).alias("t")
+        )
+        .agg(F.sum("t").cast("double").alias("h_row_num"))
+    )
+    h_col = (
+        col_m.crossJoin(F.broadcast(totals))
+        .select(
+            (
+                F.col("col_tot")
+                * rln(
+                    F.col("n_total").cast("double")
+                    / F.col("col_tot").cast("double")
+                )
+            ).alias("t")
+        )
+        .agg(F.sum("t").cast("double").alias("h_col_num"))
+    )
+    n_d = F.col("n_total").cast("double")
+    mi = F.col("mi_num") / n_d
+    hr = F.col("h_row_num") / n_d
+    hc = F.col("h_col_num") / n_d
+    return (
+        mi_sum.crossJoin(F.broadcast(h_row))
+        .crossJoin(F.broadcast(h_col))
+        .select(
+            "n_total",
+            "n_cells",
+            mi.alias("mi_nats"),
+            hr.alias("h_row"),
+            hc.alias("h_col"),
+            F.try_divide(mi, hr).alias("u_row_given_col"),
+            F.try_divide(mi, hc).alias("u_col_given_row"),
+        )
+    )
+
+
+SQL_MUTUAL_INFORMATION = """
+    WITH cells AS (
+        SELECT c_mktsegment, o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1, 2
+    ), row_m AS (
+        SELECT c_mktsegment, CAST(SUM(n) AS BIGINT) AS row_tot
+        FROM cells GROUP BY 1
+    ), col_m AS (
+        SELECT o_orderpriority, CAST(SUM(n) AS BIGINT) AS col_tot
+        FROM cells GROUP BY 1
+    ), joined AS (
+        SELECT n, row_tot, col_tot
+        FROM cells JOIN row_m USING (c_mktsegment)
+        JOIN col_m USING (o_orderpriority)
+    ), totals AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS n_total,
+               CAST(COUNT(*) AS BIGINT) AS n_cells
+        FROM joined
+    ), mi_sum AS (
+        SELECT n_total, n_cells,
+               CAST(SUM(n * CAST(ln(CAST(n AS DOUBLE)
+                                    * CAST(n_total AS DOUBLE)
+                                    / (CAST(row_tot AS DOUBLE)
+                                       * CAST(col_tot AS DOUBLE)))
+                                 AS DECIMAL(38,6))) AS DOUBLE) AS mi_num
+        FROM joined CROSS JOIN totals
+        GROUP BY n_total, n_cells
+    ), hr AS (
+        SELECT CAST(SUM(row_tot * CAST(ln(CAST(n_total AS DOUBLE)
+                                          / CAST(row_tot AS DOUBLE))
+                                       AS DECIMAL(38,6))) AS DOUBLE)
+                   AS h_row_num
+        FROM row_m CROSS JOIN totals
+    ), hc AS (
+        SELECT CAST(SUM(col_tot * CAST(ln(CAST(n_total AS DOUBLE)
+                                          / CAST(col_tot AS DOUBLE))
+                                       AS DECIMAL(38,6))) AS DOUBLE)
+                   AS h_col_num
+        FROM col_m CROSS JOIN totals
+    )
+    SELECT n_total, n_cells,
+           mi_num / CAST(n_total AS DOUBLE) AS mi_nats,
+           h_row_num / CAST(n_total AS DOUBLE) AS h_row,
+           h_col_num / CAST(n_total AS DOUBLE) AS h_col,
+           (mi_num / CAST(n_total AS DOUBLE))
+               / NULLIF(h_row_num / CAST(n_total AS DOUBLE), 0.0)
+               AS u_row_given_col,
+           (mi_num / CAST(n_total AS DOUBLE))
+               / NULLIF(h_col_num / CAST(n_total AS DOUBLE), 0.0)
+               AS u_col_given_row
+    FROM mi_sum CROSS JOIN hr CROSS JOIN hc
+"""
+
+
+# --- bloom_join_audit (round-10 sixth wave) ---------------------------------------
+
+
+def q_bloom_join_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-filter audit — the measured version of the bloom-filter
+    join pruning Spark's runtime filters / DPP perform: build a fixed
+    8 KB Bloom bitmap over the orderkeys of URGENT orders (the
+    selective build side), probe every lineitem row, and report the
+    pass count against the exact semi-join truth: false-positive rate
+    and the scan-reduction the filter would buy. One row; no false
+    negatives by construction (every matching key probes only set
+    bits), so n_pass >= n_match always — pinned in tests.
+
+    Determinism: the bitmap reuses dedup's portable md5-derived probe
+    positions (identical on both engines, collisions included); all
+    counts are exact integers; the two rates are single divisions.
+
+    Scale shape (100 TB): the build side aggregates to <= 1024
+    (word, bits) rows and densifies to ONE broadcast row — a fixed
+    8 KB ship however large the build side grows (decontaminate_bloom's
+    argument, applied to join pruning); the probe is pure row
+    arithmetic inside the lineitem scan; the exact semi-join runs once
+    as the audit's truth column."""
+    from .dedup import BLOOM_WORDS, _bloom_positions_exprs
+
+    urgent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").alias("k"))
+        .distinct()
+    )
+    h_sql = "conv(substring(md5(cast(k as string)), 1, 15), 16, 10)"
+    pos = _bloom_positions_exprs(f"cast({h_sql} as bigint)")
+    bits = (
+        urgent.select(
+            F.explode(
+                F.array(*[F.expr(f"cast(({p}) as long)") for p in pos])
+            ).alias("p")
+        )
+        .select(
+            (F.col("p") / 64).cast("long").alias("w"),
+            F.expr(
+                "shiftleft(cast(1 as bigint), cast(p % 64 as int))"
+            ).alias("m"),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(m)").alias("bits"))
+    )
+    bitmap = (
+        bits.groupBy()
+        .agg(
+            F.map_from_arrays(
+                F.collect_list("w"), F.collect_list("bits")
+            ).alias("wm")
+        )
+        .select(
+            F.expr(
+                f"transform(sequence(0, {BLOOM_WORDS - 1}), "
+                "j -> coalesce(wm[cast(j as bigint)], cast(0 as bigint)))"
+            ).alias("bm")
+        )
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k")
+    )
+    probes = " AND ".join(
+        f"(element_at(bm, cast(({p}) div 64 as int) + 1) & "
+        f"shiftleft(cast(1 as bigint), cast(({p}) % 64 as int))) != 0"
+        for p in pos
+    )
+    flagged = li.crossJoin(F.broadcast(bitmap)).select(
+        "k", F.expr(f"({probes})").alias("bloom_pass")
+    )
+    truth = flagged.join(
+        urgent.withColumnRenamed("k", "k2"),
+        F.col("k") == F.col("k2"),
+        "left",
+    ).select(
+        "bloom_pass", F.col("k2").isNotNull().alias("is_match")
+    )
+    n_build = urgent.agg(F.count(F.lit(1)).cast("long").alias("n_build"))
+    agg = truth.agg(
+        F.count(F.lit(1)).cast("long").alias("n_probe"),
+        F.sum(F.col("bloom_pass").cast("long")).cast("long").alias("n_pass"),
+        F.sum(F.col("is_match").cast("long")).cast("long").alias("n_match"),
+    )
+    return agg.crossJoin(F.broadcast(n_build)).select(
+        "n_build",
+        "n_probe",
+        "n_match",
+        "n_pass",
+        (F.col("n_pass") - F.col("n_match")).alias("n_false_pos"),
+        F.try_divide(
+            (F.col("n_pass") - F.col("n_match")).cast("double"),
+            (F.col("n_probe") - F.col("n_match")).cast("double"),
+        ).alias("fp_rate"),
+        (
+            F.col("n_pass").cast("double") / F.col("n_probe").cast("double")
+        ).alias("pass_rate"),
+    )
+
+
+def _build_sql_bloom_join_audit() -> str:
+    from .dedup import _bloom_positions_exprs
+
+    h = "(('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 15))::BIGINT)"
+    pos = [
+        p.replace(" div ", " // ") for p in _bloom_positions_exprs(h)
+    ]
+    probe = " AND ".join(
+        f"(({p}) IN (SELECT p FROM bits))" for p in pos
+    )
+    return f"""
+    WITH urgent AS (
+        SELECT DISTINCT o_orderkey AS k FROM orders
+        WHERE o_orderpriority = '1-URGENT'
+    ), bits AS (
+        SELECT DISTINCT p FROM (
+            SELECT unnest([{", ".join(pos)}]) AS p FROM urgent
+        )
+    ), probes AS (
+        SELECT l_orderkey AS k,
+               {probe} AS bloom_pass,
+               l_orderkey IN (SELECT k FROM urgent) AS is_match
+        FROM lineitem
+    ), nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_build FROM urgent),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_probe,
+               CAST(SUM(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_pass,
+               CAST(SUM(CASE WHEN is_match THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_match
+        FROM probes
+    )
+    SELECT n_build, n_probe, n_match, n_pass,
+           n_pass - n_match AS n_false_pos,
+           CAST(n_pass - n_match AS DOUBLE)
+               / NULLIF(CAST(n_probe - n_match AS DOUBLE), 0.0) AS fp_rate,
+           CAST(n_pass AS DOUBLE) / CAST(n_probe AS DOUBLE) AS pass_rate
+    FROM agg CROSS JOIN nb
+"""
+
+
+SQL_BLOOM_JOIN_AUDIT = _build_sql_bloom_join_audit()

@@ -597,3 +597,108 @@ def test_zonemap_audit_matches_python_replica(spark, sf_dir):
         assert r.prunable == (mx < lo or mn >= hi)
         total_rows += n
     assert total_rows == len(li)  # zone maps cover every row exactly once
+
+
+# --- winsorized_stats / mutual_information / bloom_join_audit (wave 6) ----------
+
+
+def test_winsorized_stats_matches_python_replica(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    rows = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .select("c_mktsegment", "o_orderkey", "o_totalprice")
+        .collect()
+    )
+    by_seg = {}
+    for r in rows:
+        by_seg.setdefault(r.c_mktsegment, []).append(
+            (r.o_totalprice, r.o_orderkey)
+        )
+    got = {
+        r.c_mktsegment: r
+        for r in _CATALOG["winsorized_stats"][0](spark, sf_dir).collect()
+    }
+    assert set(got) == set(by_seg)
+    for seg, vals in by_seg.items():
+        vals.sort()
+        n = len(vals)
+        lo_r = math.ceil(n * 5 / 100.0)
+        hi_r = math.ceil(n * 95 / 100.0)
+        lo_cut, hi_cut = vals[lo_r - 1][0], vals[hi_r - 1][0]
+        xs = [v for v, _ in vals]
+        r = got[seg]
+        assert r.n == n
+        assert r.lo_cut == lo_cut and r.hi_cut == hi_cut
+        assert abs(r.mean_raw - sum(xs) / n) < 1e-6
+        wins = [min(max(x, lo_cut), hi_cut) for x in xs]
+        assert abs(r.mean_winsor - sum(wins) / n) < 1e-6
+        inner = xs[lo_r:hi_r]
+        assert abs(r.mean_trimmed - sum(inner) / len(inner)) < 1e-6
+        # robustness ordering: winsorized/trimmed pull toward the middle
+        assert r.lo_cut <= r.mean_trimmed <= r.hi_cut
+
+
+def test_mutual_information_matches_python_and_bounds(spark, sf_dir):
+    cells = {
+        (r.c_mktsegment, r.o_orderpriority): r.n
+        for r in _CATALOG["chi2_independence"][0](spark, sf_dir).collect()
+    }
+    N = sum(cells.values())
+    row_tot, col_tot = {}, {}
+    for (s, p), n in cells.items():
+        row_tot[s] = row_tot.get(s, 0) + n
+        col_tot[p] = col_tot.get(p, 0) + n
+
+    def rln(x):  # decimal(38,6) round-trip ~ round half-up at 6dp
+        from decimal import Decimal, ROUND_HALF_UP
+
+        return float(
+            Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+        )
+
+    mi = (
+        sum(
+            n * rln(math.log(n * N / (row_tot[s] * col_tot[p])))
+            for (s, p), n in cells.items()
+        )
+        / N
+    )
+    h_row = sum(t * rln(math.log(N / t)) for t in row_tot.values()) / N
+    h_col = sum(t * rln(math.log(N / t)) for t in col_tot.values()) / N
+    r = _CATALOG["mutual_information"][0](spark, sf_dir).collect()[0]
+    assert r.n_total == N and r.n_cells == len(cells)
+    assert abs(r.mi_nats - mi) < 1e-6
+    assert abs(r.h_row - h_row) < 1e-6
+    assert abs(r.h_col - h_col) < 1e-6
+    # information-theory bounds: 0 <= MI <= min(H_row, H_col)
+    assert -1e-9 <= r.mi_nats <= min(r.h_row, r.h_col) + 1e-9
+    assert abs(r.u_row_given_col - r.mi_nats / r.h_row) < 1e-12
+    assert abs(r.u_col_given_row - r.mi_nats / r.h_col) < 1e-12
+
+
+def test_bloom_join_audit_no_false_negatives(spark, sf_dir):
+    """The invariant the oracle twin shares and therefore cannot check
+    alone: n_pass >= n_match (no false negatives), counts conserve
+    against direct recounts, and the derived rates recompute."""
+    r = _CATALOG["bloom_join_audit"][0](spark, sf_dir).collect()[0]
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    urgent = {
+        x.o_orderkey
+        for x in orders.filter("o_orderpriority = '1-URGENT'")
+        .select("o_orderkey")
+        .collect()
+    }
+    keys = [x.l_orderkey for x in li.select("l_orderkey").collect()]
+    assert r.n_build == len(urgent)
+    assert r.n_probe == len(keys)
+    assert r.n_match == sum(1 for k in keys if k in urgent)
+    assert r.n_pass >= r.n_match  # one-sided error
+    assert r.n_false_pos == r.n_pass - r.n_match
+    assert abs(r.pass_rate - r.n_pass / r.n_probe) < 1e-12
+    if r.n_probe > r.n_match:
+        assert abs(
+            r.fp_rate - r.n_false_pos / (r.n_probe - r.n_match)
+        ) < 1e-12
+        assert r.fp_rate < 0.2  # an 8KB bitmap over this build side
