@@ -308,6 +308,9 @@ HEADLINE = (
     "ewma_anomaly",
     "chi2_independence",
     "zonemap_prune_audit",
+    "winsorized_stats",
+    "mutual_information",
+    "bloom_join_audit",
 )
 
 
