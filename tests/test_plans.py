@@ -71,6 +71,7 @@ def test_no_python_udfs_in_oracle_tier(spark, sf_dir):
         "asset_codec_meta",  # real BMP/WAV codecs ride mapInPandas by design
         "asset_png_meta",  # real PNG full decode, mapInPandas by design
         "asset_quality_screen",  # decode-validate screen, same codec tier
+        "asset_gif_meta",  # real GIF/LZW full decode, mapInPandas by design
         "udaf_median",
         "grouped_map_norm",
         # per-query greedy re-rank is grouped-local by nature; every
