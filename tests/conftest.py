@@ -21,3 +21,23 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
     return SF_DIR
+
+
+@pytest.fixture(scope="session")
+def catalog_dfs(spark, sf_dir):
+    """Every catalog entry's DataFrame, built ONCE per session and
+    shared by the catalog-wide structural audits (plan/UDF audit,
+    topology coverage, window schema guard). Building 240+ plans costs
+    ~40 s; before this fixture each audit paid it separately (r10
+    rebalance — the r8 ask-#8 ten-minute pytest line). sink_parquet is
+    excluded: building a sink executes its write (documented contract
+    exception in operators/sinks.py)."""
+    from lenses_topology_example_spark.catalog import _CATALOG
+    from lenses_topology_example_spark.conf import ensure_runtime_confs
+
+    ensure_runtime_confs(spark)
+    return {
+        name: fn(spark, sf_dir)
+        for name, (fn, _sql) in _CATALOG.items()
+        if name != "sink_parquet"
+    }

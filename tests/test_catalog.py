@@ -82,20 +82,16 @@ def test_window_oracles_emit_driver_hashable_types(sf_dir):
     assert not bad, bad
 
 
-def test_window_queries_emit_scalar_columns(spark, sf_dir):
+def test_window_queries_emit_scalar_columns(catalog_dfs):
     """Spark-side twin of the oracle type guard: no in-window query may
     return an array/map/struct column — the driver comparator cannot
-    canonicalize them (`unhashable type: numpy.ndarray`). Builds each
-    plan's schema only; catalog entries that execute on build
-    (dedup_cluster fixpoint, sink_parquet) still run at sf0.001 cost."""
+    canonicalize them (`unhashable type: numpy.ndarray`). Schemas come
+    from the shared session fixture's already-built plans."""
     from pyspark.sql.types import ArrayType, MapType, StructType
 
-    from lenses_topology_example_spark import catalog
-
-    qs = catalog.queries()
     bad = []
     for name in DRIVER_WINDOW:
-        schema = qs[name](spark, sf_dir).schema
+        schema = catalog_dfs[name].schema
         for f in schema.fields:
             if isinstance(f.dataType, (ArrayType, MapType, StructType)):
                 bad.append(f"{name}.{f.name}: {f.dataType.simpleString()}")

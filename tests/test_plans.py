@@ -60,7 +60,7 @@ def test_wordcount_is_native_explode(spark, sf_dir):
     assert "MapElements" not in plan
 
 
-def test_no_python_udfs_in_oracle_tier(spark, sf_dir):
+def test_no_python_udfs_in_oracle_tier(catalog_dfs):
     """Every oracle-checked query except the multimodal decode plumbing
     must plan without Python evaluation (BatchEvalPython/ArrowEvalPython/
     MapInPandas) — the hot path stays JVM-side."""
@@ -88,9 +88,9 @@ def test_no_python_udfs_in_oracle_tier(spark, sf_dir):
     py_offenders = []
     cart_offenders = []
     for name, (fn, sql) in _CATALOG.items():
-        if sql is None:
+        if sql is None or name not in catalog_dfs:
             continue
-        df = fn(spark, sf_dir)
+        df = catalog_dfs[name]
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
             df.explain("formatted")

@@ -38,18 +38,14 @@ def test_dag_edges_are_consistent(spark, sf_dir):
     assert json.loads(topology_json(q_payments_pipeline(spark, sf_dir)))
 
 
-def test_topology_covers_every_catalog_query(spark, sf_dir):
+def test_topology_covers_every_catalog_query(catalog_dfs):
     """The DAG exporter must handle every plan shape the engine produces
     (the reference publishes a topology for every running app — ours is
     derived, so it must never fail on a real plan). Plan-analysis only,
-    nothing executes."""
-    from lenses_topology_example_spark.catalog import _CATALOG
-
-    for name, (fn, _sql) in _CATALOG.items():
-        if name == "sink_parquet":
-            continue  # building a sink executes its write (documented
-            # contract exception in operators/sinks.py) — not plan-only
-        topo = topology_of(fn(spark, sf_dir), name)
+    nothing executes; the DataFrames come from the shared session
+    fixture (sink_parquet excluded there)."""
+    for name, df in catalog_dfs.items():
+        topo = topology_of(df, name)
         assert topo["nodes"], f"{name}: empty DAG"
         ids = {n["id"] for n in topo["nodes"]}
         for n in topo["nodes"]:
