@@ -445,3 +445,54 @@ def test_kmeans_elbow_one_scored_frame(spark, sf_dir):
     plan = _formatted_plan(spark, sf_dir, "kmeans_elbow")
     assert len(re.findall(r"BroadcastNestedLoopJoin Cross BuildRight", plan)) == 1
     assert "CartesianProduct" not in plan
+
+
+def _plan_of(catalog_dfs, name: str) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        catalog_dfs[name].explain("formatted")
+    return buf.getvalue()
+
+
+def test_pareto_frontier_window_is_partitioned(catalog_dfs):
+    """The skyline's running-min window must partition by p_type (no
+    global sort) and sit above the per-price grouped frame — the
+    O(n log n) shape that replaces the dominance self-join."""
+    plan = _plan_of(catalog_dfs, "pareto_frontier")
+    assert "Window" in plan, plan
+    m = re.search(r"Arguments: .*partitionspec=\[p_type", plan) or re.search(
+        r"\[p_type\S* ASC NULLS FIRST, p_retailprice", plan
+    ) or re.search(r"partition.*p_type", plan, re.I)
+    assert m, plan
+
+
+def test_survival_curve_window_above_aggregate(catalog_dfs):
+    """The at-risk cumulative window is the documented tiny-frame class:
+    it must sit ABOVE the per-duration aggregate (|distinct durations|
+    rows), never over raw orders — pinned like order_backlog."""
+    plan = _plan_of(catalog_dfs, "survival_curve")
+    # the per-customer rank window partitions by custkey; only the
+    # bounded at-risk window is unpartitioned, and the plan must show
+    # HashAggregate feeding it (the per-time collapse)
+    assert len(re.findall(r"HashAggregate", plan)) >= 2, plan
+    assert "Window" in plan, plan
+
+
+def test_zonemap_audit_single_agg_no_join(catalog_dfs):
+    """zonemap_prune_audit is ONE map-side-combinable aggregate: no
+    joins, no windows, exactly one exchange (the zone-map build)."""
+    plan = _plan_of(catalog_dfs, "zonemap_prune_audit")
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+    # the agg exchange + the output-order range exchange, nothing else
+    assert len(_exchange_ids(plan)) == 2, plan
+    assert len(re.findall(r"HashAggregate", plan)) >= 2, plan  # partial+final
+
+
+def test_bloom_join_audit_broadcasts_fixed_bitmap(catalog_dfs):
+    """The probe side must see the bitmap as a 1-row BROADCAST (the
+    fixed-8KB ship) and the lineitem scan must read ONLY l_orderkey."""
+    plan = _plan_of(catalog_dfs, "bloom_join_audit")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    m = re.search(r"ReadSchema: struct<l_orderkey:bigint>", plan)
+    assert m, plan
