@@ -311,6 +311,13 @@ HEADLINE = (
     "winsorized_stats",
     "mutual_information",
     "bloom_join_audit",
+    # round-10 wave 7. ks_drift and gains_curve each add DELIBERATE
+    # unpartitioned windows of the documented tiny-frame class (their
+    # cumulative sums run over <=1000-row score-grid aggregates);
+    # survival_curve's is noted above.
+    "ks_drift",
+    "quantile_normalize",
+    "gains_curve",
 )
 
 

@@ -714,6 +714,16 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
         analytics.q_bloom_join_audit,
         analytics.SQL_BLOOM_JOIN_AUDIT,
     ),
+    # seventh round-10 wave (same past-window protocol): grid-KS drift
+    # verdict, uniform quantile normalization, and the cumulative
+    # gains/lift curve (plus engine infra registered with it: the
+    # streaming EWMA control-chart twin)
+    "ks_drift": (quality.q_ks_drift, quality.SQL_KS_DRIFT),
+    "quantile_normalize": (
+        analytics.q_quantile_normalize,
+        analytics.SQL_QUANTILE_NORMALIZE,
+    ),
+    "gains_curve": (analytics.q_gains_curve, analytics.SQL_GAINS_CURVE),
 }
 
 # The driver evaluates only the first DRIVER_WINDOW_SIZE catalog entries

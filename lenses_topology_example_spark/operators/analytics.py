@@ -1514,3 +1514,154 @@ def _build_sql_bloom_join_audit() -> str:
 
 
 SQL_BLOOM_JOIN_AUDIT = _build_sql_bloom_join_audit()
+
+
+# --- quantile_normalize (round-10 seventh wave) -----------------------------------
+
+
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source uniform quantile normalization of document length —
+    the rank-based feature transform (q = (rank − 0.5)/n under the
+    (n_chars, doc_id) total order) that makes a heavy-tailed raw
+    feature comparable across sources with different length regimes;
+    the standard preprocessing before cross-source thresholds are
+    applied (and the uniform half of inverse-normal transforms,
+    emitted without the probit so no libm exists anywhere).
+
+    Determinism: ranks and counts are exact integers under a total
+    order; q is one exact-integer double expression per row.
+
+    Scale shape (100 TB): ONE rank window partitioned by source (the
+    exact-percentile cost class, subsample-first at extreme scale);
+    zero joins."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    w_rank = W.partitionBy("source").orderBy("n_chars", "doc_id")
+    w_src = W.partitionBy("source")
+    return docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        (
+            (F.row_number().over(w_rank).cast("double") - F.lit(0.5))
+            / F.count(F.lit(1)).over(w_src).cast("double")
+        ).alias("q_uniform"),
+    ).orderBy("doc_id")
+
+
+SQL_QUANTILE_NORMALIZE = """
+    SELECT doc_id, source, n_chars,
+           (CAST(ROW_NUMBER() OVER (PARTITION BY source
+                                    ORDER BY n_chars, doc_id) AS DOUBLE)
+            - 0.5)
+           / CAST(COUNT(*) OVER (PARTITION BY source) AS DOUBLE)
+               AS q_uniform
+    FROM documents
+    ORDER BY doc_id
+"""
+
+
+# --- gains_curve (round-10 seventh wave) --------------------------------------------
+
+GAINS_GRID = 1000
+
+
+def q_gains_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gains / lift curve for the calibration probe's score
+    against the binary label, evaluated on a fixed 1000-point score
+    quantization (descending): per occupied score cell, the population
+    and positives it contains, the cumulative population/positive
+    shares down the ranking, and the cumulative lift — the
+    marketing-score readout (who do I contact first and what do I
+    capture) that auc_report's single number summarizes and
+    calibration_bins' probability view ignores. The grid (rather than
+    population NTILE deciles) keeps every frame BOUNDED: a global
+    population ranking is the one shape this engine refuses at 100 TB
+    (the ks_drift compromise, stated there).
+
+    Determinism: the score is the shared 6dp-rounded sigmoid probe
+    (calibration_bins); cells are floor on identical doubles; all
+    cumulative quantities are exact-int window sums over the ≤1000-row
+    cell frame; shares and lift are single double expressions.
+
+    Scale shape (100 TB): one scan to (cell, y), ONE bounded
+    aggregate, windows over ≤1000 rows."""
+    wts = F.array(*[F.lit(w) for w in CALIB_WEIGHTS])
+    z = dot(as_double(F.col("embedding")), wts)
+    s = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    scored = load_table(spark, sf_dir, "embeddings").select(
+        F.least(
+            F.floor(s * GAINS_GRID).cast("int"), F.lit(GAINS_GRID - 1)
+        ).alias("cell"),
+        (F.col("label") % 2).cast("long").alias("y"),
+    )
+    cells = scored.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("n_pos"),
+    )
+    w_cum = W.orderBy(F.col("cell").desc()).rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    w_all = W.partitionBy()
+    staged = cells.select(
+        "cell",
+        "n",
+        "n_pos",
+        F.sum("n").over(w_cum).alias("cum_n"),
+        F.sum("n_pos").over(w_cum).alias("cum_pos"),
+        F.sum("n").over(w_all).alias("n_tot"),
+        F.sum("n_pos").over(w_all).alias("pos_tot"),
+    )
+    cum_share_pop = F.col("cum_n").cast("double") / F.col("n_tot").cast(
+        "double"
+    )
+    cum_share_pos = F.try_divide(
+        F.col("cum_pos").cast("double"), F.col("pos_tot").cast("double")
+    )
+    return staged.select(
+        "cell",
+        "n",
+        "n_pos",
+        cum_share_pop.alias("cum_share_pop"),
+        cum_share_pos.alias("cum_share_pos"),
+        F.try_divide(cum_share_pos, cum_share_pop).alias("cum_lift"),
+    ).orderBy(F.col("cell").desc())
+
+
+_GAINS_WLIST = "[" + ", ".join(repr(w) for w in CALIB_WEIGHTS) + "]"
+
+SQL_GAINS_CURVE = f"""
+    WITH scored AS (
+        SELECT LEAST(CAST(FLOOR(round(1.0 / (1.0 + exp(
+                   -{sql_dot('list_transform(embedding, e -> CAST(e AS DOUBLE))', _GAINS_WLIST)}
+               )), 6) * {GAINS_GRID}) AS INTEGER),
+               {GAINS_GRID - 1}) AS cell,
+               CAST(label % 2 AS BIGINT) AS y
+        FROM embeddings
+    ), cells AS (
+        SELECT cell, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS n_pos
+        FROM scored GROUP BY cell
+    ), staged AS (
+        SELECT cell, n, n_pos,
+               SUM(n) OVER (ORDER BY cell DESC
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS cum_n,
+               SUM(n_pos) OVER (ORDER BY cell DESC
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS cum_pos,
+               SUM(n) OVER () AS n_tot,
+               SUM(n_pos) OVER () AS pos_tot
+        FROM cells
+    )
+    SELECT cell, n, n_pos,
+           CAST(cum_n AS DOUBLE) / CAST(n_tot AS DOUBLE) AS cum_share_pop,
+           CAST(cum_pos AS DOUBLE)
+               / NULLIF(CAST(pos_tot AS DOUBLE), 0.0) AS cum_share_pos,
+           (CAST(cum_pos AS DOUBLE) / NULLIF(CAST(pos_tot AS DOUBLE), 0.0))
+               / (CAST(cum_n AS DOUBLE) / CAST(n_tot AS DOUBLE))
+               AS cum_lift
+    FROM staged
+    ORDER BY cell DESC
+"""

@@ -869,3 +869,140 @@ SQL_DRIFT_PSI = f"""
     FROM tot
     ORDER BY bin
 """
+
+
+# --- two-sample KS drift test (round 10) ----------------------------------------
+
+KS_GRID = 1000
+# Two-sided alpha=0.05 asymptotic coefficient c(alpha)=sqrt(-ln(a/2)/2),
+# Python-computed literal shared by both engines (the BENFORD_SHARES
+# no-query-time-constant-math rule).
+KS_C_05 = 1.3581015157406195
+
+
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift test over the quality-score
+    distribution, base vs batch (the same md5-parity slices as
+    drift_psi): D = max |F_base − F_batch| with the asymptotic 5%
+    critical value c·sqrt((n+m)/(nm)) — the distribution-shape monitor
+    PSI's fixed deciles cannot match (KS sees a shift anywhere on the
+    CDF, not just across bin edges). One-row verdict report.
+
+    Exactness note: the CDFs are evaluated on a fixed 1000-point score
+    quantization (floor(q·1000), the PSI binning rule at 100× finer
+    grain) — the grid makes the cumulative frame BOUNDED at any corpus
+    size and caps the statistic's error at 1/1000, the standard
+    streaming/scalable KS compromise. Exact KS needs a global sort of
+    raw scores, which is the one shape this engine refuses at 100 TB.
+
+    Determinism: grid cells are floor on identical doubles; counts are
+    exact ints; each |ΔF| is one double expression of exact ints; MAX
+    is order-free; sqrt is IEEE-exact; the critical coefficient is a
+    shared Python literal. NULL-quality docs (empty text) drop on both
+    engines identically.
+
+    Scale shape (100 TB): one scan to (parity, cell), ONE
+    KS_GRID-bounded aggregate, cumulative windows over ≤1000 rows, a
+    1-row max."""
+    from pyspark.sql import Window as W
+
+    from .text import quality_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = quality_components(F.col("text"))["quality"]
+    binned = docs.select(
+        (md5_hash64(F.col("doc_id").cast("string")) % 2).alias("p"),
+        F.least(
+            F.floor(q * F.lit(float(KS_GRID))), F.lit(KS_GRID - 1)
+        )
+        .cast("int")
+        .alias("cell"),
+    ).filter(F.col("cell").isNotNull())
+    cells = binned.groupBy("cell").agg(
+        F.sum((F.col("p") == 0).cast("long")).alias("a"),
+        F.sum((F.col("p") == 1).cast("long")).alias("b"),
+    )
+    w_cum = W.orderBy("cell").rowsBetween(W.unboundedPreceding, 0)
+    w_all = W.partitionBy()
+    staged = cells.select(
+        F.sum("a").over(w_cum).alias("ca"),
+        F.sum("b").over(w_cum).alias("cb"),
+        F.sum("a").over(w_all).alias("na"),
+        F.sum("b").over(w_all).alias("nb"),
+    )
+    d_row = F.abs(
+        F.try_divide(F.col("ca").cast("double"), F.col("na").cast("double"))
+        - F.try_divide(F.col("cb").cast("double"), F.col("nb").cast("double"))
+    )
+    agg = staged.select(
+        d_row.alias("d"), "na", "nb"
+    ).groupBy("na", "nb").agg(F.max("d").alias("d_stat"))
+    crit = F.lit(KS_C_05) * F.sqrt(
+        (F.col("na") + F.col("nb")).cast("double")
+        / (F.col("na").cast("double") * F.col("nb").cast("double"))
+    )
+    return agg.select(
+        F.col("na").cast("long").alias("n_base"),
+        F.col("nb").cast("long").alias("n_batch"),
+        "d_stat",
+        crit.alias("critical_05"),
+        (F.col("d_stat") > crit).alias("drifted"),
+    )
+
+
+SQL_KS_DRIFT = f"""
+    WITH t AS (SELECT doc_id, text, {{toks}} AS toks FROM documents),
+    q AS (
+        SELECT (({{parity}}) % 2) AS p,
+               {{quality}} AS quality
+        FROM t
+    ), binned AS (
+        SELECT p,
+               CAST(LEAST(floor(quality * {float(KS_GRID)!r}),
+                          {KS_GRID - 1}) AS INTEGER) AS cell
+        FROM q WHERE quality IS NOT NULL
+    ), cells AS (
+        SELECT cell,
+               CAST(SUM(CASE WHEN p = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+               CAST(SUM(CASE WHEN p = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b
+        FROM binned GROUP BY cell
+    ), staged AS (
+        SELECT SUM(a) OVER (ORDER BY cell
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS ca,
+               SUM(b) OVER (ORDER BY cell
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS cb,
+               SUM(a) OVER () AS na,
+               SUM(b) OVER () AS nb
+        FROM cells
+    ), agg AS (
+        SELECT na, nb,
+               MAX(ABS(CAST(ca AS DOUBLE) / NULLIF(CAST(na AS DOUBLE), 0.0)
+                       - CAST(cb AS DOUBLE)
+                         / NULLIF(CAST(nb AS DOUBLE), 0.0))) AS d_stat
+        FROM staged GROUP BY na, nb
+    )
+    SELECT CAST(na AS BIGINT) AS n_base,
+           CAST(nb AS BIGINT) AS n_batch,
+           d_stat,
+           {KS_C_05!r} * SQRT(CAST(na + nb AS DOUBLE)
+                              / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)))
+               AS critical_05,
+           d_stat > {KS_C_05!r} * SQRT(CAST(na + nb AS DOUBLE)
+                    / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))) AS drifted
+    FROM agg
+"""
+
+
+def _finalize_sql_ks_drift() -> str:
+    from .text import _sql_quality_expr
+
+    return SQL_KS_DRIFT.format(
+        toks=SQL_TOKS,
+        parity=_SQL_PSI_PARITY,
+        quality=_sql_quality_expr("text", "toks"),
+    )
+
+
+SQL_KS_DRIFT = _finalize_sql_ks_drift()

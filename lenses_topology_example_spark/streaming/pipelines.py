@@ -1369,3 +1369,105 @@ def streaming_value_bins(events: DataFrame, bounds: DataFrame) -> DataFrame:
         "event_type", F.col("value").cast("double").alias("x")
     )
     return value_bin_counts(ev, bounds)
+
+
+# --- streaming EWMA control chart (round 10) ----------------------------------
+
+
+def streaming_ewma_forecast(events: DataFrame) -> DataFrame:
+    """Per-event-type EWMA control chart with keyed state — the
+    streaming face of operators/windows.q_ewma_anomaly. State is ONE
+    row per event type (the day being accumulated, its running count,
+    and the EWMA of all COMPLETED days), so the store is
+    |event types|-bounded however long the stream runs. A day is
+    folded and its chart row EMITTED only when a later day's first
+    arrival proves it complete — the same close-on-advance discipline
+    as any daily-rollup stream; the in-flight day emits nothing (the
+    batch operator's last day therefore has no streamed twin row, the
+    documented boundary, mirrored in the parity test).
+
+    Determinism contract: arrivals reach each type in day order
+    (replayed logs); the recurrence 0.2·n + 0.8·ewma and the Poisson
+    band 3·sqrt(forecast) run the IDENTICAL IEEE sequence as the batch
+    fold, so parity is exact equality."""
+    import math
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..operators.windows import EWMA_ALPHA, EWMA_POISSON_Z
+
+    def update(key, pdfs, state):
+        if state.exists:
+            cur_day, cur_n, ewma, has_ewma = state.get
+        else:
+            cur_day, cur_n, ewma, has_ewma = None, 0, 0.0, False
+        out = {c: [] for c in ("day", "n", "ewma_forecast", "resid", "flagged")}
+
+        def close_day(day, n):
+            nonlocal ewma, has_ewma
+            if has_ewma:
+                forecast = ewma
+                resid = float(n) - forecast
+                out["day"].append(
+                    pd.Timestamp(day, unit="D").strftime("%Y-%m-%d")
+                )
+                out["n"].append(int(n))
+                out["ewma_forecast"].append(forecast)
+                out["resid"].append(resid)
+                out["flagged"].append(
+                    abs(resid) > EWMA_POISSON_Z * math.sqrt(forecast)
+                )
+                ewma = EWMA_ALPHA * float(n) + (1.0 - EWMA_ALPHA) * ewma
+            else:
+                ewma = float(n)
+                has_ewma = True
+
+        pdf = pd.concat(list(pdfs)).sort_values("ts")
+        days = (
+            pdf["ts"].astype("datetime64[ns]").astype("int64")
+            // 86_400_000_000_000
+        )
+        for d in days:
+            d = int(d)
+            if cur_day is None:
+                cur_day, cur_n = d, 1
+            elif d == cur_day:
+                cur_n += 1
+            else:
+                close_day(cur_day, cur_n)
+                cur_day, cur_n = d, 1
+        state.update((cur_day, cur_n, ewma, has_ewma))
+        yield pd.DataFrame(
+            {"event_type": [key[0]] * len(out["day"]), **out}
+        )
+
+    return events.select("event_type", "ts").groupBy(
+        "event_type"
+    ).applyInPandasWithState(
+        update,
+        outputStructType=(
+            "event_type string, day string, n long, "
+            "ewma_forecast double, resid double, flagged boolean"
+        ),
+        stateStructType=(
+            "cur_day long, cur_n long, ewma double, has_ewma boolean"
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def start_ewma_stream(
+    events: DataFrame, out_path: str, checkpoint: str
+) -> StreamingQuery:
+    """Append the per-completed-day chart rows to parquet — consumers
+    read the same columns the batch operator emits."""
+    return (
+        streaming_ewma_forecast(events)
+        .writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+    )

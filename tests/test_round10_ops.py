@@ -702,3 +702,148 @@ def test_bloom_join_audit_no_false_negatives(spark, sf_dir):
             r.fp_rate - r.n_false_pos / (r.n_probe - r.n_match)
         ) < 1e-12
         assert r.fp_rate < 0.2  # an 8KB bitmap over this build side
+
+
+# --- streaming EWMA twin (wave 7 infra) -------------------------------------------
+
+
+def test_streaming_ewma_matches_batch(spark, sf_dir, tmp_path):
+    """The streamed per-completed-day chart rows must equal the batch
+    operator's rows for every day except each type's LAST (in-flight,
+    never closed) — exact equality, including across micro-batch
+    boundaries (maxFilesPerTrigger=1 forces the state to carry days
+    over batches)."""
+    from lenses_topology_example_spark.streaming.pipelines import (
+        streaming_ewma_forecast,
+    )
+    from lenses_topology_example_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts")
+    # two files split by time so the second batch continues the state
+    split = ev.selectExpr("CAST(ts AS DATE) AS d").agg(
+        {"d": "max"}
+    ).collect()[0][0]
+    import datetime
+
+    mid = split - datetime.timedelta(days=30)
+    src = tmp_path / "ewma_src"
+    ev.filter(f"CAST(ts AS DATE) <= '{mid}'").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(src / "a"))
+    ev.filter(f"CAST(ts AS DATE) > '{mid}'").coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src / "a"))
+
+    stream = (
+        spark.readStream.schema("event_type string, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "a"))
+    )
+    q = (
+        streaming_ewma_forecast(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ewma_stream_test")
+        .option("checkpointLocation", str(tmp_path / "ewma_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = {
+        (r.event_type, r.day): (r.n, r.ewma_forecast, r.resid, r.flagged)
+        for r in spark.sql("SELECT * FROM ewma_stream_test").collect()
+    }
+    batch_rows = _CATALOG["ewma_anomaly"][0](spark, sf_dir).collect()
+    last_day = {}
+    for r in batch_rows:
+        last_day[r.event_type] = max(last_day.get(r.event_type, ""), r.day)
+    want = {
+        (r.event_type, r.day): (r.n, r.ewma_forecast, r.resid, r.flagged)
+        for r in batch_rows
+        if r.day != last_day[r.event_type]
+    }
+    assert streamed == want
+
+
+# --- ks_drift / quantile_normalize / gains_curve (wave 7) -------------------------
+
+
+def test_ks_drift_matches_python_grid_ks(spark, sf_dir):
+    from lenses_topology_example_spark.functions.texthash import md5_hash64
+    from lenses_topology_example_spark.operators.quality import (
+        KS_C_05,
+        KS_GRID,
+    )
+    from lenses_topology_example_spark.operators.text import (
+        quality_components,
+    )
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = quality_components(F.col("text"))["quality"]
+    rows = docs.select(
+        (md5_hash64(F.col("doc_id").cast("string")) % 2).alias("p"),
+        q.alias("q"),
+    ).collect()
+    a, b = {}, {}
+    for r in rows:
+        if r.q is None:
+            continue
+        cell = min(int(r.q * KS_GRID), KS_GRID - 1)
+        tgt = a if r.p == 0 else b
+        tgt[cell] = tgt.get(cell, 0) + 1
+    na, nb = sum(a.values()), sum(b.values())
+    ca = cb = 0
+    d = 0.0
+    for cell in sorted(set(a) | set(b)):
+        ca += a.get(cell, 0)
+        cb += b.get(cell, 0)
+        d = max(d, abs(ca / na - cb / nb))
+    r = _CATALOG["ks_drift"][0](spark, sf_dir).collect()[0]
+    assert (r.n_base, r.n_batch) == (na, nb)
+    assert abs(r.d_stat - d) < 1e-9
+    crit = KS_C_05 * ((na + nb) / (na * nb)) ** 0.5
+    assert abs(r.critical_05 - crit) < 1e-12
+    assert r.drifted == (d > crit)
+    assert 0.0 <= r.d_stat <= 1.0
+
+
+def test_quantile_normalize_is_uniform_within_source(spark, sf_dir):
+    rows = _CATALOG["quantile_normalize"][0](spark, sf_dir).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(len(v) for v in by_src.values()) == n_docs
+    for src, rs in by_src.items():
+        n = len(rs)
+        # the multiset of quantiles is exactly {(k-0.5)/n : k=1..n}
+        got = sorted(r.q_uniform for r in rs)
+        want = [(k - 0.5) / n for k in range(1, n + 1)]
+        assert all(abs(g - w) < 1e-12 for g, w in zip(got, want))
+        # monotone against the feature under the total order
+        rs2 = sorted(rs, key=lambda r: (r.n_chars, r.doc_id))
+        for x, y in zip(rs2, rs2[1:]):
+            assert x.q_uniform < y.q_uniform
+
+
+def test_gains_curve_accumulates_and_ends_at_one(spark, sf_dir):
+    rows = _CATALOG["gains_curve"][0](spark, sf_dir).collect()
+    # descending cells; cumulative shares are non-decreasing, end at 1
+    assert all(
+        a.cell > b.cell for a, b in zip(rows, rows[1:])
+    )
+    for a, b in zip(rows, rows[1:]):
+        assert b.cum_share_pop >= a.cum_share_pop - 1e-12
+        assert b.cum_share_pos >= a.cum_share_pos - 1e-12
+    assert abs(rows[-1].cum_share_pop - 1.0) < 1e-12
+    assert abs(rows[-1].cum_share_pos - 1.0) < 1e-12
+    assert abs(rows[-1].cum_lift - 1.0) < 1e-12
+    n = load_table(spark, sf_dir, "embeddings").count()
+    assert sum(r.n for r in rows) == n
+    # lift recomputes from the shares on every row
+    for r in rows:
+        if r.cum_share_pop > 0:
+            assert abs(r.cum_lift - r.cum_share_pos / r.cum_share_pop) < 1e-9
