@@ -724,6 +724,16 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
         analytics.SQL_QUANTILE_NORMALIZE,
     ),
     "gains_curve": (analytics.q_gains_curve, analytics.SQL_GAINS_CURVE),
+    # eighth round-10 wave (same past-window protocol): classical
+    # additive seasonal decomposition and exponential time-decay value
+    "seasonal_decompose": (
+        windows.q_seasonal_decompose,
+        windows.SQL_SEASONAL_DECOMPOSE,
+    ),
+    "decayed_revenue": (
+        windows.q_decayed_revenue,
+        windows.SQL_DECAYED_REVENUE,
+    ),
 }
 
 # The driver evaluates only the first DRIVER_WINDOW_SIZE catalog entries

@@ -2330,3 +2330,234 @@ SQL_EWMA_ANOMALY = f"""
     FROM folded, unnest(generate_series(2, len(rows))) AS u(i)
     ORDER BY event_type, day
 """
+
+
+# --- additive seasonal decomposition (round 10) ---------------------------------
+
+SEAS_MA = 13  # centered moving-average span (months), odd so no half-weights
+
+
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition of monthly revenue:
+    trend = 13-month centered moving average (NULL where the window is
+    incomplete), detrended = revenue − trend, seasonal = month-of-year
+    mean of the detrended values, residual = detrended − seasonal —
+    the decomposition (Macaulay/Census-method lineage) every
+    seasonality dashboard draws, where seasonality_profile shows only
+    the raw heatmap and holt_forecast only the level/trend. The odd
+    13-month span avoids the 2×12 half-weight endpoints; documented
+    simplification.
+
+    Determinism: monthly revenue is DECIMAL(38,6)-exact; the MA is a
+    window SUM of those decimals (exact in any order) divided once;
+    detrended doubles re-enter decimal before the seasonal mean (the
+    embed-tier discipline); residual is one subtraction of
+    identically-derived doubles.
+
+    Scale shape (100 TB): one scan collapses to the |months| frame
+    map-side; every window (centered MA, month-of-year means via a
+    12-row broadcast join-back) runs on that bounded reporting frame
+    — the documented tiny-frame unpartitioned-window class."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.trunc(F.to_date("o_orderdate"), "month").alias("m"),
+        "o_totalprice",
+    )
+    monthly = orders.groupBy("m").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("rev_dec")
+    )
+    half = (SEAS_MA - 1) // 2
+    w_ma = Window.orderBy("m").rowsBetween(-half, half)
+    framed = monthly.select(
+        "m",
+        F.col("rev_dec").cast("double").alias("revenue"),
+        F.when(
+            F.count(F.lit(1)).over(w_ma) == SEAS_MA,
+            F.sum("rev_dec").over(w_ma).cast("double") / F.lit(float(SEAS_MA)),
+        ).alias("trend"),
+    ).withColumn("detrended", F.col("revenue") - F.col("trend"))
+    seasonal = (
+        framed.filter(F.col("detrended").isNotNull())
+        .groupBy(F.month("m").alias("moy"))
+        .agg(
+            (
+                F.sum(F.col("detrended").cast("decimal(38,6)"))
+                .cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("seasonal")
+        )
+    )
+    return (
+        framed.join(
+            F.broadcast(seasonal), F.month("m") == F.col("moy"), "left"
+        )
+        .select(
+            F.date_format("m", "yyyy-MM").alias("month"),
+            "revenue",
+            "trend",
+            "detrended",
+            "seasonal",
+            (F.col("detrended") - F.col("seasonal")).alias("residual"),
+        )
+        .orderBy("month")
+    )
+
+
+SQL_SEASONAL_DECOMPOSE = f"""
+    WITH monthly AS (
+        SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS m,
+               SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS rev_dec
+        FROM orders GROUP BY 1
+    ), framed AS (
+        SELECT m,
+               CAST(rev_dec AS DOUBLE) AS revenue,
+               CASE WHEN COUNT(*) OVER w = {SEAS_MA}
+                    THEN CAST(SUM(rev_dec) OVER w AS DOUBLE)
+                         / {float(SEAS_MA)!r}
+               END AS trend
+        FROM monthly
+        WINDOW w AS (ORDER BY m ROWS BETWEEN {(SEAS_MA - 1) // 2} PRECEDING
+                                         AND {(SEAS_MA - 1) // 2} FOLLOWING)
+    ), det AS (
+        SELECT m, revenue, trend, revenue - trend AS detrended FROM framed
+    ), seasonal AS (
+        SELECT month(m) AS moy,
+               CAST(SUM(CAST(detrended AS DECIMAL(38,6))) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS seasonal
+        FROM det WHERE detrended IS NOT NULL GROUP BY 1
+    )
+    SELECT strftime(d.m, '%Y-%m') AS month,
+           d.revenue, d.trend, d.detrended, s.seasonal,
+           d.detrended - s.seasonal AS residual
+    FROM det d LEFT JOIN seasonal s ON month(d.m) = s.moy
+    ORDER BY month
+"""
+
+
+# --- exponential time-decay customer value (round 10) ----------------------------
+
+DECAY_HALF_LIFE_DAYS = 180.0
+DECAY_ANCHOR = "2002-01-01"  # the RFM reporting anchor
+# 0.5^(r/180) for r in 0..179 — Python literals shared by both engines
+DECAY_FRAC: list[float] = [
+    0.5 ** (r / DECAY_HALF_LIFE_DAYS) for r in range(int(DECAY_HALF_LIFE_DAYS))
+]
+
+
+def q_decayed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted revenue per market segment: each order
+    contributes price · 0.5^(age_days/180) at the fixed reporting
+    anchor — the exponential-decay customer-value weighting CRM
+    scoring uses where ltv_curve reports undecayed history and
+    rfm_segments only quartiles recency. Reports raw vs decayed
+    revenue and the decay ratio per segment.
+
+    Determinism: age is exact integer datediff; each pow(0.5, age/h)
+    round-trips DECIMAL(38,6) immediately (the temperature_mix libm
+    contract); the weighted contribution re-enters DECIMAL(38,6)
+    before the segment sum, so accumulation order cannot drift; ratios
+    are single divisions.
+
+    Scale shape (100 TB): orders joins the customer dimension on
+    custkey (AQE SMJ) and collapses map-side to |segments| rows —
+    one scan, one bounded aggregate, no windows."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    age = F.datediff(
+        F.lit(DECAY_ANCHOR).cast("date"), F.to_date("o_orderdate")
+    )
+    # NO query-time pow: 0.5^(age/180) factors as 2^-(age div 180)
+    # (an EXACT power of two via integer shiftleft + one exact
+    # division) times 0.5^(r/180) for r = age mod 180, whose 180
+    # possible values are PYTHON-COMPUTED literals shared verbatim
+    # with the oracle (the BENFORD_SHARES rule). Registration probing
+    # caught BOTH weaker forms: a w*price double hit a .xxxxxx5
+    # decimal boundary (corpus_report class), and query-time pow()
+    # itself diverged across libms at a 6dp midpoint among the ~2500
+    # distinct day ages. The weight double is now bit-identical by
+    # construction; it enters DECIMAL(9,6) once and multiplies the
+    # DECIMAL(12,2) price in exact decimal.
+    q_halves = F.floor(age / F.lit(int(DECAY_HALF_LIFE_DAYS))).cast("int")
+    r_days = age % F.lit(int(DECAY_HALF_LIFE_DAYS))
+    frac = F.element_at(
+        F.array(*[F.lit(v) for v in DECAY_FRAC]), r_days.cast("int") + 1
+    )
+    w_dec = (
+        frac
+        / F.expr("CAST(shiftleft(CAST(1 AS BIGINT), q_halves) AS DOUBLE)")
+    ).cast("decimal(9,6)")
+    joined = (
+        orders.join(cust, "o_custkey")
+        .withColumn("q_halves", q_halves)
+        .select(
+            "c_mktsegment",
+            "o_totalprice",
+            (w_dec * F.col("o_totalprice").cast("decimal(12,2)")).alias(
+                "wv"
+            ),
+        )
+    )
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("revenue_raw"),
+            # scale-4 re-round BEFORE the double cast: the scale-8 sum's
+            # integer units exceed 2^53, where DuckDB's int128-decimal ->
+            # double goes through TWO roundings (int->double, then /10^8)
+            # while Spark's BigDecimal rounds once — a real 1-ulp
+            # cross-engine divergence this wave's sf0.1 probe caught. At
+            # scale 4 the units fit in 2^53, so both engines round once.
+            F.sum("wv").cast("decimal(38,4)").cast("double")
+            .alias("revenue_decayed"),
+        )
+        .withColumn(
+            "decay_ratio",
+            F.try_divide(F.col("revenue_decayed"), F.col("revenue_raw")),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+SQL_DECAYED_REVENUE_TPL = f"""
+    WITH aged AS (
+        SELECT c_mktsegment, o_totalprice,
+               date_diff('day', CAST(o_orderdate AS DATE),
+                         DATE '{DECAY_ANCHOR}') AS age
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    ), joined AS (
+        SELECT c_mktsegment, o_totalprice,
+               CAST(({{frac_list}})[CAST(age % 180 AS INTEGER) + 1]
+                    / CAST((CAST(1 AS BIGINT)
+                            << CAST(age // 180 AS INTEGER)) AS DOUBLE)
+                    AS DECIMAL(9,6))
+               * CAST(o_totalprice AS DECIMAL(12,2)) AS wv
+        FROM aged
+    )
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+               AS revenue_raw,
+           -- explicit round(): DuckDB's decimal->decimal CAST truncates
+           -- where Spark's rounds HALF_UP
+           CAST(CAST(round(SUM(wv), 4) AS DECIMAL(38,4)) AS DOUBLE)
+               AS revenue_decayed,
+           CAST(CAST(round(SUM(wv), 4) AS DECIMAL(38,4)) AS DOUBLE)
+               / NULLIF(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
+                             AS DOUBLE), 0.0) AS decay_ratio
+    FROM joined
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+"""
+
+
+SQL_DECAYED_REVENUE = SQL_DECAYED_REVENUE_TPL.format(
+    frac_list="[" + ", ".join(repr(v) for v in DECAY_FRAC) + "]"
+)

@@ -847,3 +847,108 @@ def test_gains_curve_accumulates_and_ends_at_one(spark, sf_dir):
     for r in rows:
         if r.cum_share_pop > 0:
             assert abs(r.cum_lift - r.cum_share_pos / r.cum_share_pop) < 1e-9
+
+
+# --- seasonal_decompose / decayed_revenue (wave 8) --------------------------------
+
+
+def test_seasonal_decompose_matches_python(spark, sf_dir):
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+
+    monthly = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.trunc(F.to_date("o_orderdate"), "month").alias("m"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("r"))
+        .collect()
+    )
+    series = sorted((r.m, Decimal(r.r)) for r in monthly)
+    revs = [float(v) for _, v in series]
+    n = len(series)
+    trend = [None] * n
+    for i in range(6, n - 6):
+        trend[i] = float(sum(v for _, v in series[i - 6 : i + 7])) / 13.0
+    det = [
+        (revs[i] - trend[i]) if trend[i] is not None else None
+        for i in range(n)
+    ]
+    by_moy = defaultdict(list)
+    for i, (m, _) in enumerate(series):
+        if det[i] is not None:
+            by_moy[m.month].append(det[i])
+    seas = {k: sum(v) / len(v) for k, v in by_moy.items()}
+    got = {
+        r.month: r
+        for r in _CATALOG["seasonal_decompose"][0](spark, sf_dir).collect()
+    }
+    assert len(got) == n
+    for i, (m, _) in enumerate(series):
+        r = got[m.strftime("%Y-%m")]
+        assert abs(r.revenue - revs[i]) < 1e-6
+        if trend[i] is None:
+            assert r.trend is None and r.detrended is None
+        else:
+            assert abs(r.trend - trend[i]) < 1e-6
+            assert abs(r.detrended - det[i]) < 1e-6
+            if m.month in seas:
+                assert abs(r.seasonal - seas[m.month]) < 1e-4
+                assert abs(r.residual - (det[i] - r.seasonal)) < 1e-9
+    # additivity: revenue == trend + seasonal + residual where defined
+    for r in got.values():
+        if r.residual is not None:
+            assert (
+                abs(r.revenue - (r.trend + r.seasonal + r.residual)) < 1e-6
+            )
+
+
+def test_decayed_revenue_matches_python_and_bounds(spark, sf_dir):
+    from decimal import Decimal
+
+    from lenses_topology_example_spark.operators.windows import (
+        DECAY_ANCHOR,
+        DECAY_FRAC,
+    )
+    import datetime
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    rows = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .select("c_mktsegment", "o_orderdate", "o_totalprice")
+        .collect()
+    )
+    anchor = datetime.date.fromisoformat(DECAY_ANCHOR)
+    agg = {}
+    for r in rows:
+        age = (anchor - r.o_orderdate.date()).days
+        w = DECAY_FRAC[age % 180] / float(1 << (age // 180))
+        wd = Decimal(f"{w:.6f}") if False else None
+        # replicate decimal(9,6) HALF_UP of the exact double expansion
+        from decimal import ROUND_HALF_UP
+
+        wdec = Decimal(w).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+        wv = wdec * Decimal(f"{r.o_totalprice:.2f}")
+        n, raw, dec = agg.get(r.c_mktsegment, (0, Decimal(0), Decimal(0)))
+        agg[r.c_mktsegment] = (
+            n + 1,
+            raw + Decimal(f"{r.o_totalprice:.2f}"),
+            dec + wv,
+        )
+    got = {
+        r.c_mktsegment: r
+        for r in _CATALOG["decayed_revenue"][0](spark, sf_dir).collect()
+    }
+    assert set(got) == set(agg)
+    from decimal import ROUND_HALF_UP
+
+    for seg, (n, raw, dec) in agg.items():
+        r = got[seg]
+        assert r.n_orders == n
+        assert abs(r.revenue_raw - float(raw)) < 1e-6
+        dec4 = dec.quantize(Decimal("0.0001"), ROUND_HALF_UP)
+        assert abs(r.revenue_decayed - float(dec4)) < 1e-9
+        # decay strictly discounts: 0 < decayed < raw
+        assert 0.0 < r.revenue_decayed < r.revenue_raw
+        assert 0.0 < r.decay_ratio < 1.0
