@@ -318,6 +318,10 @@ HEADLINE = (
     "ks_drift",
     "quantile_normalize",
     "gains_curve",
+    # round-10 wave 8. seasonal_decompose's centered-MA and seasonal
+    # windows run over the |months| aggregate (tiny-frame class).
+    "seasonal_decompose",
+    "decayed_revenue",
 )
 
 
