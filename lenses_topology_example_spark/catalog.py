@@ -764,9 +764,15 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
 #
 # ROUND-11 ROTATION PLAN (write the new DRIVER_WINDOW from this once
 # CORRECTNESS_r10 lands; assuming the r10 window goes green):
-#   IN (priority): any round-10 past-window additions (registered after
-#     this window froze — see ROTATION.md round-10 waves) at the window
-#     head, then any r10 RED held in-window until it closes green.
+#   IN (priority): the eighteen round-10 wave-2..8 past-window
+#     additions at the window head, in registration order —
+#     target_encode, woe_iv, mad_outliers, copurchase_triangles,
+#     asset_gif_meta, survival_curve, negative_sampling_plan,
+#     ewma_anomaly, chi2_independence, zonemap_prune_audit,
+#     winsorized_stats, mutual_information, bloom_join_audit,
+#     ks_drift, quantile_normalize, gains_curve, seasonal_decompose,
+#     decayed_revenue — then any round-11 additions, then any r10 RED
+#     held in-window until it closes green.
 #   IN (re-checks, oldest-verdict-first): the r3 block (audio_features,
 #     frame_sample, image_features, image_resize, moving_avg,
 #     multimodal_meta, sliding_count, window_range_interval), then the

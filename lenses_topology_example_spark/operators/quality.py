@@ -772,6 +772,16 @@ def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("p") == 0).cast("long")).alias("c_base"),
         F.sum((F.col("p") == 1).cast("long")).alias("c_batch"),
     )
+    return psi_cells_report(cells)
+
+
+def psi_cells_report(cells: DataFrame) -> DataFrame:
+    """The PSI arithmetic over a (bin, c_base, c_batch) frame — shared
+    verbatim by q_drift_psi and the streaming per-batch drift twin
+    (streaming/pipelines.drift_psi_batch), so stream and batch can
+    never diverge on smoothing, rounding, or verdict bands."""
+    from pyspark.sql import Window as W
+
     wall = W.partitionBy()
     s = F.lit(PSI_SMOOTH)
     denom_base = F.sum("c_base").over(wall).cast("double") + s * F.lit(

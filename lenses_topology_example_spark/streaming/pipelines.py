@@ -1471,3 +1471,76 @@ def start_ewma_stream(
         .outputMode("append")
         .start()
     )
+
+
+# --- streaming PSI drift monitor (round 10) -------------------------------------
+
+
+def doc_quality_bins(docs: DataFrame) -> DataFrame:
+    """Per-document fixed decile bin of the shared quality score —
+    the binning both drift monitors (batch q_drift_psi and the
+    streaming twin below) apply, built from the same
+    quality_components expression so the bins can never drift."""
+    from ..operators.quality import PSI_BINS
+    from ..operators.text import quality_components
+
+    q = quality_components(F.col("text"))["quality"]
+    return docs.select(
+        F.least(
+            F.floor(q * F.lit(float(PSI_BINS))), F.lit(PSI_BINS - 1)
+        )
+        .cast("int")
+        .alias("bin")
+    )
+
+
+def drift_psi_batch(batch_docs: DataFrame, base_counts: DataFrame) -> DataFrame:
+    """PSI of ONE micro-batch of arriving documents against a STATIC
+    base bin-count frame (at scale: the stored histogram of the
+    reference corpus, read once per stream start) — the per-batch core
+    of the continuous drift monitor, delegating every piece of PSI
+    arithmetic to the operator's own quality.psi_cells_report so
+    stream and batch are the same code path.
+
+    base_counts: (bin, c_base) — build with
+    doc_quality_bins(base_docs).groupBy("bin").count()."""
+    from ..operators.quality import psi_cells_report
+
+    batch_counts = (
+        doc_quality_bins(batch_docs)
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_batch"))
+    )
+    cells = (
+        base_counts.join(batch_counts, "bin", "full_outer")
+        .select(
+            "bin",
+            F.coalesce(F.col("c_base"), F.lit(0)).alias("c_base"),
+            F.coalesce(F.col("c_batch"), F.lit(0)).alias("c_batch"),
+        )
+    )
+    return psi_cells_report(cells)
+
+
+def start_drift_psi_stream(
+    docs: DataFrame,
+    base_counts: DataFrame,
+    out_path: str,
+    checkpoint: str,
+) -> StreamingQuery:
+    """foreachBatch drift monitor: per micro-batch, write the full
+    per-bin PSI report (plus batch_id) to its own overwrite-idempotent
+    directory — the payments-fanout exactly-once pattern."""
+
+    def report(batch: DataFrame, batch_id: int) -> None:
+        drift_psi_batch(batch, base_counts).withColumn(
+            "batch_id", F.lit(batch_id).cast("long")
+        ).write.mode("overwrite").parquet(
+            f"{out_path}/batch_id={batch_id}"
+        )
+
+    return (
+        docs.writeStream.foreachBatch(report)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

@@ -952,3 +952,56 @@ def test_decayed_revenue_matches_python_and_bounds(spark, sf_dir):
         # decay strictly discounts: 0 < decayed < raw
         assert 0.0 < r.revenue_decayed < r.revenue_raw
         assert 0.0 < r.decay_ratio < 1.0
+
+
+# --- streaming PSI drift twin (wave 9 infra) ---------------------------------------
+
+
+def test_streaming_drift_psi_matches_batch(spark, sf_dir, tmp_path):
+    """Stream the md5-parity-1 slice against the parity-0 base: the
+    per-batch PSI report must equal q_drift_psi's rows EXACTLY (same
+    bins, counts, terms, psi, verdict) — the builder is shared, so
+    this pins the wiring (full-outer bin alignment, zero-fills)."""
+    from pyspark.sql import functions as F
+
+    from lenses_topology_example_spark.functions.texthash import md5_hash64
+    from lenses_topology_example_spark.streaming.pipelines import (
+        doc_quality_bins,
+        start_drift_psi_stream,
+    )
+    from lenses_topology_example_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    parity = md5_hash64(F.col("doc_id").cast("string")) % 2
+    base = docs.filter(parity == 0)
+    batch = docs.filter(parity == 1)
+    base_counts = (
+        doc_quality_bins(base)
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_base"))
+    )
+
+    src = tmp_path / "drift_src"
+    batch.select("doc_id", "text").write.parquet(str(src))
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        str(src)
+    )
+    out = tmp_path / "drift_out"
+    q = start_drift_psi_stream(
+        stream, base_counts, str(out), str(tmp_path / "drift_ckpt")
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    cols = ("bin", "c_base", "c_batch", "psi_term", "psi", "verdict")
+    streamed = {
+        r["bin"]: tuple(r[c] for c in cols)
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    want = {
+        r["bin"]: tuple(r[c] for c in cols)
+        for r in _CATALOG["drift_psi"][0](spark, sf_dir).collect()
+    }
+    assert streamed == want
