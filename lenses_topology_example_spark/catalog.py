@@ -734,6 +734,12 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
         windows.q_decayed_revenue,
         windows.SQL_DECAYED_REVENUE,
     ),
+    # tenth round-10 wave (same past-window protocol): SQL-standard
+    # PERCENTILE_CONT by explicit interpolation arithmetic
+    "interp_quantiles": (
+        analytics.q_interp_quantiles,
+        analytics.SQL_INTERP_QUANTILES,
+    ),
 }
 
 # The driver evaluates only the first DRIVER_WINDOW_SIZE catalog entries
@@ -764,14 +770,15 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
 #
 # ROUND-11 ROTATION PLAN (write the new DRIVER_WINDOW from this once
 # CORRECTNESS_r10 lands; assuming the r10 window goes green):
-#   IN (priority): the eighteen round-10 wave-2..8 past-window
+#   IN (priority): the round-10 wave-2..10 past-window
 #     additions at the window head, in registration order —
 #     target_encode, woe_iv, mad_outliers, copurchase_triangles,
 #     asset_gif_meta, survival_curve, negative_sampling_plan,
 #     ewma_anomaly, chi2_independence, zonemap_prune_audit,
 #     winsorized_stats, mutual_information, bloom_join_audit,
 #     ks_drift, quantile_normalize, gains_curve, seasonal_decompose,
-#     decayed_revenue — then any round-11 additions, then any r10 RED
+#     decayed_revenue, interp_quantiles (nineteen total) — then any
+#     round-11 additions, then any r10 RED
 #     held in-window until it closes green.
 #   IN (re-checks, oldest-verdict-first): the r3 block (audio_features,
 #     frame_sample, image_features, image_resize, moving_avg,

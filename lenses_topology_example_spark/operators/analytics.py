@@ -1665,3 +1665,103 @@ SQL_GAINS_CURVE = f"""
     FROM staged
     ORDER BY cell DESC
 """
+
+
+# --- interp_quantiles (round-10 tenth wave) ----------------------------------------
+
+INTERP_PCTS = (0.25, 0.5, 0.75, 0.9)
+
+
+def q_interp_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-standard PERCENTILE_CONT quantiles of event value per type,
+    computed by the EXPLICIT interpolation definition (h = (n−1)p + 1;
+    v[⌊h⌋] + (h−⌊h⌋)·(v[⌈h⌉] − v[⌊h⌋]) under the (value, event_id)
+    total order) — the linear-interpolated companion to the exact-rank
+    definition length_percentiles/mad_outliers use. Engine quantile
+    functions are still never called: their interpolation rules and
+    tie handling differ, this arithmetic is identical everywhere.
+
+    Determinism: ranks and n are exact ints; h and the interpolation
+    weight are fixed double expressions of (n, p-literal); the
+    bracketing values are picked by integer rank equality; the final
+    value is one interpolation expression per row.
+
+    Scale shape (100 TB): ONE rank window partitioned by event_type
+    (the exact-percentile cost class), then a |types|×|pcts| rollup
+    via conditional maxes — no join back, no second scan."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", "value"
+    )
+    w_rank = W.partitionBy("event_type").orderBy("value", "event_id")
+    w_type = W.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_type).alias("n"),
+    )
+    out = []
+    for p in INTERP_PCTS:
+        h = (F.col("n") - 1).cast("double") * F.lit(p) + F.lit(1.0)
+        lo = F.floor(h).cast("long")
+        hi = F.ceil(h).cast("long")
+        frac = h - F.floor(h)
+        grp = ranked.groupBy("event_type").agg(
+            F.max("n").cast("long").alias("n"),
+            F.max(F.when(F.col("rn") == lo, F.col("value"))).alias("v_lo"),
+            F.max(F.when(F.col("rn") == hi, F.col("value"))).alias("v_hi"),
+            F.max(lo).alias("lo_rank"),
+            F.max(hi).alias("hi_rank"),
+            F.max(frac).alias("frac"),
+        )
+        out.append(
+            grp.select(
+                "event_type",
+                F.lit(p).alias("p"),
+                "n",
+                "lo_rank",
+                "hi_rank",
+                (
+                    F.col("v_lo")
+                    + F.col("frac") * (F.col("v_hi") - F.col("v_lo"))
+                ).alias("value"),
+            )
+        )
+    res = out[0]
+    for o in out[1:]:
+        res = res.unionByName(o)
+    return res.orderBy("event_type", "p")
+
+
+def _build_sql_interp_quantiles() -> str:
+    parts = []
+    for p in INTERP_PCTS:
+        parts.append(f"""
+        SELECT event_type, {p!r} AS p,
+               CAST(MAX(n) AS BIGINT) AS n,
+               CAST(MAX(FLOOR((n - 1) * {p!r} + 1.0)) AS BIGINT) AS lo_rank,
+               CAST(MAX(CEIL((n - 1) * {p!r} + 1.0)) AS BIGINT) AS hi_rank,
+               MAX(CASE WHEN rn = FLOOR((n - 1) * {p!r} + 1.0)
+                        THEN value END)
+               + MAX(((n - 1) * {p!r} + 1.0)
+                     - FLOOR((n - 1) * {p!r} + 1.0))
+                 * (MAX(CASE WHEN rn = CEIL((n - 1) * {p!r} + 1.0)
+                             THEN value END)
+                    - MAX(CASE WHEN rn = FLOOR((n - 1) * {p!r} + 1.0)
+                               THEN value END)) AS value
+        FROM ranked GROUP BY event_type""")
+    body = "\n        UNION ALL\n".join(parts)
+    return f"""
+    WITH ranked AS (
+        SELECT event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY value, event_id) AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY event_type) AS DOUBLE) AS n
+        FROM events
+    )
+    {body}
+    ORDER BY event_type, p
+"""
+
+
+SQL_INTERP_QUANTILES = _build_sql_interp_quantiles()

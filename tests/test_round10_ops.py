@@ -1005,3 +1005,39 @@ def test_streaming_drift_psi_matches_batch(spark, sf_dir, tmp_path):
         for r in _CATALOG["drift_psi"][0](spark, sf_dir).collect()
     }
     assert streamed == want
+
+
+# --- interp_quantiles (wave 10) ------------------------------------------------------
+
+
+def test_interp_quantiles_matches_numpy(spark, sf_dir):
+    """numpy.percentile with interpolation='linear' implements the same
+    SQL-standard definition; replicate per type and compare, plus the
+    bracketing invariants (monotone in p, value between bracket
+    values)."""
+    import numpy as np
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "event_id", "value")
+        .collect()
+    )
+    by_type = {}
+    for r in ev:
+        by_type.setdefault(r.event_type, []).append((r.value, r.event_id))
+    got = {}
+    for r in _CATALOG["interp_quantiles"][0](spark, sf_dir).collect():
+        got[(r.event_type, r.p)] = r
+    for t, vals in by_type.items():
+        vals.sort()
+        xs = np.array([v for v, _ in vals])
+        prev = None
+        for p in (0.25, 0.5, 0.75, 0.9):
+            r = got[(t, p)]
+            want = float(np.percentile(xs, p * 100, method="linear"))
+            assert abs(r.value - want) < 1e-9, (t, p)
+            assert r.n == len(xs)
+            assert r.lo_rank <= r.hi_rank <= r.lo_rank + 1
+            if prev is not None:
+                assert r.value >= prev - 1e-12  # monotone in p
+            prev = r.value
