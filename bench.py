@@ -322,6 +322,7 @@ HEADLINE = (
     # windows run over the |months| aggregate (tiny-frame class).
     "seasonal_decompose",
     "decayed_revenue",
+    "interp_quantiles",
 )
 
 
