@@ -752,99 +752,97 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
 # and first-50 order). Full rotation history: ROTATION.md (r8 VERDICT
 # ask #7 — only the CURRENT window and the NEXT plan live here).
 #
-# ROUND-10 WINDOW (executes the plan written in round 9 verbatim;
-# CORRECTNESS_r09 came back 50/50 green, so the r9 window rotates out):
-#   Slots 1-25:  the twenty-five r9 wave-3..9 past-window entries, in
-#                registration order — every catalog entry's FIRST
-#                driver verdict comes within one round of registration.
-#   Slots 26-30: the round-10 first-wave additions (pareto_frontier,
-#                benford_digits, ols_trend, calibration_bins,
-#                er_part_names) — three-SF oracle parity + empty-input
-#                OK at registration.
-#   Slots 31-50: oldest-verdict re-checks — the 20 remaining r1-verdict
-#                entries (except_users and scalar_fns first; they
-#                yielded their r9 slots to the second r9 wave).
-#   OUT: the freshly-green r9 window block (each leaves with a current
+# ROUND-11 WINDOW (executes the plan written in round 10 verbatim;
+# CORRECTNESS_r10 came back 50/50 green, so the r10 window rotates out):
+#   Slots 1-19:  the nineteen r10 wave-2..10 past-window additions, in
+#                registration order (target_encode .. interp_quantiles)
+#                — every catalog entry's FIRST driver verdict comes
+#                within one round of registration. All 19 were
+#                pre-verified green by the r10 judge's own
+#                driver-replica run at sf0.01.
+#   Slots 20-27: oldest-verdict re-checks, the r3 block
+#                (audio_features, frame_sample, image_features,
+#                image_resize, moving_avg, multimodal_meta,
+#                sliding_count, window_range_interval).
+#   Slots 28-41: the r4 block (big_orders .. topk_words).
+#   Slot  42:    token_count (r5).
+#   Slots 43-50: the r6 block, registration order (embed_neardup,
+#                curation_pipeline, text_stats, udaf_median,
+#                corr_text_embedding, map_fns, tfidf, text_normalize).
+#                Round-11 additions displace this tail as they land
+#                (new operators enter at the head per standing policy;
+#                displaced r6 entries move to the round-12 plan).
+#   OUT: the freshly-green r10 block (each leaves with a current
 #   verdict; pytest oracle parity at sf0.001 still covers every
 #   rotated-out entry on every run).
 #
-# ROUND-11 ROTATION PLAN (write the new DRIVER_WINDOW from this once
-# CORRECTNESS_r10 lands; assuming the r10 window goes green):
-#   IN (priority): the round-10 wave-2..10 past-window
-#     additions at the window head, in registration order —
-#     target_encode, woe_iv, mad_outliers, copurchase_triangles,
-#     asset_gif_meta, survival_curve, negative_sampling_plan,
-#     ewma_anomaly, chi2_independence, zonemap_prune_audit,
-#     winsorized_stats, mutual_information, bloom_join_audit,
-#     ks_drift, quantile_normalize, gains_curve, seasonal_decompose,
-#     decayed_revenue, interp_quantiles (nineteen total) — then any
-#     round-11 additions, then any r10 RED
-#     held in-window until it closes green.
-#   IN (re-checks, oldest-verdict-first): the r3 block (audio_features,
-#     frame_sample, image_features, image_resize, moving_avg,
-#     multimodal_meta, sliding_count, window_range_interval), then the
-#     r4 block (big_orders, bigram_counts, bpe_token_count,
-#     decontaminate, dedup_cluster, dedup_near_jaccard, dedup_simhash,
-#     fx_join, knn_classify, pattern_counts, sessionize_lag,
-#     sim_ann_ivf, sim_ann_lsh, topk_words), token_count (r5), then the
-#     r6 block oldest-first as slots allow.
-#   OUT: the freshly-green r10 block.
+# ROUND-12 ROTATION PLAN (write the new DRIVER_WINDOW from this once
+# CORRECTNESS_r11 lands; assuming the r11 window goes green):
+#   IN (priority): any round-11 past-window additions at the head in
+#     registration order, then any r11 RED held in-window until green.
+#   IN (re-checks, oldest-verdict-first): whatever remains of the r6
+#     block (at minimum seq_packing, stratified_sample, plus any r6
+#     entries displaced from the r11 tail), then the r7 block
+#     oldest-first as slots allow.
+#   OUT: the freshly-green r11 block.
 DRIVER_WINDOW_SIZE = 50
 DRIVER_WINDOW: tuple[str, ...] = (
-    # r9 wave-3..9 past-window entries (first driver verdicts)
-    "hybrid_rrf",
-    "l_diversity",
-    "private_release",
-    "rfm_segments",
-    "kmeans_elbow",
-    "ivf_probe_sweep",
-    "bpe_merge_candidates",
-    "attribution_revenue",
-    "cms_join_cardinality",
-    "ltv_curve",
-    "ab_test_report",
-    "cusum_changepoint",
-    "bootstrap_stderr",
-    "topic_keywords",
-    "basket_lift",
-    "retrieval_eval",
-    "histogram_quantiles",
-    "mmr_rerank",
-    "table_profile",
-    "dedup_tfidf_cosine",
-    "holt_forecast",
-    "cuped_ab_report",
-    "quantile_treatment_effect",
-    "drift_psi",
-    "auc_report",
-    # round-10 first-wave additions
-    "pareto_frontier",
-    "benford_digits",
-    "ols_trend",
-    "calibration_bins",
-    "er_part_names",
-    # re-checks: the 20 remaining r1-verdict entries, displaced pair
-    # first, then alphabetical within the r1 relational breadth tier
-    "except_users",
-    "scalar_fns",
-    "array_fns",
-    "column_stats",
-    "date_fns2",
-    "explode_variants",
-    "filtered_agg",
-    "grouping_sets",
-    "late_shipments",
-    "null_fns",
-    "outer_join_nulls",
-    "percentiles",
-    "pivot_status",
-    "promo_revenue",
-    "returned_items",
-    "scalar_subquery",
-    "sql_top_customers",
-    "string_fns2",
-    "unpivot_part",
-    "window_fns2",
+    # r10 wave-2..10 past-window entries (first driver verdicts)
+    "target_encode",
+    "woe_iv",
+    "mad_outliers",
+    "copurchase_triangles",
+    "asset_gif_meta",
+    "survival_curve",
+    "negative_sampling_plan",
+    "ewma_anomaly",
+    "chi2_independence",
+    "zonemap_prune_audit",
+    "winsorized_stats",
+    "mutual_information",
+    "bloom_join_audit",
+    "ks_drift",
+    "quantile_normalize",
+    "gains_curve",
+    "seasonal_decompose",
+    "decayed_revenue",
+    "interp_quantiles",
+    # re-checks: r3 block (oldest verdicts in the catalog)
+    "audio_features",
+    "frame_sample",
+    "image_features",
+    "image_resize",
+    "moving_avg",
+    "multimodal_meta",
+    "sliding_count",
+    "window_range_interval",
+    # re-checks: r4 block
+    "big_orders",
+    "bigram_counts",
+    "bpe_token_count",
+    "decontaminate",
+    "dedup_cluster",
+    "dedup_near_jaccard",
+    "dedup_simhash",
+    "fx_join",
+    "knn_classify",
+    "pattern_counts",
+    "sessionize_lag",
+    "sim_ann_ivf",
+    "sim_ann_lsh",
+    "topk_words",
+    # re-check: r5
+    "token_count",
+    # re-checks: r6 block head (registration order; displaced by any
+    # round-11 additions as they land)
+    "embed_neardup",
+    "curation_pipeline",
+    "text_stats",
+    "udaf_median",
+    "corr_text_embedding",
+    "map_fns",
+    "tfidf",
+    "text_normalize",
 )
 
 #

@@ -908,8 +908,11 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: grid cells are floor on identical doubles; counts are
     exact ints; each |ΔF| is one double expression of exact ints; MAX
     is order-free; sqrt is IEEE-exact; the critical coefficient is a
-    shared Python literal. NULL-quality docs (empty text) drop on both
-    engines identically.
+    shared Python literal. NULL-quality docs (empty/token-less text)
+    drop on both engines: the cell is NULL-gated on the quality
+    expression itself (F.least would otherwise SKIP the NULL and pin
+    the row to the top cell — r10 ADVICE), mirroring the oracle's
+    WHERE quality IS NOT NULL.
 
     Scale shape (100 TB): one scan to (parity, cell), ONE
     KS_GRID-bounded aggregate, cumulative windows over ≤1000 rows, a
@@ -922,8 +925,11 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = quality_components(F.col("text"))["quality"]
     binned = docs.select(
         (md5_hash64(F.col("doc_id").cast("string")) % 2).alias("p"),
-        F.least(
-            F.floor(q * F.lit(float(KS_GRID))), F.lit(KS_GRID - 1)
+        F.when(
+            q.isNotNull(),
+            F.least(
+                F.floor(q * F.lit(float(KS_GRID))), F.lit(KS_GRID - 1)
+            ),
         )
         .cast("int")
         .alias("cell"),

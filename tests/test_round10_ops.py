@@ -810,6 +810,48 @@ def test_ks_drift_matches_python_grid_ks(spark, sf_dir):
     assert 0.0 <= r.d_stat <= 1.0
 
 
+def test_ks_drift_null_quality_doc_drops_on_both_engines(spark, sf_dir, tmp_path):
+    """r10 ADVICE (medium): a NULL-quality doc (token-less text) must
+    drop on BOTH engines. Spark F.least SKIPS NULLs, so without the
+    NULL gate on the quality expression the doc would pin to the top
+    cell while the oracle's WHERE quality IS NOT NULL drops it —
+    divergent n_base/n_batch and CDFs. Built corpus: sf parquet plus
+    one punctuation-only doc (zero tokens → NULL stop_ratio → NULL
+    quality)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lenses_topology_example_spark.catalog import oracle_sql
+    from lenses_topology_example_spark.tables import TABLES
+    from tests.oracle import compare
+
+    for t in TABLES:
+        if t != "documents":
+            os.symlink(f"{sf_dir}/{t}.parquet", tmp_path / f"{t}.parquet")
+    base = pq.read_table(f"{sf_dir}/documents.parquet")
+    null_q = pa.table(
+        {
+            "doc_id": pa.array([10_000_001], pa.int64()),
+            "text": pa.array(["!!! ??? ..."], pa.string()),
+            "lang": pa.array(["en"], pa.string()),
+            "source": pa.array(["synthetic"], pa.string()),
+            "n_chars": pa.array([11], pa.int64()),
+        }
+    )
+    pq.write_table(
+        pa.concat_tables([base.select(null_q.column_names), null_q]),
+        tmp_path / "documents.parquet",
+    )
+    got = _CATALOG["ks_drift"][0](spark, str(tmp_path))
+    compare(got, oracle_sql()["ks_drift"], str(tmp_path))
+    r = got.collect()[0]
+    # the NULL-quality doc is excluded from both sides' counts
+    base_counts = _CATALOG["ks_drift"][0](spark, sf_dir).collect()[0]
+    assert r.n_base + r.n_batch == base_counts.n_base + base_counts.n_batch
+
+
 def test_quantile_normalize_is_uniform_within_source(spark, sf_dir):
     rows = _CATALOG["quantile_normalize"][0](spark, sf_dir).collect()
     by_src = {}
