@@ -217,10 +217,15 @@ def q_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     ships, computed as one aggregate (no iterative solver).
 
     Determinism: monthly revenue is held as EXACT integer micro-dollars
-    (DECIMAL(38,6) sum × 1e6 → DECIMAL(38,0)); all five OLS sums (Σx,
-    Σx², Σy, Σxy, Σy²) are exact integer/decimal arithmetic (the y²
-    products reach ~1e27, inside DECIMAL(38,0) on Spark and HUGEINT on
-    the oracle); slope/intercept/R² are then single double expressions
+    (DECIMAL(38,6) sum × 1e6 → DECIMAL(38,0)) for the first-moment
+    sums (Σy, Σxy → slope/intercept), but the R² moments (Σy², Σy, Σxy
+    for the correlation) accumulate at WHOLE-DOLLAR grain
+    (HALF_UP-rounded on both engines — DuckDB ROUND matches Spark's,
+    probed at midpoints): micro-grain squares overflow DECIMAL(38,0)
+    past ~$10T per month-cell (silent NULL on Spark, hard HUGEINT
+    error on DuckDB — r10 ADVICE), while dollar-grain squares stay
+    exact at ANY scale factor. All sums are exact integer/decimal
+    arithmetic; slope/intercept/R² are then single double expressions
     over those exact sums with identical shapes on both engines — the
     only doubles are final casts of identical exact values.
 
@@ -245,12 +250,15 @@ def q_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.join(cust, "o_custkey")
         .groupBy("c_mktsegment", "mon_idx")
         .agg(
-            (
-                F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
-                * F.lit(1000000)
-            )
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("ysum")
+        )
+        .select(
+            "c_mktsegment",
+            "mon_idx",
+            (F.col("ysum") * F.lit(1000000))
             .cast("decimal(38,0)")
-            .alias("ymic")
+            .alias("ymic"),
+            F.round("ysum", 0).cast("decimal(38,0)").alias("yd"),
         )
     )
     sums = monthly.groupBy("c_mktsegment").agg(
@@ -261,7 +269,11 @@ def q_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("ymic") * F.col("mon_idx"))
         .cast("decimal(38,0)")
         .alias("sxy"),
-        F.sum(F.col("ymic") * F.col("ymic")).cast("decimal(38,0)").alias("syy"),
+        F.sum("yd").cast("decimal(38,0)").alias("syd"),
+        F.sum(F.col("yd") * F.col("mon_idx"))
+        .cast("decimal(38,0)")
+        .alias("sxyd"),
+        F.sum(F.col("yd") * F.col("yd")).cast("decimal(38,0)").alias("syyd"),
     )
     num = (
         F.col("n_months") * F.col("sxy") - F.col("sx") * F.col("sy")
@@ -269,8 +281,11 @@ def q_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     den = (
         F.col("n_months") * F.col("sxx") - F.col("sx") * F.col("sx")
     ).cast("double")
-    denyy = (
-        F.col("n_months") * F.col("syy") - F.col("sy") * F.col("sy")
+    num_d = (
+        F.col("n_months") * F.col("sxyd") - F.col("sx") * F.col("syd")
+    ).cast("double")
+    denyy_d = (
+        F.col("n_months") * F.col("syyd") - F.col("syd") * F.col("syd")
     ).cast("double")
     slope_mu = num / den
     return sums.select(
@@ -285,18 +300,22 @@ def q_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_months").cast("double")
             / F.lit(1000000.0)
         ).alias("intercept"),
-        (num * num / (den * denyy)).alias("r2"),
+        (num_d * num_d / (den * denyy_d)).alias("r2"),
     ).orderBy("c_mktsegment")
 
 
 SQL_OLS_TREND = """
-    WITH monthly AS (
+    WITH monthly0 AS (
         SELECT c_mktsegment,
                year(o_orderdate) * 12 + month(o_orderdate) - 1 AS mon_idx,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) * 1000000
-                    AS HUGEINT) AS ymic
+               SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS ysum
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY 1, 2
+    ), monthly AS (
+        SELECT c_mktsegment, mon_idx,
+               CAST(ysum * 1000000 AS HUGEINT) AS ymic,
+               CAST(ROUND(ysum, 0) AS HUGEINT) AS yd
+        FROM monthly0
     ), sums AS (
         SELECT c_mktsegment,
                CAST(COUNT(*) AS BIGINT) AS n_months,
@@ -304,7 +323,9 @@ SQL_OLS_TREND = """
                CAST(SUM(mon_idx * mon_idx) AS BIGINT) AS sxx,
                SUM(ymic) AS sy,
                SUM(ymic * mon_idx) AS sxy,
-               SUM(ymic * ymic) AS syy
+               SUM(yd) AS syd,
+               SUM(yd * mon_idx) AS sxyd,
+               SUM(yd * yd) AS syyd
         FROM monthly GROUP BY 1
     )
     SELECT c_mktsegment, n_months,
@@ -316,10 +337,10 @@ SQL_OLS_TREND = """
                / CAST(n_months * sxx - sx * sx AS DOUBLE))
               * CAST(sx AS DOUBLE))
            / CAST(n_months AS DOUBLE) / 1000000.0 AS intercept,
-           CAST(n_months * sxy - sx * sy AS DOUBLE)
-           * CAST(n_months * sxy - sx * sy AS DOUBLE)
+           CAST(n_months * sxyd - sx * syd AS DOUBLE)
+           * CAST(n_months * sxyd - sx * syd AS DOUBLE)
            / (CAST(n_months * sxx - sx * sx AS DOUBLE)
-              * CAST(n_months * syy - sy * sy AS DOUBLE)) AS r2
+              * CAST(n_months * syyd - syd * syd AS DOUBLE)) AS r2
     FROM sums
     ORDER BY c_mktsegment
 """
@@ -351,7 +372,11 @@ def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     single libm call and is ROUNDed to 6dp immediately (the tfidf
     ln-rounding contract), so a 1-ulp exp() divergence cannot move a
     bin or a sum; confidence sums go through DECIMAL(38,6) over
-    exact-6dp values; accuracy is an exact integer division.
+    exact-6dp values and are re-rounded to scale 4 before the double
+    cast (the decayed_revenue 2^53 rule: once a 1e-6-unit integer
+    magnitude passes 2^53, DuckDB's int128→double path double-rounds
+    where Spark single-rounds — r10 ADVICE); accuracy is an exact
+    integer division.
 
     Scale shape (100 TB): one narrow projection per vector (a 64-wide
     fold, JVM-side codegen), a map-side-combinable groupBy on a 10-value
@@ -374,7 +399,7 @@ def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_bin = binned.groupBy("bin").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("y").cast("long").alias("n_pos"),
-        F.sum(F.col("s").cast("decimal(38,6)"))
+        F.round(F.sum(F.col("s").cast("decimal(38,6)")), 4)
         .cast("double")
         .alias("s_sum"),
     )
@@ -415,7 +440,8 @@ SQL_CALIBRATION_BINS = f"""
         SELECT bin,
                CAST(COUNT(*) AS BIGINT) AS n,
                CAST(SUM(y) AS BIGINT) AS n_pos,
-               CAST(SUM(CAST(s AS DECIMAL(38,6))) AS DOUBLE) AS s_sum
+               CAST(ROUND(SUM(CAST(s AS DECIMAL(38,6))), 4) AS DOUBLE)
+                   AS s_sum
         FROM binned GROUP BY bin
     ), total AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM per_bin)
     SELECT bin, n,

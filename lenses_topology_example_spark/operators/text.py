@@ -3302,8 +3302,12 @@ def q_negative_sampling_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(38,6)")
         .alias("w_dec"),
     )
+    # wsum re-rounds to scale 4 before the double cast (the
+    # decayed_revenue 2^53 rule — r10 ADVICE: past 2^53 integer units
+    # DuckDB's int128→double path double-rounds where Spark
+    # single-rounds).
     totals = powed.agg(
-        F.sum("w_dec").cast("double").alias("wsum"),
+        F.round(F.sum("w_dec"), 4).cast("double").alias("wsum"),
         F.sum("f").cast("long").alias("n_total"),
     )
     rt = lambda c: c.cast("decimal(38,6)").cast("double")
@@ -3337,7 +3341,7 @@ SQL_NEGATIVE_SAMPLING_PLAN = f"""
                     AS DECIMAL(38,6)) AS w_dec
         FROM per_tok
     ), totals AS (
-        SELECT CAST(SUM(w_dec) AS DOUBLE) AS wsum,
+        SELECT CAST(ROUND(SUM(w_dec), 4) AS DOUBLE) AS wsum,
                CAST(SUM(f) AS BIGINT) AS n_total
         FROM powed
     )

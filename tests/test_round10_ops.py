@@ -147,9 +147,19 @@ def test_ols_trend_matches_numpy_lstsq(spark, sf_dir):
         assert r.n_months == len(pts)
         assert abs(r.slope - slope) < 1e-6 * max(1.0, abs(slope))
         assert abs(r.intercept - intercept) < 1e-6 * max(1.0, abs(intercept))
-        ss_res = float(np.sum((ys - (slope * xs + intercept)) ** 2))
-        ss_tot = float(np.sum((ys - ys.mean()) ** 2))
+        # R² moments run at whole-dollar grain (overflow-safe at any
+        # SF — r10 ADVICE); replicate with HALF_UP-rounded ys.
+        yd = np.floor(ys + 0.5)
+        (slope_d, intercept_d), *_ = np.linalg.lstsq(
+            np.vstack([xs, np.ones_like(xs)]).T, yd, rcond=None
+        )
+        ss_res = float(np.sum((yd - (slope_d * xs + intercept_d)) ** 2))
+        ss_tot = float(np.sum((yd - yd.mean()) ** 2))
         assert abs(r.r2 - (1.0 - ss_res / ss_tot)) < 1e-9
+        # and the grain change is invisible at data scale
+        ss_res_f = float(np.sum((ys - (slope * xs + intercept)) ** 2))
+        ss_tot_f = float(np.sum((ys - ys.mean()) ** 2))
+        assert abs(r.r2 - (1.0 - ss_res_f / ss_tot_f)) < 1e-6
 
 
 # --- calibration_bins --------------------------------------------------------
@@ -175,10 +185,17 @@ def test_calibration_bins_match_pure_python(spark, sf_dir):
         for r in _CATALOG["calibration_bins"][0](spark, sf_dir).collect()
     }
     assert set(got) == set(bins)
+    from decimal import ROUND_HALF_UP, Decimal
+
     for b, members in bins.items():
         r = got[b]
         assert r.n == len(members)
-        conf = sum(s for s, _ in members) / len(members)
+        # the engine sums exact 6dp decimals then re-rounds to scale 4
+        # before the double cast (the 2^53 rule — r10 ADVICE)
+        s_sum = sum(
+            (Decimal(f"{s:.6f}") for s, _ in members), Decimal(0)
+        ).quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP)
+        conf = float(s_sum) / len(members)
         acc = sum(y for _, y in members) / len(members)
         assert abs(r.conf - conf) < 1e-9
         assert abs(r.acc - acc) < 1e-12
