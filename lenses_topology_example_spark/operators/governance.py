@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions.texthash import SQL_MD5_HASH64
 from ..tables import load_table
-from .relational import dsum, dsum_sql
+from .relational import dsum, dsum4_sql, dsum_sql
 
 
 def _check(name: str, violations: F.Column, total: F.Column) -> list[F.Column]:
@@ -388,14 +388,15 @@ def q_agg_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_orders").alias("n_orders"),
         )
     )
+    # scale-4 re-round before the double casts: per-cell revenue
+    # crosses the scale-6 2^53 line at sf1.0 (the decayed_revenue rule)
+    rev4 = F.round(F.col("rev_dec"), 4).cast("double")
     return merged.select(
         "o_orderpriority",
         "o_year",
-        F.col("rev_dec").cast("double").alias("revenue"),
+        rev4.alias("revenue"),
         "n_orders",
-        (F.col("rev_dec").cast("double") / F.col("n_orders")).alias(
-            "avg_order_value"
-        ),
+        (rev4 / F.col("n_orders")).alias("avg_order_value"),
     ).orderBy("o_orderpriority", "o_year")
 
 
@@ -404,9 +405,9 @@ def q_agg_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_AGG_DELTA_MERGE = f"""
     SELECT o_orderpriority,
            CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year,
-           {dsum_sql("o_totalprice")} AS revenue,
+           {dsum4_sql("o_totalprice")} AS revenue,
            COUNT(*) AS n_orders,
-           {dsum_sql("o_totalprice")} / COUNT(*) AS avg_order_value
+           {dsum4_sql("o_totalprice")} / COUNT(*) AS avg_order_value
     FROM orders
     GROUP BY o_orderpriority, o_year
     ORDER BY o_orderpriority, o_year

@@ -29,13 +29,35 @@ from ..tables import load_table
 
 
 def dsum(col: Column) -> Column:
-    """Order-independent exact sum of a double column (see module doc)."""
+    """Order-independent exact sum of a double column (see module doc).
+
+    Safe domain: |sum| < ~9.0e9 — past that, the scale-6 integer units
+    exceed 2^53 and DuckDB's int128→double path double-rounds where
+    Spark's BigDecimal single-rounds (the round-10 latent class,
+    BASELINE.md). Sums that can cross at sf1.0+ (whole-table /
+    coarse-group revenue totals) must use dsum4 instead;
+    tests/test_decimal_exposure.py enforces this by projecting every
+    oracle's double outputs to sf1.0 magnitude."""
     return F.sum(col.cast("decimal(38,6)")).cast("double")
 
 
 # SQL twin of dsum for oracle queries.
 def dsum_sql(expr: str) -> str:
     return f"CAST(SUM(CAST({expr} AS DECIMAL(38,6))) AS DOUBLE)"
+
+
+def dsum4(col: Column) -> Column:
+    """dsum for sums that can cross ~9.0e9 at large scale factors:
+    re-rounds the exact DECIMAL(38,6) sum to scale 4 (HALF_UP on both
+    engines) before the double cast, keeping integer units under 2^53
+    up to |sum| < ~9.0e11 — the decayed_revenue fix of record
+    (BASELINE.md round-10 latent-class note)."""
+    return F.round(F.sum(col.cast("decimal(38,6)")), 4).cast("double")
+
+
+# SQL twin of dsum4 for oracle queries.
+def dsum4_sql(expr: str) -> str:
+    return f"CAST(ROUND(SUM(CAST({expr} AS DECIMAL(38,6))), 4) AS DOUBLE)"
 
 
 # --- aggregations -----------------------------------------------------------
@@ -54,9 +76,9 @@ def q_agg_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
             dsum(F.col("l_quantity")).alias("sum_qty"),
-            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
-            dsum(disc_price).alias("sum_disc_price"),
-            dsum(charge).alias("sum_charge"),
+            dsum4(F.col("l_extendedprice")).alias("sum_base_price"),
+            dsum4(disc_price).alias("sum_disc_price"),
+            dsum4(charge).alias("sum_charge"),
             (dsum(F.col("l_quantity")) / F.count(F.lit(1))).alias("avg_qty"),
             F.count(F.lit(1)).alias("count_order"),
         )
@@ -66,9 +88,9 @@ def q_agg_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_AGG_REVENUE = f"""
     SELECT l_returnflag, l_linestatus,
            {dsum_sql('l_quantity')} AS sum_qty,
-           {dsum_sql('l_extendedprice')} AS sum_base_price,
-           {dsum_sql('l_extendedprice * (1.0 - l_discount)')} AS sum_disc_price,
-           {dsum_sql('l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)')} AS sum_charge,
+           {dsum4_sql('l_extendedprice')} AS sum_base_price,
+           {dsum4_sql('l_extendedprice * (1.0 - l_discount)')} AS sum_disc_price,
+           {dsum4_sql('l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)')} AS sum_charge,
            {dsum_sql('l_quantity')} / COUNT(*) AS avg_qty,
            COUNT(*) AS count_order
     FROM lineitem
@@ -103,7 +125,7 @@ def q_rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rollup("o_orderstatus", "o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            dsum(F.col("o_totalprice")).alias("revenue"),
+            dsum4(F.col("o_totalprice")).alias("revenue"),
         )
     )
 
@@ -111,7 +133,7 @@ def q_rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_ROLLUP_SALES = f"""
     SELECT o_orderstatus, o_orderpriority,
            COUNT(*) AS n_orders,
-           {dsum_sql('o_totalprice')} AS revenue
+           {dsum4_sql('o_totalprice')} AS revenue
     FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """
 
@@ -144,7 +166,7 @@ def q_join_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            dsum(F.col("o_totalprice")).alias("revenue"),
+            dsum4(F.col("o_totalprice")).alias("revenue"),
         )
     )
 
@@ -152,7 +174,7 @@ def q_join_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_JOIN_ORDERS_CUSTOMER = f"""
     SELECT c_mktsegment,
            COUNT(*) AS n_orders,
-           {dsum_sql('o_totalprice')} AS revenue
+           {dsum4_sql('o_totalprice')} AS revenue
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY c_mktsegment
 """
@@ -177,13 +199,13 @@ def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name", "n_name")
-        .agg(dsum(revenue).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+        .agg(dsum4(revenue).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
     )
 
 
 SQL_REGION_REVENUE = f"""
     SELECT r_name, n_name,
-           {dsum_sql('l_extendedprice * (1.0 - l_discount)')} AS revenue,
+           {dsum4_sql('l_extendedprice * (1.0 - l_discount)')} AS revenue,
            COUNT(*) AS n_items
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey

@@ -638,9 +638,14 @@ def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     pv = li.groupBy("l_partkey").agg(
         dsum(F.col("l_extendedprice")).alias("value")
     )
+    # the inner sum spans the WHOLE lineitem total (~2.3e11 at sf1.0)
+    # — scale-4 re-round before the double cast (the 2^53 rule), else
+    # the threshold itself diverges cross-engine and boundary parts
+    # flip in/out of the result set
     avg_v = pv.agg(
         (
-            F.sum(F.col("value").cast("decimal(38,6)")).cast("double")
+            F.round(F.sum(F.col("value").cast("decimal(38,6)")), 4)
+            .cast("double")
             / F.count(F.lit(1)).cast("double")
         ).alias("avg_value")
     )
@@ -660,7 +665,7 @@ SQL_IMPORTANT_PARTS = f"""
     SELECT l_partkey, value
     FROM pv
     WHERE value > (
-        SELECT CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+        SELECT CAST(ROUND(SUM(CAST(value AS DECIMAL(38,6))), 4) AS DOUBLE)
                / CAST(COUNT(*) AS DOUBLE)
         FROM pv
       ) * 1.2

@@ -1252,7 +1252,10 @@ def q_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: ages are exact month diffs of month-truncated dates;
     revenue sums and the running cumulative both fold DECIMAL(38,6)
     (the per-cell sums are exact 1e-6 multiples, so the cumulative is
-    order-independent); LTV is one decimal-rounded division.
+    order-independent); the cumulative re-rounds to scale 4 before its
+    double cast (cohort lifetime totals cross the scale-6 2^53 line at
+    sf1.0 — the decayed_revenue rule); LTV is one decimal-rounded
+    division.
 
     Scale shape: orders aggregates twice, both keyed and map-side
     partial (first-order per customer, then revenue per (cohort, age)
@@ -1293,8 +1296,9 @@ def q_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cells.withColumn(
             "cum_revenue",
-            F.sum(F.col("revenue").cast("decimal(38,6)")).over(wc)
-            .cast("double"),
+            F.round(
+                F.sum(F.col("revenue").cast("decimal(38,6)")).over(wc), 4
+            ).cast("double"),
         )
         .join(F.broadcast(sizes), "cohort_m")
         .select(
@@ -1333,9 +1337,9 @@ SQL_LTV_CURVE = """
         GROUP BY cohort_m, CAST(date_diff('month', cohort_m, m) AS INTEGER)
     ), cum AS (
         SELECT cohort_m, age_months, revenue,
-               CAST(SUM(CAST(revenue AS DECIMAL(38,6))) OVER (
+               CAST(ROUND(SUM(CAST(revenue AS DECIMAL(38,6))) OVER (
                    PARTITION BY cohort_m ORDER BY age_months
-                   ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_revenue
+                   ROWS UNBOUNDED PRECEDING), 4) AS DOUBLE) AS cum_revenue
         FROM cells
     )
     SELECT strftime(cum.cohort_m, '%Y-%m') AS cohort_month,
@@ -2506,7 +2510,10 @@ def q_decayed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+            # same scale-4 re-round as revenue_decayed below: the
+            # per-segment whole-history total crosses the scale-6 2^53
+            # line at sf1.0 (round-11 exposure audit)
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(38,6)")), 4)
             .cast("double")
             .alias("revenue_raw"),
             # scale-4 re-round BEFORE the double cast: the scale-8 sum's
@@ -2543,15 +2550,15 @@ SQL_DECAYED_REVENUE_TPL = f"""
     )
     SELECT c_mktsegment,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,6))), 4) AS DOUBLE)
                AS revenue_raw,
            -- explicit round(): DuckDB's decimal->decimal CAST truncates
            -- where Spark's rounds HALF_UP
            CAST(CAST(round(SUM(wv), 4) AS DECIMAL(38,4)) AS DOUBLE)
                AS revenue_decayed,
            CAST(CAST(round(SUM(wv), 4) AS DECIMAL(38,4)) AS DOUBLE)
-               / NULLIF(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
-                             AS DOUBLE), 0.0) AS decay_ratio
+               / NULLIF(CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,6))),
+                                   4) AS DOUBLE), 0.0) AS decay_ratio
     FROM joined
     GROUP BY c_mktsegment
     ORDER BY c_mktsegment

@@ -4,11 +4,17 @@
 Usage:
     python tools/bench_compare.py [bench_full_latest.json]
 
-Reads the full per-query map bench.py persists (default:
-./bench_full_latest.json next to the repo root) and compares every
-query against bench_anchors.json minimums. Prints one line per flagged
-query (ratio > BAR x anchor) and a summary line; exit code 1 when
-anything is flagged.
+SAMPLE OF RECORD (r10 VERDICT ask #3): without an explicit path, this
+tool adjudicates the newest committed `bench_quiet_r*.json` — the
+builder's quiet close sample, written under a name the external
+driver never touches — and only falls back to `bench_full_latest.json`
+(which the driver's close bench OVERWRITES, twice now under documented
+host load) when no quiet sample exists. Pass a path to adjudicate any
+other run.
+
+Compares every query against bench_anchors.json minimums. Prints one
+line per flagged query (ratio > BAR x anchor) and a summary line; exit
+code 1 when anything is flagged.
 
 A FLAG is a TRIAGE item, not a verdict: the host has multi-minute
 noise phases during which individual in-suite readings run 3-9x their
@@ -40,9 +46,18 @@ FIRST_EXECUTION_CEILING = {
 
 def main() -> int:
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    bench_path = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
-        root, "bench_full_latest.json"
-    )
+    if len(sys.argv) > 1:
+        bench_path = sys.argv[1]
+    else:
+        import glob
+
+        quiet = sorted(glob.glob(os.path.join(root, "bench_quiet_r*.json")))
+        bench_path = (
+            quiet[-1]
+            if quiet
+            else os.path.join(root, "bench_full_latest.json")
+        )
+    print(f"sample of record: {os.path.basename(bench_path)}")
     bench = json.load(open(bench_path))
     if bench.get("tier", "full") != "full":
         print(
