@@ -356,6 +356,25 @@ def main() -> None:
         for name in names:
             qs[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
 
+    # Memo warmup at the TARGET SF (r10 VERDICT ask #4): the dedup
+    # family's dominant in-suite variance is the one-time shared
+    # seg/canon/cluster-label memo builds paid inside the first timed
+    # execution (dedup_lines_near_capped read 70 s in a noisy driver
+    # sample vs its 4.6 s steady-state anchor). Materialize those memos
+    # once, untimed, so every timed reading is the steady-state plan
+    # cost the anchors record. The three below build every memo the
+    # family shares (seg/block, canon, pair/cluster-label).
+    MEMO_WARM = (
+        "dedup_lines_near_capped",
+        "dedup_lines_rebuild",
+        "dedup_keeper_quality",
+    )
+    for name in MEMO_WARM:
+        if name in names:
+            qs[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+
     timings: dict[str, float] = {}
     t_suite = time.perf_counter()
     for name in names:

@@ -21,10 +21,20 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def compare(spark_df, sql: str, sf_dir: str) -> None:
-    got = spark_df.toPandas()
-    con = duck_connection(sf_dir)
+    compare_pandas(spark_df.toPandas(), sql, sf_dir)
+
+
+def compare_pandas(got, sql: str, sf_dir: str, con=None) -> None:
+    """compare() with the Spark action already taken — the parity
+    tier collects its toPandas results concurrently (r10 VERDICT ask
+    #7) and hands each here. Pass `con` to reuse a connection; it is
+    left open for the caller in that case."""
+    own = con is None
+    if own:
+        con = duck_connection(sf_dir)
     want = con.sql(sql).df()
-    con.close()
+    if own:
+        con.close()
     assert sorted(got.columns) == sorted(want.columns), (
         f"column mismatch: spark={sorted(got.columns)} oracle={sorted(want.columns)}"
     )
