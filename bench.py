@@ -323,6 +323,17 @@ HEADLINE = (
     "seasonal_decompose",
     "decayed_revenue",
     "interp_quantiles",
+    # round-11 waves 1-2: label-noise audit, clustering validity,
+    # temporal holdout, conformal calibration, bandit readout.
+    # conformal_threshold and bandit_ucb add DELIBERATE unpartitioned
+    # windows of the documented tiny-frame class (the conformal CDF
+    # runs over the <=1e6-bounded distinct-score aggregate; the UCB
+    # total over the |arms|-row frame).
+    "label_noise_knn",
+    "silhouette_report",
+    "temporal_split",
+    "conformal_threshold",
+    "bandit_ucb",
 )
 
 

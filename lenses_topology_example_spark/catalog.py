@@ -740,6 +740,28 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
         analytics.q_interp_quantiles,
         analytics.SQL_INTERP_QUANTILES,
     ),
+    # first round-11 wave: training-data label quality + clustering
+    # validity (three-SF oracle parity + empty-input OK at
+    # registration; in-window per the round-11 rotation)
+    "label_noise_knn": (
+        similarity.q_label_noise_knn,
+        similarity.SQL_LABEL_NOISE_KNN,
+    ),
+    "silhouette_report": (
+        embed_stats.q_silhouette_report,
+        embed_stats.SQL_SILHOUETTE_REPORT,
+    ),
+    # second round-11 wave: temporal holdout, split-conformal
+    # calibration, deterministic bandit allocation
+    "temporal_split": (
+        windows.q_temporal_split,
+        windows.SQL_TEMPORAL_SPLIT,
+    ),
+    "conformal_threshold": (
+        analytics.q_conformal_threshold,
+        analytics.SQL_CONFORMAL_THRESHOLD,
+    ),
+    "bandit_ucb": (windows.q_bandit_ucb, windows.SQL_BANDIT_UCB),
 }
 
 # The driver evaluates only the first DRIVER_WINDOW_SIZE catalog entries
@@ -766,12 +788,15 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
 #                sliding_count, window_range_interval).
 #   Slots 28-41: the r4 block (big_orders .. topk_words).
 #   Slot  42:    token_count (r5).
-#   Slots 43-50: the r6 block, registration order (embed_neardup,
-#                curation_pipeline, text_stats, udaf_median,
-#                corr_text_embedding, map_fns, tfidf, text_normalize).
-#                Round-11 additions displace this tail as they land
-#                (new operators enter at the head per standing policy;
-#                displaced r6 entries move to the round-12 plan).
+#   Slots 20-24: the five round-11 additions (label_noise_knn,
+#                silhouette_report, temporal_split,
+#                conformal_threshold, bandit_ucb) — three-SF oracle
+#                parity + empty-input OK at registration.
+#   Slots 25-47: the re-check blocks below (r3, r4, token_count).
+#   Slots 48-50: the r6 block head (embed_neardup, curation_pipeline,
+#                text_stats); the round-11 additions displaced
+#                udaf_median, corr_text_embedding, map_fns, tfidf,
+#                text_normalize to the round-12 queue.
 #   OUT: the freshly-green r10 block (each leaves with a current
 #   verdict; pytest oracle parity at sf0.001 still covers every
 #   rotated-out entry on every run).
@@ -807,6 +832,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "seasonal_decompose",
     "decayed_revenue",
     "interp_quantiles",
+    # round-11 additions (waves 1-2, registration order)
+    "label_noise_knn",
+    "silhouette_report",
+    "temporal_split",
+    "conformal_threshold",
+    "bandit_ucb",
     # re-checks: r3 block (oldest verdicts in the catalog)
     "audio_features",
     "frame_sample",
@@ -833,16 +864,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "topk_words",
     # re-check: r5
     "token_count",
-    # re-checks: r6 block head (registration order; displaced by any
-    # round-11 additions as they land)
+    # re-checks: r6 block head (registration order; the round-11
+    # additions above displaced udaf_median, corr_text_embedding,
+    # map_fns, tfidf, text_normalize to the round-12 queue)
     "embed_neardup",
     "curation_pipeline",
     "text_stats",
-    "udaf_median",
-    "corr_text_embedding",
-    "map_fns",
-    "tfidf",
-    "text_normalize",
 )
 
 #

@@ -1810,3 +1810,146 @@ def _build_sql_interp_quantiles() -> str:
 
 
 SQL_INTERP_QUANTILES = _build_sql_interp_quantiles()
+
+
+# --- split-conformal threshold (round 11) ------------------------------------
+
+CONF_ALPHA = 0.1  # target 90% coverage
+
+
+def q_conformal_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction threshold (Vovk et al.; the
+    distribution-free coverage recipe every production classifier
+    calibration now ships): the calibration half (seeded md5 parity on
+    vec_id — the drift-slice discipline) scores each vector with the
+    CALIB probe, takes nonconformity 1−s for positives / s for
+    negatives, and q_hat = the ⌈(n+1)(1−α)⌉-th smallest nonconformity
+    (exact order statistic, no interpolation). The eval half then
+    reports empirical coverage (fraction with nonconformity ≤ q_hat) —
+    the finite-sample ≥ 1−α guarantee this one-row report verifies.
+    calibration_bins measures calibration error; this op CONSTRUCTS
+    the set-valued guarantee.
+
+    Determinism: s is the 6dp-rounded sigmoid (single libm exp);
+    nonconformity is one IEEE op on identical inputs, so its values
+    group identically on both engines; counts and the rank index are
+    exact ints; q_hat is a MIN over an equality-filtered bounded
+    frame; coverage is one int/int double division. Empty calibration
+    half ⇒ q_hat falls back to 1.0 (covers everything — the
+    conservative conformal convention), NULL coverage on zero eval
+    rows via try_divide.
+
+    Scale shape (100 TB): one scan splits into halves; the calibration
+    CDF aggregates per DISTINCT nonconformity value — 6dp quantization
+    bounds that frame at ≤ 1e6+1 rows at ANY corpus size (the ks_drift
+    fixed-grid argument, except here the quantization is already in
+    the score contract so the order statistic is EXACT, not a grid
+    approximation); the cumulative window runs over the bounded frame;
+    q_hat broadcasts as a 1-row scalar into the eval-side aggregate."""
+    wts = F.array(*[F.lit(w) for w in CALIB_WEIGHTS])
+    z = dot(as_double(F.col("embedding")), wts)
+    s = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    y = (F.col("label") % 2).cast("long")
+
+    from ..functions.texthash import md5_hash64
+
+    parity = md5_hash64(F.col("vec_id").cast("string")) % 2
+    scored = load_table(spark, sf_dir, "embeddings").select(
+        parity.alias("p"),
+        F.when(y == 1, F.lit(1.0) - s).otherwise(s).alias("nc"),
+    )
+    cal = scored.filter(F.col("p") == 0)
+    ev = scored.filter(F.col("p") == 1)
+    totals = cal.agg(F.count(F.lit(1)).cast("long").alias("n_cal"))
+    cells = cal.groupBy("nc").agg(F.count(F.lit(1)).alias("c"))
+    w_cum = W.orderBy("nc").rowsBetween(W.unboundedPreceding, 0)
+    w_all = W.partitionBy()
+    staged = cells.select(
+        "nc",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_all).alias("nc_total"),
+    )
+    q_index = F.ceil(
+        (F.col("nc_total") + F.lit(1)).cast("double")
+        * F.lit(1.0 - CONF_ALPHA)
+    )
+    th = staged.filter(F.col("cum") >= q_index).agg(
+        F.min("nc").alias("q0")
+    )
+    evagg = ev.crossJoin(F.broadcast(th)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_eval"),
+        F.sum(
+            F.when(
+                F.col("nc") <= F.coalesce(F.col("q0"), F.lit(1.0)), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_covered"),
+        F.coalesce(F.max("q0"), F.lit(1.0)).alias("q_hat"),
+    )
+    return evagg.crossJoin(F.broadcast(totals)).select(
+        "n_cal",
+        "n_eval",
+        F.lit(CONF_ALPHA).alias("alpha"),
+        "q_hat",
+        "n_covered",
+        F.try_divide(
+            F.col("n_covered").cast("double"),
+            F.col("n_eval").cast("double"),
+        ).alias("coverage"),
+    )
+
+
+_SQL_CONF_PARITY = (
+    "((('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT) % 2)"
+)
+
+SQL_CONFORMAL_THRESHOLD = f"""
+    WITH scored AS (
+        SELECT {_SQL_CONF_PARITY} AS p,
+               CASE WHEN (label % 2) = 1
+                    THEN 1.0 - round(1.0 / (1.0 + exp(
+                        -{{calib_dot}}
+                    )), 6)
+                    ELSE round(1.0 / (1.0 + exp(
+                        -{{calib_dot}}
+                    )), 6)
+               END AS nc
+        FROM embeddings
+    ), cal AS (SELECT nc FROM scored WHERE p = 0),
+    ev AS (SELECT nc FROM scored WHERE p = 1),
+    totals AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cal FROM cal),
+    cells AS (SELECT nc, COUNT(*) AS c FROM cal GROUP BY nc),
+    staged AS (
+        SELECT nc,
+               SUM(c) OVER (ORDER BY nc
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS cum,
+               SUM(c) OVER () AS nc_total
+        FROM cells
+    ), th AS (
+        SELECT MIN(nc) AS q0 FROM staged
+        WHERE cum >= CEIL(CAST(nc_total + 1 AS DOUBLE)
+                          * {1.0 - CONF_ALPHA!r})
+    ), evagg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_eval,
+               CAST(SUM(CASE WHEN nc <= COALESCE(q0, 1.0)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+               COALESCE(MAX(q0), 1.0) AS q_hat
+        FROM ev CROSS JOIN th
+    )
+    SELECT n_cal, n_eval, {CONF_ALPHA!r} AS alpha, q_hat, n_covered,
+           CAST(n_covered AS DOUBLE) / NULLIF(CAST(n_eval AS DOUBLE), 0.0)
+               AS coverage
+    FROM evagg CROSS JOIN totals
+"""
+
+
+def _finalize_sql_conformal() -> str:
+    calib_dot = sql_dot(
+        "list_transform(embedding, e -> CAST(e AS DOUBLE))", _CALIB_WLIST
+    )
+    return SQL_CONFORMAL_THRESHOLD.format(calib_dot=calib_dot)
+
+
+SQL_CONFORMAL_THRESHOLD = _finalize_sql_conformal()

@@ -196,6 +196,132 @@ SQL_KMEANS_ASSIGN = f"""
 """
 
 
+def q_silhouette_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified (centroid-based) silhouette over the kmeans_assign
+    clustering (Rousseeuw 1987's medoid-free variant — the form every
+    large-scale clustering validity check uses, because the classic
+    all-pairs silhouette is O(n²)): per vector, a = cosine distance
+    (1 − cos) to its own nearest centroid, b = distance to the
+    runner-up centroid, s = (b − a) / max(a, b) ∈ [0, 1] under
+    nearest-assignment (a ≤ b by construction). Per-cluster mean and
+    min — the cohesion/separation readout kmeans_elbow (inertia) and
+    cluster_purity (labels) deliberately cannot see.
+
+    Determinism: cosines are the shared prenorm fold (bit-identical);
+    the top-2 window breaks ties on centroid_id; s is one fixed double
+    expression of two identical cosines, rounded through DECIMAL(38,6)
+    per row before the order-free mean (kmeans mean_cos discipline);
+    min is exact on identical doubles; a degenerate a=b=0 row yields
+    NULL s via try_divide and drops from both mean legs identically.
+
+    Scale shape (100 TB): the K-row centroid frame broadcasts; scoring
+    is K prenorm folds per vector, no shuffle; the top-2 window is
+    partitioned by vec_id (WindowGroupLimit keeps 2 rows per vector
+    per partition ahead of the exchange); the final aggregate is
+    K-row bounded."""
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    emb = emb.withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v")))).filter(
+        F.col("nrm") > F.lit(0.0)
+    )
+    cent = emb.filter(F.col("vec_id") < F.lit(KMEANS_K)).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cnrm"),
+    )
+    scored = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "centroid_id",
+        cosine_prenorm(
+            F.col("v"), F.col("cv"), F.col("nrm"), F.col("cnrm")
+        ).alias("cos_sim"),
+    )
+    w = W.partitionBy("vec_id").orderBy(
+        F.col("cos_sim").desc(), F.col("centroid_id").asc()
+    )
+    top2 = scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= F.lit(2)
+    )
+    per_vec = top2.groupBy("vec_id").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("centroid_id"))).alias(
+            "centroid_id"
+        ),
+        F.max(F.when(F.col("rn") == 1, F.col("cos_sim"))).alias("cos1"),
+        F.max(F.when(F.col("rn") == 2, F.col("cos_sim"))).alias("cos2"),
+    )
+    a = F.lit(1.0) - F.col("cos1")
+    b = F.lit(1.0) - F.col("cos2")
+    sil = F.try_divide(F.col("cos1") - F.col("cos2"), F.greatest(a, b))
+    staged = per_vec.select(
+        "centroid_id",
+        sil.cast("decimal(38,6)").alias("sil_d"),
+        sil.alias("sil_raw"),
+    )
+    return (
+        staged.groupBy("centroid_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_assigned"),
+            F.try_divide(
+                F.sum("sil_d").cast("double"),
+                F.count("sil_d").cast("double"),
+            ).alias("mean_sil"),
+            F.min("sil_raw").alias("min_sil"),
+        )
+        .orderBy("centroid_id")
+    )
+
+
+SQL_SILHOUETTE_REPORT = f"""
+    WITH e AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ), nn AS (
+        SELECT vec_id, v, sqrt({sql_dot('v', 'v')}) AS nrm FROM e
+    ), f AS (SELECT * FROM nn WHERE nrm > 0),
+    c AS (
+        SELECT vec_id AS centroid_id, v AS cv, nrm AS cnrm
+        FROM f WHERE vec_id < {KMEANS_K}
+    ), p AS (
+        SELECT f.vec_id, c.centroid_id,
+               {sql_dot('f.v', 'c.cv')} / (f.nrm * c.cnrm) AS cos_sim
+        FROM f CROSS JOIN c
+    ), t AS (
+        SELECT vec_id, centroid_id, cos_sim,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY cos_sim DESC,
+                                           centroid_id ASC) AS rn
+        FROM p QUALIFY rn <= 2
+    ), pv AS (
+        SELECT vec_id,
+               MAX(CASE WHEN rn = 1 THEN centroid_id END) AS centroid_id,
+               MAX(CASE WHEN rn = 1 THEN cos_sim END) AS cos1,
+               MAX(CASE WHEN rn = 2 THEN cos_sim END) AS cos2
+        FROM t GROUP BY vec_id
+    ), s AS (
+        SELECT centroid_id,
+               CAST((cos1 - cos2)
+                    / NULLIF(GREATEST(1.0 - cos1, 1.0 - cos2), 0.0)
+                    AS DECIMAL(38,6)) AS sil_d,
+               (cos1 - cos2)
+                   / NULLIF(GREATEST(1.0 - cos1, 1.0 - cos2), 0.0)
+                   AS sil_raw
+        FROM pv
+    )
+    SELECT centroid_id,
+           CAST(COUNT(*) AS BIGINT) AS n_assigned,
+           CAST(SUM(sil_d) AS DOUBLE)
+               / NULLIF(CAST(COUNT(sil_d) AS DOUBLE), 0.0) AS mean_sil,
+           MIN(sil_raw) AS min_sil
+    FROM s
+    GROUP BY centroid_id
+    ORDER BY centroid_id
+"""
+
+
 # --- int8 scalar quantization error report -----------------------------------------
 
 

@@ -198,6 +198,126 @@ SQL_KNN_CLASSIFY = f"""
 """
 
 
+LABEL_AUDIT_N = 100  # audited slice = vec_id < 100
+# flag when strictly more than 60% of neighbors disagree (6-of-10 rule
+# at k=5: > 3 of 5)
+NOISE_FLAG_NUM = 6
+NOISE_FLAG_DEN = 10
+
+
+def q_label_noise_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN label-noise audit (the Confident-Learning-style screen,
+    Northcutt et al., JAIR 2021): for each audited vector (vec_id <
+    LABEL_AUDIT_N), the fraction of its TOP_K cosine neighbors whose
+    label DISAGREES with its own — high-disagreement rows are the
+    mislabeled-example candidates a training-data quality pass routes
+    to re-annotation. knn_classify predicts labels; this op audits the
+    labels we already have. (Reference has no label surface; extends
+    SURVEY.md §2.6's similarity tier.)
+
+    Determinism: cosines are the shared bit-identical prenorm fold;
+    ranks break ties on neighbor_id; counts are exact ints; noise_frac
+    is one integer division to double; the suspect flag is a pure
+    integer comparison (n_disagree·10 > n_neighbors·6 — no float
+    threshold at all).
+
+    Scale shape (100 TB): the audit slice broadcasts (bounded by
+    construction — an audit is a sample, never the corpus); the corpus
+    side pays one prenorm fold per (vector, audited) pair with no
+    shuffle; Catalyst's WindowGroupLimit keeps ~k rows per audited id
+    per partition ahead of the exchange; the aggregate runs on
+    |audit| × k rows."""
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("v")
+    )
+    emb = emb.withColumn("norm", F.sqrt(dot(F.col("v"), F.col("v"))))
+    q = emb.filter(F.col("vec_id") < LABEL_AUDIT_N).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("own_label"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    topk = (
+        emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "own_label",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("neighbor_label"),
+            cosine_prenorm(
+                F.col("qv"), F.col("v"), F.col("qnorm"), F.col("norm")
+            ).alias("cos_sim"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+    )
+    agg = topk.groupBy("query_id", "own_label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_neighbors"),
+        F.sum(
+            F.when(F.col("neighbor_label") != F.col("own_label"), 1).otherwise(
+                0
+            )
+        )
+        .cast("long")
+        .alias("n_disagree"),
+    )
+    return agg.select(
+        "query_id",
+        "own_label",
+        "n_neighbors",
+        "n_disagree",
+        (
+            F.col("n_disagree").cast("double")
+            / F.col("n_neighbors").cast("double")
+        ).alias("noise_frac"),
+        (
+            F.col("n_disagree") * F.lit(NOISE_FLAG_DEN)
+            > F.col("n_neighbors") * F.lit(NOISE_FLAG_NUM)
+        ).alias("suspect"),
+    ).orderBy("query_id")
+
+
+SQL_LABEL_NOISE_KNN = f"""
+    WITH emb AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    ), nn AS (
+        SELECT vec_id, label, v, sqrt({sql_dot('v', 'v')}) AS nrm FROM emb
+    ), q AS (
+        SELECT vec_id AS query_id, label AS own_label, v AS qv,
+               nrm AS qnrm
+        FROM nn WHERE vec_id < {LABEL_AUDIT_N}
+    ), scored AS (
+        SELECT q.query_id, q.own_label, e.vec_id AS neighbor_id,
+               e.label AS neighbor_label,
+               {sql_dot('q.qv', 'e.v')} / (q.qnrm * e.nrm) AS cos_sim
+        FROM q JOIN nn e ON e.vec_id <> q.query_id
+    ), topk AS (
+        SELECT * FROM scored
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC,
+                                            neighbor_id ASC) <= {TOP_K}
+    )
+    SELECT query_id, own_label,
+           CAST(COUNT(*) AS BIGINT) AS n_neighbors,
+           CAST(SUM(CASE WHEN neighbor_label <> own_label
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_disagree,
+           CAST(SUM(CASE WHEN neighbor_label <> own_label
+                         THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS noise_frac,
+           SUM(CASE WHEN neighbor_label <> own_label THEN 1 ELSE 0 END)
+               * {NOISE_FLAG_DEN}
+               > COUNT(*) * {NOISE_FLAG_NUM} AS suspect
+    FROM topk
+    GROUP BY query_id, own_label
+    ORDER BY query_id
+"""
+
+
 def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining for contrastive training: for each query
     vector (vec_id < N_QUERIES), the TOP_K most-similar corpus vectors

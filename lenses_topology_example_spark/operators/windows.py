@@ -2568,3 +2568,219 @@ SQL_DECAYED_REVENUE_TPL = f"""
 SQL_DECAYED_REVENUE = SQL_DECAYED_REVENUE_TPL.format(
     frac_list="[" + ", ".join(repr(v) for v in DECAY_FRAC) + "]"
 )
+
+
+# --- time-ordered dataset split + deterministic bandit readout (round 11) ----
+
+TEMPORAL_TRAIN_PCT = 0.8
+TEMPORAL_VAL_PCT = 0.9  # train < 0.8 <= val < 0.9 <= test
+
+
+def q_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-ordered train/val/test holdout per event type — the split
+    a forecasting or sequence-model pipeline needs where the hash
+    split (dataset_split) would leak the future into training: the
+    FIRST 80% of each type's events by time go to train, the next 10%
+    to val, the last 10% to test. Report per (event_type, split):
+    count and the time range it covers — the artifact a reviewer
+    checks for boundary sanity before a temporal eval is trusted.
+
+    Determinism: the order is the (ts, event_id) total order; split
+    boundaries are exact integer rank comparisons against floor(n·p)
+    (no float assignment per row); min/max timestamps are exact.
+
+    Scale shape (100 TB): ONE rank window partitioned by event_type
+    (the exact-percentile cost class interp_quantiles already pays —
+    per-type, not global), one |types|-keyed count join via window
+    (count over the same partition, no second scan), then a
+    |types|×3-bounded aggregate."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", "ts"
+    )
+    w_rank = W.partitionBy("event_type").orderBy("ts", "event_id")
+    w_type = W.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        "ts",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_type).alias("n"),
+    )
+    train_cut = F.floor(
+        F.col("n").cast("double") * F.lit(TEMPORAL_TRAIN_PCT)
+    ).cast("long")
+    val_cut = F.floor(
+        F.col("n").cast("double") * F.lit(TEMPORAL_VAL_PCT)
+    ).cast("long")
+    assigned = ranked.select(
+        "event_type",
+        "ts",
+        F.when(F.col("rn") <= train_cut, F.lit(0))
+        .when(F.col("rn") <= val_cut, F.lit(1))
+        .otherwise(F.lit(2))
+        .cast("int")
+        .alias("split_id"),
+    )
+    return (
+        assigned.groupBy("event_type", "split_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.min("ts").alias("ts_min"),
+            F.max("ts").alias("ts_max"),
+        )
+        .select(
+            "event_type",
+            "split_id",
+            F.when(F.col("split_id") == 0, F.lit("train"))
+            .when(F.col("split_id") == 1, F.lit("val"))
+            .otherwise(F.lit("test"))
+            .alias("split"),
+            "n_events",
+            "ts_min",
+            "ts_max",
+        )
+        .orderBy("event_type", "split_id")
+    )
+
+
+SQL_TEMPORAL_SPLIT = f"""
+    WITH ranked AS (
+        SELECT event_type, ts,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY ts, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM events
+    ), assigned AS (
+        SELECT event_type, ts,
+               CAST(CASE
+                   WHEN rn <= CAST(FLOOR(CAST(n AS DOUBLE)
+                                         * {TEMPORAL_TRAIN_PCT!r}) AS BIGINT)
+                       THEN 0
+                   WHEN rn <= CAST(FLOOR(CAST(n AS DOUBLE)
+                                         * {TEMPORAL_VAL_PCT!r}) AS BIGINT)
+                       THEN 1
+                   ELSE 2
+               END AS INTEGER) AS split_id
+        FROM ranked
+    )
+    SELECT event_type, split_id,
+           CASE split_id WHEN 0 THEN 'train'
+                         WHEN 1 THEN 'val'
+                         ELSE 'test' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MIN(ts) AS ts_min,
+           MAX(ts) AS ts_max
+    FROM assigned
+    GROUP BY event_type, split_id
+    ORDER BY event_type, split_id
+"""
+
+
+BANDIT_ARMS = 3
+BANDIT_CONV_THRESHOLD = 50.0  # purchase value at/above this converts
+
+
+def q_bandit_ucb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic UCB1 bandit readout (Auer et al., ML 2002) over
+    purchase events: users hash into BANDIT_ARMS arms (the ab_test
+    seeded-md5 discipline at 3 arms), each arm's reward is its binary
+    conversion rate (value ≥ threshold), and the report scores each
+    arm mean + sqrt(2·ln N / n) — the allocation rule an
+    experimentation platform runs BETWEEN batches. Thompson sampling
+    is the randomized cousin; UCB1 is its deterministic, oracle-
+    checkable counterpart.
+
+    Determinism: counts are exact ints; the mean is one int/int double
+    division; ln and sqrt are single libm calls on identical exact
+    inputs (the sigmoid precedent, calibration_bins); chosen_arm is an
+    integer-tied rank over the |arms|-bounded frame.
+
+    Scale shape (100 TB): single scan, ONE conditional |arms|-row
+    map-side-combinable aggregate, then scalar math and a 3-row
+    window."""
+    from pyspark.sql import Window as W
+
+    from ..functions.texthash import md5_hash64
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == F.lit("purchase")
+    )
+    arm = (
+        md5_hash64(
+            F.concat(F.lit("bandit|"), F.col("user_id").cast("string"))
+        )
+        % BANDIT_ARMS
+    )
+    per_arm = (
+        ev.select(
+            arm.alias("arm"),
+            (F.col("value") >= F.lit(BANDIT_CONV_THRESHOLD))
+            .cast("long")
+            .alias("conv"),
+        )
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("conv").cast("long").alias("n_conv"),
+        )
+    )
+    w_all = W.partitionBy()
+    staged = per_arm.select(
+        "arm",
+        "n",
+        "n_conv",
+        F.sum("n").over(w_all).alias("n_total"),
+    )
+    mean = F.col("n_conv").cast("double") / F.col("n").cast("double")
+    ucb = mean + F.sqrt(
+        F.lit(2.0)
+        * F.log(F.col("n_total").cast("double"))
+        / F.col("n").cast("double")
+    )
+    scored = staged.select(
+        "arm",
+        "n",
+        "n_conv",
+        mean.alias("conv_rate"),
+        ucb.alias("ucb_score"),
+    )
+    w_pick = W.orderBy(F.col("ucb_score").desc(), F.col("arm").asc())
+    return (
+        scored.withColumn(
+            "chosen", F.row_number().over(w_pick) == F.lit(1)
+        )
+        .orderBy("arm")
+    )
+
+
+_SQL_BANDIT_ARM = (
+    "((('0x' || substr(md5('bandit|' || CAST(user_id AS VARCHAR)), 1, 15))"
+    f"::BIGINT) % {BANDIT_ARMS})"
+)
+
+SQL_BANDIT_UCB = f"""
+    WITH per_arm AS (
+        SELECT {_SQL_BANDIT_ARM} AS arm,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN value >= {BANDIT_CONV_THRESHOLD!r}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_conv
+        FROM events
+        WHERE event_type = 'purchase'
+        GROUP BY 1
+    ), staged AS (
+        SELECT arm, n, n_conv, SUM(n) OVER () AS n_total FROM per_arm
+    ), scored AS (
+        SELECT arm, n, n_conv,
+               CAST(n_conv AS DOUBLE) / CAST(n AS DOUBLE) AS conv_rate,
+               CAST(n_conv AS DOUBLE) / CAST(n AS DOUBLE)
+               + SQRT(2.0 * LN(CAST(n_total AS DOUBLE))
+                      / CAST(n AS DOUBLE)) AS ucb_score
+        FROM staged
+    )
+    SELECT arm, n, n_conv, conv_rate, ucb_score,
+           ROW_NUMBER() OVER (ORDER BY ucb_score DESC, arm ASC) = 1
+               AS chosen
+    FROM scored
+    ORDER BY arm
+"""
