@@ -334,6 +334,11 @@ HEADLINE = (
     "temporal_split",
     "conformal_threshold",
     "bandit_ucb",
+    # round-11 wave 3 (source_ablation/hill_tail_index add tiny-frame
+    # unpartitioned windows over |sources|- and K-row aggregates)
+    "source_ablation",
+    "hill_tail_index",
+    "forecast_backtest",
 )
 
 

@@ -762,6 +762,20 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
         analytics.SQL_CONFORMAL_THRESHOLD,
     ),
     "bandit_ucb": (windows.q_bandit_ucb, windows.SQL_BANDIT_UCB),
+    # third round-11 wave: data valuation, tail diagnostics, forecast
+    # evaluation
+    "source_ablation": (
+        quality.q_source_ablation,
+        quality.SQL_SOURCE_ABLATION,
+    ),
+    "hill_tail_index": (
+        analytics.q_hill_tail_index,
+        analytics.SQL_HILL_TAIL_INDEX,
+    ),
+    "forecast_backtest": (
+        windows.q_forecast_backtest,
+        windows.SQL_FORECAST_BACKTEST,
+    ),
 }
 
 # The driver evaluates only the first DRIVER_WINDOW_SIZE catalog entries
@@ -788,15 +802,16 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
 #                sliding_count, window_range_interval).
 #   Slots 28-41: the r4 block (big_orders .. topk_words).
 #   Slot  42:    token_count (r5).
-#   Slots 20-24: the five round-11 additions (label_noise_knn,
+#   Slots 20-27: the eight round-11 additions (label_noise_knn,
 #                silhouette_report, temporal_split,
-#                conformal_threshold, bandit_ucb) — three-SF oracle
-#                parity + empty-input OK at registration.
-#   Slots 25-47: the re-check blocks below (r3, r4, token_count).
-#   Slots 48-50: the r6 block head (embed_neardup, curation_pipeline,
-#                text_stats); the round-11 additions displaced
+#                conformal_threshold, bandit_ucb, source_ablation,
+#                hill_tail_index, forecast_backtest) — three-SF
+#                oracle parity + empty-input OK at registration.
+#   Slots 28-50: the re-check blocks below (r3, r4, token_count).
+#                The additions displaced the whole r6 block head
+#                (embed_neardup, curation_pipeline, text_stats,
 #                udaf_median, corr_text_embedding, map_fns, tfidf,
-#                text_normalize to the round-12 queue.
+#                text_normalize) to the round-12 queue.
 #   OUT: the freshly-green r10 block (each leaves with a current
 #   verdict; pytest oracle parity at sf0.001 still covers every
 #   rotated-out entry on every run).
@@ -838,6 +853,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "temporal_split",
     "conformal_threshold",
     "bandit_ucb",
+    "source_ablation",
+    "hill_tail_index",
+    "forecast_backtest",
     # re-checks: r3 block (oldest verdicts in the catalog)
     "audio_features",
     "frame_sample",
@@ -864,12 +882,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "topk_words",
     # re-check: r5
     "token_count",
-    # re-checks: r6 block head (registration order; the round-11
-    # additions above displaced udaf_median, corr_text_embedding,
-    # map_fns, tfidf, text_normalize to the round-12 queue)
-    "embed_neardup",
-    "curation_pipeline",
-    "text_stats",
 )
 
 #

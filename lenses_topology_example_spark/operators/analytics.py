@@ -1953,3 +1953,75 @@ def _finalize_sql_conformal() -> str:
 
 
 SQL_CONFORMAL_THRESHOLD = _finalize_sql_conformal()
+
+
+# --- Hill tail-index estimator (round 11) ------------------------------------
+
+HILL_K = 100  # top-K order statistics feed the estimator
+
+
+def q_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the power-law tail index over order values
+    (Hill, Annals of Statistics 1975): alpha-hat = ((1/(k−1)) ·
+    Σ_{i<k} ln(x_(i)/x_(k)))⁻¹ over the top-K order statistics — the
+    heavy-tail diagnostic that tells a capacity planner whether the
+    revenue distribution has finite variance (alpha > 2) before any
+    mean-based forecast is trusted. zipf_fit ranks token frequencies;
+    this measures the tail of a VALUE distribution.
+
+    Determinism: the top-K set is exact under the (value, orderkey)
+    total order (TakeOrderedAndProject); each ln(x_i/x_k) term rounds
+    through DECIMAL(38,6) BEFORE the sum (the tfidf ln-rounding
+    contract) so the sum is order-free; alpha is one double division.
+
+    Scale shape (100 TB): the global top-K is Spark's
+    TakeOrderedAndProject (per-partition partial top-K, K rows per
+    partition to the driver-side merge — the only sane global-order
+    shape at scale); everything downstream runs on the K-row frame."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_totalprice").alias("x")
+    )
+    topk = orders.orderBy(
+        F.col("x").desc(), F.col("o_orderkey").asc()
+    ).limit(HILL_K)
+    w_all = W.partitionBy()
+    staged = topk.select(
+        "x",
+        F.count(F.lit(1)).over(w_all).cast("long").alias("k"),
+        F.min("x").over(w_all).alias("x_k"),
+    )
+    term = F.log(F.col("x") / F.col("x_k")).cast("decimal(38,6)")
+    agg = staged.groupBy("k", "x_k").agg(
+        F.sum(term).cast("double").alias("log_sum")
+    )
+    return agg.select(
+        "k",
+        F.col("x_k").alias("threshold"),
+        "log_sum",
+        F.try_divide(
+            (F.col("k") - F.lit(1)).cast("double"), F.col("log_sum")
+        ).alias("hill_alpha"),
+    )
+
+
+SQL_HILL_TAIL_INDEX = f"""
+    WITH topk AS (
+        SELECT o_totalprice AS x
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey ASC
+        LIMIT {HILL_K}
+    ), staged AS (
+        SELECT x,
+               CAST(COUNT(*) OVER () AS BIGINT) AS k,
+               MIN(x) OVER () AS x_k
+        FROM topk
+    )
+    SELECT k, x_k AS threshold,
+           CAST(SUM(CAST(LN(x / x_k) AS DECIMAL(38,6))) AS DOUBLE)
+               AS log_sum,
+           CAST(k - 1 AS DOUBLE)
+               / NULLIF(CAST(SUM(CAST(LN(x / x_k) AS DECIMAL(38,6)))
+                             AS DOUBLE), 0.0) AS hill_alpha
+    FROM staged
+    GROUP BY k, x_k
+"""

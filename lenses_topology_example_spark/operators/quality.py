@@ -1022,3 +1022,105 @@ def _finalize_sql_ks_drift() -> str:
 
 
 SQL_KS_DRIFT = _finalize_sql_ks_drift()
+
+
+# --- leave-one-source-out quality ablation (round 11) ------------------------
+
+
+def q_source_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-source-out corpus quality ablation — the data-valuation
+    primitive (Shapley-lite: the first marginal) a curation team reads
+    before dropping or up-weighting a source: for each source, the mean
+    corpus quality WITHOUT that source versus the overall mean, derived
+    ANALYTICALLY from per-source sums (mean_without = (Σq − Σq_s) /
+    (N − N_s)) — no per-source recompute, no second scan. A positive
+    delta_without means removing the source RAISES corpus quality.
+
+    Determinism: per-row quality rounds to DECIMAL(38,6) before any
+    sum (lm_score discipline), so all sums are exact and order-free;
+    every mean/delta is one double expression of exact sums; NULL-
+    quality docs (token-less) are excluded from BOTH counts and sums
+    identically on both engines; a single-source corpus yields NULL
+    mean_without via try_divide.
+
+    Scale shape (100 TB): ONE scan collapses map-side to the
+    |sources|-bounded frame; the corpus totals are windows over that
+    bounded frame; everything downstream is per-source scalar math."""
+    from .text import quality_components
+
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = quality_components(F.col("text"))["quality"]
+    per_src = (
+        docs.select(
+            "source", q.cast("decimal(38,6)").alias("qd")
+        )
+        .filter(F.col("qd").isNotNull())
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("qd").alias("qsum"),
+        )
+    )
+    w_all = W.partitionBy()
+    staged = per_src.select(
+        "source",
+        "n_docs",
+        "qsum",
+        F.sum("n_docs").over(w_all).alias("n_total"),
+        F.sum("qsum").over(w_all).alias("qsum_total"),
+    )
+    mean_in = F.col("qsum").cast("double") / F.col("n_docs").cast("double")
+    mean_all = (
+        F.col("qsum_total").cast("double") / F.col("n_total").cast("double")
+    )
+    mean_without = F.try_divide(
+        (F.col("qsum_total") - F.col("qsum")).cast("double"),
+        (F.col("n_total") - F.col("n_docs")).cast("double"),
+    )
+    return staged.select(
+        "source",
+        "n_docs",
+        mean_in.alias("mean_quality"),
+        mean_all.alias("mean_overall"),
+        mean_without.alias("mean_without"),
+        (mean_without - mean_all).alias("delta_without"),
+    ).orderBy("source")
+
+
+def _finalize_sql_source_ablation() -> str:
+    from .text import _sql_quality_expr
+
+    quality = _sql_quality_expr("text", "toks")
+    return f"""
+    WITH t AS (SELECT source, text, {SQL_TOKS} AS toks FROM documents),
+    qq AS (
+        SELECT source, CAST({quality} AS DECIMAL(38,6)) AS qd FROM t
+    ), per_src AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               SUM(qd) AS qsum
+        FROM qq WHERE qd IS NOT NULL GROUP BY source
+    ), staged AS (
+        SELECT source, n_docs, qsum,
+               SUM(n_docs) OVER () AS n_total,
+               SUM(qsum) OVER () AS qsum_total
+        FROM per_src
+    )
+    SELECT source, n_docs,
+           CAST(qsum AS DOUBLE) / CAST(n_docs AS DOUBLE) AS mean_quality,
+           CAST(qsum_total AS DOUBLE) / CAST(n_total AS DOUBLE)
+               AS mean_overall,
+           CAST(qsum_total - qsum AS DOUBLE)
+               / NULLIF(CAST(n_total - n_docs AS DOUBLE), 0.0)
+               AS mean_without,
+           CAST(qsum_total - qsum AS DOUBLE)
+               / NULLIF(CAST(n_total - n_docs AS DOUBLE), 0.0)
+           - CAST(qsum_total AS DOUBLE) / CAST(n_total AS DOUBLE)
+               AS delta_without
+    FROM staged
+    ORDER BY source
+"""
+
+
+SQL_SOURCE_ABLATION = _finalize_sql_source_ablation()

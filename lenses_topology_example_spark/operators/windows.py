@@ -2725,6 +2725,17 @@ def q_bandit_ucb(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("conv").cast("long").alias("n_conv"),
         )
     )
+    return ucb_report(per_arm)
+
+
+def ucb_report(per_arm: DataFrame) -> DataFrame:
+    """UCB1 scoring over an (arm, n, n_conv) count frame — the SHARED
+    report builder: q_bandit_ucb feeds it the one-shot batch counts,
+    the streaming twin (streaming/pipelines.bandit_ucb_batch) feeds it
+    the cumulative counts at each micro-batch, so stream and batch can
+    never drift."""
+    from pyspark.sql import Window as W
+
     w_all = W.partitionBy()
     staged = per_arm.select(
         "arm",
@@ -2784,3 +2795,140 @@ SQL_BANDIT_UCB = f"""
     FROM scored
     ORDER BY arm
 """
+
+
+# --- rolling-origin forecast backtest (round 11) -----------------------------
+
+BT_CUTOFFS = 6  # one-step-ahead evaluations at the last 6 months
+
+
+def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin backtest of the Holt forecaster — the evaluation
+    harness holt_forecast itself cannot provide: for each of the last
+    BT_CUTOFFS months, fit Holt on the STRICT prefix of monthly
+    revenue history and forecast that month one step ahead; report
+    actual vs forecast and the absolute percentage error. The MAPE a
+    planning team reads before trusting the live forecast.
+
+    Determinism: the per-cutoff fit is the IDENTICAL sequential
+    decimal-exact fold as holt_forecast (same init, same operation
+    order, same DuckDB DOUBLE[2]-list accumulator workaround for the
+    struct-aliasing bug documented there), run over a prefix slice of
+    the one sorted month array; APE is one double expression.
+
+    Scale shape (100 TB): one scan collapses to the |months|-bounded
+    frame; the 6 backtest rows explode from a broadcast cutoff list;
+    each fold runs over a bounded prefix array inside a 6-row frame —
+    the history length is reporting-grain, never data-scale."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.trunc(F.to_date("o_orderdate"), "month").alias("m"),
+        "o_totalprice",
+    )
+    monthly = orders.groupBy("m").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("x")
+    )
+    packed = monthly.agg(
+        F.array_sort(F.collect_list(F.struct("m", "x"))).alias("h")
+    )
+    offs = spark.createDataFrame(
+        [(o,) for o in range(1, BT_CUTOFFS + 1)], "o int"
+    )
+    rows = (
+        packed.crossJoin(F.broadcast(offs))
+        .select(
+            (F.size("h") - F.lit(BT_CUTOFFS) + F.col("o")).alias("p"),
+            "h",
+        )
+        .filter(F.col("p") >= 3)
+    )
+    hist = F.slice(F.col("h"), 1, F.col("p") - 1)
+    a, b = HOLT_ALPHA, HOLT_BETA
+    fold = F.aggregate(
+        F.slice(hist, 2, F.greatest(F.col("p") - 2, F.lit(0))),
+        F.struct(
+            F.element_at(hist, 1).getField("x").alias("level"),
+            (
+                F.element_at(hist, 2).getField("x")
+                - F.element_at(hist, 1).getField("x")
+            ).alias("trend"),
+        ),
+        lambda acc, e: F.struct(
+            (
+                F.lit(a) * e.getField("x")
+                + F.lit(1.0 - a)
+                * (acc.getField("level") + acc.getField("trend"))
+            ).alias("level"),
+            (
+                F.lit(b)
+                * (
+                    F.lit(a) * e.getField("x")
+                    + F.lit(1.0 - a)
+                    * (acc.getField("level") + acc.getField("trend"))
+                    - acc.getField("level")
+                )
+                + F.lit(1.0 - b) * acc.getField("trend")
+            ).alias("trend"),
+        ),
+    )
+    scored = rows.select(
+        F.date_format(
+            F.element_at(F.col("h"), F.col("p")).getField("m"), "yyyy-MM"
+        ).alias("target_month"),
+        F.element_at(F.col("h"), F.col("p")).getField("x").alias("actual"),
+        (fold.getField("level") + fold.getField("trend")).alias("forecast"),
+    )
+    return scored.select(
+        "target_month",
+        "actual",
+        "forecast",
+        F.try_divide(
+            F.abs(F.col("forecast") - F.col("actual")), F.col("actual")
+        ).alias("ape"),
+    ).orderBy("target_month")
+
+
+def _build_sql_forecast_backtest() -> str:
+    a, b = HOLT_ALPHA, HOLT_BETA
+    # DOUBLE[2]-list accumulator — see _build_sql_holt_forecast's note
+    # on DuckDB's struct-accumulator aliasing bug.
+    step = (
+        f"[{a!r}::DOUBLE * x[1]"
+        f" + {1.0 - a!r}::DOUBLE * (acc[1] + acc[2]),"
+        f" {b!r}::DOUBLE * ({a!r}::DOUBLE * x[1]"
+        f" + {1.0 - a!r}::DOUBLE * (acc[1] + acc[2]) - acc[1])"
+        f" + {1.0 - b!r}::DOUBLE * acc[2]]"
+    )
+    return f"""
+    WITH monthly AS (
+        SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS m,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS x
+        FROM orders GROUP BY 1
+    ), packed AS (
+        SELECT list_sort(list(struct_pack(m := m, x := x))) AS h
+        FROM monthly
+    ), offs(o) AS (VALUES (1), (2), (3), (4), (5), (6)),
+    rows_ AS (
+        SELECT len(h) - {BT_CUTOFFS} + o AS p, h
+        FROM packed CROSS JOIN offs
+        WHERE len(h) - {BT_CUTOFFS} + o >= 3
+    ), fitted AS (
+        SELECT p, h,
+               list_reduce(
+                   list_prepend(
+                       [h[1].x, h[2].x - h[1].x],
+                       list_transform(h[2:p-1], e -> [e.x, 0.0::DOUBLE])),
+                   (acc, x) -> {step}) AS f
+        FROM rows_
+    )
+    SELECT strftime(h[p].m, '%Y-%m') AS target_month,
+           h[p].x AS actual,
+           f[1] + f[2] AS forecast,
+           ABS(f[1] + f[2] - h[p].x) / NULLIF(h[p].x, 0.0) AS ape
+    FROM fitted
+    ORDER BY target_month
+"""
+
+
+SQL_FORECAST_BACKTEST = _build_sql_forecast_backtest()

@@ -1544,3 +1544,97 @@ def start_drift_psi_stream(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+# --- continuous bandit allocation (round 11) ---------------------------------
+
+
+def bandit_arm_counts(events: DataFrame) -> DataFrame:
+    """Per-arm (n, n_conv) counts of ONE micro-batch of events — the
+    same md5 arm and conversion rule as the batch operator
+    (operators/windows.q_bandit_ucb), shared so stream and batch can
+    never drift."""
+    from ..functions.texthash import md5_hash64
+    from ..operators.windows import BANDIT_ARMS, BANDIT_CONV_THRESHOLD
+
+    arm = (
+        md5_hash64(
+            F.concat(F.lit("bandit|"), F.col("user_id").cast("string"))
+        )
+        % BANDIT_ARMS
+    )
+    return (
+        events.filter(F.col("event_type") == F.lit("purchase"))
+        .select(
+            arm.alias("arm"),
+            (F.col("value") >= F.lit(BANDIT_CONV_THRESHOLD))
+            .cast("long")
+            .alias("conv"),
+        )
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("conv").cast("long").alias("n_conv"),
+        )
+    )
+
+
+def bandit_ucb_batch(
+    batch_events: DataFrame, prev_counts: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """One step of the continuous bandit: merge the micro-batch's arm
+    counts into the cumulative counts, then score through the SHARED
+    operators/windows.ucb_report builder. Returns (new_counts, report)
+    — counts and report both re-derivable from (prev state, batch), so
+    a retried batch recomputes identically (exactly-once via the
+    per-batch-id overwrite-idempotent layout below)."""
+    from ..operators.windows import ucb_report
+
+    merged = (
+        prev_counts.unionByName(bandit_arm_counts(batch_events))
+        .groupBy("arm")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("n_conv").cast("long").alias("n_conv"),
+        )
+    )
+    return merged, ucb_report(merged)
+
+
+BANDIT_COUNT_SCHEMA = "arm BIGINT, n BIGINT, n_conv BIGINT"
+
+
+def start_bandit_stream(
+    events: DataFrame, out_path: str, checkpoint: str
+) -> StreamingQuery:
+    """foreachBatch continuous bandit: per micro-batch, advance the
+    cumulative per-arm state (state/batch_id=K = state at K−1 plus
+    batch K's counts — a pure function of replayed inputs, so retries
+    are idempotent) and write the UCB allocation report for that point
+    in the stream. At scale the state is |arms| rows — trivially
+    rewritten per batch; the report is the between-batches allocation
+    decision the batch operator can only compute once."""
+
+    def step(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        if batch_id > 0:
+            prev = spark.read.parquet(
+                f"{out_path}/state/batch_id={batch_id - 1}"
+            )
+        else:
+            prev = spark.createDataFrame([], BANDIT_COUNT_SCHEMA)
+        counts, report = bandit_ucb_batch(batch, prev)
+        counts.write.mode("overwrite").parquet(
+            f"{out_path}/state/batch_id={batch_id}"
+        )
+        report.withColumn(
+            "batch_id", F.lit(batch_id).cast("long")
+        ).write.mode("overwrite").parquet(
+            f"{out_path}/report/batch_id={batch_id}"
+        )
+
+    return (
+        events.writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

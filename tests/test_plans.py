@@ -448,9 +448,20 @@ def test_kmeans_elbow_one_scored_frame(spark, sf_dir):
 
 
 def _plan_of(catalog_dfs, name: str) -> str:
+    """Formatted plan of a FRESH build of the entry. The shared
+    catalog_dfs frames may already have EXECUTED (the parity tier
+    materializes them concurrently — r10 ask #7), and an executed
+    frame explains its AQE-FINALIZED plan, whose exchange/reuse shape
+    differs from the structural plan these tests pin (round-11: the
+    zonemap exchange-count pin flaked exactly this way)."""
+    from lenses_topology_example_spark.catalog import _CATALOG
+
+    from .conftest import SF_DIR
+
+    df = _CATALOG[name][0](catalog_dfs[name].sparkSession, SF_DIR)
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
-        catalog_dfs[name].explain("formatted")
+        df.explain("formatted")
     return buf.getvalue()
 
 

@@ -218,3 +218,182 @@ def test_bandit_ucb_matches_python(spark, sf_dir):
     best = min(ucbs.values(), key=lambda t: (-t[0], t[1]))[1]
     for a, r in rows.items():
         assert r.chosen == (a == best)
+
+
+def test_source_ablation_matches_python(spark, sf_dir):
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+
+    from lenses_topology_example_spark.operators.text import (
+        quality_components,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = quality_components(F.col("text"))["quality"]
+    rows = docs.select("source", q.alias("q")).collect()
+    sums: dict[str, Decimal] = {}
+    counts: dict[str, int] = {}
+    for r in rows:
+        if r.q is None:
+            continue
+        sums[r.source] = sums.get(r.source, Decimal(0)) + Decimal(
+            f"{r.q:.6f}"
+        )
+        counts[r.source] = counts.get(r.source, 0) + 1
+    total_q, total_n = sum(sums.values()), sum(counts.values())
+    got = {
+        r.source: r
+        for r in _CATALOG["source_ablation"][0](spark, sf_dir).collect()
+    }
+    assert set(got) == set(counts)
+    for src, r in got.items():
+        assert r.n_docs == counts[src]
+        assert abs(r.mean_quality - float(sums[src]) / counts[src]) < 1e-9
+        assert abs(r.mean_overall - float(total_q) / total_n) < 1e-9
+        rest_n = total_n - counts[src]
+        if rest_n:
+            want_without = float(total_q - sums[src]) / rest_n
+            assert abs(r.mean_without - want_without) < 1e-9
+            assert abs(
+                r.delta_without - (want_without - float(total_q) / total_n)
+            ) < 1e-9
+        else:
+            assert r.mean_without is None
+
+
+def test_hill_tail_index_matches_python(spark, sf_dir):
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from lenses_topology_example_spark.operators.analytics import HILL_K
+
+    vals = sorted(
+        (
+            r.o_totalprice
+            for r in load_table(spark, sf_dir, "orders")
+            .select("o_totalprice")
+            .collect()
+        ),
+        reverse=True,
+    )[:HILL_K]
+    x_k = min(vals)
+    log_sum = float(
+        sum(
+            (
+                Decimal(f"{math.log(x / x_k):.6f}".replace("-0.000000", "0.000000"))
+                for x in vals
+            ),
+            Decimal(0),
+        )
+    )
+    r = _CATALOG["hill_tail_index"][0](spark, sf_dir).collect()[0]
+    assert r.k == len(vals)
+    assert r.threshold == x_k
+    assert abs(r.log_sum - log_sum) < 1e-6
+    assert abs(r.hill_alpha - (len(vals) - 1) / log_sum) < 1e-6
+    assert r.hill_alpha > 0
+
+
+def test_forecast_backtest_matches_python_holt(spark, sf_dir):
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+
+    from lenses_topology_example_spark.operators.windows import (
+        BT_CUTOFFS,
+        HOLT_ALPHA,
+        HOLT_BETA,
+    )
+
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.date_format(
+                F.trunc(F.to_date("o_orderdate"), "month"), "yyyy-MM"
+            ).alias("m"),
+            "o_totalprice",
+        )
+        .collect()
+    )
+    monthly: dict[str, Decimal] = defaultdict(Decimal)
+    for r in orders:
+        monthly[r.m] += Decimal(f"{r.o_totalprice:.6f}")
+    hist = [(m, float(v)) for m, v in sorted(monthly.items())]
+    rows = _CATALOG["forecast_backtest"][0](spark, sf_dir).collect()
+    want = {}
+    L = len(hist)
+    for o in range(1, BT_CUTOFFS + 1):
+        p = L - BT_CUTOFFS + o
+        if p < 3:
+            continue
+        xs = [x for _, x in hist[: p - 1]]
+        level, trend = xs[0], xs[1] - xs[0]
+        for x in xs[1:]:
+            level_new = HOLT_ALPHA * x + (1 - HOLT_ALPHA) * (level + trend)
+            trend = (
+                HOLT_BETA * (level_new - level) + (1 - HOLT_BETA) * trend
+            )
+            level = level_new
+        f = level + trend
+        want[hist[p - 1][0]] = (hist[p - 1][1], f)
+    assert {r.target_month for r in rows} == set(want)
+    for r in rows:
+        actual, f = want[r.target_month]
+        assert abs(r.actual - actual) < 1e-6
+        assert abs(r.forecast - f) < 1e-6
+        assert abs(r.ape - abs(f - actual) / actual) < 1e-9
+
+
+# --- streaming bandit twin (round-11 infra) ----------------------------------
+
+
+def test_streaming_bandit_matches_batch(spark, sf_dir, tmp_path):
+    """The final micro-batch's cumulative UCB report must equal the
+    batch operator over the whole event set — exact equality, with
+    maxFilesPerTrigger=1 forcing the cumulative state to carry across
+    micro-batch boundaries."""
+    from lenses_topology_example_spark.streaming.pipelines import (
+        start_bandit_stream,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    src = tmp_path / "bandit_src"
+    ev.filter("event_id % 2 = 0").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(src / "a"))
+    ev.filter("event_id % 2 = 1").coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src / "a"))
+
+    stream = (
+        spark.readStream.schema(
+            "event_id bigint, user_id bigint, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "a"))
+    )
+    out = str(tmp_path / "bandit_out")
+    q = start_bandit_stream(stream, out, str(tmp_path / "bandit_ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    import glob as _glob
+
+    last = max(
+        int(p.rsplit("=", 1)[1])
+        for p in _glob.glob(f"{out}/report/batch_id=*")
+    )
+    assert last >= 1  # the state actually crossed a batch boundary
+    streamed = {
+        r.arm: (r.n, r.n_conv, r.conv_rate, r.ucb_score, r.chosen)
+        for r in spark.read.parquet(f"{out}/report/batch_id={last}").collect()
+    }
+    want = {
+        r.arm: (r.n, r.n_conv, r.conv_rate, r.ucb_score, r.chosen)
+        for r in _CATALOG["bandit_ucb"][0](spark, sf_dir).collect()
+    }
+    assert streamed == want
