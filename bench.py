@@ -339,6 +339,9 @@ HEADLINE = (
     "source_ablation",
     "hill_tail_index",
     "forecast_backtest",
+    # round-11 wave 4
+    "mrl_truncation_audit",
+    "weighted_sample_ares",
 )
 
 

@@ -776,6 +776,16 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
         windows.q_forecast_backtest,
         windows.SQL_FORECAST_BACKTEST,
     ),
+    # fourth round-11 wave: Matryoshka truncation audit + exact-K
+    # weighted sampling
+    "mrl_truncation_audit": (
+        similarity.q_mrl_truncation_audit,
+        similarity.SQL_MRL_TRUNCATION_AUDIT,
+    ),
+    "weighted_sample_ares": (
+        quality.q_weighted_sample_ares,
+        quality.SQL_WEIGHTED_SAMPLE_ARES,
+    ),
 }
 
 # The driver evaluates only the first DRIVER_WINDOW_SIZE catalog entries
@@ -802,16 +812,17 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
 #                sliding_count, window_range_interval).
 #   Slots 28-41: the r4 block (big_orders .. topk_words).
 #   Slot  42:    token_count (r5).
-#   Slots 20-27: the eight round-11 additions (label_noise_knn,
+#   Slots 20-29: the ten round-11 additions (label_noise_knn,
 #                silhouette_report, temporal_split,
 #                conformal_threshold, bandit_ucb, source_ablation,
-#                hill_tail_index, forecast_backtest) — three-SF
-#                oracle parity + empty-input OK at registration.
-#   Slots 28-50: the re-check blocks below (r3, r4, token_count).
-#                The additions displaced the whole r6 block head
-#                (embed_neardup, curation_pipeline, text_stats,
-#                udaf_median, corr_text_embedding, map_fns, tfidf,
-#                text_normalize) to the round-12 queue.
+#                hill_tail_index, forecast_backtest,
+#                mrl_truncation_audit, weighted_sample_ares) —
+#                three-SF oracle parity + empty-input OK at
+#                registration.
+#   Slots 30-50: the re-check blocks below (r3 block, then the r4
+#                block through sim_ann_lsh). The additions displaced
+#                the r6 block head (8 entries), token_count (r5), and
+#                topk_words (r4) to the round-12 queue.
 #   OUT: the freshly-green r10 block (each leaves with a current
 #   verdict; pytest oracle parity at sf0.001 still covers every
 #   rotated-out entry on every run).
@@ -856,6 +867,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "source_ablation",
     "hill_tail_index",
     "forecast_backtest",
+    "mrl_truncation_audit",
+    "weighted_sample_ares",
     # re-checks: r3 block (oldest verdicts in the catalog)
     "audio_features",
     "frame_sample",
@@ -879,9 +892,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "sessionize_lag",
     "sim_ann_ivf",
     "sim_ann_lsh",
-    "topk_words",
-    # re-check: r5
-    "token_count",
 )
 
 #

@@ -1124,3 +1124,90 @@ def _finalize_sql_source_ablation() -> str:
 
 
 SQL_SOURCE_ABLATION = _finalize_sql_source_ablation()
+
+
+# --- exact-K weighted sampling without replacement (round 11) ----------------
+
+ARES_K = 100
+ARES_W_FLOOR = 0.001  # weight floor: NULL/zero-quality docs still sampleable
+ARES_U_GRID = 1_000_000  # md5-derived uniform grid (the house sampling rule)
+
+
+def q_weighted_sample_ares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-K weighted sampling WITHOUT replacement via A-Res
+    reservoir keys (Efraimidis & Spirakis, IPL 2006): each doc draws a
+    deterministic md5 uniform u and competes on key = ln(u)/w (the
+    monotone log form of u^(1/w)); the K largest keys are EXACTLY a
+    weighted sample without replacement. score_weighted_sample keeps a
+    Bernoulli EXPECTED fraction; this guarantees the exact K a
+    fixed-budget curation step needs.
+
+    Determinism: u is the md5-grid uniform (exact integers + one fixed
+    division); w floors at ARES_W_FLOOR (NULL-quality docs compete at
+    the floor rather than vanishing); the key ROUNDS through
+    DECIMAL(38,6) (the tfidf ln-rounding contract — engine libm ln
+    diverges by 1 ulp on some inputs, observed at registration) and
+    the ORDER uses the rounded key, so the selected K is identical on
+    both engines; ordering ties break on doc_id.
+
+    Scale shape (100 TB): one scan, per-row expression work, global
+    top-K via TakeOrderedAndProject (per-partition partial top-K — the
+    distributed-reservoir shape of the original paper); no shuffle
+    beyond the K-row merge."""
+    from .text import quality_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = quality_components(F.col("text"))["quality"]
+    u = (
+        (
+            F.pmod(
+                md5_hash64(
+                    F.concat(F.lit("ares|"), F.col("doc_id").cast("string"))
+                ),
+                F.lit(ARES_U_GRID),
+            ).cast("double")
+            + F.lit(0.5)
+        )
+        / F.lit(float(ARES_U_GRID))
+    )
+    w = F.greatest(q, F.lit(ARES_W_FLOOR))
+    key = (F.log(u) / w).cast("decimal(38,6)").cast("double")
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            w.alias("weight"),
+            key.alias("sample_key"),
+        )
+        .orderBy(F.col("sample_key").desc(), F.col("doc_id").asc())
+        .limit(ARES_K)
+    )
+
+
+def _finalize_sql_weighted_sample_ares() -> str:
+    from .text import _sql_quality_expr
+
+    quality = _sql_quality_expr("text", "toks")
+    u = (
+        f"((((('0x' || substr(md5('ares|' || CAST(doc_id AS VARCHAR)), 1, 15))"
+        f"::BIGINT) % {ARES_U_GRID} + {ARES_U_GRID}) % {ARES_U_GRID})"
+        f"::DOUBLE + 0.5) / {float(ARES_U_GRID)!r}"
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, source, text, {SQL_TOKS} AS toks
+               FROM documents),
+    scored AS (
+        SELECT doc_id, source,
+               GREATEST({quality}, {ARES_W_FLOOR!r}) AS weight,
+               CAST(CAST(LN({u}) / GREATEST({quality}, {ARES_W_FLOOR!r})
+                         AS DECIMAL(38,6)) AS DOUBLE) AS sample_key
+        FROM t
+    )
+    SELECT doc_id, source, weight, sample_key
+    FROM scored
+    ORDER BY sample_key DESC, doc_id ASC
+    LIMIT {ARES_K}
+"""
+
+
+SQL_WEIGHTED_SAMPLE_ARES = _finalize_sql_weighted_sample_ares()

@@ -1334,3 +1334,158 @@ def _build_sql_ivf_probe_sweep() -> str:
 
 
 SQL_IVF_PROBE_SWEEP = _build_sql_ivf_probe_sweep()
+
+
+# --- Matryoshka truncation audit (round 11) ----------------------------------
+
+MRL_DIMS = (8, 16, 32, 64)
+_MRL_FULL = 0  # marker row: the full-dimension truth ranking
+
+
+def q_mrl_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation retrieval audit (Kusupati et al., NeurIPS
+    2022): recall@k of top-k cosine retrieval using only the FIRST d
+    dimensions (d = 8/16/32/64) against the full-dimension truth — the
+    measure-don't-guess input for choosing a truncated serving
+    dimension (memory/latency ∝ d) exactly as ivf_probe_sweep chooses
+    a probe depth. All dims score in ONE pair pass; nothing reranks.
+
+    Determinism: every truncated cosine is the shared left-fold over a
+    prefix slice (identical association order both engines); rankings
+    tie-break on neighbor_id; recall is exact-int division.
+
+    Scale shape (100 TB): the bounded query set broadcasts once; the
+    corpus side pays |dims|+1 prefix folds per pair in one projection
+    (no re-scan per dim); each (query, dim) ranking is WindowGroupLimit
+    partial top-k; the hit join runs on |Q|·k·|dims| rows."""
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    pairs = emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+
+    def cos_d(d: int | None):
+        a = F.col("qv") if d is None else F.slice(F.col("qv"), 1, d)
+        b = F.col("v") if d is None else F.slice(F.col("v"), 1, d)
+        return F.try_divide(
+            dot(a, b), F.sqrt(dot(a, a)) * F.sqrt(dot(b, b))
+        )
+
+    scored = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(_MRL_FULL).alias("dim"), cos_d(None).alias("cos")
+                ),
+                *[
+                    F.struct(F.lit(d).alias("dim"), cos_d(d).alias("cos"))
+                    for d in MRL_DIMS
+                ],
+            )
+        ).alias("s"),
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.col("s.dim").alias("dim"),
+        F.col("s.cos").alias("cos"),
+    )
+    w = W.partitionBy("query_id", "dim").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    topk = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", "dim")
+    )
+    truth = topk.filter(F.col("dim") == _MRL_FULL).select(
+        "query_id", "neighbor_id"
+    )
+    trunc = topk.filter(F.col("dim") != _MRL_FULL)
+    hits = trunc.join(truth, ["query_id", "neighbor_id"], "left_semi")
+    per_dim = (
+        trunc.groupBy("dim")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ranked"))
+        .join(
+            hits.groupBy("dim").agg(
+                F.count(F.lit(1)).cast("long").alias("n_hits")
+            ),
+            "dim",
+            "left",
+        )
+    )
+    return per_dim.select(
+        "dim",
+        "n_ranked",
+        F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+        (
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
+            / F.col("n_ranked").cast("double")
+        ).alias("recall_at_k"),
+    ).orderBy("dim")
+
+
+def _sql_cos_slice(a: str, b: str, d: int | None) -> str:
+    aa = a if d is None else f"{a}[1:{d}]"
+    bb = b if d is None else f"{b}[1:{d}]"
+    return (
+        f"({sql_dot(aa, bb)} / (sqrt({sql_dot(aa, aa)})"
+        f" * sqrt({sql_dot(bb, bb)})))"
+    )
+
+
+def _build_sql_mrl() -> str:
+    structs = ", ".join(
+        [
+            f"struct_pack(dim := {_MRL_FULL}, "
+            f"cos := {_sql_cos_slice('q.qv', 'e.v', None)})"
+        ]
+        + [
+            f"struct_pack(dim := {d}, "
+            f"cos := {_sql_cos_slice('q.qv', 'e.v', d)})"
+            for d in MRL_DIMS
+        ]
+    )
+    return f"""
+    WITH emb AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), q AS (
+        SELECT vec_id AS query_id, v AS qv FROM emb
+        WHERE vec_id < {N_QUERIES}
+    ), scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               unnest([{structs}], recursive := true)
+        FROM q JOIN emb e ON e.vec_id <> q.query_id
+    ), topk AS (
+        SELECT query_id, neighbor_id, dim FROM scored
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id, dim
+                                   ORDER BY cos DESC,
+                                            neighbor_id ASC) <= {TOP_K}
+    ), truth AS (
+        SELECT query_id, neighbor_id FROM topk WHERE dim = {_MRL_FULL}
+    ), trunc AS (SELECT * FROM topk WHERE dim <> {_MRL_FULL}),
+    hits AS (
+        SELECT t.dim, COUNT(*) AS n_hits
+        FROM trunc t
+        WHERE EXISTS (SELECT 1 FROM truth u
+                      WHERE u.query_id = t.query_id
+                        AND u.neighbor_id = t.neighbor_id)
+        GROUP BY t.dim
+    )
+    SELECT t.dim,
+           CAST(COUNT(*) AS BIGINT) AS n_ranked,
+           CAST(COALESCE(MAX(h.n_hits), 0) AS BIGINT) AS n_hits,
+           CAST(COALESCE(MAX(h.n_hits), 0) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS recall_at_k
+    FROM trunc t LEFT JOIN hits h ON h.dim = t.dim
+    GROUP BY t.dim
+    ORDER BY t.dim
+"""
+
+
+SQL_MRL_TRUNCATION_AUDIT = _build_sql_mrl()

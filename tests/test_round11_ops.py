@@ -397,3 +397,81 @@ def test_streaming_bandit_matches_batch(spark, sf_dir, tmp_path):
         for r in _CATALOG["bandit_ucb"][0](spark, sf_dir).collect()
     }
     assert streamed == want
+
+
+def test_mrl_truncation_audit_matches_bruteforce(spark, sf_dir):
+    from lenses_topology_example_spark.operators.similarity import (
+        MRL_DIMS,
+        N_QUERIES,
+        TOP_K,
+    )
+
+    rows = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    vecs = {r.vec_id: [float(x) for x in r.embedding] for r in rows}
+
+    def topk(qid, d):
+        qv = vecs[qid][:d] if d else vecs[qid]
+        scored = sorted(
+            (-_cos(qv, (v[:d] if d else v)), nid)
+            for nid, v in vecs.items()
+            if nid != qid
+        )[:TOP_K]
+        return {nid for _, nid in scored}
+
+    got = {
+        r.dim: r
+        for r in _CATALOG["mrl_truncation_audit"][0](spark, sf_dir).collect()
+    }
+    assert set(got) == set(MRL_DIMS)
+    queries = [q for q in vecs if q < N_QUERIES]
+    for d in MRL_DIMS:
+        hits = ranked = 0
+        for qid in queries:
+            truth = topk(qid, None)
+            tr = topk(qid, d)
+            ranked += len(tr)
+            hits += len(tr & truth)
+        r = got[d]
+        assert r.n_ranked == ranked
+        assert r.n_hits == hits
+        assert abs(r.recall_at_k - hits / ranked) < 1e-12
+    # recall should not decrease with more dimensions (weak sanity;
+    # allow equality)
+    rs = [got[d].recall_at_k for d in sorted(MRL_DIMS)]
+    assert rs[-1] >= rs[0]
+
+
+def test_weighted_sample_ares_matches_python(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from lenses_topology_example_spark.operators.quality import (
+        ARES_K,
+        ARES_U_GRID,
+        ARES_W_FLOOR,
+    )
+    from lenses_topology_example_spark.operators.text import (
+        quality_components,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = quality_components(F.col("text"))["quality"]
+    rows = docs.select("doc_id", q.alias("q")).collect()
+    keyed = []
+    for r in rows:
+        u = (
+            _md5_64(f"ares|{r.doc_id}") % ARES_U_GRID + 0.5
+        ) / ARES_U_GRID
+        w = max(r.q, ARES_W_FLOOR) if r.q is not None else ARES_W_FLOOR
+        keyed.append((round(math.log(u) / w, 6), -r.doc_id, r.doc_id, w))
+    keyed.sort(reverse=True)
+    want = keyed[:ARES_K]
+    got = _CATALOG["weighted_sample_ares"][0](spark, sf_dir).collect()
+    assert len(got) == min(ARES_K, len(rows))
+    assert [r.doc_id for r in got] == [d for _, _, d, _ in want]
+    for r, (k, _, d, w) in zip(got, want):
+        assert abs(r.sample_key - k) < 1e-6
+        assert abs(r.weight - w) < 1e-12
