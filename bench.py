@@ -342,6 +342,10 @@ HEADLINE = (
     # round-11 wave 4
     "mrl_truncation_audit",
     "weighted_sample_ares",
+    # round-11 wave 5 (theil_sen's medians add two tiny-frame
+    # unpartitioned windows over the |months| and |months|^2 frames)
+    "theil_sen_trend",
+    "group_rare_collapse",
 )
 
 

@@ -786,6 +786,15 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
         quality.q_weighted_sample_ares,
         quality.SQL_WEIGHTED_SAMPLE_ARES,
     ),
+    # fifth round-11 wave: robust trend + categorical collapse
+    "theil_sen_trend": (
+        analytics.q_theil_sen_trend,
+        analytics.SQL_THEIL_SEN_TREND,
+    ),
+    "group_rare_collapse": (
+        analytics.q_group_rare_collapse,
+        analytics.SQL_GROUP_RARE_COLLAPSE,
+    ),
 }
 
 # The driver evaluates only the first DRIVER_WINDOW_SIZE catalog entries
@@ -812,17 +821,18 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
 #                sliding_count, window_range_interval).
 #   Slots 28-41: the r4 block (big_orders .. topk_words).
 #   Slot  42:    token_count (r5).
-#   Slots 20-29: the ten round-11 additions (label_noise_knn,
+#   Slots 20-31: the twelve round-11 additions (label_noise_knn,
 #                silhouette_report, temporal_split,
 #                conformal_threshold, bandit_ucb, source_ablation,
 #                hill_tail_index, forecast_backtest,
-#                mrl_truncation_audit, weighted_sample_ares) —
-#                three-SF oracle parity + empty-input OK at
-#                registration.
-#   Slots 30-50: the re-check blocks below (r3 block, then the r4
-#                block through sim_ann_lsh). The additions displaced
-#                the r6 block head (8 entries), token_count (r5), and
-#                topk_words (r4) to the round-12 queue.
+#                mrl_truncation_audit, weighted_sample_ares,
+#                theil_sen_trend, group_rare_collapse) — three-SF
+#                oracle parity + empty-input OK at registration.
+#   Slots 32-50: the re-check blocks below (r3 block, then the r4
+#                block through sessionize_lag). The additions
+#                displaced the r6 block head (8 entries), token_count
+#                (r5), and topk_words/sim_ann_lsh/sim_ann_ivf (r4) to
+#                the round-12 queue.
 #   OUT: the freshly-green r10 block (each leaves with a current
 #   verdict; pytest oracle parity at sf0.001 still covers every
 #   rotated-out entry on every run).
@@ -869,6 +879,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "forecast_backtest",
     "mrl_truncation_audit",
     "weighted_sample_ares",
+    "theil_sen_trend",
+    "group_rare_collapse",
     # re-checks: r3 block (oldest verdicts in the catalog)
     "audio_features",
     "frame_sample",
@@ -890,8 +902,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "knn_classify",
     "pattern_counts",
     "sessionize_lag",
-    "sim_ann_ivf",
-    "sim_ann_lsh",
 )
 
 #

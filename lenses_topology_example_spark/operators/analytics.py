@@ -1846,25 +1846,50 @@ def q_conformal_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     the score contract so the order statistic is EXACT, not a grid
     approximation); the cumulative window runs over the bounded frame;
     q_hat broadcasts as a 1-row scalar into the eval-side aggregate."""
+    scored = conformal_nonconformity(
+        load_table(spark, sf_dir, "embeddings")
+    )
+    cells = lambda df: df.groupBy("nc").agg(  # noqa: E731
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    return conformal_report(
+        cells(scored.filter(F.col("p") == 0)),
+        cells(scored.filter(F.col("p") == 1)),
+    )
+
+
+def conformal_nonconformity(embeddings: DataFrame) -> DataFrame:
+    """(parity, nonconformity) rows for an embeddings frame — the
+    scoring shared by the batch operator and the streaming twin
+    (streaming/pipelines.conformal_batch), so the two can never
+    drift."""
+    from ..functions.texthash import md5_hash64
+
     wts = F.array(*[F.lit(w) for w in CALIB_WEIGHTS])
     z = dot(as_double(F.col("embedding")), wts)
     s = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
     y = (F.col("label") % 2).cast("long")
-
-    from ..functions.texthash import md5_hash64
-
     parity = md5_hash64(F.col("vec_id").cast("string")) % 2
-    scored = load_table(spark, sf_dir, "embeddings").select(
+    return embeddings.select(
         parity.alias("p"),
         F.when(y == 1, F.lit(1.0) - s).otherwise(s).alias("nc"),
     )
-    cal = scored.filter(F.col("p") == 0)
-    ev = scored.filter(F.col("p") == 1)
-    totals = cal.agg(F.count(F.lit(1)).cast("long").alias("n_cal"))
-    cells = cal.groupBy("nc").agg(F.count(F.lit(1)).alias("c"))
+
+
+def conformal_report(
+    cal_cells: DataFrame, ev_cells: DataFrame
+) -> DataFrame:
+    """The split-conformal report over (nc, c) histogram frames — the
+    SHARED builder: the batch operator feeds one-shot histograms, the
+    streaming twin feeds its cumulative per-batch state. Both
+    histograms are bounded by the 6dp score quantization (see
+    q_conformal_threshold's scale note)."""
+    totals = cal_cells.agg(
+        F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_cal")
+    )
     w_cum = W.orderBy("nc").rowsBetween(W.unboundedPreceding, 0)
     w_all = W.partitionBy()
-    staged = cells.select(
+    staged = cal_cells.select(
         "nc",
         F.sum("c").over(w_cum).alias("cum"),
         F.sum("c").over(w_all).alias("nc_total"),
@@ -1876,12 +1901,16 @@ def q_conformal_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     th = staged.filter(F.col("cum") >= q_index).agg(
         F.min("nc").alias("q0")
     )
-    evagg = ev.crossJoin(F.broadcast(th)).agg(
-        F.count(F.lit(1)).cast("long").alias("n_eval"),
-        F.sum(
-            F.when(
-                F.col("nc") <= F.coalesce(F.col("q0"), F.lit(1.0)), 1
-            ).otherwise(0)
+    evagg = ev_cells.crossJoin(F.broadcast(th)).agg(
+        F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_eval"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("nc") <= F.coalesce(F.col("q0"), F.lit(1.0)),
+                    F.col("c"),
+                ).otherwise(0)
+            ),
+            F.lit(0),
         )
         .cast("long")
         .alias("n_covered"),
@@ -2024,4 +2053,226 @@ SQL_HILL_TAIL_INDEX = f"""
                              AS DOUBLE), 0.0) AS hill_alpha
     FROM staged
     GROUP BY k, x_k
+"""
+
+
+# --- Theil-Sen robust trend (round 11) ---------------------------------------
+
+
+def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of monthly order revenue (Theil 1950 /
+    Sen 1968): slope = MEDIAN of all pairwise slopes (y_j−y_i)/(x_j−
+    x_i), intercept = median residual at that slope — the
+    outlier-robust companion to ols_trend's least squares (one wild
+    month moves OLS, not the pairwise median). One-row report.
+
+    Determinism: monthly revenue is exact integer micro-dollars; each
+    pairwise slope is ONE division of exact ints (identical doubles
+    both engines); medians use the exact-rank definition under
+    (value, i, j) total orders — no interpolation beyond the even-n
+    two-element mean, a single fixed double expression.
+
+    Scale shape (100 TB): the pair frame is |months|² — REPORTING
+    grain (dozens of months → thousands of pairs), built by one
+    self-join of the month-bounded aggregate; nothing here scales with
+    row count. The cross-month self-join would be wrong on a data-
+    scale frame; it is deliberate and safe on a calendar-bounded one."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        (
+            F.year("o_orderdate") * F.lit(12)
+            + F.month("o_orderdate")
+            - F.lit(1)
+        ).alias("x"),
+        "o_totalprice",
+    )
+    monthly = orders.groupBy("x").agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(38,6)")) * F.lit(1000000))
+        .cast("decimal(38,0)")
+        .alias("ymic")
+    )
+    a = monthly.select(
+        F.col("x").alias("xi"), F.col("ymic").alias("yi")
+    )
+    b = monthly.select(
+        F.col("x").alias("xj"), F.col("ymic").alias("yj")
+    )
+    pairs = a.join(b, F.col("xi") < F.col("xj")).select(
+        "xi",
+        "xj",
+        (
+            (F.col("yj") - F.col("yi")).cast("double")
+            / (F.col("xj") - F.col("xi")).cast("double")
+        ).alias("slope"),
+    )
+
+    def median_of(df: DataFrame, col: str, order: list) -> DataFrame:
+        w = W.orderBy(*order)
+        w_all = W.partitionBy()
+        ranked = df.select(
+            F.col(col),
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(w_all).alias("n"),
+        )
+        lo = (F.col("n") + 1) / F.lit(2)
+        return ranked.groupBy("n").agg(
+            (
+                (
+                    F.max(F.when(F.col("rn") == F.floor(lo), F.col(col)))
+                    + F.max(F.when(F.col("rn") == F.ceil(lo), F.col(col)))
+                )
+                / F.lit(2.0)
+            ).alias("med")
+        )
+
+    slope_med = median_of(
+        pairs, "slope", [F.col("slope"), F.col("xi"), F.col("xj")]
+    ).select(
+        F.col("n").alias("n_pairs"), F.col("med").alias("slope_mic")
+    )
+    resid = monthly.crossJoin(F.broadcast(slope_med)).select(
+        "n_pairs",
+        "slope_mic",
+        (F.col("ymic").cast("double") - F.col("slope_mic") * F.col("x"))
+        .alias("r"),
+        "x",
+    )
+    w = W.orderBy(F.col("r"), F.col("x"))
+    w_all = W.partitionBy()
+    ranked = resid.select(
+        "n_pairs",
+        "slope_mic",
+        "r",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    lo = (F.col("n") + 1) / F.lit(2)
+    agg = ranked.groupBy("n", "n_pairs", "slope_mic").agg(
+        (
+            (
+                F.max(F.when(F.col("rn") == F.floor(lo), F.col("r")))
+                + F.max(F.when(F.col("rn") == F.ceil(lo), F.col("r")))
+            )
+            / F.lit(2.0)
+        ).alias("int_mic")
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n_months"),
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        (F.col("slope_mic") / F.lit(1000000.0)).alias("slope"),
+        (F.col("int_mic") / F.lit(1000000.0)).alias("intercept"),
+    )
+
+
+SQL_THEIL_SEN_TREND = """
+    WITH monthly AS (
+        SELECT year(o_orderdate) * 12 + month(o_orderdate) - 1 AS x,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) * 1000000
+                    AS HUGEINT) AS ymic
+        FROM orders GROUP BY 1
+    ), pairs AS (
+        SELECT a.x AS xi, b.x AS xj,
+               CAST(b.ymic - a.ymic AS DOUBLE)
+                   / CAST(b.x - a.x AS DOUBLE) AS slope
+        FROM monthly a JOIN monthly b ON a.x < b.x
+    ), ranked AS (
+        SELECT slope,
+               ROW_NUMBER() OVER (ORDER BY slope, xi, xj) AS rn,
+               COUNT(*) OVER () AS n
+        FROM pairs
+    ), slope_med AS (
+        SELECT CAST(n AS BIGINT) AS n_pairs,
+               (MAX(CASE WHEN rn = FLOOR((n + 1) / 2.0) THEN slope END)
+                + MAX(CASE WHEN rn = CEIL((n + 1) / 2.0) THEN slope END))
+               / 2.0 AS slope_mic
+        FROM ranked GROUP BY n
+    ), resid AS (
+        SELECT s.n_pairs, s.slope_mic,
+               CAST(m.ymic AS DOUBLE) - s.slope_mic * m.x AS r,
+               m.x
+        FROM monthly m CROSS JOIN slope_med s
+    ), rranked AS (
+        SELECT n_pairs, slope_mic, r,
+               ROW_NUMBER() OVER (ORDER BY r, x) AS rn,
+               COUNT(*) OVER () AS n
+        FROM resid
+    )
+    SELECT CAST(n AS BIGINT) AS n_months,
+           n_pairs,
+           slope_mic / 1000000.0 AS slope,
+           (MAX(CASE WHEN rn = FLOOR((n + 1) / 2.0) THEN r END)
+            + MAX(CASE WHEN rn = CEIL((n + 1) / 2.0) THEN r END))
+           / 2.0 / 1000000.0 AS intercept
+    FROM rranked
+    GROUP BY n, n_pairs, slope_mic
+"""
+
+
+# --- long-tail category collapse (round 11) ----------------------------------
+
+RARE_MIN_COUNT = 5  # categories below this collapse into OTHER
+
+
+def q_group_rare_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-tail categorical collapse over part types — the feature-
+    engineering step every encoder (target_encode, woe_iv) should run
+    behind: categories with fewer than RARE_MIN_COUNT members fold
+    into a single OTHER level, and the report shows each FINAL level's
+    row count, how many source categories it absorbed, and its share —
+    the cardinality-vs-coverage tradeoff a feature reviewer signs off.
+
+    Determinism: counts are exact ints; shares are one int/int double
+    division; level names are exact strings.
+
+    Scale shape (100 TB): one scan collapses map-side to the
+    |categories|-bounded frame; the collapse and re-aggregate run on
+    that bounded frame; the total is a window over it."""
+    parts = load_table(spark, sf_dir, "part")
+    per_cat = parts.groupBy("p_type").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    folded = per_cat.select(
+        F.when(F.col("c") >= RARE_MIN_COUNT, F.col("p_type"))
+        .otherwise(F.lit("OTHER"))
+        .alias("level"),
+        "c",
+    )
+    w_all = W.partitionBy()
+    agg = folded.groupBy("level").agg(
+        F.sum("c").cast("long").alias("n_parts"),
+        F.count(F.lit(1)).cast("long").alias("n_source_categories"),
+    )
+    return (
+        agg.select(
+            "level",
+            "n_parts",
+            "n_source_categories",
+            (
+                F.col("n_parts").cast("double")
+                / F.sum("n_parts").over(w_all).cast("double")
+            ).alias("share"),
+        )
+        .orderBy(F.col("n_parts").desc(), F.col("level").asc())
+    )
+
+
+SQL_GROUP_RARE_COLLAPSE = f"""
+    WITH per_cat AS (
+        SELECT p_type, CAST(COUNT(*) AS BIGINT) AS c
+        FROM part GROUP BY p_type
+    ), folded AS (
+        SELECT CASE WHEN c >= {RARE_MIN_COUNT} THEN p_type
+                    ELSE 'OTHER' END AS level,
+               c
+        FROM per_cat
+    ), agg AS (
+        SELECT level,
+               CAST(SUM(c) AS BIGINT) AS n_parts,
+               CAST(COUNT(*) AS BIGINT) AS n_source_categories
+        FROM folded GROUP BY level
+    )
+    SELECT level, n_parts, n_source_categories,
+           CAST(n_parts AS DOUBLE)
+               / CAST(SUM(n_parts) OVER () AS DOUBLE) AS share
+    FROM agg
+    ORDER BY n_parts DESC, level ASC
 """

@@ -1638,3 +1638,73 @@ def start_bandit_stream(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+# --- continuous conformal calibration (round 11) -----------------------------
+
+CONF_CELL_SCHEMA = "p BIGINT, nc DOUBLE, c BIGINT"
+
+
+def conformal_batch(
+    batch_embeddings: DataFrame, prev_cells: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """One step of the continuous conformal monitor: fold the
+    micro-batch's (parity, nonconformity) histogram into the
+    cumulative cells, then build the report through the SHARED
+    operators/analytics.conformal_report builder. State is the
+    6dp-bounded (p, nc) histogram — ≤ 2e6 rows at ANY corpus size."""
+    from ..operators.analytics import (
+        conformal_nonconformity,
+        conformal_report,
+    )
+
+    batch_cells = (
+        conformal_nonconformity(batch_embeddings)
+        .groupBy("p", "nc")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    merged = (
+        prev_cells.unionByName(batch_cells)
+        .groupBy("p", "nc")
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
+    report = conformal_report(
+        merged.filter(F.col("p") == 0).select("nc", "c"),
+        merged.filter(F.col("p") == 1).select("nc", "c"),
+    )
+    return merged, report
+
+
+def start_conformal_stream(
+    embeddings: DataFrame, out_path: str, checkpoint: str
+) -> StreamingQuery:
+    """foreachBatch continuous conformal calibration: per micro-batch,
+    advance the cumulative nonconformity histogram (state/batch_id=K =
+    state at K−1 plus batch K — a pure function of replayed inputs,
+    retry-idempotent) and write that point-in-stream threshold +
+    coverage report. The q_hat each batch emits is the prediction-set
+    threshold a serving system would pick up BETWEEN batches."""
+
+    def step(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        if batch_id > 0:
+            prev = spark.read.parquet(
+                f"{out_path}/state/batch_id={batch_id - 1}"
+            )
+        else:
+            prev = spark.createDataFrame([], CONF_CELL_SCHEMA)
+        cells, report = conformal_batch(batch, prev)
+        cells.write.mode("overwrite").parquet(
+            f"{out_path}/state/batch_id={batch_id}"
+        )
+        report.withColumn(
+            "batch_id", F.lit(batch_id).cast("long")
+        ).write.mode("overwrite").parquet(
+            f"{out_path}/report/batch_id={batch_id}"
+        )
+
+    return (
+        embeddings.writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

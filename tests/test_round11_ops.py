@@ -475,3 +475,123 @@ def test_weighted_sample_ares_matches_python(spark, sf_dir):
     for r, (k, _, d, w) in zip(got, want):
         assert abs(r.sample_key - k) < 1e-6
         assert abs(r.weight - w) < 1e-12
+
+
+def test_streaming_conformal_matches_batch(spark, sf_dir, tmp_path):
+    """The final micro-batch's cumulative conformal report must equal
+    the batch operator over the whole embedding set — exact equality,
+    with maxFilesPerTrigger=1 forcing the histogram state across
+    micro-batch boundaries."""
+    from lenses_topology_example_spark.streaming.pipelines import (
+        start_conformal_stream,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    src = tmp_path / "conf_src"
+    emb.filter("vec_id % 2 = 0").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(src / "a"))
+    emb.filter("vec_id % 2 = 1").coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src / "a"))
+
+    stream = (
+        spark.readStream.schema(
+            "vec_id bigint, embedding array<float>, label int"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "a"))
+    )
+    out = str(tmp_path / "conf_out")
+    q = start_conformal_stream(stream, out, str(tmp_path / "conf_ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    import glob as _glob
+
+    last = max(
+        int(p.rsplit("=", 1)[1])
+        for p in _glob.glob(f"{out}/report/batch_id=*")
+    )
+    assert last >= 1
+    sr = spark.read.parquet(f"{out}/report/batch_id={last}").collect()[0]
+    br = _CATALOG["conformal_threshold"][0](spark, sf_dir).collect()[0]
+    assert (
+        sr.n_cal,
+        sr.n_eval,
+        sr.q_hat,
+        sr.n_covered,
+        sr.coverage,
+    ) == (br.n_cal, br.n_eval, br.q_hat, br.n_covered, br.coverage)
+
+
+def test_theil_sen_matches_python(spark, sf_dir):
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            (
+                F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1
+            ).alias("x"),
+            "o_totalprice",
+        )
+        .collect()
+    )
+    monthly: dict[int, Decimal] = defaultdict(Decimal)
+    for r in orders:
+        monthly[r.x] += Decimal(f"{r.o_totalprice:.6f}")
+    pts = sorted((x, int(v * 1_000_000)) for x, v in monthly.items())
+    slopes = sorted(
+        ((yj - yi) / (xj - xi), xi, xj)
+        for i, (xi, yi) in enumerate(pts)
+        for xj, yj in pts[i + 1 :]
+    )
+
+    def median(vals):
+        n = len(vals)
+        lo, hi = (n + 1) // 2 - 1, (n + 2) // 2 - 1
+        return (vals[lo] + vals[hi]) / 2.0
+
+    slope = median([s for s, _, _ in slopes])
+    resid = sorted(
+        (y - slope * x, x) for x, y in pts
+    )
+    intercept = median([r for r, _ in resid])
+    got = _CATALOG["theil_sen_trend"][0](spark, sf_dir).collect()[0]
+    assert got.n_months == len(pts)
+    assert got.n_pairs == len(slopes)
+    assert abs(got.slope - slope / 1e6) < 1e-6 * max(1.0, abs(slope / 1e6))
+    assert abs(got.intercept - intercept / 1e6) < 1e-6 * max(
+        1.0, abs(intercept / 1e6)
+    )
+
+
+def test_group_rare_collapse_partition_and_coverage(spark, sf_dir):
+    from lenses_topology_example_spark.operators.analytics import (
+        RARE_MIN_COUNT,
+    )
+
+    cats = {}
+    for r in (
+        load_table(spark, sf_dir, "part").select("p_type").collect()
+    ):
+        cats[r.p_type] = cats.get(r.p_type, 0) + 1
+    rows = _CATALOG["group_rare_collapse"][0](spark, sf_dir).collect()
+    total = sum(cats.values())
+    assert sum(r.n_parts for r in rows) == total
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-12
+    by_level = {r.level: r for r in rows}
+    kept = {c for c, n in cats.items() if n >= RARE_MIN_COUNT}
+    rare = {c for c, n in cats.items() if n < RARE_MIN_COUNT}
+    for c in kept:
+        assert by_level[c].n_parts == cats[c]
+        assert by_level[c].n_source_categories == 1
+    if rare:
+        o = by_level["OTHER"]
+        assert o.n_parts == sum(cats[c] for c in rare)
+        assert o.n_source_categories == len(rare)
