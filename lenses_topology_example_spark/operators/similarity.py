@@ -1407,13 +1407,17 @@ def q_mrl_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "neighbor_id"
     )
     trunc = topk.filter(F.col("dim") != _MRL_FULL)
-    hits = trunc.join(truth, ["query_id", "neighbor_id"], "left_semi")
+    hits = trunc.join(
+        F.broadcast(truth), ["query_id", "neighbor_id"], "left_semi"
+    )
     per_dim = (
         trunc.groupBy("dim")
         .agg(F.count(F.lit(1)).cast("long").alias("n_ranked"))
         .join(
-            hits.groupBy("dim").agg(
-                F.count(F.lit(1)).cast("long").alias("n_hits")
+            F.broadcast(
+                hits.groupBy("dim").agg(
+                    F.count(F.lit(1)).cast("long").alias("n_hits")
+                )
             ),
             "dim",
             "left",

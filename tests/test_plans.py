@@ -507,3 +507,50 @@ def test_bloom_join_audit_broadcasts_fixed_bitmap(catalog_dfs):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
     m = re.search(r"ReadSchema: struct<l_orderkey:bigint>", plan)
     assert m, plan
+
+
+# --- round-11 entry plan pins -------------------------------------------------
+
+
+def test_label_noise_knn_windowgrouplimit_no_shuffle_topk(catalog_dfs):
+    """The audit slice broadcasts and every per-query ranking is a
+    WindowGroupLimit partial top-k — no corpus-scale sort."""
+    plan = _plan_of(catalog_dfs, "label_noise_knn")
+    assert "WindowGroupLimit" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_mrl_truncation_audit_broadcast_hits_and_grouplimit(catalog_dfs):
+    """All truncation dims rank via WindowGroupLimit from ONE pair
+    pass; the truth-set hit join broadcasts the bounded |Q|·k frame
+    (no SMJ shuffle for a 25-row build side)."""
+    plan = _plan_of(catalog_dfs, "mrl_truncation_audit")
+    assert "WindowGroupLimit" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_sampling_and_tail_use_take_ordered(catalog_dfs):
+    """Global top-K selections (A-Res sample, Hill top-K) must be
+    TakeOrderedAndProject — per-partition partial top-K, never a
+    global sort."""
+    for name in ("weighted_sample_ares", "hill_tail_index"):
+        plan = _plan_of(catalog_dfs, name)
+        assert "TakeOrderedAndProject" in plan, (name, plan)
+        assert "CartesianProduct" not in plan, (name, plan)
+
+
+def test_temporal_split_windows_partition_by_type(catalog_dfs):
+    """The rank/count windows must partition by event_type — the
+    per-type exact-percentile class, never a global single-partition
+    sort of the corpus."""
+    import re as _re
+
+    plan = _plan_of(catalog_dfs, "temporal_split")
+    assert "Window" in plan, plan
+    # no unpartitioned window over the raw events scan: every window
+    # spec in this plan opens with the event_type partition key
+    specs = _re.findall(r"windowspecdefinition\((\w+)#", plan)
+    assert specs, plan
+    assert all(s == "event_type" for s in specs), plan
