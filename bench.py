@@ -346,6 +346,13 @@ HEADLINE = (
     # unpartitioned windows over the |months| and |months|^2 frames)
     "theil_sen_trend",
     "group_rare_collapse",
+    # round-11 wave 6 (permutation_test pays a fixed 64x map-side
+    # compute inflation by design; oov_rate's distinct-OOV-type agg
+    # shuffles at (source, word) distinct grain)
+    "permutation_test",
+    "spearman_corr",
+    "kfold_assign",
+    "oov_rate",
 )
 
 

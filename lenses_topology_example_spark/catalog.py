@@ -795,6 +795,24 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
         analytics.q_group_rare_collapse,
         analytics.SQL_GROUP_RARE_COLLAPSE,
     ),
+    # sixth round-11 wave: permutation inference, rank correlation,
+    # stratified k-fold CV, OOV vocabulary audit
+    "permutation_test": (
+        windows.q_permutation_test,
+        windows.SQL_PERMUTATION_TEST,
+    ),
+    "spearman_corr": (
+        analytics.q_spearman_corr,
+        analytics.SQL_SPEARMAN_CORR,
+    ),
+    "kfold_assign": (
+        quality.q_kfold_assign,
+        quality.SQL_KFOLD_ASSIGN,
+    ),
+    "oov_rate": (
+        text.q_oov_rate,
+        text.SQL_OOV_RATE,
+    ),
 }
 
 # The driver evaluates only the first DRIVER_WINDOW_SIZE catalog entries

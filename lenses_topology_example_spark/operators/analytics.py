@@ -2276,3 +2276,121 @@ SQL_GROUP_RARE_COLLAPSE = f"""
     FROM agg
     ORDER BY n_parts DESC, level ASC
 """
+
+
+# --- per-source Spearman rank correlation (round 11) ---------------------------
+
+
+def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Spearman rank correlation (Spearman 1904) between
+    document length (n_chars) and lexical richness (distinct word
+    count) — the monotone-association readout that survives the heavy
+    length tails Pearson chokes on. A source where richness stops
+    tracking length is template/boilerplate-heavy; the curation
+    counterpart to corpus_diversity.
+
+    Tie handling is the textbook mid-rank: avg rank = RANK() +
+    (|ties|-1)/2. To keep every moment EXACT we carry DOUBLED ranks
+    r2 = 2*RANK() + |ties| - 1 (always integer); Pearson is invariant
+    under the affine map r -> 2r, so rho over r2 IS Spearman rho.
+
+    Determinism: r2 moments are exact integer DECIMAL(38,6) sums; rho
+    is ONE fixed double expression rounded through decimal(38,6);
+    zero-variance sources yield NULL via the sqrt-guard. The raw rank
+    moments cross the 2^53 double line around 1.3e5 docs PER SOURCE
+    (sxx ~ 4n^3) — past that the class is the documented 1-ulp
+    intermediate wiggle, absorbed by the final 6dp rounding away from
+    midpoints (the ab_test_report z_score convention: ratio outputs
+    reviewed, not dsum4-rounded).
+
+    Scale shape (100 TB): ranks come from windows PARTITIONED BY
+    source (and source,value for tie counts) — per-source scale, never
+    one global sort; the moment aggregate collapses map-side to
+    |sources| rows. Exact per-source ranking is the inherent cost of
+    exact Spearman; a corpus whose single source exceeds partition
+    memory should use the binned approximation (gains_curve/ks_drift
+    grid discipline) instead."""
+    from .wordcount import tokens_col
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source",
+        F.col("n_chars").cast("long").alias("x"),
+        F.size(F.array_distinct(tokens_col(F.col("text"))))
+        .cast("long")
+        .alias("y"),
+    )
+
+    def r2(col: str) -> F.Column:
+        w_rank = W.partitionBy("source").orderBy(F.col(col))
+        w_tie = W.partitionBy("source", col)
+        return (
+            F.lit(2) * F.rank().over(w_rank)
+            + F.count(F.lit(1)).over(w_tie)
+            - F.lit(1)
+        ).cast("long")
+
+    ranked = docs.select(
+        "source", r2("x").alias("rx"), r2("y").alias("ry")
+    )
+    d = lambda c: F.sum(c.cast("decimal(38,6)")).cast("double")  # noqa: E731
+    agg = ranked.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        d(F.col("rx")).alias("sx"),
+        d(F.col("ry")).alias("sy"),
+        d(F.col("rx") * F.col("rx")).alias("sxx"),
+        d(F.col("ry") * F.col("ry")).alias("syy"),
+        d(F.col("rx") * F.col("ry")).alias("sxy"),
+    )
+    n = F.col("n_docs").cast("double")
+    cov = F.col("sxy") - F.col("sx") * F.col("sy") / n
+    vx = F.col("sxx") - F.col("sx") * F.col("sx") / n
+    vy = F.col("syy") - F.col("sy") * F.col("sy") / n
+    rho = F.when(
+        F.sqrt(vx * vy) > F.lit(0.0), cov / F.sqrt(vx * vy)
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        rho.cast("decimal(38,6)").cast("double").alias("spearman_rho"),
+    ).orderBy("source")
+
+
+_SQL_SPEARMAN_TOKENS = (
+    "list_filter(string_split_regex(lower(text), '\\W+'), t -> t != '')"
+)
+
+SQL_SPEARMAN_CORR = f"""
+    WITH base AS (
+        SELECT source,
+               CAST(n_chars AS BIGINT) AS x,
+               CAST(length(list_distinct({_SQL_SPEARMAN_TOKENS}))
+                    AS BIGINT) AS y
+        FROM documents
+    ), ranked AS (
+        SELECT source,
+               2 * RANK() OVER (PARTITION BY source ORDER BY x)
+                   + COUNT(*) OVER (PARTITION BY source, x) - 1 AS rx,
+               2 * RANK() OVER (PARTITION BY source ORDER BY y)
+                   + COUNT(*) OVER (PARTITION BY source, y) - 1 AS ry
+        FROM base
+    ), agg AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CAST(rx AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(ry AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(rx * rx AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(ry * ry AS DECIMAL(38,6))) AS DOUBLE) AS syy,
+               CAST(SUM(CAST(rx * ry AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+        FROM ranked GROUP BY source
+    )
+    SELECT source, n_docs,
+           CASE WHEN sqrt((sxx - sx * sx / n_docs)
+                          * (syy - sy * sy / n_docs)) > 0.0
+                THEN CAST(CAST(
+                    (sxy - sx * sy / n_docs)
+                    / sqrt((sxx - sx * sx / n_docs)
+                           * (syy - sy * sy / n_docs))
+                    AS DECIMAL(38,6)) AS DOUBLE) END AS spearman_rho
+    FROM agg
+    ORDER BY source
+"""

@@ -1211,3 +1211,84 @@ def _finalize_sql_weighted_sample_ares() -> str:
 
 
 SQL_WEIGHTED_SAMPLE_ARES = _finalize_sql_weighted_sample_ares()
+
+
+# --- stratified k-fold assignment + balance audit (round 11) -------------------
+
+KFOLD_K = 5
+
+
+def q_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified k-fold cross-validation assignment over documents:
+    fold = md5('fold|'||doc_id) % K inside each language stratum, with
+    the per-stratum balance audit a CV harness signs off before
+    training — per (lang, fold) doc and char volume, each fold's share
+    of its stratum, and the stratum's max/min fold-size ratio (a ratio
+    far from 1 means the stratum is too small for K folds and the CV
+    variance estimate is junk). Complements dataset_split (fractional
+    train/val/test) and temporal_split (time-ordered) with the
+    exchangeable-K-fold third leg.
+
+    Determinism: the fold coin is the engine-portable md5 expression;
+    counts and char sums are exact ints; shares and ratios are single
+    int/int double divisions.
+
+    Scale shape (100 TB): ONE scan collapses map-side to the
+    |lang| x K cell frame; shares and the balance ratio are windows
+    over that bounded frame. The assignment itself ships as an
+    expression (no shuffle): any executor can recompute a row's fold
+    from doc_id alone — the property that makes the split reproducible
+    across reruns and engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    fold = (
+        md5_hash64(F.concat(F.lit("fold|"), F.col("doc_id").cast("string")))
+        % KFOLD_K
+    )
+    cells = docs.groupBy(
+        F.col("lang"), fold.alias("fold")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col("n_chars").cast("long")).cast("long").alias("n_chars"),
+    )
+    from pyspark.sql import Window as W
+
+    w_lang = W.partitionBy("lang")
+    return cells.select(
+        "lang",
+        "fold",
+        "n_docs",
+        "n_chars",
+        (
+            F.col("n_docs").cast("double")
+            / F.sum("n_docs").over(w_lang).cast("double")
+        ).alias("fold_share"),
+        (
+            F.max("n_docs").over(w_lang).cast("double")
+            / F.min("n_docs").over(w_lang).cast("double")
+        ).alias("stratum_balance_ratio"),
+    ).orderBy("lang", "fold")
+
+
+_SQL_KFOLD = (
+    "((('0x' || substr(md5('fold|' || CAST(doc_id AS VARCHAR)), 1, 15))"
+    f"::BIGINT) % {KFOLD_K})"
+)
+
+SQL_KFOLD_ASSIGN = f"""
+    WITH cells AS (
+        SELECT lang, {_SQL_KFOLD} AS fold,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS n_chars
+        FROM documents
+        GROUP BY 1, 2
+    )
+    SELECT lang, fold, n_docs, n_chars,
+           CAST(n_docs AS DOUBLE)
+               / CAST(SUM(n_docs) OVER (PARTITION BY lang) AS DOUBLE)
+               AS fold_share,
+           CAST(MAX(n_docs) OVER (PARTITION BY lang) AS DOUBLE)
+               / CAST(MIN(n_docs) OVER (PARTITION BY lang) AS DOUBLE)
+               AS stratum_balance_ratio
+    FROM cells
+    ORDER BY lang, fold
+"""

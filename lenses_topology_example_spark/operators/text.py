@@ -3357,3 +3357,90 @@ SQL_NEGATIVE_SAMPLING_PLAN = f"""
     FROM powed CROSS JOIN totals
     ORDER BY token
 """
+
+
+# --- per-source OOV rate against the corpus head vocabulary (round 11) --------
+
+OOV_VOCAB_SIZE = 2000  # head vocabulary a tokenizer build would freeze
+
+
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source out-of-vocabulary audit: freeze the corpus head
+    vocabulary (top OOV_VOCAB_SIZE words by token frequency, ties
+    broken lexicographically) and report each source's token volume,
+    OOV token count and rate, plus its DISTINCT OOV type count — the
+    readout that prices a fixed-vocab tokenizer against each source.
+    A source with an outlier OOV rate is the one that blows up
+    fertility (tokenizer_stats) and deserves its own vocab extension.
+
+    Determinism: the vocab cut is a total order (count DESC, word ASC)
+    so the 2000-boundary is tie-stable cross-engine; counts are exact
+    ints; the rate is one int/int double division.
+
+    Scale shape (100 TB): vocab build is the wordcount shape (token
+    counts partial-combine to |vocab| per partition; TakeOrdered ships
+    2000 rows); membership is a BROADCAST left join of the 2000-row
+    vocab against the exploded token stream — no token-grain shuffle —
+    followed by a |sources|-row aggregate. distinct OOV types re-use
+    the same exploded frame with a (source, word)-grain partial
+    distinct that is vocabulary-bounded, not corpus-bounded."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(tokens_col(F.col("text"))).alias("word")
+    )
+    vocab = (
+        toks.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("word"))
+        .limit(OOV_VOCAB_SIZE)
+        .select("word", F.lit(1).alias("in_vocab"))
+    )
+    tagged = toks.join(F.broadcast(vocab), "word", "left")
+    per_source = tagged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_oov"),
+        F.count_distinct(
+            F.when(F.col("in_vocab").isNull(), F.col("word"))
+        )
+        .cast("long")
+        .alias("n_oov_types"),
+    )
+    return per_source.select(
+        "source",
+        "n_tokens",
+        "n_oov",
+        "n_oov_types",
+        F.when(
+            F.col("n_tokens") > 0,
+            F.col("n_oov").cast("double") / F.col("n_tokens").cast("double"),
+        ).alias("oov_rate"),
+    ).orderBy("source")
+
+
+SQL_OOV_RATE = f"""
+    WITH toks AS (
+        SELECT source, unnest({SQL_TOKS}) AS word FROM documents
+    ), vocab AS (
+        SELECT word FROM toks
+        GROUP BY word
+        ORDER BY COUNT(*) DESC, word
+        LIMIT {OOV_VOCAB_SIZE}
+    ), tagged AS (
+        SELECT t.source, t.word, v.word IS NOT NULL AS in_vocab
+        FROM toks t LEFT JOIN vocab v ON t.word = v.word
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN NOT in_vocab THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_oov,
+           CAST(COUNT(DISTINCT CASE WHEN NOT in_vocab THEN word END)
+               AS BIGINT) AS n_oov_types,
+           CASE WHEN COUNT(*) > 0 THEN
+               CAST(SUM(CASE WHEN NOT in_vocab THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*) END AS oov_rate
+    FROM tagged
+    GROUP BY source
+    ORDER BY source
+"""

@@ -2932,3 +2932,175 @@ def _build_sql_forecast_backtest() -> str:
 
 
 SQL_FORECAST_BACKTEST = _build_sql_forecast_backtest()
+
+
+# --- user-grain permutation test (round 11) -----------------------------------
+
+PERM_B = 64  # permutation replicates; p-value resolution 1/(B+1)
+
+
+def q_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fisher-style permutation test for the ab_test_report experiment:
+    the observed arm split (the same seeded `ab|user` coin) is compared
+    against PERM_B re-randomizations of the USER-grain assignment
+    (`perm|b|user` coins), and the p-value is the Monte-Carlo rank of
+    |observed mean diff| among the permuted |mean diffs| with the
+    +1 smoothing of Phipson & Smyth 2010: p = (1 + #{|d_b| >= |d_obs|})
+    / (B + 1). The distribution-free companion to the Welch z of
+    ab_test_report — the readout a reviewer asks for when normality of
+    per-user purchase value is in doubt.
+
+    Determinism: every coin is an md5 expression both engines compute
+    identically; per-seed sums are conditional DECIMAL(38,6)
+    aggregates (order-independent); each mean diff is ONE fixed double
+    expression rounded through decimal(38,6) BEFORE the >= comparison,
+    so the rank count is integer-exact cross-engine.
+
+    Scale shape (100 TB): the seed explode inflates map-side COMPUTE by
+    the fixed factor B=64 but not the shuffle — the per-seed
+    conditional sums partial-combine to B rows per partition, so the
+    exchange carries O(B * partitions) rows regardless of data size.
+    Randomization is at user grain (the coin keys on user_id), yet no
+    per-user pre-aggregation shuffle is needed: every event of a user
+    lands in the same arm by construction of the hash."""
+    from ..functions.texthash import md5_hash64
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == F.lit("purchase")
+    )
+    uid = F.col("user_id").cast("string")
+    obs_arm = md5_hash64(F.concat(F.lit("ab|"), uid)) % 2
+    d = lambda c: F.sum(c.cast("decimal(38,6)")).cast("double")  # noqa: E731
+    rnd = lambda c: c.cast("decimal(38,6)").cast("double")  # noqa: E731
+
+    def diff_of(frame, arm_col, keys):
+        agg = frame.groupBy(*keys).agg(
+            F.sum(F.when(arm_col == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_0"),
+            F.sum(F.when(arm_col == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_1"),
+            d(F.when(arm_col == 0, F.col("value")).otherwise(0.0)).alias(
+                "s_0"
+            ),
+            d(F.when(arm_col == 1, F.col("value")).otherwise(0.0)).alias(
+                "s_1"
+            ),
+        )
+        return agg.select(
+            *keys,
+            "n_0",
+            "n_1",
+            F.when(
+                (F.col("n_0") > 0) & (F.col("n_1") > 0),
+                rnd(F.col("s_1") / F.col("n_1") - F.col("s_0") / F.col("n_0")),
+            ).alias("diff"),
+        )
+
+    obs = diff_of(ev.select(obs_arm.alias("arm"), "value"), F.col("arm"), [])
+
+    seeded = ev.select(
+        F.explode(F.sequence(F.lit(0), F.lit(PERM_B - 1))).alias("b"),
+        "user_id",
+        "value",
+    ).select(
+        "b",
+        (
+            md5_hash64(
+                F.concat(
+                    F.lit("perm|"), F.col("b").cast("string"), F.lit("|"), uid
+                )
+            )
+            % 2
+        ).alias("arm"),
+        "value",
+    )
+    perms = diff_of(seeded, F.col("arm"), ["b"])
+
+    joined = perms.crossJoin(
+        F.broadcast(
+            obs.select(
+                F.col("n_0").alias("obs_n_0"),
+                F.col("n_1").alias("obs_n_1"),
+                F.col("diff").alias("obs_diff"),
+            )
+        )
+    )
+    return joined.groupBy("obs_n_0", "obs_n_1", "obs_diff").agg(
+        F.count(F.lit(1)).cast("long").alias("n_perms"),
+        F.sum(
+            F.when(
+                F.abs(F.col("diff")) >= F.abs(F.col("obs_diff")), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_extreme"),
+    ).select(
+        F.col("obs_n_0").alias("n_0"),
+        F.col("obs_n_1").alias("n_1"),
+        "obs_diff",
+        "n_perms",
+        "n_extreme",
+        (
+            (F.col("n_extreme") + F.lit(1)).cast("double")
+            / (F.col("n_perms") + F.lit(1)).cast("double")
+        ).alias("p_value"),
+    )
+
+
+_SQL_PERM_ARM = (
+    "((('0x' || substr(md5('perm|' || CAST(b AS VARCHAR) || '|'"
+    " || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT) % 2)"
+)
+
+SQL_PERMUTATION_TEST = f"""
+    WITH p AS (
+        SELECT user_id, "value" FROM events WHERE event_type = 'purchase'
+    ), obs AS (
+        SELECT
+            CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                AS obs_n_0,
+            CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS obs_n_1,
+            CAST(CAST(
+                CAST(SUM(CAST(CASE WHEN arm = 1 THEN "value" ELSE 0.0 END
+                     AS DECIMAL(38,6))) AS DOUBLE)
+                / SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END)
+                - CAST(SUM(CAST(CASE WHEN arm = 0 THEN "value" ELSE 0.0 END
+                       AS DECIMAL(38,6))) AS DOUBLE)
+                / SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END)
+                AS DECIMAL(38,6)) AS DOUBLE) AS obs_diff
+        FROM (SELECT {_SQL_AB_ARM} AS arm, "value" FROM p)
+    ), perms AS (
+        SELECT b,
+            CAST(CAST(
+                CAST(SUM(CAST(CASE WHEN arm = 1 THEN "value" ELSE 0.0 END
+                     AS DECIMAL(38,6))) AS DOUBLE)
+                / SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END)
+                - CAST(SUM(CAST(CASE WHEN arm = 0 THEN "value" ELSE 0.0 END
+                       AS DECIMAL(38,6))) AS DOUBLE)
+                / SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END)
+                AS DECIMAL(38,6)) AS DOUBLE) AS diff,
+            SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS pn_0,
+            SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS pn_1
+        FROM (
+            SELECT s.b AS b, {_SQL_PERM_ARM} AS arm, "value"
+            FROM p CROSS JOIN (SELECT unnest(range({PERM_B})) AS b) s
+        )
+        GROUP BY b
+    )
+    SELECT obs_n_0 AS n_0, obs_n_1 AS n_1, obs_diff,
+           CAST(COUNT(*) AS BIGINT) AS n_perms,
+           CAST(SUM(CASE WHEN pn_0 > 0 AND pn_1 > 0 AND obs_n_0 > 0
+                          AND obs_n_1 > 0
+                          AND abs(diff) >= abs(obs_diff)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme,
+           CAST(SUM(CASE WHEN pn_0 > 0 AND pn_1 > 0 AND obs_n_0 > 0
+                          AND obs_n_1 > 0
+                          AND abs(diff) >= abs(obs_diff)
+                     THEN 1 ELSE 0 END) + 1 AS DOUBLE)
+               / (COUNT(*) + 1) AS p_value
+    FROM perms CROSS JOIN obs
+    GROUP BY obs_n_0, obs_n_1, obs_diff
+"""

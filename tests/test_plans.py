@@ -554,3 +554,36 @@ def test_temporal_split_windows_partition_by_type(catalog_dfs):
     specs = _re.findall(r"windowspecdefinition\((\w+)#", plan)
     assert specs, plan
     assert all(s == "event_type" for s in specs), plan
+
+
+def test_oov_rate_vocab_cut_is_takeordered_broadcast(catalog_dfs):
+    """The 2000-word vocab cut must be TakeOrderedAndProject (partial
+    per-partition top-K) and membership a broadcast join — never an
+    SMJ shuffle of the token stream against the vocab."""
+    plan = _plan_of(catalog_dfs, "oov_rate")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Arguments: 2000," in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_permutation_test_partial_combines_before_exchange(catalog_dfs):
+    """The B-seed conditional sums must partial-aggregate map-side
+    (the exchange carries O(B x partitions) rows, not the exploded
+    event stream) and the observed row must broadcast."""
+    plan = _plan_of(catalog_dfs, "permutation_test")
+    assert "partial_sum" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_spearman_windows_partition_by_source(catalog_dfs):
+    """Every rank/tie window must partition by source — per-source
+    ranking, never one global sort of the corpus."""
+    import re as _re
+
+    plan = _plan_of(catalog_dfs, "spearman_corr")
+    specs = _re.findall(r"windowspecdefinition\((\w+)#", plan)
+    assert specs, plan
+    assert all(s == "source" for s in specs), plan

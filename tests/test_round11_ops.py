@@ -595,3 +595,180 @@ def test_group_rare_collapse_partition_and_coverage(spark, sf_dir):
         o = by_level["OTHER"]
         assert o.n_parts == sum(cats[c] for c in rare)
         assert o.n_source_categories == len(rare)
+
+
+# --- wave 6: permutation test / spearman / kfold / oov -------------------------
+
+
+def _q6(x: float):
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+
+
+def test_permutation_test_matches_python(spark, sf_dir):
+    from decimal import Decimal
+
+    from lenses_topology_example_spark.operators.windows import PERM_B
+
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .filter("event_type = 'purchase'")
+        .select("user_id", "value")
+        .collect()
+    )
+
+    def diff(coin_prefix):
+        s = {0: Decimal(0), 1: Decimal(0)}
+        n = {0: 0, 1: 0}
+        for r in rows:
+            arm = _md5_64(f"{coin_prefix}{r.user_id}") % 2
+            s[arm] += _q6(float(r.value))
+            n[arm] += 1
+        if n[0] == 0 or n[1] == 0:
+            return n, None
+        d = float(s[1]) / n[1] - float(s[0]) / n[0]
+        return n, float(_q6(d))
+
+    n_obs, obs_diff = diff("ab|")
+    extremes = 0
+    for b in range(PERM_B):
+        _, d_b = diff(f"perm|{b}|")
+        if (
+            d_b is not None
+            and obs_diff is not None
+            and abs(d_b) >= abs(obs_diff)
+        ):
+            extremes += 1
+    got = _CATALOG["permutation_test"][0](spark, sf_dir).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r.n_0 == n_obs[0] and r.n_1 == n_obs[1]
+    assert abs(r.obs_diff - obs_diff) < 1e-12
+    assert r.n_perms == PERM_B
+    assert r.n_extreme == extremes
+    assert abs(r.p_value - (extremes + 1) / (PERM_B + 1)) < 1e-12
+
+
+def test_spearman_corr_matches_python(spark, sf_dir):
+    import re
+
+    rows = (
+        load_table(spark, sf_dir, "documents")
+        .select("source", "n_chars", "text")
+        .collect()
+    )
+    per_source: dict[str, list] = {}
+    for r in rows:
+        toks = [t for t in re.split(r"\W+", r.text.lower()) if t]
+        per_source.setdefault(r.source, []).append(
+            (int(r.n_chars), len(set(toks)))
+        )
+
+    def midranks(vals):
+        order = sorted(range(len(vals)), key=lambda i: vals[i])
+        ranks = [0.0] * len(vals)
+        i = 0
+        while i < len(order):
+            j = i
+            while j < len(order) and vals[order[j]] == vals[order[i]]:
+                j += 1
+            avg = (i + 1 + j) / 2.0
+            for k in range(i, j):
+                ranks[order[k]] = avg
+            i = j
+        return ranks
+
+    got = {
+        r.source: r
+        for r in _CATALOG["spearman_corr"][0](spark, sf_dir).collect()
+    }
+    assert set(got) == set(per_source)
+    for src, pts in per_source.items():
+        rx = midranks([p[0] for p in pts])
+        ry = midranks([p[1] for p in pts])
+        n = len(pts)
+        mx, my = sum(rx) / n, sum(ry) / n
+        cov = sum((a - mx) * (b - my) for a, b in zip(rx, ry))
+        vx = sum((a - mx) ** 2 for a in rx)
+        vy = sum((b - my) ** 2 for b in ry)
+        r = got[src]
+        assert r.n_docs == n
+        if vx * vy == 0:
+            assert r.spearman_rho is None
+        else:
+            want = cov / math.sqrt(vx * vy)
+            assert abs(r.spearman_rho - want) < 1e-6
+
+
+def test_kfold_assign_matches_python(spark, sf_dir):
+    from lenses_topology_example_spark.operators.quality import KFOLD_K
+
+    rows = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "n_chars")
+        .collect()
+    )
+    cells: dict[tuple, list] = {}
+    for r in rows:
+        fold = _md5_64(f"fold|{r.doc_id}") % KFOLD_K
+        cells.setdefault((r.lang, fold), []).append(int(r.n_chars))
+    got = {
+        (r.lang, r.fold): r
+        for r in _CATALOG["kfold_assign"][0](spark, sf_dir).collect()
+    }
+    assert set(got) == set(cells)
+    for (lang, fold), chars in cells.items():
+        r = got[(lang, fold)]
+        assert r.n_docs == len(chars)
+        assert r.n_chars == sum(chars)
+        lang_counts = [
+            len(v) for (lg, _), v in cells.items() if lg == lang
+        ]
+        assert abs(r.fold_share - len(chars) / sum(lang_counts)) < 1e-12
+        assert (
+            abs(
+                r.stratum_balance_ratio
+                - max(lang_counts) / min(lang_counts)
+            )
+            < 1e-12
+        )
+
+
+def test_oov_rate_matches_python(spark, sf_dir):
+    import re
+    from collections import Counter
+
+    from lenses_topology_example_spark.operators.text import OOV_VOCAB_SIZE
+
+    rows = (
+        load_table(spark, sf_dir, "documents")
+        .select("source", "text")
+        .collect()
+    )
+    freq: Counter = Counter()
+    per_source: dict[str, list] = {}
+    for r in rows:
+        toks = [t for t in re.split(r"\W+", r.text.lower()) if t]
+        freq.update(toks)
+        per_source.setdefault(r.source, []).extend(toks)
+    vocab = {
+        w
+        for w, _ in sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[
+            :OOV_VOCAB_SIZE
+        ]
+    }
+    got = {
+        r.source: r for r in _CATALOG["oov_rate"][0](spark, sf_dir).collect()
+    }
+    assert set(got) == set(per_source)
+    for src, toks in per_source.items():
+        oov = [t for t in toks if t not in vocab]
+        r = got[src]
+        assert r.n_tokens == len(toks)
+        assert r.n_oov == len(oov)
+        assert r.n_oov_types == len(set(oov))
+        if toks:
+            assert abs(r.oov_rate - len(oov) / len(toks)) < 1e-12
+        else:
+            assert r.oov_rate is None
