@@ -353,6 +353,11 @@ HEADLINE = (
     "spearman_corr",
     "kfold_assign",
     "oov_rate",
+    # round-11 wave 7 (fdr_bh's two tiny-frame unpartitioned windows run
+    # over the |event_type| cells; jl's 16 projection folds are per-row
+    # map work on a 512-pair audit frame)
+    "fdr_bh",
+    "jl_projection_audit",
 )
 
 

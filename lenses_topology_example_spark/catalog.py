@@ -813,6 +813,15 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
         text.q_oov_rate,
         text.SQL_OOV_RATE,
     ),
+    # seventh round-11 wave: multiple-testing control + JL projection
+    "fdr_bh": (
+        windows.q_fdr_bh,
+        windows.SQL_FDR_BH,
+    ),
+    "jl_projection_audit": (
+        similarity.q_jl_projection_audit,
+        similarity.SQL_JL_PROJECTION_AUDIT,
+    ),
 }
 
 # The driver evaluates only the first DRIVER_WINDOW_SIZE catalog entries

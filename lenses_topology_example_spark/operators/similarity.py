@@ -1493,3 +1493,172 @@ def _build_sql_mrl() -> str:
 
 
 SQL_MRL_TRUNCATION_AUDIT = _build_sql_mrl()
+
+
+# --- Johnson-Lindenstrauss projection distortion audit (round 11) --------------
+
+JL_K = 16  # projected dimensionality
+JL_DIM = 64  # source embedding dimensionality
+JL_AUDIT_N = 512  # consecutive-id pairs audited
+
+
+def _jl_signs() -> list[list[int]]:
+    """The +/-1 projection matrix, derived row-by-row from md5 so both
+    engines see the SAME literal table (the decayed_revenue precomputed
+    literal-factor discipline — no query-time hashing, no plan-time
+    engine divergence): s[j][i] = +1 iff md5('jl|j|i') is even."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(hashlib.md5(f"jl|{j}|{i}".encode()).hexdigest()[:15], 16)
+            % 2
+            == 0
+            else -1
+            for i in range(JL_DIM)
+        ]
+        for j in range(JL_K)
+    ]
+
+
+JL_SIGNS = _jl_signs()
+
+
+def q_jl_projection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-projection audit (Johnson & Lindenstrauss 1984, Achlioptas
+    2003 ±1 variant): project the 64-d embeddings to JL_K=16 dims with
+    the fixed ±1 sign matrix and measure, over a bounded audit set of
+    consecutive-id pairs, how well squared distances survive —
+    ratio = ||S(u−v)||² / (K·||u−v||²), which concentrates around 1.
+    The measure-don't-guess input to a "project before ANN" decision
+    (ann_recall's cheaper cousin: distance distortion, not recall).
+
+    Determinism: the sign matrix is a module-level literal (identical
+    text in both engines); projections use the bit-identical left-fold
+    dot; each pair's ratio is rounded to 6dp before the DECIMAL(38,6)
+    mean (the silhouette convention); min/max operate on the rounded
+    values. Zero-distance pairs (exact duplicate vectors) are excluded
+    and counted separately.
+
+    Scale shape (100 TB): the audit set is id-bounded (< JL_AUDIT_N) —
+    the broadcast side of one equi-join; projection is 16 fixed folds
+    per audited row, applied to the DIFFERENCE vector only (linearity:
+    S(u−v) = Su − Sv, so one projection per pair, not two); the report
+    is a 1-row aggregate. Projecting the full corpus for production use
+    is the same expression without the audit filter."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    a = emb.filter(F.col("vec_id") < JL_AUDIT_N).select(
+        F.col("vec_id").alias("id_a"), F.col("v").alias("va")
+    )
+    b = emb.select((F.col("vec_id") - 1).alias("id_a"), F.col("v").alias("vb"))
+    pairs = a.join(F.broadcast(b), "id_a").select(
+        "id_a", F.zip_with("va", "vb", lambda x, y: x - y).alias("d")
+    )
+    proj_sq = None
+    for j in range(JL_K):
+        signs = F.array(*[F.lit(float(s)) for s in JL_SIGNS[j]])
+        pj = dot(F.col("d"), signs)
+        proj_sq = pj * pj if proj_sq is None else proj_sq + pj * pj
+    scored = pairs.select(
+        "id_a",
+        dot(F.col("d"), F.col("d")).alias("d2"),
+        proj_sq.alias("p2"),
+    )
+    rnd = lambda c: c.cast("decimal(38,6)").cast("double")  # noqa: E731
+    ratio = rnd(F.col("p2") / (F.lit(float(JL_K)) * F.col("d2")))
+    rated = scored.select(
+        "id_a",
+        (F.col("d2") > F.lit(0.0)).alias("live"),
+        F.when(F.col("d2") > F.lit(0.0), ratio).alias("ratio"),
+    )
+    agg = rated.agg(
+        F.sum(F.when(F.col("live"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_pairs"),
+        F.sum(F.when(~F.col("live"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_degenerate"),
+        F.sum(F.col("ratio").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("ratio_sum"),
+        F.min("ratio").alias("min_ratio"),
+        F.max("ratio").alias("max_ratio"),
+        F.sum(
+            F.when(
+                (F.col("ratio") >= 0.5) & (F.col("ratio") <= 1.5), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_in_band"),
+    )
+    live_n = F.col("n_pairs")
+    return agg.select(
+        "n_pairs",
+        "n_degenerate",
+        F.when(
+            live_n > 0, rnd(F.col("ratio_sum") / live_n.cast("double"))
+        ).alias("mean_ratio"),
+        "min_ratio",
+        "max_ratio",
+        F.when(
+            live_n > 0,
+            F.col("n_in_band").cast("double") / live_n.cast("double"),
+        ).alias("frac_in_band"),
+    )
+
+
+def _sql_jl() -> str:
+    pcols = []
+    for j in range(JL_K):
+        lit = "[" + ", ".join(f"{float(s)}" for s in JL_SIGNS[j]) + "]"
+        pcols.append(f"{sql_dot('d', lit)} AS p{j}")
+    # left-associated sum of squares, same order as the Spark fold
+    proj = " + ".join(f"p{j} * p{j}" for j in range(JL_K))
+    return f"""
+    WITH emb AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), pairs AS (
+        SELECT a.vec_id AS id_a,
+               list_transform(list_zip(a.v, b.v), p -> p[1] - p[2]) AS d
+        FROM emb a JOIN emb b ON b.vec_id = a.vec_id + 1
+        WHERE a.vec_id < {JL_AUDIT_N}
+    ), projected AS (
+        SELECT id_a, {sql_dot('d', 'd')} AS d2, {', '.join(pcols)}
+        FROM pairs
+    ), scored AS (
+        SELECT id_a, d2, {proj} AS p2 FROM projected
+    ), rated AS (
+        SELECT id_a, d2 > 0.0 AS live,
+               CASE WHEN d2 > 0.0 THEN
+                   CAST(CAST(p2 / ({JL_K}.0 * d2) AS DECIMAL(38,6))
+                        AS DOUBLE) END AS ratio
+        FROM scored
+    ), agg AS (
+        SELECT CAST(SUM(CASE WHEN live THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_pairs,
+               CAST(SUM(CASE WHEN NOT live THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_degenerate,
+               CAST(SUM(CAST(ratio AS DECIMAL(38,6))) AS DOUBLE)
+                   AS ratio_sum,
+               MIN(ratio) AS min_ratio,
+               MAX(ratio) AS max_ratio,
+               CAST(SUM(CASE WHEN ratio >= 0.5 AND ratio <= 1.5
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_in_band
+        FROM rated
+    )
+    SELECT n_pairs, n_degenerate,
+           CASE WHEN n_pairs > 0 THEN
+               CAST(CAST(ratio_sum / CAST(n_pairs AS DOUBLE)
+                    AS DECIMAL(38,6)) AS DOUBLE) END AS mean_ratio,
+           min_ratio, max_ratio,
+           CASE WHEN n_pairs > 0 THEN
+               CAST(n_in_band AS DOUBLE) / CAST(n_pairs AS DOUBLE)
+           END AS frac_in_band
+    FROM agg
+"""
+
+
+SQL_JL_PROJECTION_AUDIT = _sql_jl()

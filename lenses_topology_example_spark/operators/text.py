@@ -3385,15 +3385,32 @@ def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same exploded frame with a (source, word)-grain partial
     distinct that is vocabulary-bounded, not corpus-bounded."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "source", F.explode(tokens_col(F.col("text"))).alias("word")
-    )
-    vocab = (
+    vocab = corpus_head_vocab(docs)
+    return oov_source_report(docs, vocab).orderBy("source")
+
+
+def corpus_head_vocab(docs: DataFrame) -> DataFrame:
+    """The frozen head vocabulary: top OOV_VOCAB_SIZE words by token
+    frequency, ties lexicographic — shared by the batch audit above
+    and the streaming OOV monitor (streaming/pipelines) so the two can
+    never disagree on membership. Columns: (word, in_vocab=1)."""
+    toks = docs.select(F.explode(tokens_col(F.col("text"))).alias("word"))
+    return (
         toks.groupBy("word")
         .agg(F.count(F.lit(1)).alias("c"))
         .orderBy(F.col("c").desc(), F.col("word"))
         .limit(OOV_VOCAB_SIZE)
         .select("word", F.lit(1).alias("in_vocab"))
+    )
+
+
+def oov_source_report(docs: DataFrame, vocab: DataFrame) -> DataFrame:
+    """Per-source OOV report of `docs` against a FROZEN (word,
+    in_vocab) vocabulary frame — the shared core of q_oov_rate and the
+    streaming twin. The vocab broadcasts; tokens never shuffle except
+    at the (source, distinct-OOV-word) partial-distinct grain."""
+    toks = docs.select(
+        "source", F.explode(tokens_col(F.col("text"))).alias("word")
     )
     tagged = toks.join(F.broadcast(vocab), "word", "left")
     per_source = tagged.groupBy("source").agg(
@@ -3416,7 +3433,7 @@ def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_tokens") > 0,
             F.col("n_oov").cast("double") / F.col("n_tokens").cast("double"),
         ).alias("oov_rate"),
-    ).orderBy("source")
+    )
 
 
 SQL_OOV_RATE = f"""

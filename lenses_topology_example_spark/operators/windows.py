@@ -3104,3 +3104,185 @@ SQL_PERMUTATION_TEST = f"""
     FROM perms CROSS JOIN obs
     GROUP BY obs_n_0, obs_n_1, obs_diff
 """
+
+
+# --- Benjamini-Hochberg FDR across per-segment experiments (round 11) ----------
+
+FDR_Z_SCALE = 1.702  # logistic approximation to the normal CDF
+
+
+def q_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple-testing control across per-segment experiment readouts:
+    one Welch z per event_type (the ab_test_report statistic, sliced),
+    a two-sided p via the logistic approximation of the normal CDF
+    (Phi(x) ~ 1/(1+exp(-1.702 x)), Bowling et al. 2009 — closed-form
+    and engine-portable where erf is not), then Benjamini-Hochberg
+    step-up adjusted q-values (Benjamini & Hochberg 1995):
+    q_i = min_{j>=i} p_(j) * m / j, capped at 1. The report every
+    metrics platform needs the moment it tests more than one segment —
+    per-segment z alone inflates the false-discovery rate m-fold.
+
+    Determinism: per-segment moments are conditional DECIMAL(38,6)
+    sums; z is ONE fixed double expression rounded to 6dp; p rounds to
+    6dp immediately after the single exp() call (the tfidf ln-rounding
+    contract: a 1-ulp libm divergence cannot survive the rounding away
+    from midpoints); the BH running min operates on products of those
+    rounded p's with exact int ratios. Degenerate segments (an empty
+    arm, zero variance) carry NULL z/p and are EXCLUDED from m and the
+    ranking, re-joined with NULL q.
+
+    Scale shape (100 TB): one scan collapses map-side to the
+    |event_type| x 2 conditional-sum cells; ranking and the step-up
+    running min are windows over that bounded frame (the theil_sen
+    tiny-frame unpartitioned-window convention)."""
+    from pyspark.sql import Window as W
+
+    from ..functions.texthash import md5_hash64
+
+    ev = load_table(spark, sf_dir, "events")
+    uid = F.col("user_id").cast("string")
+    arm = md5_hash64(F.concat(F.lit("ab|"), uid)) % 2
+    d = lambda c: F.sum(c.cast("decimal(38,6)")).cast("double")  # noqa: E731
+    rnd = lambda c: c.cast("decimal(38,6)").cast("double")  # noqa: E731
+    x = F.col("value")
+    agg = ev.select(
+        "event_type", arm.alias("arm"), x.alias("x")
+    ).groupBy("event_type").agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_1"),
+        d(F.when(F.col("arm") == 0, F.col("x")).otherwise(0.0)).alias("s_0"),
+        d(F.when(F.col("arm") == 1, F.col("x")).otherwise(0.0)).alias("s_1"),
+        d(
+            F.when(F.col("arm") == 0, F.col("x") * F.col("x")).otherwise(0.0)
+        ).alias("ss_0"),
+        d(
+            F.when(F.col("arm") == 1, F.col("x") * F.col("x")).otherwise(0.0)
+        ).alias("ss_1"),
+    )
+    var0 = (F.col("ss_0") - F.col("s_0") * F.col("s_0") / F.col("n_0")) / (
+        F.col("n_0") - 1
+    )
+    var1 = (F.col("ss_1") - F.col("s_1") * F.col("s_1") / F.col("n_1")) / (
+        F.col("n_1") - 1
+    )
+    se = F.sqrt(var0 / F.col("n_0") + var1 / F.col("n_1"))
+    z_raw = F.when(
+        (F.col("n_0") > 1) & (F.col("n_1") > 1) & (se > F.lit(0.0)),
+        (F.col("s_1") / F.col("n_1") - F.col("s_0") / F.col("n_0")) / se,
+    )
+    scored = agg.select(
+        "event_type",
+        "n_0",
+        "n_1",
+        rnd(z_raw).alias("z_score"),
+    ).select(
+        "event_type",
+        "n_0",
+        "n_1",
+        "z_score",
+        rnd(
+            F.lit(2.0)
+            / (
+                F.lit(1.0)
+                + F.exp(F.lit(FDR_Z_SCALE) * F.abs(F.col("z_score")))
+            )
+        ).alias("p_value"),
+    )
+    tested = scored.filter(F.col("p_value").isNotNull())
+    w_rank = W.orderBy(F.col("p_value"), F.col("event_type"))
+    w_all = W.partitionBy()
+    ranked = tested.select(
+        "event_type",
+        "p_value",
+        F.row_number().over(w_rank).alias("p_rank"),
+        F.count(F.lit(1)).over(w_all).cast("long").alias("m"),
+    )
+    w_step = W.orderBy(F.col("p_rank").desc()).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    rnd_q = ranked.select(
+        "event_type",
+        F.col("p_rank").cast("long").alias("p_rank"),
+        rnd(
+            F.least(
+                F.lit(1.0),
+                F.min(
+                    F.col("p_value") * F.col("m") / F.col("p_rank")
+                ).over(w_step),
+            )
+        ).alias("q_value"),
+    )
+    return (
+        scored.join(rnd_q, "event_type", "left")
+        .select(
+            "event_type",
+            "n_0",
+            "n_1",
+            "z_score",
+            "p_value",
+            "p_rank",
+            "q_value",
+            F.when(
+                F.col("q_value").isNotNull(), F.col("q_value") <= F.lit(0.05)
+            ).alias("reject_05"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_FDR_BH = f"""
+    WITH agg AS (
+        SELECT event_type,
+            CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_0,
+            CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_1,
+            CAST(SUM(CAST(CASE WHEN arm = 0 THEN "value" ELSE 0.0 END
+                 AS DECIMAL(38,6))) AS DOUBLE) AS s_0,
+            CAST(SUM(CAST(CASE WHEN arm = 1 THEN "value" ELSE 0.0 END
+                 AS DECIMAL(38,6))) AS DOUBLE) AS s_1,
+            CAST(SUM(CAST(CASE WHEN arm = 0 THEN "value" * "value"
+                 ELSE 0.0 END AS DECIMAL(38,6))) AS DOUBLE) AS ss_0,
+            CAST(SUM(CAST(CASE WHEN arm = 1 THEN "value" * "value"
+                 ELSE 0.0 END AS DECIMAL(38,6))) AS DOUBLE) AS ss_1
+        FROM (SELECT event_type, {_SQL_AB_ARM} AS arm, "value" FROM events)
+        GROUP BY event_type
+    ), scored0 AS (
+        SELECT event_type, n_0, n_1,
+            CASE WHEN n_0 > 1 AND n_1 > 1 AND
+                sqrt((ss_0 - s_0 * s_0 / n_0) / (n_0 - 1) / n_0
+                     + (ss_1 - s_1 * s_1 / n_1) / (n_1 - 1) / n_1) > 0.0
+                THEN CAST(CAST(
+                    (s_1 / n_1 - s_0 / n_0)
+                    / sqrt((ss_0 - s_0 * s_0 / n_0) / (n_0 - 1) / n_0
+                           + (ss_1 - s_1 * s_1 / n_1) / (n_1 - 1) / n_1)
+                    AS DECIMAL(38,6)) AS DOUBLE) END AS z_score
+        FROM agg
+    ), scored AS (
+        SELECT event_type, n_0, n_1, z_score,
+            CAST(CAST(2.0 / (1.0 + exp({FDR_Z_SCALE} * abs(z_score)))
+                 AS DECIMAL(38,6)) AS DOUBLE) AS p_value
+        FROM scored0
+    ), ranked AS (
+        SELECT event_type, p_value,
+            ROW_NUMBER() OVER (ORDER BY p_value, event_type) AS p_rank,
+            CAST(COUNT(*) OVER () AS BIGINT) AS m
+        FROM scored WHERE p_value IS NOT NULL
+    ), stepped AS (
+        SELECT event_type, CAST(p_rank AS BIGINT) AS p_rank,
+            CAST(CAST(LEAST(1.0,
+                MIN(p_value * m / p_rank) OVER (
+                    ORDER BY p_rank DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                AS DECIMAL(38,6)) AS DOUBLE) AS q_value
+        FROM ranked
+    )
+    SELECT s.event_type, s.n_0, s.n_1, s.z_score, s.p_value,
+           t.p_rank, t.q_value,
+           CASE WHEN t.q_value IS NOT NULL THEN t.q_value <= 0.05
+           END AS reject_05
+    FROM scored s LEFT JOIN stepped t ON s.event_type = t.event_type
+    ORDER BY s.event_type
+"""

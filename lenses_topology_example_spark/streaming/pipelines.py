@@ -1708,3 +1708,45 @@ def start_conformal_stream(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+# --- continuous OOV monitor (round 11) ----------------------------------------
+
+
+def oov_batch(batch_docs: DataFrame, vocab: DataFrame) -> DataFrame:
+    """Per-source OOV report of ONE micro-batch of arriving documents
+    against a FROZEN head vocabulary (at scale: the tokenizer's actual
+    vocab, read once per stream start) — delegates entirely to the
+    operator's own text.oov_source_report so stream and batch
+    (q_oov_rate) are the same code path and can never drift.
+
+    vocab: (word, in_vocab) — freeze with text.corpus_head_vocab(base)
+    or load the production tokenizer's vocab."""
+    from ..operators.text import oov_source_report
+
+    return oov_source_report(batch_docs, vocab)
+
+
+def start_oov_stream(
+    docs: DataFrame,
+    vocab: DataFrame,
+    out_path: str,
+    checkpoint: str,
+) -> StreamingQuery:
+    """foreachBatch OOV monitor: per micro-batch, write the per-source
+    OOV report (plus batch_id) to its own overwrite-idempotent
+    directory — the payments-fanout exactly-once pattern. A source
+    whose streaming oov_rate departs its batch baseline is shipping a
+    new dialect/encoding at you; this is the alarm that catches it
+    before the tokenizer prices it wrong."""
+
+    def report(batch: DataFrame, batch_id: int) -> None:
+        oov_batch(batch, vocab).withColumn(
+            "batch_id", F.lit(batch_id).cast("long")
+        ).write.mode("overwrite").parquet(f"{out_path}/batch_id={batch_id}")
+
+    return (
+        docs.writeStream.foreachBatch(report)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

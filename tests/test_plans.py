@@ -587,3 +587,22 @@ def test_spearman_windows_partition_by_source(catalog_dfs):
     specs = _re.findall(r"windowspecdefinition\((\w+)#", plan)
     assert specs, plan
     assert all(s == "source" for s in specs), plan
+
+
+def test_fdr_bh_joins_broadcast_no_cartesian(catalog_dfs):
+    """The scored->stepped re-join operates on |event_type|-bounded
+    frames and must broadcast; the per-segment sums partial-combine
+    map-side."""
+    plan = _plan_of(catalog_dfs, "fdr_bh")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "partial_sum" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_jl_projection_audit_broadcasts_pairs(catalog_dfs):
+    """The id-bounded audit pair join must broadcast — never an SMJ
+    shuffle of the embedding corpus for a <=512-row audit set."""
+    plan = _plan_of(catalog_dfs, "jl_projection_audit")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan

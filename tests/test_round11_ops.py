@@ -772,3 +772,119 @@ def test_oov_rate_matches_python(spark, sf_dir):
             assert abs(r.oov_rate - len(oov) / len(toks)) < 1e-12
         else:
             assert r.oov_rate is None
+
+
+def test_fdr_bh_matches_python(spark, sf_dir):
+    from lenses_topology_example_spark.operators.windows import FDR_Z_SCALE
+
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "user_id", "value")
+        .collect()
+    )
+    cells: dict[str, dict] = {}
+    for r in rows:
+        arm = _md5_64(f"ab|{r.user_id}") % 2
+        c = cells.setdefault(
+            r.event_type, {"n": [0, 0], "s": [0.0, 0.0], "ss": [0.0, 0.0]}
+        )
+        c["n"][arm] += 1
+        c["s"][arm] += float(_q6(float(r.value)))
+        c["ss"][arm] += float(_q6(float(r.value) * float(r.value)))
+    scored = {}
+    for et, c in cells.items():
+        n0, n1 = c["n"]
+        s0, s1 = c["s"]
+        ss0, ss1 = c["ss"]
+        z = p = None
+        if n0 > 1 and n1 > 1:
+            se = math.sqrt(
+                (ss0 - s0 * s0 / n0) / (n0 - 1) / n0
+                + (ss1 - s1 * s1 / n1) / (n1 - 1) / n1
+            )
+            if se > 0.0:
+                z = float(_q6((s1 / n1 - s0 / n0) / se))
+                p = float(
+                    _q6(2.0 / (1.0 + math.exp(FDR_Z_SCALE * abs(z))))
+                )
+        scored[et] = (n0, n1, z, p)
+    tested = sorted(
+        ((p, et) for et, (_, _, _, p) in scored.items() if p is not None)
+    )
+    m = len(tested)
+    qs = {}
+    run_min = None
+    for i in range(m - 1, -1, -1):
+        val = min(1.0, tested[i][0] * m / (i + 1))
+        run_min = val if run_min is None else min(run_min, val)
+        qs[tested[i][1]] = (i + 1, float(_q6(run_min)))
+    got = {r.event_type: r for r in _CATALOG["fdr_bh"][0](spark, sf_dir).collect()}
+    assert set(got) == set(scored)
+    for et, (n0, n1, z, p) in scored.items():
+        r = got[et]
+        assert (r.n_0, r.n_1) == (n0, n1)
+        if z is None:
+            assert r.z_score is None and r.p_value is None
+            assert r.p_rank is None and r.q_value is None
+            assert r.reject_05 is None
+        else:
+            assert abs(r.z_score - z) < 1e-9
+            assert abs(r.p_value - p) < 1e-9
+            rank, q = qs[et]
+            assert r.p_rank == rank
+            assert abs(r.q_value - q) < 1e-9
+            assert r.reject_05 == (q <= 0.05)
+
+
+def test_jl_projection_audit_matches_python(spark, sf_dir):
+    from lenses_topology_example_spark.operators.similarity import (
+        JL_AUDIT_N,
+        JL_K,
+        JL_SIGNS,
+        _jl_signs,
+    )
+
+    assert JL_SIGNS == _jl_signs()  # literal table is reproducible
+    rows = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    vecs = {r.vec_id: [float(x) for x in r.embedding] for r in rows}
+    ratios = []
+    n_degen = 0
+    for vid in sorted(vecs):
+        if vid >= JL_AUDIT_N or (vid + 1) not in vecs:
+            continue
+        d = [a - b for a, b in zip(vecs[vid], vecs[vid + 1])]
+        d2 = 0.0
+        for x in d:
+            d2 += x * x
+        if d2 <= 0.0:
+            n_degen += 1
+            continue
+        p2 = 0.0
+        for j in range(JL_K):
+            pj = 0.0
+            for x, s in zip(d, JL_SIGNS[j]):
+                pj += x * s
+            p2 += pj * pj
+        ratios.append(float(_q6(p2 / (JL_K * d2))))
+    r = _CATALOG["jl_projection_audit"][0](spark, sf_dir).collect()[0]
+    assert r.n_pairs == len(ratios)
+    assert r.n_degenerate == n_degen
+    if ratios:
+        from decimal import Decimal
+
+        mean = float(
+            _q6(
+                float(sum((Decimal(repr(x)) for x in ratios), Decimal(0)))
+                / len(ratios)
+            )
+        )
+        assert abs(r.mean_ratio - mean) < 1e-9
+        assert abs(r.min_ratio - min(ratios)) < 1e-12
+        assert abs(r.max_ratio - max(ratios)) < 1e-12
+        in_band = sum(1 for x in ratios if 0.5 <= x <= 1.5)
+        assert abs(r.frac_in_band - in_band / len(ratios)) < 1e-12
+        assert 0.5 < r.mean_ratio < 1.5  # JL concentration sanity

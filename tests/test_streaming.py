@@ -1358,3 +1358,72 @@ def test_streaming_gif_decode_matches_batch(spark, tmp_path):
         assert streamed[doc_id] == (
             "gif", w, h, 256, w * h, idx * w * h, gif_total_bytes(w * h),
         )
+
+
+def test_streaming_oov_monitor_matches_batch_operator(spark, tmp_path):
+    """foreachBatch OOV monitor: streaming the full corpus against the
+    SAME frozen head vocabulary the batch operator builds must
+    reproduce q_oov_rate's per-source report EXACTLY (shared
+    oov_source_report core — counts, distinct OOV types, rate)."""
+    from lenses_topology_example_spark.operators.text import (
+        corpus_head_vocab,
+        q_oov_rate,
+    )
+    from lenses_topology_example_spark.streaming.pipelines import (
+        start_oov_stream,
+    )
+
+    words = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+             "rare1 rare2 rare3 rare4 rare5").split()
+    rows = [
+        (i,
+         " ".join(words[(i * 5 + j * j) % len(words)] for j in range(9))
+         + f" uniq{i}",
+         "en", f"s{i % 3}", 50)
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf = tmp_path / "oov_sf"
+    sf.mkdir()
+    docs.write.parquet(f"{sf}/documents.parquet")
+
+    # freeze a SMALL head vocab so OOV is non-trivial in the fixture
+    import lenses_topology_example_spark.operators.text as text_mod
+
+    orig = text_mod.OOV_VOCAB_SIZE
+    text_mod.OOV_VOCAB_SIZE = 8
+    try:
+        vocab = corpus_head_vocab(docs)
+
+        src = tmp_path / "oov_src"
+        docs.select("doc_id", "text", "source").write.parquet(str(src))
+        stream = spark.readStream.schema(
+            "doc_id long, text string, source string"
+        ).parquet(str(src))
+        out = tmp_path / "oov_out"
+        q = start_oov_stream(
+            stream, vocab, str(out), str(tmp_path / "oov_ckpt")
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        got = {
+            r.source: r
+            for r in spark.read.parquet(f"{out}/batch_id=0").collect()
+        }
+        want = {r.source: r for r in q_oov_rate(spark, str(sf)).collect()}
+    finally:
+        text_mod.OOV_VOCAB_SIZE = orig
+    assert set(got) == set(want) == {"s0", "s1", "s2"}
+    for s, w in want.items():
+        g = got[s]
+        assert (g.n_tokens, g.n_oov, g.n_oov_types) == (
+            w.n_tokens, w.n_oov, w.n_oov_types,
+        )
+        assert g.oov_rate == w.oov_rate
+        assert g.n_oov > 0  # the fixture must actually exercise OOV
