@@ -358,6 +358,11 @@ HEADLINE = (
     # map work on a 512-pair audit frame)
     "fdr_bh",
     "jl_projection_audit",
+    # round-11 wave 8 (all three are vocab-bounded: word-grain partial
+    # combines, TakeOrdered head cuts, G-row grid windows)
+    "heaps_law_fit",
+    "term_burstiness",
+    "token_coverage_curve",
 )
 
 

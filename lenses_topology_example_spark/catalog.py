@@ -822,6 +822,20 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
         similarity.q_jl_projection_audit,
         similarity.SQL_JL_PROJECTION_AUDIT,
     ),
+    # eighth round-11 wave: corpus-planning curves (vocab growth,
+    # head-term dispersion, coverage-vs-vocab-size)
+    "heaps_law_fit": (
+        text.q_heaps_law_fit,
+        text.SQL_HEAPS_LAW_FIT,
+    ),
+    "term_burstiness": (
+        text.q_term_burstiness,
+        text.SQL_TERM_BURSTINESS,
+    ),
+    "token_coverage_curve": (
+        text.q_token_coverage_curve,
+        text.SQL_TOKEN_COVERAGE_CURVE,
+    ),
 }
 
 # The driver evaluates only the first DRIVER_WINDOW_SIZE catalog entries

@@ -3461,3 +3461,376 @@ SQL_OOV_RATE = f"""
     GROUP BY source
     ORDER BY source
 """
+
+
+# --- Heaps' law vocabulary-growth fit (round 11) -------------------------------
+
+HEAPS_GRID = 32  # corpus-prefix grid cells
+
+
+def q_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'/Herdan's law fit (Heaps 1978): vocabulary size grows as
+    V(N) = K * N^beta with token count N. Fit ln V = ln K + beta ln N
+    by OLS over a fixed HEAPS_GRID-cell prefix grid of the corpus in
+    doc_id order, and report the 10x-corpus vocabulary prediction —
+    the number that sizes a tokenizer/embedding table BEFORE the next
+    crawl lands (at 100 TB you fit on a prefix and predict the rest).
+
+    Determinism: prefix membership is integer-exact (the grid bucket
+    ceil(G*id/max_id) is a FLOOR over an exact double division of
+    ints < 2^53 written identically in both engines); every ln rounds
+    through DECIMAL(38,6) at the call site (the tfidf contract); OLS
+    moments are exact decimal sums of those 6dp values; beta/K/the
+    prediction are fixed double expressions with sqrt-style guards.
+
+    Scale shape (100 TB): one scan builds per-doc token counts (map
+    work); a word-grain aggregate (vocabulary-bounded after partial
+    combine) takes each word's FIRST occurrence; both collapse to the
+    G-cell grid frame; cumulative sums, the OLS and the prediction are
+    windows/aggregates over those G rows. No global document sort —
+    doc_id itself is the prefix axis."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(tokens_col(F.col("text"))).cast("long").alias("n_toks"),
+    )
+    mx = per_doc.agg(
+        F.greatest(F.max("doc_id"), F.lit(1)).cast("long").alias("m")
+    )
+    g_of = lambda idc: F.greatest(  # noqa: E731
+        F.lit(1),
+        F.ceil(
+            (idc.cast("double") * F.lit(float(HEAPS_GRID)))
+            / F.col("m").cast("double")
+        ).cast("long"),
+    )
+    doc_cells = (
+        per_doc.crossJoin(F.broadcast(mx))
+        .select(g_of(F.col("doc_id")).alias("g"), "n_toks")
+        .groupBy("g")
+        .agg(F.sum("n_toks").cast("long").alias("n_new"))
+    )
+    words = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens_col(F.col("text")))).alias("w")
+    ).groupBy("w").agg(F.min(F.col("doc_id").cast("long")).alias("first_occ"))
+    word_cells = (
+        words.crossJoin(F.broadcast(mx))
+        .select(g_of(F.col("first_occ")).alias("g"))
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).cast("long").alias("v_new"))
+    )
+    grid = spark.range(1, HEAPS_GRID + 1).select(F.col("id").alias("g"))
+    cells = (
+        grid.join(F.broadcast(doc_cells), "g", "left")
+        .join(F.broadcast(word_cells), "g", "left")
+        .select(
+            "g",
+            F.coalesce(F.col("n_new"), F.lit(0)).alias("n_new"),
+            F.coalesce(F.col("v_new"), F.lit(0)).alias("v_new"),
+        )
+    )
+    w_cum = W.orderBy("g").rowsBetween(W.unboundedPreceding, W.currentRow)
+    pts = cells.select(
+        "g",
+        F.sum("n_new").over(w_cum).cast("long").alias("cum_n"),
+        F.sum("v_new").over(w_cum).cast("long").alias("cum_v"),
+    ).filter((F.col("cum_n") > 0) & (F.col("cum_v") > 0))
+    ln6 = lambda c: F.log(c).cast("decimal(38,6)")  # noqa: E731
+    xy = pts.select(
+        ln6(F.col("cum_n").cast("double")).alias("x"),
+        ln6(F.col("cum_v").cast("double")).alias("y"),
+        "cum_n",
+        "cum_v",
+        "g",
+    )
+    mom = xy.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.max(F.when(F.col("g") == HEAPS_GRID, F.col("cum_n"))).alias(
+            "n_tokens"
+        ),
+        F.max(F.when(F.col("g") == HEAPS_GRID, F.col("cum_v"))).alias(
+            "n_vocab"
+        ),
+    )
+    n = F.col("n_cells").cast("double")
+    denom = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    rnd = lambda c: c.cast("decimal(38,6)").cast("double")  # noqa: E731
+    beta = F.when(
+        (F.col("n_cells") > 1) & (denom != F.lit(0.0)),
+        rnd((n * F.col("sxy") - F.col("sx") * F.col("sy")) / denom),
+    )
+    fitted = mom.select(
+        "n_cells", "n_tokens", "n_vocab", beta.alias("beta"), "sx", "sy"
+    ).select(
+        "n_cells",
+        "n_tokens",
+        "n_vocab",
+        "beta",
+        rnd(
+            (F.col("sy") - F.col("beta") * F.col("sx"))
+            / F.col("n_cells").cast("double")
+        ).alias("ln_k"),
+    )
+    ln_10n = rnd(F.log(F.lit(10.0) * F.col("n_tokens").cast("double")))
+    return fitted.select(
+        "n_cells",
+        "n_tokens",
+        "n_vocab",
+        "beta",
+        rnd(F.exp(F.col("ln_k"))).alias("k"),
+        F.when(
+            F.col("beta").isNotNull() & (F.col("n_tokens") > 0),
+            rnd(F.exp(F.col("ln_k") + F.col("beta") * ln_10n)),
+        ).alias("v_pred_10x"),
+    )
+
+
+SQL_HEAPS_LAW_FIT = f"""
+    WITH per_doc AS (
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(length({SQL_TOKS}) AS BIGINT) AS n_toks
+        FROM documents
+    ), mx AS (
+        SELECT GREATEST(MAX(doc_id), 1) AS m FROM per_doc
+    ), doc_cells AS (
+        SELECT GREATEST(1, CAST(CEIL(
+                   CAST(doc_id AS DOUBLE) * {HEAPS_GRID}.0
+                   / CAST(m AS DOUBLE)) AS BIGINT)) AS g,
+               CAST(SUM(n_toks) AS BIGINT) AS n_new
+        FROM per_doc CROSS JOIN mx GROUP BY 1
+    ), words AS (
+        SELECT w, MIN(CAST(doc_id AS BIGINT)) AS first_occ
+        FROM (
+            SELECT doc_id, unnest(list_distinct({SQL_TOKS})) AS w
+            FROM documents
+        ) GROUP BY w
+    ), word_cells AS (
+        SELECT GREATEST(1, CAST(CEIL(
+                   CAST(first_occ AS DOUBLE) * {HEAPS_GRID}.0
+                   / CAST(m AS DOUBLE)) AS BIGINT)) AS g,
+               CAST(COUNT(*) AS BIGINT) AS v_new
+        FROM words CROSS JOIN mx GROUP BY 1
+    ), grid AS (
+        SELECT unnest(range(1, {HEAPS_GRID} + 1)) AS g
+    ), cells AS (
+        SELECT grid.g,
+               COALESCE(d.n_new, 0) AS n_new,
+               COALESCE(w.v_new, 0) AS v_new
+        FROM grid LEFT JOIN doc_cells d ON d.g = grid.g
+                  LEFT JOIN word_cells w ON w.g = grid.g
+    ), pts AS (
+        SELECT g,
+               CAST(SUM(n_new) OVER (ORDER BY g
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum_n,
+               CAST(SUM(v_new) OVER (ORDER BY g
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum_v
+        FROM cells
+    ), xy AS (
+        SELECT g, cum_n, cum_v,
+               CAST(ln(CAST(cum_n AS DOUBLE)) AS DECIMAL(38,6)) AS x,
+               CAST(ln(CAST(cum_v AS DOUBLE)) AS DECIMAL(38,6)) AS y
+        FROM pts WHERE cum_n > 0 AND cum_v > 0
+    ), mom AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+               CAST(SUM(x) AS DOUBLE) AS sx,
+               CAST(SUM(y) AS DOUBLE) AS sy,
+               CAST(SUM(x * x) AS DOUBLE) AS sxx,
+               CAST(SUM(x * y) AS DOUBLE) AS sxy,
+               MAX(CASE WHEN g = {HEAPS_GRID} THEN cum_n END) AS n_tokens,
+               MAX(CASE WHEN g = {HEAPS_GRID} THEN cum_v END) AS n_vocab
+        FROM xy
+    ), fitted AS (
+        SELECT n_cells, n_tokens, n_vocab,
+               CASE WHEN n_cells > 1
+                     AND n_cells * sxx - sx * sx <> 0.0 THEN
+                   CAST(CAST((n_cells * sxy - sx * sy)
+                        / (n_cells * sxx - sx * sx)
+                        AS DECIMAL(38,6)) AS DOUBLE) END AS beta,
+               sx, sy
+        FROM mom
+    ), fitted2 AS (
+        SELECT n_cells, n_tokens, n_vocab, beta,
+               CAST(CAST((sy - beta * sx) / n_cells AS DECIMAL(38,6))
+                    AS DOUBLE) AS ln_k
+        FROM fitted
+    )
+    SELECT n_cells, n_tokens, n_vocab, beta,
+           CAST(CAST(exp(ln_k) AS DECIMAL(38,6)) AS DOUBLE) AS k,
+           CASE WHEN beta IS NOT NULL AND n_tokens > 0 THEN
+               CAST(CAST(exp(ln_k + beta *
+                   CAST(CAST(ln(10.0 * CAST(n_tokens AS DOUBLE))
+                        AS DECIMAL(38,6)) AS DOUBLE))
+                    AS DECIMAL(38,6)) AS DOUBLE) END AS v_pred_10x
+    FROM fitted2
+"""
+
+
+# --- head-term burstiness / dispersion (round 11) ------------------------------
+
+BURST_TOP = 50  # head terms audited
+
+
+def q_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness audit of the BURST_TOP head terms (Church & Gale
+    1995): a term's collection frequency says how often it appears, its
+    variance-to-mean ratio across documents (VMR, Fisher's dispersion —
+    1 under Poisson scatter, >>1 for bursty topical terms) says HOW it
+    appears. Bursty head terms are topical/boilerplate markers; Poisson
+    ones are function words — the distinction stopword lists guess at
+    and this measures. Reports cf, df, per-doc mean, VMR, and df/cf
+    (Church-Gale burstiness: fraction of occurrences that are a term's
+    first in a doc).
+
+    Determinism: cf/df/sum-of-squares are exact integer sums; mean/VMR
+    are fixed double expressions of those ints over the exact doc count
+    (zero-count docs enter through N, not through rows).
+
+    Scale shape (100 TB): the per-(word,doc) count partial-combines
+    map-side; the word-grain aggregate is vocabulary-bounded; the
+    BURST_TOP cut is TakeOrderedAndProject; ranking happens on the
+    50-row frame (tiny-frame unpartitioned-window convention); the doc
+    count is a 1-row broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    per_dw = (
+        docs.select(
+            "doc_id", F.explode(tokens_col(F.col("text"))).alias("w")
+        )
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    per_word = per_dw.groupBy("w").agg(
+        F.sum("c").cast("long").alias("cf"),
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("ssq"),
+    )
+    top = per_word.orderBy(F.col("cf").desc(), F.col("w")).limit(BURST_TOP)
+    w_rank = W.orderBy(F.col("cf").desc(), F.col("w"))
+    ranked = top.crossJoin(F.broadcast(n_docs)).select(
+        F.row_number().over(w_rank).cast("long").alias("rank"),
+        F.col("w").alias("word"),
+        "cf",
+        "df",
+        (F.col("cf").cast("double") / F.col("n_docs").cast("double")).alias(
+            "mean_per_doc"
+        ),
+        (
+            F.col("ssq").cast("double") / F.col("cf").cast("double")
+            - F.col("cf").cast("double") / F.col("n_docs").cast("double")
+        ).alias("vmr"),
+        (F.col("df").cast("double") / F.col("cf").cast("double")).alias(
+            "df_cf_ratio"
+        ),
+    )
+    return ranked.orderBy("rank")
+
+
+SQL_TERM_BURSTINESS = f"""
+    WITH per_dw AS (
+        SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT doc_id, unnest({SQL_TOKS}) AS w FROM documents)
+        GROUP BY doc_id, w
+    ), per_word AS (
+        SELECT w, CAST(SUM(c) AS BIGINT) AS cf,
+               CAST(COUNT(*) AS BIGINT) AS df,
+               CAST(SUM(c * c) AS BIGINT) AS ssq
+        FROM per_dw GROUP BY w
+    ), top AS (
+        SELECT * FROM per_word ORDER BY cf DESC, w LIMIT {BURST_TOP}
+    ), nd AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY cf DESC, w) AS BIGINT) AS rank,
+           w AS word, cf, df,
+           CAST(cf AS DOUBLE) / CAST(n_docs AS DOUBLE) AS mean_per_doc,
+           CAST(ssq AS DOUBLE) / CAST(cf AS DOUBLE)
+               - CAST(cf AS DOUBLE) / CAST(n_docs AS DOUBLE) AS vmr,
+           CAST(df AS DOUBLE) / CAST(cf AS DOUBLE) AS df_cf_ratio
+    FROM top CROSS JOIN nd
+    ORDER BY rank
+"""
+
+
+# --- token coverage curve of the head vocabulary (round 11) --------------------
+
+COVERAGE_GRID = (16, 64, 256, 1024, 4096)  # head-vocab sizes audited
+
+
+def q_token_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-mass coverage of the top-k vocabulary at fixed grid sizes
+    k in COVERAGE_GRID — the direct size-vs-coverage tradeoff a
+    tokenizer budget decision reads (oov_rate shows one frozen cut;
+    this shows the whole curve). Each row: k, tokens covered by the
+    top-k words, coverage share.
+
+    Determinism: the head ranking is the total order (cf DESC, word);
+    cumulative sums are exact ints; coverage is one int/int double
+    division.
+
+    Scale shape (100 TB): word counts partial-combine to the
+    vocabulary-bounded frame; only max(COVERAGE_GRID) rows survive the
+    TakeOrderedAndProject cut, so the ranking window and the running
+    sum operate on a 4096-row bounded frame; the corpus token total is
+    a 1-row broadcast. Grid points beyond the actual vocabulary are
+    absent (a 3k-word corpus has no k=4096 row) — identically on both
+    engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens_col(F.col("text"))).alias("w"))
+    totals = toks.agg(F.count(F.lit(1)).cast("long").alias("n_tokens"))
+    counts = toks.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("cf"))
+    top = counts.orderBy(F.col("cf").desc(), F.col("w")).limit(
+        max(COVERAGE_GRID)
+    )
+    w_rank = W.orderBy(F.col("cf").desc(), F.col("w"))
+    w_cum = w_rank.rowsBetween(W.unboundedPreceding, W.currentRow)
+    ranked = top.select(
+        F.row_number().over(w_rank).cast("long").alias("k"),
+        F.sum("cf").over(w_cum).cast("long").alias("top_k_tokens"),
+    ).filter(F.col("k").isin(*[int(k) for k in COVERAGE_GRID]))
+    return (
+        ranked.crossJoin(F.broadcast(totals))
+        .select(
+            "k",
+            "top_k_tokens",
+            F.when(
+                F.col("n_tokens") > 0,
+                F.col("top_k_tokens").cast("double")
+                / F.col("n_tokens").cast("double"),
+            ).alias("coverage"),
+        )
+        .orderBy("k")
+    )
+
+
+_COVERAGE_IN = ", ".join(str(int(k)) for k in COVERAGE_GRID)
+
+SQL_TOKEN_COVERAGE_CURVE = f"""
+    WITH toks AS (
+        SELECT unnest({SQL_TOKS}) AS w FROM documents
+    ), counts AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS cf FROM toks GROUP BY w
+    ), top AS (
+        SELECT * FROM counts ORDER BY cf DESC, w LIMIT {max(COVERAGE_GRID)}
+    ), ranked AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY cf DESC, w) AS BIGINT) AS k,
+               CAST(SUM(cf) OVER (ORDER BY cf DESC, w
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS top_k_tokens
+        FROM top
+    ), totals AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_tokens FROM toks
+    )
+    SELECT k, top_k_tokens,
+           CASE WHEN n_tokens > 0 THEN
+               CAST(top_k_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+           END AS coverage
+    FROM ranked CROSS JOIN totals
+    WHERE k IN ({_COVERAGE_IN})
+    ORDER BY k
+"""

@@ -606,3 +606,24 @@ def test_jl_projection_audit_broadcasts_pairs(catalog_dfs):
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_heaps_law_fit_bounded_joins(catalog_dfs):
+    """Grid-cell frames join by broadcast; the corpus never SMJ-shuffles
+    against the G-row grid; the word first-occurrence agg partial-
+    combines map-side."""
+    plan = _plan_of(catalog_dfs, "heaps_law_fit")
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "partial_min" in plan or "partial_count" in plan, plan
+
+
+def test_head_vocab_cuts_are_take_ordered(catalog_dfs):
+    """Every head-vocabulary cut (burstiness top-50, coverage top-4096)
+    must be TakeOrderedAndProject — never a global vocab sort."""
+    for name in ("term_burstiness", "token_coverage_curve"):
+        plan = _plan_of(catalog_dfs, name)
+        assert "TakeOrderedAndProject" in plan, (name, plan)
+        assert "CartesianProduct" not in plan, (name, plan)
+        assert "SortMergeJoin" not in plan, (name, plan)

@@ -888,3 +888,116 @@ def test_jl_projection_audit_matches_python(spark, sf_dir):
         in_band = sum(1 for x in ratios if 0.5 <= x <= 1.5)
         assert abs(r.frac_in_band - in_band / len(ratios)) < 1e-12
         assert 0.5 < r.mean_ratio < 1.5  # JL concentration sanity
+
+
+def test_heaps_law_fit_matches_python(spark, sf_dir):
+    import re
+
+    from lenses_topology_example_spark.operators.text import HEAPS_GRID
+
+    rows = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    )
+    max_id = max((r.doc_id for r in rows), default=0) or 1
+    n_new = [0] * (HEAPS_GRID + 1)
+    v_first: dict[str, int] = {}
+    for r in rows:
+        toks = [t for t in re.split(r"\W+", r.text.lower()) if t]
+        g = max(1, math.ceil(r.doc_id * HEAPS_GRID / max_id))
+        n_new[g] += len(toks)
+        for t in set(toks):
+            if t not in v_first or r.doc_id < v_first[t]:
+                v_first[t] = r.doc_id
+    v_new = [0] * (HEAPS_GRID + 1)
+    for d in v_first.values():
+        v_new[max(1, math.ceil(d * HEAPS_GRID / max_id))] += 1
+    pts = []
+    cn = cv = 0
+    for g in range(1, HEAPS_GRID + 1):
+        cn += n_new[g]
+        cv += v_new[g]
+        if cn > 0 and cv > 0:
+            pts.append(
+                (float(_q6(math.log(cn))), float(_q6(math.log(cv))), g, cn, cv)
+            )
+    n = len(pts)
+    sx = sum(p[0] for p in pts)
+    sy = sum(p[1] for p in pts)
+    sxx = sum(p[0] * p[0] for p in pts)
+    sxy = sum(p[0] * p[1] for p in pts)
+    r = _CATALOG["heaps_law_fit"][0](spark, sf_dir).collect()[0]
+    assert r.n_cells == n
+    n_tokens = cn
+    assert r.n_tokens == n_tokens and r.n_vocab == cv
+    denom = n * sxx - sx * sx
+    beta = float(_q6((n * sxy - sx * sy) / denom))
+    assert abs(r.beta - beta) < 1e-9
+    ln_k = float(_q6((sy - beta * sx) / n))
+    assert abs(r.k - float(_q6(math.exp(ln_k)))) < 1e-9
+    ln10n = float(_q6(math.log(10.0 * n_tokens)))
+    assert (
+        abs(r.v_pred_10x - float(_q6(math.exp(ln_k + beta * ln10n)))) < 1e-9
+    )
+    # the synthetic corpus draws from a small FIXED vocabulary, so the
+    # growth curve saturates (beta ~ 0); real text sits in 0.4-0.6 —
+    # the sanity bound here is only "sub-linear, non-negative"
+    assert 0.0 <= r.beta < 1.0
+
+
+def test_term_burstiness_matches_python(spark, sf_dir):
+    import re
+    from collections import Counter
+
+    from lenses_topology_example_spark.operators.text import BURST_TOP
+
+    rows = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    )
+    n_docs = len(rows)
+    cf: Counter = Counter()
+    df: Counter = Counter()
+    ssq: Counter = Counter()
+    for r in rows:
+        c = Counter(t for t in re.split(r"\W+", r.text.lower()) if t)
+        for w, k in c.items():
+            cf[w] += k
+            df[w] += 1
+            ssq[w] += k * k
+    top = sorted(cf, key=lambda w: (-cf[w], w))[:BURST_TOP]
+    got = list(_CATALOG["term_burstiness"][0](spark, sf_dir).collect())
+    assert [r.word for r in got] == top
+    for i, r in enumerate(got):
+        w = top[i]
+        assert r.rank == i + 1
+        assert (r.cf, r.df) == (cf[w], df[w])
+        assert abs(r.mean_per_doc - cf[w] / n_docs) < 1e-12
+        assert abs(r.vmr - (ssq[w] / cf[w] - cf[w] / n_docs)) < 1e-12
+        assert abs(r.df_cf_ratio - df[w] / cf[w]) < 1e-12
+
+
+def test_token_coverage_curve_matches_python(spark, sf_dir):
+    import re
+    from collections import Counter
+
+    from lenses_topology_example_spark.operators.text import COVERAGE_GRID
+
+    rows = load_table(spark, sf_dir, "documents").select("text").collect()
+    cf: Counter = Counter()
+    for r in rows:
+        cf.update(t for t in re.split(r"\W+", r.text.lower()) if t)
+    total = sum(cf.values())
+    ordered = sorted(cf, key=lambda w: (-cf[w], w))
+    got = {r.k: r for r in _CATALOG["token_coverage_curve"][0](spark, sf_dir).collect()}
+    want_ks = [k for k in COVERAGE_GRID if k <= len(ordered)]
+    assert sorted(got) == want_ks
+    for k in want_ks:
+        cum = sum(cf[w] for w in ordered[:k])
+        assert got[k].top_k_tokens == cum
+        assert abs(got[k].coverage - cum / total) < 1e-12
+    if want_ks:  # curve must be monotone in both k and coverage
+        covs = [got[k].coverage for k in want_ks]
+        assert covs == sorted(covs)
