@@ -363,6 +363,10 @@ HEADLINE = (
     "heaps_law_fit",
     "term_burstiness",
     "token_coverage_curve",
+    # round-11 wave 9 (brier rides the calibration probe's single scan;
+    # group_sequential's cumulative windows run over the |days| frame)
+    "brier_decomposition",
+    "group_sequential",
 )
 
 

@@ -836,6 +836,16 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
         text.q_token_coverage_curve,
         text.SQL_TOKEN_COVERAGE_CURVE,
     ),
+    # ninth round-11 wave: forecast-quality decomposition + sequential
+    # experiment monitoring
+    "brier_decomposition": (
+        analytics.q_brier_decomposition,
+        analytics.SQL_BRIER_DECOMPOSITION,
+    ),
+    "group_sequential": (
+        windows.q_group_sequential,
+        windows.SQL_GROUP_SEQUENTIAL,
+    ),
 }
 
 # The driver evaluates only the first DRIVER_WINDOW_SIZE catalog entries

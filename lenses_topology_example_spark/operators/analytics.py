@@ -2394,3 +2394,180 @@ SQL_SPEARMAN_CORR = f"""
     FROM agg
     ORDER BY source
 """
+
+
+# --- Murphy/Brier decomposition of the calibration probe (round 11) ------------
+
+
+def q_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the Brier score (Murphy 1973) for the
+    shared logistic probe: BRIER = RELIABILITY − RESOLUTION +
+    UNCERTAINTY over the same 10 confidence bins as calibration_bins.
+    ECE says "the probe is miscalibrated"; this says WHERE the score
+    goes — a probe can be perfectly calibrated (REL=0) and still
+    useless (RES=0). The probabilistic-forecast sibling of auc_report.
+
+    Determinism: the probe score is the shared 6dp-rounded sigmoid;
+    BRIER comes from exact decimal sums (Σs² at scale 12 per 6dp
+    score, re-rounded to scale 6 before the double cast — the dsum4
+    rule: raw scale-12 units cross 2^53 near 9e3 rows); per-bin REL/RES
+    terms are 6dp-rounded doubles decimal-summed over the 10-bin frame
+    (no order-dependent double sum); UNC is one fixed expression of
+    the exact base rate.
+
+    Scale shape (100 TB): identical to calibration_bins — one 64-wide
+    fold per row, a 10-key map-side-combinable aggregate, 1-row
+    output."""
+    wts = F.array(*[F.lit(w) for w in CALIB_WEIGHTS])
+    z = dot(as_double(F.col("embedding")), wts)
+    s = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    scored = load_table(spark, sf_dir, "embeddings").select(
+        s.alias("s"), (F.col("label") % 2).cast("long").alias("y")
+    )
+    binned = scored.select(
+        F.least(
+            F.floor(F.col("s") * CALIB_BINS).cast("int"),
+            F.lit(CALIB_BINS - 1),
+        ).alias("bin"),
+        "s",
+        "y",
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("n_pos"),
+        F.round(F.sum(F.col("s").cast("decimal(38,6)")), 4)
+        .cast("double")
+        .alias("s_sum"),
+        F.round(
+            F.sum((F.col("s") * F.col("s")).cast("decimal(38,12)")), 6
+        )
+        .cast("double")
+        .alias("ss_sum"),
+        F.round(
+            F.sum(
+                F.when(F.col("y") == 1, F.col("s"))
+                .otherwise(0.0)
+                .cast("decimal(38,6)")
+            ),
+            4,
+        )
+        .cast("double")
+        .alias("sy_sum"),
+    )
+    rnd = lambda c: c.cast("decimal(38,6)").cast("double")  # noqa: E731
+    totals = per_bin.agg(
+        F.sum("n").cast("long").alias("n_total"),
+        F.sum("n_pos").cast("long").alias("pos_total"),
+        F.sum(F.col("ss_sum").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("ss_total"),
+        F.sum(F.col("sy_sum").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("sy_total"),
+    )
+    conf = F.col("s_sum") / F.col("n").cast("double")
+    acc = F.col("n_pos").cast("double") / F.col("n").cast("double")
+    ybar = F.col("pos_total").cast("double") / F.col("n_total").cast("double")
+    terms = per_bin.crossJoin(F.broadcast(totals)).select(
+        "n_total",
+        "pos_total",
+        "ss_total",
+        "sy_total",
+        rnd((conf - acc) * (conf - acc) * F.col("n").cast("double")).alias(
+            "rel_term"
+        ),
+        rnd((acc - ybar) * (acc - ybar) * F.col("n").cast("double")).alias(
+            "res_term"
+        ),
+    )
+    agg = terms.groupBy("n_total", "pos_total", "ss_total", "sy_total").agg(
+        F.sum(F.col("rel_term").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("rel_sum"),
+        F.sum(F.col("res_term").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("res_sum"),
+    )
+    n = F.col("n_total").cast("double")
+    ybar2 = F.col("pos_total").cast("double") / n
+    return agg.select(
+        F.col("n_total").alias("n"),
+        rnd(
+            (
+                F.col("ss_total")
+                - F.lit(2.0) * F.col("sy_total")
+                + F.col("pos_total").cast("double")
+            )
+            / n
+        ).alias("brier"),
+        rnd(F.col("rel_sum") / n).alias("reliability"),
+        rnd(F.col("res_sum") / n).alias("resolution"),
+        rnd(ybar2 * (F.lit(1.0) - ybar2)).alias("uncertainty"),
+    )
+
+
+SQL_BRIER_DECOMPOSITION = f"""
+    WITH scored AS (
+        SELECT round(1.0 / (1.0 + exp(
+                   -{sql_dot('list_transform(embedding, e -> CAST(e AS DOUBLE))', _CALIB_WLIST)}
+               )), 6) AS s,
+               CAST(label % 2 AS BIGINT) AS y
+        FROM embeddings
+    ), binned AS (
+        SELECT LEAST(CAST(FLOOR(s * {CALIB_BINS}) AS INTEGER),
+                     {CALIB_BINS - 1}) AS bin, s, y
+        FROM scored
+    ), per_bin AS (
+        SELECT bin,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS n_pos,
+               CAST(ROUND(SUM(CAST(s AS DECIMAL(38,6))), 4) AS DOUBLE)
+                   AS s_sum,
+               CAST(ROUND(SUM(CAST(s * s AS DECIMAL(38,12))), 6) AS DOUBLE)
+                   AS ss_sum,
+               CAST(ROUND(SUM(CAST(CASE WHEN y = 1 THEN s ELSE 0.0 END
+                    AS DECIMAL(38,6))), 4) AS DOUBLE) AS sy_sum
+        FROM binned GROUP BY bin
+    ), totals AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS n_total,
+               CAST(SUM(n_pos) AS BIGINT) AS pos_total,
+               CAST(SUM(CAST(ss_sum AS DECIMAL(38,6))) AS DOUBLE)
+                   AS ss_total,
+               CAST(SUM(CAST(sy_sum AS DECIMAL(38,6))) AS DOUBLE)
+                   AS sy_total
+        FROM per_bin
+    ), terms AS (
+        SELECT n_total, pos_total, ss_total, sy_total,
+               CAST(CAST(
+                   (s_sum / CAST(n AS DOUBLE)
+                    - CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))
+                   * (s_sum / CAST(n AS DOUBLE)
+                      - CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))
+                   * CAST(n AS DOUBLE)
+                   AS DECIMAL(38,6)) AS DOUBLE) AS rel_term,
+               CAST(CAST(
+                   (CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)
+                    - CAST(pos_total AS DOUBLE) / CAST(n_total AS DOUBLE))
+                   * (CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)
+                      - CAST(pos_total AS DOUBLE) / CAST(n_total AS DOUBLE))
+                   * CAST(n AS DOUBLE)
+                   AS DECIMAL(38,6)) AS DOUBLE) AS res_term
+        FROM per_bin CROSS JOIN totals
+    )
+    SELECT n_total AS n,
+           CAST(CAST((ss_total - 2.0 * sy_total + CAST(pos_total AS DOUBLE))
+                / CAST(n_total AS DOUBLE) AS DECIMAL(38,6)) AS DOUBLE)
+               AS brier,
+           CAST(CAST(CAST(SUM(CAST(rel_term AS DECIMAL(38,6))) AS DOUBLE)
+                / CAST(n_total AS DOUBLE) AS DECIMAL(38,6)) AS DOUBLE)
+               AS reliability,
+           CAST(CAST(CAST(SUM(CAST(res_term AS DECIMAL(38,6))) AS DOUBLE)
+                / CAST(n_total AS DOUBLE) AS DECIMAL(38,6)) AS DOUBLE)
+               AS resolution,
+           CAST(CAST(
+               (CAST(pos_total AS DOUBLE) / CAST(n_total AS DOUBLE))
+               * (1.0 - CAST(pos_total AS DOUBLE) / CAST(n_total AS DOUBLE))
+               AS DECIMAL(38,6)) AS DOUBLE) AS uncertainty
+    FROM terms
+    GROUP BY n_total, pos_total, ss_total, sy_total
+"""

@@ -3129,7 +3129,8 @@ def q_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from midpoints); the BH running min operates on products of those
     rounded p's with exact int ratios. Degenerate segments (an empty
     arm, zero variance) carry NULL z/p and are EXCLUDED from m and the
-    ranking, re-joined with NULL q.
+    ranking, re-joined with NULL q and reject_05=FALSE (the nullable-
+    BOOLEAN canon hazard group_sequential documents).
 
     Scale shape (100 TB): one scan collapses map-side to the
     |event_type| x 2 conditional-sum cells; ranking and the step-up
@@ -3226,8 +3227,8 @@ def q_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_value",
             "p_rank",
             "q_value",
-            F.when(
-                F.col("q_value").isNotNull(), F.col("q_value") <= F.lit(0.05)
+            F.coalesce(
+                F.col("q_value") <= F.lit(0.05), F.lit(False)
             ).alias("reject_05"),
         )
         .orderBy("event_type")
@@ -3281,8 +3282,180 @@ SQL_FDR_BH = f"""
     )
     SELECT s.event_type, s.n_0, s.n_1, s.z_score, s.p_value,
            t.p_rank, t.q_value,
-           CASE WHEN t.q_value IS NOT NULL THEN t.q_value <= 0.05
-           END AS reject_05
+           COALESCE(t.q_value <= 0.05, FALSE) AS reject_05
     FROM scored s LEFT JOIN stepped t ON s.event_type = t.event_type
     ORDER BY s.event_type
+"""
+
+
+# --- group-sequential experiment monitoring (round 11) --------------------------
+
+GS_C_OBF = 2.24  # O'Brien-Fleming-shaped constant, two-sided alpha~0.05
+
+
+def q_group_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-sequential monitoring of the ab experiment (Pocock 1977 /
+    O'Brien & Fleming 1979 lineage): the cumulative-through-day Welch z
+    of purchase value against the OBF-SHAPED boundary
+    GS_C_OBF / sqrt(information fraction) — wide early, narrowing to
+    ~GS_C_OBF at full information. The daily peeking readout an
+    experimentation platform shows INSTEAD of the fixed-horizon z
+    (peeking at ab_test_report daily inflates alpha; the boundary is
+    what makes daily looks legitimate). The fixed-constant boundary is
+    the textbook OBF SHAPE — a production platform would calibrate C
+    by alpha-spending; C is a literal here so both engines agree
+    exactly.
+
+    Determinism: per-day conditional moments are exact decimal cell
+    sums; cumulative sums ride ordered windows over the bounded |days|
+    frame; z and the boundary are fixed double expressions rounded to
+    6dp (sqrt is IEEE-correctly-rounded on an identical int-ratio
+    input); early degenerate days (an arm with n<2 or zero variance)
+    yield NULL z and crossed=FALSE (a day without a valid test cannot
+    cross; a nullable BOOLEAN would also hit the canon's None-vs-NaN
+    dtype asymmetry — the driver hazard this FALSE convention avoids).
+
+    Scale shape (100 TB): one scan collapses map-side to |days| cells;
+    everything after is windows over that bounded calendar frame (the
+    order_backlog convention). No per-event state: the cumulative
+    moments ARE the sufficient statistic."""
+    from pyspark.sql import Window as W
+
+    from ..functions.texthash import md5_hash64
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == F.lit("purchase")
+    )
+    uid = F.col("user_id").cast("string")
+    arm = md5_hash64(F.concat(F.lit("ab|"), uid)) % 2
+    cells = ev.select(
+        F.to_date("ts").alias("d"), arm.alias("arm"), F.col("value").alias("x")
+    ).groupBy("d").agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(
+            F.when(F.col("arm") == 0, F.col("x"))
+            .otherwise(0.0)
+            .cast("decimal(38,6)")
+        ).alias("s0"),
+        F.sum(
+            F.when(F.col("arm") == 1, F.col("x"))
+            .otherwise(0.0)
+            .cast("decimal(38,6)")
+        ).alias("s1"),
+        F.sum(
+            F.when(F.col("arm") == 0, F.col("x") * F.col("x"))
+            .otherwise(0.0)
+            .cast("decimal(38,6)")
+        ).alias("ss0"),
+        F.sum(
+            F.when(F.col("arm") == 1, F.col("x") * F.col("x"))
+            .otherwise(0.0)
+            .cast("decimal(38,6)")
+        ).alias("ss1"),
+    )
+    w_cum = W.orderBy("d").rowsBetween(W.unboundedPreceding, W.currentRow)
+    w_all = W.partitionBy()
+    cum = cells.select(
+        "d",
+        F.sum("n0").over(w_cum).cast("long").alias("cn0"),
+        F.sum("n1").over(w_cum).cast("long").alias("cn1"),
+        F.sum("s0").over(w_cum).cast("double").alias("cs0"),
+        F.sum("s1").over(w_cum).cast("double").alias("cs1"),
+        F.sum("ss0").over(w_cum).cast("double").alias("css0"),
+        F.sum("ss1").over(w_cum).cast("double").alias("css1"),
+        (F.sum("n0").over(w_all) + F.sum("n1").over(w_all))
+        .cast("long")
+        .alias("n_final"),
+    )
+    rnd = lambda c: c.cast("decimal(38,6)").cast("double")  # noqa: E731
+    var0 = (F.col("css0") - F.col("cs0") * F.col("cs0") / F.col("cn0")) / (
+        F.col("cn0") - 1
+    )
+    var1 = (F.col("css1") - F.col("cs1") * F.col("cs1") / F.col("cn1")) / (
+        F.col("cn1") - 1
+    )
+    se = F.sqrt(var0 / F.col("cn0") + var1 / F.col("cn1"))
+    z = F.when(
+        (F.col("cn0") > 1) & (F.col("cn1") > 1) & (se > F.lit(0.0)),
+        rnd(
+            (F.col("cs1") / F.col("cn1") - F.col("cs0") / F.col("cn0")) / se
+        ),
+    )
+    info = (F.col("cn0") + F.col("cn1")).cast("double") / F.col(
+        "n_final"
+    ).cast("double")
+    boundary = rnd(F.lit(GS_C_OBF) / F.sqrt(info))
+    return cum.select(
+        F.date_format("d", "yyyy-MM-dd").alias("event_date"),
+        F.col("cn0").alias("n_cum_0"),
+        F.col("cn1").alias("n_cum_1"),
+        z.alias("z_cum"),
+        info.alias("info_frac"),
+        boundary.alias("boundary"),
+        F.coalesce(F.abs(z) > boundary, F.lit(False)).alias("crossed"),
+    ).orderBy("event_date")
+
+
+SQL_GROUP_SEQUENTIAL = f"""
+    WITH cells AS (
+        SELECT CAST(ts AS DATE) AS d,
+            CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+            CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+            SUM(CAST(CASE WHEN arm = 0 THEN "value" ELSE 0.0 END
+                AS DECIMAL(38,6))) AS s0,
+            SUM(CAST(CASE WHEN arm = 1 THEN "value" ELSE 0.0 END
+                AS DECIMAL(38,6))) AS s1,
+            SUM(CAST(CASE WHEN arm = 0 THEN "value" * "value" ELSE 0.0 END
+                AS DECIMAL(38,6))) AS ss0,
+            SUM(CAST(CASE WHEN arm = 1 THEN "value" * "value" ELSE 0.0 END
+                AS DECIMAL(38,6))) AS ss1
+        FROM (SELECT ts, {_SQL_AB_ARM} AS arm, "value"
+              FROM events WHERE event_type = 'purchase')
+        GROUP BY 1
+    ), cum AS (
+        SELECT d,
+            CAST(SUM(n0) OVER w AS BIGINT) AS cn0,
+            CAST(SUM(n1) OVER w AS BIGINT) AS cn1,
+            CAST(SUM(s0) OVER w AS DOUBLE) AS cs0,
+            CAST(SUM(s1) OVER w AS DOUBLE) AS cs1,
+            CAST(SUM(ss0) OVER w AS DOUBLE) AS css0,
+            CAST(SUM(ss1) OVER w AS DOUBLE) AS css1,
+            CAST(SUM(n0) OVER () + SUM(n1) OVER () AS BIGINT) AS n_final
+        FROM cells
+        WINDOW w AS (ORDER BY d
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS event_date,
+           cn0 AS n_cum_0, cn1 AS n_cum_1,
+           CASE WHEN cn0 > 1 AND cn1 > 1 AND
+                sqrt((css0 - cs0 * cs0 / cn0) / (cn0 - 1) / cn0
+                     + (css1 - cs1 * cs1 / cn1) / (cn1 - 1) / cn1) > 0.0
+                THEN CAST(CAST(
+                    (cs1 / cn1 - cs0 / cn0)
+                    / sqrt((css0 - cs0 * cs0 / cn0) / (cn0 - 1) / cn0
+                           + (css1 - cs1 * cs1 / cn1) / (cn1 - 1) / cn1)
+                    AS DECIMAL(38,6)) AS DOUBLE) END AS z_cum,
+           CAST(cn0 + cn1 AS DOUBLE) / CAST(n_final AS DOUBLE) AS info_frac,
+           CAST(CAST({GS_C_OBF} / sqrt(CAST(cn0 + cn1 AS DOUBLE)
+                / CAST(n_final AS DOUBLE)) AS DECIMAL(38,6)) AS DOUBLE)
+               AS boundary,
+           COALESCE(CASE WHEN cn0 > 1 AND cn1 > 1 AND
+                sqrt((css0 - cs0 * cs0 / cn0) / (cn0 - 1) / cn0
+                     + (css1 - cs1 * cs1 / cn1) / (cn1 - 1) / cn1) > 0.0
+                THEN abs(CAST(CAST(
+                    (cs1 / cn1 - cs0 / cn0)
+                    / sqrt((css0 - cs0 * cs0 / cn0) / (cn0 - 1) / cn0
+                           + (css1 - cs1 * cs1 / cn1) / (cn1 - 1) / cn1)
+                    AS DECIMAL(38,6)) AS DOUBLE))
+                > CAST(CAST({GS_C_OBF} / sqrt(CAST(cn0 + cn1 AS DOUBLE)
+                      / CAST(n_final AS DOUBLE)) AS DECIMAL(38,6))
+                      AS DOUBLE)
+           END, FALSE) AS crossed
+    FROM cum
+    ORDER BY event_date
 """

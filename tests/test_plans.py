@@ -627,3 +627,25 @@ def test_head_vocab_cuts_are_take_ordered(catalog_dfs):
         assert "TakeOrderedAndProject" in plan, (name, plan)
         assert "CartesianProduct" not in plan, (name, plan)
         assert "SortMergeJoin" not in plan, (name, plan)
+
+
+def test_brier_decomposition_single_scan_bounded(catalog_dfs):
+    """One map-side-combinable 10-bin aggregate; the totals row rides a
+    broadcast, never a shuffle of the bin frame."""
+    plan = _plan_of(catalog_dfs, "brier_decomposition")
+    assert "partial_count" in plan or "partial_sum" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_group_sequential_windows_above_day_cells(catalog_dfs):
+    """The cumulative windows must sit ABOVE the |days|-bounded cell
+    aggregate (partial+final HashAggregate pair), never over the raw
+    event stream."""
+    import re as _re
+
+    plan = _plan_of(catalog_dfs, "group_sequential")
+    assert "Window" in plan, plan
+    assert len(_re.findall(r"HashAggregate", plan)) >= 2, plan
+    assert "CartesianProduct" not in plan, plan

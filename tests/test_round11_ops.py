@@ -826,7 +826,7 @@ def test_fdr_bh_matches_python(spark, sf_dir):
         if z is None:
             assert r.z_score is None and r.p_value is None
             assert r.p_rank is None and r.q_value is None
-            assert r.reject_05 is None
+            assert r.reject_05 is False  # never a nullable boolean
         else:
             assert abs(r.z_score - z) < 1e-9
             assert abs(r.p_value - p) < 1e-9
@@ -1001,3 +1001,123 @@ def test_token_coverage_curve_matches_python(spark, sf_dir):
     if want_ks:  # curve must be monotone in both k and coverage
         covs = [got[k].coverage for k in want_ks]
         assert covs == sorted(covs)
+
+
+def test_brier_decomposition_matches_python(spark, sf_dir):
+    from decimal import Decimal
+
+    from lenses_topology_example_spark.operators.analytics import (
+        CALIB_BINS,
+        CALIB_WEIGHTS,
+    )
+
+    rows = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("embedding", "label")
+        .collect()
+    )
+    bins: dict[int, list] = {}
+    for r in rows:
+        z = 0.0
+        for x, w in zip(r.embedding, CALIB_WEIGHTS):
+            z += float(x) * w
+        s = float(_q6(1.0 / (1.0 + math.exp(-z))))
+        y = r.label % 2
+        b = min(int(s * CALIB_BINS), CALIB_BINS - 1)
+        bins.setdefault(b, []).append((s, y))
+    n_total = sum(len(v) for v in bins.values())
+    pos_total = sum(y for v in bins.values() for _, y in v)
+    ybar = pos_total / n_total
+    ss_total = float(
+        sum(
+            (
+                sum((Decimal(repr(s)) ** 2 for s, _ in v), Decimal(0))
+                .quantize(Decimal("0.000001"))
+                for v in bins.values()
+            ),
+            Decimal(0),
+        )
+    )
+    sy_total = float(
+        sum(
+            (
+                sum((Decimal(repr(s)) for s, y in v if y == 1), Decimal(0))
+                for v in bins.values()
+            ),
+            Decimal(0),
+        )
+    )
+    rel = res = Decimal(0)
+    for v in bins.values():
+        n_b = len(v)
+        conf = float(sum((Decimal(repr(s)) for s, _ in v), Decimal(0))) / n_b
+        acc = sum(y for _, y in v) / n_b
+        rel += _q6((conf - acc) * (conf - acc) * n_b)
+        res += _q6((acc - ybar) * (acc - ybar) * n_b)
+    r = _CATALOG["brier_decomposition"][0](spark, sf_dir).collect()[0]
+    assert r.n == n_total
+    brier = float(_q6((ss_total - 2.0 * sy_total + pos_total) / n_total))
+    assert abs(r.brier - brier) < 1e-9
+    assert abs(r.reliability - float(_q6(float(rel) / n_total))) < 1e-9
+    assert abs(r.resolution - float(_q6(float(res) / n_total))) < 1e-9
+    assert abs(r.uncertainty - float(_q6(ybar * (1 - ybar)))) < 1e-9
+    # Murphy identity: BRIER = REL - RES + UNC (up to the 6dp rounds)
+    assert abs(r.brier - (r.reliability - r.resolution + r.uncertainty)) < 1e-4
+
+
+def test_group_sequential_matches_python(spark, sf_dir):
+    from lenses_topology_example_spark.operators.windows import GS_C_OBF
+
+    from pyspark.sql import functions as F
+
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .filter("event_type = 'purchase'")
+        .select(F.to_date("ts").alias("d"), "user_id", "value")
+        .collect()
+    )
+    days: dict = {}
+    for r in rows:
+        arm = _md5_64(f"ab|{r.user_id}") % 2
+        c = days.setdefault(
+            str(r.d), {"n": [0, 0], "s": [0.0, 0.0], "ss": [0.0, 0.0]}
+        )
+        c["n"][arm] += 1
+        c["s"][arm] += float(_q6(float(r.value)))
+        c["ss"][arm] += float(_q6(float(r.value) * float(r.value)))
+    got = {
+        r.event_date: r
+        for r in _CATALOG["group_sequential"][0](spark, sf_dir).collect()
+    }
+    assert set(got) == set(days)
+    n_final = sum(c["n"][0] + c["n"][1] for c in days.values())
+    cn = [0, 0]
+    cs = [0.0, 0.0]
+    css = [0.0, 0.0]
+    crossed_days = 0
+    for d in sorted(days):
+        c = days[d]
+        for a in (0, 1):
+            cn[a] += c["n"][a]
+            cs[a] += c["s"][a]
+            css[a] += c["ss"][a]
+        r = got[d]
+        assert (r.n_cum_0, r.n_cum_1) == (cn[0], cn[1])
+        info = (cn[0] + cn[1]) / n_final
+        assert abs(r.info_frac - info) < 1e-12
+        boundary = float(_q6(GS_C_OBF / math.sqrt(info)))
+        assert abs(r.boundary - boundary) < 1e-9
+        if cn[0] > 1 and cn[1] > 1:
+            se = math.sqrt(
+                (css[0] - cs[0] * cs[0] / cn[0]) / (cn[0] - 1) / cn[0]
+                + (css[1] - cs[1] * cs[1] / cn[1]) / (cn[1] - 1) / cn[1]
+            )
+            if se > 0.0:
+                z = float(_q6((cs[1] / cn[1] - cs[0] / cn[0]) / se))
+                assert abs(r.z_cum - z) < 1e-9
+                assert r.crossed == (abs(z) > boundary)
+                crossed_days += 1
+                continue
+        assert r.z_cum is None
+        assert r.crossed is False
+    assert crossed_days > 0  # the fixture exercises live test days
