@@ -367,6 +367,10 @@ HEADLINE = (
     # group_sequential's cumulative windows run over the |days| frame)
     "brier_decomposition",
     "group_sequential",
+    # round-11 wave 10 (power_mde is a pure cell aggregate; fisher's
+    # posexplode partial-combines to |labels| x |dims| cells)
+    "power_mde",
+    "fisher_separability",
 )
 
 

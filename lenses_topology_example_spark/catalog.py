@@ -846,6 +846,15 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
         windows.q_group_sequential,
         windows.SQL_GROUP_SEQUENTIAL,
     ),
+    # tenth round-11 wave: power analysis + embedding feature screen
+    "power_mde": (
+        windows.q_power_mde,
+        windows.SQL_POWER_MDE,
+    ),
+    "fisher_separability": (
+        embed_stats.q_fisher_separability,
+        embed_stats.SQL_FISHER_SEPARABILITY,
+    ),
 }
 
 # The driver evaluates only the first DRIVER_WINDOW_SIZE catalog entries

@@ -1263,3 +1263,144 @@ SQL_AUC_REPORT = f"""
                    AS DECIMAL(38,6)) AS DOUBLE) END AS auc
     FROM agg
 """
+
+
+# --- per-dimension Fisher class separability (round 11) -------------------------
+
+
+def q_fisher_separability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension Fisher discriminant screen of the embedding space
+    (Fisher 1936 lineage): for every coordinate, the between-class
+    variance of the per-label means against the pooled within-class
+    variance — ratio >> 0 marks coordinates that actually separate the
+    labels, ~0 marks dead/noise dimensions. The feature-selection
+    readout behind a truncation decision that mrl_truncation_audit
+    evaluates wholesale: WHICH dimensions carry the labels.
+
+    Determinism: components quantize to DECIMAL(38,6) before the only
+    corpus-scale sums (the corpus_diversity discipline); per-class
+    terms are 6dp-rounded doubles decimal-summed over the bounded
+    (label x dim) frame; the final variances/ratio are RAW doubles of
+    those exact sums (already bit-identical — rounding them would only
+    re-introduce the decimal-midpoint tie class, which fired once at
+    registration) with a zero-denominator guard. The scale-12 square
+    sums cross the 2^53 double line near 9e3 vectors PER (label, dim)
+    cell — past that the documented 1-ulp cast class applies (re-round
+    coarser if a driver SF ever reaches it).
+
+    Scale shape (100 TB): ONE posexplode keyed (label, dim) partial-
+    combines to |labels| x |dims| cells per partition before the
+    exchange; everything after runs on that bounded frame (windows
+    per dim over <=|labels| rows). Output is |dims| rows."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "label", as_double(F.col("embedding")).alias("v")
+    )
+    comps = emb.select(
+        "label", F.posexplode(F.col("v")).alias("dim", "x")
+    ).select("label", "dim", F.col("x").cast("decimal(38,6)").alias("xd"))
+    cells = comps.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n_c"),
+        F.sum("xd").alias("s_c"),  # stays DECIMAL: window-summed exactly
+        # square in DOUBLE, then cast: a 6dp decimal's square IS an
+        # exact 12dp decimal, and the double uniquely recovers it at
+        # scale 12 on both engines — decimal*decimal instead would hit
+        # Spark's precision-38 scale-reduction rules (registration
+        # found a 3e-8 drift vs DuckDB's exact decimal multiply)
+        F.sum(
+            (F.col("xd").cast("double") * F.col("xd").cast("double"))
+            .cast("decimal(38,12)")
+        )
+        .cast("double")
+        .alias("ss_c"),
+    )
+    from pyspark.sql import Window as W
+
+    w_dim = W.partitionBy("dim")
+    mu_c = F.col("s_c").cast("double") / F.col("n_c").cast("double")
+    tot_n = F.sum("n_c").over(w_dim).cast("double")
+    tot_s = F.sum("s_c").over(w_dim).cast("double")
+    mu = tot_s / tot_n
+    rnd = lambda c: c.cast("decimal(38,6)").cast("double")  # noqa: E731
+    terms = cells.select(
+        "dim",
+        "n_c",
+        tot_n.alias("n"),
+        rnd(F.col("n_c").cast("double") * (mu_c - mu) * (mu_c - mu)).alias(
+            "bt"
+        ),
+        rnd(F.col("ss_c") - F.col("n_c").cast("double") * mu_c * mu_c).alias(
+            "wt"
+        ),
+    )
+    agg = terms.groupBy("dim", "n").agg(
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.sum(F.col("bt").cast("decimal(38,6)")).cast("double").alias("b"),
+        F.sum(F.col("wt").cast("decimal(38,6)")).cast("double").alias("w"),
+    )
+    # b, w, n are exact (decimal sums / int counts), so the division
+    # doubles are bit-identical cross-engine ALREADY — a final 6dp
+    # round would only ADD the decimal-midpoint tie class (it fired at
+    # sf0.001 registration: Spark HALF_UP vs DuckDB's double->decimal
+    # path disagreed by exactly 1e-6 on one ratio). Emit raw doubles.
+    between = F.col("b") / F.col("n")
+    within = F.col("w") / F.col("n")
+    return agg.select(
+        F.col("dim").cast("long").alias("dim"),
+        F.col("n").cast("long").alias("n"),
+        "n_classes",
+        between.alias("between_var"),
+        within.alias("within_var"),
+        F.when(within > F.lit(0.0), between / within).alias(
+            "fisher_ratio"
+        ),
+    ).orderBy("dim")
+
+
+SQL_FISHER_SEPARABILITY = """
+    WITH comps AS (
+        SELECT label,
+               unnest(generate_series(0, len(embedding) - 1)) AS dim,
+               CAST(unnest(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE))) AS DECIMAL(38,6)) AS xd
+        FROM embeddings
+    ), cells AS (
+        SELECT label, dim,
+               CAST(COUNT(*) AS BIGINT) AS n_c,
+               SUM(xd) AS s_c,
+               CAST(SUM(CAST(CAST(xd AS DOUBLE) * CAST(xd AS DOUBLE)
+                    AS DECIMAL(38,12))) AS DOUBLE) AS ss_c
+        FROM comps GROUP BY label, dim
+    ), terms AS (
+        SELECT dim, n_c,
+               CAST(SUM(n_c) OVER (PARTITION BY dim) AS DOUBLE) AS n,
+               CAST(CAST(
+                   CAST(n_c AS DOUBLE)
+                   * (CAST(s_c AS DOUBLE) / n_c
+                      - CAST(SUM(s_c) OVER (PARTITION BY dim) AS DOUBLE)
+                      / CAST(SUM(n_c) OVER (PARTITION BY dim) AS DOUBLE))
+                   * (CAST(s_c AS DOUBLE) / n_c
+                      - CAST(SUM(s_c) OVER (PARTITION BY dim) AS DOUBLE)
+                      / CAST(SUM(n_c) OVER (PARTITION BY dim) AS DOUBLE))
+                   AS DECIMAL(38,6)) AS DOUBLE) AS bt,
+               CAST(CAST(ss_c
+                    - CAST(n_c AS DOUBLE) * (CAST(s_c AS DOUBLE) / n_c)
+                    * (CAST(s_c AS DOUBLE) / n_c)
+                    AS DECIMAL(38,6)) AS DOUBLE) AS wt
+        FROM cells
+    ), agg AS (
+        SELECT dim, n,
+               CAST(COUNT(*) AS BIGINT) AS n_classes,
+               CAST(SUM(CAST(bt AS DECIMAL(38,6))) AS DOUBLE) AS b,
+               CAST(SUM(CAST(wt AS DECIMAL(38,6))) AS DOUBLE) AS w
+        FROM terms GROUP BY dim, n
+    )
+    SELECT CAST(dim AS BIGINT) AS dim,
+           CAST(n AS BIGINT) AS n,
+           n_classes,
+           b / n AS between_var,
+           w / n AS within_var,
+           CASE WHEN w / n > 0.0 THEN (b / n) / (w / n)
+           END AS fisher_ratio
+    FROM agg
+    ORDER BY dim
+"""

@@ -3372,6 +3372,26 @@ def q_group_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_final"),
     )
+    scored = gs_readout(cum)
+    return scored.select(
+        F.date_format("d", "yyyy-MM-dd").alias("event_date"),
+        F.col("cn0").alias("n_cum_0"),
+        F.col("cn1").alias("n_cum_1"),
+        "z_cum",
+        "info_frac",
+        "boundary",
+        "crossed",
+    ).orderBy("event_date")
+
+
+def gs_readout(cum: DataFrame) -> DataFrame:
+    """z / OBF-boundary / crossed columns from cumulative moment
+    columns (cn0, cn1, cs0, cs1, css0, css1, n_final) — the SHARED
+    scoring core of q_group_sequential and the streaming twin
+    (streaming/pipelines.gs_batch), so the two can never drift. The
+    batch operator's n_final is the realized total (a retrospective
+    view); the stream passes its PLANNED sample size — the live
+    group-sequential convention."""
     rnd = lambda c: c.cast("decimal(38,6)").cast("double")  # noqa: E731
     var0 = (F.col("css0") - F.col("cs0") * F.col("cs0") / F.col("cn0")) / (
         F.col("cn0") - 1
@@ -3391,14 +3411,12 @@ def q_group_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("double")
     boundary = rnd(F.lit(GS_C_OBF) / F.sqrt(info))
     return cum.select(
-        F.date_format("d", "yyyy-MM-dd").alias("event_date"),
-        F.col("cn0").alias("n_cum_0"),
-        F.col("cn1").alias("n_cum_1"),
+        "*",
         z.alias("z_cum"),
         info.alias("info_frac"),
         boundary.alias("boundary"),
         F.coalesce(F.abs(z) > boundary, F.lit(False)).alias("crossed"),
-    ).orderBy("event_date")
+    )
 
 
 SQL_GROUP_SEQUENTIAL = f"""
@@ -3458,4 +3476,115 @@ SQL_GROUP_SEQUENTIAL = f"""
            END, FALSE) AS crossed
     FROM cum
     ORDER BY event_date
+"""
+
+
+# --- minimum-detectable-effect calculator (round 11) ----------------------------
+
+# z_{alpha/2} + z_{power} for alpha=0.05 two-sided, power=0.8 — Python
+# literals (the no-query-time-constant-math rule); 1.959964 + 0.841621
+MDE_Z_SUM = 2.801585
+
+
+def q_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum detectable effect per event_type for the ab experiment
+    at its CURRENT sample sizes (alpha=0.05 two-sided, power=0.8):
+    MDE = (z_a/2 + z_b) * sqrt(var0/n0 + var1/n1), absolute and
+    relative to the control mean. The pre-readout every experiment
+    review starts with — a segment whose MDE exceeds any plausible
+    effect is underpowered and its ab_test_report/fdr_bh rows are
+    noise, however small their p.
+
+    Determinism: the z-constant sum is a Python literal; moments are
+    conditional DECIMAL(38,6) sums; MDE/means are fixed double
+    expressions rounded to 6dp; degenerate segments yield NULLs via
+    the sqrt-guard.
+
+    Scale shape (100 TB): one scan, one |event_type| x 2 conditional
+    cell aggregate, scalar math on the bounded frame."""
+    from ..functions.texthash import md5_hash64
+
+    ev = load_table(spark, sf_dir, "events")
+    uid = F.col("user_id").cast("string")
+    arm = md5_hash64(F.concat(F.lit("ab|"), uid)) % 2
+    d = lambda c: F.sum(c.cast("decimal(38,6)")).cast("double")  # noqa: E731
+    rnd = lambda c: c.cast("decimal(38,6)").cast("double")  # noqa: E731
+    agg = ev.select(
+        "event_type", arm.alias("arm"), F.col("value").alias("x")
+    ).groupBy("event_type").agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_1"),
+        d(F.when(F.col("arm") == 0, F.col("x")).otherwise(0.0)).alias("s_0"),
+        d(
+            F.when(F.col("arm") == 0, F.col("x") * F.col("x")).otherwise(0.0)
+        ).alias("ss_0"),
+        d(
+            F.when(F.col("arm") == 1, F.col("x") * F.col("x")).otherwise(0.0)
+        ).alias("ss_1"),
+        d(F.when(F.col("arm") == 1, F.col("x")).otherwise(0.0)).alias("s_1"),
+    )
+    var0 = (F.col("ss_0") - F.col("s_0") * F.col("s_0") / F.col("n_0")) / (
+        F.col("n_0") - 1
+    )
+    var1 = (F.col("ss_1") - F.col("s_1") * F.col("s_1") / F.col("n_1")) / (
+        F.col("n_1") - 1
+    )
+    se = F.sqrt(var0 / F.col("n_0") + var1 / F.col("n_1"))
+    mean0 = F.col("s_0") / F.col("n_0")
+    mde = F.when(
+        (F.col("n_0") > 1) & (F.col("n_1") > 1) & (se > F.lit(0.0)),
+        rnd(F.lit(MDE_Z_SUM) * se),
+    )
+    return agg.select(
+        "event_type",
+        "n_0",
+        "n_1",
+        F.when(F.col("n_0") > 0, rnd(mean0)).alias("mean_0"),
+        mde.alias("mde_abs"),
+        F.when(
+            mde.isNotNull() & (mean0 != F.lit(0.0)), rnd(mde / mean0)
+        ).alias("mde_rel"),
+    ).orderBy("event_type")
+
+
+SQL_POWER_MDE = f"""
+    WITH agg AS (
+        SELECT event_type,
+            CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_0,
+            CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_1,
+            CAST(SUM(CAST(CASE WHEN arm = 0 THEN "value" ELSE 0.0 END
+                 AS DECIMAL(38,6))) AS DOUBLE) AS s_0,
+            CAST(SUM(CAST(CASE WHEN arm = 1 THEN "value" ELSE 0.0 END
+                 AS DECIMAL(38,6))) AS DOUBLE) AS s_1,
+            CAST(SUM(CAST(CASE WHEN arm = 0 THEN "value" * "value"
+                 ELSE 0.0 END AS DECIMAL(38,6))) AS DOUBLE) AS ss_0,
+            CAST(SUM(CAST(CASE WHEN arm = 1 THEN "value" * "value"
+                 ELSE 0.0 END AS DECIMAL(38,6))) AS DOUBLE) AS ss_1
+        FROM (SELECT event_type, {_SQL_AB_ARM} AS arm, "value" FROM events)
+        GROUP BY event_type
+    ), scored AS (
+        SELECT event_type, n_0, n_1,
+            CASE WHEN n_0 > 0 THEN
+                CAST(CAST(s_0 / n_0 AS DECIMAL(38,6)) AS DOUBLE)
+            END AS mean_0,
+            CASE WHEN n_0 > 1 AND n_1 > 1 AND
+                sqrt((ss_0 - s_0 * s_0 / n_0) / (n_0 - 1) / n_0
+                     + (ss_1 - s_1 * s_1 / n_1) / (n_1 - 1) / n_1) > 0.0
+                THEN CAST(CAST({MDE_Z_SUM}
+                    * sqrt((ss_0 - s_0 * s_0 / n_0) / (n_0 - 1) / n_0
+                           + (ss_1 - s_1 * s_1 / n_1) / (n_1 - 1) / n_1)
+                    AS DECIMAL(38,6)) AS DOUBLE) END AS mde_abs,
+            s_0
+        FROM agg
+    )
+    SELECT event_type, n_0, n_1, mean_0, mde_abs,
+           CASE WHEN mde_abs IS NOT NULL AND s_0 / n_0 <> 0.0 THEN
+               CAST(CAST(mde_abs / (s_0 / n_0) AS DECIMAL(38,6)) AS DOUBLE)
+           END AS mde_rel
+    FROM scored
+    ORDER BY event_type
 """

@@ -1750,3 +1750,130 @@ def start_oov_stream(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+# --- continuous group-sequential monitor (round 11) -----------------------------
+
+GS_MOMENT_SCHEMA = (
+    "cn0 BIGINT, cn1 BIGINT, cs0 DECIMAL(38,6), cs1 DECIMAL(38,6), "
+    "css0 DECIMAL(38,6), css1 DECIMAL(38,6)"
+)
+
+
+def gs_batch_moments(events: DataFrame) -> DataFrame:
+    """Cumulative-moment CONTRIBUTION of one micro-batch of events —
+    the same md5 arm coin and conditional decimal sums as the batch
+    operator (operators/windows.q_group_sequential), shared so stream
+    and batch can never drift. One row (or zero for an empty batch)."""
+    from ..functions.texthash import md5_hash64
+
+    arm = (
+        md5_hash64(
+            F.concat(F.lit("ab|"), F.col("user_id").cast("string"))
+        )
+        % 2
+    )
+    return (
+        events.filter(F.col("event_type") == F.lit("purchase"))
+        .select(arm.alias("arm"), F.col("value").alias("x"))
+        .agg(
+            F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("cn0"),
+            F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("cn1"),
+            F.sum(
+                F.when(F.col("arm") == 0, F.col("x"))
+                .otherwise(0.0)
+                .cast("decimal(38,6)")
+            ).alias("cs0"),
+            F.sum(
+                F.when(F.col("arm") == 1, F.col("x"))
+                .otherwise(0.0)
+                .cast("decimal(38,6)")
+            ).alias("cs1"),
+            F.sum(
+                F.when(F.col("arm") == 0, F.col("x") * F.col("x"))
+                .otherwise(0.0)
+                .cast("decimal(38,6)")
+            ).alias("css0"),
+            F.sum(
+                F.when(F.col("arm") == 1, F.col("x") * F.col("x"))
+                .otherwise(0.0)
+                .cast("decimal(38,6)")
+            ).alias("css1"),
+        )
+    )
+
+
+def gs_batch(
+    batch_events: DataFrame, prev_moments: DataFrame, n_planned: int
+) -> tuple[DataFrame, DataFrame]:
+    """One step of the continuous group-sequential monitor: fold the
+    micro-batch's moment contribution into the cumulative state (six
+    decimal/int sums — order-free, so retries recompute identically),
+    then score through the SHARED operators/windows.gs_readout with
+    the PLANNED sample size as the information denominator. Returns
+    (new_moments, report)."""
+    from ..operators.windows import gs_readout
+
+    merged = (
+        prev_moments.unionByName(gs_batch_moments(batch_events))
+        .agg(
+            F.sum("cn0").cast("long").alias("cn0"),
+            F.sum("cn1").cast("long").alias("cn1"),
+            F.sum("cs0").cast("decimal(38,6)").alias("cs0"),
+            F.sum("cs1").cast("decimal(38,6)").alias("cs1"),
+            F.sum("css0").cast("decimal(38,6)").alias("css0"),
+            F.sum("css1").cast("decimal(38,6)").alias("css1"),
+        )
+    )
+    scored = gs_readout(
+        merged.select(
+            "cn0",
+            "cn1",
+            F.col("cs0").cast("double").alias("cs0"),
+            F.col("cs1").cast("double").alias("cs1"),
+            F.col("css0").cast("double").alias("css0"),
+            F.col("css1").cast("double").alias("css1"),
+            F.lit(n_planned).cast("long").alias("n_final"),
+        )
+    )
+    return merged, scored
+
+
+def start_gs_stream(
+    events: DataFrame, n_planned: int, out_path: str, checkpoint: str
+) -> StreamingQuery:
+    """foreachBatch continuous group-sequential monitor: per
+    micro-batch, advance the six-sum cumulative state (a pure function
+    of replayed inputs — exactly-once via the per-batch-id
+    overwrite-idempotent layout) and write the boundary readout. The
+    state is ONE row at any corpus size; the report is the live
+    stop/continue decision the batch operator can only reconstruct
+    after the fact."""
+
+    def step(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        if batch_id > 0:
+            prev = spark.read.parquet(
+                f"{out_path}/state/batch_id={batch_id - 1}"
+            )
+        else:
+            prev = spark.createDataFrame([], GS_MOMENT_SCHEMA)
+        moments, report = gs_batch(batch, prev, n_planned)
+        moments.write.mode("overwrite").parquet(
+            f"{out_path}/state/batch_id={batch_id}"
+        )
+        report.withColumn(
+            "batch_id", F.lit(batch_id).cast("long")
+        ).write.mode("overwrite").parquet(
+            f"{out_path}/report/batch_id={batch_id}"
+        )
+
+    return (
+        events.writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

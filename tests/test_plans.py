@@ -649,3 +649,22 @@ def test_group_sequential_windows_above_day_cells(catalog_dfs):
     assert "Window" in plan, plan
     assert len(_re.findall(r"HashAggregate", plan)) >= 2, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_power_mde_single_cell_aggregate(catalog_dfs):
+    """One conditional |event_type|-cell aggregate with map-side
+    partials; no joins at all."""
+    plan = _plan_of(catalog_dfs, "power_mde")
+    assert "partial_sum" in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_fisher_separability_partial_combines_explode(catalog_dfs):
+    """The (label, dim) cells must partial-combine map-side below the
+    exchange (the posexplode never shuffles raw components) and the
+    per-dim windows run above the bounded cell frame."""
+    plan = _plan_of(catalog_dfs, "fisher_separability")
+    assert "Generate" in plan, plan
+    assert "partial_count" in plan or "partial_sum" in plan, plan
+    assert "Window" in plan, plan
+    assert "CartesianProduct" not in plan, plan

@@ -1121,3 +1121,137 @@ def test_group_sequential_matches_python(spark, sf_dir):
         assert r.z_cum is None
         assert r.crossed is False
     assert crossed_days > 0  # the fixture exercises live test days
+
+
+def test_streaming_group_sequential_matches_batch(spark, sf_dir, tmp_path):
+    """The final micro-batch's cumulative boundary readout must equal
+    the LAST row of the batch operator (n_planned = realized total, so
+    the information denominators agree) — exact equality, with
+    maxFilesPerTrigger=1 forcing the six-sum state across micro-batch
+    boundaries."""
+    from lenses_topology_example_spark.streaming.pipelines import (
+        start_gs_stream,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    n_planned = ev.filter("event_type = 'purchase'").count()
+    src = tmp_path / "gs_src"
+    ev.filter("event_id % 2 = 0").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(src / "a"))
+    ev.filter("event_id % 2 = 1").coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src / "a"))
+
+    stream = (
+        spark.readStream.schema(
+            "event_id bigint, user_id bigint, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "a"))
+    )
+    out = str(tmp_path / "gs_out")
+    q = start_gs_stream(stream, n_planned, out, str(tmp_path / "gs_ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    import glob as _glob
+
+    last = max(
+        int(p.rsplit("=", 1)[1])
+        for p in _glob.glob(f"{out}/report/batch_id=*")
+    )
+    assert last >= 1  # the state actually crossed a batch boundary
+    s = spark.read.parquet(f"{out}/report/batch_id={last}").collect()[0]
+    want = _CATALOG["group_sequential"][0](spark, sf_dir).collect()[-1]
+    assert (s.cn0, s.cn1) == (want.n_cum_0, want.n_cum_1)
+    assert s.z_cum == want.z_cum
+    assert s.info_frac == want.info_frac == 1.0
+    assert s.boundary == want.boundary
+    assert s.crossed == want.crossed
+
+
+def test_power_mde_matches_python(spark, sf_dir):
+    from lenses_topology_example_spark.operators.windows import MDE_Z_SUM
+
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "user_id", "value")
+        .collect()
+    )
+    cells: dict[str, dict] = {}
+    for r in rows:
+        arm = _md5_64(f"ab|{r.user_id}") % 2
+        c = cells.setdefault(
+            r.event_type, {"n": [0, 0], "s": [0.0, 0.0], "ss": [0.0, 0.0]}
+        )
+        c["n"][arm] += 1
+        c["s"][arm] += float(_q6(float(r.value)))
+        c["ss"][arm] += float(_q6(float(r.value) * float(r.value)))
+    got = {
+        r.event_type: r
+        for r in _CATALOG["power_mde"][0](spark, sf_dir).collect()
+    }
+    assert set(got) == set(cells)
+    for et, c in cells.items():
+        r = got[et]
+        n0, n1 = c["n"]
+        assert (r.n_0, r.n_1) == (n0, n1)
+        if n0 > 0:
+            assert abs(r.mean_0 - float(_q6(c["s"][0] / n0))) < 1e-9
+        if n0 > 1 and n1 > 1:
+            se = math.sqrt(
+                (c["ss"][0] - c["s"][0] ** 2 / n0) / (n0 - 1) / n0
+                + (c["ss"][1] - c["s"][1] ** 2 / n1) / (n1 - 1) / n1
+            )
+            if se > 0.0:
+                mde = float(_q6(MDE_Z_SUM * se))
+                assert abs(r.mde_abs - mde) < 1e-9
+                mean0 = c["s"][0] / n0
+                assert abs(r.mde_rel - float(_q6(mde / mean0))) < 1e-9
+                # MDE must exceed the plain 2-sigma width (power > 0.5)
+                assert r.mde_abs > 1.96 * se * 0.99
+
+
+def test_fisher_separability_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    rows = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("label", "embedding")
+        .collect()
+    )
+    by_label: dict[int, list] = {}
+    for r in rows:
+        by_label.setdefault(r.label, []).append(
+            [float(_q6(float(x))) for x in r.embedding]
+        )
+    mats = {lab: np.array(v) for lab, v in by_label.items()}
+    n = sum(m.shape[0] for m in mats.values())
+    dims = next(iter(mats.values())).shape[1]
+    got = {
+        r.dim: r
+        for r in _CATALOG["fisher_separability"][0](spark, sf_dir).collect()
+    }
+    assert sorted(got) == list(range(dims))
+    for d in range(dims):
+        mu = sum(m[:, d].sum() for m in mats.values()) / n
+        bt = sum(
+            m.shape[0] * (m[:, d].mean() - mu) ** 2 for m in mats.values()
+        )
+        wt = sum(
+            ((m[:, d] - m[:, d].mean()) ** 2).sum() for m in mats.values()
+        )
+        r = got[d]
+        assert r.n == n
+        assert r.n_classes == len(mats)
+        assert abs(r.between_var - bt / n) < 1e-5
+        assert abs(r.within_var - wt / n) < 1e-5
+        if r.within_var > 0:
+            assert abs(r.fisher_ratio - (bt / n) / (wt / n)) < 1e-4
+        # total variance identity: between + within = population var
+        var = ((np.concatenate([m[:, d] for m in mats.values()]) - mu) ** 2).sum() / n
+        assert abs((r.between_var + r.within_var) - var) < 1e-5
