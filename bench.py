@@ -371,6 +371,11 @@ HEADLINE = (
     # posexplode partial-combines to |labels| x |dims| cells)
     "power_mde",
     "fisher_separability",
+    # round-11 wave 11 (entropy_rate's bigram leg is slice+zip, not a
+    # per-position lambda — 10x measured; all three vocab-bounded)
+    "neyman_allocation",
+    "entropy_rate",
+    "good_turing_mass",
 )
 
 

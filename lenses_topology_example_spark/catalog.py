@@ -855,6 +855,20 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
         embed_stats.q_fisher_separability,
         embed_stats.SQL_FISHER_SEPARABILITY,
     ),
+    # eleventh round-11 wave: survey-sampling allocation + information
+    # theory of the corpus
+    "neyman_allocation": (
+        quality.q_neyman_allocation,
+        quality.SQL_NEYMAN_ALLOCATION,
+    ),
+    "entropy_rate": (
+        text.q_entropy_rate,
+        text.SQL_ENTROPY_RATE,
+    ),
+    "good_turing_mass": (
+        text.q_good_turing_mass,
+        text.SQL_GOOD_TURING_MASS,
+    ),
 }
 
 # The driver evaluates only the first DRIVER_WINDOW_SIZE catalog entries

@@ -1292,3 +1292,113 @@ SQL_KFOLD_ASSIGN = f"""
     FROM cells
     ORDER BY lang, fold
 """
+
+
+# --- Neyman optimal stratified-sample allocation (round 11) ---------------------
+
+NEYMAN_BUDGET = 1000  # total audit-sample budget (docs)
+
+
+def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman optimal allocation (Neyman 1934) of a fixed audit-sample
+    budget across source strata: n_h proportional to N_h * sigma_h of
+    the target metric (doc length), side by side with the proportional
+    allocation n_h ~ N_h it beats. The decision table for any human
+    review / labeling budget: high-variance sources get more eyes per
+    doc, uniform boilerplate sources fewer.
+
+    Determinism: per-stratum moments are exact integer sums; sigma is
+    one IEEE sqrt of an exact-int expression rounded to 6dp; the
+    N_h*sigma_h terms are 6dp-rounded then decimal-summed for the
+    denominator (order-free); allocations are FLOOR of fixed double
+    expressions — integer-exact outputs.
+
+    Scale shape (100 TB): one scan collapses map-side to |sources|
+    cells; shares/allocations are windows over that bounded frame."""
+    docs = load_table(spark, sf_dir, "documents")
+    cells = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col("n_chars").cast("long")).cast("long").alias("s"),
+        # squares sum in DECIMAL(38,0): a BIGINT sum overflows at
+        # corpus scale (1e8-per-row squares x 1e12 rows)
+        F.sum(
+            (F.col("n_chars").cast("long") * F.col("n_chars").cast("long"))
+            .cast("decimal(38,0)")
+        ).alias("ss"),
+    )
+    rnd = lambda c: c.cast("decimal(38,6)").cast("double")  # noqa: E731
+    n = F.col("n_docs").cast("double")
+    var = (
+        F.col("ss").cast("double") - F.col("s").cast("double")
+        * F.col("s").cast("double") / n
+    ) / n
+    sigma = rnd(F.sqrt(F.greatest(var, F.lit(0.0))))
+    scored = cells.select(
+        "source",
+        "n_docs",
+        sigma.alias("sigma"),
+        rnd(n * sigma).alias("w"),
+    )
+    from pyspark.sql import Window as W
+
+    w_all = W.partitionBy()
+    tot_w = F.sum(F.col("w").cast("decimal(38,6)")).over(w_all).cast(
+        "double"
+    )
+    tot_n = F.sum("n_docs").over(w_all).cast("double")
+    share = F.when(tot_w > F.lit(0.0), F.col("w") / tot_w)
+    return scored.select(
+        "source",
+        "n_docs",
+        "sigma",
+        share.alias("neyman_share"),
+        F.floor(share * F.lit(float(NEYMAN_BUDGET)))
+        .cast("long")
+        .alias("n_neyman"),
+        F.floor(
+            F.col("n_docs").cast("double") / tot_n
+            * F.lit(float(NEYMAN_BUDGET))
+        )
+        .cast("long")
+        .alias("n_prop"),
+    ).orderBy("source")
+
+
+SQL_NEYMAN_ALLOCATION = f"""
+    WITH cells AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS s,
+               SUM(CAST(CAST(n_chars AS BIGINT) * CAST(n_chars AS BIGINT)
+                   AS DECIMAL(38,0))) AS ss
+        FROM documents GROUP BY source
+    ), scored AS (
+        SELECT source, n_docs,
+               CAST(CAST(sqrt(GREATEST(
+                   (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE)
+                    * CAST(s AS DOUBLE) / CAST(n_docs AS DOUBLE))
+                   / CAST(n_docs AS DOUBLE), 0.0))
+                   AS DECIMAL(38,6)) AS DOUBLE) AS sigma
+        FROM cells
+    ), weighted AS (
+        SELECT source, n_docs, sigma,
+               CAST(CAST(CAST(n_docs AS DOUBLE) * sigma AS DECIMAL(38,6))
+                    AS DOUBLE) AS w
+        FROM scored
+    )
+    SELECT source, n_docs, sigma,
+           CASE WHEN CAST(SUM(CAST(w AS DECIMAL(38,6))) OVER () AS DOUBLE)
+                     > 0.0
+                THEN w / CAST(SUM(CAST(w AS DECIMAL(38,6))) OVER ()
+                              AS DOUBLE) END AS neyman_share,
+           CAST(FLOOR(CASE WHEN CAST(SUM(CAST(w AS DECIMAL(38,6))) OVER ()
+                                AS DOUBLE) > 0.0
+                THEN w / CAST(SUM(CAST(w AS DECIMAL(38,6))) OVER ()
+                              AS DOUBLE) END * {NEYMAN_BUDGET}.0)
+                AS BIGINT) AS n_neyman,
+           CAST(FLOOR(CAST(n_docs AS DOUBLE)
+                / CAST(SUM(n_docs) OVER () AS DOUBLE)
+                * {NEYMAN_BUDGET}.0) AS BIGINT) AS n_prop
+    FROM weighted
+    ORDER BY source
+"""

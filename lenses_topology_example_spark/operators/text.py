@@ -3834,3 +3834,229 @@ SQL_TOKEN_COVERAGE_CURVE = f"""
     WHERE k IN ({_COVERAGE_IN})
     ORDER BY k
 """
+
+
+# --- bigram conditional entropy rate (round 11) ---------------------------------
+
+
+def q_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus entropy RATE (Shannon 1951 lineage): the conditional
+    entropy H(cur|prev) of the word bigram model next to the unigram
+    entropy H(cur), in nats. Their gap is exactly the information a
+    1-token context buys — the language-modelability number that
+    separates real prose (big gap) from shuffled/templated text
+    (H_rate ~ H_uni) where bigram_lm_score only scores documents.
+
+    Determinism: the mutual_information ln discipline — every ln is
+    decimal-round-tripped at the call site, multiplied by its EXACT
+    integer count into a scale-6 decimal, decimal-summed; ONE division
+    by the exact total at the end.
+
+    Scale shape (100 TB): bigram and unigram counts partial-combine to
+    their vocab-bounded frames; the per-prev totals are a window over
+    the bigram frame PARTITIONED BY prev; two bounded aggregates end in
+    a 1-row broadcast join."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    n_t = F.size(toks)
+    # slice+zip, NOT a per-position transform lambda: the lambda form
+    # measured 6.3 s vs 0.63 s at sf0.1 (string building per element
+    # outside codegen); zipping two array slices stays vectorized
+    pairs = F.arrays_zip(
+        F.slice(toks, 1, n_t - 1), F.slice(toks, 2, n_t - 1)
+    )
+    bi = (
+        docs.filter(n_t >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .select(F.col("p.0").alias("prev"), F.col("p.1").alias("cur"))
+        .groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    w_prev = W.partitionBy("prev")
+    nl6 = lambda c: F.log(c).cast("decimal(38,6)")  # noqa: E731
+    bi_terms = bi.select(
+        "c",
+        (
+            nl6(
+                F.col("c").cast("double")
+                / F.sum("c").over(w_prev).cast("double")
+            )
+            * F.col("c")
+        ).alias("t"),
+    )
+    bi_agg = bi_terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n_distinct_bigrams"),
+        F.sum("c").cast("long").alias("n_bigrams"),
+        F.sum("t").cast("double").alias("t_sum"),
+    )
+    uni = (
+        docs.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    w_all = W.partitionBy()
+    uni_terms = uni.select(
+        "c",
+        (
+            nl6(
+                F.col("c").cast("double")
+                / F.sum("c").over(w_all).cast("double")
+            )
+            * F.col("c")
+        ).alias("t"),
+    )
+    uni_agg = uni_terms.agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.sum("t").cast("double").alias("u_sum"),
+    )
+    rnd = lambda c: c.cast("decimal(38,6)").cast("double")  # noqa: E731
+    h_rate = F.when(
+        F.col("n_bigrams") > 0,
+        rnd(-F.col("t_sum") / F.col("n_bigrams").cast("double")),
+    )
+    h_uni = F.when(
+        F.col("n_tokens") > 0,
+        rnd(-F.col("u_sum") / F.col("n_tokens").cast("double")),
+    )
+    return bi_agg.crossJoin(F.broadcast(uni_agg)).select(
+        "n_distinct_bigrams",
+        "n_bigrams",
+        "n_tokens",
+        h_rate.alias("entropy_rate"),
+        h_uni.alias("unigram_entropy"),
+        F.when(
+            h_uni > F.lit(0.0), rnd(h_rate / h_uni)
+        ).alias("conditional_ratio"),
+    )
+
+
+SQL_ENTROPY_RATE = f"""
+    WITH t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+    bi AS (
+        SELECT p[1] AS prev, p[2] AS cur,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM (
+            SELECT unnest(list_zip(toks[1:len(toks)-1],
+                                   toks[2:len(toks)])) AS p
+            FROM t WHERE len(toks) >= 2
+        )
+        GROUP BY 1, 2
+    ), bi_terms AS (
+        SELECT c,
+               CAST(ln(CAST(c AS DOUBLE)
+                    / CAST(SUM(c) OVER (PARTITION BY prev) AS DOUBLE))
+                    AS DECIMAL(38,6)) * c AS term
+        FROM bi
+    ), bi_agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_distinct_bigrams,
+               CAST(SUM(c) AS BIGINT) AS n_bigrams,
+               CAST(SUM(term) AS DOUBLE) AS t_sum
+        FROM bi_terms
+    ), uni AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w
+    ), uni_terms AS (
+        SELECT c,
+               CAST(ln(CAST(c AS DOUBLE)
+                    / CAST(SUM(c) OVER () AS DOUBLE))
+                    AS DECIMAL(38,6)) * c AS term
+        FROM uni
+    ), uni_agg AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n_tokens,
+               CAST(SUM(term) AS DOUBLE) AS u_sum
+        FROM uni_terms
+    )
+    SELECT n_distinct_bigrams, n_bigrams, n_tokens,
+           CASE WHEN n_bigrams > 0 THEN
+               CAST(CAST(-t_sum / CAST(n_bigrams AS DOUBLE)
+                    AS DECIMAL(38,6)) AS DOUBLE) END AS entropy_rate,
+           CASE WHEN n_tokens > 0 THEN
+               CAST(CAST(-u_sum / CAST(n_tokens AS DOUBLE)
+                    AS DECIMAL(38,6)) AS DOUBLE) END AS unigram_entropy,
+           CASE WHEN n_tokens > 0
+                 AND CAST(CAST(-u_sum / CAST(n_tokens AS DOUBLE)
+                     AS DECIMAL(38,6)) AS DOUBLE) > 0.0
+                THEN CAST(CAST(
+                    CAST(CAST(-t_sum / CAST(n_bigrams AS DOUBLE)
+                         AS DECIMAL(38,6)) AS DOUBLE)
+                    / CAST(CAST(-u_sum / CAST(n_tokens AS DOUBLE)
+                           AS DECIMAL(38,6)) AS DOUBLE)
+                    AS DECIMAL(38,6)) AS DOUBLE) END AS conditional_ratio
+    FROM bi_agg CROSS JOIN uni_agg
+"""
+
+
+# --- Good-Turing frequency-of-frequencies / unseen mass (round 11) --------------
+
+GT_MAX_R = 10  # frequency grid reported
+
+
+def q_good_turing_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing frequency-of-frequencies table (Good 1953): for each
+    occurrence count r <= GT_MAX_R, how many word types occur exactly r
+    times and what share of the token mass they carry. Row r=1's mass
+    share n_1/T IS the Good-Turing estimate of the UNSEEN-word
+    probability mass — the number that says how much vocabulary the
+    next crawl will surface (the probabilistic sibling of
+    heaps_law_fit's extrapolation).
+
+    Determinism: all counts are exact ints; mass shares are one
+    int/int double division.
+
+    Scale shape (100 TB): word counts partial-combine to the vocab
+    frame; the frequency-of-frequencies aggregate collapses that to
+    <= GT_MAX_R rows (counts above the grid are filtered before the
+    final aggregate); the token total is a 1-row broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(tokens_col(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    totals = counts.agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+    )
+    fof = (
+        counts.filter(F.col("c") <= GT_MAX_R)
+        .groupBy(F.col("c").alias("r"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_r"))
+    )
+    return (
+        fof.crossJoin(F.broadcast(totals))
+        .select(
+            "r",
+            "n_r",
+            "n_types",
+            (
+                (F.col("r") * F.col("n_r")).cast("double")
+                / F.col("n_tokens").cast("double")
+            ).alias("mass_share"),
+            (
+                F.col("n_r").cast("double") / F.col("n_types").cast("double")
+            ).alias("type_share"),
+        )
+        .orderBy("r")
+    )
+
+
+SQL_GOOD_TURING_MASS = f"""
+    WITH counts AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT unnest({SQL_TOKS}) AS w FROM documents)
+        GROUP BY w
+    ), totals AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_types
+        FROM counts
+    ), fof AS (
+        SELECT c AS r, CAST(COUNT(*) AS BIGINT) AS n_r
+        FROM counts WHERE c <= {GT_MAX_R}
+        GROUP BY c
+    )
+    SELECT r, n_r, n_types,
+           CAST(r * n_r AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS mass_share,
+           CAST(n_r AS DOUBLE) / CAST(n_types AS DOUBLE) AS type_share
+    FROM fof CROSS JOIN totals
+    ORDER BY r
+"""

@@ -668,3 +668,26 @@ def test_fisher_separability_partial_combines_explode(catalog_dfs):
     assert "partial_count" in plan or "partial_sum" in plan, plan
     assert "Window" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_neyman_allocation_bounded_windows(catalog_dfs):
+    """One |sources|-cell aggregate; shares/allocations are windows
+    above it; no joins."""
+    plan = _plan_of(catalog_dfs, "neyman_allocation")
+    assert "partial_count" in plan or "partial_sum" in plan, plan
+    assert "Join" not in plan, plan
+    assert "Window" in plan, plan
+
+
+def test_entropy_and_gt_vocab_bounded(catalog_dfs):
+    """Both info-theory reports partial-combine token/bigram counts
+    map-side; the scalar totals ride 1-row broadcasts (BNLJ), never a
+    shuffle of the vocab frame."""
+    for name in ("entropy_rate", "good_turing_mass"):
+        plan = _plan_of(catalog_dfs, name)
+        assert "partial_count" in plan, (name, plan)
+        assert (
+            "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+        ), (name, plan)
+        assert "CartesianProduct" not in plan, (name, plan)
+        assert "SortMergeJoin" not in plan, (name, plan)

@@ -1255,3 +1255,107 @@ def test_fisher_separability_matches_numpy(spark, sf_dir):
         # total variance identity: between + within = population var
         var = ((np.concatenate([m[:, d] for m in mats.values()]) - mu) ** 2).sum() / n
         assert abs((r.between_var + r.within_var) - var) < 1e-5
+
+
+def test_neyman_allocation_matches_python(spark, sf_dir):
+    from lenses_topology_example_spark.operators.quality import (
+        NEYMAN_BUDGET,
+    )
+
+    rows = (
+        load_table(spark, sf_dir, "documents")
+        .select("source", "n_chars")
+        .collect()
+    )
+    per_src: dict[str, list] = {}
+    for r in rows:
+        per_src.setdefault(r.source, []).append(int(r.n_chars))
+    sigmas = {}
+    for src, xs in per_src.items():
+        n = len(xs)
+        var = max(
+            (sum(x * x for x in xs) - sum(xs) ** 2 / n) / n, 0.0
+        )
+        sigmas[src] = float(_q6(math.sqrt(var)))
+    ws = {s: float(_q6(len(per_src[s]) * sigmas[s])) for s in per_src}
+    from decimal import Decimal
+
+    tot_w = float(sum((Decimal(repr(w)) for w in ws.values()), Decimal(0)))
+    tot_n = sum(len(v) for v in per_src.values())
+    got = {
+        r.source: r
+        for r in _CATALOG["neyman_allocation"][0](spark, sf_dir).collect()
+    }
+    assert set(got) == set(per_src)
+    budget_used = 0
+    for src in per_src:
+        r = got[src]
+        assert r.n_docs == len(per_src[src])
+        assert abs(r.sigma - sigmas[src]) < 1e-9
+        share = ws[src] / tot_w
+        assert abs(r.neyman_share - share) < 1e-12
+        assert r.n_neyman == math.floor(share * NEYMAN_BUDGET)
+        assert r.n_prop == math.floor(
+            len(per_src[src]) / tot_n * NEYMAN_BUDGET
+        )
+        budget_used += r.n_neyman
+    assert budget_used <= NEYMAN_BUDGET  # floor never overspends
+
+
+def test_entropy_rate_matches_python(spark, sf_dir):
+    import re
+    from collections import Counter
+    from decimal import Decimal
+
+    rows = load_table(spark, sf_dir, "documents").select("text").collect()
+    bi: Counter = Counter()
+    uni: Counter = Counter()
+    for r in rows:
+        toks = [t for t in re.split(r"\W+", r.text.lower()) if t]
+        uni.update(toks)
+        bi.update(zip(toks, toks[1:]))
+    prev_tot: Counter = Counter()
+    for (p, _), c in bi.items():
+        prev_tot[p] += c
+    t_sum = Decimal(0)
+    for (p, _), c in bi.items():
+        t_sum += _q6(math.log(c / prev_tot[p])) * c
+    u_tot = sum(uni.values())
+    u_sum = Decimal(0)
+    for c in uni.values():
+        u_sum += _q6(math.log(c / u_tot)) * c
+    r = _CATALOG["entropy_rate"][0](spark, sf_dir).collect()[0]
+    n_bi = sum(bi.values())
+    assert r.n_distinct_bigrams == len(bi)
+    assert r.n_bigrams == n_bi
+    assert r.n_tokens == u_tot
+    h_rate = float(_q6(-float(t_sum) / n_bi))
+    h_uni = float(_q6(-float(u_sum) / u_tot))
+    assert abs(r.entropy_rate - h_rate) < 1e-9
+    assert abs(r.unigram_entropy - h_uni) < 1e-9
+    assert abs(r.conditional_ratio - float(_q6(h_rate / h_uni))) < 1e-9
+    # conditioning can only reduce entropy
+    assert r.entropy_rate <= r.unigram_entropy + 1e-9
+
+
+def test_good_turing_mass_matches_python(spark, sf_dir):
+    import re
+    from collections import Counter
+
+    from lenses_topology_example_spark.operators.text import GT_MAX_R
+
+    rows = load_table(spark, sf_dir, "documents").select("text").collect()
+    cf: Counter = Counter()
+    for r in rows:
+        cf.update(t for t in re.split(r"\W+", r.text.lower()) if t)
+    fof: Counter = Counter(c for c in cf.values() if c <= GT_MAX_R)
+    total = sum(cf.values())
+    types = len(cf)
+    got = {r.r: r for r in _CATALOG["good_turing_mass"][0](spark, sf_dir).collect()}
+    assert set(got) == set(fof)
+    for r_val, n_r in fof.items():
+        row = got[r_val]
+        assert row.n_r == n_r
+        assert row.n_types == types
+        assert abs(row.mass_share - r_val * n_r / total) < 1e-12
+        assert abs(row.type_share - n_r / types) < 1e-12
