@@ -913,12 +913,20 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
 #
 # ROUND-12 ROTATION PLAN (write the new DRIVER_WINDOW from this once
 # CORRECTNESS_r11 lands; assuming the r11 window goes green):
-#   IN (priority): any round-11 past-window additions at the head in
-#     registration order, then any r11 RED held in-window until green.
-#   IN (re-checks, oldest-verdict-first): whatever remains of the r6
-#     block (at minimum seq_packing, stratified_sample, plus any r6
-#     entries displaced from the r11 tail), then the r7 block
-#     oldest-first as slots allow.
+#   Slots 1-16: the sixteen r11 wave-6..11 past-window additions, in
+#     registration order — permutation_test, spearman_corr,
+#     kfold_assign, oov_rate, fdr_bh, jl_projection_audit,
+#     heaps_law_fit, term_burstiness, token_coverage_curve,
+#     brier_decomposition, group_sequential, power_mde,
+#     fisher_separability, neyman_allocation, entropy_rate,
+#     good_turing_mass. All 16 hold three-SF registration parity
+#     (sf0.001/0.01/0.1) plus empty-input green and a round-11
+#     full-catalog driver-replica MATCH at sf0.01 AND sf0.1
+#     (BASELINE.md round-11 close matrix).
+#   IN after those: any r11 RED held in-window until green, then the
+#     re-check queue oldest-verdict-first: the r6 block remainder
+#     (seq_packing, stratified_sample, plus the r6 entries displaced
+#     from the r11 tail), then the r7 block as slots allow.
 #   OUT: the freshly-green r11 block.
 DRIVER_WINDOW_SIZE = 50
 DRIVER_WINDOW: tuple[str, ...] = (

@@ -1962,8 +1962,9 @@ SQL_CONFORMAL_THRESHOLD = f"""
                           * {1.0 - CONF_ALPHA!r})
     ), evagg AS (
         SELECT CAST(COUNT(*) AS BIGINT) AS n_eval,
-               CAST(SUM(CASE WHEN nc <= COALESCE(q0, 1.0)
-                             THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+               COALESCE(CAST(SUM(CASE WHEN nc <= COALESCE(q0, 1.0)
+                             THEN 1 ELSE 0 END) AS BIGINT), 0)
+                   AS n_covered,
                COALESCE(MAX(q0), 1.0) AS q_hat
         FROM ev CROSS JOIN th
     )
