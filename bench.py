@@ -376,6 +376,9 @@ HEADLINE = (
     "neyman_allocation",
     "entropy_rate",
     "good_turing_mass",
+    # round-11 wave 12 (both rank windows partition by event_type)
+    "mann_whitney",
+    "median_ci",
 )
 
 

@@ -869,6 +869,15 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
         text.q_good_turing_mass,
         text.SQL_GOOD_TURING_MASS,
     ),
+    # twelfth round-11 wave: distribution-free inference
+    "mann_whitney": (
+        windows.q_mann_whitney,
+        windows.SQL_MANN_WHITNEY,
+    ),
+    "median_ci": (
+        windows.q_median_ci,
+        windows.SQL_MEDIAN_CI,
+    ),
 }
 
 # The driver evaluates only the first DRIVER_WINDOW_SIZE catalog entries
@@ -913,13 +922,14 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
 #
 # ROUND-12 ROTATION PLAN (write the new DRIVER_WINDOW from this once
 # CORRECTNESS_r11 lands; assuming the r11 window goes green):
-#   Slots 1-16: the sixteen r11 wave-6..11 past-window additions, in
+#   Slots 1-18: the eighteen r11 wave-6..12 past-window additions, in
 #     registration order — permutation_test, spearman_corr,
 #     kfold_assign, oov_rate, fdr_bh, jl_projection_audit,
 #     heaps_law_fit, term_burstiness, token_coverage_curve,
 #     brier_decomposition, group_sequential, power_mde,
 #     fisher_separability, neyman_allocation, entropy_rate,
-#     good_turing_mass. All 16 hold three-SF registration parity
+#     good_turing_mass, mann_whitney, median_ci. All 18 hold
+#     three-SF registration parity
 #     (sf0.001/0.01/0.1) plus empty-input green and a round-11
 #     full-catalog driver-replica MATCH at sf0.01 AND sf0.1
 #     (BASELINE.md round-11 close matrix).

@@ -3588,3 +3588,250 @@ SQL_POWER_MDE = f"""
     FROM scored
     ORDER BY event_type
 """
+
+
+# --- Mann-Whitney U rank test + Cliff's delta (round 11) ------------------------
+
+
+def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney/Wilcoxon rank-sum test per event_type for the ab
+    experiment (Mann & Whitney 1947): U from mid-rank sums over the
+    pooled arms, the tie-corrected normal approximation z, and Cliff's
+    delta = 2U/(n0*n1) − 1 — the distribution-free companion to
+    ab_test_report's Welch z and the ordinal effect size a reviewer
+    wants when value is heavy-tailed (permutation_test resamples the
+    mean; this ranks).
+
+    Determinism: DOUBLED mid-ranks r2 = 2*RANK + |ties| − 1 keep every
+    rank sum an exact integer (the spearman_corr device); the tie
+    correction Σ(t³−t) is an exact integer sum over the per-(type,
+    value) tie counts; U/z/delta are fixed double expressions rounded
+    to 6dp with degenerate-arm NULL guards.
+
+    Scale shape (100 TB): rank windows PARTITION BY event_type (the
+    exact-rank per-type class temporal_split documents — per-type
+    scale, never one global sort); tie counts ride the same window
+    pass; everything after collapses map-side to |event_type| cells.
+    The doubled rank sum crosses int64 near 2e9 rows PER TYPE — the
+    same per-type exact-ranking ceiling spearman_corr documents (bin
+    to a grid past it, the ks_drift compromise)."""
+    from pyspark.sql import Window as W
+
+    from ..functions.texthash import md5_hash64
+
+    ev = load_table(spark, sf_dir, "events")
+    uid = F.col("user_id").cast("string")
+    arm = md5_hash64(F.concat(F.lit("ab|"), uid)) % 2
+    base = ev.select(
+        "event_type", arm.alias("arm"), F.col("value").alias("x")
+    )
+    w_rank = W.partitionBy("event_type").orderBy(F.col("x"))
+    w_tie = W.partitionBy("event_type", "x")
+    ranked = base.select(
+        "event_type",
+        "arm",
+        (
+            F.lit(2) * F.rank().over(w_rank)
+            + F.count(F.lit(1)).over(w_tie)
+            - F.lit(1)
+        ).cast("long").alias("r2"),
+        F.count(F.lit(1)).over(w_tie).cast("long").alias("t"),
+    )
+    cells = ranked.groupBy("event_type").agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_1"),
+        F.sum(F.when(F.col("arm") == 1, F.col("r2")).otherwise(0))
+        .cast("long")
+        .alias("r1_2"),
+        # each tie group of size t contributes t*(t^2-1); every member
+        # row carries t, so summing (t^2-1) per row gives exactly that.
+        # t^2 rides DECIMAL(38,0): a BIGINT square overflows once a
+        # single (type, value) tie group passes ~3e9 rows
+        F.sum(
+            F.col("t").cast("decimal(38,0)") * F.col("t") - 1
+        ).alias("tie_term"),
+    )
+    n0 = F.col("n_0").cast("double")
+    n1 = F.col("n_1").cast("double")
+    n = n0 + n1
+    u = (F.col("r1_2") - F.col("n_1") * (F.col("n_1") + 1)).cast(
+        "double"
+    ) / F.lit(2.0)
+    var = (
+        n0 * n1 / F.lit(12.0)
+        * ((n + F.lit(1.0)) - F.col("tie_term").cast("double") / (n * (n - F.lit(1.0))))
+    )
+    rnd = lambda c: c.cast("decimal(38,6)").cast("double")  # noqa: E731
+    z = F.when(
+        (F.col("n_0") > 0) & (F.col("n_1") > 0) & (n > F.lit(1.0))
+        & (var > F.lit(0.0)),
+        rnd((u - n0 * n1 / F.lit(2.0)) / F.sqrt(var)),
+    )
+    delta = F.when(
+        (F.col("n_0") > 0) & (F.col("n_1") > 0),
+        rnd(F.lit(2.0) * u / (n0 * n1) - F.lit(1.0)),
+    )
+    return cells.select(
+        "event_type",
+        "n_0",
+        "n_1",
+        F.when((F.col("n_0") > 0) & (F.col("n_1") > 0), rnd(u)).alias(
+            "u_stat"
+        ),
+        z.alias("z_score"),
+        delta.alias("cliffs_delta"),
+    ).orderBy("event_type")
+
+
+SQL_MANN_WHITNEY = f"""
+    WITH ranked AS (
+        SELECT event_type, arm,
+               2 * RANK() OVER (PARTITION BY event_type ORDER BY x)
+                   + COUNT(*) OVER (PARTITION BY event_type, x) - 1 AS r2,
+               COUNT(*) OVER (PARTITION BY event_type, x) AS t
+        FROM (SELECT event_type, {_SQL_AB_ARM} AS arm, "value" AS x
+              FROM events)
+    ), cells AS (
+        SELECT event_type,
+               CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_0,
+               CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_1,
+               CAST(SUM(CASE WHEN arm = 1 THEN r2 ELSE 0 END) AS BIGINT)
+                   AS r1_2,
+               SUM(CAST(t AS DECIMAL(38,0)) * t - 1) AS tie_term
+        FROM ranked GROUP BY event_type
+    )
+    SELECT event_type, n_0, n_1,
+           CASE WHEN n_0 > 0 AND n_1 > 0 THEN
+               CAST(CAST(CAST(r1_2 - n_1 * (n_1 + 1) AS DOUBLE) / 2.0
+                    AS DECIMAL(38,6)) AS DOUBLE) END AS u_stat,
+           CASE WHEN n_0 > 0 AND n_1 > 0 AND n_0 + n_1 > 1 AND
+                CAST(n_0 AS DOUBLE) * CAST(n_1 AS DOUBLE) / 12.0
+                * ((CAST(n_0 AS DOUBLE) + CAST(n_1 AS DOUBLE) + 1.0)
+                   - CAST(tie_term AS DOUBLE)
+                     / ((CAST(n_0 AS DOUBLE) + CAST(n_1 AS DOUBLE))
+                        * (CAST(n_0 AS DOUBLE) + CAST(n_1 AS DOUBLE)
+                           - 1.0))) > 0.0
+                THEN CAST(CAST(
+                    (CAST(r1_2 - n_1 * (n_1 + 1) AS DOUBLE) / 2.0
+                     - CAST(n_0 AS DOUBLE) * CAST(n_1 AS DOUBLE) / 2.0)
+                    / sqrt(CAST(n_0 AS DOUBLE) * CAST(n_1 AS DOUBLE) / 12.0
+                        * ((CAST(n_0 AS DOUBLE) + CAST(n_1 AS DOUBLE) + 1.0)
+                           - CAST(tie_term AS DOUBLE)
+                             / ((CAST(n_0 AS DOUBLE) + CAST(n_1 AS DOUBLE))
+                                * (CAST(n_0 AS DOUBLE)
+                                   + CAST(n_1 AS DOUBLE) - 1.0))))
+                    AS DECIMAL(38,6)) AS DOUBLE) END AS z_score,
+           CASE WHEN n_0 > 0 AND n_1 > 0 THEN
+               CAST(CAST(2.0 * (CAST(r1_2 - n_1 * (n_1 + 1) AS DOUBLE)
+                    / 2.0) / (CAST(n_0 AS DOUBLE) * CAST(n_1 AS DOUBLE))
+                    - 1.0 AS DECIMAL(38,6)) AS DOUBLE)
+           END AS cliffs_delta
+    FROM cells
+    ORDER BY event_type
+"""
+
+
+# --- distribution-free median confidence interval (round 11) --------------------
+
+MEDIAN_CI_Z = 1.959964  # two-sided 95% normal quantile, Python literal
+
+
+def q_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-rank median with a distribution-free 95% confidence
+    interval per event_type: the CI bounds are ORDER STATISTICS at the
+    binomial-normal-approximation ranks l = floor((n − z√n)/2) and
+    u = ceil(1 + (n + z√n)/2), clamped to [1, n] (Conover 1980 §3.2 —
+    no distributional assumption on value at all, unlike the
+    mean±z·se band). The robust companion every heavy-tailed metric
+    report should carry next to percentiles.
+
+    Determinism: ranks are exact integers under the (value, event_id)
+    total order; the approximation ranks are FLOOR/CEIL of one fixed
+    double expression of n and the literal z; bound values are
+    conditional MAX picks at integer rank equality; the median uses
+    the exact-rank even/odd definition (theil_sen discipline).
+
+    Scale shape (100 TB): ONE rank window PARTITIONED BY event_type
+    (the per-type exact-ranking class, ceiling documented at
+    spearman_corr/mann_whitney), then an |event_type|-cell conditional
+    aggregate. No global sort."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.col("value").alias("x"), "event_id"
+    )
+    w_rank = W.partitionBy("event_type").orderBy(
+        F.col("x"), F.col("event_id")
+    )
+    w_all = W.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        "x",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    nd = F.col("n").cast("double")
+    half = F.lit(MEDIAN_CI_Z) * F.sqrt(nd)
+    lo_r = F.greatest(
+        F.lit(1).cast("long"),
+        F.floor((nd - half) / F.lit(2.0)).cast("long"),
+    )
+    hi_r = F.least(
+        F.col("n").cast("long"),
+        F.ceil(F.lit(1.0) + (nd + half) / F.lit(2.0)).cast("long"),
+    )
+    med_lo = (F.col("n") + 1) / F.lit(2)
+    agg = ranked.groupBy("event_type", "n").agg(
+        F.max(F.when(F.col("rn") == F.floor(med_lo), F.col("x"))).alias(
+            "m_lo"
+        ),
+        F.max(F.when(F.col("rn") == F.ceil(med_lo), F.col("x"))).alias(
+            "m_hi"
+        ),
+        F.max(F.when(F.col("rn") == lo_r, F.col("x"))).alias("ci_lo"),
+        F.max(F.when(F.col("rn") == hi_r, F.col("x"))).alias("ci_hi"),
+    )
+    rnd = lambda c: c.cast("decimal(38,6)").cast("double")  # noqa: E731
+    return agg.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        rnd((F.col("m_lo") + F.col("m_hi")) / F.lit(2.0)).alias("median"),
+        F.col("ci_lo").alias("ci_lo"),
+        F.col("ci_hi").alias("ci_hi"),
+    ).orderBy("event_type")
+
+
+SQL_MEDIAN_CI = f"""
+    WITH ranked AS (
+        SELECT event_type, "value" AS x,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY "value", event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM events
+    ), agg AS (
+        SELECT event_type, n,
+               MAX(CASE WHEN rn = FLOOR((n + 1) / 2.0) THEN x END) AS m_lo,
+               MAX(CASE WHEN rn = CEIL((n + 1) / 2.0) THEN x END) AS m_hi,
+               MAX(CASE WHEN rn = GREATEST(1, CAST(FLOOR(
+                   (CAST(n AS DOUBLE)
+                    - {MEDIAN_CI_Z} * sqrt(CAST(n AS DOUBLE))) / 2.0)
+                   AS BIGINT)) THEN x END) AS ci_lo,
+               MAX(CASE WHEN rn = LEAST(CAST(n AS BIGINT), CAST(CEIL(
+                   1.0 + (CAST(n AS DOUBLE)
+                          + {MEDIAN_CI_Z} * sqrt(CAST(n AS DOUBLE))) / 2.0)
+                   AS BIGINT)) THEN x END) AS ci_hi
+        FROM ranked GROUP BY event_type, n
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           CAST(CAST((m_lo + m_hi) / 2.0 AS DECIMAL(38,6)) AS DOUBLE)
+               AS median,
+           ci_lo, ci_hi
+    FROM agg
+    ORDER BY event_type
+"""

@@ -691,3 +691,16 @@ def test_entropy_and_gt_vocab_bounded(catalog_dfs):
         ), (name, plan)
         assert "CartesianProduct" not in plan, (name, plan)
         assert "SortMergeJoin" not in plan, (name, plan)
+
+
+def test_rank_tests_partition_by_event_type(catalog_dfs):
+    """mann_whitney / median_ci rank windows must partition by
+    event_type — per-type exact ranking, never one global sort."""
+    import re as _re
+
+    for name in ("mann_whitney", "median_ci"):
+        plan = _plan_of(catalog_dfs, name)
+        specs = _re.findall(r"windowspecdefinition\((\w+)#", plan)
+        assert specs, (name, plan)
+        assert all(s == "event_type" for s in specs), (name, plan)
+        assert "CartesianProduct" not in plan, (name, plan)

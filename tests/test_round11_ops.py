@@ -1359,3 +1359,94 @@ def test_good_turing_mass_matches_python(spark, sf_dir):
         assert row.n_types == types
         assert abs(row.mass_share - r_val * n_r / total) < 1e-12
         assert abs(row.type_share - n_r / types) < 1e-12
+
+
+def test_mann_whitney_matches_python(spark, sf_dir):
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "user_id", "value")
+        .collect()
+    )
+    by_type: dict[str, list] = {}
+    for r in rows:
+        arm = _md5_64(f"ab|{r.user_id}") % 2
+        by_type.setdefault(r.event_type, []).append((float(r.value), arm))
+    got = {
+        r.event_type: r
+        for r in _CATALOG["mann_whitney"][0](spark, sf_dir).collect()
+    }
+    assert set(got) == set(by_type)
+    for et, pts in by_type.items():
+        vals = sorted(x for x, _ in pts)
+        # mid-ranks via tie groups
+        rank_of = {}
+        i = 0
+        while i < len(vals):
+            j = i
+            while j < len(vals) and vals[j] == vals[i]:
+                j += 1
+            rank_of[vals[i]] = (i + 1 + j) / 2.0
+            i = j
+        n1 = sum(a for _, a in pts)
+        n0 = len(pts) - n1
+        r1 = sum(rank_of[x] for x, a in pts if a == 1)
+        r = got[et]
+        assert (r.n_0, r.n_1) == (n0, n1)
+        if n0 == 0 or n1 == 0:
+            assert r.u_stat is None
+            continue
+        u = r1 - n1 * (n1 + 1) / 2.0
+        assert abs(r.u_stat - float(_q6(u))) < 1e-9
+        n = n0 + n1
+        from collections import Counter
+
+        ties = Counter(vals)
+        tie_term = sum(t**3 - t for t in ties.values())
+        var = n0 * n1 / 12.0 * ((n + 1) - tie_term / (n * (n - 1)))
+        if var > 0 and n > 1:
+            z = float(_q6((u - n0 * n1 / 2.0) / math.sqrt(var)))
+            assert abs(r.z_score - z) < 1e-9
+        delta = float(_q6(2.0 * u / (n0 * n1) - 1.0))
+        assert abs(r.cliffs_delta - delta) < 1e-9
+        assert -1.0 - 1e-9 <= r.cliffs_delta <= 1.0 + 1e-9
+
+
+def test_median_ci_matches_python(spark, sf_dir):
+    from lenses_topology_example_spark.operators.windows import MEDIAN_CI_Z
+
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "value", "event_id")
+        .collect()
+    )
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(
+            (float(r.value), r.event_id)
+        )
+    got = {
+        r.event_type: r
+        for r in _CATALOG["median_ci"][0](spark, sf_dir).collect()
+    }
+    assert set(got) == set(by_type)
+    for et, pts in by_type.items():
+        pts.sort()
+        n = len(pts)
+        xs = [x for x, _ in pts]
+        med = float(
+            _q6(
+                (
+                    xs[math.floor((n + 1) / 2.0) - 1]
+                    + xs[math.ceil((n + 1) / 2.0) - 1]
+                )
+                / 2.0
+            )
+        )
+        lo_r = max(1, math.floor((n - MEDIAN_CI_Z * math.sqrt(n)) / 2.0))
+        hi_r = min(n, math.ceil(1.0 + (n + MEDIAN_CI_Z * math.sqrt(n)) / 2.0))
+        r = got[et]
+        assert r.n == n
+        assert abs(r.median - med) < 1e-9
+        assert r.ci_lo == xs[lo_r - 1]
+        assert r.ci_hi == xs[hi_r - 1]
+        assert r.ci_lo <= r.median <= r.ci_hi
