@@ -379,6 +379,10 @@ HEADLINE = (
     # round-11 wave 12 (both rank windows partition by event_type)
     "mann_whitney",
     "median_ci",
+    # round-11 wave 13 (effect sizes are a pure cell aggregate; ACF's
+    # lag join runs on the calendar-bounded month frame)
+    "effect_size_report",
+    "acf_monthly",
 )
 
 

@@ -3835,3 +3835,267 @@ SQL_MEDIAN_CI = f"""
     FROM agg
     ORDER BY event_type
 """
+
+
+# --- standardized effect sizes (round 11) ---------------------------------------
+
+HEDGES_J_NUM = 3.0  # J ~ 1 - 3/(4*df - 1), Hedges & Olkin 1985
+
+
+def q_effect_size_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standardized effect sizes per event_type for the ab experiment:
+    Cohen's d on the pooled standard deviation and the small-sample
+    bias-corrected Hedges' g = J*d, J = 1 − 3/(4·df − 1). The
+    magnitude readout that travels across metrics where ab_test's z
+    only answers "is it noise" and power_mde "could we even see it".
+
+    Determinism: conditional decimal moments; d/g are fixed double
+    expressions rounded to 6dp; degenerate segments (an arm with n<2,
+    zero pooled variance) yield NULLs via the sqrt-guard.
+
+    Scale shape (100 TB): one scan, one |event_type| x 2 conditional
+    cell aggregate, scalar math on the bounded frame."""
+    from ..functions.texthash import md5_hash64
+
+    ev = load_table(spark, sf_dir, "events")
+    uid = F.col("user_id").cast("string")
+    arm = md5_hash64(F.concat(F.lit("ab|"), uid)) % 2
+    d6 = lambda c: F.sum(c.cast("decimal(38,6)")).cast("double")  # noqa: E731
+    rnd = lambda c: c.cast("decimal(38,6)").cast("double")  # noqa: E731
+    agg = ev.select(
+        "event_type", arm.alias("arm"), F.col("value").alias("x")
+    ).groupBy("event_type").agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_1"),
+        d6(F.when(F.col("arm") == 0, F.col("x")).otherwise(0.0)).alias(
+            "s_0"
+        ),
+        d6(F.when(F.col("arm") == 1, F.col("x")).otherwise(0.0)).alias(
+            "s_1"
+        ),
+        d6(
+            F.when(F.col("arm") == 0, F.col("x") * F.col("x")).otherwise(0.0)
+        ).alias("ss_0"),
+        d6(
+            F.when(F.col("arm") == 1, F.col("x") * F.col("x")).otherwise(0.0)
+        ).alias("ss_1"),
+    )
+    n0 = F.col("n_0").cast("double")
+    n1 = F.col("n_1").cast("double")
+    sq0 = F.col("ss_0") - F.col("s_0") * F.col("s_0") / n0
+    sq1 = F.col("ss_1") - F.col("s_1") * F.col("s_1") / n1
+    df = n0 + n1 - F.lit(2.0)
+    sp = F.sqrt((sq0 + sq1) / df)
+    d_raw = (F.col("s_1") / n1 - F.col("s_0") / n0) / sp
+    ok = (
+        (F.col("n_0") > 1) & (F.col("n_1") > 1) & (sp > F.lit(0.0))
+    )
+    j = F.lit(1.0) - F.lit(HEDGES_J_NUM) / (F.lit(4.0) * df - F.lit(1.0))
+    return agg.select(
+        "event_type",
+        "n_0",
+        "n_1",
+        F.when(ok, rnd(d_raw)).alias("cohens_d"),
+        F.when(ok, rnd(j * d_raw)).alias("hedges_g"),
+    ).orderBy("event_type")
+
+
+SQL_EFFECT_SIZE_REPORT = f"""
+    WITH agg AS (
+        SELECT event_type,
+            CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_0,
+            CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_1,
+            CAST(SUM(CAST(CASE WHEN arm = 0 THEN "value" ELSE 0.0 END
+                 AS DECIMAL(38,6))) AS DOUBLE) AS s_0,
+            CAST(SUM(CAST(CASE WHEN arm = 1 THEN "value" ELSE 0.0 END
+                 AS DECIMAL(38,6))) AS DOUBLE) AS s_1,
+            CAST(SUM(CAST(CASE WHEN arm = 0 THEN "value" * "value"
+                 ELSE 0.0 END AS DECIMAL(38,6))) AS DOUBLE) AS ss_0,
+            CAST(SUM(CAST(CASE WHEN arm = 1 THEN "value" * "value"
+                 ELSE 0.0 END AS DECIMAL(38,6))) AS DOUBLE) AS ss_1
+        FROM (SELECT event_type, {_SQL_AB_ARM} AS arm, "value" FROM events)
+        GROUP BY event_type
+    )
+    SELECT event_type, n_0, n_1,
+        CASE WHEN n_0 > 1 AND n_1 > 1 AND
+            sqrt(((ss_0 - s_0 * s_0 / n_0) + (ss_1 - s_1 * s_1 / n_1))
+                 / (CAST(n_0 AS DOUBLE) + CAST(n_1 AS DOUBLE) - 2.0)) > 0.0
+            THEN CAST(CAST(
+                (s_1 / n_1 - s_0 / n_0)
+                / sqrt(((ss_0 - s_0 * s_0 / n_0)
+                        + (ss_1 - s_1 * s_1 / n_1))
+                       / (CAST(n_0 AS DOUBLE) + CAST(n_1 AS DOUBLE) - 2.0))
+                AS DECIMAL(38,6)) AS DOUBLE) END AS cohens_d,
+        CASE WHEN n_0 > 1 AND n_1 > 1 AND
+            sqrt(((ss_0 - s_0 * s_0 / n_0) + (ss_1 - s_1 * s_1 / n_1))
+                 / (CAST(n_0 AS DOUBLE) + CAST(n_1 AS DOUBLE) - 2.0)) > 0.0
+            THEN CAST(CAST(
+                (1.0 - {HEDGES_J_NUM}
+                 / (4.0 * (CAST(n_0 AS DOUBLE) + CAST(n_1 AS DOUBLE) - 2.0)
+                    - 1.0))
+                * ((s_1 / n_1 - s_0 / n_0)
+                   / sqrt(((ss_0 - s_0 * s_0 / n_0)
+                           + (ss_1 - s_1 * s_1 / n_1))
+                          / (CAST(n_0 AS DOUBLE) + CAST(n_1 AS DOUBLE)
+                             - 2.0)))
+                AS DECIMAL(38,6)) AS DOUBLE) END AS hedges_g
+    FROM agg
+    ORDER BY event_type
+"""
+
+
+# --- autocorrelation function of monthly revenue (round 11) ---------------------
+
+ACF_MAX_LAG = 12
+
+
+def q_acf_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation function of monthly order revenue at lags
+    1..ACF_MAX_LAG with the cumulative Ljung-Box Q statistic (Ljung &
+    Box 1978) — the diagnostic that says whether seasonal_decompose /
+    holt_forecast left structure on the table, and the input to any
+    "is this series white noise yet" decision.
+
+    r_k = sum_t (y_t−ȳ)(y_{t+k}−ȳ) / sum_t (y_t−ȳ)², expanded so every
+    cross-product sum is EXACT decimal integer arithmetic in
+    micro-dollars (sum y_t y_{t+k}, sum y_t, sum y_{t+k} at each lag);
+    ȳ and the final ratio are fixed double expressions rounded to 6dp;
+    Q terms are 6dp-rounded then decimal-summed cumulatively.
+
+    Scale shape (100 TB): the month frame is calendar-bounded (the
+    theil_sen convention) — the lag join is |months| x 12 on that
+    bounded broadcast frame; nothing scales with row count after the
+    monthly aggregate."""
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        (
+            F.year("o_orderdate") * F.lit(12)
+            + F.month("o_orderdate")
+            - F.lit(1)
+        ).alias("x"),
+        "o_totalprice",
+    )
+    monthly = orders.groupBy("x").agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(38,6)")) * F.lit(1000000))
+        .cast("decimal(38,0)")
+        .alias("y")
+    )
+    totals = monthly.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).cast("decimal(38,0)").alias("syy"),
+    )
+    lags = spark.range(1, ACF_MAX_LAG + 1).select(
+        F.col("id").cast("long").alias("lag")
+    )
+    a = monthly.select(F.col("x").alias("xa"), F.col("y").alias("ya"))
+    b = monthly.select(F.col("x").alias("xb"), F.col("y").alias("yb"))
+    pairs = (
+        lags.join(
+            F.broadcast(a.crossJoin(F.broadcast(b))),
+            F.col("xa") + F.col("lag") == F.col("xb"),
+        )
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(F.col("ya") * F.col("yb"))
+            .cast("decimal(38,0)")
+            .alias("sab"),
+            F.sum("ya").cast("decimal(38,0)").alias("sa"),
+            F.sum("yb").cast("decimal(38,0)").alias("sb"),
+        )
+    )
+    rnd = lambda c: c.cast("decimal(38,6)").cast("double")  # noqa: E731
+    joined = pairs.crossJoin(F.broadcast(totals))
+    nd = F.col("n").cast("double")
+    ybar = F.col("sy").cast("double") / nd
+    denom = F.col("syy").cast("double") - F.col("sy").cast("double") * ybar
+    num = (
+        F.col("sab").cast("double")
+        - ybar * (F.col("sa").cast("double") + F.col("sb").cast("double"))
+        + F.col("n_pairs").cast("double") * ybar * ybar
+    )
+    acf = F.when(denom > F.lit(0.0), rnd(num / denom))
+    scored = joined.select(
+        "lag",
+        "n_pairs",
+        "n",
+        acf.alias("acf"),
+    )
+    w_cum = W.orderBy("lag").rowsBetween(W.unboundedPreceding, W.currentRow)
+    q_term = F.when(
+        F.col("n") > F.col("lag"),
+        rnd(
+            F.col("acf") * F.col("acf")
+            / (F.col("n") - F.col("lag")).cast("double")
+        ),
+    )
+    return scored.select(
+        "lag",
+        "n_pairs",
+        "acf",
+        rnd(
+            F.col("n").cast("double")
+            * (F.col("n") + 2).cast("double")
+            * F.sum(q_term.cast("decimal(38,6)")).over(w_cum).cast("double")
+        ).alias("lb_q"),
+    ).orderBy("lag")
+
+
+SQL_ACF_MONTHLY = f"""
+    WITH monthly AS (
+        SELECT year(o_orderdate) * 12 + month(o_orderdate) - 1 AS x,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) * 1000000
+                    AS DECIMAL(38,0)) AS y
+        FROM orders GROUP BY 1
+    ), totals AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS DECIMAL(38,0)) AS sy,
+               CAST(SUM(y * y) AS DECIMAL(38,0)) AS syy
+        FROM monthly
+    ), lags AS (
+        SELECT unnest(range(1, {ACF_MAX_LAG} + 1)) AS lag
+    ), pairs AS (
+        SELECT lag,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(a.y * b.y) AS DECIMAL(38,0)) AS sab,
+               CAST(SUM(a.y) AS DECIMAL(38,0)) AS sa,
+               CAST(SUM(b.y) AS DECIMAL(38,0)) AS sb
+        FROM lags JOIN monthly a ON TRUE
+                  JOIN monthly b ON a.x + lag = b.x
+        GROUP BY lag
+    ), scored AS (
+        SELECT lag, n_pairs, n,
+               CASE WHEN CAST(syy AS DOUBLE)
+                         - CAST(sy AS DOUBLE)
+                           * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) > 0.0
+                    THEN CAST(CAST(
+                        (CAST(sab AS DOUBLE)
+                         - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                           * (CAST(sa AS DOUBLE) + CAST(sb AS DOUBLE))
+                         + CAST(n_pairs AS DOUBLE)
+                           * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                           * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))
+                        / (CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE)
+                             * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))
+                        AS DECIMAL(38,6)) AS DOUBLE) END AS acf
+        FROM pairs CROSS JOIN totals
+    )
+    SELECT lag, n_pairs, acf,
+           CAST(CAST(CAST(n AS DOUBLE) * CAST(n + 2 AS DOUBLE)
+                * CAST(SUM(CAST(CASE WHEN n > lag THEN
+                      CAST(CAST(acf * acf / CAST(n - lag AS DOUBLE)
+                           AS DECIMAL(38,6)) AS DOUBLE) END
+                      AS DECIMAL(38,6))) OVER (ORDER BY lag
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS DOUBLE)
+                AS DECIMAL(38,6)) AS DOUBLE) AS lb_q
+    FROM scored
+    ORDER BY lag
+"""

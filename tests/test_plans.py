@@ -704,3 +704,19 @@ def test_rank_tests_partition_by_event_type(catalog_dfs):
         assert specs, (name, plan)
         assert all(s == "event_type" for s in specs), (name, plan)
         assert "CartesianProduct" not in plan, (name, plan)
+
+
+def test_acf_monthly_bounded_lag_join(catalog_dfs):
+    """The lag join runs on the calendar-bounded month frame via
+    broadcast — never an SMJ; the cumulative Ljung-Box window sits
+    above the 12-row lag frame."""
+    plan = _plan_of(catalog_dfs, "acf_monthly")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "Window" in plan, plan
+
+
+def test_effect_size_single_cell_aggregate(catalog_dfs):
+    plan = _plan_of(catalog_dfs, "effect_size_report")
+    assert "partial_sum" in plan, plan
+    assert "Join" not in plan, plan

@@ -1450,3 +1450,85 @@ def test_median_ci_matches_python(spark, sf_dir):
         assert r.ci_lo == xs[lo_r - 1]
         assert r.ci_hi == xs[hi_r - 1]
         assert r.ci_lo <= r.median <= r.ci_hi
+
+
+def test_effect_size_report_matches_python(spark, sf_dir):
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "user_id", "value")
+        .collect()
+    )
+    cells: dict[str, dict] = {}
+    for r in rows:
+        arm = _md5_64(f"ab|{r.user_id}") % 2
+        c = cells.setdefault(
+            r.event_type, {"n": [0, 0], "s": [0.0, 0.0], "ss": [0.0, 0.0]}
+        )
+        c["n"][arm] += 1
+        c["s"][arm] += float(_q6(float(r.value)))
+        c["ss"][arm] += float(_q6(float(r.value) * float(r.value)))
+    got = {
+        r.event_type: r
+        for r in _CATALOG["effect_size_report"][0](spark, sf_dir).collect()
+    }
+    assert set(got) == set(cells)
+    for et, c in cells.items():
+        r = got[et]
+        n0, n1 = c["n"]
+        assert (r.n_0, r.n_1) == (n0, n1)
+        if n0 > 1 and n1 > 1:
+            sq0 = c["ss"][0] - c["s"][0] ** 2 / n0
+            sq1 = c["ss"][1] - c["s"][1] ** 2 / n1
+            sp = math.sqrt((sq0 + sq1) / (n0 + n1 - 2))
+            if sp > 0:
+                d = (c["s"][1] / n1 - c["s"][0] / n0) / sp
+                assert abs(r.cohens_d - float(_q6(d))) < 1e-9
+                j = 1.0 - 3.0 / (4.0 * (n0 + n1 - 2) - 1.0)
+                assert abs(r.hedges_g - float(_q6(j * d))) < 1e-9
+                # the small-sample correction always shrinks |d|
+                assert abs(r.hedges_g) <= abs(r.cohens_d) + 1e-12
+
+
+def test_acf_monthly_matches_python(spark, sf_dir):
+    from decimal import Decimal
+
+    from lenses_topology_example_spark.operators.windows import ACF_MAX_LAG
+
+    rows = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderdate", "o_totalprice")
+        .collect()
+    )
+    monthly: dict[int, Decimal] = {}
+    for r in rows:
+        x = r.o_orderdate.year * 12 + r.o_orderdate.month - 1
+        monthly[x] = monthly.get(x, Decimal(0)) + (
+            Decimal(str(r.o_totalprice)) * 1_000_000
+        )
+    ys = {x: int(v) for x, v in monthly.items()}
+    n = len(ys)
+    sy = sum(ys.values())
+    syy = sum(v * v for v in ys.values())
+    ybar = float(sy) / n
+    denom = float(syy) - float(sy) * ybar
+    got = {r.lag: r for r in _CATALOG["acf_monthly"][0](spark, sf_dir).collect()}
+    assert sorted(got) == list(range(1, ACF_MAX_LAG + 1))
+    q_run = Decimal(0)
+    for k in range(1, ACF_MAX_LAG + 1):
+        pairs = [(x, x + k) for x in ys if x + k in ys]
+        sab = sum(ys[a] * ys[b] for a, b in pairs)
+        sa = sum(ys[a] for a, _ in pairs)
+        sb = sum(ys[b] for _, b in pairs)
+        num = (
+            float(sab) - ybar * (float(sa) + float(sb))
+            + len(pairs) * ybar * ybar
+        )
+        r = got[k]
+        assert r.n_pairs == len(pairs)
+        acf = float(_q6(num / denom))
+        assert abs(r.acf - acf) < 1e-9
+        assert abs(r.acf) <= 1.0 + 1e-6
+        if n > k:
+            q_run += _q6(acf * acf / (n - k))
+        lb = float(_q6(n * (n + 2) * float(q_run)))
+        assert abs(r.lb_q - lb) < 1e-9
