@@ -383,6 +383,9 @@ HEADLINE = (
     # lag join runs on the calendar-bounded month frame)
     "effect_size_report",
     "acf_monthly",
+    # round-11 wave 14 (both run on calendar-bounded frames)
+    "runs_test",
+    "sign_test",
 )
 
 

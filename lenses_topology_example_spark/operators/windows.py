@@ -4099,3 +4099,254 @@ SQL_ACF_MONTHLY = f"""
     FROM scored
     ORDER BY lag
 """
+
+
+# --- Wald-Wolfowitz runs test on daily revenue (round 11) -----------------------
+
+
+def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test (1940) for randomness of daily
+    purchase revenue about its median: too FEW runs of
+    above/below-median days means trending/clustered behavior, too
+    MANY means oscillation — the randomness screen that tells you
+    whether ewma_anomaly/cusum_changepoint have anything to find.
+    Ties with the median are excluded (the textbook convention).
+
+    Determinism: daily revenue is an exact decimal sum; the median is
+    the exact-rank definition over the bounded day frame; run counting
+    is a lag window over exact integer signs; E[R]/Var[R]/z are fixed
+    double expressions of exact integer counts rounded to 6dp.
+
+    Scale shape (100 TB): one scan collapses map-side to |days| cells;
+    the median rank pass, the lag window, and the 1-row report all run
+    on that bounded calendar frame (the order_backlog convention)."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == F.lit("purchase")
+    )
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.sum(F.col("value").cast("decimal(38,6)")).alias("rev")
+    )
+    w_rank = W.orderBy(F.col("rev"), F.col("d"))
+    w_all = W.partitionBy()
+    ranked = daily.select(
+        "d",
+        "rev",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("n_days"),
+    )
+    lo = (F.col("n_days") + 1) / F.lit(2)
+    med = ranked.groupBy("n_days").agg(
+        (
+            (
+                F.max(F.when(F.col("rn") == F.floor(lo), F.col("rev")))
+                + F.max(F.when(F.col("rn") == F.ceil(lo), F.col("rev")))
+            )
+            / F.lit(2.0)
+        ).alias("med")
+    )
+    signed = (
+        daily.crossJoin(F.broadcast(med.select("med")))
+        .filter(F.col("rev") != F.col("med"))
+        .select(
+            "d",
+            F.when(F.col("rev") > F.col("med"), 1).otherwise(0).alias("s"),
+        )
+    )
+    w_d = W.orderBy("d")
+    runs = signed.select(
+        "s",
+        F.when(
+            F.lag("s").over(w_d).isNull()
+            | (F.lag("s").over(w_d) != F.col("s")),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_run"),
+    )
+    agg = runs.agg(
+        F.sum("s").cast("long").alias("n_above"),
+        F.sum(F.lit(1) - F.col("s")).cast("long").alias("n_below"),
+        F.sum("new_run").cast("long").alias("n_runs"),
+    )
+    n1 = F.col("n_above").cast("double")
+    n2 = F.col("n_below").cast("double")
+    n = n1 + n2
+    e_r = F.lit(2.0) * n1 * n2 / n + F.lit(1.0)
+    var_r = (
+        F.lit(2.0) * n1 * n2 * (F.lit(2.0) * n1 * n2 - n1 - n2)
+        / (n * n * (n - F.lit(1.0)))
+    )
+    rnd = lambda c: c.cast("decimal(38,6)").cast("double")  # noqa: E731
+    ok = (F.col("n_above") > 0) & (F.col("n_below") > 0) & (n > F.lit(1.0))
+    return agg.select(
+        "n_above",
+        "n_below",
+        "n_runs",
+        F.when(ok, rnd(e_r)).alias("expected_runs"),
+        F.when(
+            ok & (var_r > F.lit(0.0)),
+            rnd((F.col("n_runs").cast("double") - e_r) / F.sqrt(var_r)),
+        ).alias("z_score"),
+    )
+
+
+SQL_RUNS_TEST = """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d,
+               SUM(CAST("value" AS DECIMAL(38,6))) AS rev
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1
+    ), ranked AS (
+        SELECT d, rev,
+               ROW_NUMBER() OVER (ORDER BY rev, d) AS rn,
+               COUNT(*) OVER () AS n_days
+        FROM daily
+    ), med AS (
+        SELECT (MAX(CASE WHEN rn = FLOOR((n_days + 1) / 2.0) THEN rev END)
+                + MAX(CASE WHEN rn = CEIL((n_days + 1) / 2.0) THEN rev END))
+               / 2.0 AS med
+        FROM ranked GROUP BY n_days
+    ), signed AS (
+        SELECT d, CASE WHEN rev > med THEN 1 ELSE 0 END AS s
+        FROM daily CROSS JOIN med
+        WHERE rev <> med
+    ), runs AS (
+        SELECT s,
+               CASE WHEN LAG(s) OVER (ORDER BY d) IS NULL
+                     OR LAG(s) OVER (ORDER BY d) <> s
+                    THEN 1 ELSE 0 END AS new_run
+        FROM signed
+    ), agg AS (
+        SELECT CAST(SUM(s) AS BIGINT) AS n_above,
+               CAST(SUM(1 - s) AS BIGINT) AS n_below,
+               CAST(SUM(new_run) AS BIGINT) AS n_runs
+        FROM runs
+    )
+    SELECT n_above, n_below, n_runs,
+           CASE WHEN n_above > 0 AND n_below > 0
+                 AND n_above + n_below > 1 THEN
+               CAST(CAST(2.0 * n_above * n_below
+                    / (CAST(n_above AS DOUBLE) + CAST(n_below AS DOUBLE))
+                    + 1.0 AS DECIMAL(38,6)) AS DOUBLE)
+           END AS expected_runs,
+           CASE WHEN n_above > 0 AND n_below > 0
+                 AND n_above + n_below > 1
+                 AND 2.0 * n_above * n_below
+                     * (2.0 * n_above * n_below
+                        - CAST(n_above AS DOUBLE) - CAST(n_below AS DOUBLE))
+                     / ((CAST(n_above AS DOUBLE) + CAST(n_below AS DOUBLE))
+                        * (CAST(n_above AS DOUBLE)
+                           + CAST(n_below AS DOUBLE))
+                        * (CAST(n_above AS DOUBLE)
+                           + CAST(n_below AS DOUBLE) - 1.0)) > 0.0
+                THEN CAST(CAST(
+                    (CAST(n_runs AS DOUBLE)
+                     - (2.0 * n_above * n_below
+                        / (CAST(n_above AS DOUBLE)
+                           + CAST(n_below AS DOUBLE)) + 1.0))
+                    / sqrt(2.0 * n_above * n_below
+                        * (2.0 * n_above * n_below
+                           - CAST(n_above AS DOUBLE)
+                           - CAST(n_below AS DOUBLE))
+                        / ((CAST(n_above AS DOUBLE)
+                            + CAST(n_below AS DOUBLE))
+                           * (CAST(n_above AS DOUBLE)
+                              + CAST(n_below AS DOUBLE))
+                           * (CAST(n_above AS DOUBLE)
+                              + CAST(n_below AS DOUBLE) - 1.0)))
+                    AS DECIMAL(38,6)) AS DOUBLE) END AS z_score
+    FROM agg
+"""
+
+
+# --- paired sign test of month-over-month growth (round 11) ---------------------
+
+
+def q_sign_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign test (Arbuthnott 1710 lineage) of month-over-month revenue
+    direction: of the consecutive month pairs, how many went UP vs
+    DOWN (exact ties dropped), and the binomial normal-approximation
+    z for "up and down are equally likely" — the assumption-free
+    growth verdict next to ols_trend's slope and theil_sen's robust
+    slope.
+
+    Determinism: monthly revenue is exact integer micro-dollars; the
+    up/down comparison is integer-exact; z is one fixed double
+    expression of exact counts rounded to 6dp.
+
+    Scale shape (100 TB): everything after the monthly aggregate runs
+    on the calendar-bounded month frame (one lag window, one 1-row
+    report)."""
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        (
+            F.year("o_orderdate") * F.lit(12)
+            + F.month("o_orderdate")
+            - F.lit(1)
+        ).alias("x"),
+        "o_totalprice",
+    )
+    monthly = orders.groupBy("x").agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(38,6)")) * F.lit(1000000))
+        .cast("decimal(38,0)")
+        .alias("y")
+    )
+    w_x = W.orderBy("x")
+    diffs = monthly.select(
+        (F.col("y") - F.lag("y").over(w_x)).alias("dy"),
+        (F.col("x") - F.lag("x").over(w_x)).alias("dx"),
+    ).filter(F.col("dx") == 1)
+    agg = diffs.agg(
+        F.sum(F.when(F.col("dy") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_up"),
+        F.sum(F.when(F.col("dy") < 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_down"),
+    )
+    n = (F.col("n_up") + F.col("n_down")).cast("double")
+    rnd = lambda c: c.cast("decimal(38,6)").cast("double")  # noqa: E731
+    z = F.when(
+        n > F.lit(0.0),
+        rnd(
+            (F.col("n_up").cast("double") - n / F.lit(2.0))
+            / F.sqrt(n / F.lit(4.0))
+        ),
+    )
+    return agg.select(
+        "n_up",
+        "n_down",
+        z.alias("z_score"),
+    )
+
+
+SQL_SIGN_TEST = """
+    WITH monthly AS (
+        SELECT year(o_orderdate) * 12 + month(o_orderdate) - 1 AS x,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) * 1000000
+                    AS DECIMAL(38,0)) AS y
+        FROM orders GROUP BY 1
+    ), diffs AS (
+        SELECT y - LAG(y) OVER (ORDER BY x) AS dy,
+               x - LAG(x) OVER (ORDER BY x) AS dx
+        FROM monthly
+    ), agg AS (
+        SELECT CAST(SUM(CASE WHEN dy > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_up,
+               CAST(SUM(CASE WHEN dy < 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_down
+        FROM diffs WHERE dx = 1
+    )
+    SELECT n_up, n_down,
+           CASE WHEN n_up + n_down > 0 THEN
+               CAST(CAST(
+                   (CAST(n_up AS DOUBLE)
+                    - (CAST(n_up AS DOUBLE) + CAST(n_down AS DOUBLE)) / 2.0)
+                   / sqrt((CAST(n_up AS DOUBLE)
+                           + CAST(n_down AS DOUBLE)) / 4.0)
+                   AS DECIMAL(38,6)) AS DOUBLE) END AS z_score
+    FROM agg
+"""

@@ -720,3 +720,13 @@ def test_effect_size_single_cell_aggregate(catalog_dfs):
     plan = _plan_of(catalog_dfs, "effect_size_report")
     assert "partial_sum" in plan, plan
     assert "Join" not in plan, plan
+
+
+def test_runs_and_sign_tests_bounded_frames(catalog_dfs):
+    """Both nonparametric tests collapse map-side to calendar-bounded
+    cells; every window runs above that frame; no SMJ/cartesian."""
+    for name in ("runs_test", "sign_test"):
+        plan = _plan_of(catalog_dfs, name)
+        assert "partial_sum" in plan or "partial_count" in plan, (name, plan)
+        assert "SortMergeJoin" not in plan, (name, plan)
+        assert "CartesianProduct" not in plan, (name, plan)

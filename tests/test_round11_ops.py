@@ -1532,3 +1532,76 @@ def test_acf_monthly_matches_python(spark, sf_dir):
             q_run += _q6(acf * acf / (n - k))
         lb = float(_q6(n * (n + 2) * float(q_run)))
         assert abs(r.lb_q - lb) < 1e-9
+
+
+def test_runs_test_matches_python(spark, sf_dir):
+    from decimal import Decimal
+
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .filter("event_type = 'purchase'")
+        .select("ts", "value")
+        .collect()
+    )
+    daily: dict = {}
+    for r in rows:
+        d = str(r.ts.date())
+        daily[d] = daily.get(d, Decimal(0)) + _q6(float(r.value))
+    days = sorted(daily)
+    revs = sorted((daily[d], d) for d in days)
+    n = len(revs)
+    m_lo = revs[math.floor((n + 1) / 2.0) - 1][0]
+    m_hi = revs[math.ceil((n + 1) / 2.0) - 1][0]
+    med = float(m_lo + m_hi) / 2.0
+    signs = [1 if float(daily[d]) > med else 0 for d in days
+             if float(daily[d]) != med]
+    n1 = sum(signs)
+    n2 = len(signs) - n1
+    runs = 1 + sum(1 for a, b in zip(signs, signs[1:]) if a != b)
+    r = _CATALOG["runs_test"][0](spark, sf_dir).collect()[0]
+    assert (r.n_above, r.n_below) == (n1, n2)
+    assert r.n_runs == runs
+    if n1 > 0 and n2 > 0 and n1 + n2 > 1:
+        nn = n1 + n2
+        e = 2.0 * n1 * n2 / nn + 1.0
+        var = (
+            2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+            / (nn * nn * (nn - 1))
+        )
+        assert abs(r.expected_runs - float(_q6(e))) < 1e-9
+        if var > 0:
+            assert abs(r.z_score - float(_q6((runs - e) / math.sqrt(var)))) < 1e-9
+    # runs bounded by the sequence structure
+    assert 1 <= r.n_runs <= len(signs)
+
+
+def test_sign_test_matches_python(spark, sf_dir):
+    from decimal import Decimal
+
+    rows = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderdate", "o_totalprice")
+        .collect()
+    )
+    monthly: dict[int, Decimal] = {}
+    for r in rows:
+        x = r.o_orderdate.year * 12 + r.o_orderdate.month - 1
+        monthly[x] = monthly.get(x, Decimal(0)) + (
+            Decimal(str(r.o_totalprice)) * 1_000_000
+        )
+    xs = sorted(monthly)
+    n_up = n_down = 0
+    for a, b in zip(xs, xs[1:]):
+        if b - a != 1:
+            continue
+        d = monthly[b] - monthly[a]
+        if d > 0:
+            n_up += 1
+        elif d < 0:
+            n_down += 1
+    r = _CATALOG["sign_test"][0](spark, sf_dir).collect()[0]
+    assert (r.n_up, r.n_down) == (n_up, n_down)
+    n = n_up + n_down
+    if n > 0:
+        z = float(_q6((n_up - n / 2.0) / math.sqrt(n / 4.0)))
+        assert abs(r.z_score - z) < 1e-9
