@@ -386,6 +386,9 @@ HEADLINE = (
     # round-11 wave 14 (both run on calendar-bounded frames)
     "runs_test",
     "sign_test",
+    # round-11 wave 15 (association summaries over bounded cell frames)
+    "kappa_agreement",
+    "cramers_v",
 )
 
 

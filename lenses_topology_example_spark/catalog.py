@@ -896,6 +896,15 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
         windows.q_sign_test,
         windows.SQL_SIGN_TEST,
     ),
+    # fifteenth round-11 wave: association-strength summaries
+    "kappa_agreement": (
+        text.q_kappa_agreement,
+        text.SQL_KAPPA_AGREEMENT,
+    ),
+    "cramers_v": (
+        analytics.q_cramers_v,
+        analytics.SQL_CRAMERS_V,
+    ),
 }
 
 # The driver evaluates only the first DRIVER_WINDOW_SIZE catalog entries
@@ -940,14 +949,15 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
 #
 # ROUND-12 ROTATION PLAN (write the new DRIVER_WINDOW from this once
 # CORRECTNESS_r11 lands; assuming the r11 window goes green):
-#   Slots 1-22: the twenty-two r11 wave-6..14 past-window additions, in
+#   Slots 1-24: the twenty-four r11 wave-6..15 past-window additions, in
 #     registration order — permutation_test, spearman_corr,
 #     kfold_assign, oov_rate, fdr_bh, jl_projection_audit,
 #     heaps_law_fit, term_burstiness, token_coverage_curve,
 #     brier_decomposition, group_sequential, power_mde,
 #     fisher_separability, neyman_allocation, entropy_rate,
 #     good_turing_mass, mann_whitney, median_ci,
-#     effect_size_report, acf_monthly, runs_test, sign_test. All 22 hold
+#     effect_size_report, acf_monthly, runs_test, sign_test,
+#     kappa_agreement, cramers_v. All 24 hold
 #     three-SF registration parity
 #     (sf0.001/0.01/0.1) plus empty-input green and a round-11
 #     full-catalog driver-replica MATCH at sf0.01 AND sf0.1

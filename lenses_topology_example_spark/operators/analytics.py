@@ -2572,3 +2572,130 @@ SQL_BRIER_DECOMPOSITION = f"""
     FROM terms
     GROUP BY n_total, pos_total, ss_total, sy_total
 """
+
+
+# --- Cramer's V association strength (round 11) ---------------------------------
+
+
+def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramer's V (1946) of the market-segment x order-priority
+    contingency — the [0,1] association strength that makes
+    chi2_independence's per-cell decomposition comparable across
+    tables of different size and shape: V = sqrt(chi2 / (N * (min(r,c)
+    - 1))). A chi2 that is 'significant' on 1e9 rows can still be a
+    V=0.01 nothing; this is the number that says so.
+
+    Determinism: counts/margins exact integers; each cell's chi-square
+    term is a fixed double expression rounded to 6dp then
+    decimal-summed (no order-dependent double sum across cells); V is
+    one sqrt of exact-derived doubles, rounded to 6dp.
+
+    Scale shape (100 TB): one scan collapses to the |segments| x
+    |priorities| cell frame; margins are bounded re-aggregations;
+    everything after is scalar math on that frame."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_mktsegment").alias("seg")
+    )
+    cells = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("seg", F.col("o_orderpriority").alias("prio"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    from pyspark.sql import Window as W
+
+    w_seg = W.partitionBy("seg")
+    w_prio = W.partitionBy("prio")
+    w_all = W.partitionBy()
+    rnd = lambda c: c.cast("decimal(38,6)").cast("double")  # noqa: E731
+    margins = cells.select(
+        "seg",
+        "prio",
+        "c",
+        F.sum("c").over(w_seg).cast("long").alias("row_tot"),
+        F.sum("c").over(w_prio).cast("long").alias("col_tot"),
+        F.sum("c").over(w_all).cast("long").alias("n"),
+    )
+    exp = (
+        F.col("row_tot").cast("double")
+        * F.col("col_tot").cast("double")
+        / F.col("n").cast("double")
+    )
+    terms = margins.select(
+        "n",
+        rnd(
+            (F.col("c").cast("double") - exp)
+            * (F.col("c").cast("double") - exp)
+            / exp
+        ).alias("term"),
+        "seg",
+        "prio",
+    )
+    dims = terms.agg(
+        F.max("n").alias("n"),
+        F.count_distinct("seg").cast("long").alias("n_rows"),
+        F.count_distinct("prio").cast("long").alias("n_cols"),
+        F.sum(F.col("term").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("chi2_total"),
+    )
+    mindim = F.least(F.col("n_rows"), F.col("n_cols")) - F.lit(1)
+    return dims.select(
+        F.col("n").cast("long").alias("n"),
+        "n_rows",
+        "n_cols",
+        rnd(F.col("chi2_total")).alias("chi2_total"),
+        F.when(
+            (mindim > 0) & (F.col("n") > 0),
+            rnd(
+                F.sqrt(
+                    F.col("chi2_total")
+                    / (F.col("n").cast("double") * mindim.cast("double"))
+                )
+            ),
+        ).alias("cramers_v"),
+    )
+
+
+SQL_CRAMERS_V = """
+    WITH cells AS (
+        SELECT c_mktsegment AS seg, o_orderpriority AS prio,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1, 2
+    ), margins AS (
+        SELECT seg, prio, c,
+               CAST(SUM(c) OVER (PARTITION BY seg) AS BIGINT) AS row_tot,
+               CAST(SUM(c) OVER (PARTITION BY prio) AS BIGINT) AS col_tot,
+               CAST(SUM(c) OVER () AS BIGINT) AS n
+        FROM cells
+    ), terms AS (
+        SELECT n, seg, prio,
+               CAST(CAST(
+                   (CAST(c AS DOUBLE)
+                    - CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
+                      / CAST(n AS DOUBLE))
+                   * (CAST(c AS DOUBLE)
+                      - CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
+                        / CAST(n AS DOUBLE))
+                   / (CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
+                      / CAST(n AS DOUBLE))
+                   AS DECIMAL(38,6)) AS DOUBLE) AS term
+        FROM margins
+    ), dims AS (
+        SELECT MAX(n) AS n,
+               CAST(COUNT(DISTINCT seg) AS BIGINT) AS n_rows,
+               CAST(COUNT(DISTINCT prio) AS BIGINT) AS n_cols,
+               CAST(SUM(CAST(term AS DECIMAL(38,6))) AS DOUBLE)
+                   AS chi2_total
+        FROM terms
+    )
+    SELECT CAST(n AS BIGINT) AS n, n_rows, n_cols,
+           CAST(CAST(chi2_total AS DECIMAL(38,6)) AS DOUBLE) AS chi2_total,
+           CASE WHEN LEAST(n_rows, n_cols) - 1 > 0 AND n > 0 THEN
+               CAST(CAST(sqrt(chi2_total
+                    / (CAST(n AS DOUBLE)
+                       * CAST(LEAST(n_rows, n_cols) - 1 AS DOUBLE)))
+                    AS DECIMAL(38,6)) AS DOUBLE) END AS cramers_v
+    FROM dims
+"""

@@ -4060,3 +4060,124 @@ SQL_GOOD_TURING_MASS = f"""
     FROM fof CROSS JOIN totals
     ORDER BY r
 """
+
+
+# --- Cohen's kappa of the language classifier (round 11) -----------------------
+
+
+def q_kappa_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa (1960) of the heuristic language classifier
+    against the labeled lang column — chance-corrected agreement,
+    the one-number summary of lang_confusion's matrix: kappa = 
+    (p_o − p_e)/(1 − p_e), with p_e from the marginal products. An
+    accuracy of 0.9 on a 90%-English corpus is chance; kappa says so.
+
+    Determinism: diagonal/margin sums are exact integers over the
+    |langs|² cell frame; p_o/p_e/kappa are fixed double expressions of
+    those integers rounded to 6dp; the degenerate p_e=1 case (a
+    single-class corpus, perfectly predicted) yields NULL kappa.
+
+    Scale shape (100 TB): the prediction is in-row (shared
+    pred_lang_col — audit and classifier cannot drift); ONE
+    |langs|²-bounded cell aggregate; margins and the products are
+    bounded-frame re-aggregations (never a second corpus scan)."""
+    docs = load_table(spark, sf_dir, "documents")
+    cells = (
+        docs.select("lang", pred_lang_col(F.col("text")).alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    rows = cells.groupBy("lang").agg(F.sum("c").cast("long").alias("r"))
+    cols = cells.groupBy("pred_lang").agg(
+        F.sum("c").cast("long").alias("k")
+    )
+    marg = rows.join(
+        cols, rows["lang"] == cols["pred_lang"], "full_outer"
+    ).select(
+        F.coalesce(F.col("r"), F.lit(0)).alias("r"),
+        F.coalesce(F.col("k"), F.lit(0)).alias("k"),
+    )
+    pe_num = marg.agg(
+        F.sum(F.col("r").cast("decimal(38,0)") * F.col("k")).alias("rk")
+    )
+    totals = cells.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.when(F.col("lang") == F.col("pred_lang"), F.col("c")))
+        .cast("long")
+        .alias("n_agree"),
+    )
+    rnd = lambda c: c.cast("decimal(38,6)").cast("double")  # noqa: E731
+    j = totals.crossJoin(F.broadcast(pe_num))
+    nd = F.col("n").cast("double")
+    po = F.coalesce(F.col("n_agree"), F.lit(0)).cast("double") / nd
+    pe = F.col("rk").cast("double") / (nd * nd)
+    return j.select(
+        "n",
+        F.coalesce(F.col("n_agree"), F.lit(0)).alias("n_agree"),
+        rnd(po).alias("p_observed"),
+        rnd(pe).alias("p_expected"),
+        F.when(
+            (F.col("n") > 0) & (pe < F.lit(1.0)),
+            rnd((po - pe) / (F.lit(1.0) - pe)),
+        ).alias("kappa"),
+    )
+
+
+SQL_KAPPA_AGREEMENT = f"""
+    WITH t AS (SELECT lang, {SQL_TOKS} AS toks FROM documents),
+    s AS (
+        SELECT lang,
+               {_sql_lang_score('en')} AS score_en,
+               {_sql_lang_score('de')} AS score_de,
+               {_sql_lang_score('es')} AS score_es,
+               {_sql_lang_score('zh')} AS score_zh
+        FROM t
+    ), p AS (
+        SELECT lang,
+               CASE
+                 WHEN score_en >= score_de AND score_en >= score_es
+                      AND score_en >= score_zh THEN 'en'
+                 WHEN score_de >= score_es AND score_de >= score_zh THEN 'de'
+                 WHEN score_es >= score_zh THEN 'es'
+                 ELSE 'zh'
+               END AS pred_lang
+        FROM s
+    ), cells AS (
+        SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS c
+        FROM p GROUP BY lang, pred_lang
+    ), rws AS (
+        SELECT lang, CAST(SUM(c) AS BIGINT) AS r FROM cells GROUP BY lang
+    ), cls AS (
+        SELECT pred_lang, CAST(SUM(c) AS BIGINT) AS k
+        FROM cells GROUP BY pred_lang
+    ), marg AS (
+        SELECT COALESCE(r, 0) AS r, COALESCE(k, 0) AS k
+        FROM rws FULL OUTER JOIN cls ON rws.lang = cls.pred_lang
+    ), pe_num AS (
+        SELECT SUM(CAST(r AS DECIMAL(38,0)) * k) AS rk FROM marg
+    ), totals AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN lang = pred_lang THEN c END) AS BIGINT)
+                   AS n_agree
+        FROM cells
+    )
+    SELECT n,
+           COALESCE(n_agree, 0) AS n_agree,
+           CAST(CAST(CAST(COALESCE(n_agree, 0) AS DOUBLE)
+                / CAST(n AS DOUBLE) AS DECIMAL(38,6)) AS DOUBLE)
+               AS p_observed,
+           CAST(CAST(CAST(rk AS DOUBLE)
+                / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+                AS DECIMAL(38,6)) AS DOUBLE) AS p_expected,
+           CASE WHEN n > 0 AND CAST(rk AS DOUBLE)
+                     / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) < 1.0
+                THEN CAST(CAST(
+                    (CAST(COALESCE(n_agree, 0) AS DOUBLE)
+                     / CAST(n AS DOUBLE)
+                     - CAST(rk AS DOUBLE)
+                       / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                    / (1.0 - CAST(rk AS DOUBLE)
+                       / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                    AS DECIMAL(38,6)) AS DOUBLE) END AS kappa
+    FROM totals CROSS JOIN pe_num
+"""

@@ -730,3 +730,15 @@ def test_runs_and_sign_tests_bounded_frames(catalog_dfs):
         assert "partial_sum" in plan or "partial_count" in plan, (name, plan)
         assert "SortMergeJoin" not in plan, (name, plan)
         assert "CartesianProduct" not in plan, (name, plan)
+
+
+def test_kappa_and_cramers_bounded(catalog_dfs):
+    """Both association summaries collapse map-side to bounded cell
+    frames; the scalar joins broadcast; no corpus-scale SMJ appears
+    beyond cramers_v's orders-customer equi join."""
+    plan = _plan_of(catalog_dfs, "kappa_agreement")
+    assert "partial_count" in plan or "partial_sum" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    plan = _plan_of(catalog_dfs, "cramers_v")
+    assert "partial_count" in plan, plan
+    assert "CartesianProduct" not in plan, plan

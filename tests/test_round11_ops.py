@@ -1605,3 +1605,70 @@ def test_sign_test_matches_python(spark, sf_dir):
     if n > 0:
         z = float(_q6((n_up - n / 2.0) / math.sqrt(n / 4.0)))
         assert abs(r.z_score - z) < 1e-9
+
+
+def test_kappa_agreement_matches_python(spark, sf_dir):
+    rows = (
+        _CATALOG["lang_confusion"][0](spark, sf_dir)
+        .select("lang", "pred_lang", "n_docs")
+        .collect()
+    )
+    n = sum(r.n_docs for r in rows)
+    agree = sum(r.n_docs for r in rows if r.lang == r.pred_lang)
+    row_tot: dict = {}
+    col_tot: dict = {}
+    for r in rows:
+        row_tot[r.lang] = row_tot.get(r.lang, 0) + r.n_docs
+        col_tot[r.pred_lang] = col_tot.get(r.pred_lang, 0) + r.n_docs
+    rk = sum(
+        row_tot.get(c, 0) * col_tot.get(c, 0)
+        for c in set(row_tot) | set(col_tot)
+    )
+    got = _CATALOG["kappa_agreement"][0](spark, sf_dir).collect()[0]
+    assert got.n == n
+    assert got.n_agree == agree
+    po = agree / n
+    pe = rk / (n * n)
+    assert abs(got.p_observed - float(_q6(po))) < 1e-9
+    assert abs(got.p_expected - float(_q6(pe))) < 1e-9
+    if pe < 1.0:
+        assert abs(got.kappa - float(_q6((po - pe) / (1 - pe)))) < 1e-9
+        assert got.kappa <= 1.0 + 1e-9  # kappa never exceeds 1
+
+
+def test_cramers_v_matches_python(spark, sf_dir):
+    from decimal import Decimal
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority"
+    ).collect()
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    ).collect()
+    seg_of = {r.c_custkey: r.c_mktsegment for r in c}
+    cells: dict = {}
+    for r in o:
+        if r.o_custkey not in seg_of:
+            continue
+        key = (seg_of[r.o_custkey], r.o_orderpriority)
+        cells[key] = cells.get(key, 0) + 1
+    n = sum(cells.values())
+    row_tot: dict = {}
+    col_tot: dict = {}
+    for (s, p), v in cells.items():
+        row_tot[s] = row_tot.get(s, 0) + v
+        col_tot[p] = col_tot.get(p, 0) + v
+    chi2 = Decimal(0)
+    for (s, p), v in cells.items():
+        exp = row_tot[s] * col_tot[p] / n
+        chi2 += _q6((v - exp) * (v - exp) / exp)
+    got = _CATALOG["cramers_v"][0](spark, sf_dir).collect()[0]
+    assert got.n == n
+    assert got.n_rows == len(row_tot)
+    assert got.n_cols == len(col_tot)
+    assert abs(got.chi2_total - float(_q6(float(chi2)))) < 1e-9
+    mind = min(len(row_tot), len(col_tot)) - 1
+    if mind > 0:
+        v = float(_q6(math.sqrt(float(chi2) / (n * mind))))
+        assert abs(got.cramers_v - v) < 1e-9
+        assert 0.0 <= got.cramers_v <= 1.0 + 1e-9
