@@ -389,6 +389,8 @@ HEADLINE = (
     # round-11 wave 15 (association summaries over bounded cell frames)
     "kappa_agreement",
     "cramers_v",
+    # round-11 wave 16 (a 1-row aggregate over the decomposition frame)
+    "seasonal_strength",
 )
 
 

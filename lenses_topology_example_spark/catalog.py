@@ -905,6 +905,11 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
         analytics.q_cramers_v,
         analytics.SQL_CRAMERS_V,
     ),
+    # sixteenth round-11 wave: decomposition strength summary
+    "seasonal_strength": (
+        windows.q_seasonal_strength,
+        windows.SQL_SEASONAL_STRENGTH,
+    ),
 }
 
 # The driver evaluates only the first DRIVER_WINDOW_SIZE catalog entries
@@ -949,7 +954,7 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
 #
 # ROUND-12 ROTATION PLAN (write the new DRIVER_WINDOW from this once
 # CORRECTNESS_r11 lands; assuming the r11 window goes green):
-#   Slots 1-24: the twenty-four r11 wave-6..15 past-window additions, in
+#   Slots 1-25: the twenty-five r11 wave-6..16 past-window additions, in
 #     registration order — permutation_test, spearman_corr,
 #     kfold_assign, oov_rate, fdr_bh, jl_projection_audit,
 #     heaps_law_fit, term_burstiness, token_coverage_curve,
@@ -957,7 +962,7 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
 #     fisher_separability, neyman_allocation, entropy_rate,
 #     good_turing_mass, mann_whitney, median_ci,
 #     effect_size_report, acf_monthly, runs_test, sign_test,
-#     kappa_agreement, cramers_v. All 24 hold
+#     kappa_agreement, cramers_v, seasonal_strength. All 25 hold
 #     three-SF registration parity
 #     (sf0.001/0.01/0.1) plus empty-input green and a round-11
 #     full-catalog driver-replica MATCH at sf0.01 AND sf0.1

@@ -4350,3 +4350,110 @@ SQL_SIGN_TEST = """
                    AS DECIMAL(38,6)) AS DOUBLE) END AS z_score
     FROM agg
 """
+
+
+# --- trend / seasonal strength of the decomposition (round 11) ------------------
+
+
+def q_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyndman-Athanasopoulos strength-of-components summary (FPP3
+    §4.5) computed ON q_seasonal_decompose's own output frame:
+    trend strength F_T = max(0, 1 − Var(R)/Var(T+R)) and seasonal
+    strength F_S = max(0, 1 − Var(R)/Var(S+R)) over the months where
+    the trend window is complete — the two [0,1] numbers that say
+    whether seasonal_decompose found anything and whether acf_monthly
+    should even bother. Stream and batch CANNOT drift: this operator
+    consumes the decomposition operator itself, not a re-derivation.
+
+    Determinism: the component columns are the decomposition's own
+    6dp-disciplined doubles; variances come from per-row 6dp-rounded
+    values decimal-summed (order-free) with ONE division by the exact
+    month count; strengths are fixed double expressions rounded to 6dp.
+
+    Scale shape (100 TB): the input is the calendar-bounded month
+    frame; this is a 1-row aggregate over it."""
+    comp = q_seasonal_decompose(spark, sf_dir).filter(
+        F.col("residual").isNotNull()
+    )
+    q6 = lambda c: c.cast("decimal(38,6)")  # noqa: E731
+    vals = comp.select(
+        q6(F.col("residual")).alias("r"),
+        q6(F.col("revenue") - F.col("trend")).alias("sr"),
+        q6(F.col("revenue") - F.col("seasonal")).alias("tr"),
+    )
+    agg = vals.agg(
+        F.count(F.lit(1)).cast("long").alias("n_months"),
+        F.sum("r").cast("double").alias("s_r"),
+        F.sum(q6(F.col("r").cast("double") * F.col("r").cast("double")))
+        .cast("double")
+        .alias("ss_r"),
+        F.sum("sr").cast("double").alias("s_sr"),
+        F.sum(q6(F.col("sr").cast("double") * F.col("sr").cast("double")))
+        .cast("double")
+        .alias("ss_sr"),
+        F.sum("tr").cast("double").alias("s_tr"),
+        F.sum(q6(F.col("tr").cast("double") * F.col("tr").cast("double")))
+        .cast("double")
+        .alias("ss_tr"),
+    )
+    nd = F.col("n_months").cast("double")
+    var_r = F.col("ss_r") - F.col("s_r") * F.col("s_r") / nd
+    var_sr = F.col("ss_sr") - F.col("s_sr") * F.col("s_sr") / nd
+    var_tr = F.col("ss_tr") - F.col("s_tr") * F.col("s_tr") / nd
+    rnd = lambda c: c.cast("decimal(38,6)").cast("double")  # noqa: E731
+    f_t = F.when(
+        (F.col("n_months") > 1) & (var_sr > F.lit(0.0)),
+        rnd(F.greatest(F.lit(0.0), F.lit(1.0) - var_r / var_sr)),
+    )
+    f_s = F.when(
+        (F.col("n_months") > 1) & (var_tr > F.lit(0.0)),
+        rnd(F.greatest(F.lit(0.0), F.lit(1.0) - var_r / var_tr)),
+    )
+    return agg.select(
+        "n_months",
+        f_t.alias("trend_strength"),
+        f_s.alias("seasonal_strength"),
+    )
+
+
+def _build_sql_seasonal_strength() -> str:
+    return f"""
+    WITH comp AS ({SQL_SEASONAL_DECOMPOSE}),
+    vals AS (
+        SELECT CAST(residual AS DECIMAL(38,6)) AS r,
+               CAST(revenue - trend AS DECIMAL(38,6)) AS sr,
+               CAST(revenue - seasonal AS DECIMAL(38,6)) AS tr
+        FROM comp WHERE residual IS NOT NULL
+    ), agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_months,
+               CAST(SUM(r) AS DOUBLE) AS s_r,
+               CAST(SUM(CAST(CAST(r AS DOUBLE) * CAST(r AS DOUBLE)
+                    AS DECIMAL(38,6))) AS DOUBLE) AS ss_r,
+               CAST(SUM(sr) AS DOUBLE) AS s_sr,
+               CAST(SUM(CAST(CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE)
+                    AS DECIMAL(38,6))) AS DOUBLE) AS ss_sr,
+               CAST(SUM(tr) AS DOUBLE) AS s_tr,
+               CAST(SUM(CAST(CAST(tr AS DOUBLE) * CAST(tr AS DOUBLE)
+                    AS DECIMAL(38,6))) AS DOUBLE) AS ss_tr
+        FROM vals
+    )
+    SELECT n_months,
+           CASE WHEN n_months > 1 AND
+                ss_sr - s_sr * s_sr / CAST(n_months AS DOUBLE) > 0.0
+                THEN CAST(CAST(GREATEST(0.0,
+                    1.0 - (ss_r - s_r * s_r / CAST(n_months AS DOUBLE))
+                        / (ss_sr - s_sr * s_sr
+                           / CAST(n_months AS DOUBLE)))
+                    AS DECIMAL(38,6)) AS DOUBLE) END AS trend_strength,
+           CASE WHEN n_months > 1 AND
+                ss_tr - s_tr * s_tr / CAST(n_months AS DOUBLE) > 0.0
+                THEN CAST(CAST(GREATEST(0.0,
+                    1.0 - (ss_r - s_r * s_r / CAST(n_months AS DOUBLE))
+                        / (ss_tr - s_tr * s_tr
+                           / CAST(n_months AS DOUBLE)))
+                    AS DECIMAL(38,6)) AS DOUBLE) END AS seasonal_strength
+    FROM agg
+"""
+
+
+SQL_SEASONAL_STRENGTH = _build_sql_seasonal_strength()

@@ -742,3 +742,12 @@ def test_kappa_and_cramers_bounded(catalog_dfs):
     plan = _plan_of(catalog_dfs, "cramers_v")
     assert "partial_count" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_seasonal_strength_rides_decomposition_plan(catalog_dfs):
+    """A 1-row aggregate above the decomposition's bounded month frame
+    — no new joins, no cartesian."""
+    plan = _plan_of(catalog_dfs, "seasonal_strength")
+    assert "HashAggregate" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan

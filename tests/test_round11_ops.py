@@ -1672,3 +1672,35 @@ def test_cramers_v_matches_python(spark, sf_dir):
         v = float(_q6(math.sqrt(float(chi2) / (n * mind))))
         assert abs(got.cramers_v - v) < 1e-9
         assert 0.0 <= got.cramers_v <= 1.0 + 1e-9
+
+
+def test_seasonal_strength_matches_python(spark, sf_dir):
+    from decimal import Decimal
+
+    comp = [
+        r
+        for r in _CATALOG["seasonal_decompose"][0](spark, sf_dir).collect()
+        if r.residual is not None
+    ]
+    n = len(comp)
+    r6 = [_q6(r.residual) for r in comp]
+    sr6 = [_q6(r.revenue - r.trend) for r in comp]
+    tr6 = [_q6(r.revenue - r.seasonal) for r in comp]
+
+    def var(vals):
+        s = float(sum(vals, Decimal(0)))
+        ss = float(
+            sum((_q6(float(v) * float(v)) for v in vals), Decimal(0))
+        )
+        return ss - s * s / n
+
+    got = _CATALOG["seasonal_strength"][0](spark, sf_dir).collect()[0]
+    assert got.n_months == n
+    if n > 1 and var(sr6) > 0:
+        ft = float(_q6(max(0.0, 1.0 - var(r6) / var(sr6))))
+        assert abs(got.trend_strength - ft) < 1e-9
+        assert 0.0 <= got.trend_strength <= 1.0
+    if n > 1 and var(tr6) > 0:
+        fs = float(_q6(max(0.0, 1.0 - var(r6) / var(tr6))))
+        assert abs(got.seasonal_strength - fs) < 1e-9
+        assert 0.0 <= got.seasonal_strength <= 1.0
