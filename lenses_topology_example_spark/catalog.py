@@ -922,112 +922,110 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
 # and first-50 order). Full rotation history: ROTATION.md (r8 VERDICT
 # ask #7 — only the CURRENT window and the NEXT plan live here).
 #
-# ROUND-11 WINDOW (executes the plan written in round 10 verbatim;
-# CORRECTNESS_r10 came back 50/50 green, so the r10 window rotates out):
-#   Slots 1-19:  the nineteen r10 wave-2..10 past-window additions, in
-#                registration order (target_encode .. interp_quantiles)
-#                — every catalog entry's FIRST driver verdict comes
-#                within one round of registration. All 19 were
-#                pre-verified green by the r10 judge's own
-#                driver-replica run at sf0.01.
-#   Slots 20-27: oldest-verdict re-checks, the r3 block
-#                (audio_features, frame_sample, image_features,
-#                image_resize, moving_avg, multimodal_meta,
-#                sliding_count, window_range_interval).
-#   Slots 28-41: the r4 block (big_orders .. topk_words).
-#   Slot  42:    token_count (r5).
-#   Slots 20-31: the twelve round-11 additions (label_noise_knn,
-#                silhouette_report, temporal_split,
-#                conformal_threshold, bandit_ucb, source_ablation,
-#                hill_tail_index, forecast_backtest,
-#                mrl_truncation_audit, weighted_sample_ares,
-#                theil_sen_trend, group_rare_collapse) — three-SF
-#                oracle parity + empty-input OK at registration.
-#   Slots 32-50: the re-check blocks below (r3 block, then the r4
-#                block through sessionize_lag). The additions
-#                displaced the r6 block head (8 entries), token_count
-#                (r5), and topk_words/sim_ann_lsh/sim_ann_ivf (r4) to
-#                the round-12 queue.
-#   OUT: the freshly-green r10 block (each leaves with a current
+# ROUND-12 WINDOW (executes the plan written in round 11 verbatim;
+# CORRECTNESS_r11 came back 50/50 full green, so the r11 window rotates
+# out — every member leaves with a current r11 verdict):
+#   Slots 1-25:  the twenty-five r11 wave-6..16 past-window additions,
+#                in registration order (permutation_test ..
+#                seasonal_strength) — every entry's FIRST driver verdict
+#                comes within one round of registration. All 25 were
+#                pre-verified green by the r11 judge's own
+#                driver-replica run at sf0.01 (VERDICT.md r11).
+#   Slots 26-28: oldest-verdict re-checks, r4 block remainder
+#                (topk_words, sim_ann_lsh, sim_ann_ivf).
+#   Slot  29:    token_count (r5).
+#   Slots 30-39: the r6 block (embed_neardup, curation_pipeline,
+#                text_stats, udaf_median, corr_text_embedding, map_fns,
+#                tfidf, text_normalize, seq_packing,
+#                stratified_sample).
+#   Slots 40-50: the r7 block head — risk-tiered order per ROTATION.md
+#                (libm/rounding/decimal-class contracts first:
+#                lm_score, token_entropy, bigram_lm_score, ann_recall,
+#                ann_recall_ivf, embed_dedup_cluster, pmi_collocations;
+#                then registration order: dedup_containment,
+#                dedup_lines_near, dedup_lines_rebuild,
+#                dedup_lines_near_capped).
+#   OUT: the freshly-green r11 block (each leaves with a current r11
 #   verdict; pytest oracle parity at sf0.001 still covers every
 #   rotated-out entry on every run).
 #
-# ROUND-12 ROTATION PLAN (write the new DRIVER_WINDOW from this once
-# CORRECTNESS_r11 lands; assuming the r11 window goes green):
-#   Slots 1-25: the twenty-five r11 wave-6..16 past-window additions, in
-#     registration order — permutation_test, spearman_corr,
-#     kfold_assign, oov_rate, fdr_bh, jl_projection_audit,
-#     heaps_law_fit, term_burstiness, token_coverage_curve,
-#     brier_decomposition, group_sequential, power_mde,
-#     fisher_separability, neyman_allocation, entropy_rate,
-#     good_turing_mass, mann_whitney, median_ci,
-#     effect_size_report, acf_monthly, runs_test, sign_test,
-#     kappa_agreement, cramers_v, seasonal_strength. All 25 hold
-#     three-SF registration parity
-#     (sf0.001/0.01/0.1) plus empty-input green and a round-11
-#     full-catalog driver-replica MATCH at sf0.01 AND sf0.1
-#     (BASELINE.md round-11 close matrix).
-#   IN after those: any r11 RED held in-window until green, then the
-#     re-check queue oldest-verdict-first: the r6 block remainder
-#     (seq_packing, stratified_sample, plus the r6 entries displaced
-#     from the r11 tail), then the r7 block as slots allow.
-#   OUT: the freshly-green r11 block.
+# ROUND-13 ROTATION PLAN (write the new DRIVER_WINDOW from this once
+# CORRECTNESS_r12 lands; assuming the r12 window goes green):
+#   Head: any round-12 additions without a driver verdict, in
+#     registration order (the protocol: first verdict within one round
+#     of registration).
+#   Then: any r12 RED held in-window until green.
+#   Then the risk-tiered re-check queue (ROTATION.md rule): RISK-TIER
+#     entries (libm/rounding/decimal-cast contracts) whose latest
+#     verdict is older than 3 rounds, oldest-first; then the plain
+#     oldest-verdict-first queue — the r7 block remainder
+#     (dedup_incremental, decontaminate_bloom, eval_leak_report,
+#     dedup_ngram_spans, corpus_diversity, kmeans_assign, kmeans_refine,
+#     embed_quantize, repetition_stats, corpus_mix, curation_funnel,
+#     funnel_sweep, pii_scrub, corpus_report, word_variants,
+#     quality_score, doc_fingerprint, lang_id, shard_plan,
+#     corpus_rebalance, length_histogram, corpus_drift, gopher_rules,
+#     quality_classifier, dataset_split, score_weighted_sample,
+#     quality_gate, funnel_conversion, cohort_retention, lateral_topn,
+#     cms_token_freq, deterministic_sample, grouped_map_norm,
+#     range_join_buckets), then the r8 block as slots allow.
 DRIVER_WINDOW_SIZE = 50
 DRIVER_WINDOW: tuple[str, ...] = (
-    # r10 wave-2..10 past-window entries (first driver verdicts)
-    "target_encode",
-    "woe_iv",
-    "mad_outliers",
-    "copurchase_triangles",
-    "asset_gif_meta",
-    "survival_curve",
-    "negative_sampling_plan",
-    "ewma_anomaly",
-    "chi2_independence",
-    "zonemap_prune_audit",
-    "winsorized_stats",
-    "mutual_information",
-    "bloom_join_audit",
-    "ks_drift",
-    "quantile_normalize",
-    "gains_curve",
-    "seasonal_decompose",
-    "decayed_revenue",
-    "interp_quantiles",
-    # round-11 additions (waves 1-2, registration order)
-    "label_noise_knn",
-    "silhouette_report",
-    "temporal_split",
-    "conformal_threshold",
-    "bandit_ucb",
-    "source_ablation",
-    "hill_tail_index",
-    "forecast_backtest",
-    "mrl_truncation_audit",
-    "weighted_sample_ares",
-    "theil_sen_trend",
-    "group_rare_collapse",
-    # re-checks: r3 block (oldest verdicts in the catalog)
-    "audio_features",
-    "frame_sample",
-    "image_features",
-    "image_resize",
-    "moving_avg",
-    "multimodal_meta",
-    "sliding_count",
-    "window_range_interval",
-    # re-checks: r4 block
-    "big_orders",
-    "bigram_counts",
-    "bpe_token_count",
-    "decontaminate",
-    "dedup_cluster",
-    "dedup_near_jaccard",
-    "dedup_simhash",
-    "fx_join",
-    "knn_classify",
-    "pattern_counts",
-    "sessionize_lag",
+    # r11 wave-6..16 past-window entries (first driver verdicts)
+    "permutation_test",
+    "spearman_corr",
+    "kfold_assign",
+    "oov_rate",
+    "fdr_bh",
+    "jl_projection_audit",
+    "heaps_law_fit",
+    "term_burstiness",
+    "token_coverage_curve",
+    "brier_decomposition",
+    "group_sequential",
+    "power_mde",
+    "fisher_separability",
+    "neyman_allocation",
+    "entropy_rate",
+    "good_turing_mass",
+    "mann_whitney",
+    "median_ci",
+    "effect_size_report",
+    "acf_monthly",
+    "runs_test",
+    "sign_test",
+    "kappa_agreement",
+    "cramers_v",
+    "seasonal_strength",
+    # re-checks: r4 block remainder (oldest verdicts in the catalog)
+    "topk_words",
+    "sim_ann_lsh",
+    "sim_ann_ivf",
+    # re-checks: token_count (r5)
+    "token_count",
+    # re-checks: r6 block
+    "embed_neardup",
+    "curation_pipeline",
+    "text_stats",
+    "udaf_median",
+    "corr_text_embedding",
+    "map_fns",
+    "tfidf",
+    "text_normalize",
+    "seq_packing",
+    "stratified_sample",
+    # re-checks: r7 block head, risk tier first (ROTATION.md rule)
+    "lm_score",
+    "token_entropy",
+    "bigram_lm_score",
+    "ann_recall",
+    "ann_recall_ivf",
+    "embed_dedup_cluster",
+    "pmi_collocations",
+    "dedup_containment",
+    "dedup_lines_near",
+    "dedup_lines_rebuild",
+    "dedup_lines_near_capped",
 )
 
 #

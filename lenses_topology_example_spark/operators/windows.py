@@ -3066,10 +3066,10 @@ SQL_PERMUTATION_TEST = f"""
             CAST(CAST(
                 CAST(SUM(CAST(CASE WHEN arm = 1 THEN "value" ELSE 0.0 END
                      AS DECIMAL(38,6))) AS DOUBLE)
-                / SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END)
+                / NULLIF(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END), 0)
                 - CAST(SUM(CAST(CASE WHEN arm = 0 THEN "value" ELSE 0.0 END
                        AS DECIMAL(38,6))) AS DOUBLE)
-                / SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END)
+                / NULLIF(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END), 0)
                 AS DECIMAL(38,6)) AS DOUBLE) AS obs_diff
         FROM (SELECT {_SQL_AB_ARM} AS arm, "value" FROM p)
     ), perms AS (
@@ -3077,10 +3077,10 @@ SQL_PERMUTATION_TEST = f"""
             CAST(CAST(
                 CAST(SUM(CAST(CASE WHEN arm = 1 THEN "value" ELSE 0.0 END
                      AS DECIMAL(38,6))) AS DOUBLE)
-                / SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END)
+                / NULLIF(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END), 0)
                 - CAST(SUM(CAST(CASE WHEN arm = 0 THEN "value" ELSE 0.0 END
                        AS DECIMAL(38,6))) AS DOUBLE)
-                / SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END)
+                / NULLIF(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END), 0)
                 AS DECIMAL(38,6)) AS DOUBLE) AS diff,
             SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS pn_0,
             SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS pn_1

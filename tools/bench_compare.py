@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 
 BAR = 3.0
@@ -51,7 +52,17 @@ def main() -> int:
     else:
         import glob
 
-        quiet = sorted(glob.glob(os.path.join(root, "bench_quiet_r*.json")))
+        # Sort numerically on the round number — a lexicographic sort
+        # misorders mixed digit counts (bench_quiet_r9 > bench_quiet_r11)
+        # and would silently adjudicate a stale sample (r11 ADVICE).
+        def _round_no(path: str) -> int:
+            m = re.search(r"bench_quiet_r(\d+)\.json$", path)
+            return int(m.group(1)) if m else -1
+
+        quiet = sorted(
+            glob.glob(os.path.join(root, "bench_quiet_r*.json")),
+            key=_round_no,
+        )
         bench_path = (
             quiet[-1]
             if quiet
