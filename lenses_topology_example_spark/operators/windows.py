@@ -1254,8 +1254,9 @@ def q_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the per-cell sums are exact 1e-6 multiples, so the cumulative is
     order-independent); the cumulative re-rounds to scale 4 before its
     double cast (cohort lifetime totals cross the scale-6 2^53 line at
-    sf1.0 — the decayed_revenue rule); LTV is one decimal-rounded
-    division.
+    sf1.0 — the decayed_revenue rule); LTV is the RAW double quotient
+    of two already-identical values (a 6dp round here fired the
+    midpoint-tie class live at sf1.0 — BASELINE.md numeric class #3).
 
     Scale shape: orders aggregates twice, both keyed and map-side
     partial (first-order per customer, then revenue per (cohort, age)
@@ -1307,9 +1308,12 @@ def q_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue",
             "cum_revenue",
             "n_customers",
+            # RAW double quotient — cum_revenue and n_customers are
+            # already bit-identical cross-engine, so a final 6dp round
+            # only ADDS the decimal-midpoint tie class (it fired live
+            # at sf1.0: cum/n landing on ...5625 split HALF_UP vs
+            # round-half-even — BASELINE.md numeric class #3).
             F.try_divide(F.col("cum_revenue"), F.col("n_customers"))
-            .cast("decimal(38,6)")
-            .cast("double")
             .alias("ltv_per_customer"),
         )
         .orderBy("cohort_month", "age_months")
@@ -1344,8 +1348,7 @@ SQL_LTV_CURVE = """
     )
     SELECT strftime(cum.cohort_m, '%Y-%m') AS cohort_month,
            age_months, revenue, cum_revenue, n_customers,
-           CAST(CAST(cum_revenue / CAST(n_customers AS DOUBLE)
-                AS DECIMAL(38,6)) AS DOUBLE) AS ltv_per_customer
+           cum_revenue / CAST(n_customers AS DOUBLE) AS ltv_per_customer
     FROM cum JOIN sizes USING (cohort_m)
     ORDER BY cohort_month, age_months
 """
