@@ -65,13 +65,22 @@ SQL_DEDUP_EXACT = """
 
 
 def shingles_col(toks: Column, n: int = 3) -> Column:
-    """Word n-gram shingles from a token array (empty if < n tokens)."""
-    idx = F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
-    gram = lambda i: F.concat_ws(
-        " ", *[F.element_at(toks, i + F.lit(o)) for o in range(n)]
-    )
+    """Word n-gram shingles from a token array (empty if < n tokens).
+
+    Built from arrays_zip over n offset SLICES, not a per-position
+    index lambda: element_at(toks, i) inside a transform lambda
+    re-evaluates the WHOLE toks expression once per element, so a
+    caller passing the raw tokenization expression paid
+    O(tokens * regex-split) per row — measured 5.2 s vs 0.7 s at sf0.1
+    on the bigram fan-out (round 12; the zip form touches toks only
+    ~2n times per row, making the helper safe to call on unprojected
+    expressions). Output is bit-identical to the index form
+    (equivalence-checked at rewrite time)."""
+    m = F.size(toks) - F.lit(n - 1)
+    zipped = F.arrays_zip(*[F.slice(toks, 1 + o, m) for o in range(n)])
+    gram = lambda s: F.concat_ws(" ", *[s[str(o)] for o in range(n)])
     return F.when(
-        F.size(toks) >= F.lit(n), F.transform(idx, gram)
+        F.size(toks) >= F.lit(n), F.transform(zipped, gram)
     ).otherwise(F.array().cast("array<string>"))
 
 

@@ -543,6 +543,119 @@ SQL_KMEANS_REFINE = f"""
     GROUP BY cid
 """
 
+def kmeans_fit(
+    spark: SparkSession, sf_dir: str, max_iters: int = 25
+) -> tuple[DataFrame, int, bool]:
+    """Full Lloyd iteration run to the assignment FIXPOINT — the
+    composition q_kmeans_refine's docstring promises ("iterating to
+    convergence is this plan in the dedup_cluster fixpoint loop").
+    Returns (labels, n_iters, converged): labels is the eager
+    (vec_id, centroid_id) membership at the fixpoint, n_iters counts
+    completed Lloyd iterations (recompute + reassign), converged is
+    False only when max_iters ran out while assignments still moved.
+
+    The loop is the resolve_clusters protocol (operators/dedup.py):
+    driver-side iteration over DISTRIBUTED rounds, one scalar `count`
+    action per round as the convergence check, and localCheckpoint on
+    every membership frame so the lineage does not re-derive all prior
+    rounds (Lloyd's plan doubles per iteration otherwise). Nothing
+    data-sized touches the driver — each round is one broadcast-join
+    assignment pass plus one (K x dims)-keyed partial-aggregating
+    recompute, exactly the q_kmeans_refine shapes.
+
+    Determinism (the property the fixpoint test pins): every quantity
+    on the path — the prenorm cosine folds, the (cos DESC, cid ASC)
+    argmax, the per-(cid, dim) DECIMAL(38,6) component sums and their
+    single double division — is bit-deterministic and order-free, so
+    the iteration TRAJECTORY (not just the final state) is exactly
+    reproducible by a sequential replica. Clusters that lose every
+    member simply drop out of the centroid frame (standard Lloyd
+    behavior); zero-norm refined centroids are filtered like their
+    seed counterparts.
+
+    Scale shape (100 TB): two corpus passes per iteration (the Lloyd
+    minimum), both shuffle-light — assignment exchanges only the
+    WindowGroupLimit-trimmed one-row-per-vector frame, recompute
+    partial-aggregates to K*dims rows per partition; the K-row
+    centroid frame broadcasts both ways. O(diameter)-style round count
+    is bounded by max_iters.
+    """
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    emb = (
+        emb.withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
+        .filter(F.col("nrm") > F.lit(0.0))
+        .localCheckpoint()
+    )
+
+    def assign(cents: DataFrame) -> DataFrame:
+        w = W.partitionBy("vec_id").orderBy(
+            F.col("cos_sim").desc(), F.col("cid").asc()
+        )
+        return (
+            emb.crossJoin(F.broadcast(cents))
+            .select(
+                "vec_id",
+                "cid",
+                cosine_prenorm(
+                    F.col("v"), F.col("cv"), F.col("nrm"), F.col("cnrm")
+                ).alias("cos_sim"),
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == F.lit(1))
+            .select("vec_id", "cid")
+        )
+
+    def recompute(labels: DataFrame) -> DataFrame:
+        comps = (
+            emb.join(labels, "vec_id")
+            .select("cid", F.posexplode(F.col("v")).alias("dim", "x"))
+            .select(
+                "cid", "dim", F.col("x").cast("decimal(38,6)").alias("xd")
+            )
+        )
+        return (
+            comps.groupBy("cid", "dim")
+            .agg((F.sum("xd").cast("double") / F.count(F.lit(1))).alias("m"))
+            .groupBy("cid")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("dim"), F.col("m")))
+                ).alias("dm")
+            )
+            .select(
+                "cid",
+                F.transform(F.col("dm"), lambda s: s.getField("m")).alias(
+                    "cv"
+                ),
+            )
+            .withColumn("cnrm", F.sqrt(dot(F.col("cv"), F.col("cv"))))
+            .filter(F.col("cnrm") > F.lit(0.0))
+        )
+
+    cent = emb.filter(F.col("vec_id") < F.lit(KMEANS_K)).select(
+        F.col("vec_id").alias("cid"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cnrm"),
+    )
+    labels = assign(cent).localCheckpoint()
+    for it in range(1, max_iters + 1):
+        cur = assign(recompute(labels)).localCheckpoint()
+        n_changed = (
+            labels.alias("p")
+            .join(cur.alias("c"), "vec_id")
+            .filter(F.col("p.cid") != F.col("c.cid"))
+            .count()
+        )
+        labels = cur
+        if n_changed == 0:
+            return labels.withColumnRenamed("cid", "centroid_id"), it, True
+    return labels.withColumnRenamed("cid", "centroid_id"), max_iters, False
+
+
 # --- cluster composition / label purity report -------------------------------------
 
 

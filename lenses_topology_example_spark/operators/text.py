@@ -311,22 +311,19 @@ SQL_TOPK_WORDS = f"""
 
 def q_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-bigram counts over the corpus (n-gram LM statistics, the
-    classic training-data analysis pass). Bigrams derive from the token
-    array with a transform over positions — same Generate-shaped fan-out
-    as tokenize, shuffle bounded by |distinct bigrams|. Top-100 head."""
+    classic training-data analysis pass). Bigrams derive from the
+    PROJECTED token array via the shared slice+zip shingle helper —
+    Generate-shaped fan-out, shuffle bounded by |distinct bigrams|.
+    Top-100 head."""
+    from .dedup import shingles_col
+
     docs = load_table(spark, sf_dir, "documents")
-    toks = tokens_col(F.col("text"))
-    grams = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + F.lit(1))
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # tokens PROJECTED once before the fan-out — inlining the regex
+    # split into a per-element lambda re-evaluated it per token
+    # (6.7 s -> ~0.4 s at sf0.1, the round-12 full-bench-gate find)
+    toks = docs.select(tokens_col(F.col("text")).alias("t"))
     return (
-        docs.select(F.explode(grams).alias("bigram"))
+        toks.select(F.explode(shingles_col(F.col("t"), 2)).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), F.col("bigram"))

@@ -39,3 +39,12 @@ def test_anchors_cover_headline():
     ]
     missing = [n for n in bench.HEADLINE if n not in anchors]
     assert not missing, f"headline entries without anchors: {missing}"
+
+
+def test_headline_covers_catalog():
+    """Round-12 gate (r11 VERDICT ask #4): every catalog entry is
+    benched and anchored — an un-timed entry is a blind spot where a
+    plan regression stays invisible to bench_compare. HEADLINE is
+    allowed to exceed the catalog only never to miss part of it."""
+    missing = [n for n in _CATALOG if n not in set(bench.HEADLINE)]
+    assert not missing, f"catalog entries outside the bench gate: {missing}"
