@@ -26,10 +26,13 @@ N_SLICES = 6
 CUT = 3  # restart boundary: slices [0, CUT) before, [CUT, N) after
 
 
-def _write_slices(df, key_col, src, upto):
+def _write_slices(df, key_col, src, lo, hi):
     """Append per-slice single files so maxFilesPerTrigger=1 yields one
-    micro-batch per slice."""
-    for i in range(upto):
+    micro-batch per slice. Only [lo, hi) is written — phase two must
+    APPEND the new slices, never rewrite the old ones (an overwrite
+    mints new filenames the file source would reprocess as fresh
+    batches, double-counting the cumulative state)."""
+    for i in range(lo, hi):
         mode = "overwrite" if i == 0 else "append"
         df.filter(f"{key_col} % {N_SLICES} = {i}").coalesce(1).write.mode(
             mode
@@ -69,12 +72,12 @@ def test_soak_bandit_recovers_state_across_restart(spark, sf_dir, tmp_path):
         finally:
             q.stop()
 
-    _write_slices(ev, "event_id", src, CUT)
+    _write_slices(ev, "event_id", src, 0, CUT)
     drain()
     ids_before = _batch_ids(f"{out}/report/batch_id=*")
     assert ids_before == [0, 1, 2]
 
-    _write_slices(ev, "event_id", src, N_SLICES)  # reveal slices 3..5
+    _write_slices(ev, "event_id", src, CUT, N_SLICES)  # reveal slices 3..5
     drain()  # NEW query instance, same checkpoint
     ids_after = _batch_ids(f"{out}/report/batch_id=*")
     assert ids_after == [0, 1, 2, 3, 4, 5], (
@@ -117,11 +120,11 @@ def test_soak_conformal_recovers_state_across_restart(
         finally:
             q.stop()
 
-    _write_slices(emb, "vec_id", src, CUT)
+    _write_slices(emb, "vec_id", src, 0, CUT)
     drain()
     assert _batch_ids(f"{out}/report/batch_id=*") == [0, 1, 2]
 
-    _write_slices(emb, "vec_id", src, N_SLICES)
+    _write_slices(emb, "vec_id", src, CUT, N_SLICES)
     drain()
     assert _batch_ids(f"{out}/report/batch_id=*") == [0, 1, 2, 3, 4, 5]
 
@@ -164,11 +167,11 @@ def test_soak_gs_recovers_state_across_restart(spark, sf_dir, tmp_path):
         finally:
             q.stop()
 
-    _write_slices(ev, "event_id", src, CUT)
+    _write_slices(ev, "event_id", src, 0, CUT)
     drain()
     assert _batch_ids(f"{out}/report/batch_id=*") == [0, 1, 2]
 
-    _write_slices(ev, "event_id", src, N_SLICES)
+    _write_slices(ev, "event_id", src, CUT, N_SLICES)
     drain()
     assert _batch_ids(f"{out}/report/batch_id=*") == [0, 1, 2, 3, 4, 5]
 
@@ -221,11 +224,11 @@ def test_soak_oov_continues_batch_ids_and_counts_add_up(
         finally:
             q.stop()
 
-    _write_slices(docs, "doc_id", src, CUT)
+    _write_slices(docs, "doc_id", src, 0, CUT)
     drain()
     assert _batch_ids(f"{out}/batch_id=*") == [0, 1, 2]
 
-    _write_slices(docs, "doc_id", src, N_SLICES)
+    _write_slices(docs, "doc_id", src, CUT, N_SLICES)
     drain()
     assert _batch_ids(f"{out}/batch_id=*") == [0, 1, 2, 3, 4, 5]
 
