@@ -32,12 +32,24 @@ def catalog_dfs(spark, sf_dir):
     rebalance — the r8 ask-#8 ten-minute pytest line). sink_parquet is
     excluded: building a sink executes its write (documented contract
     exception in operators/sinks.py)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from lenses_topology_example_spark.catalog import _CATALOG
     from lenses_topology_example_spark.conf import ensure_runtime_confs
 
     ensure_runtime_confs(spark)
-    return {
-        name: fn(spark, sf_dir)
-        for name, (fn, _sql) in _CATALOG.items()
-        if name != "sink_parquet"
-    }
+    # Build concurrently: construction is driver-side Catalyst analysis
+    # (Py4J round-trips + JVM work, no actions), which threads overlap
+    # fine — 71 s serial -> 33 s at 8 workers measured at 287 entries
+    # (round 12; the r11 ask-#3 headroom lever). Entries that build
+    # eagerly (fixpoint resolvers, memoized persists) are thread-safe
+    # by their own locks (dedup._MATERIALIZED_LOCK).
+    names = [n for n in _CATALOG if n != "sink_parquet"]
+
+    def build(name):
+        fn = _CATALOG[name][0]
+        return name, fn(spark, sf_dir)
+
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        built = dict(ex.map(build, names))
+    return {n: built[n] for n in names}

@@ -751,3 +751,69 @@ def test_seasonal_strength_rides_decomposition_plan(catalog_dfs):
     assert "HashAggregate" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_kmeans_fit_round_is_broadcast_and_group_limited(spark, sf_dir):
+    """The fixpoint loop's per-round plan must keep the q_kmeans_refine
+    scale shapes: the K-row centroid frame broadcasts into the
+    assignment pass (never a shuffled join against the corpus) and the
+    per-vector top-1 window carries WindowGroupLimit so only one row
+    per vector reaches the exchange. Pin ONE composed round — the loop
+    repeats the same plan."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from lenses_topology_example_spark.operators.embed_stats import (
+        kmeans_fit,
+    )
+
+    labels, n_iters, _ = kmeans_fit(spark, sf_dir, max_iters=1)
+    assert n_iters == 1
+    # localCheckpoint truncates the returned frame's lineage, so pin
+    # the round plan on an identically-composed assignment pass
+    from lenses_topology_example_spark.operators.embed_stats import (
+        KMEANS_K,
+    )
+    from lenses_topology_example_spark.tables import load_table
+    from lenses_topology_example_spark.operators.similarity import (
+        as_double,
+        cosine_prenorm,
+        dot,
+    )
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    emb = emb.withColumn(
+        "nrm", F.sqrt(dot(F.col("v"), F.col("v")))
+    ).filter(F.col("nrm") > F.lit(0.0))
+    cent = emb.filter(F.col("vec_id") < F.lit(KMEANS_K)).select(
+        F.col("vec_id").alias("cid"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cnrm"),
+    )
+    w = W.partitionBy("vec_id").orderBy(
+        F.col("cos_sim").desc(), F.col("cid").asc()
+    )
+    one_round = (
+        emb.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "cid",
+            cosine_prenorm(
+                F.col("v"), F.col("cv"), F.col("nrm"), F.col("cnrm")
+            ).alias("cos_sim"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == F.lit(1))
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        one_round.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "WindowGroupLimit" in plan
+    assert "SortMergeJoin" not in plan
