@@ -484,7 +484,8 @@ HEADLINE = (
 
 
 # Two-tier protocol (round-8, BASELINE.md "bench tiers"): the full
-# headline (len(HEADLINE) queries) takes ~115-130 s quiet;
+# headline (len(HEADLINE) queries — the WHOLE catalog since round 12)
+# takes ~230-240 s quiet at 287 entries;
 # `--headline-core` runs the long-lived comparable set (every entry
 # present since round 7's early waves — flagship pipeline through
 # pmi_collocations) for fast iteration. The round's final BENCH always

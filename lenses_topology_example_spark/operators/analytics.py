@@ -216,18 +216,21 @@ def q_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     equations — the textbook single-feature regression every BI stack
     ships, computed as one aggregate (no iterative solver).
 
-    Determinism: monthly revenue is held as EXACT integer micro-dollars
-    (DECIMAL(38,6) sum × 1e6 → DECIMAL(38,0)) for the first-moment
-    sums (Σy, Σxy → slope/intercept), but the R² moments (Σy², Σy, Σxy
-    for the correlation) accumulate at WHOLE-DOLLAR grain
-    (HALF_UP-rounded on both engines — DuckDB ROUND matches Spark's,
-    probed at midpoints): micro-grain squares overflow DECIMAL(38,0)
-    past ~$10T per month-cell (silent NULL on Spark, hard HUGEINT
-    error on DuckDB — r10 ADVICE), while dollar-grain squares stay
-    exact at ANY scale factor. All sums are exact integer/decimal
-    arithmetic; slope/intercept/R² are then single double expressions
-    over those exact sums with identical shapes on both engines — the
-    only doubles are final casts of identical exact values.
+    Determinism: monthly revenue enters the first moments (Σy, Σxy →
+    slope/intercept) at WHOLE-DOLLAR grain and the R² moments (Σy²,
+    Σxy) at KILO-dollar grain — both HALF_UP-rounded identically on
+    the two engines. The grains are chosen so EVERY integer that gets
+    cast to double stays under 2^53, where int→double conversion is
+    exact on both engines: the round-12 sf1.0 sweep caught the
+    micro-dollar num moment (−1.8e18) mis-rounding in DuckDB —
+    negative HUGEINT→DOUBLE is 1-ulp-off for ~0.75% of >2^53 values
+    (probed; positives and BIGINT are correct — BASELINE.md round-12
+    note). Dollar-grain keeps |num_d| < 2^53 through sf1000;
+    kilo-grain does the same for the squared R² moments (micro-grain
+    squares additionally overflow DECIMAL(38,0) past ~$10T/cell —
+    r10 ADVICE). All sums are exact integer arithmetic;
+    slope/intercept/R² are single double expressions over exact
+    sub-2^53 values with identical shapes on both engines.
 
     Scale shape (100 TB): orders joins customer on custkey
     (co-partitioned SMJ under AQE); the month-grain rollup is
@@ -255,52 +258,58 @@ def q_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "c_mktsegment",
             "mon_idx",
-            (F.col("ysum") * F.lit(1000000))
-            .cast("decimal(38,0)")
-            .alias("ymic"),
             F.round("ysum", 0).cast("decimal(38,0)").alias("yd"),
+        )
+        # kilo-dollar grain derived from the EXACT dollar grain by
+        # integer HALF_UP: floor((yd+500)/1000) — engine-identical
+        # (revenue is positive; no decimal-division scale semantics
+        # in the loop)
+        .withColumn(
+            "yk",
+            F.floor((F.col("yd") + F.lit(500)) / F.lit(1000)).cast(
+                "decimal(38,0)"
+            ),
         )
     )
     sums = monthly.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).cast("long").alias("n_months"),
         F.sum("mon_idx").cast("long").alias("sx"),
         F.sum(F.col("mon_idx") * F.col("mon_idx")).cast("long").alias("sxx"),
-        F.sum("ymic").cast("decimal(38,0)").alias("sy"),
-        F.sum(F.col("ymic") * F.col("mon_idx"))
-        .cast("decimal(38,0)")
-        .alias("sxy"),
         F.sum("yd").cast("decimal(38,0)").alias("syd"),
         F.sum(F.col("yd") * F.col("mon_idx"))
         .cast("decimal(38,0)")
         .alias("sxyd"),
-        F.sum(F.col("yd") * F.col("yd")).cast("decimal(38,0)").alias("syyd"),
+        F.sum("yk").cast("decimal(38,0)").alias("syk"),
+        F.sum(F.col("yk") * F.col("mon_idx"))
+        .cast("decimal(38,0)")
+        .alias("sxyk"),
+        F.sum(F.col("yk") * F.col("yk")).cast("decimal(38,0)").alias("syyk"),
     )
-    num = (
-        F.col("n_months") * F.col("sxy") - F.col("sx") * F.col("sy")
+    num_d = (
+        F.col("n_months") * F.col("sxyd") - F.col("sx") * F.col("syd")
     ).cast("double")
     den = (
         F.col("n_months") * F.col("sxx") - F.col("sx") * F.col("sx")
     ).cast("double")
-    num_d = (
-        F.col("n_months") * F.col("sxyd") - F.col("sx") * F.col("syd")
+    num_k = (
+        F.col("n_months") * F.col("sxyk") - F.col("sx") * F.col("syk")
     ).cast("double")
-    denyy_d = (
-        F.col("n_months") * F.col("syyd") - F.col("syd") * F.col("syd")
+    denyy_k = (
+        F.col("n_months") * F.col("syyk") - F.col("syk") * F.col("syk")
     ).cast("double")
-    slope_mu = num / den
+    slope_d = num_d / den
     return sums.select(
         "c_mktsegment",
         "n_months",
-        (slope_mu / F.lit(1000000.0)).alias("slope"),
+        slope_d.alias("slope"),
         (
             (
-                F.col("sy").cast("double")
-                - slope_mu * F.col("sx").cast("double")
+                F.col("syd").cast("double")
+                - slope_d * F.col("sx").cast("double")
             )
             / F.col("n_months").cast("double")
-            / F.lit(1000000.0)
         ).alias("intercept"),
-        (num_d * num_d / (den * denyy_d)).alias("r2"),
+        (num_k * num_k / (den * denyy_k)).alias("r2"),
     ).orderBy("c_mktsegment")
 
 
@@ -311,36 +320,38 @@ SQL_OLS_TREND = """
                SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS ysum
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY 1, 2
-    ), monthly AS (
+    ), monthly1 AS (
         SELECT c_mktsegment, mon_idx,
-               CAST(ysum * 1000000 AS HUGEINT) AS ymic,
                CAST(ROUND(ysum, 0) AS HUGEINT) AS yd
         FROM monthly0
+    ), monthly AS (
+        SELECT c_mktsegment, mon_idx, yd,
+               CAST(FLOOR((yd + 500) / 1000) AS HUGEINT) AS yk
+        FROM monthly1
     ), sums AS (
         SELECT c_mktsegment,
                CAST(COUNT(*) AS BIGINT) AS n_months,
                CAST(SUM(mon_idx) AS BIGINT) AS sx,
                CAST(SUM(mon_idx * mon_idx) AS BIGINT) AS sxx,
-               SUM(ymic) AS sy,
-               SUM(ymic * mon_idx) AS sxy,
                SUM(yd) AS syd,
                SUM(yd * mon_idx) AS sxyd,
-               SUM(yd * yd) AS syyd
+               SUM(yk) AS syk,
+               SUM(yk * mon_idx) AS sxyk,
+               SUM(yk * yk) AS syyk
         FROM monthly GROUP BY 1
     )
     SELECT c_mktsegment, n_months,
-           CAST(n_months * sxy - sx * sy AS DOUBLE)
-           / CAST(n_months * sxx - sx * sx AS DOUBLE)
-           / 1000000.0 AS slope,
-           (CAST(sy AS DOUBLE)
-            - (CAST(n_months * sxy - sx * sy AS DOUBLE)
+           CAST(n_months * sxyd - sx * syd AS DOUBLE)
+           / CAST(n_months * sxx - sx * sx AS DOUBLE) AS slope,
+           (CAST(syd AS DOUBLE)
+            - (CAST(n_months * sxyd - sx * syd AS DOUBLE)
                / CAST(n_months * sxx - sx * sx AS DOUBLE))
               * CAST(sx AS DOUBLE))
-           / CAST(n_months AS DOUBLE) / 1000000.0 AS intercept,
-           CAST(n_months * sxyd - sx * syd AS DOUBLE)
-           * CAST(n_months * sxyd - sx * syd AS DOUBLE)
+           / CAST(n_months AS DOUBLE) AS intercept,
+           CAST(n_months * sxyk - sx * syk AS DOUBLE)
+           * CAST(n_months * sxyk - sx * syk AS DOUBLE)
            / (CAST(n_months * sxx - sx * sx AS DOUBLE)
-              * CAST(n_months * syyd - syd * syd AS DOUBLE)) AS r2
+              * CAST(n_months * syyk - syk * syk AS DOUBLE)) AS r2
     FROM sums
     ORDER BY c_mktsegment
 """

@@ -2355,11 +2355,19 @@ def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     13-month span avoids the 2×12 half-weight endpoints; documented
     simplification.
 
-    Determinism: monthly revenue is DECIMAL(38,6)-exact; the MA is a
-    window SUM of those decimals (exact in any order) divided once;
-    detrended doubles re-enter decimal before the seasonal mean (the
-    embed-tier discipline); residual is one subtraction of
-    identically-derived doubles.
+    Determinism (round-12 revision — the sf1.0 sweep fired two latent
+    classes here): monthly revenue and its 13-month window sum are
+    exact decimals RE-ROUNDED TO SCALE 4 before any double cast (the
+    dsum4 rule: the window sum's scale-6 units cross 2^53 at sf1.0,
+    where DuckDB's int128→double path mis-rounds); the seasonal mean
+    is computed as ONE exact-decimal expression
+    (13·Σrev4 − Σsum13_4) / (13n) rather than re-decimalizing the
+    detrended DOUBLES — at 1e8 magnitude a double's ulp is 6e-8, so a
+    6dp re-entry lands within half-ulp of a decimal midpoint for ~1%
+    of values and the engines split (Spark rounds the shortest repr,
+    DuckDB the exact binary — BASELINE.md round-12 note). detrended
+    and residual are single subtractions of identically-derived
+    doubles.
 
     Scale shape (100 TB): one scan collapses to the |months| frame
     map-side; every window (centered MA, month-of-year means via a
@@ -2372,26 +2380,41 @@ def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
     )
     monthly = orders.groupBy("m").agg(
-        F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("rev_dec")
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)")), 4
+        ).alias("rev4")
     )
     half = (SEAS_MA - 1) // 2
     w_ma = Window.orderBy("m").rowsBetween(-half, half)
     framed = monthly.select(
         "m",
-        F.col("rev_dec").cast("double").alias("revenue"),
+        "rev4",
+        F.col("rev4").cast("double").alias("revenue"),
         F.when(
             F.count(F.lit(1)).over(w_ma) == SEAS_MA,
-            F.sum("rev_dec").over(w_ma).cast("double") / F.lit(float(SEAS_MA)),
-        ).alias("trend"),
+            F.round(F.sum("rev4").over(w_ma), 4),
+        ).alias("sum13_4"),
+    ).select(
+        "m",
+        "rev4",
+        "revenue",
+        "sum13_4",
+        (F.col("sum13_4").cast("double") / F.lit(float(SEAS_MA))).alias(
+            "trend"
+        ),
     ).withColumn("detrended", F.col("revenue") - F.col("trend"))
     seasonal = (
-        framed.filter(F.col("detrended").isNotNull())
+        framed.filter(F.col("sum13_4").isNotNull())
         .groupBy(F.month("m").alias("moy"))
         .agg(
             (
-                F.sum(F.col("detrended").cast("decimal(38,6)"))
-                .cast("double")
-                / F.count(F.lit(1)).cast("double")
+                (
+                    F.lit(SEAS_MA) * F.sum("rev4") - F.sum("sum13_4")
+                ).cast("double")
+                / (
+                    F.lit(float(SEAS_MA))
+                    * F.count(F.lit(1)).cast("double")
+                )
             ).alias("seasonal")
         )
     )
@@ -2414,25 +2437,29 @@ def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_SEASONAL_DECOMPOSE = f"""
     WITH monthly AS (
         SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS m,
-               SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS rev_dec
+               ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,6))), 4) AS rev4
         FROM orders GROUP BY 1
     ), framed AS (
-        SELECT m,
-               CAST(rev_dec AS DOUBLE) AS revenue,
+        SELECT m, rev4,
+               CAST(rev4 AS DOUBLE) AS revenue,
                CASE WHEN COUNT(*) OVER w = {SEAS_MA}
-                    THEN CAST(SUM(rev_dec) OVER w AS DOUBLE)
-                         / {float(SEAS_MA)!r}
-               END AS trend
+                    THEN ROUND(SUM(rev4) OVER w, 4)
+               END AS sum13_4
         FROM monthly
         WINDOW w AS (ORDER BY m ROWS BETWEEN {(SEAS_MA - 1) // 2} PRECEDING
                                          AND {(SEAS_MA - 1) // 2} FOLLOWING)
     ), det AS (
-        SELECT m, revenue, trend, revenue - trend AS detrended FROM framed
+        SELECT m, rev4, revenue, sum13_4,
+               CAST(sum13_4 AS DOUBLE) / {float(SEAS_MA)!r} AS trend,
+               revenue - CAST(sum13_4 AS DOUBLE) / {float(SEAS_MA)!r}
+                   AS detrended
+        FROM framed
     ), seasonal AS (
         SELECT month(m) AS moy,
-               CAST(SUM(CAST(detrended AS DECIMAL(38,6))) AS DOUBLE)
-                   / CAST(COUNT(*) AS DOUBLE) AS seasonal
-        FROM det WHERE detrended IS NOT NULL GROUP BY 1
+               CAST({SEAS_MA} * SUM(rev4) - SUM(sum13_4) AS DOUBLE)
+                   / ({float(SEAS_MA)!r} * CAST(COUNT(*) AS DOUBLE))
+                   AS seasonal
+        FROM det WHERE sum13_4 IS NOT NULL GROUP BY 1
     )
     SELECT strftime(d.m, '%Y-%m') AS month,
            d.revenue, d.trend, d.detrended, s.seasonal,

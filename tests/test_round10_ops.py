@@ -145,21 +145,40 @@ def test_ols_trend_matches_numpy_lstsq(spark, sf_dir):
         (slope, intercept), res, *_ = np.linalg.lstsq(A, ys, rcond=None)
         r = got[seg]
         assert r.n_months == len(pts)
-        assert abs(r.slope - slope) < 1e-6 * max(1.0, abs(slope))
-        assert abs(r.intercept - intercept) < 1e-6 * max(1.0, abs(intercept))
-        # R² moments run at whole-dollar grain (overflow-safe at any
-        # SF — r10 ADVICE); replicate with HALF_UP-rounded ys.
-        yd = np.floor(ys + 0.5)
+        # slope/intercept run at WHOLE-DOLLAR grain since round 12
+        # (sub-2^53 casts; see the r2 note below) — compare tightly
+        # against lstsq on the same dollar-rounded cells, and sanity
+        # against the float fit at the grain-noise level
+        ydol = np.floor(ys + 0.5)
         (slope_d, intercept_d), *_ = np.linalg.lstsq(
-            np.vstack([xs, np.ones_like(xs)]).T, yd, rcond=None
+            np.vstack([xs, np.ones_like(xs)]).T, ydol, rcond=None
         )
-        ss_res = float(np.sum((yd - (slope_d * xs + intercept_d)) ** 2))
-        ss_tot = float(np.sum((yd - yd.mean()) ** 2))
+        assert abs(r.slope - slope_d) < 1e-6 * max(1.0, abs(slope_d))
+        assert abs(r.intercept - intercept_d) < 1e-6 * max(
+            1.0, abs(intercept_d)
+        )
+        assert abs(r.slope - slope) < 1e-4 * max(1.0, abs(slope))
+        assert abs(r.intercept - intercept) < 1e-4 * max(
+            1.0, abs(intercept)
+        )
+        # R² moments run at KILO-dollar grain since round 12 (keeps
+        # every int->double cast under 2^53, where the round-12 sf1.0
+        # sweep found DuckDB's negative HUGEINT->DOUBLE mis-rounding);
+        # replicate with the same floor((yd+500)/1000) HALF_UP chain.
+        yk = np.floor((ydol + 500.0) / 1000.0)
+        (slope_k, intercept_k), *_ = np.linalg.lstsq(
+            np.vstack([xs, np.ones_like(xs)]).T, yk, rcond=None
+        )
+        ss_res = float(np.sum((yk - (slope_k * xs + intercept_k)) ** 2))
+        ss_tot = float(np.sum((yk - yk.mean()) ** 2))
         assert abs(r.r2 - (1.0 - ss_res / ss_tot)) < 1e-9
-        # and the grain change is invisible at data scale
+        # and the grain change stays in the noise: at sf0.001 monthly
+        # sums are ~5e5 dollars, so kilo-rounding perturbs each cell
+        # by up to 1e-3 relative — R² (here ~1e-2) moves by ~1e-5;
+        # at sf0.1+ the cells are 100x larger and the bound tightens
         ss_res_f = float(np.sum((ys - (slope * xs + intercept)) ** 2))
         ss_tot_f = float(np.sum((ys - ys.mean()) ** 2))
-        assert abs(r.r2 - (1.0 - ss_res_f / ss_tot_f)) < 1e-6
+        assert abs(r.r2 - (1.0 - ss_res_f / ss_tot_f)) < 1e-4
 
 
 # --- calibration_bins --------------------------------------------------------
