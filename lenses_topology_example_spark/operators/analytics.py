@@ -217,19 +217,26 @@ def q_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     ships, computed as one aggregate (no iterative solver).
 
     Determinism: monthly revenue enters the first moments (Σy, Σxy →
-    slope/intercept) at WHOLE-DOLLAR grain and the R² moments (Σy²,
-    Σxy) at KILO-dollar grain — both HALF_UP-rounded identically on
-    the two engines. The grains are chosen so EVERY integer that gets
-    cast to double stays under 2^53, where int→double conversion is
-    exact on both engines: the round-12 sf1.0 sweep caught the
-    micro-dollar num moment (−1.8e18) mis-rounding in DuckDB —
-    negative HUGEINT→DOUBLE is 1-ulp-off for ~0.75% of >2^53 values
-    (probed; positives and BIGINT are correct — BASELINE.md round-12
-    note). Dollar-grain keeps |num_d| < 2^53 through sf1000;
-    kilo-grain does the same for the squared R² moments (micro-grain
-    squares additionally overflow DECIMAL(38,0) past ~$10T/cell —
-    r10 ADVICE). All sums are exact integer arithmetic;
-    slope/intercept/R² are single double expressions over exact
+    slope/intercept) at WHOLE-DOLLAR grain, HALF_UP-rounded
+    identically on the two engines; the R² second moment is built
+    from CENTERED kilo-dollar deviations (dyk = HALF_UP-rounded
+    (yd − ȳ)/1000 with ȳ the integer-dollar segment mean). The grains
+    are chosen so EVERY integer that gets cast to double stays under
+    2^53, where int→double conversion is exact on both engines: the
+    round-12 sf1.0 sweep caught the micro-dollar num moment (−1.8e18)
+    mis-rounding in DuckDB — negative HUGEINT→DOUBLE is 1-ulp-off for
+    ~0.75% of >2^53 values (probed; positives and BIGINT are correct
+    — BASELINE.md round-12 note). Dollar-grain keeps the
+    slope/intercept moments < 2^53 through sf100 (enforced; the worst
+    segment's sxyd crosses near sf700 — kilo-escalate past that).
+    Centering is what makes R² sf-robust: RAW Σy² grows as SF² and
+    its kilo-grain cast crossed 2^53 near sf2, while centered
+    deviations track only the month-to-month SPREAD (~30% of the
+    level here), keeping Σdyk² castable through ~sf20 — enforced at
+    sf15 in tests/test_round12_ops.py (mega-escalate past that;
+    micro-grain squares additionally overflow DECIMAL(38,0) past
+    ~$10T/cell — r10 ADVICE). All sums are exact integer arithmetic;
+    slope/intercept/R² are single double expressions over those exact
     sub-2^53 values with identical shapes on both engines.
 
     Scale shape (100 TB): orders joins customer on custkey
@@ -260,16 +267,6 @@ def q_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mon_idx",
             F.round("ysum", 0).cast("decimal(38,0)").alias("yd"),
         )
-        # kilo-dollar grain derived from the EXACT dollar grain by
-        # integer HALF_UP: floor((yd+500)/1000) — engine-identical
-        # (revenue is positive; no decimal-division scale semantics
-        # in the loop)
-        .withColumn(
-            "yk",
-            F.floor((F.col("yd") + F.lit(500)) / F.lit(1000)).cast(
-                "decimal(38,0)"
-            ),
-        )
     )
     sums = monthly.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).cast("long").alias("n_months"),
@@ -279,11 +276,36 @@ def q_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("yd") * F.col("mon_idx"))
         .cast("decimal(38,0)")
         .alias("sxyd"),
-        F.sum("yk").cast("decimal(38,0)").alias("syk"),
-        F.sum(F.col("yk") * F.col("mon_idx"))
+        # integer-dollar segment mean, HALF_UP: the centering anchor
+        # for the R² second moment (syd/n stays far from .5 boundaries
+        # except exact multiples, which both engines divide exactly)
+        F.floor(
+            (F.sum("yd") * F.lit(2) + F.count(F.lit(1)))
+            / (F.lit(2) * F.count(F.lit(1)))
+        )
         .cast("decimal(38,0)")
-        .alias("sxyk"),
-        F.sum(F.col("yk") * F.col("yk")).cast("decimal(38,0)").alias("syyk"),
+        .alias("ybar"),
+    )
+    # R² second moment from CENTERED kilo-dollar deviations — the
+    # sf-robust form: raw Σy² grows as SF² and its kilo-grain cast
+    # crossed 2^53 near sf2, while centered deviations track the
+    # month-to-month spread, keeping Σdyk² castable through ~sf30
+    # (enforced in tests/test_round12_ops.py). The join-back is a
+    # |segments|-row broadcast onto the bounded monthly frame.
+    cent = monthly.join(
+        F.broadcast(sums.select("c_mktsegment", "ybar")), "c_mktsegment"
+    ).select(
+        "c_mktsegment",
+        F.floor(
+            (F.col("yd") - F.col("ybar") + F.lit(500)) / F.lit(1000)
+        )
+        .cast("decimal(38,0)")
+        .alias("dyk"),
+    )
+    syy = cent.groupBy("c_mktsegment").agg(
+        F.sum(F.col("dyk") * F.col("dyk"))
+        .cast("decimal(38,0)")
+        .alias("syyk_c")
     )
     num_d = (
         F.col("n_months") * F.col("sxyd") - F.col("sx") * F.col("syd")
@@ -291,26 +313,36 @@ def q_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     den = (
         F.col("n_months") * F.col("sxx") - F.col("sx") * F.col("sx")
     ).cast("double")
-    num_k = (
-        F.col("n_months") * F.col("sxyk") - F.col("sx") * F.col("syk")
-    ).cast("double")
-    denyy_k = (
-        F.col("n_months") * F.col("syyk") - F.col("syk") * F.col("syk")
-    ).cast("double")
     slope_d = num_d / den
-    return sums.select(
-        "c_mktsegment",
-        "n_months",
-        slope_d.alias("slope"),
-        (
+    # r2 = Sxy_c² / (Sxx_c·Syy_c) with Sxy_c = num_d/n, Sxx_c = den/n,
+    # Syy_c ≈ syyk_c·1e6 — one fixed double expression of exact
+    # sub-2^53 integers, identical shape in the oracle
+    return (
+        sums.join(syy, "c_mktsegment")
+        .select(
+            "c_mktsegment",
+            "n_months",
+            slope_d.alias("slope"),
             (
-                F.col("syd").cast("double")
-                - slope_d * F.col("sx").cast("double")
-            )
-            / F.col("n_months").cast("double")
-        ).alias("intercept"),
-        (num_k * num_k / (den * denyy_k)).alias("r2"),
-    ).orderBy("c_mktsegment")
+                (
+                    F.col("syd").cast("double")
+                    - slope_d * F.col("sx").cast("double")
+                )
+                / F.col("n_months").cast("double")
+            ).alias("intercept"),
+            (
+                num_d
+                * num_d
+                / (
+                    F.col("n_months").cast("double")
+                    * den
+                    * F.col("syyk_c").cast("double")
+                    * F.lit(1000000.0)
+                )
+            ).alias("r2"),
+        )
+        .orderBy("c_mktsegment")
+    )
 
 
 SQL_OLS_TREND = """
@@ -320,14 +352,10 @@ SQL_OLS_TREND = """
                SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS ysum
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY 1, 2
-    ), monthly1 AS (
+    ), monthly AS (
         SELECT c_mktsegment, mon_idx,
                CAST(ROUND(ysum, 0) AS HUGEINT) AS yd
         FROM monthly0
-    ), monthly AS (
-        SELECT c_mktsegment, mon_idx, yd,
-               CAST(FLOOR((yd + 500) / 1000) AS HUGEINT) AS yk
-        FROM monthly1
     ), sums AS (
         SELECT c_mktsegment,
                CAST(COUNT(*) AS BIGINT) AS n_months,
@@ -335,12 +363,18 @@ SQL_OLS_TREND = """
                CAST(SUM(mon_idx * mon_idx) AS BIGINT) AS sxx,
                SUM(yd) AS syd,
                SUM(yd * mon_idx) AS sxyd,
-               SUM(yk) AS syk,
-               SUM(yk * mon_idx) AS sxyk,
-               SUM(yk * yk) AS syyk
+               CAST(FLOOR((SUM(yd) * 2 + COUNT(*))
+                          / (2 * COUNT(*))) AS HUGEINT) AS ybar
         FROM monthly GROUP BY 1
+    ), cent AS (
+        SELECT m.c_mktsegment,
+               CAST(FLOOR((m.yd - s.ybar + 500) / 1000) AS HUGEINT) AS dyk
+        FROM monthly m JOIN sums s USING (c_mktsegment)
+    ), syy AS (
+        SELECT c_mktsegment, SUM(dyk * dyk) AS syyk_c
+        FROM cent GROUP BY 1
     )
-    SELECT c_mktsegment, n_months,
+    SELECT s.c_mktsegment, s.n_months,
            CAST(n_months * sxyd - sx * syd AS DOUBLE)
            / CAST(n_months * sxx - sx * sx AS DOUBLE) AS slope,
            (CAST(syd AS DOUBLE)
@@ -348,12 +382,14 @@ SQL_OLS_TREND = """
                / CAST(n_months * sxx - sx * sx AS DOUBLE))
               * CAST(sx AS DOUBLE))
            / CAST(n_months AS DOUBLE) AS intercept,
-           CAST(n_months * sxyk - sx * syk AS DOUBLE)
-           * CAST(n_months * sxyk - sx * syk AS DOUBLE)
-           / (CAST(n_months * sxx - sx * sx AS DOUBLE)
-              * CAST(n_months * syyk - syk * syk AS DOUBLE)) AS r2
-    FROM sums
-    ORDER BY c_mktsegment
+           CAST(n_months * sxyd - sx * syd AS DOUBLE)
+           * CAST(n_months * sxyd - sx * syd AS DOUBLE)
+           / (CAST(n_months AS DOUBLE)
+              * CAST(n_months * sxx - sx * sx AS DOUBLE)
+              * CAST(syyk_c AS DOUBLE)
+              * 1000000.0) AS r2
+    FROM sums s JOIN syy USING (c_mktsegment)
+    ORDER BY s.c_mktsegment
 """
 
 

@@ -161,17 +161,26 @@ def test_ols_trend_matches_numpy_lstsq(spark, sf_dir):
         assert abs(r.intercept - intercept) < 1e-4 * max(
             1.0, abs(intercept)
         )
-        # R² moments run at KILO-dollar grain since round 12 (keeps
-        # every int->double cast under 2^53, where the round-12 sf1.0
-        # sweep found DuckDB's negative HUGEINT->DOUBLE mis-rounding);
-        # replicate with the same floor((yd+500)/1000) HALF_UP chain.
-        yk = np.floor((ydol + 500.0) / 1000.0)
-        (slope_k, intercept_k), *_ = np.linalg.lstsq(
-            np.vstack([xs, np.ones_like(xs)]).T, yk, rcond=None
+        # R² runs on CENTERED kilo-dollar deviations since round 12
+        # (keeps every int->double cast under 2^53 through ~sf30,
+        # where the round-12 sf1.0 sweep found DuckDB's negative
+        # HUGEINT->DOUBLE mis-rounding); replicate the exact integer
+        # chain: ybar = HALF_UP(syd/n), dyk = HALF_UP((yd-ybar)/1000),
+        # r2 = num_d^2 / (n * den * sum(dyk^2) * 1e6).
+        ydi = [int(v) for v in ydol]
+        n_m = len(ydi)
+        syd_i, sx_i = sum(ydi), int(xs.sum())
+        sxyd_i = sum(int(x) * y for x, y in zip(xs, ydi))
+        sxx_i = int((xs * xs).sum())
+        ybar = (2 * syd_i + n_m) // (2 * n_m)
+        syyk_c = sum(((y - ybar + 500) // 1000) ** 2 for y in ydi)
+        num_i = n_m * sxyd_i - sx_i * syd_i
+        den_i = n_m * sxx_i - sx_i * sx_i
+        want_r2 = (
+            float(num_i) * float(num_i)
+            / (float(n_m) * float(den_i) * float(syyk_c) * 1e6)
         )
-        ss_res = float(np.sum((yk - (slope_k * xs + intercept_k)) ** 2))
-        ss_tot = float(np.sum((yk - yk.mean()) ** 2))
-        assert abs(r.r2 - (1.0 - ss_res / ss_tot)) < 1e-9
+        assert abs(r.r2 - want_r2) < 1e-12
         # and the grain change stays in the noise: at sf0.001 monthly
         # sums are ~5e5 dollars, so kilo-rounding perturbs each cell
         # by up to 1e-3 relative — R² (here ~1e-2) moves by ~1e-5;

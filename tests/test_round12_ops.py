@@ -127,3 +127,114 @@ def test_kmeans_fit_respects_max_iters(spark, sf_dir):
     # every surviving vector keeps exactly one assignment
     n = labels_df.count()
     assert labels_df.select("vec_id").distinct().count() == n
+
+
+# --- round-12 cross-engine class canaries (BASELINE.md classes #7/#8) --------
+
+
+def test_duckdb_negative_hugeint_double_cast_is_still_broken():
+    """Class #7 canary: DuckDB mis-rounds negative HUGEINT→DOUBLE past
+    2^53 (found by the round-12 sf1.0 sweep in ols_trend's −1.8e18
+    moment). The fix of record — keep every cast under 2^53 — assumes
+    this engine behavior; if a DuckDB upgrade makes this assertion
+    fail, the bug was fixed upstream and the workaround note in
+    BASELINE.md can be relaxed (the sub-2^53 discipline stays correct
+    either way). The companion assertions pin what the fix RELIES on:
+    positives, BIGINT, and everything under 2^53 convert exactly."""
+    import duckdb
+
+    con = duckdb.connect()
+    v = 1800856251766000000  # the live value from the sf1.0 sweep
+    neg = con.sql(f"SELECT CAST(CAST(-{v} AS HUGEINT) AS DOUBLE)").fetchone()[0]
+    pos = con.sql(f"SELECT CAST(CAST({v} AS HUGEINT) AS DOUBLE)").fetchone()[0]
+    big = con.sql(f"SELECT CAST(CAST(-{v} AS BIGINT) AS DOUBLE)").fetchone()[0]
+    assert pos == float(v)  # positive path correct
+    assert big == float(-v)  # BIGINT path correct
+    assert neg != float(-v), (
+        "DuckDB fixed negative HUGEINT->DOUBLE rounding — revisit the "
+        "class-#7 note in BASELINE.md (the sub-2^53 fix stays valid)"
+    )
+    # everything under 2^53 is exact on both signs (the fix's premise)
+    for u in (2**53 - 1, 2**52 + 12345, 10**15 + 7):
+        got = con.sql(
+            f"SELECT CAST(CAST(-{u} AS HUGEINT) AS DOUBLE), "
+            f"CAST(CAST({u} AS HUGEINT) AS DOUBLE)"
+        ).fetchone()
+        assert got == (float(-u), float(u))
+
+
+def test_ols_trend_moments_stay_under_2_53_at_contract_sf(spark, sf_dir):
+    """Class-#7 enforcement: every integer that ols_trend casts to
+    double must stay under 2^53 at the documented contract SFs — the
+    LINEAR slope/intercept moments through sf100 (the worst segment's
+    sxyd crosses near sf700), and the CENTERED kilo-grain R² second
+    moment through sf15 (centered deviations track the month-to-month
+    spread — ~30% of the level on this data — not the raw Σy², which
+    crossed 2^53 at sf2 before centering). This pins the grain
+    redesign as a contract, not just an sf1.0 observation."""
+    from pyspark.sql import functions as F
+
+    from lenses_topology_example_spark.tables import load_table
+
+    proj = 1e5  # sf0.001 -> sf100 (linear moments)
+    proj_sq = 1.5e4  # sf0.001 -> sf15 (centered R² second moment)
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    monthly = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            "c_mktsegment",
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).alias(
+                "x"
+            ),
+        )
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("y"))
+        .collect()
+    )
+    by_seg: dict[str, list] = {}
+    for r in monthly:
+        by_seg.setdefault(r.c_mktsegment, []).append((r.x, float(r.y)))
+    for pts in by_seg.values():
+        n = len(pts)
+        sx = sum(x for x, _ in pts)
+        syd = sum(round(y * proj) for _, y in pts)
+        sxyd = sum(x * round(y * proj) for x, y in pts)
+        yds = [round(y * proj_sq) for _, y in pts]
+        ybar = (2 * sum(yds) + n) // (2 * n)
+        syyk_c = sum(((yd - ybar + 500) // 1000) ** 2 for yd in yds)
+        assert abs(n * sxyd - sx * syd) < 2**53  # slope num @ sf100
+        assert syd < 2**53  # intercept's sum cast @ sf100
+        assert syyk_c < 2**53  # centered r2 second moment @ sf15
+
+
+def test_seasonal_decompose_sums_stay_under_2_53_at_sf1000(spark, sf_dir):
+    """Class-#8 companion: the scale-4 re-rounds keep the decompose
+    frame's decimal units castable at sf1000 — the 13-month window
+    sum (the sf1.0 crosser at scale 6) and the seasonal-mean closed
+    form's numerator both stay under 2^53 in scale-4 units."""
+    from pyspark.sql import functions as F
+
+    from lenses_topology_example_spark.tables import load_table
+
+    proj = 1e6
+    monthly = [
+        float(r.rev)
+        for r in load_table(spark, sf_dir, "orders")
+        .groupBy(F.trunc(F.to_date("o_orderdate"), "month").alias("m"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("rev")
+        )
+        .collect()
+    ]
+    scale4 = 1e4
+    worst_13 = max(
+        sum(monthly[i : i + 13]) for i in range(max(1, len(monthly) - 12))
+    )
+    assert worst_13 * proj * scale4 / 1e6 < 2**53 / 1e2, (
+        "13-month window sum's scale-4 units must clear 2^53 with "
+        "2 digits of headroom at sf1000"
+    )
+    # seasonal numerator: 13*sum(rev4) - sum(sum13_4) over <=|moy| rows
+    # is bounded by 13 * the detrended mass — orders of magnitude
+    # below the window sum it is a difference of
+    assert 13 * worst_13 * proj * scale4 < 2**53 * 1e4
