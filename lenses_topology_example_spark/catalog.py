@@ -36,6 +36,19 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # name -> (query fn, oracle SQL | None for rows-only checks)
 #
+# BUILD-TIME CONTRACT (no-session-mutation rule, r12 ADVICE): a catalog
+# builder must be thread-safe at CONSTRUCTION time — tests build all
+# entries on an 8-thread pool against one shared SparkSession
+# (tests/conftest.py::catalog_dfs). Concretely: no spark.conf.set, no
+# setLocalProperty, no unguarded eager materialization inside a
+# (spark, sf_dir) -> DataFrame callable. Entries that MUST materialize
+# at build time guard with their own lock (dedup._MATERIALIZED_LOCK)
+# or are excluded by documented exception (sink_parquet). Session
+# confs the semantics rely on go through conf.ensure_runtime_confs
+# (idempotent set-if-different at the CONTRACT entry points, not per
+# builder); the conftest fixture snapshots the critical confs around
+# the threaded build and fails the run if a builder left them changed.
+#
 # The round driver evaluates only the FIRST 50 entries for its
 # CORRECTNESS report (round-1 finding — the whole training-data tier
 # once sat past position 50 with no external verdict). Since round 8
@@ -149,8 +162,14 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "lateral_topn": (relational2.q_lateral_topn, relational2.SQL_LATERAL_TOPN),
     "salted_join_events": (skew.q_salted_join_events, skew.SQL_SALTED_JOIN_EVENTS),
     "cms_token_freq": (sketches.q_cms_token_freq, sketches.SQL_CMS_TOKEN_FREQ),
-    "approx_distinct_users": (sketches.q_approx_distinct_users, None),
-    "approx_quantiles": (sketches.q_approx_quantiles, None),
+    "approx_distinct_users": (
+        sketches.q_approx_distinct_users,
+        sketches.SQL_APPROX_DISTINCT_USERS,
+    ),
+    "approx_quantiles": (
+        sketches.q_approx_quantiles,
+        sketches.SQL_APPROX_QUANTILES,
+    ),
     "deterministic_sample": (
         sketches.q_deterministic_sample,
         sketches.SQL_DETERMINISTIC_SAMPLE,
@@ -348,7 +367,7 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
         sketches.q_corr_text_embedding,
         sketches.SQL_CORR_TEXT_EMBEDDING,
     ),
-    "sink_parquet": (sinks.q_sink_parquet, None),
+    "sink_parquet": (sinks.q_sink_parquet, sinks.SQL_SINK_PARQUET),
     "map_fns": (relational2.q_map_fns, relational2.SQL_MAP_FNS),
     "tfidf": (text.q_tfidf, text.SQL_TFIDF),
     "text_normalize": (text.q_text_normalize, text.SQL_TEXT_NORMALIZE),
@@ -922,110 +941,109 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
 # and first-50 order). Full rotation history: ROTATION.md (r8 VERDICT
 # ask #7 — only the CURRENT window and the NEXT plan live here).
 #
-# ROUND-12 WINDOW (executes the plan written in round 11 verbatim;
-# CORRECTNESS_r11 came back 50/50 full green, so the r11 window rotates
-# out — every member leaves with a current r11 verdict):
-#   Slots 1-25:  the twenty-five r11 wave-6..16 past-window additions,
-#                in registration order (permutation_test ..
-#                seasonal_strength) — every entry's FIRST driver verdict
-#                comes within one round of registration. All 25 were
-#                pre-verified green by the r11 judge's own
-#                driver-replica run at sf0.01 (VERDICT.md r11).
-#   Slots 26-28: oldest-verdict re-checks, r4 block remainder
-#                (topk_words, sim_ann_lsh, sim_ann_ivf).
-#   Slot  29:    token_count (r5).
-#   Slots 30-39: the r6 block (embed_neardup, curation_pipeline,
-#                text_stats, udaf_median, corr_text_embedding, map_fns,
-#                tfidf, text_normalize, seq_packing,
-#                stratified_sample).
-#   Slots 40-50: the r7 block head — risk-tiered order per ROTATION.md
-#                (libm/rounding/decimal-class contracts first:
-#                lm_score, token_entropy, bigram_lm_score, ann_recall,
-#                ann_recall_ivf, embed_dedup_cluster, pmi_collocations;
-#                then registration order: dedup_containment,
-#                dedup_lines_near, dedup_lines_rebuild,
-#                dedup_lines_near_capped).
-#   OUT: the freshly-green r11 block (each leaves with a current r11
+# ROUND-13 WINDOW (executes the plan written in round 12;
+# CORRECTNESS_r12 came back 50/50 full green, so the r12 window rotates
+# out — every member leaves with a current r12 verdict. No r12
+# registrations exist, so the window is the risk-tiered re-check queue,
+# now computed reproducibly by tools/rotation_plan.py):
+#   Slots 1-3:   approx_distinct_users, approx_quantiles, sink_parquet —
+#                CONTRACT-CHANGED this round (r12 VERDICT ask #4: the
+#                last three rows-only entries became property-paired —
+#                sketch error-bound booleans the oracle recomputes as
+#                literal TRUE; sink read-back integrity audit). A
+#                contract change re-enters the head like a new
+#                registration: first full-hash verdict within one round.
+#   Slots 4-45:  RISK-TIER entries (libm/md5/decimal-cast/dsum4 markers
+#                in the operator or oracle source — ROTATION.md rule,
+#                detection mechanized in tools/rotation_plan.py) whose
+#                latest verdict is older than 3 rounds (<= r9 at r13),
+#                oldest verdict first, name order within a round:
+#                16 from r7, 17 from r8, 9 from r9.
+#   Slots 46-50: plain queue — the r7 block remainder in the r12-written
+#                listed order, non-risk members (eval_leak_report,
+#                corpus_diversity, kmeans_assign, kmeans_refine,
+#                embed_quantize).
+#   OUT: the freshly-green r12 window (each leaves with a current r12
 #   verdict; pytest oracle parity at sf0.001 still covers every
 #   rotated-out entry on every run).
 #
-# ROUND-13 ROTATION PLAN (write the new DRIVER_WINDOW from this once
-# CORRECTNESS_r12 lands; assuming the r12 window goes green):
-#   Head: any round-12 additions without a driver verdict, in
-#     registration order (the protocol: first verdict within one round
-#     of registration).
-#   Then: any r12 RED held in-window until green.
-#   Then the risk-tiered re-check queue (ROTATION.md rule): RISK-TIER
-#     entries (libm/rounding/decimal-cast contracts) whose latest
-#     verdict is older than 3 rounds, oldest-first; then the plain
-#     oldest-verdict-first queue — the r7 block remainder
-#     (dedup_incremental, decontaminate_bloom, eval_leak_report,
-#     dedup_ngram_spans, corpus_diversity, kmeans_assign, kmeans_refine,
-#     embed_quantize, repetition_stats, corpus_mix, curation_funnel,
-#     funnel_sweep, pii_scrub, corpus_report, word_variants,
-#     quality_score, doc_fingerprint, lang_id, shard_plan,
-#     corpus_rebalance, length_histogram, corpus_drift, gopher_rules,
-#     quality_classifier, dataset_split, score_weighted_sample,
-#     quality_gate, funnel_conversion, cohort_retention, lateral_topn,
-#     cms_token_freq, deterministic_sample, grouped_map_norm,
-#     range_join_buckets), then the r8 block as slots allow.
+# ROUND-14 ROTATION PLAN (write the new DRIVER_WINDOW from
+# `python tools/rotation_plan.py 14` once CORRECTNESS_r13 lands;
+# assuming the r13 window goes green):
+#   Head: any round-13 registrations or contract changes without a
+#     driver verdict (none expected), then any r13 RED held in-window.
+#   Then: RISK-TIER entries with latest verdict <= r10, oldest-first,
+#     name order within a round (the tool prints the exact list — at
+#     r13 close that pool is the 12 r10-latest risk entries:
+#     ab_test_report, bootstrap_stderr, calibration_bins,
+#     cms_join_cardinality, cuped_ab_report, dedup_tfidf_cosine,
+#     drift_psi, hybrid_rrf, private_release,
+#     quantile_treatment_effect, retrieval_eval, topic_keywords).
+#   Then the plain oldest-verdict-first queue, name order within a
+#     round (r7 remainder first: cohort_retention, corpus_mix,
+#     funnel_conversion, gopher_rules, grouped_map_norm, kmeans_assign*,
+#     kmeans_refine* (*unless green in r13), lang_id, lateral_topn,
+#     length_histogram, pii_scrub, quality_score, range_join_buckets,
+#     repetition_stats, word_variants; then the r8 plain block as slots
+#     allow).
 DRIVER_WINDOW_SIZE = 50
 DRIVER_WINDOW: tuple[str, ...] = (
-    # r11 wave-6..16 past-window entries (first driver verdicts)
-    "permutation_test",
-    "spearman_corr",
-    "kfold_assign",
-    "oov_rate",
-    "fdr_bh",
-    "jl_projection_audit",
-    "heaps_law_fit",
-    "term_burstiness",
-    "token_coverage_curve",
-    "brier_decomposition",
-    "group_sequential",
-    "power_mde",
-    "fisher_separability",
-    "neyman_allocation",
-    "entropy_rate",
-    "good_turing_mass",
-    "mann_whitney",
-    "median_ci",
-    "effect_size_report",
-    "acf_monthly",
-    "runs_test",
-    "sign_test",
-    "kappa_agreement",
-    "cramers_v",
-    "seasonal_strength",
-    # re-checks: r4 block remainder (oldest verdicts in the catalog)
-    "topk_words",
-    "sim_ann_lsh",
-    "sim_ann_ivf",
-    # re-checks: token_count (r5)
-    "token_count",
-    # re-checks: r6 block
-    "embed_neardup",
-    "curation_pipeline",
-    "text_stats",
-    "udaf_median",
-    "corr_text_embedding",
-    "map_fns",
-    "tfidf",
-    "text_normalize",
-    "seq_packing",
-    "stratified_sample",
-    # re-checks: r7 block head, risk tier first (ROTATION.md rule)
-    "lm_score",
-    "token_entropy",
-    "bigram_lm_score",
-    "ann_recall",
-    "ann_recall_ivf",
-    "embed_dedup_cluster",
-    "pmi_collocations",
-    "dedup_containment",
-    "dedup_lines_near",
-    "dedup_lines_rebuild",
-    "dedup_lines_near_capped",
+    # contract-changed head (r12 VERDICT ask #4): first verdicts for the
+    # new property-paired forms
+    "approx_distinct_users",
+    "approx_quantiles",
+    "sink_parquet",
+    # risk tier, latest verdict r7 (6 rounds old)
+    "cms_token_freq",
+    "corpus_drift",
+    "corpus_rebalance",
+    "corpus_report",
+    "curation_funnel",
+    "dataset_split",
+    "decontaminate_bloom",
+    "dedup_incremental",
+    "dedup_ngram_spans",
+    "deterministic_sample",
+    "doc_fingerprint",
+    "funnel_sweep",
+    "quality_classifier",
+    "quality_gate",
+    "score_weighted_sample",
+    "shard_plan",
+    # risk tier, latest verdict r8
+    "asset_dedup",
+    "bm25_search",
+    "boilerplate_lines",
+    "dataset_split_by_cluster",
+    "dedup_savings",
+    "doc_chunk",
+    "dup_cluster_sizes",
+    "embed_dedup_incremental",
+    "minhash_band_sweep",
+    "minhash_est_audit",
+    "ngram_novelty",
+    "reservoir_sample",
+    "source_pagerank",
+    "split_leak_check",
+    "winnow_fingerprint",
+    "winnow_neardup",
+    "zipf_fit",
+    # risk tier, latest verdict r9
+    "agg_revenue",
+    "dedup_exact",
+    "dedup_lines",
+    "dedup_minhash",
+    "embed_drift",
+    "join_orders_customer",
+    "region_revenue",
+    "rollup_sales",
+    "temperature_mix",
+    # plain queue: r7 remainder, r12-written listed order
+    "eval_leak_report",
+    "corpus_diversity",
+    "kmeans_assign",
+    "kmeans_refine",
+    "embed_quantize",
 )
 
 #

@@ -221,8 +221,13 @@ def q_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     identically on the two engines; the R² second moment is built
     from CENTERED kilo-dollar deviations (dyk = HALF_UP-rounded
     (yd − ȳ)/1000 with ȳ the integer-dollar segment mean). The grains
-    are chosen so EVERY integer that gets cast to double stays under
-    2^53, where int→double conversion is exact on both engines: the
+    are chosen so every integer that gets cast to double stays under
+    2^53 AT ITS OWN CONTRACT SF — slope/intercept moments through
+    sf100, the centered R² second moment AND ȳ's HALF_UP numerator
+    (2·Σyd + n, implicitly DOUBLE-divided in the oracle) through sf15
+    (both enforced in tests/test_round12_ops.py; the ȳ numerator
+    alone would cross 2^53 near sf50) — where int→double conversion
+    is exact on both engines: the
     round-12 sf1.0 sweep caught the micro-dollar num moment (−1.8e18)
     mis-rounding in DuckDB — negative HUGEINT→DOUBLE is 1-ulp-off for
     ~0.75% of >2^53 values (probed; positives and BIGINT are correct

@@ -8,9 +8,14 @@ the operator: partitionBy(currency) gives partition pruning to every
 downstream reader, and file sizes are governed by the shuffle
 partitioning upstream, not the sink.
 
-The batch query writes to a local scratch dir then returns the read-back
-frame (rows-only driver check: count/schema stability). The streaming
-twin is streaming/pipelines.start_payments_fanout's parquet branch with
+The batch query writes to a local scratch dir then returns a READ-BACK
+AUDIT over the written files (oracle-paired since round 13, r12 VERDICT
+ask #4): per-currency row count, exact decimal revenue sum, and an
+order-insensitive id-hash sum, each recomputed by the DuckDB oracle
+from the SOURCE tables. A lost row, duplicated task output, partition
+mix-up, or value corruption through the parquet round-trip all fire a
+driver hash mismatch. The streaming twin is
+streaming/pipelines.start_payments_fanout's parquet branch with
 exactly-once checkpointing.
 """
 
@@ -18,17 +23,28 @@ from __future__ import annotations
 
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .payments import q_fx_convert
+from ..functions.texthash import SQL_MD5_HASH_MOD, md5_hash_mod
+from .payments import SQL_FX_CONVERT, q_fx_convert
+from .relational import dsum4, dsum4_sql
 
 _SINK_DIR: str | None = None
 
 
 def q_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fx-converted payments -> partitionBy(currency) parquet -> read
-    back. Deterministic content; no oracle (side-effecting operator,
-    driver does the rows-only check).
+    back -> per-currency integrity audit (count, dsum4 revenue,
+    md5-mod id-hash sum). The oracle computes the same aggregates from
+    the source tables; write+read-back is lossless for these columns
+    (double and int64 round-trip parquet bit-exactly), so any
+    divergence is a SINK defect, not a codec artifact.
+
+    The id-hash sum accumulates md5_hash_mod values (< 1e9 each) in
+    DECIMAL(38,0) — exact at any row count (a BIGINT accumulator would
+    overflow past ~9e9 rows/group at 100 TB); the oracle's HUGEINT sum
+    is likewise cast to DECIMAL(38,0) (the driver's float-landing-type
+    rule, tests/test_catalog.py).
 
     CONTRACT EXCEPTION: unlike every other catalog entry, BUILDING this
     query executes the write (a sink has no lazy form whose read-back
@@ -44,6 +60,29 @@ def q_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
         .partitionBy("currency")
         .parquet(out)
     )
-    return spark.read.parquet(out).select(
+    # explicit schema: an all-empty write leaves no data files to infer
+    # from (empty-input sweep), and pinning the schema also pins what
+    # the round-trip must preserve
+    back = spark.read.schema(converted.schema).parquet(out).select(
         "event_id", "currency", "amount_xchg", "ts"
     )
+    return back.groupBy("currency").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum4(F.col("amount_xchg")).alias("sum_amount_xchg"),
+        F.sum(
+            md5_hash_mod(F.col("event_id").cast("string")).cast(
+                "decimal(38,0)"
+            )
+        ).alias("id_hash_sum"),
+    )
+
+
+SQL_SINK_PARQUET = f"""
+    SELECT currency,
+           COUNT(*) AS n_rows,
+           {dsum4_sql('amount_xchg')} AS sum_amount_xchg,
+           CAST(SUM({SQL_MD5_HASH_MOD.format(x='CAST(event_id AS VARCHAR)')})
+                AS DECIMAL(38,0)) AS id_hash_sum
+    FROM ({SQL_FX_CONVERT})
+    GROUP BY currency
+"""

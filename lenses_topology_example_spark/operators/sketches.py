@@ -11,9 +11,15 @@ memory — the only viable shape for interactive answers over 100 TB:
   bounded accuracy parameter; same mergeability argument.
 
 Both are engine-specific sketches, so no DuckDB oracle can hash-match
-them — these are declared WITHOUT oracle_sql (the driver's weaker
-rows-only check) and their accuracy contract is asserted against the
-exact answers in tests/test_sketches.py instead.
+the ESTIMATES themselves. Since round 13 (r12 VERDICT ask #4) the
+catalog entries are PROPERTY-PAIRED instead of rows-only: each emits
+the exact answer beside a non-nullable boolean asserting the sketch
+landed within its documented error bound, and the estimate itself is
+kept OUT of the output columns. The oracle recomputes the exact
+columns and emits literal TRUE for the bound — so the driver's full
+rows+schema+hash gate now has pass/fail teeth on the sketch property.
+The raw estimates stay observable through the _raw helpers, which
+tests/test_sketches.py asserts against exact answers in value space.
 """
 
 from __future__ import annotations
@@ -25,21 +31,58 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..tables import load_table
 
 
-def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL++ distinct users per event type at 2% target rsd."""
+def approx_distinct_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ distinct users per event type at 2% target rsd, with the
+    exact count beside it (the raw frame the property check projects)."""
     events = load_table(spark, sf_dir, "events")
     return events.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.count_distinct("user_id").alias("exact_users"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ property check (oracle-paired since round 13): the sketch
+    estimate must land within 3 sigma of the exact distinct count
+    (rsd=0.02 -> 6% relative), emitted as a non-nullable boolean the
+    oracle recomputes as literal TRUE. The engine-specific estimate is
+    NOT an output column — it can never hash-match another engine.
+    Deterministic: Spark's HLL++ is hash-based with no RNG, so the
+    observed error at a given (data, rsd) is a fixed value.
+
+    Scale shape (100 TB): the exact count_distinct is the expensive
+    leg (key-space shuffle) — acceptable for an AUDIT query; the
+    production path is the sketch alone (approx_distinct_raw), whose
+    shuffle carries fixed-size sketch bytes."""
+    raw = approx_distinct_raw(spark, sf_dir)
+    return raw.select(
+        "event_type",
+        "exact_users",
+        "n_events",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= F.ceil(F.col("exact_users") * F.lit(0.06))
+        ).alias("within_bound"),
+    )
+
+
+SQL_APPROX_DISTINCT_USERS = """
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           COUNT(*) AS n_events,
+           TRUE AS within_bound
+    FROM events GROUP BY event_type
+"""
 
 
 APPROX_PCTS = (0.5, 0.9, 0.99)
 
 
-def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def approx_quantiles_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable quantile summary over event values (accuracy 10000 —
-    error bound = 1/accuracy of the rank).
+    error bound = 1/accuracy of the rank), one row per
+    (event_type, pct).
 
     Output is ONE ROW PER (event_type, pct): the driver's comparator
     canon cannot hash raw array columns (unhashable numpy.ndarray —
@@ -65,6 +108,72 @@ def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vmin",
         "vmax",
     )
+
+
+def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-sketch property check (oracle-paired since round 13):
+    percentile_approx(accuracy=10000) guarantees the returned element's
+    exact RANK is within n/accuracy of the target rank pct*n. The check
+    recomputes the exact rank interval of the returned value — the
+    value occupies ranks [cnt_lt+1, cnt_le] — and asserts it intersects
+    [pct*n - err, pct*n + err] with err = n/10000 + 1 (+1 absorbs rank
+    discretization at tiny n). The engine-specific approx VALUE is not
+    an output column; the oracle recomputes the exact columns and emits
+    TRUE for the bound. Deterministic: the sketch is insertion-order-
+    robust at this accuracy and the check re-derives ranks exactly.
+
+    Scale shape (100 TB): the rank recount joins the |types|x3 sketch
+    result back to events as a broadcast and re-aggregates — one extra
+    scan, map-side combinable; an audit query by design (the
+    production path is approx_quantiles_raw, one pass)."""
+    raw = approx_quantiles_raw(spark, sf_dir).select(
+        "event_type", "pct", "approx_value"
+    )
+    events = load_table(spark, sf_dir, "events").select(
+        "event_type", "value"
+    )
+    stats = (
+        events.join(F.broadcast(raw), "event_type")
+        .groupBy("event_type", "pct")
+        .agg(
+            F.count(F.lit(1)).alias("n_values"),
+            F.count(
+                F.when(F.col("value") <= F.col("approx_value"), 1)
+            ).alias("cnt_le"),
+            F.count(
+                F.when(F.col("value") < F.col("approx_value"), 1)
+            ).alias("cnt_lt"),
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
+        )
+    )
+    target = F.col("pct") * F.col("n_values").cast("double")
+    err = F.col("n_values").cast("double") / F.lit(10_000.0) + F.lit(1.0)
+    return stats.select(
+        "event_type",
+        "pct",
+        "n_values",
+        "vmin",
+        "vmax",
+        (
+            (F.col("cnt_le").cast("double") >= target - err)
+            & (F.col("cnt_lt").cast("double") <= target + err)
+        ).alias("within_bound"),
+    )
+
+
+SQL_APPROX_QUANTILES = """
+    SELECT event_type,
+           pct,
+           COUNT(*) AS n_values,
+           MIN(value) AS vmin,
+           MAX(value) AS vmax,
+           TRUE AS within_bound
+    FROM events
+    CROSS JOIN (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.9 AS DOUBLE)),
+                       (CAST(0.99 AS DOUBLE))) p(pct)
+    GROUP BY event_type, pct
+"""
 
 
 def q_udaf_median(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -50,6 +50,28 @@ def catalog_dfs(spark, sf_dir):
         fn = _CATALOG[name][0]
         return name, fn(spark, sf_dir)
 
+    # Contract guard (r12 ADVICE): the threaded build is only safe if
+    # NO catalog builder mutates session state at construction time
+    # (the no-session-mutation rule documented at the _CATALOG
+    # registration site). A violating builder would otherwise surface
+    # as rare flaky analysis errors; snapshotting the semantics-
+    # critical confs makes at least the leave-it-changed violation
+    # deterministic.
+    _guard_keys = (
+        "spark.sql.session.timeZone",
+        "spark.sql.shuffle.partitions",
+        "spark.sql.legacy.parquet.nanosAsLong",
+        "spark.sql.execution.arrow.pyspark.enabled",
+        "spark.sql.adaptive.enabled",
+        "spark.sql.ansi.enabled",
+    )
+    before = {k: spark.conf.get(k, None) for k in _guard_keys}
     with ThreadPoolExecutor(max_workers=8) as ex:
         built = dict(ex.map(build, names))
+    after = {k: spark.conf.get(k, None) for k in _guard_keys}
+    if before != after:
+        raise RuntimeError(
+            "a catalog builder mutated session confs at build time "
+            f"(no-session-mutation rule, catalog.py): {before} -> {after}"
+        )
     return {n: built[n] for n in names}

@@ -15,11 +15,12 @@ from tests.oracle import duck_connection
 def test_catalog_shape():
     assert len(_CATALOG) >= 89
     rows_only = {k for k, (_f, sql) in _CATALOG.items() if sql is None}
-    assert rows_only == {
-        "approx_distinct_users",
-        "approx_quantiles",
-        "sink_parquet",
-    }, "rows-only set changed — update SURVEY.md §2.8 and the driver notes"
+    # round 13 (r12 VERDICT ask #4): the last three rows-only entries
+    # became property-paired (sketch bound booleans, sink read-back
+    # audit) — every catalog entry now has a full oracle twin
+    assert rows_only == set(), (
+        "rows-only set changed — update SURVEY.md §2.8 and the driver notes"
+    )
     for name, (fn, _sql) in _CATALOG.items():
         assert callable(fn), name
 
@@ -82,16 +83,20 @@ def test_window_oracles_emit_driver_hashable_types(sf_dir):
     assert not bad, bad
 
 
-def test_window_queries_emit_scalar_columns(catalog_dfs):
+def test_window_queries_emit_scalar_columns(catalog_dfs, spark, sf_dir):
     """Spark-side twin of the oracle type guard: no in-window query may
     return an array/map/struct column — the driver comparator cannot
     canonicalize them (`unhashable type: numpy.ndarray`). Schemas come
-    from the shared session fixture's already-built plans."""
+    from the shared session fixture's already-built plans (sink_parquet,
+    excluded there because building it writes, is built here directly)."""
     from pyspark.sql.types import ArrayType, MapType, StructType
 
     bad = []
     for name in DRIVER_WINDOW:
-        schema = catalog_dfs[name].schema
+        if name in catalog_dfs:
+            schema = catalog_dfs[name].schema
+        else:
+            schema = _CATALOG[name][0](spark, sf_dir).schema
         for f in schema.fields:
             if isinstance(f.dataType, (ArrayType, MapType, StructType)):
                 bad.append(f"{name}.{f.name}: {f.dataType.simpleString()}")

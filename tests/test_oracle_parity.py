@@ -26,10 +26,18 @@ _QUERIES = catalog.queries()
 
 
 @pytest.fixture(scope="session")
-def parity_pandas(catalog_dfs):
+def parity_pandas(catalog_dfs, spark, sf_dir):
     def run(name):
         try:
-            return name, catalog_dfs[name].toPandas(), None
+            if name in catalog_dfs:
+                df = catalog_dfs[name]
+            else:
+                # sink_parquet: excluded from the shared plan fixture
+                # because BUILDING it executes its write (documented
+                # contract exception) — build it here, serially, when
+                # its own parity entry runs
+                df = _QUERIES[name](spark, sf_dir)
+            return name, df.toPandas(), None
         except Exception as e:  # re-raised by the entry's own test
             return name, None, e
 

@@ -13,6 +13,7 @@ import math
 from decimal import ROUND_HALF_UP, Decimal
 
 import duckdb
+import pytest
 
 from lenses_topology_example_spark.operators.embed_stats import (
     KMEANS_K,
@@ -143,6 +144,8 @@ def test_duckdb_negative_hugeint_double_cast_is_still_broken():
     positives, BIGINT, and everything under 2^53 convert exactly."""
     import duckdb
 
+    import warnings
+
     con = duckdb.connect()
     v = 1800856251766000000  # the live value from the sf1.0 sweep
     neg = con.sql(f"SELECT CAST(CAST(-{v} AS HUGEINT) AS DOUBLE)").fetchone()[0]
@@ -150,17 +153,28 @@ def test_duckdb_negative_hugeint_double_cast_is_still_broken():
     big = con.sql(f"SELECT CAST(CAST(-{v} AS BIGINT) AS DOUBLE)").fetchone()[0]
     assert pos == float(v)  # positive path correct
     assert big == float(-v)  # BIGINT path correct
-    assert neg != float(-v), (
-        "DuckDB fixed negative HUGEINT->DOUBLE rounding — revisit the "
-        "class-#7 note in BASELINE.md (the sub-2^53 fix stays valid)"
-    )
-    # everything under 2^53 is exact on both signs (the fix's premise)
+    # everything under 2^53 is exact on both signs — the premise the
+    # framework's fix RELIES on; these must hold regardless of whether
+    # the upstream bug gets fixed, so they run before the advisory check
     for u in (2**53 - 1, 2**52 + 12345, 10**15 + 7):
         got = con.sql(
             f"SELECT CAST(CAST(-{u} AS HUGEINT) AS DOUBLE), "
             f"CAST(CAST({u} AS HUGEINT) AS DOUBLE)"
         ).fetchone()
         assert got == (float(-u), float(u))
+    if neg == float(-v):
+        # Upstream fixed the bug. The sub-2^53 discipline stays correct
+        # either way (r12 docstrings say so), so an engine upgrade must
+        # degrade this canary to an advisory, not a suite failure
+        # (r12 ADVICE).
+        warnings.warn(
+            f"DuckDB {duckdb.__version__} fixed negative HUGEINT->DOUBLE "
+            "rounding — relax the class-#7 note in BASELINE.md (the "
+            "sub-2^53 workaround remains valid)",
+            stacklevel=1,
+        )
+        pytest.skip("upstream DuckDB bug fixed — canary now advisory")
+    assert neg != float(-v)  # bug still present: the documented state
 
 
 def test_ols_trend_moments_stay_under_2_53_at_contract_sf(spark, sf_dir):
@@ -205,6 +219,10 @@ def test_ols_trend_moments_stay_under_2_53_at_contract_sf(spark, sf_dir):
         assert abs(n * sxyd - sx * syd) < 2**53  # slope num @ sf100
         assert syd < 2**53  # intercept's sum cast @ sf100
         assert syyk_c < 2**53  # centered r2 second moment @ sf15
+        # ybar's HALF_UP numerator is implicitly DOUBLE-divided by
+        # DuckDB's `/` — it must be exact wherever R² is contracted
+        # (sf15); unscoped it crosses 2^53 near sf50 (r12 ADVICE)
+        assert 2 * sum(yds) + n < 2**53  # ybar numerator @ sf15
 
 
 def test_seasonal_decompose_sums_stay_under_2_53_at_sf1000(spark, sf_dir):

@@ -6,6 +6,8 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from lenses_topology_example_spark.operators.sketches import (
+    approx_distinct_raw,
+    approx_quantiles_raw,
     q_approx_distinct_users,
     q_approx_quantiles,
 )
@@ -15,7 +17,7 @@ from lenses_topology_example_spark.tables import load_table
 def test_hll_within_rsd(spark, sf_dir):
     approx = {
         r["event_type"]: r["approx_users"]
-        for r in q_approx_distinct_users(spark, sf_dir).collect()
+        for r in approx_distinct_raw(spark, sf_dir).collect()
     }
     exact = {
         r["event_type"]: r["exact"]
@@ -30,12 +32,32 @@ def test_hll_within_rsd(spark, sf_dir):
         assert abs(approx[et] - ex) <= max(0.08 * ex, 2), (et, approx[et], ex)
 
 
+def test_hll_property_entry_all_within_bound(spark, sf_dir):
+    """The oracle-paired catalog form (round 13): every group's 3-sigma
+    bound boolean must be TRUE — the column the oracle recomputes as a
+    literal, giving the driver hash real teeth on the sketch."""
+    rows = q_approx_distinct_users(spark, sf_dir).collect()
+    assert rows
+    assert all(r["within_bound"] for r in rows), rows
+
+
+def test_approx_quantiles_property_entry_all_within_bound(spark, sf_dir):
+    """Catalog-form rank-bound booleans must all be TRUE (and the rank
+    recount must see every (type, pct) cell exactly once)."""
+    rows = q_approx_quantiles(spark, sf_dir).collect()
+    assert len(rows) == len({(r["event_type"], r["pct"]) for r in rows})
+    assert rows
+    assert all(r["within_bound"] for r in rows), [
+        (r["event_type"], r["pct"]) for r in rows if not r["within_bound"]
+    ]
+
+
 def test_approx_quantiles_rank_bounded(spark, sf_dir):
     """Quantile sketches bound RANK error, not value error: the approx
     p-quantile must lie within the exact [p-5pp, p+5pp] value bracket
     (value-space error is unbounded on skewed data)."""
     approx: dict[str, dict[float, float]] = {}
-    for r in q_approx_quantiles(spark, sf_dir).collect():
+    for r in approx_quantiles_raw(spark, sf_dir).collect():
         approx.setdefault(r["event_type"], {})[r["pct"]] = r["approx_value"]
     brackets = {
         r["event_type"]: r["b"]
