@@ -248,3 +248,317 @@ def test_soak_oov_continues_batch_ids_and_counts_add_up(
         for r in oov_source_report(docs, vocab).collect()
     }
     assert got == want
+
+
+# --- round-13 extension (r12 VERDICT ask #6): the four remaining -----------
+# keyed-state / per-batch twins get the same kill/restart soak. The
+# EWMA / interarrival / attribution twins are TIME-ORDERED operators
+# (their determinism contracts require per-key arrivals in event-time
+# order), so their slices split on ts sextiles with forced-mtime drain
+# order instead of key % N.
+
+
+def _write_time_slices(df, src, lo, hi, bounds, base):
+    """Write ts-sextile slices [lo, hi) as one single-file dir each
+    (f0..f5), mtime-spaced 60 s from `base` so the file source drains
+    them oldest-first — one micro-batch per slice, in event-time order.
+    `bounds` holds the 5 interior ts-as-double boundaries; identical
+    timestamps always land in one slice (boundary comparisons are on
+    the data values themselves)."""
+    import os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    tsd = F.col("ts").cast("double")
+    for i in range(lo, hi):
+        cond = None
+        if i > 0:
+            cond = tsd > bounds[i - 1]
+        if i < len(bounds):
+            c2 = tsd <= bounds[i]
+            cond = c2 if cond is None else (cond & c2)
+        d = f"{src}/f{i}"
+        sl = df.filter(cond) if cond is not None else df
+        sl.coalesce(1).write.mode("overwrite").parquet(d)
+        mt = base + i * 60
+        for fn in os.listdir(d):
+            os.utime(os.path.join(d, fn), (mt, mt))
+
+
+def _ts_bounds(df):
+    from pyspark.sql import functions as F
+
+    return (
+        df.agg(
+            F.expr(
+                "percentile(CAST(ts AS DOUBLE), array("
+                "CAST(1.0/6 AS DOUBLE), CAST(2.0/6 AS DOUBLE), "
+                "CAST(3.0/6 AS DOUBLE), CAST(4.0/6 AS DOUBLE), "
+                "CAST(5.0/6 AS DOUBLE)))"
+            )
+        ).collect()[0][0]
+    )
+
+
+def test_soak_interarrival_recovers_user_state_across_restart(
+    spark, sf_dir, tmp_path
+):
+    """The per-user last-seen-timestamp state must rehydrate from the
+    checkpoint: every gap that SPANS the restart boundary (a user's
+    last pre-restart event -> first post-restart event) exists exactly
+    once in the log, so the aggregated stats equal the batch operator
+    bitwise (same divide-then-subtract IEEE sequence)."""
+    import time as _time
+
+    from lenses_topology_example_spark.operators.windows import gap_report
+    from lenses_topology_example_spark.streaming.pipelines import (
+        start_interarrival_stream,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    bounds = _ts_bounds(events)
+    src = str(tmp_path / "soak_ia_src")
+    out = str(tmp_path / "soak_ia_out")
+    ckpt = str(tmp_path / "soak_ia_ckpt")
+    base = _time.time()
+
+    def drain():
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src}/f*")
+        )
+        q = start_interarrival_stream(stream, out, ckpt)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    _write_time_slices(events, src, 0, CUT, bounds, base)
+    drain()
+    n_phase1 = spark.read.parquet(out).count()
+
+    _write_time_slices(events, src, CUT, N_SLICES, bounds, base)
+    drain()  # NEW query instance, same checkpoint
+
+    log = spark.read.parquet(out)
+    # boundary-spanning gaps only exist if state recovered: phase 2
+    # must emit MORE gaps than phase 1 left behind
+    assert log.count() > n_phase1
+    got = {
+        r.event_type: (r.n_gaps, r.mean_gap_s, r.min_gap_s, r.max_gap_s)
+        for r in gap_report(log).collect()
+    }
+    want = {
+        r.event_type: (r.n_gaps, r.mean_gap_s, r.min_gap_s, r.max_gap_s)
+        for r in _CATALOG["interarrival_stats"][0](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_soak_attribution_recovers_state_across_restart(
+    spark, sf_dir, tmp_path
+):
+    import time as _time
+
+    from lenses_topology_example_spark.operators.windows import (
+        attribution_report,
+    )
+    from lenses_topology_example_spark.streaming.pipelines import (
+        start_attribution_stream,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    bounds = _ts_bounds(events)
+    src = str(tmp_path / "soak_at_src")
+    out = str(tmp_path / "soak_at_out")
+    ckpt = str(tmp_path / "soak_at_ckpt")
+    base = _time.time()
+
+    def drain():
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src}/f*")
+        )
+        q = start_attribution_stream(stream, out, ckpt)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    _write_time_slices(events, src, 0, CUT, bounds, base)
+    drain()
+    _write_time_slices(events, src, CUT, N_SLICES, bounds, base)
+    drain()  # NEW query instance, same checkpoint
+
+    got = {
+        r.channel: (
+            r.n_first, r.rev_first, r.share_first,
+            r.n_last, r.rev_last, r.share_last,
+        )
+        for r in attribution_report(spark.read.parquet(out)).collect()
+    }
+    want = {
+        r.channel: (
+            r.n_first, r.rev_first, r.share_first,
+            r.n_last, r.rev_last, r.share_last,
+        )
+        for r in _CATALOG["attribution_revenue"][0](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_soak_ewma_recovers_day_state_across_restart(
+    spark, sf_dir, tmp_path
+):
+    """The (current day, running count, EWMA-so-far) state must carry
+    across the restart: days whose arrivals STRADDLE the boundary must
+    close with the full count, and the EWMA recurrence must continue
+    from the recovered value — streamed rows equal the batch chart for
+    every day except each type's in-flight last (the documented
+    boundary)."""
+    import time as _time
+
+    from lenses_topology_example_spark.streaming.pipelines import (
+        start_ewma_stream,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts")
+    bounds = _ts_bounds(ev)
+    src = str(tmp_path / "soak_ew_src")
+    out = str(tmp_path / "soak_ew_out")
+    ckpt = str(tmp_path / "soak_ew_ckpt")
+    base = _time.time()
+
+    def drain():
+        stream = (
+            spark.readStream.schema("event_type string, ts timestamp")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src}/f*")
+        )
+        q = start_ewma_stream(stream, out, ckpt)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    _write_time_slices(ev, src, 0, CUT, bounds, base)
+    drain()
+    _write_time_slices(ev, src, CUT, N_SLICES, bounds, base)
+    drain()  # NEW query instance, same checkpoint
+
+    streamed = {
+        (r.event_type, r.day): (r.n, r.ewma_forecast, r.resid, r.flagged)
+        for r in spark.read.parquet(out).collect()
+    }
+    batch_rows = _CATALOG["ewma_anomaly"][0](spark, sf_dir).collect()
+    last_day = {}
+    for r in batch_rows:
+        last_day[r.event_type] = max(last_day.get(r.event_type, ""), r.day)
+    want = {
+        (r.event_type, r.day): (r.n, r.ewma_forecast, r.resid, r.flagged)
+        for r in batch_rows
+        if r.day != last_day[r.event_type]
+    }
+    assert streamed == want
+
+
+def test_soak_drift_psi_continues_batch_ids_and_covers_every_doc(
+    spark, sf_dir, tmp_path
+):
+    """PSI is a per-batch report against a STATIC base (no carried
+    state), so the restart contract is: batch ids continue 0..5, no
+    slice is lost or double-processed (per-bin c_batch sums over all
+    six reports equal the whole streamed half's bin counts), and the
+    final batch's report equals the batch-mode core on that slice."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from lenses_topology_example_spark.functions.texthash import md5_hash64
+    from lenses_topology_example_spark.streaming.pipelines import (
+        doc_quality_bins,
+        drift_psi_batch,
+        start_drift_psi_stream,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    parity = md5_hash64(F.col("doc_id").cast("string")) % 2
+    base_docs = docs.filter(parity == 0)
+    stream_docs = docs.filter(parity == 1).select("doc_id", "text")
+    base_counts = (
+        doc_quality_bins(base_docs)
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_base"))
+        .localCheckpoint()
+    )
+
+    src = str(tmp_path / "soak_psi_src")
+    out = str(tmp_path / "soak_psi_out")
+    ckpt = str(tmp_path / "soak_psi_ckpt")
+    base_mt = _time.time()
+
+    def slice_df(i):
+        return stream_docs.filter(f"doc_id % {N_SLICES} = {i}")
+
+    def write_slices(lo, hi):
+        import os
+
+        for i in range(lo, hi):
+            d = f"{src}/f{i}"
+            slice_df(i).coalesce(1).write.mode("overwrite").parquet(d)
+            mt = base_mt + i * 60
+            for fn in os.listdir(d):
+                os.utime(os.path.join(d, fn), (mt, mt))
+
+    def drain():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src}/f*")
+        )
+        q = start_drift_psi_stream(stream, base_counts, out, ckpt)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    write_slices(0, CUT)
+    drain()
+    assert _batch_ids(f"{out}/batch_id=*") == [0, 1, 2]
+
+    write_slices(CUT, N_SLICES)
+    drain()  # NEW query instance, same checkpoint
+    assert _batch_ids(f"{out}/batch_id=*") == [0, 1, 2, 3, 4, 5]
+
+    per_batch = spark.read.option("basePath", out).parquet(
+        *(f"{out}/batch_id={i}" for i in range(N_SLICES))
+    )
+    got_bins = {
+        r.bin: r.c
+        for r in per_batch.groupBy("bin")
+        .agg(F.sum("c_batch").cast("long").alias("c"))
+        .filter("c > 0")
+        .collect()
+    }
+    want_bins = {
+        r.bin: r.c
+        for r in doc_quality_bins(stream_docs)
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .collect()
+    }
+    assert got_bins == want_bins
+
+    cols = ("bin", "c_base", "c_batch", "psi_term", "psi", "verdict")
+    got5 = {
+        r["bin"]: tuple(r[c] for c in cols)
+        for r in spark.read.parquet(f"{out}/batch_id=5").collect()
+    }
+    want5 = {
+        r["bin"]: tuple(r[c] for c in cols)
+        for r in drift_psi_batch(slice_df(5), base_counts).collect()
+    }
+    assert got5 == want5

@@ -20,8 +20,15 @@ documents/embeddings are copied unscaled so driver_sim's ten views
 resolve (no allowlisted 2^53 crosser reads them). Output is OUTSIDE
 the read-only /root/testdata (default /tmp/spark_graft_sf1).
 
+Round 13 (r12 VERDICT ask #3): generalized to N copies so the decimal
+frontier can be MEASURED a decade past sf1.0 — `--copies 100` builds an
+sf10 slice (60 M-row lineitem, whole-table extendedprice units 3.18e18
+at scale 6 / 3.18e16 at scale 4 — the latter 3.5x PAST the 2^53 line,
+so the dsum4 allowlist is genuinely exercised at its documented
+escalation boundary, not just below it).
+
 Usage:
-    python tools/make_sf1.py [outdir]
+    python tools/make_sf1.py [outdir] [--copies N]   # default 10
     SPARK_GRAFT_DRIVER_SF_DIR=/tmp/spark_graft_sf1 \
         python tools/driver_sim.py agg_revenue rollup_sales ...
 """
@@ -35,7 +42,7 @@ import sys
 import duckdb
 
 SRC = "/root/testdata/sf0.1"
-COPIES = 10
+COPIES = 10  # default; override with --copies
 
 # table -> [(column, per-copy offset)]; all other columns pass through.
 SCALED: dict[str, list[tuple[str, int]]] = {
@@ -69,7 +76,7 @@ COPIED = [
 ]
 
 
-def build(outdir: str) -> None:
+def build(outdir: str, copies: int = COPIES) -> None:
     os.makedirs(outdir, exist_ok=True)
     con = duckdb.connect()
     for table, offsets in SCALED.items():
@@ -96,7 +103,7 @@ def build(outdir: str) -> None:
         dst = f"{outdir}/{table}.parquet"
         con.sql(
             f"COPY (SELECT {proj} FROM '{src}' CROSS JOIN "
-            f"(SELECT unnest(range({COPIES})) AS copy) i) "
+            f"(SELECT unnest(range({copies})) AS copy) i) "
             f"TO '{dst}' (FORMAT PARQUET)"
         )
         n = con.sql(f"SELECT COUNT(*) FROM '{dst}'").fetchone()[0]
@@ -109,4 +116,10 @@ def build(outdir: str) -> None:
 
 
 if __name__ == "__main__":
-    build(sys.argv[1] if len(sys.argv) > 1 else "/tmp/spark_graft_sf1")
+    args = sys.argv[1:]
+    n = COPIES
+    if "--copies" in args:
+        i = args.index("--copies")
+        n = int(args[i + 1])
+        del args[i : i + 2]
+    build(args[0] if args else "/tmp/spark_graft_sf1", copies=n)
