@@ -31,7 +31,11 @@ more of the same deliberate tiny-frame class: zipf_fit's rank over the
 200-row head, top_supplier's max over the |suppliers| aggregate,
 join_skew_stats' cumulative count over the |distinct df| histogram,
 order_backlog's running sum over the |days| frame, and
-source_concentration's rank over |sources| rows. Do not
+source_concentration's rank over |sources| rows. Round-13 adds
+theta_join_parts' TWO cumulative-sum windows over the ~120k-cell
+SF-INVARIANT part-price cent grid (the CDF rewrite that replaced the
+measured-quadratic BNL join — bounded by the price RANGE, not the row
+count). Do not
 re-investigate these warnings; a NEW one appearing here means a
 corpus-scale window crept in (cms_token_freq's top-N was exactly that
 bug in round 4 — now TakeOrderedAndProject, plan-pinned window-free).

@@ -251,19 +251,119 @@ SQL_ANTI_JOIN_CUSTOMERS = """
 
 
 def q_theta_join_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Non-equi (theta) join: suppliers paired with parts in a price band
-    keyed off acctbal — broadcast-nested-loop on the bounded supplier dim
-    (10 rows/SF-invariant), so the theta condition never drives a
-    cartesian shuffle."""
+    """Non-equi (theta) band count: per supplier name, how many parts
+    price into the acctbal band [s_acctbal/4, s_acctbal/2).
+
+    REWRITTEN round 13: the original broadcast-nested-loop part x
+    supplier join was the round's ONE measured super-linear entry
+    (bench_sf1_r13.json: 45.6x wall for the 10x sf0.1 -> sf1.0 step —
+    BOTH sides scale with SF and the band matches ~30% of all pairs,
+    so the join OUTPUT itself is O(SF^2); no join strategy fixes a
+    quadratic output). Since the query only needs the per-supplier
+    COUNT, the pairs are never needed: build the exact cumulative
+    distribution of part prices once and answer each supplier with two
+    CDF lookups.
+
+    Exact-integer form (both engines agree bitwise): prices and
+    acctbals are 2dp decimals, so with P = cents(p_retailprice) and
+    A = cents(s_acctbal), p >= a/4 AND p < a/2 is EXACTLY
+    2P < A <= 4P, giving n(A) = cdf(floor((A-1)/2)) -
+    cdf(floor((A-1)/4)) where cdf(x) = #parts with P <= x. (The
+    double-precision original can't disagree near band edges: the
+    comparison only flips within ~2 ulp relative distance, and
+    adjacent cent grid points differ by ~1e-8 relative — 8 orders
+    coarser. The /4.0 and /2.0 divides are exponent shifts, exact.)
+
+    Scale shape (100 TB): one map-side-combinable groupBy over part
+    collapses to the |price grid| frame (cent values between min and
+    max retail price — ~120k cells, SF-INVARIANT); a single bounded
+    window turns it into a dense CDF small enough to BROADCAST; each
+    supplier then does two broadcast-hash lookups — O(|part|) +
+    O(|supplier|) with no pair materialization, vs the measured
+    O(|part| x |supplier|) BNL. Re-measured after the rewrite:
+    0.9 s -> sub-linear at sf1.0 (BASELINE.md round-13)."""
+    from pyspark.sql import Window
+
     part = load_table(spark, sf_dir, "part")
     supp = load_table(spark, sf_dir, "supplier")
-    cond = (part.p_retailprice >= supp.s_acctbal / F.lit(4.0)) & (
-        part.p_retailprice < supp.s_acctbal / F.lit(2.0)
+
+    pc = (
+        part.select(
+            F.round(F.col("p_retailprice") * F.lit(100.0))
+            .cast("long")
+            .alias("pc")
+        )
+        .groupBy("pc")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.orderBy("pc").rowsBetween(Window.unboundedPreceding, 0)
+    cdf_sparse = pc.select("pc", F.sum("c").over(w).alias("cum"))
+    # densify over the bounded cent grid so supplier lookups are plain
+    # equi-joins (forward-fill the step function between price points)
+    rng = pc.agg(
+        F.min("pc").alias("lo"),
+        F.max("pc").alias("hi"),
+        F.sum("c").alias("total"),
+    )
+    dense = rng.select(
+        "lo",
+        "hi",
+        "total",
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("k"),
+    )
+    wf = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    cdf_dense = (
+        dense.join(cdf_sparse, dense.k == cdf_sparse.pc, "left")
+        .select(
+            "k",
+            "lo",
+            "hi",
+            "total",
+            F.last("cum", ignorenulls=True).over(wf).alias("cum"),
+        )
+        .select("k", "lo", "hi", "total", F.coalesce("cum", F.lit(0)).alias("cum"))
+    )
+
+    s = supp.select(
+        "s_name",
+        F.round(F.col("s_acctbal") * F.lit(100.0)).cast("long").alias("a"),
+    ).select(
+        "s_name",
+        F.floor((F.col("a") - 1) / F.lit(2.0)).cast("long").alias("hi_key"),
+        F.floor((F.col("a") - 1) / F.lit(4.0)).cast("long").alias("lo_key"),
+    )
+
+    # join both keys against the broadcast grid, then clamp: a key
+    # below the grid reads 0, above it reads the total
+    enriched = s.crossJoin(F.broadcast(rng))
+    hi_cdf = (
+        enriched.join(
+            F.broadcast(cdf_dense.select(F.col("k").alias("hk"), F.col("cum").alias("hi_cum"))),
+            F.col("hi_key") == F.col("hk"),
+            "left",
+        )
+        .join(
+            F.broadcast(cdf_dense.select(F.col("k").alias("lk"), F.col("cum").alias("lo_cum"))),
+            F.col("lo_key") == F.col("lk"),
+            "left",
+        )
+        .select(
+            "s_name",
+            (
+                F.when(F.col("hi_key") < F.col("lo"), F.lit(0))
+                .when(F.col("hi_key") > F.col("hi"), F.col("total"))
+                .otherwise(F.col("hi_cum"))
+                - F.when(F.col("lo_key") < F.col("lo"), F.lit(0))
+                .when(F.col("lo_key") > F.col("hi"), F.col("total"))
+                .otherwise(F.col("lo_cum"))
+            ).alias("n"),
+        )
     )
     return (
-        part.join(F.broadcast(supp), cond, "inner")
-        .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("n_parts"))
+        hi_cdf.groupBy("s_name")
+        .agg(F.sum("n").alias("n_parts"))
+        .filter(F.col("n_parts") > 0)
+        .select("s_name", F.col("n_parts").cast("long").alias("n_parts"))
     )
 
 
