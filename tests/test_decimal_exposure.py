@@ -60,6 +60,9 @@ DSUM4_FIXED = {
     ("agg_delta_merge", "revenue"),
     ("decayed_revenue", "revenue_raw"),
     ("decayed_revenue", "revenue_decayed"),
+    # round 13: the sink read-back audit's whole-currency revenue sum
+    # (operators/sinks.py) — dsum4 on both engines from registration
+    ("sink_parquet", "sum_amount_xchg"),
 }
 DSUM4_FINGERPRINT = re.compile(r",\s*4\s*\)\s*AS\s+DOUBLE", re.IGNORECASE)
 

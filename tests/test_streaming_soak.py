@@ -286,63 +286,80 @@ def _write_time_slices(df, src, lo, hi, bounds, base):
             os.utime(os.path.join(d, fn), (mt, mt))
 
 
-def _ts_bounds(df):
+def _ts_bounds(df, n=4):
     from pyspark.sql import functions as F
 
+    fracs = ", ".join(
+        f"CAST({i}.0/{n} AS DOUBLE)" for i in range(1, n)
+    )
     return (
         df.agg(
-            F.expr(
-                "percentile(CAST(ts AS DOUBLE), array("
-                "CAST(1.0/6 AS DOUBLE), CAST(2.0/6 AS DOUBLE), "
-                "CAST(3.0/6 AS DOUBLE), CAST(4.0/6 AS DOUBLE), "
-                "CAST(5.0/6 AS DOUBLE)))"
-            )
+            F.expr(f"percentile(CAST(ts AS DOUBLE), array({fracs}))")
         ).collect()[0][0]
     )
 
 
-def test_soak_interarrival_recovers_user_state_across_restart(
+# Time-ordered soaks use 4 slices / restart after 2 (vs the key-sliced
+# tests' 6/3): the restart contract needs >=2 micro-batches per phase
+# and nothing more, and each extra slice costs a coalesce(1) write plus
+# a micro-batch per query — the suite's 600 s budget is the binding
+# constraint (r12 VERDICT ask #9).
+TN_SLICES = 4
+TCUT = 2
+
+
+def test_soak_interarrival_and_attribution_recover_state_across_restart(
     spark, sf_dir, tmp_path
 ):
-    """The per-user last-seen-timestamp state must rehydrate from the
-    checkpoint: every gap that SPANS the restart boundary (a user's
-    last pre-restart event -> first post-restart event) exists exactly
-    once in the log, so the aggregated stats equal the batch operator
-    bitwise (same divide-then-subtract IEEE sequence)."""
+    """The per-user keyed state of BOTH event twins must rehydrate from
+    their checkpoints: every gap / touch that SPANS the restart
+    boundary (a user's last pre-restart event -> first post-restart
+    event) exists exactly once in the log, so the shared aggregates
+    equal the batch operators bitwise. One slice fixture drives both
+    twins (identical input contract — full events in (ts, event_id)
+    order), so the suite pays the 4 coalesce(1) slice writes once."""
     import time as _time
 
-    from lenses_topology_example_spark.operators.windows import gap_report
+    from lenses_topology_example_spark.operators.windows import (
+        attribution_report,
+        gap_report,
+    )
     from lenses_topology_example_spark.streaming.pipelines import (
+        start_attribution_stream,
         start_interarrival_stream,
     )
 
     events = load_table(spark, sf_dir, "events")
     bounds = _ts_bounds(events)
-    src = str(tmp_path / "soak_ia_src")
-    out = str(tmp_path / "soak_ia_out")
-    ckpt = str(tmp_path / "soak_ia_ckpt")
+    src = str(tmp_path / "soak_ev_src")
+    ia_out = str(tmp_path / "soak_ia_out")
+    at_out = str(tmp_path / "soak_at_out")
     base = _time.time()
 
     def drain():
-        stream = (
-            spark.readStream.schema(events.schema)
-            .option("maxFilesPerTrigger", "1")
-            .parquet(f"{src}/f*")
-        )
-        q = start_interarrival_stream(stream, out, ckpt)
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+        for starter, out, ck in (
+            (start_interarrival_stream, ia_out, "ia"),
+            (start_attribution_stream, at_out, "at"),
+        ):
+            stream = (
+                spark.readStream.schema(events.schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(f"{src}/f*")
+            )
+            q = starter(stream, out, str(tmp_path / f"soak_{ck}_ckpt"))
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
 
-    _write_time_slices(events, src, 0, CUT, bounds, base)
+    _write_time_slices(events, src, 0, TCUT, bounds, base)
     drain()
-    n_phase1 = spark.read.parquet(out).count()
+    n_phase1 = spark.read.parquet(ia_out).count()
 
-    _write_time_slices(events, src, CUT, N_SLICES, bounds, base)
-    drain()  # NEW query instance, same checkpoint
+    _write_time_slices(events, src, TCUT, TN_SLICES, bounds, base)
+    drain()  # NEW query instances, same checkpoints
 
-    log = spark.read.parquet(out)
+    log = spark.read.parquet(ia_out)
     # boundary-spanning gaps only exist if state recovered: phase 2
     # must emit MORE gaps than phase 1 left behind
     assert log.count() > n_phase1
@@ -356,58 +373,21 @@ def test_soak_interarrival_recovers_user_state_across_restart(
     }
     assert got == want
 
-
-def test_soak_attribution_recovers_state_across_restart(
-    spark, sf_dir, tmp_path
-):
-    import time as _time
-
-    from lenses_topology_example_spark.operators.windows import (
-        attribution_report,
-    )
-    from lenses_topology_example_spark.streaming.pipelines import (
-        start_attribution_stream,
-    )
-
-    events = load_table(spark, sf_dir, "events")
-    bounds = _ts_bounds(events)
-    src = str(tmp_path / "soak_at_src")
-    out = str(tmp_path / "soak_at_out")
-    ckpt = str(tmp_path / "soak_at_ckpt")
-    base = _time.time()
-
-    def drain():
-        stream = (
-            spark.readStream.schema(events.schema)
-            .option("maxFilesPerTrigger", "1")
-            .parquet(f"{src}/f*")
-        )
-        q = start_attribution_stream(stream, out, ckpt)
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
-
-    _write_time_slices(events, src, 0, CUT, bounds, base)
-    drain()
-    _write_time_slices(events, src, CUT, N_SLICES, bounds, base)
-    drain()  # NEW query instance, same checkpoint
-
-    got = {
+    got_at = {
         r.channel: (
             r.n_first, r.rev_first, r.share_first,
             r.n_last, r.rev_last, r.share_last,
         )
-        for r in attribution_report(spark.read.parquet(out)).collect()
+        for r in attribution_report(spark.read.parquet(at_out)).collect()
     }
-    want = {
+    want_at = {
         r.channel: (
             r.n_first, r.rev_first, r.share_first,
             r.n_last, r.rev_last, r.share_last,
         )
         for r in _CATALOG["attribution_revenue"][0](spark, sf_dir).collect()
     }
-    assert got == want
+    assert got_at == want_at
 
 
 def test_soak_ewma_recovers_day_state_across_restart(
@@ -444,9 +424,9 @@ def test_soak_ewma_recovers_day_state_across_restart(
         finally:
             q.stop()
 
-    _write_time_slices(ev, src, 0, CUT, bounds, base)
+    _write_time_slices(ev, src, 0, TCUT, bounds, base)
     drain()
-    _write_time_slices(ev, src, CUT, N_SLICES, bounds, base)
+    _write_time_slices(ev, src, TCUT, TN_SLICES, bounds, base)
     drain()  # NEW query instance, same checkpoint
 
     streamed = {

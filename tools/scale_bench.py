@@ -4,7 +4,17 @@
 to measured).
 
 Usage:
-    python tools/scale_bench.py [--top N] [--out FILE] [name ...]
+    python tools/scale_bench.py [--top N] [--out FILE] [--timeout S]
+                                [--big DIR] [name ...]
+
+--big overrides the scaled-slice directory (default $SPARK_GRAFT_SF1_DIR
+or /tmp/spark_graft_sf1) — pass tools/make_docs10.py output to measure
+the doc/event/embedding tier instead of the TPC-H tier. --timeout S
+(default: none) caps each single measurement: on expiry the in-flight
+Spark jobs are cancelled and the entry records {"timeout": true} with
+the elapsed floor — an entry that blows a 60 s cap from a sub-second
+sf0.1 reading is a >=100x ratio however long it would have run, so the
+cap IS the measurement for quadratic-output entries.
 
 Runs the top-N queries by committed sf0.1 cost (bench_full_latest.json)
 once at sf0.1 and once at the sf1.0 slice (tools/make_sf1.py output,
@@ -43,6 +53,8 @@ def main() -> int:
     args = sys.argv[1:]
     top_n = 60
     out_path = None
+    timeout_s = None
+    big_dir = SF1
     if "--top" in args:
         i = args.index("--top")
         top_n = int(args[i + 1])
@@ -51,8 +63,18 @@ def main() -> int:
         i = args.index("--out")
         out_path = args[i + 1]
         del args[i : i + 2]
+    if "--timeout" in args:
+        i = args.index("--timeout")
+        timeout_s = float(args[i + 1])
+        del args[i : i + 2]
+    if "--big" in args:
+        i = args.index("--big")
+        big_dir = args[i + 1]
+        del args[i : i + 2]
 
-    if not os.path.isdir(SF1):
+    if not os.path.isdir(big_dir):
+        if big_dir != SF1:
+            raise SystemExit(f"--big dir {big_dir} does not exist")
         print(f"regenerating {SF1} via tools/make_sf1.py", flush=True)
         subprocess.run(
             [sys.executable, os.path.join(ROOT, "tools", "make_sf1.py"), SF1],
@@ -76,6 +98,40 @@ def main() -> int:
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         return round(time.perf_counter() - t0, 3)
 
+    def run_capped(name: str, sf_dir: str) -> tuple[float, bool]:
+        """run() under the --timeout cap: on expiry cancel the in-flight
+        jobs (noop write aborts with a cancellation error) and report
+        (elapsed_floor, timed_out=True)."""
+        if timeout_s is None:
+            return run(name, sf_dir), False
+        import threading
+
+        done = threading.Event()
+
+        def watchdog():
+            if not done.wait(timeout_s):
+                spark.sparkContext.cancelJobGroup(f"scale-{name}")
+
+        w = threading.Thread(target=watchdog, daemon=True)
+        spark.sparkContext.setJobGroup(
+            f"scale-{name}", f"scale_bench {name}", interruptOnCancel=True
+        )
+        w.start()
+        t0 = time.perf_counter()
+        try:
+            qs[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            return round(time.perf_counter() - t0, 3), False
+        except Exception:  # noqa: BLE001 — cancellation lands here
+            elapsed = round(time.perf_counter() - t0, 3)
+            if elapsed >= timeout_s:
+                return elapsed, True
+            raise
+        finally:
+            done.set()
+            spark.sparkContext.setJobGroup("", "")
+
     # codegen/JIT warmup at the smallest SF
     warm = "/root/testdata/sf0.001"
     for name in names:
@@ -90,16 +146,19 @@ def main() -> int:
         files = " ".join(df.inputFiles())
         scaled = any(f"/{t}.parquet" in files for t in SCALED_TABLES)
         t01 = run(name, SF01)
-        t1 = run(name, SF1)
+        t1, timed_out = run_capped(name, big_dir)
         ratio = round(t1 / t01, 2) if t01 > 0 else float("inf")
         results[name] = {
             "sf01": t01,
             "sf1": t1,
             "ratio": ratio,
             "scaled_input": scaled,
+            "timeout": timed_out,
         }
         flag = ""
-        if scaled and ratio > 15:
+        if timed_out:
+            flag = f"  <<< TIMEOUT at {timeout_s}s (ratio is a floor)"
+        elif scaled and ratio > 15:
             flag = "  <<< SUPER-LINEAR (adjudicate)"
         print(
             f"{name}: {t01:.2f}s -> {t1:.2f}s  ratio {ratio}"
@@ -110,11 +169,11 @@ def main() -> int:
     flagged = [
         n
         for n, r in results.items()
-        if r["scaled_input"] and r["ratio"] > 15
+        if r["timeout"] or (r["scaled_input"] and r["ratio"] > 15)
     ]
     record = {
         "metric": "sf1_over_sf01_ratio",
-        "sf1_dir": SF1,
+        "sf1_dir": big_dir,
         "n_queries": len(results),
         "queries": results,
         "super_linear": flagged,
