@@ -970,8 +970,11 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
 # ROUND-14 ROTATION PLAN (write the new DRIVER_WINDOW from
 # `python tools/rotation_plan.py 14` once CORRECTNESS_r13 lands;
 # assuming the r13 window goes green):
-#   Head: any round-13 registrations or contract changes without a
-#     driver verdict (none expected), then any r13 RED held in-window.
+#   Head: r13 contract changes without a post-change driver verdict —
+#     `percentiles` (6dp round added to the three interpolated outputs
+#     after the docs10 parity sweep caught a live 1-ulp p99
+#     association-order split; class #3, BASELINE.md round-13) — then
+#     any r13 RED held in-window.
 #   Then: RISK-TIER entries with latest verdict <= r10, oldest-first,
 #     name order within a round (the tool prints the exact list — at
 #     r13 close that pool is the 12 r10-latest risk entries:

@@ -118,12 +118,21 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per group (Spark `percentile`;
     oracle quantile_cont — both the standard linear interpolation).
     At 100 TB swap to percentile_approx (t-digest sketch, mergeable,
-    one pass) — kept exact here because the oracle is exact."""
+    one pass) — kept exact here because the oracle is exact.
+
+    The interpolated outputs are 6dp-rounded on BOTH engines (the
+    class-#3 convention, BASELINE.md): lo + frac*(hi-lo) is evaluated
+    in a different association order by the two engines, and the
+    round-13 docs10 parity sweep caught a live 1-ulp p99 split
+    (230.53 vs 230.53000000000003) once the 10x-duplicated slice put
+    the p99 cut position between unequal neighbors. 2dp inputs at the
+    sweep's frac grid can't produce a .xxxxxx5 decimal midpoint, so
+    the round is tie-safe."""
     events = load_table(spark, sf_dir, "events")
     return events.groupBy("event_type").agg(
-        F.expr("percentile(value, 0.5)").alias("p50"),
-        F.expr("percentile(value, 0.9)").alias("p90"),
-        F.expr("percentile(value, 0.99)").alias("p99"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
         F.min("value").alias("vmin"),
         F.max("value").alias("vmax"),
     )
@@ -131,9 +140,9 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_PERCENTILES = """
     SELECT event_type,
-           quantile_cont(value, 0.5) AS p50,
-           quantile_cont(value, 0.9) AS p90,
-           quantile_cont(value, 0.99) AS p99,
+           ROUND(quantile_cont(value, 0.5), 6) AS p50,
+           ROUND(quantile_cont(value, 0.9), 6) AS p90,
+           ROUND(quantile_cont(value, 0.99), 6) AS p99,
            MIN(value) AS vmin,
            MAX(value) AS vmax
     FROM events GROUP BY event_type

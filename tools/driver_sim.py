@@ -40,11 +40,17 @@ def main() -> int:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     window_only = "--window" in sys.argv[1:]
 
-    spark = (
-        SparkSession.builder.master("local[8]")
-        .appName("driver-sim")
-        .getOrCreate()
-    )
+    builder = SparkSession.builder.master("local[8]").appName("driver-sim")
+    # Memory-only override for big-slice audits (docs10/sf10): the
+    # round-13 docs10 parity run OOM'd the vanilla 1g heap collecting
+    # 100x-duplicated pair outputs. Heap size is NOT contract
+    # semantics — the session stays vanilla in every conf that is —
+    # so this env knob does not weaken the "no session.py tuning"
+    # discipline (set e.g. SPARK_GRAFT_SIM_DRIVER_MEM=64g).
+    mem = os.environ.get("SPARK_GRAFT_SIM_DRIVER_MEM")
+    if mem:
+        builder = builder.config("spark.driver.memory", mem)
+    spark = builder.getOrCreate()
     spec = importlib.util.spec_from_file_location(
         "__spark_entry__", os.path.join(ROOT, "__spark_entry__.py")
     )
