@@ -26,7 +26,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from ..tables import load_table
-from .relational import dsum_sql
+from .relational import dsum2_sql, dsum_sql
 from .similarity import as_double, dot, sql_dot
 
 
@@ -1218,7 +1218,12 @@ def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     clamped = F.least(
         F.greatest(F.col("o_totalprice"), F.col("lo_cut")), F.col("hi_cut")
     )
-    from .relational import dsum
+    # dsum2, not dsum (round 13): per-segment revenue sums reach
+    # ~7.5e11 at sf10 — past dsum's scale-6 2^53 line — and the sf10
+    # parity sweep measured the resulting 1-ulp mean splits live. The
+    # inputs are exact 2dp, so the scale-2 re-round is lossless and
+    # the ceiling moves to ~9e13 (relational.dsum2 docstring).
+    from .relational import dsum2
 
     return (
         joined.groupBy("c_mktsegment")
@@ -1227,14 +1232,14 @@ def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("lo_cut").alias("lo_cut"),
             F.max("hi_cut").alias("hi_cut"),
             (
-                dsum(F.col("o_totalprice"))
+                dsum2(F.col("o_totalprice"))
                 / F.max("n_seg").cast("double")
             ).alias("mean_raw"),
-            (dsum(clamped) / F.max("n_seg").cast("double")).alias(
+            (dsum2(clamped) / F.max("n_seg").cast("double")).alias(
                 "mean_winsor"
             ),
             F.try_divide(
-                dsum(F.when(F.col("inner"), F.col("o_totalprice"))),
+                dsum2(F.when(F.col("inner"), F.col("o_totalprice"))),
                 F.sum(F.col("inner").cast("long")).cast("double"),
             ).alias("mean_trimmed"),
         )
@@ -1267,11 +1272,11 @@ SQL_WINSORIZED_STATS = f"""
            CAST(MAX(c.n) AS BIGINT) AS n,
            MAX(c.lo_cut) AS lo_cut,
            MAX(c.hi_cut) AS hi_cut,
-           {dsum_sql('f.o_totalprice')} / CAST(MAX(c.n) AS DOUBLE)
+           {dsum2_sql('f.o_totalprice')} / CAST(MAX(c.n) AS DOUBLE)
                AS mean_raw,
-           {dsum_sql('LEAST(GREATEST(f.o_totalprice, c.lo_cut), c.hi_cut)')}
+           {dsum2_sql('LEAST(GREATEST(f.o_totalprice, c.lo_cut), c.hi_cut)')}
                / CAST(MAX(c.n) AS DOUBLE) AS mean_winsor,
-           {dsum_sql('CASE WHEN f.inner_row THEN f.o_totalprice END')}
+           {dsum2_sql('CASE WHEN f.inner_row THEN f.o_totalprice END')}
                / CAST(SUM(CASE WHEN f.inner_row THEN 1 ELSE 0 END)
                       AS DOUBLE) AS mean_trimmed
     FROM flagged f JOIN cuts c USING (c_mktsegment)

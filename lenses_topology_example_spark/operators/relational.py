@@ -60,6 +60,24 @@ def dsum4_sql(expr: str) -> str:
     return f"CAST(ROUND(SUM(CAST({expr} AS DECIMAL(38,6))), 4) AS DOUBLE)"
 
 
+def dsum2(col: Column) -> Column:
+    """dsum for EXACT-2dp inputs (order/line prices): the scale-6 sum
+    re-rounded to scale 2 is LOSSLESS (a sum of 2dp values IS a 2dp
+    decimal), pushing the 2^53 double-cast ceiling to |sum| < ~9.0e13
+    (sf ~1200 for whole-segment revenue). Found live in round 13: the
+    sf10 parity sweep split winsorized_stats' means by 1 ulp — its
+    per-segment sums (~7.5e11) crossed dsum's scale-6 line, invisible
+    to the static output guard because a MEAN is a ratio
+    (tests/test_decimal_exposure.py inspects outputs, not internal
+    sums — the dynamic big-slice sweep is the complementary gate)."""
+    return F.round(F.sum(col.cast("decimal(38,6)")), 2).cast("double")
+
+
+# SQL twin of dsum2 for oracle queries.
+def dsum2_sql(expr: str) -> str:
+    return f"CAST(ROUND(SUM(CAST({expr} AS DECIMAL(38,6))), 2) AS DOUBLE)"
+
+
 # --- aggregations -----------------------------------------------------------
 
 
