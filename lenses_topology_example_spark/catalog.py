@@ -973,8 +973,13 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
 #   Head: r13 contract changes without a post-change driver verdict —
 #     `percentiles` (6dp round added to the three interpolated outputs
 #     after the docs10 parity sweep caught a live 1-ulp p99
-#     association-order split; class #3, BASELINE.md round-13) — then
-#     any r13 RED held in-window.
+#     association-order split; class #9, BASELINE.md round-13),
+#     `winsorized_stats` (means moved dsum -> dsum2 after the sf10
+#     sweep measured 1-ulp splits from the internal scale-6 sum
+#     crossing 2^53), and `theta_join_parts` (CDF rewrite of the
+#     measured-quadratic BNL join — same output contract, new plan,
+#     re-driven for a post-rewrite verdict) — then any r13 RED held
+#     in-window.
 #   Then: RISK-TIER entries with latest verdict <= r10, oldest-first,
 #     name order within a round (the tool prints the exact list — at
 #     r13 close that pool is the 12 r10-latest risk entries:

@@ -48,8 +48,10 @@ RISK_RE = (
     r"F\.md5|md5\(",
     # wide decimal casts (scale-reduction class)
     r"decimal\(38,\s*1[0-9]|DECIMAL\(38,\s*1[0-9]",
-    # 2^53 double-cast crossers
-    r"2\*\*53|dsum4|DSUM4",
+    # 2^53 double-cast crossers (dsum2/dsum4 re-round fingerprints)
+    r"2\*\*53|dsum4|DSUM4|dsum2|DSUM2",
+    # cross-engine interpolation contracts (class #9, round 13)
+    r"quantile_cont|percentile\(",
 )
 
 
@@ -59,7 +61,7 @@ def risk_markers(fn, sql) -> list[str]:
     except (OSError, TypeError):
         src = ""
     src += "\n" + (sql or "")
-    names = ("libm", "md5", "decimal", "dsum4")
+    names = ("libm", "md5", "decimal", "dsum", "interp")
     return [n for n, pat in zip(names, RISK_RE) if re.search(pat, src)]
 
 
