@@ -306,7 +306,12 @@ def q_theta_join_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load_table(spark, sf_dir, "supplier")
 
     pc = (
-        part.select(
+        # NULL prices never satisfy the theta predicate — exclude them
+        # BEFORE the grid so `total` (used on the above-grid clamp
+        # path) can't count parts the original join dropped (r13
+        # ADVICE; unreachable on TPC-H data but pins the semantics)
+        part.filter(F.col("p_retailprice").isNotNull())
+        .select(
             F.round(F.col("p_retailprice") * F.lit(100.0))
             .cast("long")
             .alias("pc")
@@ -342,7 +347,7 @@ def q_theta_join_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("k", "lo", "hi", "total", F.coalesce("cum", F.lit(0)).alias("cum"))
     )
 
-    s = supp.select(
+    s = supp.filter(F.col("s_acctbal").isNotNull()).select(
         "s_name",
         F.round(F.col("s_acctbal") * F.lit(100.0)).cast("long").alias("a"),
     ).select(

@@ -156,8 +156,13 @@ def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vmin",
         "vmax",
         (
+            # the approx value occupies ranks [cnt_lt+1, cnt_le]; the
+            # interval intersects [target-err, target+err] iff its top
+            # rank reaches the floor AND its bottom rank stays under
+            # the ceiling (cnt_lt+1, not cnt_lt — r13 ADVICE: the bare
+            # cnt_lt admitted one rank beyond the stated bound)
             (F.col("cnt_le").cast("double") >= target - err)
-            & (F.col("cnt_lt").cast("double") <= target + err)
+            & ((F.col("cnt_lt") + F.lit(1)).cast("double") <= target + err)
         ).alias("within_bound"),
     )
 

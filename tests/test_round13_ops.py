@@ -12,8 +12,6 @@ big-slice sweeps (BASELINE.md round-13) stay enforced contracts.
 
 from __future__ import annotations
 
-import re
-
 from lenses_topology_example_spark.catalog import oracle_sql
 
 
@@ -41,7 +39,10 @@ def test_winsorized_means_use_dsum2_on_both_engines():
     crossed by the ~7.5e11 per-segment sums at sf10 (measured 1-ulp
     mean splits, round-13 sweep)."""
     sql = oracle_sql()["winsorized_stats"]
-    assert len(re.findall(r"ROUND\(SUM\([^)]*\)?[^,]*,\s*2\)", sql)) >= 3 or sql.count(", 2) AS DOUBLE)") >= 3, sql
+    # exact dsum2_sql expansion fingerprint (the earlier regex branch
+    # could not match the nested parens and was dead — r13 ADVICE)
+    assert sql.count("CAST(ROUND(SUM(CAST(") >= 3, sql
+    assert sql.count(", 2) AS DOUBLE)") >= 3, sql
     from lenses_topology_example_spark.operators import analytics
     import inspect
 

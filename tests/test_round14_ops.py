@@ -1,0 +1,152 @@
+"""Round-14 pins.
+
+- sink_parquet's audit is EAGER since r14 (r13 VERDICT ask #1): the r13
+  driver recorded the round's only red row (hash_match=false) for this
+  entry while the identical query MATCHed at HEAD under driver_sim —
+  the implicated surface was the build/collect split (the old form
+  returned a LAZY read-back over a shared scratch dir, so any driver
+  that rebuilt or delayed collection could observe a different write).
+  These tests pin the fix: the returned frame is a literal local table
+  whose rows cannot drift from the write that produced them.
+- theta_join_parts NULL semantics (r13 ADVICE): the price-CDF rewrite
+  must drop NULL p_retailprice / s_acctbal exactly like the theta join
+  it replaces — proven against the unchanged join-form oracle on a
+  fixture WITH nulls (unreachable on TPC-H data, so the catalog parity
+  sweep can't see it).
+- approx_quantiles' rank-interval upper bound is cnt_lt+1 <= target+err
+  (r13 ADVICE: the bare cnt_lt admitted one rank beyond the stated
+  sketch guarantee).
+"""
+
+from __future__ import annotations
+
+import glob
+import inspect
+import os
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_sink_parquet_returns_local_frame_pinned_to_its_own_write(
+    spark, sf_dir, tmp_path
+):
+    from lenses_topology_example_spark.operators import sinks
+
+    df = sinks.q_sink_parquet(spark, sf_dir)
+    first = sorted(map(tuple, df.collect()))
+    assert first, "sink audit produced no rows at test SF"
+
+    # the returned plan must NOT reference the sink files: a literal
+    # local relation (LocalRelation / LogicalRDD), never a FileScan
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "parquet" not in plan.lower(), plan
+
+    # clobber the written files AFTER build — a lazy read-back audit
+    # would now change (or die); the pinned audit must not move
+    assert sinks._SINK_DIR is not None
+    out = f"{sinks._SINK_DIR}/payments_xchg"
+    data_files = glob.glob(f"{out}/**/*.parquet", recursive=True)
+    assert data_files, "sink wrote no parquet data files"
+    for f in data_files:
+        os.remove(f)
+    again = sorted(map(tuple, df.collect()))
+    assert again == first
+
+    # and a rebuild re-executes the write (the sink side effect is the
+    # operator; the audit is its receipt)
+    df2 = sinks.q_sink_parquet(spark, sf_dir)
+    assert sorted(map(tuple, df2.collect())) == first
+
+
+def test_sink_parquet_audit_row_values_match_source_truth(spark, sf_dir):
+    """The audit's n_rows must equal the converted-stream row counts
+    computed directly from the source (independent of the write path) —
+    a lost or duplicated task output fires here without the oracle."""
+    from lenses_topology_example_spark.operators import sinks
+    from lenses_topology_example_spark.operators.payments import q_fx_convert
+
+    audit = {
+        r["currency"]: r["n_rows"]
+        for r in sinks.q_sink_parquet(spark, sf_dir).collect()
+    }
+    truth = {
+        r["currency"]: r["n"]
+        for r in q_fx_convert(spark, sf_dir)
+        .groupBy("currency")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert audit == truth
+
+
+def _write_theta_fixture(spark, d):
+    """part/supplier parquet with NULLs in the theta columns and
+    acctbals above/below the price grid (the clamp paths)."""
+    part = spark.createDataFrame(
+        [
+            (1, "p1", 10.00),
+            (2, "p2", 20.00),
+            (3, "p3", 30.25),
+            (4, "p4", None),  # NULL price: must not enter cdf/total
+            (5, "p5", 40.50),
+        ],
+        "p_partkey long, p_name string, p_retailprice double",
+    )
+    supp = spark.createDataFrame(
+        [
+            (1, "s_low", 1.00),  # band [0.25, 0.50): below grid -> 0
+            (2, "s_mid", 60.00),  # band [15, 30): parts 20 -> 1
+            (3, "s_hi", 100.00),  # band [25, 50): 30.25, 40.50 -> 2
+            (4, "s_huge", 100000.00),  # band above grid: clamp path -> 0
+            (5, "s_null", None),  # NULL acctbal: dropped like the join
+        ],
+        "s_suppkey long, s_name string, s_acctbal double",
+    )
+    part.write.mode("overwrite").parquet(f"{d}/part.parquet")
+    supp.write.mode("overwrite").parquet(f"{d}/supplier.parquet")
+
+
+def test_theta_join_cdf_matches_join_oracle_with_nulls(spark, tmp_path):
+    from lenses_topology_example_spark.operators.relational import (
+        SQL_THETA_JOIN_PARTS,
+        q_theta_join_parts,
+    )
+
+    d = str(tmp_path)
+    _write_theta_fixture(spark, d)
+    got = {
+        r["s_name"]: r["n_parts"]
+        for r in q_theta_join_parts(spark, d).collect()
+    }
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW part AS SELECT * FROM '{d}/part.parquet/*.parquet'")
+    con.sql(
+        f"CREATE VIEW supplier AS SELECT * FROM '{d}/supplier.parquet/*.parquet'"
+    )
+    want = dict(con.sql(SQL_THETA_JOIN_PARTS).fetchall())
+    assert got == want
+    # pin the fixture's intent: the expected bands resolved as designed
+    assert want == {"s_mid": 1, "s_hi": 2}
+
+
+def test_approx_quantiles_upper_bound_uses_rank_interval_start():
+    """r13 ADVICE fingerprint: the upper intersection test runs on
+    cnt_lt + 1 (the approx value's FIRST occupied rank), not bare
+    cnt_lt."""
+    from lenses_topology_example_spark.operators import sketches
+
+    src = inspect.getsource(sketches.q_approx_quantiles)
+    assert 'F.col("cnt_lt") + F.lit(1)' in src
+
+
+def test_approx_quantiles_bound_holds_after_tightening(spark, sf_dir):
+    """The tightened check must still come back all-TRUE (the oracle
+    emits literal TRUE — any FALSE is a driver hash mismatch)."""
+    from lenses_topology_example_spark.operators.sketches import (
+        q_approx_quantiles,
+    )
+
+    rows = q_approx_quantiles(spark, sf_dir).collect()
+    assert rows and all(r["within_bound"] for r in rows)
