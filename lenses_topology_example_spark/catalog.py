@@ -941,117 +941,97 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
 # and first-50 order). Full rotation history: ROTATION.md (r8 VERDICT
 # ask #7 — only the CURRENT window and the NEXT plan live here).
 #
-# ROUND-13 WINDOW (executes the plan written in round 12;
-# CORRECTNESS_r12 came back 50/50 full green, so the r12 window rotates
-# out — every member leaves with a current r12 verdict. No r12
-# registrations exist, so the window is the risk-tiered re-check queue,
-# now computed reproducibly by tools/rotation_plan.py):
-#   Slots 1-3:   approx_distinct_users, approx_quantiles, sink_parquet —
-#                CONTRACT-CHANGED this round (r12 VERDICT ask #4: the
-#                last three rows-only entries became property-paired —
-#                sketch error-bound booleans the oracle recomputes as
-#                literal TRUE; sink read-back integrity audit). A
-#                contract change re-enters the head like a new
-#                registration: first full-hash verdict within one round.
-#   Slots 4-45:  RISK-TIER entries (libm/md5/decimal-cast/dsum4 markers
-#                in the operator or oracle source — ROTATION.md rule,
-#                detection mechanized in tools/rotation_plan.py) whose
-#                latest verdict is older than 3 rounds (<= r9 at r13),
-#                oldest verdict first, name order within a round:
-#                16 from r7, 17 from r8, 9 from r9.
-#   Slots 46-50: plain queue — the r7 block remainder in the r12-written
-#                listed order, non-risk members (eval_leak_report,
-#                corpus_diversity, kmeans_assign, kmeans_refine,
-#                embed_quantize).
-#   OUT: the freshly-green r12 window (each leaves with a current r12
-#   verdict; pytest oracle parity at sf0.001 still covers every
+# ROUND-14 WINDOW (executes the plan written in round 13, catalog
+# r13 comment + `python tools/rotation_plan.py 14`; CORRECTNESS_r13
+# came back 49/50 green with ONE red — sink_parquet hash_match=false —
+# which therefore holds in-window at the head):
+#   Slots 1-5:   HEAD.
+#     sink_parquet — the r13 RED row (r13 VERDICT ask #1): the audit
+#       is now computed EAGERLY at build and returned as a literal
+#       local frame, so the collected result is pinned to the write
+#       (operators/sinks.py). Re-driven for the post-fix verdict.
+#     approx_quantiles — contract-changed THIS round (r13 ADVICE: the
+#       rank-interval upper test tightened to cnt_lt+1).
+#     percentiles, winsorized_stats, theta_join_parts — the three r13
+#       contract changes without a post-change driver verdict (6dp
+#       interpolation round / dsum2 means / price-CDF rewrite, now
+#       also NULL-filtered per r13 ADVICE).
+#   Slots 6-17:  RISK-TIER entries with latest verdict <= r10 (3+
+#     rounds old at r14), name order (one verdict round, no sub-order):
+#     the 12 r10-latest libm/md5/interp entries.
+#   Slots 18-30: plain queue, r7-latest remainder, name order.
+#   Slots 31-50: plain queue, r8-latest block, name order, to fill.
+#   OUT: the 49 green r13 window members (each leaves with a current
+#   r13 verdict; pytest oracle parity at sf0.001 still covers every
 #   rotated-out entry on every run).
 #
-# ROUND-14 ROTATION PLAN (write the new DRIVER_WINDOW from
-# `python tools/rotation_plan.py 14` once CORRECTNESS_r13 lands;
-# assuming the r13 window goes green):
-#   Head: r13 contract changes without a post-change driver verdict —
-#     `percentiles` (6dp round added to the three interpolated outputs
-#     after the docs10 parity sweep caught a live 1-ulp p99
-#     association-order split; class #9, BASELINE.md round-13),
-#     `winsorized_stats` (means moved dsum -> dsum2 after the sf10
-#     sweep measured 1-ulp splits from the internal scale-6 sum
-#     crossing 2^53), and `theta_join_parts` (CDF rewrite of the
-#     measured-quadratic BNL join — same output contract, new plan,
-#     re-driven for a post-rewrite verdict) — then any r13 RED held
-#     in-window.
-#   Then: RISK-TIER entries with latest verdict <= r10, oldest-first,
-#     name order within a round (the tool prints the exact list — at
-#     r13 close that pool is the 12 r10-latest risk entries:
-#     ab_test_report, bootstrap_stderr, calibration_bins,
-#     cms_join_cardinality, cuped_ab_report, dedup_tfidf_cosine,
-#     drift_psi, hybrid_rrf, private_release,
-#     quantile_treatment_effect, retrieval_eval, topic_keywords).
-#   Then the plain oldest-verdict-first queue, name order within a
-#     round (r7 remainder first: cohort_retention, corpus_mix,
-#     funnel_conversion, gopher_rules, grouped_map_norm, kmeans_assign*,
-#     kmeans_refine* (*unless green in r13), lang_id, lateral_topn,
-#     length_histogram, pii_scrub, quality_score, range_join_buckets,
-#     repetition_stats, word_variants; then the r8 plain block as slots
-#     allow).
+# ROUND-15 ROTATION PLAN: run `python tools/rotation_plan.py 15` once
+# CORRECTNESS_r14 lands. Since round 14 the tool ALSO mechanizes head
+# detection (r13 ADVICE): tools/contract_fingerprints.json snapshots
+# every entry's (oracle SQL + comment-stripped builder source) hash at
+# window-write time; entries whose fingerprint moved since, plus any
+# RED latest verdict, enter the head automatically — no hand-kept
+# changed-this-round list. Refresh the snapshot with
+# `python tools/rotation_plan.py --update-fingerprints` whenever the
+# new window is committed. Expected r15 shape (if r14 goes green):
+# head = fingerprint diffs only; then risk tier <= r11 (the r11-latest
+# libm/md5/decimal block); then the r8 plain remainder.
 DRIVER_WINDOW_SIZE = 50
 DRIVER_WINDOW: tuple[str, ...] = (
-    # contract-changed head (r12 VERDICT ask #4): first verdicts for the
-    # new property-paired forms
-    "approx_distinct_users",
-    "approx_quantiles",
+    # head: r13 RED + the four contract changes awaiting a verdict
     "sink_parquet",
-    # risk tier, latest verdict r7 (6 rounds old)
-    "cms_token_freq",
-    "corpus_drift",
-    "corpus_rebalance",
-    "corpus_report",
-    "curation_funnel",
-    "dataset_split",
-    "decontaminate_bloom",
-    "dedup_incremental",
-    "dedup_ngram_spans",
-    "deterministic_sample",
-    "doc_fingerprint",
-    "funnel_sweep",
-    "quality_classifier",
-    "quality_gate",
-    "score_weighted_sample",
-    "shard_plan",
-    # risk tier, latest verdict r8
-    "asset_dedup",
-    "bm25_search",
-    "boilerplate_lines",
-    "dataset_split_by_cluster",
-    "dedup_savings",
-    "doc_chunk",
-    "dup_cluster_sizes",
-    "embed_dedup_incremental",
-    "minhash_band_sweep",
-    "minhash_est_audit",
-    "ngram_novelty",
-    "reservoir_sample",
-    "source_pagerank",
-    "split_leak_check",
-    "winnow_fingerprint",
-    "winnow_neardup",
-    "zipf_fit",
-    # risk tier, latest verdict r9
-    "agg_revenue",
-    "dedup_exact",
-    "dedup_lines",
-    "dedup_minhash",
-    "embed_drift",
-    "join_orders_customer",
-    "region_revenue",
-    "rollup_sales",
-    "temperature_mix",
-    # plain queue: r7 remainder, r12-written listed order
-    "eval_leak_report",
-    "corpus_diversity",
-    "kmeans_assign",
-    "kmeans_refine",
-    "embed_quantize",
+    "approx_quantiles",
+    "percentiles",
+    "winsorized_stats",
+    "theta_join_parts",
+    # risk tier, latest verdict r10
+    "ab_test_report",
+    "bootstrap_stderr",
+    "calibration_bins",
+    "cms_join_cardinality",
+    "cuped_ab_report",
+    "dedup_tfidf_cosine",
+    "drift_psi",
+    "hybrid_rrf",
+    "private_release",
+    "quantile_treatment_effect",
+    "retrieval_eval",
+    "topic_keywords",
+    # plain queue, latest verdict r7
+    "cohort_retention",
+    "corpus_mix",
+    "funnel_conversion",
+    "gopher_rules",
+    "grouped_map_norm",
+    "lang_id",
+    "lateral_topn",
+    "length_histogram",
+    "pii_scrub",
+    "quality_score",
+    "range_join_buckets",
+    "repetition_stats",
+    "word_variants",
+    # plain queue, latest verdict r8
+    "agg_delta_merge",
+    "cluster_purity",
+    "constraint_audit",
+    "cross_source_leak",
+    "customer_distribution",
+    "dedup_keeper_quality",
+    "embed_outliers",
+    "embed_pca_power",
+    "embed_threshold_sweep",
+    "erasure_plan",
+    "event_rate_anomaly",
+    "hard_negative_mining",
+    "interval_merge",
+    "join_skew_stats",
+    "k_anonymity",
+    "lang_confusion",
+    "length_percentiles",
+    "market_share",
+    "markov_transitions",
+    "min_cost_supplier",
 )
 
 #

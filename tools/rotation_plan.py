@@ -8,9 +8,18 @@ Usage:
 Mechanizes what rounds 8-12 did by hand (adopted round 13 so the
 risk-tier selection is reproducible and judge-auditable):
 
-1. HEAD — entries whose contract changed or that were registered since
-   the last report (no verdict at all, or a changed oracle pairing):
-   the protocol gives them a first verdict within one round.
+1. HEAD — entries the protocol owes a fresh verdict within one round:
+   (a) registered since the last report (no verdict at all),
+   (b) CONTRACT-CHANGED since the last window write — detected by
+       comparing a fingerprint of each entry's (oracle SQL + builder
+       source, comments stripped) against the committed snapshot in
+       tools/contract_fingerprints.json (refresh it with
+       `--update-fingerprints` when writing the new window; the r13
+       ADVICE fix — before this the tool could not see the documented
+       "changed oracle pairing / plan rewrite re-enters the head" rule
+       and would have mis-slotted e.g. the r13 trio), and
+   (c) RED in their LATEST verdict (rows/schema/err or a hash_match
+       false) — held in-window, not merely NOTEd (same ADVICE fix).
 2. RISK TIER (ROTATION.md rule of record) — entries whose Spark/oracle
    pair touches a known cross-engine numeric class (libm call, md5-
    seeded statistic, decimal(38,>=10) cast, dsum4/2^53 sum), detected
@@ -65,24 +74,87 @@ def risk_markers(fn, sql) -> list[str]:
     return [n for n, pat in zip(names, RISK_RE) if re.search(pat, src)]
 
 
+FINGERPRINT_FILE = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "contract_fingerprints.json"
+)
+
+
+def contract_fingerprint(fn, sql) -> str:
+    """Stable hash of an entry's CONTRACT surface: the oracle SQL plus
+    the builder source with comment lines stripped and whitespace
+    collapsed (so pure comment/format churn doesn't re-head an entry,
+    while docstring/plan/oracle edits — the things the rotation rule
+    calls a contract change — do)."""
+    import hashlib
+
+    try:
+        src = inspect.getsource(fn)
+    except (OSError, TypeError):
+        src = ""
+    lines = [
+        re.sub(r"\s+", " ", ln.split("#")[0]).strip()
+        for ln in src.splitlines()
+    ]
+    norm = "\n".join(ln for ln in lines if ln)
+    body = norm + "\n---\n" + re.sub(r"\s+", " ", sql or "").strip()
+    return hashlib.sha256(body.encode()).hexdigest()[:16]
+
+
+def is_clean(v: dict) -> bool:
+    """A verdict row is clean iff rows+schema match, no error, and
+    hash_match is not an explicit false (absent/None = rows-only or
+    property-paired without a hash — clean)."""
+    return bool(
+        v.get("rows_match")
+        and v.get("schema_match", True)
+        and v.get("err") is None
+        and v.get("hash_match") is not False
+    )
+
+
 def main() -> int:
     from lenses_topology_example_spark import catalog
 
-    next_round = int(sys.argv[1]) if len(sys.argv) > 1 else None
+    pos_args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    update_fp = "--update-fingerprints" in sys.argv[1:]
+    next_round = int(pos_args[0]) if pos_args else None
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     latest: dict[str, int] = {}
+    latest_clean: dict[str, bool] = {}
     for f in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
         rnd = int(re.search(r"_r(\d+)\.json$", f).group(1))
         report = json.load(open(f))
         for k, v in report.items():
             latest[k] = rnd
-            if not (v.get("rows_match") and v.get("err") is None):
-                print(f"NOTE: {k} not clean in r{rnd} — holds in-window")
+            latest_clean[k] = is_clean(v)
     if next_round is None:
         next_round = max(latest.values()) + 1
 
     cat = catalog._CATALOG
-    head = [n for n in cat if n not in latest]
+    fps = {n: contract_fingerprint(fn, sql) for n, (fn, sql) in cat.items()}
+    try:
+        recorded = json.load(open(FINGERPRINT_FILE))
+    except FileNotFoundError:
+        recorded = {}
+        print(
+            "WARNING: no contract_fingerprints.json — contract-change "
+            "head detection inactive this run (write one with "
+            "--update-fingerprints)"
+        )
+    changed = {
+        n for n in cat if n in recorded and recorded[n] != fps[n]
+    }
+    head, head_why = [], {}
+    for n in cat:
+        if n not in latest:
+            head.append(n)
+            head_why[n] = "head: no verdict yet (new registration)"
+        elif n in changed:
+            head.append(n)
+            head_why[n] = "head: contract changed since last window write"
+        elif not latest_clean[n]:
+            head.append(n)
+            head_why[n] = f"head: RED latest verdict (r{latest[n]}) — held in-window"
     risk, plain = [], []
     for n, (fn, sql) in cat.items():
         if n in head:
@@ -95,7 +167,7 @@ def main() -> int:
     window, why = [], {}
     for n in head:
         window.append(n)
-        why[n] = "head: no verdict yet (new or contract-changed)"
+        why[n] = head_why[n]
     for a, n, m in due:
         if len(window) >= 50:
             break
@@ -116,6 +188,9 @@ def main() -> int:
     overflow = [n for _, n, _ in due if n not in window]
     if overflow:
         print(f"# risk-tier overflow (due but out of slots): {overflow}")
+    if update_fp:
+        json.dump(fps, open(FINGERPRINT_FILE, "w"), indent=1, sort_keys=True)
+        print(f"# wrote {len(fps)} fingerprints -> {FINGERPRINT_FILE}")
     return 0
 
 
