@@ -34,6 +34,11 @@ import os
 import re
 import sys
 
+# 3.0 is the TRIAGE TRIP-WIRE, not the target: the written bar of
+# record (BASELINE.md "The bar, in one sentence") is 2x-anchor as the
+# performance target, 3x as the flag that forces the iso_bench rerun,
+# and only an ISOLATED minimum above 2x is a regression. Keep this
+# number and that sentence in sync.
 BAR = 3.0
 # First-execution entries: in-suite they pay a one-time cache/fixpoint
 # build (BASELINE.md bands); adjudicate at the documented band ceiling
