@@ -30,7 +30,16 @@ cluster-collapsed production paths are exactly the forms built to
 survive this.
 
 Usage:
-    python tools/make_docs10.py [outdir]   # default /tmp/spark_graft_docs10
+    python tools/make_docs10.py [outdir] [--copies N] [--doc-only]
+    # default outdir /tmp/spark_graft_docs10, copies 10
+
+--doc-only (round 14, r13 VERDICT ask #5 — the docs100 asymptote
+point): scale ONLY documents and embeddings by --copies and copy
+events UNSCALED. Rationale: past 10 copies the events user_id offset
+(copy * 1_500) outruns the unscaled customer dim's 15_000 keys, so an
+events-scaled 100x slice would silently break the events->customer
+referential integrity the 10x slice preserves; the docs100 sweep
+targets the doc-tier caps' asymptote, which never reads events.
 """
 
 from __future__ import annotations
@@ -60,10 +69,20 @@ COPIED = [
 ]
 
 
-def build(outdir: str, copies: int = COPIES) -> None:
+def build(outdir: str, copies: int = COPIES, doc_only: bool = False) -> None:
     os.makedirs(outdir, exist_ok=True)
     con = duckdb.connect()
-    for table, offsets in SCALED.items():
+    scaled = dict(SCALED)
+    copied = list(COPIED)
+    if doc_only:
+        del scaled["events"]
+        copied.append("events")
+    elif copies > COPIES:
+        raise SystemExit(
+            f"copies={copies} > {COPIES} requires --doc-only: the events "
+            "user_id offset would outrun the unscaled customer dim"
+        )
+    for table, offsets in scaled.items():
         src = f"{SRC}/{table}.parquet"
         cols = [
             r[0]
@@ -82,7 +101,7 @@ def build(outdir: str, copies: int = COPIES) -> None:
         )
         n = con.sql(f"SELECT COUNT(*) FROM '{dst}'").fetchone()[0]
         print(f"{table}: {n} rows", flush=True)
-    for table in COPIED:
+    for table in copied:
         shutil.copyfile(
             f"{SRC}/{table}.parquet", f"{outdir}/{table}.parquet"
         )
@@ -90,4 +109,16 @@ def build(outdir: str, copies: int = COPIES) -> None:
 
 
 if __name__ == "__main__":
-    build(sys.argv[1] if len(sys.argv) > 1 else "/tmp/spark_graft_docs10")
+    argv = sys.argv[1:]
+    n = COPIES
+    doc_only = "--doc-only" in argv
+    if "--copies" in argv:
+        i = argv.index("--copies")
+        n = int(argv[i + 1])
+        del argv[i : i + 2]
+    argv = [a for a in argv if not a.startswith("--")]
+    build(
+        argv[0] if argv else "/tmp/spark_graft_docs10",
+        copies=n,
+        doc_only=doc_only,
+    )

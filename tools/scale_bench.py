@@ -71,6 +71,15 @@ def main() -> int:
         i = args.index("--big")
         big_dir = args[i + 1]
         del args[i : i + 2]
+    scaled_tables = SCALED_TABLES
+    if "--scaled-tables" in args:
+        # which tables the --big slice actually replicates (e.g.
+        # "documents,embeddings" for make_docs10 --doc-only output) —
+        # without this the scaled_input marker silently keeps the
+        # TPC-H default and labels doc-tier entries "inputs unscaled"
+        i = args.index("--scaled-tables")
+        scaled_tables = tuple(args[i + 1].split(","))
+        del args[i : i + 2]
 
     if not os.path.isdir(big_dir):
         if big_dir != SF1:
@@ -144,7 +153,7 @@ def main() -> int:
     for name in names:
         df = qs[name](spark, SF01)
         files = " ".join(df.inputFiles())
-        scaled = any(f"/{t}.parquet" in files for t in SCALED_TABLES)
+        scaled = any(f"/{t}.parquet" in files for t in scaled_tables)
         t01 = run(name, SF01)
         t1, timed_out = run_capped(name, big_dir)
         ratio = round(t1 / t01, 2) if t01 > 0 else float("inf")
