@@ -41,7 +41,13 @@ def catalog_dfs(spark, sf_dir):
     # Build concurrently: construction is driver-side Catalyst analysis
     # (Py4J round-trips + JVM work, no actions), which threads overlap
     # fine — 71 s serial -> 33 s at 8 workers measured at 287 entries
-    # (round 12; the r11 ask-#3 headroom lever). Entries that build
+    # (round 12; the r11 ask-#3 headroom lever). Round 14 probed 16
+    # workers: the STANDALONE parity file gets ~8 s faster, but the
+    # FULL suite regresses ~120 s (685-747 s vs 543-572 s at 8 —
+    # measured twice each on an idle host; the extra threads
+    # oversubscribe the driver during setup and the JVM pays for the
+    # rest of the run). 8 is the measured optimum; don't re-raise
+    # without timing the WHOLE suite. Entries that build
     # eagerly (fixpoint resolvers, memoized persists) are thread-safe
     # by their own locks (dedup._MATERIALIZED_LOCK).
     names = [n for n in _CATALOG if n != "sink_parquet"]
