@@ -7,6 +7,15 @@ Usage:
     python tools/driver_sim.py                 # every oracle entry
     python tools/driver_sim.py --window        # DRIVER_WINDOW only
     python tools/driver_sim.py name1 name2 ... # specific entries
+    ... --split-build-collect  # build ALL plans first, THEN collect
+
+--split-build-collect (round 14): reproduce the build/collect
+sequencing the r13 driver apparently used when it recorded the
+round's one red row (sink_parquet hash_match=false, not reproducible
+interleaved). Interleaved build+collect can hide an entry whose BUILD
+has side effects that a LATER build disturbs (shared scratch dirs,
+module-global memos): building every entry first and collecting in a
+second phase makes that class fail HERE before the driver sees it.
 
 Builds a VANILLA SparkSession (no session.py tuning — semantics-
 critical confs must come from the contract itself, or the real driver
@@ -73,14 +82,29 @@ def main() -> int:
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
 
+    split = "--split-build-collect" in sys.argv[1:]
     bad = []
     t0 = time.time()
+    built: dict[str, object] = {}
+    if split:
+        for name in names:
+            try:
+                built[name] = qs[name](spark, SF)
+            except Exception as e:  # noqa: BLE001
+                built[name] = e
+        print(f"built {len(built)} plans; collecting...", flush=True)
     for name in names:
         if name not in osql:
-            print(f"{name} rows-only: {qs[name](spark, SF).count()}", flush=True)
+            df = built.get(name) or qs[name](spark, SF)
+            print(f"{name} rows-only: {df.count()}", flush=True)
             continue
         try:
-            got = rows(qs[name](spark, SF).toPandas())
+            df = built.get(name)
+            if isinstance(df, Exception):
+                raise df
+            if df is None:
+                df = qs[name](spark, SF)
+            got = rows(df.toPandas())
             want = rows(con.sql(osql[name]).df())
             ok = got == want
             if not ok:
