@@ -299,7 +299,14 @@ def q_theta_join_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier then does two broadcast-hash lookups — O(|part|) +
     O(|supplier|) with no pair materialization, vs the measured
     O(|part| x |supplier|) BNL. Re-measured after the rewrite:
-    0.9 s -> sub-linear at sf1.0 (BASELINE.md round-13)."""
+    0.82x at the 10x sf1.0 step (BASELINE.md round-13) and EXACTLY
+    1.00x at the 100x sf10 step (2M parts x 100k suppliers,
+    bench_sf10_heads_r14.json) — the grid really is SF-invariant.
+    Round 14: NULL p_retailprice/s_acctbal rows are filtered before
+    the grid (pushed into the parquet scans), so the above-grid clamp
+    path's `total` matches the rows the theta join would keep —
+    proven against the join-form oracle on a null-bearing fixture
+    (tests/test_round14_ops.py)."""
     from pyspark.sql import Window
 
     part = load_table(spark, sf_dir, "part")
