@@ -25,9 +25,13 @@ marks queries whose ENTIRE input is the unscaled events/documents/
 embeddings tables (make_sf1 replicates only the TPC-H relations — a
 ~1x ratio there is the expected no-op, not evidence of scaling).
 
-Super-linear flag line: ratio > 15 on a scaled-input query for the 10x
-data step means the plan has a worse-than-linear term — adjudicate in
-BASELINE.md (the empirical scale-killer detector).
+Super-linear flag line: ratio > 1.5x the step factor on a
+scaled-input query means the plan has a worse-than-linear term —
+adjudicate in BASELINE.md (the empirical scale-killer detector). The
+step factor defaults to 10 (flag bar 15, the historical sf0.1->sf1.0
+contract); pass --step-factor 100 for the 100x slices (docs100,
+events100, docslong) so the bar is 150, not 15 — a 60x reading on a
+100x byte step is SUB-linear and must not be recorded as a flag.
 """
 
 from __future__ import annotations
@@ -71,6 +75,12 @@ def main() -> int:
         i = args.index("--big")
         big_dir = args[i + 1]
         del args[i : i + 2]
+    step = 10.0
+    if "--step-factor" in args:
+        i = args.index("--step-factor")
+        step = float(args[i + 1])
+        del args[i : i + 2]
+    flag_bar = 1.5 * step
     scaled_tables = SCALED_TABLES
     if "--scaled-tables" in args:
         # which tables the --big slice actually replicates (e.g.
@@ -167,7 +177,7 @@ def main() -> int:
         flag = ""
         if timed_out:
             flag = f"  <<< TIMEOUT at {timeout_s}s (ratio is a floor)"
-        elif scaled and ratio > 15:
+        elif scaled and ratio > flag_bar:
             flag = "  <<< SUPER-LINEAR (adjudicate)"
         print(
             f"{name}: {t01:.2f}s -> {t1:.2f}s  ratio {ratio}"
@@ -178,7 +188,7 @@ def main() -> int:
     flagged = [
         n
         for n, r in results.items()
-        if r["timeout"] or (r["scaled_input"] and r["ratio"] > 15)
+        if r["timeout"] or (r["scaled_input"] and r["ratio"] > flag_bar)
     ]
     record = {
         "metric": "sf1_over_sf01_ratio",
