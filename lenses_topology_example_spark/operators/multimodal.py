@@ -459,7 +459,7 @@ def q_asset_codec_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "n_chars", F.encode(F.col("text"), "utf-8").alias("seed")
-    )
+    ).filter(F.col("n_chars").isNotNull())
 
     def decode_batches(
         batches: Iterator[pd.DataFrame],
@@ -518,6 +518,7 @@ SQL_ASSET_CODEC_META = """
                           * (1 + n_chars % 16)
                 ELSE 44 + 2 * (1 + n_chars % 100) END AS BIGINT) AS n_bytes
     FROM documents
+    WHERE n_chars IS NOT NULL
 """
 
 
@@ -550,7 +551,11 @@ def q_asset_png_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     uncompressed container (BMP), a chunked audio container (WAV), and
     a compressed image container (PNG) — only lossy formats (JPEG,
     video) remain env-gated on PIL/ffmpeg in decode_image above."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .filter(F.col("n_chars").isNotNull())
+    )
     return docs.mapInPandas(png_decode_batches, schema=ASSET_PNG_SCHEMA)
 
 
@@ -615,6 +620,7 @@ SQL_ASSET_PNG_META = """
            CAST(68 + (1 + n_chars % 16) * (1 + 3 * (1 + doc_id % 16))
                AS BIGINT) AS n_bytes
     FROM documents
+    WHERE n_chars IS NOT NULL
 """
 
 
@@ -648,7 +654,7 @@ def q_asset_quality_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "n_chars", "source"
-    )
+    ).filter(F.col("n_chars").isNotNull())
 
     def screen_batches(
         batches: Iterator[pd.DataFrame],
@@ -707,6 +713,7 @@ SQL_ASSET_QUALITY_SCREEN = """
                68 + (1 + n_chars % 16) * (1 + 3 * (1 + doc_id % 16))
                    AS n_bytes
         FROM documents
+        WHERE n_chars IS NOT NULL
     )
     SELECT source,
            COUNT(*) AS n_assets,
@@ -753,7 +760,11 @@ def q_asset_gif_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one scan, mapInPandas Arrow batches, zero shuffles,
     one row per asset."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .filter(F.col("n_chars").isNotNull())
+    )
     return docs.mapInPandas(gif_decode_batches, schema=ASSET_GIF_SCHEMA)
 
 
@@ -807,6 +818,7 @@ SQL_ASSET_GIF_META = """
                1 + n_chars % 16 AS h,
                doc_id % 251 AS idx
         FROM documents
+        WHERE n_chars IS NOT NULL
     ), sized AS (
         -- flat LZW stream: ceil(9*(2*npix+1)/8) data bytes,
         -- one length prefix per 255-byte sub-block, 794 fixed bytes

@@ -150,3 +150,47 @@ def test_approx_quantiles_bound_holds_after_tightening(spark, sf_dir):
 
     rows = q_approx_quantiles(spark, sf_dir).collect()
     assert rows and all(r["within_bound"] for r in rows)
+
+
+def _write_nullable_docs(spark, d):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta", "en", "web", 10),
+            (2, "gamma delta", "en", "web", None),  # NULL n_chars
+            (3, "epsilon", "de", "books", 7),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+
+def test_asset_kernels_drop_null_n_chars_instead_of_crashing(
+    spark, tmp_path
+):
+    """Round-14 null-sweep find: a single NULL n_chars row aborted the
+    whole mapInPandas task for all four asset entries (int(NaN) in the
+    synth kernels) — at 100 TB one malformed row must not kill the
+    job. The contract now DROPS null-n_chars docs on BOTH engines
+    (the repo's documented inner-join-drop null convention)."""
+    import duckdb
+
+    from lenses_topology_example_spark.operators import multimodal
+
+    d = str(tmp_path)
+    _write_nullable_docs(spark, d)
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet/*.parquet'"
+    )
+    for qname, sql in [
+        ("q_asset_codec_meta", multimodal.SQL_ASSET_CODEC_META),
+        ("q_asset_png_meta", multimodal.SQL_ASSET_PNG_META),
+        ("q_asset_gif_meta", multimodal.SQL_ASSET_GIF_META),
+    ]:
+        got = getattr(multimodal, qname)(spark, d).collect()
+        assert {r["doc_id"] for r in got} == {1, 3}, qname
+        want = con.sql(sql).fetchall()
+        assert len(want) == len(got) == 2, qname
+    screen = multimodal.q_asset_quality_screen(spark, d).collect()
+    n_assets = {r["source"]: r["n_assets"] for r in screen}
+    assert n_assets == {"web": 1, "books": 1}
