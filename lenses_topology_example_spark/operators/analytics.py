@@ -53,8 +53,13 @@ def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-or-SMJ equi join on (type, price). No pair blow-up
     anywhere — the sort-based skyline is O(n log n) where the naive
     dominance join is O(n²)."""
-    part = load_table(spark, sf_dir, "part").select(
-        "p_type", "p_partkey", "p_name", "p_retailprice", "p_size"
+    part = (
+        load_table(spark, sf_dir, "part")
+        .select("p_type", "p_partkey", "p_name", "p_retailprice", "p_size")
+        # a NULL price has no place on a price/size skyline, and the
+        # running-min window would ORDER it differently across engines
+        # (round-14 partial-NULL sweep class)
+        .filter(F.col("p_retailprice").isNotNull())
     )
     grp = part.groupBy("p_type", "p_retailprice").agg(
         F.min("p_size").alias("grp_min_size")
@@ -87,7 +92,8 @@ def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_PARETO_FRONTIER = """
     WITH grp AS (
         SELECT p_type, p_retailprice, MIN(p_size) AS grp_min_size
-        FROM part GROUP BY p_type, p_retailprice
+        FROM part WHERE p_retailprice IS NOT NULL
+        GROUP BY p_type, p_retailprice
     ), fp AS (
         SELECT p_type, p_retailprice, grp_min_size,
                MIN(grp_min_size) OVER (
@@ -844,8 +850,14 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     subsamples per group first, which changes none of this plan); the
     per-type median/MAD frames are |types| rows and broadcast back;
     the final aggregate is map-side-combinable."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_type", "event_id", "value"
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "event_id", "value")
+        # rank-statistic semantics skip NULLs; without this the rank
+        # window includes them and the ENGINES ORDER THEM DIFFERENTLY
+        # (Spark ASC = NULLS FIRST, DuckDB = NULLS LAST) — round-14
+        # partial-NULL sweep class
+        .filter(F.col("value").isNotNull())
     )
     w_rank = W.partitionBy("event_type").orderBy("value", "event_id")
     w_type = W.partitionBy("event_type")
@@ -907,6 +919,7 @@ SQL_MAD_OUTLIERS = f"""
                                   ORDER BY value, event_id) AS rn,
                COUNT(*) OVER (PARTITION BY event_type) AS n
         FROM events
+        WHERE value IS NOT NULL
     ), med_tbl AS (
         SELECT event_type, value AS med FROM ranked
         WHERE rn = CAST(CEIL(n / 2.0) AS BIGINT)
@@ -914,6 +927,7 @@ SQL_MAD_OUTLIERS = f"""
         SELECT e.event_type, e.event_id,
                ABS(e.value - m.med) AS adev, m.med
         FROM events e JOIN med_tbl m USING (event_type)
+        WHERE e.value IS NOT NULL
     ), ranked2 AS (
         SELECT event_type, adev,
                ROW_NUMBER() OVER (PARTITION BY event_type
@@ -1182,8 +1196,12 @@ def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-percentile cost; a petabyte run subsamples per group first);
     cutoffs ride the same frame via a max-over-flag aggregate — no
     second scan, no join back."""
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_custkey", "o_orderkey", "o_totalprice"
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        # rank-statistic semantics skip NULLs (engines order them
+        # differently in the rank window — round-14 null-sweep class)
+        .filter(F.col("o_totalprice").isNotNull())
     )
     cust = load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
@@ -1254,6 +1272,7 @@ SQL_WINSORIZED_STATS = f"""
                                   ORDER BY o_totalprice, o_orderkey) AS rn,
                COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
         FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE o_totalprice IS NOT NULL
     ), flagged AS (
         SELECT c_mktsegment, o_totalprice, rn, n,
                CASE WHEN rn = CEIL(n * {WINSOR_LO_PCT} / 100.0)
@@ -1617,8 +1636,12 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape (100 TB): ONE rank window partitioned by source (the
     exact-percentile cost class, subsample-first at extreme scale);
     zero joins."""
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "source", "n_chars"
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source", "n_chars")
+        # a NULL measurement has no quantile; engines also order NULLs
+        # differently in the rank window (round-14 null-sweep class)
+        .filter(F.col("n_chars").isNotNull())
     )
     w_rank = W.partitionBy("source").orderBy("n_chars", "doc_id")
     w_src = W.partitionBy("source")
@@ -1641,6 +1664,7 @@ SQL_QUANTILE_NORMALIZE = """
            / CAST(COUNT(*) OVER (PARTITION BY source) AS DOUBLE)
                AS q_uniform
     FROM documents
+    WHERE n_chars IS NOT NULL
     ORDER BY doc_id
 """
 
@@ -1775,8 +1799,14 @@ def q_interp_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     (r10 VERDICT ask #8 — the prior form ran one aggregate per
     percentile over the same ranked frame and unioned), unpivoted by a
     bounded explode — no join back, no second scan, one shuffle."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_type", "event_id", "value"
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "event_id", "value")
+        # rank-statistic semantics skip NULLs; without this the rank
+        # window includes them and the ENGINES ORDER THEM DIFFERENTLY
+        # (Spark ASC = NULLS FIRST, DuckDB = NULLS LAST) — round-14
+        # partial-NULL sweep class
+        .filter(F.col("value").isNotNull())
     )
     w_rank = W.partitionBy("event_type").orderBy("value", "event_id")
     w_type = W.partitionBy("event_type")
@@ -1860,6 +1890,7 @@ def _build_sql_interp_quantiles() -> str:
                                   ORDER BY value, event_id) AS rn,
                CAST(COUNT(*) OVER (PARTITION BY event_type) AS DOUBLE) AS n
         FROM events
+        WHERE value IS NOT NULL
     )
     {body}
     ORDER BY event_type, p
@@ -2370,12 +2401,19 @@ def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid discipline) instead."""
     from .wordcount import tokens_col
 
-    docs = load_table(spark, sf_dir, "documents").select(
-        "source",
-        F.col("n_chars").cast("long").alias("x"),
-        F.size(F.array_distinct(tokens_col(F.col("text"))))
-        .cast("long")
-        .alias("y"),
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "source",
+            F.col("n_chars").cast("long").alias("x"),
+            F.size(F.array_distinct(tokens_col(F.col("text"))))
+            .cast("long")
+            .alias("y"),
+        )
+        # Spearman over a NULL measurement is undefined; the rank
+        # windows also order NULLs differently across engines
+        # (round-14 null-sweep class)
+        .filter(F.col("x").isNotNull())
     )
 
     def r2(col: str) -> F.Column:
@@ -2424,6 +2462,7 @@ SQL_SPEARMAN_CORR = f"""
                CAST(length(list_distinct({_SQL_SPEARMAN_TOKENS}))
                     AS BIGINT) AS y
         FROM documents
+        WHERE n_chars IS NOT NULL
     ), ranked AS (
         SELECT source,
                2 * RANK() OVER (PARTITION BY source ORDER BY x)

@@ -129,8 +129,14 @@ def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = approx_quantiles_raw(spark, sf_dir).select(
         "event_type", "pct", "approx_value"
     )
-    events = load_table(spark, sf_dir, "events").select(
-        "event_type", "value"
+    events = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "value")
+        # percentile_approx skips NULLs, so the rank recount must run
+        # on the same null-free value space — otherwise n_values
+        # inflates and the bound booleans go FALSE on null-bearing
+        # data (round-14 null-sweep class)
+        .filter(F.col("value").isNotNull())
     )
     stats = (
         events.join(F.broadcast(raw), "event_type")
@@ -177,6 +183,7 @@ SQL_APPROX_QUANTILES = """
     FROM events
     CROSS JOIN (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.9 AS DOUBLE)),
                        (CAST(0.99 AS DOUBLE))) p(pct)
+    WHERE value IS NOT NULL
     GROUP BY event_type, pct
 """
 
@@ -198,7 +205,10 @@ def q_udaf_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @pandas_udf("double")
     def np_median(v: pd.Series) -> float:
-        return float(np.median(v.to_numpy()))
+        # dropna: Arrow delivers SQL NULLs as NaN, and np.median over
+        # any NaN is NaN — SQL median (and DuckDB's) skips NULLs, so
+        # the UDAF must too (round-14 partial-NULL sweep find)
+        return float(np.median(v.dropna().to_numpy()))
 
     events = load_table(spark, sf_dir, "events")
     # a grouped-agg pandas UDF cannot mix with JVM aggregates in one agg
@@ -934,8 +944,18 @@ def q_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample; the sketch path never sorts)."""
     from pyspark.sql import Window as W
 
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_type", "event_id", F.col("value").cast("double").alias("x")
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            "event_id",
+            F.col("value").cast("double").alias("x"),
+        )
+        # the histogram and its exact rank audit both run on the
+        # non-null value space (round-14 null-sweep class: NULLs bin
+        # to a null group and shift the audit ranks differently per
+        # engine)
+        .filter(F.col("value").isNotNull())
     )
     rng = ev.groupBy("event_type").agg(
         F.min("x").alias("lo"),
@@ -1012,6 +1032,7 @@ def _build_sql_histogram_quantiles() -> str:
     WITH ev AS (
         SELECT event_type, event_id, CAST("value" AS DOUBLE) AS x
         FROM events
+        WHERE "value" IS NOT NULL
     ), rng AS (
         SELECT event_type, MIN(x) AS lo, MAX(x) AS hi,
                CAST(COUNT(*) AS BIGINT) AS n

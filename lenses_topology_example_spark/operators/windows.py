@@ -841,14 +841,18 @@ def q_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dow",
             "hour",
             "n_events",
-            (F.col("sum_value") / F.col("n_events"))
-            .cast("decimal(38,6)")
-            .cast("double")
-            .alias("mean_value"),
-            (F.col("n_events").cast("double") / F.col("n_total").cast("double"))
-            .cast("decimal(38,6)")
-            .cast("double")
-            .alias("traffic_share"),
+            # RAW pass-through, not 6dp-rounded (round-14 null sweep:
+            # a 168-cell count is often a power of two, so decimal-sum
+            # / count lands on EXACT 6dp midpoints by construction —
+            # 2848.34/64 = 44.5053125 — where HALF_UP and half-even
+            # split; one IEEE division of deterministic inputs is
+            # bit-identical on both engines — the corpus_report class
+            # discipline)
+            (F.col("sum_value") / F.col("n_events")).alias("mean_value"),
+            (
+                F.col("n_events").cast("double")
+                / F.col("n_total").cast("double")
+            ).alias("traffic_share"),
         )
         .orderBy("dow", "hour")
     )
@@ -863,10 +867,9 @@ SQL_SEASONALITY_PROFILE = """
         FROM events GROUP BY 1, 2
     ), total AS (SELECT CAST(SUM(n_events) AS BIGINT) AS n_total FROM cells)
     SELECT dow, hour, n_events,
-           CAST(CAST(sum_value / n_events AS DECIMAL(38,6)) AS DOUBLE)
-               AS mean_value,
-           CAST(CAST(CAST(n_events AS DOUBLE) / CAST(n_total AS DOUBLE)
-                AS DECIMAL(38,6)) AS DOUBLE) AS traffic_share
+           sum_value / n_events AS mean_value,
+           CAST(n_events AS DOUBLE) / CAST(n_total AS DOUBLE)
+               AS traffic_share
     FROM cells CROSS JOIN total
     ORDER BY dow, hour
 """
@@ -1962,7 +1965,9 @@ def q_quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("arm"),
         "event_id",
         F.col("value").cast("double").alias("x"),
-    )
+        # quantile semantics skip NULL measurements (round-14
+        # null-sweep class)
+    ).filter(F.col("x").isNotNull())
     w = W.partitionBy("arm")
     ranked = p.withColumn(
         "rn",
@@ -2040,7 +2045,7 @@ def _build_sql_qte() -> str:
     return f"""
     WITH p AS (
         SELECT ({arm}) AS arm, event_id, CAST("value" AS DOUBLE) AS x
-        FROM events WHERE event_type = 'purchase'
+        FROM events WHERE event_type = 'purchase' AND "value" IS NOT NULL
     ), ranked AS (
         SELECT arm, x,
                ROW_NUMBER() OVER (PARTITION BY arm
@@ -3654,7 +3659,10 @@ def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     arm = md5_hash64(F.concat(F.lit("ab|"), uid)) % 2
     base = ev.select(
         "event_type", arm.alias("arm"), F.col("value").alias("x")
-    )
+        # rank-sum semantics skip NULL measurements (engines order
+        # NULLs differently in the rank window — round-14 null-sweep
+        # class)
+    ).filter(F.col("x").isNotNull())
     w_rank = W.partitionBy("event_type").orderBy(F.col("x"))
     w_tie = W.partitionBy("event_type", "x")
     ranked = base.select(
@@ -3724,7 +3732,7 @@ SQL_MANN_WHITNEY = f"""
                    + COUNT(*) OVER (PARTITION BY event_type, x) - 1 AS r2,
                COUNT(*) OVER (PARTITION BY event_type, x) AS t
         FROM (SELECT event_type, {_SQL_AB_ARM} AS arm, "value" AS x
-              FROM events)
+              FROM events WHERE "value" IS NOT NULL)
     ), cells AS (
         SELECT event_type,
                CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
@@ -3793,8 +3801,12 @@ def q_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate. No global sort."""
     from pyspark.sql import Window as W
 
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_type", F.col("value").alias("x"), "event_id"
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", F.col("value").alias("x"), "event_id")
+        # order statistics skip NULL measurements (engines order NULLs
+        # differently in the rank window — round-14 null-sweep class)
+        .filter(F.col("x").isNotNull())
     )
     w_rank = W.partitionBy("event_type").orderBy(
         F.col("x"), F.col("event_id")
@@ -3844,6 +3856,7 @@ SQL_MEDIAN_CI = f"""
                                   ORDER BY "value", event_id) AS rn,
                COUNT(*) OVER (PARTITION BY event_type) AS n
         FROM events
+        WHERE "value" IS NOT NULL
     ), agg AS (
         SELECT event_type, n,
                MAX(CASE WHEN rn = FLOOR((n + 1) / 2.0) THEN x END) AS m_lo,
