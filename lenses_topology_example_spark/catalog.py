@@ -941,97 +941,108 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
 # and first-50 order). Full rotation history: ROTATION.md (r8 VERDICT
 # ask #7 — only the CURRENT window and the NEXT plan live here).
 #
-# ROUND-14 WINDOW (executes the plan written in round 13, catalog
-# r13 comment + `python tools/rotation_plan.py 14`; CORRECTNESS_r13
-# came back 49/50 green with ONE red — sink_parquet hash_match=false —
-# which therefore holds in-window at the head):
-#   Slots 1-5:   HEAD.
-#     sink_parquet — the r13 RED row (r13 VERDICT ask #1): the audit
-#       is now computed EAGERLY at build and returned as a literal
-#       local frame, so the collected result is pinned to the write
-#       (operators/sinks.py). Re-driven for the post-fix verdict.
-#     approx_quantiles — contract-changed THIS round (r13 ADVICE: the
-#       rank-interval upper test tightened to cnt_lt+1).
-#     percentiles, winsorized_stats, theta_join_parts — the three r13
-#       contract changes without a post-change driver verdict (6dp
-#       interpolation round / dsum2 means / price-CDF rewrite, now
-#       also NULL-filtered per r13 ADVICE).
-#   Slots 6-17:  RISK-TIER entries with latest verdict <= r10 (3+
-#     rounds old at r14), name order (one verdict round, no sub-order):
-#     the 12 r10-latest libm/md5/interp entries.
-#   Slots 18-30: plain queue, r7-latest remainder, name order.
-#   Slots 31-50: plain queue, r8-latest block, name order, to fill.
-#   OUT: the 49 green r13 window members (each leaves with a current
-#   r13 verdict; pytest oracle parity at sf0.001 still covers every
-#   rotated-out entry on every run).
+# ROUND-15 WINDOW (executes the plan written in round 14, catalog r14
+# comment + `python tools/rotation_plan.py 15` — the fingerprint head
+# detection's FIRST LIVE TEST, and it fired exactly as designed:
+# CORRECTNESS_r14 came back 49/50 with one red, sink_parquet
+# hash_match=false, and the tool headed it PLUS the 17 entries whose
+# contracts changed in the r14 null sweep after the window write):
+#   Slots 1-18:  HEAD, all auto-detected.
+#     sink_parquet — RED r13+r14 AND contract-changed THIS round: the
+#       r14 VERDICT root-caused the red to the catalog's only
+#       DecimalType OUTPUT column (DuckDB lands DECIMAL(38,0) as
+#       float64, Spark toPandas as decimal.Decimal; the driver's hash
+#       is dtype-strict). id_hash_sum now lands as BIGINT on both
+#       engines via DECIMAL(38,0) accumulation % 10^15
+#       (operators/sinks.py); tools/canon.py is now Decimal-strict so
+#       the replica reproduces the class; test_catalog.py statically
+#       rejects DecimalType outputs in-window.
+#     approx_quantiles, winsorized_stats, quantile_treatment_effect,
+#       seasonality_profile, udaf_median, histogram_quantiles,
+#       pareto_frontier, mad_outliers, quantile_normalize,
+#       interp_quantiles, spearman_corr, mann_whitney, median_ci —
+#       the 13 rank/quantile NULL-ordering contracts pinned in the r14
+#       partial-NULL sweep (BASELINE.md round 14).
+#     asset_codec_meta, asset_png_meta, asset_quality_screen,
+#       asset_gif_meta — the 4 asset kernels null-hardened in the same
+#       sweep (NULL n_chars rows dropped on both engines).
+#   Slots 19-34: RISK-TIER entries with latest verdict r11 (3+ rounds
+#     old at r15), name order: the 16 r11-latest libm/md5/dsum entries.
+#   Slots 35-46: plain queue, r8-latest remainder, name order.
+#   Slots 47-50: plain queue, r9-latest block head (anti_join_customers
+#     .. cube_sales), name order, to fill.
+#   OUT: the 46 green r14 window members (each leaves with a current
+#   r14 verdict; pytest oracle parity at sf0.001 still covers every
+#   rotated-out entry on every run). percentiles/theta_join_parts
+#   leave green (r14); the quantile-family members that re-enter do so
+#   as contract changes, not reds.
 #
-# ROUND-15 ROTATION PLAN: run `python tools/rotation_plan.py 15` once
-# CORRECTNESS_r14 lands. Since round 14 the tool ALSO mechanizes head
-# detection (r13 ADVICE): tools/contract_fingerprints.json snapshots
-# every entry's (oracle SQL + comment-stripped builder source) hash at
-# window-write time; entries whose fingerprint moved since, plus any
-# RED latest verdict, enter the head automatically — no hand-kept
-# changed-this-round list. Refresh the snapshot with
-# `python tools/rotation_plan.py --update-fingerprints` whenever the
-# new window is committed. Expected r15 shape (if r14 goes green):
-# head = fingerprint diffs only; then risk tier <= r11 (the r11-latest
-# libm/md5/decimal block); then the r8 plain remainder.
+# ROUND-16 ROTATION PLAN: run `python tools/rotation_plan.py 16` once
+# CORRECTNESS_r15 lands. NOTE (round 15): contract_fingerprint's
+# comment stripper was rewritten tokenize-based (r14 ADVICE — the old
+# '#'-split truncated code at '#' inside string literals), which
+# changes EVERY hash; the snapshot was refreshed with the new
+# algorithm at this window's write time, so r16 head detection diffs
+# new-algorithm against new-algorithm as usual. Expected r16 shape (if
+# r15 goes green): head = fingerprint diffs only; then risk tier
+# <= r12 (the r12-latest block); then the r9 plain remainder.
 DRIVER_WINDOW_SIZE = 50
 DRIVER_WINDOW: tuple[str, ...] = (
-    # head: r13 RED + the four contract changes awaiting a verdict
+    # head: r14 RED (sink_parquet, also contract-changed by its fix)
+    # + the 17 r14 null-sweep contract changes awaiting a verdict
     "sink_parquet",
     "approx_quantiles",
-    "percentiles",
     "winsorized_stats",
-    "theta_join_parts",
-    # risk tier, latest verdict r10
-    "ab_test_report",
-    "bootstrap_stderr",
-    "calibration_bins",
-    "cms_join_cardinality",
-    "cuped_ab_report",
-    "dedup_tfidf_cosine",
-    "drift_psi",
-    "hybrid_rrf",
-    "private_release",
     "quantile_treatment_effect",
-    "retrieval_eval",
-    "topic_keywords",
-    # plain queue, latest verdict r7
-    "cohort_retention",
-    "corpus_mix",
-    "funnel_conversion",
-    "gopher_rules",
-    "grouped_map_norm",
-    "lang_id",
-    "lateral_topn",
-    "length_histogram",
-    "pii_scrub",
-    "quality_score",
-    "range_join_buckets",
-    "repetition_stats",
-    "word_variants",
+    "seasonality_profile",
+    "udaf_median",
+    "asset_codec_meta",
+    "asset_png_meta",
+    "asset_quality_screen",
+    "histogram_quantiles",
+    "pareto_frontier",
+    "mad_outliers",
+    "asset_gif_meta",
+    "quantile_normalize",
+    "interp_quantiles",
+    "spearman_corr",
+    "mann_whitney",
+    "median_ci",
+    # risk tier, latest verdict r11
+    "bandit_ucb",
+    "bloom_join_audit",
+    "conformal_threshold",
+    "dedup_simhash",
+    "frame_sample",
+    "gains_curve",
+    "hill_tail_index",
+    "image_resize",
+    "ks_drift",
+    "multimodal_meta",
+    "mutual_information",
+    "negative_sampling_plan",
+    "seasonal_decompose",
+    "survival_curve",
+    "weighted_sample_ares",
+    "woe_iv",
     # plain queue, latest verdict r8
-    "agg_delta_merge",
-    "cluster_purity",
-    "constraint_audit",
-    "cross_source_leak",
-    "customer_distribution",
-    "dedup_keeper_quality",
-    "embed_outliers",
-    "embed_pca_power",
-    "embed_threshold_sweep",
-    "erasure_plan",
-    "event_rate_anomaly",
-    "hard_negative_mining",
-    "interval_merge",
-    "join_skew_stats",
-    "k_anonymity",
-    "lang_confusion",
-    "length_percentiles",
-    "market_share",
-    "markov_transitions",
-    "min_cost_supplier",
+    "order_backlog",
+    "order_priority_count",
+    "product_profit",
+    "scd2_apply",
+    "small_qty_revenue",
+    "source_concentration",
+    "source_vocab_overlap",
+    "token_budget_plan",
+    "tokenizer_stats",
+    "top_paths",
+    "top_supplier",
+    "volume_shipping",
+    # plain queue, latest verdict r9
+    "anti_join_customers",
+    "asof_rate",
+    "count_by_currency",
+    "cube_sales",
 )
 
 #

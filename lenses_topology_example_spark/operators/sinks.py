@@ -42,9 +42,15 @@ def q_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The id-hash sum accumulates md5_hash_mod values (< 1e9 each) in
     DECIMAL(38,0) — exact at any row count (a BIGINT accumulator would
-    overflow past ~9e9 rows/group at 100 TB); the oracle's HUGEINT sum
-    is likewise cast to DECIMAL(38,0) (the driver's float-landing-type
-    rule, tests/test_catalog.py).
+    overflow past ~9e9 rows/group at 100 TB) — then lands as BIGINT via
+    `% 10^15` on BOTH engines (round 15, r14 VERDICT ask #1): a
+    DecimalType OUTPUT column was the catalog's only one and the
+    driver's dtype-strict hash split on it (Spark toPandas yields
+    decimal.Decimal objects, DuckDB lands DECIMAL(38,0) as float64).
+    The mod keeps the landing value exact in int64/float64 at any
+    corpus scale while the accumulator stays overflow-proof; a lost or
+    corrupted row still perturbs the residue (md5 values are uniform
+    mod 10^15).
 
     CONTRACT EXCEPTION: unlike every other catalog entry, BUILDING this
     query executes the write (a sink has no lazy form whose read-back
@@ -84,11 +90,16 @@ def q_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     audit = back.groupBy("currency").agg(
         F.count(F.lit(1)).alias("n_rows"),
         dsum4(F.col("amount_xchg")).alias("sum_amount_xchg"),
-        F.sum(
-            md5_hash_mod(F.col("event_id").cast("string")).cast(
-                "decimal(38,0)"
+        (
+            F.sum(
+                md5_hash_mod(F.col("event_id").cast("string")).cast(
+                    "decimal(38,0)"
+                )
             )
-        ).alias("id_hash_sum"),
+            % F.lit(10**15)
+        )
+        .cast("bigint")
+        .alias("id_hash_sum"),
     )
     # eager: pin the collected result to THIS write (sanctioned
     # exception — see docstring; bounded at #currencies rows)
@@ -100,8 +111,9 @@ SQL_SINK_PARQUET = f"""
     SELECT currency,
            COUNT(*) AS n_rows,
            {dsum4_sql('amount_xchg')} AS sum_amount_xchg,
-           CAST(SUM({SQL_MD5_HASH_MOD.format(x='CAST(event_id AS VARCHAR)')})
-                AS DECIMAL(38,0)) AS id_hash_sum
+           CAST(CAST(SUM({SQL_MD5_HASH_MOD.format(x='CAST(event_id AS VARCHAR)')})
+                     AS DECIMAL(38,0)) % 1000000000000000
+                AS BIGINT) AS id_hash_sum
     FROM ({SQL_FX_CONVERT})
     GROUP BY currency
 """

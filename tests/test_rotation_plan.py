@@ -59,6 +59,23 @@ def test_fingerprint_ignores_comments_but_not_code():
     )  # code change
 
 
+def test_fingerprint_sees_edits_after_hash_inside_string_literal():
+    """r14 ADVICE: the old ln.split('#') comment stripper truncated
+    code at a '#' INSIDE a string literal (F.concat_ws("#", ...)), so
+    a contract edit anywhere after the '#' on that line was invisible
+    to head detection. The tokenize-based stripper must see it."""
+
+    def g1(spark, sf):
+        return spark.sql("SELECT concat_ws('#', a, b) AS k FROM t")
+
+    def g2(spark, sf):
+        return spark.sql("SELECT concat_ws('#', a, c) AS k FROM t")
+
+    assert contract_fingerprint(g1, "SELECT 1") != contract_fingerprint(
+        g2, "SELECT 1"
+    )
+
+
 def test_fingerprint_snapshot_covers_every_catalog_entry():
     """The committed snapshot must stay total over the catalog: a new
     registration missing from it would be headed as 'no verdict'

@@ -8,9 +8,17 @@ driver hashes differently.
 Semantics (round 2): carries a numeric-class tag so that int64 `1` vs
 float64 `1.0` MISMATCH, exactly like the driver's hash — DuckDB HUGEINT
 window-SUMs land in pandas as float64 and the loose Python `==` canon
-passed two queries the driver failed. Decimal is float-class because
-duckdb.df() renders DECIMAL as float64, so that is the class the driver
-compares it in.
+passed two queries the driver failed.
+
+Decimal (round 15, r14 VERDICT ask #1): decimal.Decimal carries its OWN
+class tag, distinct from float. The pre-r15 canon folded Decimal into
+float-class "because duckdb.df() renders DECIMAL as float64" — but that
+forgave exactly the divergence the driver punishes: Spark toPandas
+yields object decimal.Decimal for DecimalType outputs, DuckDB yields
+float64, and the driver's dtype-strict hash split on it two rounds in a
+row (sink_parquet) while both replicas MATCHed. A Decimal on either
+side now mismatches a float64 on the other, so the replica reproduces
+the driver's verdict instead of masking the class.
 """
 
 from __future__ import annotations
@@ -28,7 +36,12 @@ def canon(v):
     if isinstance(v, (bool, np.bool_)):
         return ("b", bool(v))
     if isinstance(v, Decimal):
-        return ("f", float(v))
+        # distinct class tag: a Decimal must NOT compare equal to the
+        # float64 the other engine landed — that is the driver's
+        # behavior (see module docstring). float(v) keeps the value
+        # comparable within the Decimal class without precision-string
+        # artifacts (1.50 vs 1.5).
+        return ("dec", float(v))
     if isinstance(v, float):
         return ("f", "NaN") if math.isnan(v) else ("f", v)
     if isinstance(v, int):

@@ -95,8 +95,23 @@ def main() -> int:
         print(f"built {len(built)} plans; collecting...", flush=True)
     for name in names:
         if name not in osql:
-            df = built.get(name) or qs[name](spark, SF)
-            print(f"{name} rows-only: {df.count()}", flush=True)
+            # mirror the osql path (r14 ADVICE): in split mode a
+            # rows-only entry whose BUILD raised is stored as an
+            # Exception — re-raise inside the try so the run reports
+            # it and continues to later entries instead of aborting
+            try:
+                df = built.get(name)
+                if isinstance(df, Exception):
+                    raise df
+                if df is None:
+                    df = qs[name](spark, SF)
+                print(f"{name} rows-only: {df.count()}", flush=True)
+            except Exception as e:  # noqa: BLE001 — report, don't die
+                bad.append(name)
+                print(
+                    f"{name} ERROR {type(e).__name__}: {str(e)[:150]}",
+                    flush=True,
+                )
             continue
         try:
             df = built.get(name)

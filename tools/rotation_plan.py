@@ -79,21 +79,50 @@ FINGERPRINT_FILE = os.path.join(
 )
 
 
+def _source_sans_comments(src: str) -> str:
+    """Drop COMMENT tokens only, via the tokenizer — never by text
+    splitting on '#' (r14 ADVICE: the old ln.split('#') also truncated
+    code at a '#' INSIDE string literals, e.g. F.concat_ws("#", ...),
+    so a contract edit after the '#' on such a line left the
+    fingerprint unchanged and head detection silently missed it). On a
+    tokenize failure, keep the source verbatim — comments churning the
+    hash is a false re-head (harmless); truncated code is a miss."""
+    import io
+    import tokenize
+
+    try:
+        toks = [
+            t
+            for t in tokenize.generate_tokens(io.StringIO(src).readline)
+            if t.type != tokenize.COMMENT
+        ]
+        return tokenize.untokenize(toks)
+    except (tokenize.TokenError, IndentationError, SyntaxError):
+        return src
+
+
 def contract_fingerprint(fn, sql) -> str:
     """Stable hash of an entry's CONTRACT surface: the oracle SQL plus
-    the builder source with comment lines stripped and whitespace
+    the builder source with comment tokens stripped and whitespace
     collapsed (so pure comment/format churn doesn't re-head an entry,
     while docstring/plan/oracle edits — the things the rotation rule
-    calls a contract change — do)."""
+    calls a contract change — do).
+
+    ALGORITHM CHANGE (round 15) invalidates all recorded fingerprints:
+    the r15 head set was computed with the OLD algorithm against the
+    r14 snapshot BEFORE this fix landed, then the snapshot was
+    refreshed with the new algorithm at window-write time (ROTATION.md
+    round-15 note)."""
     import hashlib
+    import textwrap
 
     try:
         src = inspect.getsource(fn)
     except (OSError, TypeError):
         src = ""
     lines = [
-        re.sub(r"\s+", " ", ln.split("#")[0]).strip()
-        for ln in src.splitlines()
+        re.sub(r"\s+", " ", ln).strip()
+        for ln in _source_sans_comments(textwrap.dedent(src)).splitlines()
     ]
     norm = "\n".join(ln for ln in lines if ln)
     body = norm + "\n---\n" + re.sub(r"\s+", " ", sql or "").strip()
