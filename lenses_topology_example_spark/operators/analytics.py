@@ -2161,18 +2161,33 @@ def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     (value, i, j) total orders — no interpolation beyond the even-n
     two-element mean, a single fixed double expression.
 
+    NULL contract (round 15, the r14 rank/quantile convention): the
+    trend runs on the NON-NULL o_totalprice space — the isNotNull
+    filter is pushed to the scan on BOTH engines. Without it, a month
+    whose every o_totalprice is NULL (reachable only at extreme NULL
+    density — the 90% slice found it) yields a NULL monthly sum, hence
+    NULL pairwise slopes, and the two engines order NULLs differently
+    in the median's ORDER BY (Spark FIRST, DuckDB LAST) — the exact
+    class the r14 sweep pinned for the other 13 rank entries. An
+    all-NULL month now drops from the month frame on both engines
+    (inner-join-drop convention).
+
     Scale shape (100 TB): the pair frame is |months|² — REPORTING
     grain (dozens of months → thousands of pairs), built by one
     self-join of the month-bounded aggregate; nothing here scales with
     row count. The cross-month self-join would be wrong on a data-
     scale frame; it is deliberate and safe on a calendar-bounded one."""
-    orders = load_table(spark, sf_dir, "orders").select(
-        (
-            F.year("o_orderdate") * F.lit(12)
-            + F.month("o_orderdate")
-            - F.lit(1)
-        ).alias("x"),
-        "o_totalprice",
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice").isNotNull())
+        .select(
+            (
+                F.year("o_orderdate") * F.lit(12)
+                + F.month("o_orderdate")
+                - F.lit(1)
+            ).alias("x"),
+            "o_totalprice",
+        )
     )
     monthly = orders.groupBy("x").agg(
         (F.sum(F.col("o_totalprice").cast("decimal(38,6)")) * F.lit(1000000))
@@ -2257,7 +2272,7 @@ SQL_THEIL_SEN_TREND = """
         SELECT year(o_orderdate) * 12 + month(o_orderdate) - 1 AS x,
                CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) * 1000000
                     AS HUGEINT) AS ymic
-        FROM orders GROUP BY 1
+        FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1
     ), pairs AS (
         SELECT a.x AS xi, b.x AS xj,
                CAST(b.ymic - a.ymic AS DOUBLE)

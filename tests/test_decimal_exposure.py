@@ -39,7 +39,7 @@ import re
 from decimal import Decimal
 
 from lenses_topology_example_spark.catalog import oracle_sql
-from tests.oracle import duck_connection
+from tests.oracle import duck_connection, oracle_result
 
 TWO_53 = float(2**53)
 SCALE6_LINE = TWO_53 / 1e6  # ~9.0e9: plain dsum's safe ceiling
@@ -87,22 +87,20 @@ def test_no_unrounded_sum_crosses_2_53_at_sf1(sf_dir):
     offenders = []
     seen_allowlisted = set()
     for name, sql in sorted(oracle_sql().items()):
-        rel = con.sql(sql)
+        # session-memoized execution shared with the parity tier (r14
+        # VERDICT ask #5): type strings come from the DuckDB plan, so
+        # DECIMAL/HUGEINT (float64 in pandas) still read as themselves
+        df, cols, types = oracle_result(sql, sf_dir, con=con)
         dbl_cols = [
-            c
-            for c, t in zip(rel.columns, rel.types)
-            if str(t).upper() == "DOUBLE"
+            c for c, t in zip(cols, types) if t.upper() == "DOUBLE"
         ]
         if not dbl_cols:
             continue
-        rows = con.sql(
-            "SELECT "
-            + ", ".join(f'"{c}"' for c in dbl_cols)
-            + f" FROM ({sql})"
-        ).fetchall()
-        for i, c in enumerate(dbl_cols):
+        for c in dbl_cols:
             vals = [
-                r[i] for r in rows if r[i] is not None and math.isfinite(r[i])
+                v
+                for v in df[c].tolist()
+                if v is not None and math.isfinite(v)
             ]
             if not vals or _decimal_scale(vals) is None:
                 continue
