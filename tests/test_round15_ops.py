@@ -100,3 +100,45 @@ def test_sink_parquet_id_hash_residue_matches_direct_computation(
     }
     assert audit == truth
     assert all(isinstance(v, int) for v in audit.values())
+
+
+def test_make_nulls_is_deterministic_and_schema_preserving(tmp_path):
+    """The NULL-density axis slice generator (tools/make_nulls.py,
+    r14 VERDICT ask #4): two builds of the same (sf_dir, pct) must be
+    byte-identical (md5-deterministic selection — the Spark and DuckDB
+    legs of a parity run must read the SAME NULLs), schemas must match
+    the source EXACTLY (events.ts has shipped as TIMESTAMP(NANOS); a
+    round-trip through an engine would rewrite it), and the realized
+    NULL fraction must sit near the requested density."""
+    import subprocess
+    import sys
+
+    import pyarrow.parquet as pq
+
+    src = "/root/testdata/sf0.001"
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    for out in (a, b):
+        subprocess.run(
+            [
+                sys.executable,
+                "tools/make_nulls.py",
+                "--sf-dir", src,
+                "--out", out,
+                "--pct", "50",
+            ],
+            check=True,
+            capture_output=True,
+            cwd="/root/repo",
+        )
+    for t in ["orders", "lineitem", "events", "documents", "region"]:
+        pa_a = open(f"{a}/{t}.parquet", "rb").read()
+        pa_b = open(f"{b}/{t}.parquet", "rb").read()
+        assert pa_a == pa_b, f"{t}: non-deterministic build"
+        assert pq.read_schema(f"{a}/{t}.parquet").equals(
+            pq.read_schema(f"{src}/{t}.parquet")
+        ), f"{t}: schema drifted from source"
+    tab = pq.read_table(f"{a}/orders.parquet")
+    frac = tab.column("o_totalprice").null_count / tab.num_rows
+    assert 0.45 < frac < 0.55, frac
+    # keys untouched
+    assert tab.column("o_orderkey").null_count == 0
