@@ -61,15 +61,18 @@ def test_driver_window_is_pinned():
 _FLOAT_LANDING_INT_TYPES = {"HUGEINT", "UHUGEINT", "UBIGINT", "UINTEGER"}
 
 
-def test_window_oracles_emit_driver_hashable_types(sf_dir):
-    """Static driver-hash safety for every in-window oracle: no
+def test_all_oracles_emit_driver_hashable_types(sf_dir):
+    """Static driver-hash safety for EVERY oracle (catalog-wide since
+    round 15 — every entry rotates into the window eventually, so
+    catching the class at registration beats catching it at rotation
+    time; verified 0 violations across all 287 before widening): no
     HUGEINT/unsigned OUTPUT column (dtype mismatch class) and no
     LIST/STRUCT/MAP output (the driver canon crashes on unhashable
     numpy arrays — round-1 map_fns, round-2 approx_quantiles).
     Relation .types comes from the plan; nothing executes."""
     con = duck_connection(sf_dir)
     bad = []
-    for name in DRIVER_WINDOW:
+    for name in _CATALOG:
         sql = _CATALOG[name][1]
         if sql is None:
             continue
@@ -83,8 +86,10 @@ def test_window_oracles_emit_driver_hashable_types(sf_dir):
     assert not bad, bad
 
 
-def test_window_queries_emit_scalar_columns(catalog_dfs, spark, sf_dir):
-    """Spark-side twin of the oracle type guard: no in-window query may
+def test_all_queries_emit_scalar_columns(catalog_dfs, spark, sf_dir):
+    """Spark-side twin of the oracle type guard (catalog-wide since
+    round 15, same rationale — every entry rotates into the window
+    eventually): no catalog query may
     return an array/map/struct column — the driver comparator cannot
     canonicalize them (`unhashable type: numpy.ndarray`) — nor a
     DECIMAL column (round 15, r14 VERDICT ask #1: Spark toPandas lands
@@ -98,7 +103,7 @@ def test_window_queries_emit_scalar_columns(catalog_dfs, spark, sf_dir):
     from pyspark.sql.types import ArrayType, DecimalType, MapType, StructType
 
     bad = []
-    for name in DRIVER_WINDOW:
+    for name in _CATALOG:
         if name in catalog_dfs:
             schema = catalog_dfs[name].schema
         else:
