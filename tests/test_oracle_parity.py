@@ -60,6 +60,62 @@ def test_oracle_parity(parity_pandas, parity_con, sf_dir, name):
     compare_pandas(pdf, _ORACLES[name], sf_dir, con=parity_con)
 
 
+def test_cross_engine_dtype_classes_are_proven_safe(
+    parity_pandas, parity_con, sf_dir
+):
+    """The sink_parquet lesson, generalized (round 15): the driver's
+    hash is dtype-sensitive, and a cross-engine pandas-landing class
+    that appears in only ONE entry can stay masked for rounds (decimal
+    .Decimal-vs-float64 was hash-red r13+r14 while every replica
+    passed, because the replica canon forgave it). A full-catalog scan
+    at r15 found exactly TWO surviving divergence classes, each proven
+    driver-safe by many green verdicts since r7-r11:
+
+      int32 vs int64            (Spark IntegerType vs DuckDB BIGINT;
+                                 20 columns, e.g. gains_curve.cell,
+                                 multimodal_meta.n_bytes — green r11)
+      datetime64[ns] vs [us]    (Spark toPandas ns vs DuckDB us;
+                                 22 columns, e.g. order_backlog.day,
+                                 scd2_apply.valid_from — green r8)
+
+    This test pins that set: a NEW cross-engine landing class (the
+    next decimal) fails HERE at registration, not in a driver round.
+    Reuses the session fixtures — no extra Spark or DuckDB work."""
+    from tests.oracle import oracle_result
+
+    safe = {
+        ("int32", "int64"),
+        ("datetime64[ns]", "datetime64[us]"),
+    }
+
+    def landing(series):
+        d = str(series.dtype)
+        if d != "object":
+            return d
+        nn = series.dropna()
+        return f"object[{type(nn.iloc[0]).__name__}]" if len(nn) else "object[empty]"
+
+    offenders = []
+    for name in sorted(_ORACLES):
+        pdf, err = parity_pandas[name]
+        if err is not None:
+            continue  # the entry's own parity test reports it
+        want, _cols, _types = oracle_result(
+            _ORACLES[name], sf_dir, con=parity_con
+        )
+        for c in pdf.columns:
+            sd, dd = landing(pdf[c]), landing(want[c])
+            if sd == dd or (sd, dd) in safe:
+                continue
+            if "object[empty]" in (sd, dd):
+                continue  # no values at this SF to class
+            offenders.append(f"{name}.{c}: spark={sd} oracle={dd}")
+    assert not offenders, (
+        "NEW cross-engine dtype landing class (driver-hash hazard — "
+        "see the sink_parquet r13/r14 case): " + "; ".join(offenders[:10])
+    )
+
+
 def test_all_queries_have_entries():
     # every query is runnable; oracle coverage is near-total
     assert set(_ORACLES) <= set(_QUERIES)
