@@ -142,3 +142,37 @@ def test_make_nulls_is_deterministic_and_schema_preserving(tmp_path):
     assert 0.45 < frac < 0.55, frac
     # keys untouched
     assert tab.column("o_orderkey").null_count == 0
+
+
+def test_make_hikey_is_deterministic_and_referentially_intact(tmp_path):
+    """The key-cardinality axis slice (tools/make_hikey.py): two builds
+    byte-identical, events schema preserved exactly, every remapped
+    user_id distinct, and every user_id covered by the expanded
+    customer dim (referential integrity by construction)."""
+    import subprocess
+    import sys
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    src = "/root/testdata/sf0.001"
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    for out in (a, b):
+        subprocess.run(
+            [sys.executable, "tools/make_hikey.py",
+             "--sf-dir", src, "--out", out],
+            check=True, capture_output=True, cwd="/root/repo",
+        )
+    for t in ["events", "customer"]:
+        assert open(f"{a}/{t}.parquet", "rb").read() == open(
+            f"{b}/{t}.parquet", "rb"
+        ).read(), f"{t}: non-deterministic build"
+    ev = pq.read_table(f"{a}/events.parquet")
+    assert ev.schema.equals(pq.read_schema(f"{src}/events.parquet"))
+    assert len(pc.unique(ev.column("user_id"))) == ev.num_rows
+    cust = pq.read_table(f"{a}/customer.parquet")
+    assert cust.num_rows == ev.num_rows
+    assert len(pc.unique(cust.column("c_custkey"))) == cust.num_rows
+    assert pc.max(ev.column("user_id")).as_py() <= pc.max(
+        cust.column("c_custkey")
+    ).as_py()
