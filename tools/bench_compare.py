@@ -48,6 +48,11 @@ FIRST_EXECUTION_CEILING = {
     "dedup_lines_near_capped": 30.0,
     "dedup_keeper_quality": 10.0,
     "dedup_savings": 8.0,  # rides whichever consumer builds the memo
+    # round 15: the weighted index is memo-persisted (steady-state
+    # anchor 1.49; the in-suite run materializes the index once at
+    # ~3.8-5 s — the OLD unmemoized plan's whole cost, so the ceiling
+    # is the old in-suite envelope)
+    "dedup_tfidf_cosine": 8.0,
 }
 
 def main() -> int:
