@@ -976,15 +976,33 @@ def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge set by ~340× (measured sf0.1: 1.2M raw pairs → 3.6k edges),
     so the triangle join runs on a broadcast-size frame — the support
     threshold IS the blow-up guard, and a production run raises it (or
-    degree-orients the join) as the graph densifies."""
-    op = (
+    degree-orients the join) as the graph densifies.
+
+    The pruned EDGE frame is memo-persisted (round 15): it feeds SIX
+    consumers (the degree union's two legs, the edge count, and the
+    three triangle-join sides), and Spark reuses none of the exchanges
+    across them — plan-verified 0 ReusedExchange with lineitem scanned
+    TWELVE times (6 consumers x the self-join's 2 scans), i.e. the
+    1.2M-pair support join recomputed six times to re-derive a ~3.6k-
+    row frame. Materializing it once is the write-once edge-list table
+    any production triangle count reads."""
+    from .dedup import _memo_persist
+
+    # distinct (order, part) memo shared with q_basket_lift (same key)
+    op = _memo_persist(
+        spark,
+        sf_dir,
+        "order_part_distinct",
         load_table(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
-    )
+        .select("l_orderkey", "l_partkey")
+        .distinct(),
+    ).select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
     a = op.alias("a")
     b = op.alias("b")
-    edges = (
+    edges = _memo_persist(
+        spark,
+        sf_dir,
+        "copurchase_edges",
         a.join(
             b,
             (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")),
@@ -992,7 +1010,7 @@ def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
         .agg(F.count(F.lit(1)).alias("sup"))
         .filter(F.col("sup") >= F.lit(TRI_MIN_SUPPORT))
-        .select("pa", "pb")
+        .select("pa", "pb"),
     )
     deg = (
         edges.select(F.col("pa").alias("node"))

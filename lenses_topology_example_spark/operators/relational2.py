@@ -882,11 +882,21 @@ def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-partitioned SMJ whose output is Σ_orders k²/2 (bounded by the
     basket-size distribution, the standard a-priori cost); everything
     after is |pairs|- or |parts|-bounded; part counts broadcast in;
-    top-k is orderBy+limit => TakeOrderedAndProject."""
-    li = (
+    top-k is orderBy+limit => TakeOrderedAndProject. The distinct
+    (order, part) frame is memo-persisted under a key SHARED with
+    q_copurchase_triangles (round 15): it feeds five consumers here
+    (order count, part counts, both self-join sides) and the scan +
+    600k-row distinct recomputed for each — the write-once basket
+    table both basket operators read."""
+    from .dedup import _memo_persist
+
+    li = _memo_persist(
+        spark,
+        sf_dir,
+        "order_part_distinct",
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
-        .distinct()
+        .distinct(),
     )
     n_orders = li.select("l_orderkey").distinct().agg(
         F.count(F.lit(1)).cast("long").alias("n_orders")

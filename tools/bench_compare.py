@@ -53,6 +53,10 @@ FIRST_EXECUTION_CEILING = {
     # ~3.8-5 s — the OLD unmemoized plan's whole cost, so the ceiling
     # is the old in-suite envelope)
     "dedup_tfidf_cosine": 8.0,
+    # round 15: edge frame + shared (order,part) distinct memo-persisted
+    # (first in-suite run pays the old plan's cost once)
+    "copurchase_triangles": 6.0,
+    "basket_lift": 6.0,
 }
 
 def main() -> int:
