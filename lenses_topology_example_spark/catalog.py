@@ -941,108 +941,101 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
 # and first-50 order). Full rotation history: ROTATION.md (r8 VERDICT
 # ask #7 — only the CURRENT window and the NEXT plan live here).
 #
-# ROUND-15 WINDOW (executes the plan written in round 14, catalog r14
-# comment + `python tools/rotation_plan.py 15` — the fingerprint head
-# detection's FIRST LIVE TEST, and it fired exactly as designed:
-# CORRECTNESS_r14 came back 49/50 with one red, sink_parquet
-# hash_match=false, and the tool headed it PLUS the 17 entries whose
-# contracts changed in the r14 null sweep after the window write):
-#   Slots 1-18:  HEAD, all auto-detected.
-#     sink_parquet — RED r13+r14 AND contract-changed THIS round: the
-#       r14 VERDICT root-caused the red to the catalog's only
-#       DecimalType OUTPUT column (DuckDB lands DECIMAL(38,0) as
-#       float64, Spark toPandas as decimal.Decimal; the driver's hash
-#       is dtype-strict). id_hash_sum now lands as BIGINT on both
-#       engines via DECIMAL(38,0) accumulation % 10^15
-#       (operators/sinks.py); tools/canon.py is now Decimal-strict so
-#       the replica reproduces the class; test_catalog.py statically
-#       rejects DecimalType outputs in-window.
-#     approx_quantiles, winsorized_stats, quantile_treatment_effect,
-#       seasonality_profile, udaf_median, histogram_quantiles,
-#       pareto_frontier, mad_outliers, quantile_normalize,
-#       interp_quantiles, spearman_corr, mann_whitney, median_ci —
-#       the 13 rank/quantile NULL-ordering contracts pinned in the r14
-#       partial-NULL sweep (BASELINE.md round 14).
-#     asset_codec_meta, asset_png_meta, asset_quality_screen,
-#       asset_gif_meta — the 4 asset kernels null-hardened in the same
-#       sweep (NULL n_chars rows dropped on both engines).
-#   Slots 19-34: RISK-TIER entries with latest verdict r11 (3+ rounds
-#     old at r15), name order: the 16 r11-latest libm/md5/dsum entries.
-#   Slots 35-46: plain queue, r8-latest remainder, name order.
-#   Slots 47-50: plain queue, r9-latest block head (anti_join_customers
-#     .. cube_sales), name order, to fill.
-#   OUT: the 46 green r14 window members (each leaves with a current
-#   r14 verdict; pytest oracle parity at sf0.001 still covers every
-#   rotated-out entry on every run). percentiles/theta_join_parts
-#   leave green (r14); the quantile-family members that re-enter do so
-#   as contract changes, not reds.
+# ROUND-16 WINDOW (executes the plan written in round 15, catalog r15
+# comment + `python tools/rotation_plan.py 16` — head detection fired
+# exactly as the r15 VERDICT predicted: the four entries whose
+# contracts changed AFTER the r15 window write, nothing else;
+# CORRECTNESS_r15 was 50/50 green so there are no reds to hold):
+#   Slots 1-4:   HEAD, all fingerprint-auto-detected contract changes
+#     from round 15: basket_lift (relational2.py — memo-persisted
+#     shared basket frame; r16 also moved its construction into the
+#     one shared helper order_part_distinct(), r15 ADVICE),
+#     dedup_tfidf_cosine (dedup.py — weighted-index memo-persist),
+#     copurchase_triangles (analytics.py — edge-frame memo-persist +
+#     shared basket helper), theil_sen_trend (analytics.py — NULL-
+#     ordering isNotNull pushdown from the nulls90 sweep).
+#   Slots 5-24:  RISK-TIER entries with latest verdict r12 (3+ rounds
+#     old at r16), name order: the 20 r12-latest libm/md5/decimal/dsum
+#     entries (bigram_lm_score .. token_entropy).
+#   Slots 25-50: plain queue, r9-latest block remainder, name order
+#     (dedup_near_capped .. sim_topk). sim_topk's docstring gained the
+#     honest broadcast bound this round (r15 VERDICT ask #5) — the
+#     edit landed BEFORE the fingerprint snapshot refresh, so it does
+#     not re-head in r17.
+#   OUT: the 50 green r15 window members (each leaves with a current
+#   r15 verdict; pytest oracle parity at sf0.001 still covers every
+#   rotated-out entry on every run).
 #
-# ROUND-16 ROTATION PLAN: run `python tools/rotation_plan.py 16` once
-# CORRECTNESS_r15 lands. NOTE (round 15): contract_fingerprint's
-# comment stripper was rewritten tokenize-based (r14 ADVICE — the old
-# '#'-split truncated code at '#' inside string literals), which
-# changes EVERY hash; the snapshot was refreshed with the new
-# algorithm at this window's write time, so r16 head detection diffs
-# new-algorithm against new-algorithm as usual. Expected r16 shape (if
-# r15 goes green): head = fingerprint diffs only; then risk tier
-# <= r12 (the r12-latest block); then the r9 plain remainder.
+# NOTE on the round-15 fingerprint-algorithm change (reworded per r15
+# ADVICE — the earlier note overstated it): the tokenize-based comment
+# stripper changed the hash only where the old '#'-split mis-stripped
+# (28 of 287 snapshot entries, e.g. '#' inside string literals); the
+# snapshot was refreshed with the new algorithm at the r15 window
+# write, so r16 head detection diffed new-vs-new as usual and found
+# exactly the four real contract changes above.
+#
+# ROUND-17 ROTATION PLAN: run `python tools/rotation_plan.py 17` once
+# CORRECTNESS_r16 lands. Expected shape (if r16 goes green): head =
+# fingerprint diffs only (r16 in-round edits after this window write);
+# then risk tier <= r13; then the plain queue continues with the 7
+# remaining r9-latest entries (tokenize_explode, topk_spenders,
+# tumbling_count, union_payment_streams, waiting_suppliers,
+# window_running, wordcount) and the r10 block.
 DRIVER_WINDOW_SIZE = 50
 DRIVER_WINDOW: tuple[str, ...] = (
-    # head: r14 RED (sink_parquet, also contract-changed by its fix)
-    # + the 17 r14 null-sweep contract changes awaiting a verdict
-    "sink_parquet",
-    "approx_quantiles",
-    "winsorized_stats",
-    "quantile_treatment_effect",
-    "seasonality_profile",
-    "udaf_median",
-    "asset_codec_meta",
-    "asset_png_meta",
-    "asset_quality_screen",
-    "histogram_quantiles",
-    "pareto_frontier",
-    "mad_outliers",
-    "asset_gif_meta",
-    "quantile_normalize",
-    "interp_quantiles",
-    "spearman_corr",
-    "mann_whitney",
-    "median_ci",
-    # risk tier, latest verdict r11
-    "bandit_ucb",
-    "bloom_join_audit",
-    "conformal_threshold",
-    "dedup_simhash",
-    "frame_sample",
-    "gains_curve",
-    "hill_tail_index",
-    "image_resize",
-    "ks_drift",
-    "multimodal_meta",
-    "mutual_information",
-    "negative_sampling_plan",
-    "seasonal_decompose",
-    "survival_curve",
-    "weighted_sample_ares",
-    "woe_iv",
-    # plain queue, latest verdict r8
-    "order_backlog",
-    "order_priority_count",
-    "product_profit",
-    "scd2_apply",
-    "small_qty_revenue",
-    "source_concentration",
-    "source_vocab_overlap",
-    "token_budget_plan",
-    "tokenizer_stats",
-    "top_paths",
-    "top_supplier",
-    "volume_shipping",
+    # head: the 4 r15 contract changes awaiting a verdict
+    "basket_lift",
+    "dedup_tfidf_cosine",
+    "copurchase_triangles",
+    "theil_sen_trend",
+    # risk tier, latest verdict r12
+    "bigram_lm_score",
+    "brier_decomposition",
+    "curation_pipeline",
+    "dedup_lines_near",
+    "dedup_lines_near_capped",
+    "dedup_lines_rebuild",
+    "effect_size_report",
+    "entropy_rate",
+    "fdr_bh",
+    "fisher_separability",
+    "group_sequential",
+    "heaps_law_fit",
+    "kfold_assign",
+    "lm_score",
+    "permutation_test",
+    "pmi_collocations",
+    "power_mde",
+    "stratified_sample",
+    "tfidf",
+    "token_entropy",
     # plain queue, latest verdict r9
-    "anti_join_customers",
-    "asof_rate",
-    "count_by_currency",
-    "cube_sales",
+    "dedup_near_capped",
+    "discounted_revenue",
+    "distinct_users",
+    "filter_suspicious",
+    "forecast_revenue",
+    "fx_convert",
+    "gen_payments",
+    "important_parts",
+    "interarrival_stats",
+    "intersect_users",
+    "json_decode",
+    "json_encode",
+    "parts_supplier_rel",
+    "payments_pipeline",
+    "project_cast",
+    "promo_suppliers",
+    "rank_top_payments",
+    "sales_opportunity",
+    "salted_join_events",
+    "scan_events",
+    "scan_lines",
+    "semi_join_customers",
+    "semi_join_suspicious",
+    "session_count",
+    "shipping_priority",
+    "sim_topk",
 )
 
 #

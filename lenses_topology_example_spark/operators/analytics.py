@@ -987,16 +987,15 @@ def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     row frame. Materializing it once is the write-once edge-list table
     any production triangle count reads."""
     from .dedup import _memo_persist
+    from .relational2 import order_part_distinct
 
-    # distinct (order, part) memo shared with q_basket_lift (same key)
-    op = _memo_persist(
-        spark,
-        sf_dir,
-        "order_part_distinct",
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct(),
-    ).select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+    # distinct (order, part) memo shared with q_basket_lift — built by
+    # the ONE helper in relational2.py (r15 ADVICE: a single
+    # construction site so the shared memo key cannot serve a stale
+    # frame if one consumer's projection is later edited)
+    op = order_part_distinct(spark, sf_dir).select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    )
     a = op.alias("a")
     b = op.alias("b")
     edges = _memo_persist(

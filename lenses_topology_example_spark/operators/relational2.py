@@ -865,6 +865,27 @@ BASKET_MIN_SUPPORT = 2
 BASKET_TOPK = 20
 
 
+def order_part_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE shared distinct (l_orderkey, l_partkey) basket frame, memo-
+    persisted under one key. Both basket-graph operators (q_basket_lift
+    here, q_copurchase_triangles in analytics.py) consume it 5–6 times
+    each with zero exchange reuse, so it is built ONCE per (session,
+    sf_dir) — and built HERE only (r15 ADVICE: two call sites
+    independently constructing a plan under a shared memo key means
+    first-built-wins; an edit to one site's projection would silently
+    serve the other a stale, different frame)."""
+    from .dedup import _memo_persist
+
+    return _memo_persist(
+        spark,
+        sf_dir,
+        "order_part_distinct",
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct(),
+    )
+
+
 def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket association mining over order line items: for part
     pairs co-ordered in at least BASKET_MIN_SUPPORT orders, the lift
@@ -887,17 +908,10 @@ def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_copurchase_triangles (round 15): it feeds five consumers here
     (order count, part counts, both self-join sides) and the scan +
     600k-row distinct recomputed for each — the write-once basket
-    table both basket operators read."""
-    from .dedup import _memo_persist
-
-    li = _memo_persist(
-        spark,
-        sf_dir,
-        "order_part_distinct",
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct(),
-    )
+    table both basket operators read, built by the one shared helper
+    order_part_distinct() above (r15 ADVICE: one construction site, so
+    the two consumers cannot drift)."""
+    li = order_part_distinct(spark, sf_dir)
     n_orders = li.select("l_orderkey").distinct().agg(
         F.count(F.lit(1)).cast("long").alias("n_orders")
     )

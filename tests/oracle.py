@@ -35,9 +35,28 @@ _ORACLE_CACHE: dict = {}
 
 def oracle_result(sql: str, sf_dir: str, con=None):
     """(pandas_df, columns, type_strings) for an oracle, memoized per
-    session. Pass `con` to reuse a connection; it is left open."""
+    session. Pass `con` to reuse a connection; it is left open.
+
+    READ-ONLY CONTRACT (r15 ADVICE): the returned pandas frame is the
+    SHARED cached object — every caller (parity compare, decimal
+    exposure, dtype-class scan) sees the same instance, so mutating it
+    in place poisons every later comparison of that oracle. Callers
+    that need to mutate must .copy() first. A passed `con` must have
+    been built by duck_connection(sf_dir) for the SAME sf_dir as the
+    cache key — the guard below rejects a mismatched connection rather
+    than caching one sf_dir's rows under another's key."""
     key = (sf_dir, sql)
     if key not in _ORACLE_CACHE:
+        if con is not None:
+            # cheap sf_dir identity check: any registered view's scan
+            # must point inside the keyed sf_dir
+            probe = con.sql(
+                f"SELECT * FROM duckdb_views() WHERE view_name = '{TABLES[0]}'"
+            ).df()
+            if len(probe) and sf_dir not in str(probe.iloc[0].get("sql", "")):
+                raise ValueError(
+                    f"oracle_result: supplied con was not built for {sf_dir}"
+                )
         own = con is None
         if own:
             con = duck_connection(sf_dir)

@@ -38,9 +38,15 @@ def canon(v):
     if isinstance(v, Decimal):
         # distinct class tag: a Decimal must NOT compare equal to the
         # float64 the other engine landed — that is the driver's
-        # behavior (see module docstring). float(v) keeps the value
-        # comparable within the Decimal class without precision-string
-        # artifacts (1.50 vs 1.5).
+        # behavior (see module docstring). Normalize NaN like the float
+        # branch (r15 ADVICE: Decimal('NaN') != itself, so the raw
+        # value would spuriously mismatch), and compare >2^53
+        # magnitudes by exact normalized string — float(v) collapses
+        # distinct integers above 2^53 into one double.
+        if v.is_nan():
+            return ("dec", "NaN")
+        if v.is_finite() and abs(v) > 2**53:
+            return ("dec", str(v.normalize()))
         return ("dec", float(v))
     if isinstance(v, float):
         return ("f", "NaN") if math.isnan(v) else ("f", v)

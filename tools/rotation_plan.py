@@ -97,7 +97,9 @@ def _source_sans_comments(src: str) -> str:
             if t.type != tokenize.COMMENT
         ]
         return tokenize.untokenize(toks)
-    except (tokenize.TokenError, IndentationError, SyntaxError):
+    except (tokenize.TokenError, IndentationError, SyntaxError, ValueError):
+        # ValueError: untokenize raises it on irregular token streams
+        # (r15 ADVICE) — same fail-open contract as the parse errors.
         return src
 
 
