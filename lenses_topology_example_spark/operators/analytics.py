@@ -850,15 +850,15 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     subsamples per group first, which changes none of this plan); the
     per-type median/MAD frames are |types| rows and broadcast back;
     the final aggregate is map-side-combinable."""
-    ev = (
-        load_table(spark, sf_dir, "events")
-        .select("event_type", "event_id", "value")
-        # rank-statistic semantics skip NULLs; without this the rank
-        # window includes them and the ENGINES ORDER THEM DIFFERENTLY
-        # (Spark ASC = NULLS FIRST, DuckDB = NULLS LAST) — round-14
-        # partial-NULL sweep class
-        .filter(F.col("value").isNotNull())
-    )
+    # rank-statistic semantics skip NULLs; without this the rank
+    # window includes them and the ENGINES ORDER THEM DIFFERENTLY
+    # (Spark ASC = NULLS FIRST, DuckDB = NULLS LAST) — round-14
+    # partial-NULL sweep class. The frame reads the shared memo stage
+    # in sketches.py (r16 plan-audit gate: consumed 3x here with zero
+    # exchange reuse — events scanned 4x)
+    from .sketches import events_nonnull_values
+
+    ev = events_nonnull_values(spark, sf_dir)
     w_rank = W.partitionBy("event_type").orderBy("value", "event_id")
     w_type = W.partitionBy("event_type")
     med_tbl = (
@@ -1816,15 +1816,13 @@ def q_interp_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     (r10 VERDICT ask #8 — the prior form ran one aggregate per
     percentile over the same ranked frame and unioned), unpivoted by a
     bounded explode — no join back, no second scan, one shuffle."""
-    ev = (
-        load_table(spark, sf_dir, "events")
-        .select("event_type", "event_id", "value")
-        # rank-statistic semantics skip NULLs; without this the rank
-        # window includes them and the ENGINES ORDER THEM DIFFERENTLY
-        # (Spark ASC = NULLS FIRST, DuckDB = NULLS LAST) — round-14
-        # partial-NULL sweep class
-        .filter(F.col("value").isNotNull())
-    )
+    # rank-statistic semantics skip NULLs (round-14 class, same pin as
+    # mad_outliers). Single consumer here, but the frame reads the
+    # SAME shared memo stage as histogram_quantiles/mad_outliers — one
+    # cache serves the whole rank-statistic event tier (r16)
+    from .sketches import events_nonnull_values
+
+    ev = events_nonnull_values(spark, sf_dir)
     w_rank = W.partitionBy("event_type").orderBy("value", "event_id")
     w_type = W.partitionBy("event_type")
     ranked = ev.select(

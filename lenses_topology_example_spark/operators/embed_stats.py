@@ -906,20 +906,39 @@ def q_embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial aggregates (|vecs| keys then |dims| keys); v broadcasts at
     |dims| rows; dot_i joins back co-partitioned on vec_id under AQE.
     Zero driver-side collection — the eigenvector is a DataFrame.
-    """
+
+    Iteration state is memo-persisted (r16 standing plan-audit gate:
+    the exploded frame fed four consumers and the |dims|-row matvec
+    outputs w1/w2 fed 2-3 each, with ZERO exchange reuse — the plan
+    re-derived the whole two-iteration chain per consumer, embeddings
+    scanned 18x logically / 36 physical scans. Persisting the exploded
+    frame before iterating is the standard Spark iterative-algorithm
+    contract — MLlib persists its input RDD/DataFrame before every
+    power/ALS/k-means loop — and w1/w2 are |dims|-row frames whose
+    cache closes the re-derivation chain.)"""
+    from .dedup import _memo_persist
+
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double(F.col("embedding")).alias("v")
     )
-    e = emb.select("vec_id", F.posexplode("v").alias("dim", "val"))
+    e = _memo_persist(
+        spark,
+        sf_dir,
+        "pca_exploded",
+        emb.select("vec_id", F.posexplode("v").alias("dim", "val")),
+    )
 
     def dsum6(col: F.Column) -> F.Column:
         return F.sum(col.cast("decimal(38,6)")).cast("double")
 
     d1 = e.groupBy("vec_id").agg(dsum6(F.col("val")).alias("dot"))
-    w1 = (
+    w1 = _memo_persist(
+        spark,
+        sf_dir,
+        "pca_w1",
         e.join(d1, "vec_id")
         .groupBy("dim")
-        .agg(dsum6(F.col("val") * F.col("dot")).alias("w"))
+        .agg(dsum6(F.col("val") * F.col("dot")).alias("w")),
     )
     n1 = w1.agg(F.sqrt(dsum6(F.col("w") * F.col("w"))).alias("nrm"))
     v1 = w1.crossJoin(F.broadcast(n1)).select(
@@ -930,10 +949,13 @@ def q_embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_id")
         .agg(dsum6(F.col("val") * F.col("vv")).alias("dot"))
     )
-    w2 = (
+    w2 = _memo_persist(
+        spark,
+        sf_dir,
+        "pca_w2",
         e.join(d2, "vec_id")
         .groupBy("dim")
-        .agg(dsum6(F.col("val") * F.col("dot")).alias("w"))
+        .agg(dsum6(F.col("val") * F.col("dot")).alias("w")),
     )
     lam = w2.agg(F.sqrt(dsum6(F.col("w") * F.col("w"))).alias("eigenvalue"))
     sgn = w2.filter(F.col("dim") == 0).select(

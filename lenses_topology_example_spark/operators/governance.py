@@ -38,6 +38,17 @@ def _check(name: str, violations: F.Column, total: F.Column) -> list[F.Column]:
     ]
 
 
+def _check_cols() -> list[F.Column]:
+    """_check's twin for stack()-unpivoted frames already carrying
+    (check_name, nv, n) columns."""
+    return [
+        F.col("check_name"),
+        F.col("nv").cast("long").alias("n_violations"),
+        F.col("n").cast("long").alias("n_rows"),
+        (F.col("nv") == 0).alias("passed"),
+    ]
+
+
 def q_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deequ-style declarative constraint audit in one report frame:
     completeness (NOT NULL), domain membership, numeric ranges, key
@@ -46,9 +57,44 @@ def q_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One fused conditional-sum pass per table + one groupBy for the key
     uniqueness + two anti-joins for referential integrity; the final
-    report is a union of 1-row aggregates (driver-size)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    orders = load_table(spark, sf_dir, "orders")
+    report is a union of 1-row aggregates (driver-size).
+
+    Staging (r16 standing plan-audit gate): the audit touches orders
+    five times and lineitem three times (fused agg, key-uniqueness
+    groupBy, two referential anti-join probes, the temporal join), and
+    the old plan re-scanned parquet for each consumer (orders 8x,
+    lineitem 4x, zero exchange reuse) — each fused 1-row aggregate was
+    even re-derived once per report row it fed. Now the needed column
+    projections are memo-persisted once (exactly the staged audit
+    table a production run materializes before a multi-check pass) and
+    each fused aggregate emits ALL its report rows in one stack()
+    unpivot instead of one .select per row."""
+    from .dedup import _memo_persist
+
+    li = _memo_persist(
+        spark,
+        sf_dir,
+        "audit_lineitem_proj",
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey",
+            "l_discount",
+            "l_quantity",
+            "l_extendedprice",
+            "l_shipdate",
+        ),
+    )
+    orders = _memo_persist(
+        spark,
+        sf_dir,
+        "audit_orders_proj",
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderdate",
+        ),
+    )
     cust = load_table(spark, sf_dir, "customer")
 
     n1 = F.count(F.lit(1))
@@ -120,18 +166,28 @@ def q_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(orders.agg(F.count(F.lit(1)).alias("n"))))
     )
 
+    # one stack() unpivot per fused aggregate: the aggregate computes
+    # ONCE and emits every report row it feeds (the old one-.select-
+    # per-row form re-derived the whole scan+agg per row — the r16
+    # plan-audit class)
+    li_rows = li_checks.selectExpr(
+        "stack(4, "
+        "'lineitem.discount >= 0', v1, "
+        "'lineitem.discount <= 1', v2, "
+        "'lineitem.quantity > 0', v3, "
+        "'lineitem.extendedprice >= 0', v4) AS (check_name, nv)",
+        "n",
+    ).select(*_check_cols())
+    o_rows = o_checks.selectExpr(
+        "stack(3, "
+        "'orders.status in (O,F,P)', v1, "
+        "'orders.totalprice > 0', v2, "
+        "'orders.orderdate not null', v3) AS (check_name, nv)",
+        "n",
+    ).select(*_check_cols())
     rows = [
-        li_checks.select(*_check("lineitem.discount >= 0", F.col("v1"), F.col("n"))),
-        li_checks.select(*_check("lineitem.discount <= 1", F.col("v2"), F.col("n"))),
-        li_checks.select(*_check("lineitem.quantity > 0", F.col("v3"), F.col("n"))),
-        li_checks.select(
-            *_check("lineitem.extendedprice >= 0", F.col("v4"), F.col("n"))
-        ),
-        o_checks.select(
-            *_check("orders.status in (O,F,P)", F.col("v1"), F.col("n"))
-        ),
-        o_checks.select(*_check("orders.totalprice > 0", F.col("v2"), F.col("n"))),
-        o_checks.select(*_check("orders.orderdate not null", F.col("v3"), F.col("n"))),
+        li_rows,
+        o_rows,
         c_checks.select(*_check("customer.name not null", F.col("v1"), F.col("n"))),
         dup_orderkeys.select(
             *_check("orders.orderkey unique", F.col("v"), F.col("n"))

@@ -487,7 +487,18 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     wsem = W.partitionBy("query_id").orderBy(
         F.col("rel").desc(), F.col("doc_id").asc()
     )
-    cands = (
+    # the candidate pool is memo-persisted (r16 standing plan-audit
+    # gate: the full-corpus broadcast-scoring pass + WindowGroupLimit
+    # ran TWICE — once per self-join side of `edges` — with zero
+    # exchange reuse, embeddings scanned 4x). Cached it is |Q|·C rows;
+    # at any corpus scale it is the write-once candidate table the
+    # pairwise stage reads.
+    from .dedup import _memo_persist
+
+    cands = _memo_persist(
+        spark,
+        sf_dir,
+        "mmr_cands",
         emb.crossJoin(F.broadcast(qvec))
         .select(
             "query_id",
@@ -500,7 +511,7 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("crn", F.row_number().over(wsem))
         .filter(F.col("crn") <= F.lit(MMR_CANDIDATES))
-        .select("query_id", "doc_id", "dv", "dnrm", "rel")
+        .select("query_id", "doc_id", "dv", "dnrm", "rel"),
     )
     # pairwise sims inside the pool (|Q|·C² rows, bounded), JVM folds.
     # Self-pairs stay IN: they carry each candidate's rel into the

@@ -749,6 +749,29 @@ SQL_EMBED_DEDUP_CLUSTER = f"""
 # --- ANN self-audit: LSH recall vs the exact top-k ---------------------------------
 
 
+def sim_topk_memo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE shared exact-top-k truth frame (query_id, neighbor_id),
+    memo-persisted under one key and built HERE only (the r15 ADVICE
+    one-construction-site rule). Three audit entries consume the exact
+    brute-force ranking as ground truth — q_ann_recall twice
+    (semi-join probe + per-query denominator), q_ann_recall_ivf twice,
+    q_ivf_probe_sweep once — and Spark reuses none of the exchanges
+    across those consumers (r16 standing plan-audit gate: embeddings
+    scanned 12-16x per audit, the full |corpus|x|Q| scoring pass and
+    its WindowGroupLimit recomputed per consumer, zero ReusedExchange).
+    The frame is |Q|·k rows of integer ids — at ANY corpus scale it is
+    the write-once ground-truth table every recall audit reads, which
+    is exactly how a production eval harness stores it."""
+    from .dedup import _memo_persist
+
+    return _memo_persist(
+        spark,
+        sf_dir,
+        "sim_topk_truth",
+        q_sim_topk(spark, sf_dir).select("query_id", "neighbor_id"),
+    )
+
+
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@k of the sign-LSH ANN path against the exact brute-force
     top-k, per query — the measurement that decides whether a bucketed
@@ -761,8 +784,11 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_sim_ann_lsh); the audit is a left-semi join of exact hits against
     approx hits on (query_id, neighbor_id) plus two |Q|-bounded
     aggregates. n_exact can fall below TOP_K only when the corpus
-    itself is smaller than k."""
-    exact = q_sim_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    itself is smaller than k. The exact truth comes from the shared
+    sim_topk_memo frame (r16 plan-audit gate: this entry consumed the
+    brute-force ranking twice with zero exchange reuse — embeddings
+    scanned 12x; the memoized |Q|·k truth table is scanned instead)."""
+    exact = sim_topk_memo(spark, sf_dir)
     approx = q_sim_ann_lsh(spark, sf_dir).select("query_id", "neighbor_id")
     hits = exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
     n_exact = exact.groupBy("query_id").agg(
@@ -808,8 +834,9 @@ def q_ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     N_PROBE-cell inverted-file scan against the exact top-k, per
     query — the partition-pruning ANN layout's quality number (the LSH
     audit and this one together choose between the two bucketed
-    layouts at scale)."""
-    exact = q_sim_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    layouts at scale). Ground truth reads the shared sim_topk_memo
+    frame (r16 plan-audit gate — same class as q_ann_recall)."""
+    exact = sim_topk_memo(spark, sf_dir)
     approx = q_sim_ann_ivf(spark, sf_dir).select("query_id", "neighbor_id")
     hits = exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
     n_exact = exact.groupBy("query_id").agg(
@@ -864,12 +891,19 @@ def q_embed_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     a production threshold (too loose melts the corpus, too tight keeps
     the near-dups you built the pass to drop).
 
-    One bucketed pair join scores every candidate ONCE; all thresholds
-    then fold as conditional sums over that frame and two per-doc max
+    One bucketed pair join scores every candidate ONCE — literally: the
+    scored pair frame is memo-persisted (r16 standing plan-audit gate
+    found it consumed FOUR times — the pair sums, both legs of the
+    touched-docs union, and the removable aggregate — with zero
+    exchange reuse, embeddings scanned 18x); all thresholds then fold
+    as conditional sums over that one cached frame and two per-doc max
     aggregates (|vectors| keys) — adding a threshold costs one more
-    CASE column, never another join. Cosines are the established
-    prenormalized fold (identical IEEE chain both engines), compared
-    against exact decimal literals."""
+    CASE column, never another join. At production scale the scored
+    pair frame is the write-once candidate table every calibration
+    reads (bounded by bucket co-occurrence, not |corpus|²). Cosines are
+    the established prenormalized fold (identical IEEE chain both
+    engines), compared against exact decimal literals."""
+    from .dedup import _memo_persist
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double(F.col("embedding")).alias("v")
     )
@@ -878,16 +912,21 @@ def q_embed_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = bucketed.alias("a")
     b = bucketed.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.bucket") == F.col("b.bucket"))
-        & (F.col("a.vec_id") < F.col("b.vec_id")),
-    ).select(
-        F.col("a.vec_id").alias("vec_a"),
-        F.col("b.vec_id").alias("vec_b"),
-        cosine_prenorm(
-            F.col("a.v"), F.col("b.v"), F.col("a.norm"), F.col("b.norm")
-        ).alias("cos_sim"),
+    pairs = _memo_persist(
+        spark,
+        sf_dir,
+        "embed_sweep_pairs",
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        ).select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cosine_prenorm(
+                F.col("a.v"), F.col("b.v"), F.col("a.norm"), F.col("b.norm")
+            ).alias("cos_sim"),
+        ),
     )
     # coalesce each conditional sum to 0: on an EMPTY corpus (or an
     # empty bucket-pair frame) SUM is NULL, and the sweep must report
@@ -1181,7 +1220,9 @@ def q_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cell_rank",
         )
     )
-    truth = q_sim_topk(spark, sf_dir).select(
+    # shared memoized ground truth (r16 plan-audit gate; one cache
+    # serves all three recall audits)
+    truth = sim_topk_memo(spark, sf_dir).select(
         "query_id", "neighbor_id", F.lit(1).alias("is_exact")
     )
     cands = (
@@ -1369,8 +1410,15 @@ def q_mrl_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape (100 TB): the bounded query set broadcasts once; the
     corpus side pays |dims|+1 prefix folds per pair in one projection
     (no re-scan per dim); each (query, dim) ranking is WindowGroupLimit
-    partial top-k; the hit join runs on |Q|·k·|dims| rows."""
+    partial top-k; the hit join runs on |Q|·k·|dims| rows. The top-k
+    frame itself is memo-persisted (r16 standing plan-audit gate: it
+    fed truth, trunc, and the two per-dim aggregates with zero exchange
+    reuse — embeddings scanned 12x, the full pair-scoring pass and its
+    per-dim windows recomputed per consumer; cached it is |Q|·k·|dims|
+    integer rows, the write-once ranking table the audit reads)."""
     from pyspark.sql import Window as W
+
+    from .dedup import _memo_persist
 
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double(F.col("embedding")).alias("v")
@@ -1410,10 +1458,13 @@ def q_mrl_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy("query_id", "dim").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
     )
-    topk = (
+    topk = _memo_persist(
+        spark,
+        sf_dir,
+        "mrl_topk",
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= TOP_K)
-        .select("query_id", "neighbor_id", "dim")
+        .select("query_id", "neighbor_id", "dim"),
     )
     truth = topk.filter(F.col("dim") == _MRL_FULL).select(
         "query_id", "neighbor_id"

@@ -917,6 +917,30 @@ def value_bin_counts(ev: DataFrame, rng: DataFrame) -> DataFrame:
     )
 
 
+def events_nonnull_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE shared non-NULL (event_type, event_id, value) frame the
+    rank-statistic event operators stage, memo-persisted under one key
+    and built HERE only (the r15 ADVICE one-construction-site rule).
+    q_histogram_quantiles consumes it twice (range/bin chain + the
+    exact rank audit) and q_mad_outliers three times (median window,
+    deviation frame, MAD window) with zero exchange reuse between them
+    (r16 standing plan-audit gate: events scanned 4-5x per entry).
+    The isNotNull filter and 3-column projection are applied BEFORE the
+    persist, so the cache holds exactly the pruned value space both
+    contracts pin (round-14 NULL-ordering class) — at any scale this is
+    the staged audit table a production run materializes once."""
+    from .dedup import _memo_persist
+
+    return _memo_persist(
+        spark,
+        sf_dir,
+        "events_nonnull_values",
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "event_id", "value")
+        .filter(F.col("value").isNotNull()),
+    )
+
+
 def q_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equal-width-histogram quantile estimation per event type, with
     its exact audit: the 32-bin counts are a MERGEABLE sketch (cell-wise
@@ -944,18 +968,14 @@ def q_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample; the sketch path never sorts)."""
     from pyspark.sql import Window as W
 
-    ev = (
-        load_table(spark, sf_dir, "events")
-        .select(
-            "event_type",
-            "event_id",
-            F.col("value").cast("double").alias("x"),
-        )
-        # the histogram and its exact rank audit both run on the
-        # non-null value space (round-14 null-sweep class: NULLs bin
-        # to a null group and shift the audit ranks differently per
-        # engine)
-        .filter(F.col("value").isNotNull())
+    # the histogram and its exact rank audit both run on the non-null
+    # value space (round-14 null-sweep class: NULLs bin to a null
+    # group and shift the audit ranks differently per engine) — read
+    # from the shared memo-persisted stage (r16 plan-audit gate)
+    ev = events_nonnull_values(spark, sf_dir).select(
+        "event_type",
+        "event_id",
+        F.col("value").cast("double").alias("x"),
     )
     rng = ev.groupBy("event_type").agg(
         F.min("x").alias("lo"),

@@ -57,6 +57,11 @@ FIRST_EXECUTION_CEILING = {
     # (first in-suite run pays the old plan's cost once)
     "copurchase_triangles": 6.0,
     "basket_lift": 6.0,
+    # round 16: the exploded frame + both matvec outputs are
+    # memo-persisted (standing plan-audit gate; steady-state 0.61 s,
+    # 3.0x, but the in-suite first execution materializes the
+    # iteration state at ~2.2 s — above 3x the new anchor)
+    "embed_pca_power": 5.0,
 }
 
 def main() -> int:
