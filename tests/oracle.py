@@ -70,6 +70,39 @@ def oracle_result(sql: str, sf_dir: str, con=None):
     return _ORACLE_CACHE[key]
 
 
+_WARMED: set = set()
+
+
+def warm_cache(sf_dir: str, workers: int = 8) -> None:
+    """Fill _ORACLE_CACHE for EVERY catalog oracle concurrently —
+    one DuckDB connection per worker thread (connections are not
+    thread-safe; queries release the GIL, so 8 native threads cut the
+    ~19-22 s serial catalog execution to a few seconds). Idempotent
+    per sf_dir; the first caller pays (r15 VERDICT ask #3 — the suite
+    previously paid the serial sweep in whichever of decimal-exposure
+    / parity ran first)."""
+    if sf_dir in _WARMED:
+        return
+    _WARMED.add(sf_dir)
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    from lenses_topology_example_spark.catalog import oracle_sql
+
+    local = threading.local()
+
+    def run(sql: str) -> None:
+        if (sf_dir, sql) in _ORACLE_CACHE:
+            return
+        con = getattr(local, "con", None)
+        if con is None:
+            con = local.con = duck_connection(sf_dir)
+        oracle_result(sql, sf_dir, con=con)
+
+    with ThreadPoolExecutor(max_workers=workers) as ex:
+        list(ex.map(run, oracle_sql().values()))
+
+
 def compare(spark_df, sql: str, sf_dir: str) -> None:
     compare_pandas(spark_df.toPandas(), sql, sf_dir)
 
