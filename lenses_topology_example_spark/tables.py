@@ -8,6 +8,8 @@ prunes columns and partitions at the source.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 TABLES = (
@@ -27,6 +29,17 @@ TABLES = (
 # counts independent of scale factor: region=5, nation=25, plus the 5-row
 # FX dim from datamodel). supplier/part/customer grow with SF — NOT here.
 BROADCAST_SAFE = frozenset({"region", "nation"})
+
+
+def parquet_source(sf_dir: str, name: str) -> str:
+    """The DuckDB-readable source string for a table: the bare file
+    path, or a `/*.parquet` glob when the table is a DIRECTORY of part
+    files (the round-16 small-files layout axis — Spark's reader takes
+    a directory transparently, DuckDB 1.0 needs the glob). Every
+    DuckDB view builder (tests/oracle.py, tools/driver_sim.py) goes
+    through here so the two engines always read the same bytes."""
+    path = f"{sf_dir}/{name}.parquet"
+    return f"{path}/*.parquet" if os.path.isdir(path) else path
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -7,7 +7,7 @@ from __future__ import annotations
 
 import duckdb
 
-from lenses_topology_example_spark.tables import TABLES
+from lenses_topology_example_spark.tables import TABLES, parquet_source
 from tools.canon import canon_rows as _rows  # the ONE dtype-strict canon
 
 
@@ -15,7 +15,7 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for t in TABLES:
         con.sql(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+            f"CREATE VIEW {t} AS SELECT * FROM '{parquet_source(sf_dir, t)}'"
         )
     return con
 

@@ -36,6 +36,7 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
 from tools.canon import canon_rows as rows  # the ONE dtype-strict canon
+from lenses_topology_example_spark.tables import parquet_source
 SF = os.environ.get("SPARK_GRAFT_DRIVER_SF_DIR", "/root/testdata/sf0.01")
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
@@ -80,7 +81,7 @@ def main() -> int:
 
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{parquet_source(SF, t)}'")
 
     split = "--split-build-collect" in sys.argv[1:]
     bad = []
