@@ -1,0 +1,85 @@
+"""Round-16 additions: the input-layout (small-files) scaling axis
+tooling and the directory-table oracle path.
+
+No SparkSession here — the Spark side of the axis is measured by
+tools/scale_bench.py and parity-proved by driver_sim on the slice
+(SCALING.md round-16); these tests pin the pure-Python contracts the
+measurement rests on, at pyarrow/DuckDB cost only.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+import duckdb
+import pyarrow.parquet as pq
+
+from lenses_topology_example_spark.tables import parquet_source
+
+SRC = "/root/testdata/sf0.001"
+
+
+def _build(out: str) -> None:
+    subprocess.run(
+        [sys.executable, "tools/make_smallfiles.py",
+         "--sf-dir", SRC, "--out", out, "--files", "16"],
+        check=True, capture_output=True, cwd="/root/repo",
+    )
+
+
+def test_parquet_source_emits_glob_only_for_directories(tmp_path):
+    """The ONE DuckDB source-string builder: bare path for a file,
+    /*.parquet glob for a directory (DuckDB 1.0 cannot read a bare
+    directory; Spark reads both transparently)."""
+    assert parquet_source(SRC, "orders") == f"{SRC}/orders.parquet"
+    d = tmp_path / "orders.parquet"
+    d.mkdir()
+    assert parquet_source(str(tmp_path), "orders") == f"{d}/*.parquet"
+
+
+def test_make_smallfiles_preserves_multiset_schema_and_determinism(
+    tmp_path,
+):
+    """The layout axis changes BYTES LAYOUT only: every shattered
+    table keeps its exact schema and row multiset (DuckDB glob read vs
+    the single source file), unshattered tables are byte-identical
+    copies, and two builds are byte-identical (file-slicing is pure
+    arithmetic on a deterministic read order)."""
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    _build(a)
+    _build(b)
+
+    for t in ("lineitem", "orders", "events", "documents"):
+        d = f"{a}/{t}.parquet"
+        parts = sorted(os.listdir(d))
+        assert len(parts) > 1, f"{t}: not shattered"
+        assert pq.read_schema(os.path.join(d, parts[0])).equals(
+            pq.read_schema(f"{SRC}/{t}.parquet")
+        ), f"{t}: schema drift"
+        for p in parts:
+            pa_bytes = open(os.path.join(d, p), "rb").read()
+            pb_bytes = open(os.path.join(b, t + ".parquet", p), "rb").read()
+            assert pa_bytes == pb_bytes, f"{t}/{p}: non-deterministic"
+
+    con = duckdb.connect()
+    for t in ("orders", "documents"):
+        n = con.sql(
+            f"SELECT count(*) FROM '{parquet_source(a, t)}'"
+        ).fetchone()[0]
+        n_src = con.sql(
+            f"SELECT count(*) FROM '{SRC}/{t}.parquet'"
+        ).fetchone()[0]
+        assert n == n_src, f"{t}: row count drift"
+    got = con.sql(
+        f"SELECT * FROM '{parquet_source(a, 'orders')}' ORDER BY ALL"
+    ).fetchall()
+    want = con.sql(
+        f"SELECT * FROM '{SRC}/orders.parquet' ORDER BY ALL"
+    ).fetchall()
+    assert got == want, "orders: multiset drift under shattering"
+
+    assert open(f"{a}/customer.parquet", "rb").read() == open(
+        f"{SRC}/customer.parquet", "rb"
+    ).read(), "unshattered table must be a byte-identical copy"
