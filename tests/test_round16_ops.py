@@ -83,3 +83,45 @@ def test_make_smallfiles_preserves_multiset_schema_and_determinism(
     assert open(f"{a}/customer.parquet", "rb").read() == open(
         f"{SRC}/customer.parquet", "rb"
     ).read(), "unshattered table must be a byte-identical copy"
+
+
+def test_make_widecols_appends_varying_columns_and_preserves_originals(
+    tmp_path,
+):
+    """The schema-width axis slice (tools/make_widecols.py): original
+    columns keep their exact schema and multiset (the decoys change no
+    catalog result — every contract names its columns), the K decoy
+    columns are present with per-row VARYING values (so they neither
+    compress away on disk nor read for free)."""
+    out = str(tmp_path / "wide")
+    subprocess.run(
+        [sys.executable, "tools/make_widecols.py",
+         "--sf-dir", SRC, "--out", out, "--cols", "8"],
+        check=True, capture_output=True, cwd="/root/repo",
+    )
+    con = duckdb.connect()
+    for t in ("orders", "events", "documents"):
+        src_schema = pq.read_schema(f"{SRC}/{t}.parquet")
+        wide_schema = pq.read_schema(f"{out}/{t}.parquet")
+        assert wide_schema.names[: len(src_schema.names)] == list(
+            src_schema.names
+        ), f"{t}: original column order changed"
+        assert wide_schema.names[len(src_schema.names):] == [
+            f"w_{j:03d}" for j in range(8)
+        ], f"{t}: decoy columns wrong"
+        for name in src_schema.names:
+            assert wide_schema.field(name).equals(
+                src_schema.field(name)
+            ), f"{t}.{name}: dtype drift"
+        cols = ", ".join(f'"{c}"' for c in src_schema.names)
+        got = con.sql(
+            f"SELECT {cols} FROM '{out}/{t}.parquet' ORDER BY ALL"
+        ).fetchall()
+        want = con.sql(
+            f"SELECT {cols} FROM '{SRC}/{t}.parquet' ORDER BY ALL"
+        ).fetchall()
+        assert got == want, f"{t}: original-column multiset drift"
+        n_distinct = con.sql(
+            f"SELECT count(DISTINCT w_007) FROM '{out}/{t}.parquet'"
+        ).fetchone()[0]
+        assert n_distinct > 1, f"{t}: decoy column is constant"
