@@ -42,9 +42,26 @@ def parquet_source(sf_dir: str, name: str) -> str:
     return f"{path}/*.parquet" if os.path.isdir(path) else path
 
 
+# Per-session loaded-frame memo (round 16): `spark.read.parquet` pays a
+# driver-side footer/schema read on EVERY call, and a full 287-entry
+# catalog build issues ~800 load_table calls over only ~10 distinct
+# (sf_dir, table) sources — measured 68.5 s -> 48.8 s for the whole
+# plan-build phase with this memo (pytest's catalog_dfs fixture,
+# driver_sim's build loop, and bench.py's warmup all ride it). Safe
+# because DataFrames are immutable plan handles and the testdata/slice
+# files never change within a session; keyed by applicationId so a
+# frame never leaks across SparkSessions (a frame from a stopped
+# session would crash its consumer).
+_LOADED: dict = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _LOADED.get(key)
+    if cached is not None:
+        return cached
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         # The generator has shipped `ts` in either of two physical layouts:
@@ -91,4 +108,5 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = df.select(
             "event_id", "ts", "user_id", "event_type", "value", "props"
         )
+    _LOADED[key] = df
     return df
