@@ -62,6 +62,15 @@ FIRST_EXECUTION_CEILING = {
     # 3.0x, but the in-suite first execution materializes the
     # iteration state at ~2.2 s — above 3x the new anchor)
     "embed_pca_power": 5.0,
+    # round 16: the three recall audits share the sim_topk_memo
+    # brute-force truth frame (plan-audit wave) — the ~4-5 s
+    # materialization rides WHICHEVER of the three the suite executes
+    # first (dedup_savings class; observed landing on ann_recall_ivf
+    # in one quiet sample and ann_recall in another), so each needs
+    # the envelope while the other two read steady-state
+    "ann_recall": 6.0,
+    "ann_recall_ivf": 6.0,
+    "ivf_probe_sweep": 6.0,
 }
 
 def main() -> int:
