@@ -1,10 +1,11 @@
 """Round-16 additions: the input-layout (small-files) scaling axis
 tooling and the directory-table oracle path.
 
-No SparkSession here — the Spark side of the axis is measured by
-tools/scale_bench.py and parity-proved by driver_sim on the slice
-(SCALING.md round-16); these tests pin the pure-Python contracts the
-measurement rests on, at pyarrow/DuckDB cost only.
+The slice-tool tests need no SparkSession — the Spark side of each
+axis is measured by tools/scale_bench.py and parity-proved by
+driver_sim on the slice (SCALING.md round-16); they pin the
+pure-Python contracts the measurement rests on at pyarrow/DuckDB
+cost. The loader-memo test rides the shared session fixture.
 """
 
 from __future__ import annotations
@@ -125,3 +126,18 @@ def test_make_widecols_appends_varying_columns_and_preserves_originals(
             f"SELECT count(DISTINCT w_007) FROM '{out}/{t}.parquet'"
         ).fetchone()[0]
         assert n_distinct > 1, f"{t}: decoy column is constant"
+
+
+def test_load_table_memoizes_per_session_and_sf_dir(spark):
+    """The round-16 loader memo: within one session the same
+    (sf_dir, table) returns the SAME DataFrame object (no repeated
+    footer read, identical plan by construction), while different
+    sf_dirs stay distinct frames."""
+    from lenses_topology_example_spark.tables import load_table
+
+    a1 = load_table(spark, SRC, "orders")
+    a2 = load_table(spark, SRC, "orders")
+    assert a1 is a2, "same-session same-source load must hit the memo"
+    b = load_table(spark, "/root/testdata/sf0.01", "orders")
+    assert b is not a1, "distinct sf_dirs must not share a frame"
+    assert a1.count() != b.count(), "memo crossed sf_dir keys"
