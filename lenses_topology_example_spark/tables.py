@@ -58,10 +58,18 @@ _LOADED: dict = {}
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    key = (spark.sparkContext.applicationId, sf_dir, name)
+    app = spark.sparkContext.applicationId
+    key = (app, sf_dir, name)
     cached = _LOADED.get(key)
     if cached is not None:
         return cached
+    # frames of other (stopped) sessions can never be served again —
+    # drop them so a process that cycles many sessions (the pytest
+    # suite, repeated get_spark tools) holds at most one session's
+    # worth of plan handles
+    stale = [k for k in _LOADED if k[0] != app]
+    for k in stale:
+        del _LOADED[k]
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         # The generator has shipped `ts` in either of two physical layouts:
