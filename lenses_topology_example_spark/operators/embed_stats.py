@@ -27,8 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..tables import load_table
-from .similarity import as_double, cosine_prenorm, dot, sql_dot
+from .similarity import cosine_prenorm, dot, emb_base, sql_dot
 
 KMEANS_K = 4
 
@@ -51,12 +50,9 @@ def q_corpus_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     before it — then |dims|-row scalar math. Zero-norm vectors are
     excluded (they have no defined cosine to anything).
     """
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double(F.col("embedding")).alias("v")
-    )
-    emb = emb.withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v")))).filter(
-        F.col("nrm") > F.lit(0.0)
-    )
+    emb = emb_base(spark, sf_dir).select(
+        "vec_id", "v", F.col("norm").alias("nrm")
+    ).filter(F.col("nrm") > F.lit(0.0))
     comps = emb.select(
         F.posexplode(
             F.transform(F.col("v"), lambda x: x / F.col("nrm"))
@@ -128,12 +124,9 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     division (lm_score discipline)."""
     from pyspark.sql import Window as W
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double(F.col("embedding")).alias("v")
-    )
-    emb = emb.withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v")))).filter(
-        F.col("nrm") > F.lit(0.0)
-    )
+    emb = emb_base(spark, sf_dir).select(
+        "vec_id", "v", F.col("norm").alias("nrm")
+    ).filter(F.col("nrm") > F.lit(0.0))
     cent = emb.filter(F.col("vec_id") < F.lit(KMEANS_K)).select(
         F.col("vec_id").alias("centroid_id"),
         F.col("v").alias("cv"),
@@ -221,12 +214,9 @@ def q_silhouette_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     K-row bounded."""
     from pyspark.sql import Window as W
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double(F.col("embedding")).alias("v")
-    )
-    emb = emb.withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v")))).filter(
-        F.col("nrm") > F.lit(0.0)
-    )
+    emb = emb_base(spark, sf_dir).select(
+        "vec_id", "v", F.col("norm").alias("nrm")
+    ).filter(F.col("nrm") > F.lit(0.0))
     cent = emb.filter(F.col("vec_id") < F.lit(KMEANS_K)).select(
         F.col("vec_id").alias("centroid_id"),
         F.col("v").alias("cv"),
@@ -345,9 +335,7 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     10k-dim corpus knows to materialize the scale column first (same
     CollapseProject hazard pmi_collocations hit with the tokenizer,
     operators/text.py)."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double(F.col("embedding")).alias("v")
-    )
+    emb = emb_base(spark, sf_dir).select("vec_id", "v")
     s = F.array_max(F.transform(F.col("v"), F.abs))
     emb = emb.withColumn("s", s).filter(F.col("s") > F.lit(0.0))
     err = F.transform(
@@ -429,12 +417,9 @@ def q_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus passes per iteration — the Lloyd minimum."""
     from pyspark.sql import Window as W
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double(F.col("embedding")).alias("v")
-    )
-    emb = emb.withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v")))).filter(
-        F.col("nrm") > F.lit(0.0)
-    )
+    emb = emb_base(spark, sf_dir).select(
+        "vec_id", "v", F.col("norm").alias("nrm")
+    ).filter(F.col("nrm") > F.lit(0.0))
     cent0 = emb.filter(F.col("vec_id") < F.lit(KMEANS_K)).select(
         F.col("vec_id").alias("cid"),
         F.col("v").alias("cv"),
@@ -582,11 +567,9 @@ def kmeans_fit(
     """
     from pyspark.sql import Window as W
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double(F.col("embedding")).alias("v")
-    )
     emb = (
-        emb.withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
+        emb_base(spark, sf_dir)
+        .select("vec_id", "v", F.col("norm").alias("nrm"))
         .filter(F.col("nrm") > F.lit(0.0))
         .localCheckpoint()
     )
@@ -680,12 +663,9 @@ def q_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus."""
     from pyspark.sql import Window as W
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", as_double(F.col("embedding")).alias("v")
-    )
-    emb = emb.withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v")))).filter(
-        F.col("nrm") > F.lit(0.0)
-    )
+    emb = emb_base(spark, sf_dir).select(
+        "vec_id", "label", "v", F.col("norm").alias("nrm")
+    ).filter(F.col("nrm") > F.lit(0.0))
     cent = emb.filter(F.col("vec_id") < F.lit(KMEANS_K)).select(
         F.col("vec_id").alias("centroid_id"),
         F.col("v").alias("cv"),
@@ -792,12 +772,9 @@ def q_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     scoring is one prenorm fold per vector with no shuffle, and the
     bottom-k is TakeOrderedAndProject (per-partition k, never a global
     sort)."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", as_double(F.col("embedding")).alias("v")
-    )
-    emb = emb.withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v")))).filter(
-        F.col("nrm") > F.lit(0.0)
-    )
+    emb = emb_base(spark, sf_dir).select(
+        "vec_id", "label", "v", F.col("norm").alias("nrm")
+    ).filter(F.col("nrm") > F.lit(0.0))
     comps = emb.select(
         F.posexplode(
             F.transform(F.col("v"), lambda x: x / F.col("nrm"))
@@ -918,9 +895,7 @@ def q_embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     cache closes the re-derivation chain.)"""
     from .dedup import _memo_persist
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double(F.col("embedding")).alias("v")
-    )
+    emb = emb_base(spark, sf_dir).select("vec_id", "v")
     e = _memo_persist(
         spark,
         sf_dir,
@@ -1046,14 +1021,12 @@ def q_embed_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..functions.texthash import md5_hash64
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = emb_base(spark, sf_dir).select(
         "vec_id",
         (md5_hash64(F.col("vec_id").cast("string")) % 2).alias("p"),
-        as_double(F.col("embedding")).alias("v"),
-    )
-    emb = emb.withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v")))).filter(
-        F.col("nrm") > F.lit(0.0)
-    )
+        "v",
+        F.col("norm").alias("nrm"),
+    ).filter(F.col("nrm") > F.lit(0.0))
     cent = emb.filter(F.col("vec_id") < F.lit(KMEANS_K)).select(
         F.col("vec_id").alias("centroid_id"),
         F.col("v").alias("cv"),
@@ -1178,12 +1151,9 @@ def q_kmeans_elbow(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     kmax = max(ELBOW_KS)
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double(F.col("embedding")).alias("v")
-    )
-    emb = emb.withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v")))).filter(
-        F.col("nrm") > F.lit(0.0)
-    )
+    emb = emb_base(spark, sf_dir).select(
+        "vec_id", "v", F.col("norm").alias("nrm")
+    ).filter(F.col("nrm") > F.lit(0.0))
     cent = emb.filter(F.col("vec_id") < F.lit(kmax)).select(
         F.col("vec_id").alias("centroid_id"),
         F.col("v").alias("cv"),
@@ -1315,12 +1285,9 @@ def q_auc_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     a production run subsamples, same plan), one 1-row aggregate."""
     from pyspark.sql import Window as W
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double(F.col("embedding")).alias("v"), "label"
-    )
-    emb = emb.withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v")))).filter(
-        F.col("nrm") > F.lit(0.0)
-    )
+    emb = emb_base(spark, sf_dir).select(
+        "vec_id", "label", "v", F.col("norm").alias("nrm")
+    ).filter(F.col("nrm") > F.lit(0.0))
     cent = emb.filter(F.col("vec_id") == F.lit(AUC_CENTROID)).select(
         F.col("v").alias("cv"), F.col("nrm").alias("cnrm")
     )
@@ -1427,9 +1394,7 @@ def q_fisher_separability(spark: SparkSession, sf_dir: str) -> DataFrame:
     combines to |labels| x |dims| cells per partition before the
     exchange; everything after runs on that bounded frame (windows
     per dim over <=|labels| rows). Output is |dims| rows."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "label", as_double(F.col("embedding")).alias("v")
-    )
+    emb = emb_base(spark, sf_dir).select("label", "v")
     comps = emb.select(
         "label", F.posexplode(F.col("v")).alias("dim", "x")
     ).select("label", "dim", F.col("x").cast("decimal(38,6)").alias("xd"))

@@ -39,13 +39,11 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
-from ..tables import load_table
-from .similarity import as_double, cosine_prenorm, dot
+from .similarity import cosine_prenorm, emb_base
 from .text import (
     BM25_QUERIES,
     BM25_TOP_K,
     SQL_BM25_SEARCH,
-    q_bm25_search,
 )
 
 # RRF smoothing constant (the canonical k=60 of Cormack & Clarke).
@@ -60,23 +58,19 @@ HYBRID_QUERY_VECS = tuple(
 )
 
 
-def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fused top-k per query: rrf = Σ_leg 1/(RRF_K + rank_leg), summed
-    over the legs that retrieved the doc (absent leg contributes 0.0).
-    Emits the fused rank plus each leg's rank (0 = not retrieved by
-    that leg) so downstream consumers can see WHY a doc surfaced."""
-    lex = q_bm25_search(spark, sf_dir).select(
-        "query_id",
-        "doc_id",
-        F.col("rank").alias("lex_rank"),
-    )
+def sem_topk_memo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE shared semantic (cosine) ranking frame (query_id, doc_id,
+    rank), memo-persisted (r17). Three consumers execute this exact
+    corpus-scale scoring pass — q_hybrid_rrf's semantic leg and
+    q_retrieval_eval twice (its cosine arm + the rrf arm's semantic
+    leg) — with zero exchange reuse across them (the r16 standing
+    plan-audit class). |Q|·k rows; the write-once per-leg ranking
+    table of the bm25_topk_memo contract, semantic side."""
+    from .dedup import _memo_persist
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double(F.col("embedding")).alias("v")
-    )
-    emb = emb.withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v")))).filter(
-        F.col("nrm") > F.lit(0.0)
-    )
+    emb = emb_base(spark, sf_dir).select(
+        "vec_id", "v", F.col("norm").alias("nrm")
+    ).filter(F.col("nrm") > F.lit(0.0))
     qmap = spark.createDataFrame(
         list(HYBRID_QUERY_VECS), "query_id string, qvec_id long"
     )
@@ -91,7 +85,7 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     wsem = W.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("doc_id").asc()
     )
-    sem = (
+    ranked = (
         emb.crossJoin(F.broadcast(qvec))
         .select(
             "query_id",
@@ -102,7 +96,30 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("rn", F.row_number().over(wsem))
         .filter(F.col("rn") <= F.lit(BM25_TOP_K))
-        .select("query_id", "doc_id", F.col("rn").alias("sem_rank"))
+        .select("query_id", "doc_id", F.col("rn").alias("rank"))
+    )
+    return _memo_persist(spark, sf_dir, "sem_topk", ranked)
+
+
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused top-k per query: rrf = Σ_leg 1/(RRF_K + rank_leg), summed
+    over the legs that retrieved the doc (absent leg contributes 0.0).
+    Emits the fused rank plus each leg's rank (0 = not retrieved by
+    that leg) so downstream consumers can see WHY a doc surfaced.
+
+    Both legs read the shared memo-persisted ranking frames
+    (text.bm25_topk_memo / sem_topk_memo, r17) instead of re-deriving
+    the corpus-scale scoring passes — the fusion itself was always a
+    bounded |Q|·k-row join."""
+    from .text import bm25_topk_memo
+
+    lex = bm25_topk_memo(spark, sf_dir).select(
+        "query_id",
+        "doc_id",
+        F.col("rank").alias("lex_rank"),
+    )
+    sem = sem_topk_memo(spark, sf_dir).select(
+        "query_id", "doc_id", F.col("rank").alias("sem_rank")
     )
 
     fused = lex.join(sem, ["query_id", "doc_id"], "full_outer").select(
@@ -225,40 +242,23 @@ def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     the eval joins see 3·|Q|·k rows; labels join against that tiny
     broadcast frame; per-label corpus counts are one bounded
     aggregate."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double(F.col("embedding")).alias("v"), "label"
+    from .text import bm25_topk_memo
+
+    emb = emb_base(spark, sf_dir).select(
+        "vec_id", "v", "label", F.col("norm").alias("nrm")
     )
-    nrm = emb.withColumn(
-        "nrm", F.sqrt(dot(F.col("v"), F.col("v")))
-    ).filter(F.col("nrm") > F.lit(0.0))
     qmap = spark.createDataFrame(
         list(HYBRID_QUERY_VECS), "query_id string, qvec_id long"
     )
-    qvec = qmap.join(
-        nrm.select(
-            F.col("vec_id").alias("qvec_id"),
-            F.col("v").alias("qv"),
-            F.col("nrm").alias("qnrm"),
-        ),
-        "qvec_id",
-    ).select("query_id", "qvec_id", "qv", "qnrm")
-    wsem = W.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("doc_id").asc()
+    # all three ranker arms read the shared memo-persisted ranking
+    # frames (r17): the cosine arm and the rrf arm's semantic leg both
+    # consume sem_topk_memo; the bm25 arm and the rrf arm's lexical leg
+    # both consume text.bm25_topk_memo — previously each arm re-derived
+    # its corpus-scale scoring pass with zero exchange reuse.
+    cosine_ranked = sem_topk_memo(spark, sf_dir).select(
+        F.lit("cosine").alias("method"), "query_id", "rank", "doc_id"
     )
-    cosine_ranked = (
-        nrm.crossJoin(F.broadcast(qvec.select("query_id", "qv", "qnrm")))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("doc_id"),
-            cosine_prenorm(
-                F.col("qv"), F.col("v"), F.col("qnrm"), F.col("nrm")
-            ).alias("cos_sim"),
-        )
-        .withColumn("rank", F.row_number().over(wsem))
-        .filter(F.col("rank") <= F.lit(BM25_TOP_K))
-        .select(F.lit("cosine").alias("method"), "query_id", "rank", "doc_id")
-    )
-    lex_ranked = q_bm25_search(spark, sf_dir).select(
+    lex_ranked = bm25_topk_memo(spark, sf_dir).select(
         F.lit("bm25").alias("method"), "query_id", "rank", "doc_id"
     )
     rrf_ranked = q_hybrid_rrf(spark, sf_dir).select(
@@ -467,12 +467,9 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the same IEEE sequence the oracle's unrolled CTEs evaluate;
     argmax ties break to the lowest doc_id on both engines; scores
     stay raw pass-through doubles."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double(F.col("embedding")).alias("v")
-    )
-    emb = emb.withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v")))).filter(
-        F.col("nrm") > F.lit(0.0)
-    )
+    emb = emb_base(spark, sf_dir).select(
+        "vec_id", "v", F.col("norm").alias("nrm")
+    ).filter(F.col("nrm") > F.lit(0.0))
     qmap = spark.createDataFrame(
         list(HYBRID_QUERY_VECS), "query_id string, qvec_id long"
     )

@@ -76,6 +76,38 @@ def cosine_prenorm(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Colu
     return F.try_divide(dot(a, b), norm_a * norm_b)
 
 
+def emb_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, v: array<double>, label, norm) — THE shared embedding
+    corpus frame, parallelism-guarded and memo-persisted (round 17).
+
+    Every similarity/embed-stats/retrieval consumer used to rebuild
+    this projection from the parquet scan independently: the cast to
+    double and the 64-element norm fold re-ran per consumer, and —
+    because scan parallelism comes from file splits and the testdata
+    ships each table as ONE single-row-group file — all of that per-row
+    vector math ran on ONE task (r17 measurement: the corpus-side
+    scoring of every embedding entry was single-threaded at sf0.1;
+    `_parallel_scan`'s round-robin repartition spreads it across the
+    cluster's default parallelism). The memoized persist is the
+    in-session equivalent of the write-once normalized-embedding table
+    a production pipeline materializes before its similarity passes
+    (the `_doc_tokens` contract, applied to vectors).
+
+    norm is the same left-fold sqrt(dot(v,v)) every consumer computed
+    inline — same IEEE sequence, computed once per vector. Consumers
+    that filter zero norms or rename to `nrm` select from here.
+    """
+    from .dedup import _memo_persist, _parallel_scan
+
+    emb = _parallel_scan(spark, load_table(spark, sf_dir, "embeddings"))
+    base = emb.select(
+        "vec_id",
+        as_double(F.col("embedding")).alias("v"),
+        "label",
+    ).withColumn("norm", F.sqrt(dot(F.col("v"), F.col("v"))))
+    return _memo_persist(spark, sf_dir, "emb_base", base)
+
+
 # DuckDB twin of dot(): explicit left-fold, NOT list_dot_product (whose
 # internal accumulation order is an implementation detail).
 def sql_dot(a: str, b: str) -> str:
@@ -117,13 +149,10 @@ def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall@k is measured by `ann_recall` / `ann_recall_ivf`."""
     from pyspark.sql import Window as W
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        as_double(F.col("embedding")).alias("v"),
-    )
     # norm computed once per corpus vector (same left-fold the oracle
-    # uses); pair scoring then does one fold per row, not three
-    emb = emb.withColumn("norm", F.sqrt(dot(F.col("v"), F.col("v"))))
+    # uses); pair scoring then does one fold per row, not three —
+    # both served by the shared emb_base memo (r17)
+    emb = emb_base(spark, sf_dir).select("vec_id", "v", "norm")
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
@@ -179,7 +208,7 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     topk = q_sim_topk(spark, sf_dir)
-    labels = load_table(spark, sf_dir, "embeddings").select(
+    labels = emb_base(spark, sf_dir).select(
         F.col("vec_id").alias("neighbor_id"), "label"
     )
     votes = (
@@ -241,10 +270,7 @@ def q_label_noise_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     |audit| × k rows."""
     from pyspark.sql import Window as W
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", as_double(F.col("embedding")).alias("v")
-    )
-    emb = emb.withColumn("norm", F.sqrt(dot(F.col("v"), F.col("v"))))
+    emb = emb_base(spark, sf_dir).select("vec_id", "label", "v", "norm")
     q = emb.filter(F.col("vec_id") < LABEL_AUDIT_N).select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("own_label"),
@@ -348,12 +374,7 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     at probe time, never scored rows materialized then filtered."""
     from pyspark.sql import Window as W
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        "label",
-        as_double(F.col("embedding")).alias("v"),
-    )
-    emb = emb.withColumn("norm", F.sqrt(dot(F.col("v"), F.col("v"))))
+    emb = emb_base(spark, sf_dir).select("vec_id", "label", "v", "norm")
     q = emb.select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("qlabel"),
@@ -438,12 +459,8 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     precomputed/partitioned-by at ingest, so a query touches 1/2^8 of the
     corpus; here it's derived on the fly. Recall vs exact top-k is
     validated in tests (tests/test_similarity.py)."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double(F.col("embedding")).alias("v")
-    )
-    bucketed = emb.withColumn("bucket", _bucket_col(F.col("v"))).withColumn(
-        "norm", F.sqrt(dot(F.col("v"), F.col("v")))
-    )
+    emb = emb_base(spark, sf_dir).select("vec_id", "v", "norm")
+    bucketed = emb.withColumn("bucket", _bucket_col(F.col("v")))
     q = bucketed.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
@@ -518,9 +535,7 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window as W
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double(F.col("embedding")).alias("v")
-    ).withColumn("norm", F.sqrt(dot(F.col("v"), F.col("v"))))
+    emb = emb_base(spark, sf_dir).select("vec_id", "v", "norm")
     cent = (
         emb.filter((F.col("vec_id") >= _CB_LO) & (F.col("vec_id") < _CB_HI))
         .select(
@@ -639,12 +654,8 @@ def q_embed_neardup(
     loosened verification cut stays confined to the catalog/oracle pair
     (round-3 ADVICE: a loosened default silently changes every existing
     caller)."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double(F.col("embedding")).alias("v")
-    )
-    bucketed = emb.withColumn("bucket", _bucket_col(F.col("v"))).withColumn(
-        "norm", F.sqrt(dot(F.col("v"), F.col("v")))
-    )
+    emb = emb_base(spark, sf_dir).select("vec_id", "v", "norm")
+    bucketed = emb.withColumn("bucket", _bucket_col(F.col("v")))
     a = bucketed.alias("a")
     b = bucketed.alias("b")
     return (
@@ -904,12 +915,8 @@ def q_embed_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     the established prenormalized fold (identical IEEE chain both
     engines), compared against exact decimal literals."""
     from .dedup import _memo_persist
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double(F.col("embedding")).alias("v")
-    )
-    bucketed = emb.withColumn("bucket", _bucket_col(F.col("v"))).withColumn(
-        "norm", F.sqrt(dot(F.col("v"), F.col("v")))
-    )
+    emb = emb_base(spark, sf_dir).select("vec_id", "v", "norm")
+    bucketed = emb.withColumn("bucket", _bucket_col(F.col("v")))
     a = bucketed.alias("a")
     b = bucketed.alias("b")
     pairs = _memo_persist(
@@ -968,7 +975,7 @@ def q_embed_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
     )
-    n = load_table(spark, sf_dir, "embeddings").agg(
+    n = emb_base(spark, sf_dir).agg(
         F.count(F.lit(1)).alias("n_vecs")
     )
     stack_args = ", ".join(
@@ -1061,14 +1068,13 @@ def q_embed_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     incoming x base, never base x base — and the verdict returns to
     the incoming frame as a left-semi-derived flag, no row explosion.
     Cosines are the established prenormalized fold."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = emb_base(spark, sf_dir).select(
         "vec_id",
-        as_double(F.col("embedding")).alias("v"),
+        "v",
+        "norm",
         (md5_hash64(F.col("vec_id").cast("string")) % 2).alias("p"),
     )
-    bucketed = emb.withColumn("bucket", _bucket_col(F.col("v"))).withColumn(
-        "norm", F.sqrt(dot(F.col("v"), F.col("v")))
-    )
+    bucketed = emb.withColumn("bucket", _bucket_col(F.col("v")))
     base = bucketed.filter(F.col("p") == 0).select(
         F.col("vec_id").alias("base_id"),
         F.col("v").alias("bv"),
@@ -1166,9 +1172,7 @@ def q_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     p_max = max(PROBE_SWEEP)
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double(F.col("embedding")).alias("v")
-    ).withColumn("norm", F.sqrt(dot(F.col("v"), F.col("v"))))
+    emb = emb_base(spark, sf_dir).select("vec_id", "v", "norm")
     cent = emb.filter(
         (F.col("vec_id") >= _CB_LO) & (F.col("vec_id") < _CB_HI)
     ).select(
@@ -1420,9 +1424,7 @@ def q_mrl_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .dedup import _memo_persist
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double(F.col("embedding")).alias("v")
-    )
+    emb = emb_base(spark, sf_dir).select("vec_id", "v")
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
@@ -1610,9 +1612,7 @@ def q_jl_projection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     S(u−v) = Su − Sv, so one projection per pair, not two); the report
     is a 1-row aggregate. Projecting the full corpus for production use
     is the same expression without the audit filter."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double(F.col("embedding")).alias("v")
-    )
+    emb = emb_base(spark, sf_dir).select("vec_id", "v")
     a = emb.filter(F.col("vec_id") < JL_AUDIT_N).select(
         F.col("vec_id").alias("id_a"), F.col("v").alias("va")
     )

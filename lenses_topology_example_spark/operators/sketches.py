@@ -300,15 +300,15 @@ def q_corr_text_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.col("n_chars").cast("double").alias("x")
     )
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    # norm from the shared emb_base memo (r17): the fold there is
+    # zip_with(v, v, x*y) then acc+x — element-wise products summed in
+    # the same order as the inline acc + v*v fold this site used, so
+    # the value is the same IEEE sequence, computed once per vector.
+    from .similarity import emb_base
+
+    emb = emb_base(spark, sf_dir).select(
         F.col("vec_id").alias("doc_id"),
-        F.sqrt(
-            F.aggregate(
-                F.transform(F.col("embedding"), lambda v: v.cast("double")),
-                F.lit(0.0),
-                lambda acc, v: acc + v * v,
-            )
-        ).alias("y"),
+        F.col("norm").alias("y"),
     )
     j = docs.join(emb, "doc_id")
     dsum = lambda c: F.sum(c.cast("decimal(38,6)")).cast("double")

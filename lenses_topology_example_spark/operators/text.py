@@ -2191,6 +2191,23 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bm25_topk_memo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE shared BM25 ranking frame (query_id, rank, doc_id, score),
+    memo-persisted (r17). Four consumers execute this exact sub-plan —
+    q_bm25_search itself, q_hybrid_rrf's lexical leg, and
+    q_retrieval_eval twice (its lex arm + the rrf arm's lex leg) — and
+    Spark reuses none of the exchanges across them (the r16 standing
+    plan-audit class). The frame is |Q|·k rows; at any corpus scale it
+    is the write-once ranking table a retrieval stack stores once and
+    every fusion/eval pass reads — which is exactly how hybrid search
+    engines persist per-leg rankings before fusing."""
+    from .dedup import _memo_persist
+
+    return _memo_persist(
+        spark, sf_dir, "bm25_topk", q_bm25_search(spark, sf_dir)
+    )
+
+
 _SQL_BM25_TERMS = ", ".join(
     f"('{q}', '{t}')" for q, ts in BM25_QUERIES for t in ts
 )
