@@ -214,15 +214,22 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 JACCARD_THRESHOLD = 0.2
 
 
-def q_dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs by exact Jaccard over distinct 3-gram shingle sets.
+def jaccard_pairs_memo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE exact-Jaccard pair frame (doc_a, doc_b, jaccard) over every
+    doc pair sharing >= 1 shingle, UNthresholded, memo-persisted (r17).
+    Three consumers executed this quadratic-in-hot-shingles self-join
+    independently with zero exchange reuse (the r16 standing plan-audit
+    class): q_dedup_near_jaccard (threshold filter), the
+    q_minhash_band_sweep truth side (same filter), and
+    q_minhash_est_audit's exact side (unthresholded left join). At
+    production scale this is the sampled ground-truth pair table a
+    calibration run writes once and every estimator audit reads.
 
-    Inverted-index candidate generation: only doc pairs sharing >=1
+    Inverted-index candidate generation: only doc pairs sharing >= 1
     shingle are ever scored (|A∩B| falls out of the same self-join that
     found the candidates — one shuffle, no second pass over the corpus).
     jaccard = inter / (|A| + |B| - inter): integer counts, one IEEE
-    division — deterministic at any parallelism.
-    """
+    division — deterministic at any parallelism."""
     s = _doc_shingles(spark, sf_dir)
     sizes = s.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = s.alias("a")
@@ -238,12 +245,22 @@ def q_dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     jac = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
-    return (
+    return _memo_persist(
+        spark,
+        sf_dir,
+        "jaccard_pairs_all",
         inter.join(na, "doc_a")
         .join(nb, "doc_b")
         .withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= F.lit(JACCARD_THRESHOLD))
-        .select("doc_a", "doc_b", "jaccard")
+        .select("doc_a", "doc_b", "jaccard"),
+    )
+
+
+def q_dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact Jaccard over distinct 3-gram shingle sets
+    (the jaccard_pairs_memo frame, threshold-filtered)."""
+    return jaccard_pairs_memo(spark, sf_dir).filter(
+        F.col("jaccard") >= F.lit(JACCARD_THRESHOLD)
     )
 
 
@@ -754,6 +771,12 @@ def q_dedup_cluster_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Broadcast the fixpoint's label/neighbor frames only while they are
+# demonstrably small: 2M (doc, label) long pairs ≈ 32 MB built — far
+# under the 8 GB broadcast cap, safely inside executor memory.
+_CLUSTER_BCAST_MAX = 2_000_000
+
+
 def resolve_clusters(edges: DataFrame) -> DataFrame:
     """Iterate-to-fixpoint connected components over an undirected
     (src, dst) edge frame — the production form for graphs whose
@@ -765,7 +788,35 @@ def resolve_clusters(edges: DataFrame) -> DataFrame:
     diameters, so the simpler form wins). Convergence is checked with a
     1-row count (changed labels), and localCheckpoint truncates the
     growing lineage every round (iterative plans otherwise re-derive
-    all prior rounds). Eager by contract: returns (doc, label)."""
+    all prior rounds). Eager by contract: returns (doc, label).
+
+    Round structure (r17 rewrite, measured 9 rounds x ~1 s fixed
+    per-round cost on a 771-node graph — per-round overhead, not data,
+    dominates):
+
+    - one HOP: min over {own label} ∪ {neighbors' labels}, as a single
+      join + union + partial-combined min aggregate (the old form used
+      a second join to carry old_label through for the convergence
+      count);
+    - one COMPRESSION: label <- label(label) (pointer jumping), which
+      doubles the propagated distance per round, so convergence is
+      O(log diameter) rounds instead of O(diameter). Labels are always
+      ids of nodes in the same component (induction from self-labels),
+      so compressing through them cannot cross components, and the
+      fixpoint — min id per component — is unchanged;
+    - convergence via the exact DECIMAL(38,0) sum of labels: min-label
+      propagation only ever DECREASES labels, so the sum is strictly
+      decreasing until the fixpoint and equal sums mean zero changes —
+      a 1-row aggregate instead of a join-back + filter count.
+
+    Join strategy is chosen from a MEASURED node count (guide-§3 "pick
+    the strategy deliberately"): a localCheckpoint leaf has no catalyst
+    statistics, so every per-round join used to default to a full
+    SortMergeJoin; the node count is known exactly after round 0's
+    materialization, so while it is under _CLUSTER_BCAST_MAX the label
+    frames take an explicit broadcast hint; a graph that exceeds the
+    bound keeps the shuffle joins unchanged."""
+    spark = edges.sparkSession
     both = edges.select("src", "dst").unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -775,33 +826,73 @@ def resolve_clusters(edges: DataFrame) -> DataFrame:
         .select("doc", F.col("doc").alias("label"))
         .localCheckpoint()
     )
+    # the count is a cheap action on the just-materialized checkpoint
+    # blocks; it buys exact size knowledge the planner lost with the
+    # checkpoint (stats-free LogicalRDD leaf)
+    n_nodes = labels.count()
+    bcast = n_nodes <= _CLUSTER_BCAST_MAX
+    hint = F.broadcast if bcast else (lambda df: df)
+    # partition the per-round frames by MEASURED size, not by the
+    # session default: a 771-node graph on 32+32-partition inputs pays
+    # 64 task launches per stage per round for microseconds of work.
+    # ~200k nodes per partition; never below the cluster parallelism
+    # for graphs big enough to use it.
+    p = max(1, min(spark.sparkContext.defaultParallelism,
+                   n_nodes // 200_000 + 1))
+    both = both.coalesce(p).localCheckpoint()
+    labels = labels.coalesce(p)
+    label_sum = None
     while True:
-        neigh = (
+        hop = (
             both.join(
-                labels.select(
-                    F.col("doc").alias("src_doc"), F.col("label").alias("src_label")
+                hint(
+                    labels.select(
+                        F.col("doc").alias("src_doc"),
+                        F.col("label").alias("src_label"),
+                    )
                 ),
                 F.col("src") == F.col("src_doc"),
             )
-            .groupBy(F.col("dst").alias("doc"))
-            .agg(F.min("src_label").alias("neigh_label"))
-        )
-        updated = (
-            labels.join(neigh, "doc", "left")
             .select(
-                "doc",
-                F.col("label").alias("old_label"),
+                F.col("dst").alias("doc"), F.col("src_label").alias("label")
+            )
+            .unionByName(labels)
+            .groupBy("doc")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        compressed = (
+            hop.alias("x")
+            .join(
+                hint(
+                    hop.select(
+                        F.col("doc").alias("lb"), F.col("label").alias("l2")
+                    )
+                ),
+                F.col("x.label") == F.col("lb"),
+                "left",
+            )
+            .select(
+                F.col("x.doc").alias("doc"),
                 F.least(
-                    F.col("label"),
-                    F.coalesce(F.col("neigh_label"), F.col("label")),
+                    F.col("x.label"),
+                    F.coalesce(F.col("l2"), F.col("x.label")),
                 ).alias("label"),
             )
             .localCheckpoint()
         )
-        n_changed = updated.filter(F.col("label") != F.col("old_label")).count()
-        labels = updated.select("doc", "label")
-        if n_changed == 0:
+        # 1-row convergence scalar (the sanctioned fixpoint-action
+        # class, same as the old per-round count()); NULL sum means an
+        # empty node set — trivially converged
+        new_sum = compressed.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).first()["s"]
+        labels = compressed
+        if new_sum is None or (
+            label_sum is not None and new_sum == label_sum
+        ):
             return labels
+        label_sum = new_sum
 
 
 SQL_DEDUP_CLUSTER = f"""
@@ -2442,8 +2533,19 @@ def q_source_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window as W
 
-    frac = edges.withColumn(
-        "frac", F.col("w") / F.sum("w").over(W.partitionBy("u"))
+    # memo-persisted (r17): `frac` feeds every one of the PAGERANK_ITERS
+    # unrolled iterations, and each reference re-derived the whole
+    # cross_source_leak chain (shingle explode + containment join) with
+    # zero exchange reuse — the r16 standing plan-audit class. The frame
+    # is the |sources|²-bounded edge matrix, the write-once graph table
+    # any production PageRank iterates over.
+    frac = _memo_persist(
+        spark,
+        sf_dir,
+        "pagerank_frac",
+        edges.withColumn(
+            "frac", F.col("w") / F.sum("w").over(W.partitionBy("u"))
+        ),
     )
     nodes = (
         load_table(spark, sf_dir, "documents")
@@ -2593,32 +2695,11 @@ def q_minhash_est_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = cand.join(sa, "doc_a").join(sb, "doc_b").select(
         "doc_a", "doc_b", (matches / F.lit(float(N_HASHES))).alias("est_j")
     )
-    s = _doc_shingles(spark, sf_dir)
-    sizes = s.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    ia = s.alias("ia")
-    ib = s.alias("ib")
-    inter = (
-        ia.join(ib, (F.col("ia.shingle") == F.col("ib.shingle")))
-        .filter(F.col("ia.doc_id") < F.col("ib.doc_id"))
-        .groupBy(
-            F.col("ia.doc_id").alias("doc_a"),
-            F.col("ib.doc_id").alias("doc_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
-    exact = (
-        inter.join(na, "doc_a")
-        .join(nb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            (
-                F.col("inter")
-                / (F.col("n_a") + F.col("n_b") - F.col("inter"))
-            ).alias("exact_j"),
-        )
+    # exact side = the shared memo-persisted unthresholded pair frame
+    # (r17): same inter/(n_a+n_b-inter) expression, computed once per
+    # session instead of re-running the quadratic shingle self-join here
+    exact = jaccard_pairs_memo(spark, sf_dir).select(
+        "doc_a", "doc_b", F.col("jaccard").alias("exact_j")
     )
     per_pair = est.join(exact, ["doc_a", "doc_b"], "left").select(
         F.col("est_j").cast("decimal(38,6)").alias("est_d"),

@@ -862,8 +862,14 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: ONE scan; the multi-column exact COUNT(DISTINCT)
     battery compiles to Spark's Expand (|columns| x rows map-side,
     partial-agged before the exchange) — the standard profiling cost;
-    the unpivot emits |columns| rows."""
-    od = load_table(spark, sf_dir, "orders")
+    the unpivot emits |columns| rows. The Expand inflation is pure
+    scan-side compute, so the scan is _parallel_scan-guarded (r17: on
+    the single-row-group testdata layout the whole |columns| x rows
+    pass ran on ONE task, 4-7 s at sf0.1; the guard is a no-op on any
+    multi-split scan)."""
+    from .dedup import _parallel_scan
+
+    od = _parallel_scan(spark, load_table(spark, sf_dir, "orders"))
     ts_fmt = "yyyy-MM-dd HH:mm:ss"
 
     def prof(col: str, mn, mx):

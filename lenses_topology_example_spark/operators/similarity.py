@@ -720,17 +720,29 @@ def q_embed_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     neardup_pairs): without it every fixpoint round would re-run the
     bucketed corpus self-join that produced the edges — measured 11.4 s
     -> ~3 s at sf0.1."""
-    from .dedup import _memo_persist, resolve_clusters
+    from .dedup import _memo_get, _memo_persist, resolve_clusters
 
-    pairs = _memo_persist(
-        spark,
-        sf_dir,
-        "embed_neardup_pairs",
-        q_embed_neardup_catalog(spark, sf_dir).select("vec_a", "vec_b"),
-    )
-    labels = resolve_clusters(
-        pairs.select(F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"))
-    )
+    # label memo (r17): resolve_clusters is EAGER, so without this every
+    # invocation re-ran the whole fixpoint job chain (the cluster_labels
+    # contract, embed side)
+    labels = _memo_get(spark, sf_dir, "embed_cluster_labels")
+    if labels is None:
+        pairs = _memo_persist(
+            spark,
+            sf_dir,
+            "embed_neardup_pairs",
+            q_embed_neardup_catalog(spark, sf_dir).select("vec_a", "vec_b"),
+        )
+        labels = _memo_persist(
+            spark,
+            sf_dir,
+            "embed_cluster_labels",
+            resolve_clusters(
+                pairs.select(
+                    F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
+                )
+            ),
+        )
     return labels.select(
         F.col("doc").alias("vec_id"),
         F.col("label").alias("cluster_id"),

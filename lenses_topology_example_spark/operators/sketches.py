@@ -772,9 +772,19 @@ def q_bootstrap_stderr(spark: SparkSession, sf_dir: str) -> DataFrame:
     BOOT_B rows; stderr is a window over it (tiny-frame class)."""
     from pyspark.sql import Window as W
 
-    od = load_table(spark, sf_dir, "orders").select(
-        F.col("o_orderkey").cast("string").alias("key"),
-        F.col("o_totalprice").alias("x"),
+    from .dedup import _parallel_scan
+
+    # 2·BOOT_B md5-coin aggregates are pure scan-side compute; on a
+    # single-row-group input layout the whole battery runs on ONE task
+    # (r17 measurement: ~2 s single-threaded at sf0.1), so guard the
+    # projected 2-column frame with the _parallel_scan contract — a
+    # no-op metadata check whenever the scan already has splits.
+    od = _parallel_scan(
+        spark,
+        load_table(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").cast("string").alias("key"),
+            F.col("o_totalprice").alias("x"),
+        ),
     )
     d = lambda c: F.sum(c.cast("decimal(38,6)")).cast("double")  # noqa: E731
     agg = od.agg(

@@ -2991,13 +2991,18 @@ def q_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression rounded through decimal(38,6) BEFORE the >= comparison,
     so the rank count is integer-exact cross-engine.
 
-    Scale shape (100 TB): the seed explode inflates map-side COMPUTE by
-    the fixed factor B=64 but not the shuffle — the per-seed
-    conditional sums partial-combine to B rows per partition, so the
-    exchange carries O(B * partitions) rows regardless of data size.
-    Randomization is at user grain (the coin keys on user_id), yet no
-    per-user pre-aggregation shuffle is needed: every event of a user
-    lands in the same arm by construction of the hash."""
+    Scale shape (100 TB): randomization is at USER grain, so the plan
+    pre-aggregates to one (n_events, Σvalue) row per user FIRST — a
+    standard partial-agg shuffle of |users| keys — and only then
+    explodes ×B and evaluates the B md5 coins per USER instead of per
+    EVENT. The r17 rewrite: the prior form evaluated 64 md5 coins per
+    event map-side (no shuffle, but 64·|events| hashes — and on a
+    single-row-group input layout all of it on ONE task); this form
+    hashes 64·|users|, an events-per-user factor less compute, spread
+    over the post-exchange parallelism, for one extra |users|-row
+    exchange. The per-user decimal sums re-sum exactly (DECIMAL(38,6)
+    is associative), so every reported value is bit-identical to the
+    per-event form — oracle-verified at rewrite time."""
     from ..functions.texthash import md5_hash64
 
     ev = load_table(spark, sf_dir, "events").filter(
@@ -3005,23 +3010,28 @@ def q_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     uid = F.col("user_id").cast("string")
     obs_arm = md5_hash64(F.concat(F.lit("ab|"), uid)) % 2
-    d = lambda c: F.sum(c.cast("decimal(38,6)")).cast("double")  # noqa: E731
     rnd = lambda c: c.cast("decimal(38,6)").cast("double")  # noqa: E731
+
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ev"),
+        F.sum(F.col("value").cast("decimal(38,6)")).alias("sv"),
+    )
+    zero_sv = F.lit(0).cast(per_user.schema["sv"].dataType)
 
     def diff_of(frame, arm_col, keys):
         agg = frame.groupBy(*keys).agg(
-            F.sum(F.when(arm_col == 0, 1).otherwise(0))
+            F.sum(F.when(arm_col == 0, F.col("n_ev")).otherwise(0))
             .cast("long")
             .alias("n_0"),
-            F.sum(F.when(arm_col == 1, 1).otherwise(0))
+            F.sum(F.when(arm_col == 1, F.col("n_ev")).otherwise(0))
             .cast("long")
             .alias("n_1"),
-            d(F.when(arm_col == 0, F.col("value")).otherwise(0.0)).alias(
-                "s_0"
-            ),
-            d(F.when(arm_col == 1, F.col("value")).otherwise(0.0)).alias(
-                "s_1"
-            ),
+            F.sum(F.when(arm_col == 0, F.col("sv")).otherwise(zero_sv))
+            .cast("double")
+            .alias("s_0"),
+            F.sum(F.when(arm_col == 1, F.col("sv")).otherwise(zero_sv))
+            .cast("double")
+            .alias("s_1"),
         )
         return agg.select(
             *keys,
@@ -3033,12 +3043,17 @@ def q_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("diff"),
         )
 
-    obs = diff_of(ev.select(obs_arm.alias("arm"), "value"), F.col("arm"), [])
+    obs = diff_of(
+        per_user.select(obs_arm.alias("arm"), "n_ev", "sv"),
+        F.col("arm"),
+        [],
+    )
 
-    seeded = ev.select(
+    seeded = per_user.select(
         F.explode(F.sequence(F.lit(0), F.lit(PERM_B - 1))).alias("b"),
         "user_id",
-        "value",
+        "n_ev",
+        "sv",
     ).select(
         "b",
         (
@@ -3049,7 +3064,8 @@ def q_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             % 2
         ).alias("arm"),
-        "value",
+        "n_ev",
+        "sv",
     )
     perms = diff_of(seeded, F.col("arm"), ["b"])
 
