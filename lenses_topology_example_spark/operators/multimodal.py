@@ -35,7 +35,12 @@ def binary_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents -> (doc_id, payload binary, meta struct) — the canonical
     multimodal layout. encode() is a native expression; at scale this
     column comes straight off the parquet scan."""
-    docs = load_table(spark, sf_dir, "documents")
+    from .dedup import _parallel_scan
+
+    # mapInPandas consumers are pure Python per-row decoders — on a
+    # single-row-group input every decode ran in ONE Python worker
+    # (r17); the guard is a no-op on any multi-split scan
+    docs = _parallel_scan(spark, load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         F.encode(F.col("text"), "utf-8").alias("payload"),
@@ -457,9 +462,16 @@ def q_asset_codec_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     compressed formats stays env-gated (decode_image above)."""
     from ..functions.codecs import make_bmp, make_wav, parse_bmp, parse_wav
 
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "n_chars", F.encode(F.col("text"), "utf-8").alias("seed")
-    ).filter(F.col("n_chars").isNotNull())
+    from .dedup import _parallel_scan
+
+    docs = _parallel_scan(
+        spark,
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id", "n_chars", F.encode(F.col("text"), "utf-8").alias("seed")
+        )
+        .filter(F.col("n_chars").isNotNull()),
+    )
 
     def decode_batches(
         batches: Iterator[pd.DataFrame],
@@ -551,10 +563,13 @@ def q_asset_png_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     uncompressed container (BMP), a chunked audio container (WAV), and
     a compressed image container (PNG) — only lossy formats (JPEG,
     video) remain env-gated on PIL/ffmpeg in decode_image above."""
-    docs = (
+    from .dedup import _parallel_scan
+
+    docs = _parallel_scan(
+        spark,
         load_table(spark, sf_dir, "documents")
         .select("doc_id", "n_chars")
-        .filter(F.col("n_chars").isNotNull())
+        .filter(F.col("n_chars").isNotNull()),
     )
     return docs.mapInPandas(png_decode_batches, schema=ASSET_PNG_SCHEMA)
 
@@ -652,9 +667,14 @@ def q_asset_quality_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     IEEE division of exact int64 counts, identical on both engines."""
     from ..functions.codecs import make_png, parse_png
 
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "n_chars", "source"
-    ).filter(F.col("n_chars").isNotNull())
+    from .dedup import _parallel_scan
+
+    docs = _parallel_scan(
+        spark,
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars", "source")
+        .filter(F.col("n_chars").isNotNull()),
+    )
 
     def screen_batches(
         batches: Iterator[pd.DataFrame],
@@ -760,10 +780,13 @@ def q_asset_gif_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one scan, mapInPandas Arrow batches, zero shuffles,
     one row per asset."""
-    docs = (
+    from .dedup import _parallel_scan
+
+    docs = _parallel_scan(
+        spark,
         load_table(spark, sf_dir, "documents")
         .select("doc_id", "n_chars")
-        .filter(F.col("n_chars").isNotNull())
+        .filter(F.col("n_chars").isNotNull()),
     )
     return docs.mapInPandas(gif_decode_batches, schema=ASSET_GIF_SCHEMA)
 

@@ -84,9 +84,27 @@ def dsum2_sql(expr: str) -> str:
 def q_agg_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped pricing summary: 2-key groupBy, 6 aggregates.
     Filter + 7-column projection push into the parquet scan; partial
-    HashAggregate collapses before the 6-key shuffle."""
-    li = load_table(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    HashAggregate collapses before the 6-key shuffle. The partial
+    aggregate's decimal work is pure scan-side compute, so the filtered
+    projection is _parallel_scan-guarded (r17 measurement: 2.08 s
+    single-task vs 1.36 s guarded on the one-row-group layout; the
+    guard is a no-op on any multi-split scan)."""
+    from .dedup import _parallel_scan
+
+    li = _parallel_scan(
+        spark,
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+        ),
     )
     disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
     charge = disc_price * (F.lit(1.0) + F.col("l_tax"))

@@ -418,6 +418,25 @@ def cms_cell_col(r: int, token, width: int = CMS_WIDTH):
     return md5_hash64(F.concat(F.lit(f"{r}|"), token)) % F.lit(width)
 
 
+def cms_counters_from_tokens(
+    exploded: DataFrame, depth: int = CMS_DEPTH, width: int = CMS_WIDTH
+) -> DataFrame:
+    """The (row, col) -> cnt Count-Min counter fold over an already
+    token-exploded frame (column `token`) — the shared single source of
+    the cell scheme for the batch operator (which feeds it the memoized
+    token table) and cms_counters below (the streaming/raw-documents
+    entry point)."""
+    return (
+        exploded.select(
+            F.posexplode(
+                F.array(*[cms_cell_col(r, F.col("token"), width) for r in range(depth)])
+            ).alias("row", "col")
+        )
+        .groupBy("row", "col")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
 def cms_counters(
     docs: DataFrame, depth: int = CMS_DEPTH, width: int = CMS_WIDTH
 ) -> DataFrame:
@@ -430,15 +449,7 @@ def cms_counters(
     from .wordcount import tokens_col
 
     exploded = docs.select(F.explode(tokens_col(F.col("text"))).alias("token"))
-    return (
-        exploded.select(
-            F.posexplode(
-                F.array(*[cms_cell_col(r, F.col("token"), width) for r in range(depth)])
-            ).alias("row", "col")
-        )
-        .groupBy("row", "col")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
+    return cms_counters_from_tokens(exploded, depth, width)
 
 
 def q_cms_token_freq(
@@ -467,17 +478,19 @@ def q_cms_token_freq(
     row_number window here would; tests/test_plans.py pins the
     window-free shape). Tie-breaking (exact_n desc, token asc) is a
     total order, so the selected set is deterministic."""
-    from .wordcount import tokens_col
+    from .dedup import _doc_tokens
 
-    docs = load_table(spark, sf_dir, "documents")
-    exploded = docs.select(
-        F.explode(tokens_col(F.col("text"))).alias("token")
+    # both the counter fold and the exact counts ride the memoized,
+    # parallelism-guarded token table (r17): the prior form tokenized
+    # the raw documents scan twice, single-task on a one-row-group file
+    exploded = _doc_tokens(spark, sf_dir).select(
+        F.explode(F.col("t")).alias("token")
     )
 
     def cell(r: int) -> F.Column:
         return cms_cell_col(r, F.col("token"), width)
 
-    counters = cms_counters(docs, depth, width)
+    counters = cms_counters_from_tokens(exploded, depth, width)
     exact = exploded.groupBy("token").agg(F.count(F.lit(1)).alias("exact_n"))
     top = exact.orderBy(F.col("exact_n").desc(), F.col("token").asc()).limit(CMS_TOP)
     lookups = top.select(
@@ -645,6 +658,11 @@ def q_cms_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     only key-grain work — two keyed aggs and a bounded key join (at
     100 TB the audit runs on a sample day while the sketches run on
     everything; here both run in full so the oracle can pin them)."""
+    # NOT _parallel_scan-guarded (r17 measurement): repartitioning the
+    # two projected key scans traded the single-task md5 battery
+    # (~0.5 s) for two extra exchanges plus 350 more tasks of
+    # scheduling — isolated exec time was unchanged (2.1 s both ways),
+    # so the simpler single-exchange plan stays.
     ev = load_table(spark, sf_dir, "events").select(
         F.col("user_id").alias("k")
     )
