@@ -544,7 +544,17 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
     gate = _load_gate()
-    spark = get_spark("bench", driver_memory="90g")
+    # Heap sized to the measured working set, not the host (guide §5):
+    # peak pre-GC occupancy over a full-suite GC log is ~17 GB, but an
+    # unsized 90g max heap let G1 grow/shrink committed memory all run
+    # (74.5 CPU-s of kernel time inside GC pauses, 1.0-1.6 s young
+    # evacuations of 10+ GB young gens, 169 humongous-triggered cycles).
+    # 32g bounds the young gen; session.py pins -Xms and pre-touches so
+    # commit/first-touch faults land in untimed startup.
+    spark = get_spark(
+        "bench",
+        driver_memory=os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"),
+    )
 
     qs = catalog.queries()
 

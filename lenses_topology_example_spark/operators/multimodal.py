@@ -31,16 +31,26 @@ FEATURE_SCHEMA = (
 )
 
 
-def binary_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+def binary_assets(
+    spark: SparkSession, sf_dir: str, *, parallel: bool = False
+) -> DataFrame:
     """documents -> (doc_id, payload binary, meta struct) — the canonical
     multimodal layout. encode() is a native expression; at scale this
-    column comes straight off the parquet scan."""
-    from .dedup import _parallel_scan
+    column comes straight off the parquet scan.
 
-    # mapInPandas consumers are pure Python per-row decoders — on a
-    # single-row-group input every decode ran in ONE Python worker
-    # (r17); the guard is a no-op on any multi-split scan
-    docs = _parallel_scan(spark, load_table(spark, sf_dir, "documents"))
+    ``parallel`` opt-in (r17, measured): heavy per-row Python decoders
+    (image_resize's full raster walk: isolated 2.01 s -> 0.45 s) want
+    the single-row-group scan round-robin-repartitioned before the
+    mapInPandas; light consumers (header parses, native-expression
+    metadata) measured SLOWER with the extra exchange (multimodal_meta
+    0.19 -> 0.31 s, audio_features 0.25 -> 0.68 s isolated), so the
+    guard is off unless the decode is the dominant cost. On any real
+    multi-split scan the guard is a no-op either way."""
+    docs = load_table(spark, sf_dir, "documents")
+    if parallel:
+        from .dedup import _parallel_scan
+
+        docs = _parallel_scan(spark, docs)
     return docs.select(
         "doc_id",
         F.encode(F.col("text"), "utf-8").alias("payload"),
@@ -338,7 +348,7 @@ def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["thumb_md5"].append(hashlib.md5(thumb).hexdigest())
             yield pd.DataFrame(out)
 
-    assets = binary_assets(spark, sf_dir)
+    assets = binary_assets(spark, sf_dir, parallel=True)
     return assets.select("doc_id", "payload").mapInPandas(
         resize_batches, schema=RESIZE_SCHEMA
     )
@@ -462,15 +472,16 @@ def q_asset_codec_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     compressed formats stays env-gated (decode_image above)."""
     from ..functions.codecs import make_bmp, make_wav, parse_bmp, parse_wav
 
-    from .dedup import _parallel_scan
-
-    docs = _parallel_scan(
-        spark,
+    # no parallel-scan guard here (r17, measured): the BMP/WAV header
+    # round trip is a light parse — isolated 0.36 s unguarded vs 0.47 s
+    # with the extra exchange; the heavy raster/LZW decoders below
+    # (png/gif/quality_screen) keep theirs
+    docs = (
         load_table(spark, sf_dir, "documents")
         .select(
             "doc_id", "n_chars", F.encode(F.col("text"), "utf-8").alias("seed")
         )
-        .filter(F.col("n_chars").isNotNull()),
+        .filter(F.col("n_chars").isNotNull())
     )
 
     def decode_batches(

@@ -56,6 +56,13 @@ _LOADED: dict = {}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load (or serve the memoized) DataFrame for a testdata table.
+
+    SHARED-OBJECT CONTRACT (r16 ADVICE): repeated loads return the SAME
+    DataFrame object, so a self-join of two load_table results must go
+    through ``.alias()`` — two independent reads no longer provide
+    distinct expression IDs.
+    """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     app = spark.sparkContext.applicationId
@@ -63,13 +70,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     cached = _LOADED.get(key)
     if cached is not None:
         return cached
-    # frames of other (stopped) sessions can never be served again —
+    # frames of other STOPPED sessions can never be served again —
     # drop them so a process that cycles many sessions (the pytest
     # suite, repeated get_spark tools) holds at most one session's
-    # worth of plan handles
-    stale = [k for k in _LOADED if k[0] != app]
-    for k in stale:
-        del _LOADED[k]
+    # worth of plan handles. Mirror _memo_persist's demonstrably-
+    # stopped probe (r16 ADVICE): two concurrently live sessions must
+    # not evict each other's loader memo on every call.
+    for k in [k for k in _LOADED if k[0] != app]:
+        try:
+            jsc = _LOADED[k].sparkSession.sparkContext._jsc
+            stopped = jsc is None or jsc.sc().isStopped()
+        except Exception:
+            # leak-on-doubt, same as _memo_persist: evicting a live
+            # foreign session's entry would defeat the amortization
+            stopped = False
+        if stopped:
+            del _LOADED[k]
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         # The generator has shipped `ts` in either of two physical layouts:

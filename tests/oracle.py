@@ -53,7 +53,11 @@ def oracle_result(sql: str, sf_dir: str, con=None):
             probe = con.sql(
                 f"SELECT * FROM duckdb_views() WHERE view_name = '{TABLES[0]}'"
             ).df()
-            if len(probe) and sf_dir not in str(probe.iloc[0].get("sql", "")):
+            # require the path COMPONENT (trailing separator), not a
+            # bare substring — '/data/sf1' must not pass for a
+            # connection built on '/data/sf10' (r16 ADVICE)
+            probe_sql = str(probe.iloc[0].get("sql", "")) if len(probe) else ""
+            if len(probe) and sf_dir.rstrip("/") + "/" not in probe_sql:
                 raise ValueError(
                     f"oracle_result: supplied con was not built for {sf_dir}"
                 )
@@ -83,7 +87,6 @@ def warm_cache(sf_dir: str, workers: int = 8) -> None:
     / parity ran first)."""
     if sf_dir in _WARMED:
         return
-    _WARMED.add(sf_dir)
     import threading
     from concurrent.futures import ThreadPoolExecutor
 
@@ -101,6 +104,10 @@ def warm_cache(sf_dir: str, workers: int = 8) -> None:
 
     with ThreadPoolExecutor(max_workers=workers) as ex:
         list(ex.map(run, oracle_sql().values()))
+    # mark warmed only AFTER the fill completes (r16 ADVICE): a
+    # mid-fill failure swallowed by a daemon-thread caller must not
+    # permanently no-op later warm attempts for this sf_dir.
+    _WARMED.add(sf_dir)
 
 
 def compare(spark_df, sql: str, sf_dir: str) -> None:

@@ -55,7 +55,10 @@ def parity_pandas(catalog_dfs, spark, sf_dir):
     warmer.start()
     with ThreadPoolExecutor(max_workers=8) as ex:
         out = {n: (pdf, err) for n, pdf, err in ex.map(run, sorted(_ORACLES))}
-    warmer.join()
+    # bounded: if the warmer wedged, the per-query serial fallback in
+    # oracle_result still works — don't hang the whole parity session
+    # (r16 ADVICE)
+    warmer.join(timeout=120)
     return out
 
 

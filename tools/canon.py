@@ -45,7 +45,13 @@ def canon(v):
         # distinct integers above 2^53 into one double.
         if v.is_nan():
             return ("dec", "NaN")
-        if v.is_finite() and abs(v) > 2**53:
+        if v.is_finite():
+            # exact normalized string for EVERY finite Decimal (r16
+            # ADVICE): float(v) collapsed values differing only beyond
+            # double precision — integers >2^53 (fixed r15) but also
+            # fractional scale (1.00000000000000001 vs 1.0). The class
+            # tag already prevents cross-class equality, so float
+            # comparability is not needed.
             return ("dec", str(v.normalize()))
         return ("dec", float(v))
     if isinstance(v, float):
