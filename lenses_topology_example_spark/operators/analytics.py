@@ -955,7 +955,10 @@ SQL_MAD_OUTLIERS = f"""
 
 # --- copurchase_triangles (round-10 second wave) -------------------------------
 
-TRI_MIN_SUPPORT = 2
+# round 17: the threshold lives next to the shared pair-support memo in
+# relational2.py (single construction site); re-exported here for the
+# oracle SQL f-string below
+from .relational2 import TRI_MIN_SUPPORT
 
 
 def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -987,28 +990,19 @@ def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     row frame. Materializing it once is the write-once edge-list table
     any production triangle count reads."""
     from .dedup import _memo_persist
-    from .relational2 import order_part_distinct
+    from .relational2 import basket_pair_support
 
-    # distinct (order, part) memo shared with q_basket_lift — built by
-    # the ONE helper in relational2.py (r15 ADVICE: a single
-    # construction site so the shared memo key cannot serve a stale
-    # frame if one consumer's projection is later edited)
-    op = order_part_distinct(spark, sf_dir).select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    )
-    a = op.alias("a")
-    b = op.alias("b")
+    # round 17: the Σ_orders k²/2 pair self-join + support aggregation
+    # is built ONCE in relational2.basket_pair_support (shared with
+    # q_basket_lift — r15 ADVICE: a single construction site so the two
+    # consumers cannot drift); the pruned edge list is still its own
+    # memo because SIX consumers below read it
     edges = _memo_persist(
         spark,
         sf_dir,
         "copurchase_edges",
-        a.join(
-            b,
-            (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")),
-        )
-        .groupBy(F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
-        .agg(F.count(F.lit(1)).alias("sup"))
-        .filter(F.col("sup") >= F.lit(TRI_MIN_SUPPORT))
+        basket_pair_support(spark, sf_dir)
+        .filter(F.col("support") >= F.lit(TRI_MIN_SUPPORT))
         .select("pa", "pb"),
     )
     deg = (

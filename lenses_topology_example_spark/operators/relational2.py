@@ -863,6 +863,10 @@ SQL_RFM_SEGMENTS = f"""
 
 BASKET_MIN_SUPPORT = 2
 BASKET_TOPK = 20
+# q_copurchase_triangles' edge-support threshold (defined here, next to
+# the shared pair-support memo both basket operators consume; analytics
+# imports it — importing analytics from here would be circular)
+TRI_MIN_SUPPORT = 2
 
 
 def order_part_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -884,6 +888,40 @@ def order_part_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_partkey")
         .distinct(),
     )
+
+
+def basket_pair_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE shared co-purchase pair-support frame (pa < pb, support =
+    co-ordering order count), memo-persisted once per (session, sf_dir).
+
+    Round 17: q_basket_lift and q_copurchase_triangles each ran the
+    SAME Σ_orders k²/2 self-join + support aggregation over the shared
+    order_part_distinct frame independently — the single most expensive
+    stage of both entries, executed twice per session. It is built HERE
+    only (the r15 ADVICE single-construction-site rule) and filtered at
+    the FLOOR of both consumers' support thresholds, so each consumer
+    re-applies its own threshold and a future change to either constant
+    cannot silently serve the other a wrongly-pruned frame. This is the
+    write-once pair-support table a production basket pipeline
+    materializes before fanning out to recommenders and graph reports."""
+    from .dedup import _memo_persist
+
+    floor = min(BASKET_MIN_SUPPORT, TRI_MIN_SUPPORT)
+    li = order_part_distinct(spark, sf_dir)
+    a = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb")
+    )
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        .filter(F.col("support") >= F.lit(floor))
+    )
+    return _memo_persist(spark, sf_dir, "basket_pair_support", pairs)
 
 
 def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -918,18 +956,12 @@ def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     part_cnt = li.groupBy("l_partkey").agg(
         F.count(F.lit(1)).cast("long").alias("cnt")
     )
-    a = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa")
-    )
-    b = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb")
-    )
-    pairs = (
-        a.join(b, "ok")
-        .filter(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).cast("long").alias("support"))
-        .filter(F.col("support") >= F.lit(BASKET_MIN_SUPPORT))
+    # round 17: the Σ_orders k²/2 pair self-join + support aggregation
+    # is built ONCE in basket_pair_support (shared with
+    # q_copurchase_triangles); this consumer re-applies its own
+    # threshold on the memoized frame
+    pairs = basket_pair_support(spark, sf_dir).filter(
+        F.col("support") >= F.lit(BASKET_MIN_SUPPORT)
     )
     scored = (
         pairs.join(

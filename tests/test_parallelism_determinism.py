@@ -32,18 +32,41 @@ def _canon_rows(df):
 
 
 def _run_with_parts(spark, sf_dir, module, fn_name, n_parts):
-    """Run module.fn with load_table wrapped to repartition(n_parts)."""
-    orig = module.load_table
+    """Run module.fn with its input binding wrapped to repartition(n_parts).
 
-    def repartitioned(s, d, t):
-        df = tables.load_table(s, d, t)
+    Modules that scan tables directly are patched through their
+    load_table import. embed_stats consumers read through the shared,
+    memo-persisted similarity.emb_base frame (round 17), so the
+    repartition is injected AFTER that frame instead — same lever
+    (partial-aggregation accumulation order downstream of the input),
+    and it sidesteps the memo, which would otherwise serve the first
+    run's partitioning to every later run."""
+    if hasattr(module, "load_table"):
+        orig = module.load_table
+
+        def repartitioned(s, d, t):
+            df = tables.load_table(s, d, t)
+            return df.repartition(n_parts) if n_parts else df
+
+        module.load_table = repartitioned
+        try:
+            return _canon_rows(getattr(module, fn_name)(spark, sf_dir))
+        finally:
+            module.load_table = orig
+
+    from lenses_topology_example_spark.operators import similarity
+
+    orig = module.emb_base
+
+    def repartitioned_base(s, d):
+        df = similarity.emb_base(s, d)
         return df.repartition(n_parts) if n_parts else df
 
-    module.load_table = repartitioned
+    module.emb_base = repartitioned_base
     try:
         return _canon_rows(getattr(module, fn_name)(spark, sf_dir))
     finally:
-        module.load_table = orig
+        module.emb_base = orig
 
 
 # (module path, query fn) — the accumulation-order-sensitive classes:

@@ -26,6 +26,7 @@ def main() -> None:
     tag, suffix = "r17", "before"
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     names = []
+    warm = False
     i = 0
     while i < len(args):
         if args[i] == "--tag":
@@ -34,6 +35,12 @@ def main() -> None:
             suffix = args[i + 1]; i += 2
         elif args[i] == "--sf":
             sf_dir = args[i + 1]; i += 2
+        elif args[i] == "--warm":
+            # steady-state capture: execute the query once (noop sink)
+            # so session memos materialize, then rebuild and capture —
+            # the plan the suite/anchor timings actually measure after
+            # the first execution
+            warm = True; i += 1
         else:
             names.append(args[i]); i += 1
     out_dir = os.path.join(
@@ -44,6 +51,10 @@ def main() -> None:
     spark = get_spark("capture-plans", driver_memory="40g")
     qs = catalog.queries()
     for name in names:
+        if warm:
+            qs[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
         df = qs[name](spark, sf_dir)
         plan = df._jdf.queryExecution().explainString(
             spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
