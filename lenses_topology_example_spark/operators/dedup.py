@@ -1298,15 +1298,23 @@ def _seg_near_pairs(
         spark, sf_dir, "seg_block_keys", full.unionByName(dels)
     )
     if max_key_df is not None:
-        # df-cap: count once per key, keep rare keys via left_semi so
-        # only the 8-byte key column crosses the aggregation shuffle
-        rare = (
-            keys.groupBy("k")
-            .agg(F.count(F.lit(1)).alias("df"))
+        # df-cap as a WINDOW count over k, not groupBy+left_semi (r17,
+        # guide §2.4: a window partitioned by the join key needs no
+        # exchange beyond the one the join itself demands). The old
+        # agg+semi shape ran the count aggregate plus a LeftSemi merge
+        # per join side; the window form establishes the k partitioning
+        # once and the a×b self-join below consumes it already
+        # partitioned AND sorted — warm sf0.1 A/B: 3.55-3.83 s ->
+        # 1.52-2.08 s, output exceptAll-identical both ways. Skew
+        # exposure is unchanged: either form must co-locate a hot key's
+        # rows once before dropping them; the window drops them after a
+        # linear count instead of after a sort-merge probe.
+        wdf = Window.partitionBy("k")
+        keys = (
+            keys.withColumn("df", F.count(F.lit(1)).over(wdf))
             .filter(F.col("df") <= F.lit(max_key_df))
-            .select("k")
+            .drop("df")
         )
-        keys = keys.join(rare, "k", "left_semi")
     a = keys.alias("a")
     b = keys.alias("b")
     first_lt = (F.col("a.doc_id") < F.col("b.doc_id")) | (
