@@ -319,9 +319,19 @@ def test_interarrival_gaps_agree_with_python(spark, events):
 def test_hard_negatives_property_random_labels(spark, sf_dir, labels):
     """On random labelings of the real embedding vectors: the mined set
     for each query must be exactly the brute-force top-k among
-    different-label vectors (numpy replica), for every query id."""
+    different-label vectors (numpy replica), for every query id.
+
+    The injected sf_dir is UNIQUE PER EXAMPLE: q_hard_negative_mining
+    rides the memo-persisted similarity.emb_base frame (round 17), so a
+    constant "unused" key would serve the FIRST labeling's cached
+    vectors to every later hypothesis example; the memo entries built
+    for the synthetic key are evicted afterwards so cached frames don't
+    accumulate across examples."""
+    import uuid
+
     import numpy as np
 
+    import lenses_topology_example_spark.operators.dedup as dmod
     import lenses_topology_example_spark.operators.similarity as smod
     from lenses_topology_example_spark.operators.similarity import (
         N_QUERIES,
@@ -338,10 +348,18 @@ def test_hard_negatives_property_random_labels(spark, sf_dir, labels):
     )
     orig = smod.load_table
     smod.load_table = lambda _s, _d, _t: df
+    token = f"unused-hardneg-{uuid.uuid4().hex}"
     try:
-        out = smod.q_hard_negative_mining(spark, "unused").collect()
+        out = smod.q_hard_negative_mining(spark, token).collect()
     finally:
         smod.load_table = orig
+        with dmod._MATERIALIZED_LOCK:
+            for k in [k for k in dmod._MATERIALIZED if k[1] == token]:
+                try:
+                    dmod._MATERIALIZED[k].unpersist()
+                except Exception:
+                    pass
+                del dmod._MATERIALIZED[k]
 
     vecs = {r[0]: np.asarray(r[1], dtype=np.float64) for r in rows}
     labs = {r[0]: r[2] for r in rows}
