@@ -203,7 +203,12 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     ),
     "doc_chunk": (text.q_doc_chunk, text.SQL_DOC_CHUNK),
     "ngram_novelty": (text.q_ngram_novelty, text.SQL_NGRAM_NOVELTY),
-    "bm25_search": (text.q_bm25_search, text.SQL_BM25_SEARCH),
+    # bound to the memo wrapper (r17 ADVICE): output is IDENTICAL to
+    # q_bm25_search (the memo persists that exact frame), and the
+    # binding makes bm25_search the fourth consumer its docstring
+    # claims — a bench/verify run now reuses the ranking the retrieval
+    # entries already built instead of re-scoring the corpus.
+    "bm25_search": (text.bm25_topk_memo, text.SQL_BM25_SEARCH),
     "cluster_purity": (
         embed_stats.q_cluster_purity,
         embed_stats.SQL_CLUSTER_PURITY,

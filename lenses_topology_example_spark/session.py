@@ -60,6 +60,7 @@ def get_spark(
         # µs-native engines (and the DuckDB oracle) do with ns parquet.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
+    conf = dict(extra_conf or {})
     if driver_memory:
         builder = builder.config("spark.driver.memory", driver_memory)
         # Fixed-size, pre-touched heap: -Xms == -Xmx stops G1 from
@@ -71,13 +72,24 @@ def get_spark(
         # size (at 32g G1 would pick 16m regions and double the
         # humongous-allocation GC triggers). Standard practice for any
         # long-lived throughput JVM; identical reasoning on a cluster
-        # executor.
-        builder = builder.config(
-            "spark.driver.extraJavaOptions",
-            f"-Xms{driver_memory} -XX:+AlwaysPreTouch "
-            "-XX:G1HeapRegionSize=32m",
-        )
-    for k, v in (extra_conf or {}).items():
+        # executor. SPARK_GRAFT_HEAP_PIN=0 disables the pin (r17
+        # ADVICE: -Xms + AlwaysPreTouch commits the full heap at JVM
+        # launch, which fails outright on a host with less free RAM
+        # than driver_memory where an unsized heap degrades
+        # gracefully); caller-supplied extraJavaOptions are APPENDED
+        # after the pin flags (JVM last-wins) instead of replacing
+        # them.
+        if os.environ.get("SPARK_GRAFT_HEAP_PIN", "1") != "0":
+            pin = (
+                f"-Xms{driver_memory} -XX:+AlwaysPreTouch "
+                "-XX:G1HeapRegionSize=32m"
+            )
+            caller = conf.pop("spark.driver.extraJavaOptions", "")
+            builder = builder.config(
+                "spark.driver.extraJavaOptions",
+                f"{pin} {caller}".strip(),
+            )
+    for k, v in conf.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

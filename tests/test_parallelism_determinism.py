@@ -16,6 +16,27 @@ import math
 import pytest
 
 from lenses_topology_example_spark import tables
+from lenses_topology_example_spark.operators import dedup, similarity
+
+
+def _evict_memos(spark, sf_dir):
+    """Drop every session memo for this (app, sf_dir) so each
+    repartitioned run REBUILDS the memoized frames under the injected
+    partitioning (r17 ADVICE: the base run populated pagerank_frac /
+    emb_base / containment_pairs, so later runs consumed the cached
+    frame and the test passed vacuously)."""
+    app_id = spark.sparkContext.applicationId
+    with dedup._MATERIALIZED_LOCK:
+        for k in [
+            k
+            for k in dedup._MATERIALIZED
+            if k[0] == app_id and k[1] == sf_dir
+        ]:
+            try:
+                dedup._MATERIALIZED[k].unpersist()
+            except Exception:
+                pass
+            del dedup._MATERIALIZED[k]
 
 
 def _canon_rows(df):
@@ -41,32 +62,48 @@ def _run_with_parts(spark, sf_dir, module, fn_name, n_parts):
     (partial-aggregation accumulation order downstream of the input),
     and it sidesteps the memo, which would otherwise serve the first
     run's partitioning to every later run."""
+    _evict_memos(spark, sf_dir)
+    patches = []  # (obj, attr, original) to restore
+
+    def _patch(obj, attr, repl):
+        patches.append((obj, attr, getattr(obj, attr)))
+        setattr(obj, attr, repl)
+
     if hasattr(module, "load_table"):
-        orig = module.load_table
 
         def repartitioned(s, d, t):
             df = tables.load_table(s, d, t)
             return df.repartition(n_parts) if n_parts else df
 
-        module.load_table = repartitioned
-        try:
-            return _canon_rows(getattr(module, fn_name)(spark, sf_dir))
-        finally:
-            module.load_table = orig
+        _patch(module, "load_table", repartitioned)
 
-    from lenses_topology_example_spark.operators import similarity
-
-    orig = module.emb_base
+    # emb_base consumers (embed_stats via module attribute, sketches via
+    # a call-time `from .similarity import emb_base`): inject AFTER the
+    # memoized frame — the memo is also evicted above, so both the memo
+    # build and the downstream aggregation see the partitioning lever.
+    orig_emb_base = similarity.emb_base
 
     def repartitioned_base(s, d):
-        df = similarity.emb_base(s, d)
+        df = orig_emb_base(s, d)
         return df.repartition(n_parts) if n_parts else df
 
-    module.emb_base = repartitioned_base
+    _patch(similarity, "emb_base", repartitioned_base)
+    if hasattr(module, "emb_base"):
+        _patch(module, "emb_base", repartitioned_base)
+
+    # _parallel_scan would re-repartition an injected 1-partition frame
+    # back to defaultParallelism (r17 ADVICE) — make it a pass-through
+    # so the 1-partition leg actually runs at 1 partition.
+    _patch(dedup, "_parallel_scan", lambda s, df: df)
+
     try:
         return _canon_rows(getattr(module, fn_name)(spark, sf_dir))
     finally:
-        module.emb_base = orig
+        for obj, attr, orig in reversed(patches):
+            setattr(obj, attr, orig)
+        # memos built under the injected partitioning must not leak
+        # into later runs/tests
+        _evict_memos(spark, sf_dir)
 
 
 # (module path, query fn) — the accumulation-order-sensitive classes:

@@ -51,7 +51,12 @@ def canon(v):
             # double precision — integers >2^53 (fixed r15) but also
             # fractional scale (1.00000000000000001 vs 1.0). The class
             # tag already prevents cross-class equality, so float
-            # comparability is not needed.
+            # comparability is not needed. Zero-sign normalized first
+            # (r17 ADVICE): Decimal('-0').normalize() stringifies as
+            # '-0' and would spuriously mismatch '0'; the float path
+            # treated them equal, so the decimal path must too.
+            if v == 0:
+                v = abs(v)
             return ("dec", str(v.normalize()))
         return ("dec", float(v))
     if isinstance(v, float):
