@@ -2827,6 +2827,8 @@ def q_dedup_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     times) — the same one-materialization contract
     q_dedup_near_capped's index already carries; at production scale
     this is the write-once weighted-index table every pass reads."""
+    from pyspark.sql import Window
+
     toks = _doc_tokens(spark, sf_dir)
     sh = (
         toks.select(
@@ -2835,15 +2837,26 @@ def q_dedup_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "shingle")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    df_tbl = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     n_docs = load_table(spark, sf_dir, "documents").agg(
         F.count(F.lit(1)).cast("long").alias("n")
     )
+    # df as a window count over sh, not a groupBy(shingle) aggregate
+    # joined back (r18, guide §2.4 — the seg-block df-cap lesson): the
+    # sh subplan is un-persisted, so the agg+join form computed the
+    # whole explode + (doc_id, shingle) aggregate TWICE (once per join
+    # side) and paid a further exchange pair for the shingle-keyed
+    # join. df = COUNT(*) OVER (PARTITION BY shingle) on sh is the
+    # identical value (rows of sh per shingle) established with ONE
+    # extra exchange on the single sh pass. Interleaved warm A/B of
+    # the build (n=5, noop): min 1.18 s -> 0.68 s; output
+    # exceptAll-identical both directions (259,105 rows at sf0.1).
     w = _memo_persist(
         spark,
         sf_dir,
         "tfidf_cos_weighted_index",
-        sh.join(df_tbl, "shingle")
+        sh.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+        )
         .filter(F.col("df") <= F.lit(TFIDF_COS_DF_CAP))
         .crossJoin(F.broadcast(n_docs))
         .select(

@@ -885,52 +885,74 @@ def q_embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     Zero driver-side collection — the eigenvector is a DataFrame.
 
     Iteration state is memo-persisted (r16 standing plan-audit gate:
-    the exploded frame fed four consumers and the |dims|-row matvec
-    outputs w1/w2 fed 2-3 each, with ZERO exchange reuse — the plan
-    re-derived the whole two-iteration chain per consumer, embeddings
-    scanned 18x logically / 36 physical scans. Persisting the exploded
-    frame before iterating is the standard Spark iterative-algorithm
-    contract — MLlib persists its input RDD/DataFrame before every
-    power/ALS/k-means loop — and w1/w2 are |dims|-row frames whose
-    cache closes the re-derivation chain.)"""
+    w1/w2 are |dims|-row frames with 2-3 consumers each whose cache
+    closes the re-derivation chain — without it the plan re-derived the
+    whole two-iteration chain per consumer).
+
+    r18 rewrite (guide §2.3/§2.4 — aggregate before you shuffle,
+    remove shuffles outright): the matvec no longer round-trips
+    through an exploded (vec_id, dim, val) table. dot_i = Σ_d E[i,d]
+    is a PER-ROW decimal(38,6) fold over the embedding array (exact
+    decimal addition is order-free, per-element CAST is the identical
+    half-up rounding, so the value is bit-equal to the grouped SUM
+    over exploded rows), which deletes the groupBy(vec_id) exchange
+    AND the e⋈d1 / e⋈d2 vec_id-keyed joins — the dot rides the row
+    into one posexplode straight into the |dims|-keyed aggregate
+    (64 cells, map-side partial collapse). Iteration 2 aligns v1 by
+    zipping the embedding array with the dim-sorted v1 vector
+    (array_sort(collect_list(struct(dim, vv))) — dims are unique, so
+    the sort is total) instead of a dim-keyed join: only the two
+    64-cell dim aggregates shuffle at all. Interleaved warm A/B
+    (n=5, noop): min 1.31 s -> 0.74 s, and the exploded-table memo
+    (640k-row cache) is gone. Output row-identical (collect
+    compared); oracle SQL twin unchanged."""
     from .dedup import _memo_persist
 
     emb = emb_base(spark, sf_dir).select("vec_id", "v")
-    e = _memo_persist(
-        spark,
-        sf_dir,
-        "pca_exploded",
-        emb.select("vec_id", F.posexplode("v").alias("dim", "val")),
-    )
 
     def dsum6(col: F.Column) -> F.Column:
         return F.sum(col.cast("decimal(38,6)")).cast("double")
 
-    d1 = e.groupBy("vec_id").agg(dsum6(F.col("val")).alias("dot"))
+    def fold6(arr: F.Column) -> F.Column:
+        # per-row twin of dsum6-over-exploded-rows: same per-element
+        # decimal(38,6) cast, exact (order-free) decimal accumulation
+        return F.aggregate(
+            arr,
+            F.lit(0).cast("decimal(38,6)"),
+            lambda acc, x: acc + x.cast("decimal(38,6)"),
+        ).cast("double")
+
+    e1 = emb.withColumn("dot", fold6(F.col("v"))).select(
+        "dot", F.posexplode("v").alias("dim", "val")
+    )
     w1 = _memo_persist(
         spark,
         sf_dir,
         "pca_w1",
-        e.join(d1, "vec_id")
-        .groupBy("dim")
-        .agg(dsum6(F.col("val") * F.col("dot")).alias("w")),
+        e1.groupBy("dim").agg(dsum6(F.col("val") * F.col("dot")).alias("w")),
     )
     n1 = w1.agg(F.sqrt(dsum6(F.col("w") * F.col("w"))).alias("nrm"))
     v1 = w1.crossJoin(F.broadcast(n1)).select(
         "dim", (F.col("w") / F.col("nrm")).alias("vv")
     )
-    d2 = (
-        e.join(F.broadcast(v1), "dim")
-        .groupBy("vec_id")
-        .agg(dsum6(F.col("val") * F.col("vv")).alias("dot"))
+    v1_arr = v1.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "vv"))),
+            lambda s: s["vv"],
+        ).alias("vv_arr")
+    )
+    e2 = (
+        emb.crossJoin(F.broadcast(v1_arr))
+        .withColumn(
+            "dot", fold6(F.zip_with("v", "vv_arr", lambda a, b: a * b))
+        )
+        .select("dot", F.posexplode("v").alias("dim", "val"))
     )
     w2 = _memo_persist(
         spark,
         sf_dir,
         "pca_w2",
-        e.join(d2, "vec_id")
-        .groupBy("dim")
-        .agg(dsum6(F.col("val") * F.col("dot")).alias("w")),
+        e2.groupBy("dim").agg(dsum6(F.col("val") * F.col("dot")).alias("w")),
     )
     lam = w2.agg(F.sqrt(dsum6(F.col("w") * F.col("w"))).alias("eigenvalue"))
     sgn = w2.filter(F.col("dim") == 0).select(
