@@ -1001,7 +1001,7 @@ def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         sf_dir,
         "copurchase_edges",
-        basket_pair_support(spark, sf_dir)
+        lambda: basket_pair_support(spark, sf_dir)
         .filter(F.col("support") >= F.lit(TRI_MIN_SUPPORT))
         .select("pa", "pb"),
     )

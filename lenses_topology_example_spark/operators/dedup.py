@@ -23,6 +23,7 @@ Scale design (100 TB):
 from __future__ import annotations
 
 import threading
+from collections.abc import Callable
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
@@ -99,12 +100,26 @@ SQL_TOKS = r"list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '')"
 # a long-lived embedding session (every invocation stacks a new copy);
 # memoization both fixes the leak and lets jaccard/minhash/simhash share
 # one token table. Lock: two threads racing the first call would both
-# persist and leak the loser's copy.
+# persist and leak the loser's copy. RLock, not Lock: a memo build may
+# itself consult other memoized builders (seg_token_sets reads
+# line_segments, shingles reads tokens), so thunk construction inside
+# the critical section re-enters from the same thread.
 _MATERIALIZED: dict[tuple[str, str, str], DataFrame] = {}
-_MATERIALIZED_LOCK = threading.Lock()
+_MATERIALIZED_LOCK = threading.RLock()
 
 
-def _memo_persist(spark: SparkSession, sf_dir: str, key: str, df: DataFrame) -> DataFrame:
+def _memo_persist(
+    spark: SparkSession,
+    sf_dir: str,
+    key: str,
+    df: DataFrame | Callable[[], DataFrame],
+) -> DataFrame:
+    """``df`` is a DataFrame or (preferred) a ZERO-ARG CALLABLE building
+    one. Prefer the callable: PySpark analyzes eagerly, so constructing
+    a memo frame's full build tree costs 47-236 ms of driver-side
+    Catalyst work per call at sf0.1 (measured r18) — paid by EVERY
+    consumer on a memo HIT just to discard the frame. A thunk defers
+    construction to the one call that actually misses."""
     app_id = spark.sparkContext.applicationId
     memo_key = (app_id, sf_dir, key)
     with _MATERIALIZED_LOCK:
@@ -134,7 +149,8 @@ def _memo_persist(spark: SparkSession, sf_dir: str, key: str, df: DataFrame) -> 
                     pass
                 del _MATERIALIZED[k]
         if memo_key not in _MATERIALIZED:
-            _MATERIALIZED[memo_key] = df.persist()
+            frame = df() if callable(df) else df
+            _MATERIALIZED[memo_key] = frame.persist()
         return _MATERIALIZED[memo_key]
 
 
@@ -181,32 +197,32 @@ def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     to storage once and every dedup pass reads them; a memoized persist()
     is the in-session equivalent of that boundary.
     """
-    docs = _parallel_scan(spark, load_table(spark, sf_dir, "documents"))
     # `source` rides along (tiny vs the token arrays) so set-scoped
     # passes (decontamination) reuse this table instead of re-joining
     # documents to recover it — consumers that don't need it prune it.
-    return _memo_persist(
-        spark,
-        sf_dir,
-        "tokens",
-        docs.select("doc_id", "source", tokens_col(F.col("text")).alias("t")),
-    )
+    def build() -> DataFrame:
+        docs = _parallel_scan(spark, load_table(spark, sf_dir, "documents"))
+        return docs.select(
+            "doc_id", "source", tokens_col(F.col("text")).alias("t")
+        )
+
+    return _memo_persist(spark, sf_dir, "tokens", build)
 
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, shingle) inverted-index rows over distinct 3-gram
     shingles, built from the materialized token table."""
-    toks = _doc_tokens(spark, sf_dir)
-    return _memo_persist(
-        spark,
-        sf_dir,
-        "shingles",
-        toks.select(
+    def build() -> DataFrame:
+        toks = _doc_tokens(spark, sf_dir)
+        return toks.select(
             "doc_id",
             "source",
-            F.explode(F.array_distinct(shingles_col(F.col("t")))).alias("shingle"),
-        ),
-    )
+            F.explode(F.array_distinct(shingles_col(F.col("t")))).alias(
+                "shingle"
+            ),
+        )
+
+    return _memo_persist(spark, sf_dir, "shingles", build)
 
 
 # --- n-gram Jaccard near-dup ----------------------------------------------------
@@ -230,30 +246,35 @@ def jaccard_pairs_memo(spark: SparkSession, sf_dir: str) -> DataFrame:
     found the candidates — one shuffle, no second pass over the corpus).
     jaccard = inter / (|A| + |B| - inter): integer counts, one IEEE
     division — deterministic at any parallelism."""
-    s = _doc_shingles(spark, sf_dir)
-    sizes = s.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = s.alias("a")
-    b = s.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")))
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+    def build() -> DataFrame:
+        s = _doc_shingles(spark, sf_dir)
+        sizes = s.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+        a = s.alias("a")
+        b = s.alias("b")
+        inter = (
+            a.join(b, (F.col("a.shingle") == F.col("b.shingle")))
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .groupBy(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .agg(F.count(F.lit(1)).alias("inter"))
         )
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
-    jac = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
-    return _memo_persist(
-        spark,
-        sf_dir,
-        "jaccard_pairs_all",
-        inter.join(na, "doc_a")
-        .join(nb, "doc_b")
-        .withColumn("jaccard", jac)
-        .select("doc_a", "doc_b", "jaccard"),
-    )
+        na = sizes.select(
+            F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")
+        )
+        nb = sizes.select(
+            F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")
+        )
+        jac = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+        return (
+            inter.join(na, "doc_a")
+            .join(nb, "doc_b")
+            .withColumn("jaccard", jac)
+            .select("doc_a", "doc_b", "jaccard")
+        )
+
+    return _memo_persist(spark, sf_dir, "jaccard_pairs_all", build)
 
 
 def q_dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -295,12 +316,13 @@ def _capped_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     both self-join sides of every consumer (capped Jaccard, containment)
     read it, and without the boundary the df-count + semi-join would
     re-execute per consumer (measured 3x at sf0.1)."""
-    s = _doc_shingles(spark, sf_dir)
-    freq = s.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    rare = freq.filter(F.col("df") <= MAX_SHINGLE_DF).select("shingle")
-    return _memo_persist(
-        spark, sf_dir, "shingles_capped", s.join(rare, "shingle", "left_semi")
-    )
+    def build() -> DataFrame:
+        s = _doc_shingles(spark, sf_dir)
+        freq = s.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        rare = freq.filter(F.col("df") <= MAX_SHINGLE_DF).select("shingle")
+        return s.join(rare, "shingle", "left_semi")
+
+    return _memo_persist(spark, sf_dir, "shingles_capped", build)
 
 
 def q_dedup_near_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -398,36 +420,43 @@ def _containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     CONTAINMENT_THRESHOLD, MATERIALIZED — shared by q_dedup_containment
     and the source-level governance views built on top of it
     (q_cross_source_leak, q_source_pagerank)."""
-    s2 = _capped_shingles(spark, sf_dir)
-    sizes = s2.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = s2.alias("a")
-    b = s2.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")))
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
-    pairs = (
-        inter.join(na, "doc_a")
-        .join(nb, "doc_b")
-        # try_divide: long/long must be IEEE double division (matching
-        # DuckDB int/int -> DOUBLE), not Spark integer division
-        .withColumn("c_ab", F.try_divide(F.col("inter"), F.col("n_a")))
-        .withColumn("c_ba", F.try_divide(F.col("inter"), F.col("n_b")))
-        .select(
-            F.expr(
-                "stack(2, doc_a, doc_b, c_ab, doc_b, doc_a, c_ba) "
-                "AS (doc_id, host_id, containment)"
+    def build() -> DataFrame:
+        s2 = _capped_shingles(spark, sf_dir)
+        sizes = s2.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+        a = s2.alias("a")
+        b = s2.alias("b")
+        inter = (
+            a.join(b, (F.col("a.shingle") == F.col("b.shingle")))
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .groupBy(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
             )
+            .agg(F.count(F.lit(1)).alias("inter"))
         )
-        .filter(F.col("containment") >= F.lit(CONTAINMENT_THRESHOLD))
-    )
-    return _memo_persist(spark, sf_dir, "containment_pairs", pairs)
+        na = sizes.select(
+            F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")
+        )
+        nb = sizes.select(
+            F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")
+        )
+        return (
+            inter.join(na, "doc_a")
+            .join(nb, "doc_b")
+            # try_divide: long/long must be IEEE double division (matching
+            # DuckDB int/int -> DOUBLE), not Spark integer division
+            .withColumn("c_ab", F.try_divide(F.col("inter"), F.col("n_a")))
+            .withColumn("c_ba", F.try_divide(F.col("inter"), F.col("n_b")))
+            .select(
+                F.expr(
+                    "stack(2, doc_a, doc_b, c_ab, doc_b, doc_a, c_ba) "
+                    "AS (doc_id, host_id, containment)"
+                )
+            )
+            .filter(F.col("containment") >= F.lit(CONTAINMENT_THRESHOLD))
+        )
+
+    return _memo_persist(spark, sf_dir, "containment_pairs", build)
 
 
 SQL_DEDUP_CONTAINMENT = f"""
@@ -478,12 +507,8 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets on simhash (exact-match buckets here; a production pass also
     bands bit-slices for distance<=k). All integer ops — exact oracle
     parity — and one pass over the materialized token table."""
-    toks = _doc_tokens(spark, sf_dir)
     from ..functions.texthash import md5_hash64
 
-    hashes = F.array_distinct(
-        F.transform(F.col("t"), lambda tk: md5_hash64(tk))
-    )
     hcol = F.col("h")
 
     def bit_vote(j: int) -> Column:
@@ -497,12 +522,18 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sim = F.lit(0)
     for j in range(N_SIMHASH_BITS):
         sim = sim + F.when(bit_vote(j) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
-    hashed = _memo_persist(
-        spark,
-        sf_dir,
-        "token_hashes",
-        toks.select("doc_id", hashes.alias("h")).filter(F.size("h") > 0),
-    )
+
+    def build_hashed() -> DataFrame:
+        hashes = F.array_distinct(
+            F.transform(F.col("t"), lambda tk: md5_hash64(tk))
+        )
+        return (
+            _doc_tokens(spark, sf_dir)
+            .select("doc_id", hashes.alias("h"))
+            .filter(F.size("h") > 0)
+        )
+
+    hashed = _memo_persist(spark, sf_dir, "token_hashes", build_hashed)
     return hashed.select("doc_id", sim.cast("long").alias("simhash"))
 
 
@@ -548,14 +579,6 @@ MINHASH_EST_THRESHOLD = 0.25
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """doc_id -> array<long> MinHash signature over distinct 3-gram
     shingles (docs with <3 tokens carry no signature)."""
-    toks = _doc_tokens(spark, sf_dir)
-    sh = F.array_distinct(shingles_col(F.col("t")))
-    hashes = F.array_distinct(
-        F.transform(sh, lambda s: md5_hash_mod(s))
-    )
-    sig = F.array(
-        *[minhash_component(F.col("h"), a, b) for a, b in MINHASH_AB]
-    )
     # Two materialization boundaries: `h` (so the 8 sig components + the
     # size filter evaluate the md5 pipeline ONCE per row instead of 17x —
     # CollapseProject would inline it) and `sig` (reused by the band
@@ -563,15 +586,23 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is k*8 bytes/doc — at 100 TB scale it is written out once and
     # reused by every dedup pass; the memoized persist is the in-session
     # form.
-    hashed = _memo_persist(
-        spark,
-        sf_dir,
-        "shingle_hashes",
-        toks.select("doc_id", hashes.alias("h")).filter(F.size("h") > 0),
-    )
-    return _memo_persist(
-        spark, sf_dir, "signatures", hashed.select("doc_id", sig.alias("sig"))
-    )
+    def build_hashed() -> DataFrame:
+        sh = F.array_distinct(shingles_col(F.col("t")))
+        hashes = F.array_distinct(F.transform(sh, lambda s: md5_hash_mod(s)))
+        return (
+            _doc_tokens(spark, sf_dir)
+            .select("doc_id", hashes.alias("h"))
+            .filter(F.size("h") > 0)
+        )
+
+    def build_sigs() -> DataFrame:
+        hashed = _memo_persist(spark, sf_dir, "shingle_hashes", build_hashed)
+        sig = F.array(
+            *[minhash_component(F.col("h"), a, b) for a, b in MINHASH_AB]
+        )
+        return hashed.select("doc_id", sig.alias("sig"))
+
+    return _memo_persist(spark, sf_dir, "signatures", build_sigs)
 
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -674,7 +705,7 @@ def neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         sf_dir,
         "neardup_pairs",
-        q_dedup_near_capped(spark, sf_dir).select("doc_a", "doc_b"),
+        lambda: q_dedup_near_capped(spark, sf_dir).select("doc_a", "doc_b"),
     )
 
 
@@ -734,26 +765,28 @@ def q_dedup_cluster_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     One hash join + one partial-agg shuffle of 8-byte doc ids per
     round; after k rounds every node holds the min label within k
     hops."""
-    pairs = neardup_pairs(spark, sf_dir)
     # undirected adjacency + self-loops: the self-loop carries a node's
     # own label through the neighbor-min, replacing a second labels ref
-    adj = _memo_persist(
-        spark,
-        sf_dir,
-        "neardup_adj",
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .unionByName(
+    def build_adj() -> DataFrame:
+        pairs = neardup_pairs(spark, sf_dir)
+        return (
             pairs.select(
-                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+                F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+            )
+            .unionByName(
+                pairs.select(
+                    F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+                )
+            )
+            .unionByName(
+                pairs.select(F.col("doc_a").alias("doc"))
+                .unionByName(pairs.select(F.col("doc_b").alias("doc")))
+                .distinct()
+                .select(F.col("doc").alias("src"), F.col("doc").alias("dst"))
             )
         )
-        .unionByName(
-            pairs.select(F.col("doc_a").alias("doc"))
-            .unionByName(pairs.select(F.col("doc_b").alias("doc")))
-            .distinct()
-            .select(F.col("doc").alias("src"), F.col("doc").alias("dst"))
-        ),
-    )
+
+    adj = _memo_persist(spark, sf_dir, "neardup_adj", build_adj)
     labels = adj.filter(F.col("src") == F.col("dst")).select(
         F.col("src").alias("doc"), F.col("src").alias("label")
     )
@@ -1038,18 +1071,16 @@ def _line_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     sub-document pass reads it instead of re-exploding the corpus; the
     memoized persist() is the in-session form (same contract as the
     token/shingle tables)."""
-    docs = _parallel_scan(spark, load_table(spark, sf_dir, "documents"))
-    return _memo_persist(
-        spark,
-        sf_dir,
-        "line_segments",
-        docs.select(
+    def build() -> DataFrame:
+        docs = _parallel_scan(spark, load_table(spark, sf_dir, "documents"))
+        return docs.select(
             "doc_id",
             F.posexplode(
                 token_segments_col(tokens_col(F.col("text")), LINE_SEG_TOKENS)
             ).alias("pos", "seg"),
-        ),
-    )
+        )
+
+    return _memo_persist(spark, sf_dir, "line_segments", build)
 
 
 def line_keep_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1251,20 +1282,20 @@ def _seg_near_pairs(
             f"{thr_bound}: delete-one blocking would lose pairs"
         )
 
-    segs = _line_segments(spark, sf_dir)
-    w = Window.partitionBy("h").orderBy("doc_id", "pos")
-    ts = F.array_sort(F.array_distinct(F.split(F.col("seg"), " ")))
-    canon = _memo_persist(
-        spark,
-        sf_dir,
-        "seg_token_sets",
-        segs.select(
-            "doc_id", "pos", F.md5(F.col("seg")).alias("h"), ts.alias("ts")
+    def build_canon() -> DataFrame:
+        segs = _line_segments(spark, sf_dir)
+        w = Window.partitionBy("h").orderBy("doc_id", "pos")
+        ts = F.array_sort(F.array_distinct(F.split(F.col("seg"), " ")))
+        return (
+            segs.select(
+                "doc_id", "pos", F.md5(F.col("seg")).alias("h"), ts.alias("ts")
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == F.lit(1))
+            .drop("rn")
         )
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == F.lit(1))
-        .drop("rn"),
-    )
+
+    canon = _memo_persist(spark, sf_dir, "seg_token_sets", build_canon)
     # Block keys: hash of the full sorted set, plus hash of every
     # delete-one subset (ts is distinct, so array_remove(ts, x) is
     # exactly the subset without x). The hash is the repo's PORTABLE
@@ -1274,19 +1305,6 @@ def _seg_near_pairs(
     # happens IDENTICALLY in both engines — the one place an
     # engine-private hash could have changed results rather than just
     # candidates. Still an 8-byte long join key in codegen.
-    _key = lambda ts_col: md5_hash64(F.concat_ws("\x01", ts_col))
-    base = canon.select("doc_id", "pos", "ts")
-    full = base.select(
-        "doc_id", "pos", "ts", _key(F.col("ts")).alias("k")
-    )
-    dels = base.select(
-        "doc_id", "pos", "ts", F.explode(F.col("ts")).alias("x")
-    ).select(
-        "doc_id",
-        "pos",
-        "ts",
-        _key(F.array_remove(F.col("ts"), F.col("x"))).alias("k"),
-    )
     # Memoized (r6 verdict ask #3): the full ∪ delete-one explode feeds
     # THREE consumers in the capped path (the `rare` df-count aggregate
     # and both sides of the a×b self-join) and two in the uncapped one;
@@ -1294,9 +1312,23 @@ def _seg_near_pairs(
     # explode + array_remove + md5 key build re-runs per consumer
     # (driver + two clean-host runs all measured the capped form past
     # its 10 s regression bar; the uncapped twin shares the fix).
-    keys = _memo_persist(
-        spark, sf_dir, "seg_block_keys", full.unionByName(dels)
-    )
+    def build_keys() -> DataFrame:
+        _key = lambda ts_col: md5_hash64(F.concat_ws("\x01", ts_col))
+        base = canon.select("doc_id", "pos", "ts")
+        full = base.select(
+            "doc_id", "pos", "ts", _key(F.col("ts")).alias("k")
+        )
+        dels = base.select(
+            "doc_id", "pos", "ts", F.explode(F.col("ts")).alias("x")
+        ).select(
+            "doc_id",
+            "pos",
+            "ts",
+            _key(F.array_remove(F.col("ts"), F.col("x"))).alias("k"),
+        )
+        return full.unionByName(dels)
+
+    keys = _memo_persist(spark, sf_dir, "seg_block_keys", build_keys)
     if max_key_df is not None:
         # df-cap as a WINDOW count over k, not groupBy+left_semi (r17,
         # guide §2.4: a window partitioned by the join key needs no
@@ -1826,20 +1858,23 @@ def _span_hash_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     CollapseProject blowup pmi_collocations measured). Docs shorter
     than the span width carry an EMPTY array (sequence(1,0) guard, same
     as token_segments_col)."""
-    toks = _doc_tokens(spark, sf_dir).select("doc_id", "t")
-    n_spans = F.size(F.col("t")) - F.lit(NGRAM_SPAN_W - 1)
-    hs = F.when(
-        n_spans >= F.lit(1),
-        F.transform(
-            F.sequence(F.lit(1), n_spans),
-            lambda i: md5_hash64(
-                F.concat_ws(" ", F.slice(F.col("t"), i, F.lit(NGRAM_SPAN_W)))
+    def build() -> DataFrame:
+        toks = _doc_tokens(spark, sf_dir).select("doc_id", "t")
+        n_spans = F.size(F.col("t")) - F.lit(NGRAM_SPAN_W - 1)
+        hs = F.when(
+            n_spans >= F.lit(1),
+            F.transform(
+                F.sequence(F.lit(1), n_spans),
+                lambda i: md5_hash64(
+                    F.concat_ws(
+                        " ", F.slice(F.col("t"), i, F.lit(NGRAM_SPAN_W))
+                    )
+                ),
             ),
-        ),
-    ).otherwise(F.array().cast("array<long>"))
-    return _memo_persist(
-        spark, sf_dir, "span_hashes", toks.select("doc_id", hs.alias("hs"))
-    )
+        ).otherwise(F.array().cast("array<long>"))
+        return toks.select("doc_id", hs.alias("hs"))
+
+    return _memo_persist(spark, sf_dir, "span_hashes", build)
 
 
 def q_dedup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2530,15 +2565,6 @@ def q_source_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     onto the edge table plus one bounded aggregate. At web scale
     (|sources| ~ 10^7 domains) the same plan runs with shuffle joins —
     the iteration structure is unchanged."""
-    edges = (
-        q_cross_source_leak(spark, sf_dir)
-        .filter(F.col("src_from") != F.col("src_to"))
-        .select(
-            F.col("src_from").alias("u"),
-            F.col("src_to").alias("v"),
-            F.col("n_links").alias("w"),
-        )
-    )
     from pyspark.sql import Window as W
 
     # memo-persisted (r17): `frac` feeds every one of the PAGERANK_ITERS
@@ -2547,14 +2573,21 @@ def q_source_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # zero exchange reuse — the r16 standing plan-audit class. The frame
     # is the |sources|²-bounded edge matrix, the write-once graph table
     # any production PageRank iterates over.
-    frac = _memo_persist(
-        spark,
-        sf_dir,
-        "pagerank_frac",
-        edges.withColumn(
+    def build_frac() -> DataFrame:
+        edges = (
+            q_cross_source_leak(spark, sf_dir)
+            .filter(F.col("src_from") != F.col("src_to"))
+            .select(
+                F.col("src_from").alias("u"),
+                F.col("src_to").alias("v"),
+                F.col("n_links").alias("w"),
+            )
+        )
+        return edges.withColumn(
             "frac", F.col("w") / F.sum("w").over(W.partitionBy("u"))
-        ),
-    )
+        )
+
+    frac = _memo_persist(spark, sf_dir, "pagerank_frac", build_frac)
     nodes = (
         load_table(spark, sf_dir, "documents")
         .select(F.col("source").alias("src"))
@@ -2829,17 +2862,6 @@ def q_dedup_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     this is the write-once weighted-index table every pass reads."""
     from pyspark.sql import Window
 
-    toks = _doc_tokens(spark, sf_dir)
-    sh = (
-        toks.select(
-            "doc_id", F.explode(shingles_col(F.col("t"))).alias("shingle")
-        )
-        .groupBy("doc_id", "shingle")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    n_docs = load_table(spark, sf_dir, "documents").agg(
-        F.count(F.lit(1)).cast("long").alias("n")
-    )
     # df as a window count over sh, not a groupBy(shingle) aggregate
     # joined back (r18, guide §2.4 — the seg-block df-cap lesson): the
     # sh subplan is un-persisted, so the agg+join form computed the
@@ -2850,25 +2872,36 @@ def q_dedup_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # extra exchange on the single sh pass. Interleaved warm A/B of
     # the build (n=5, noop): min 1.18 s -> 0.68 s; output
     # exceptAll-identical both directions (259,105 rows at sf0.1).
-    w = _memo_persist(
-        spark,
-        sf_dir,
-        "tfidf_cos_weighted_index",
-        sh.withColumn(
-            "df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+    def build_w() -> DataFrame:
+        toks = _doc_tokens(spark, sf_dir)
+        sh = (
+            toks.select(
+                "doc_id", F.explode(shingles_col(F.col("t"))).alias("shingle")
+            )
+            .groupBy("doc_id", "shingle")
+            .agg(F.count(F.lit(1)).alias("tf"))
         )
-        .filter(F.col("df") <= F.lit(TFIDF_COS_DF_CAP))
-        .crossJoin(F.broadcast(n_docs))
-        .select(
-            "doc_id",
-            "shingle",
-            F.round(
-                F.col("tf")
-                * F.log(F.col("n").cast("double") / F.col("df")),
-                4,
-            ).alias("w"),
-        ),
-    )
+        n_docs = load_table(spark, sf_dir, "documents").agg(
+            F.count(F.lit(1)).cast("long").alias("n")
+        )
+        return (
+            sh.withColumn(
+                "df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+            )
+            .filter(F.col("df") <= F.lit(TFIDF_COS_DF_CAP))
+            .crossJoin(F.broadcast(n_docs))
+            .select(
+                "doc_id",
+                "shingle",
+                F.round(
+                    F.col("tf")
+                    * F.log(F.col("n").cast("double") / F.col("df")),
+                    4,
+                ).alias("w"),
+            )
+        )
+
+    w = _memo_persist(spark, sf_dir, "tfidf_cos_weighted_index", build_w)
     norms = w.groupBy("doc_id").agg(
         F.sum((F.col("w") * F.col("w")).cast("decimal(38,8)"))
         .cast("double")

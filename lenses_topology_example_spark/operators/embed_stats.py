@@ -922,38 +922,38 @@ def q_embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x.cast("decimal(38,6)"),
         ).cast("double")
 
-    e1 = emb.withColumn("dot", fold6(F.col("v"))).select(
-        "dot", F.posexplode("v").alias("dim", "val")
-    )
-    w1 = _memo_persist(
-        spark,
-        sf_dir,
-        "pca_w1",
-        e1.groupBy("dim").agg(dsum6(F.col("val") * F.col("dot")).alias("w")),
-    )
-    n1 = w1.agg(F.sqrt(dsum6(F.col("w") * F.col("w"))).alias("nrm"))
-    v1 = w1.crossJoin(F.broadcast(n1)).select(
-        "dim", (F.col("w") / F.col("nrm")).alias("vv")
-    )
-    v1_arr = v1.agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("dim", "vv"))),
-            lambda s: s["vv"],
-        ).alias("vv_arr")
-    )
-    e2 = (
-        emb.crossJoin(F.broadcast(v1_arr))
-        .withColumn(
-            "dot", fold6(F.zip_with("v", "vv_arr", lambda a, b: a * b))
+    def build_w1() -> DataFrame:
+        e1 = emb.withColumn("dot", fold6(F.col("v"))).select(
+            "dot", F.posexplode("v").alias("dim", "val")
         )
-        .select("dot", F.posexplode("v").alias("dim", "val"))
-    )
-    w2 = _memo_persist(
-        spark,
-        sf_dir,
-        "pca_w2",
-        e2.groupBy("dim").agg(dsum6(F.col("val") * F.col("dot")).alias("w")),
-    )
+        return e1.groupBy("dim").agg(
+            dsum6(F.col("val") * F.col("dot")).alias("w")
+        )
+
+    def build_w2() -> DataFrame:
+        w1 = _memo_persist(spark, sf_dir, "pca_w1", build_w1)
+        n1 = w1.agg(F.sqrt(dsum6(F.col("w") * F.col("w"))).alias("nrm"))
+        v1 = w1.crossJoin(F.broadcast(n1)).select(
+            "dim", (F.col("w") / F.col("nrm")).alias("vv")
+        )
+        v1_arr = v1.agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "vv"))),
+                lambda s: s["vv"],
+            ).alias("vv_arr")
+        )
+        e2 = (
+            emb.crossJoin(F.broadcast(v1_arr))
+            .withColumn(
+                "dot", fold6(F.zip_with("v", "vv_arr", lambda a, b: a * b))
+            )
+            .select("dot", F.posexplode("v").alias("dim", "val"))
+        )
+        return e2.groupBy("dim").agg(
+            dsum6(F.col("val") * F.col("dot")).alias("w")
+        )
+
+    w2 = _memo_persist(spark, sf_dir, "pca_w2", build_w2)
     lam = w2.agg(F.sqrt(dsum6(F.col("w") * F.col("w"))).alias("eigenvalue"))
     sgn = w2.filter(F.col("dim") == 0).select(
         F.when(F.col("w") >= 0, F.lit(1.0)).otherwise(F.lit(-1.0)).alias("s")

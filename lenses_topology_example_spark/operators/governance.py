@@ -75,7 +75,7 @@ def q_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         sf_dir,
         "audit_lineitem_proj",
-        load_table(spark, sf_dir, "lineitem").select(
+        lambda: load_table(spark, sf_dir, "lineitem").select(
             "l_orderkey",
             "l_discount",
             "l_quantity",
@@ -87,7 +87,7 @@ def q_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         sf_dir,
         "audit_orders_proj",
-        load_table(spark, sf_dir, "orders").select(
+        lambda: load_table(spark, sf_dir, "orders").select(
             "o_orderkey",
             "o_custkey",
             "o_orderstatus",

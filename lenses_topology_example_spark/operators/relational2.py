@@ -884,7 +884,7 @@ def order_part_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         sf_dir,
         "order_part_distinct",
-        load_table(spark, sf_dir, "lineitem")
+        lambda: load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct(),
     )
@@ -906,22 +906,24 @@ def basket_pair_support(spark: SparkSession, sf_dir: str) -> DataFrame:
     materializes before fanning out to recommenders and graph reports."""
     from .dedup import _memo_persist
 
-    floor = min(BASKET_MIN_SUPPORT, TRI_MIN_SUPPORT)
-    li = order_part_distinct(spark, sf_dir)
-    a = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa")
-    )
-    b = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb")
-    )
-    pairs = (
-        a.join(b, "ok")
-        .filter(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).cast("long").alias("support"))
-        .filter(F.col("support") >= F.lit(floor))
-    )
-    return _memo_persist(spark, sf_dir, "basket_pair_support", pairs)
+    def build() -> DataFrame:
+        floor = min(BASKET_MIN_SUPPORT, TRI_MIN_SUPPORT)
+        li = order_part_distinct(spark, sf_dir)
+        a = li.select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa")
+        )
+        b = li.select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb")
+        )
+        return (
+            a.join(b, "ok")
+            .filter(F.col("pa") < F.col("pb"))
+            .groupBy("pa", "pb")
+            .agg(F.count(F.lit(1)).cast("long").alias("support"))
+            .filter(F.col("support") >= F.lit(floor))
+        )
+
+    return _memo_persist(spark, sf_dir, "basket_pair_support", build)
 
 
 def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -68,37 +68,41 @@ def sem_topk_memo(spark: SparkSession, sf_dir: str) -> DataFrame:
     table of the bm25_topk_memo contract, semantic side."""
     from .dedup import _memo_persist
 
-    emb = emb_base(spark, sf_dir).select(
-        "vec_id", "v", F.col("norm").alias("nrm")
-    ).filter(F.col("nrm") > F.lit(0.0))
-    qmap = spark.createDataFrame(
-        list(HYBRID_QUERY_VECS), "query_id string, qvec_id long"
-    )
-    qvec = qmap.join(
-        emb.select(
-            F.col("vec_id").alias("qvec_id"),
-            F.col("v").alias("qv"),
-            F.col("nrm").alias("qnrm"),
-        ),
-        "qvec_id",
-    ).select("query_id", "qv", "qnrm")
-    wsem = W.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("doc_id").asc()
-    )
-    ranked = (
-        emb.crossJoin(F.broadcast(qvec))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("doc_id"),
-            cosine_prenorm(
-                F.col("qv"), F.col("v"), F.col("qnrm"), F.col("nrm")
-            ).alias("cos_sim"),
+    def build() -> DataFrame:
+        emb = (
+            emb_base(spark, sf_dir)
+            .select("vec_id", "v", F.col("norm").alias("nrm"))
+            .filter(F.col("nrm") > F.lit(0.0))
         )
-        .withColumn("rn", F.row_number().over(wsem))
-        .filter(F.col("rn") <= F.lit(BM25_TOP_K))
-        .select("query_id", "doc_id", F.col("rn").alias("rank"))
-    )
-    return _memo_persist(spark, sf_dir, "sem_topk", ranked)
+        qmap = spark.createDataFrame(
+            list(HYBRID_QUERY_VECS), "query_id string, qvec_id long"
+        )
+        qvec = qmap.join(
+            emb.select(
+                F.col("vec_id").alias("qvec_id"),
+                F.col("v").alias("qv"),
+                F.col("nrm").alias("qnrm"),
+            ),
+            "qvec_id",
+        ).select("query_id", "qv", "qnrm")
+        wsem = W.partitionBy("query_id").orderBy(
+            F.col("cos_sim").desc(), F.col("doc_id").asc()
+        )
+        return (
+            emb.crossJoin(F.broadcast(qvec))
+            .select(
+                "query_id",
+                F.col("vec_id").alias("doc_id"),
+                cosine_prenorm(
+                    F.col("qv"), F.col("v"), F.col("qnrm"), F.col("nrm")
+                ).alias("cos_sim"),
+            )
+            .withColumn("rn", F.row_number().over(wsem))
+            .filter(F.col("rn") <= F.lit(BM25_TOP_K))
+            .select("query_id", "doc_id", F.col("rn").alias("rank"))
+        )
+
+    return _memo_persist(spark, sf_dir, "sem_topk", build)
 
 
 def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -467,23 +471,6 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the same IEEE sequence the oracle's unrolled CTEs evaluate;
     argmax ties break to the lowest doc_id on both engines; scores
     stay raw pass-through doubles."""
-    emb = emb_base(spark, sf_dir).select(
-        "vec_id", "v", F.col("norm").alias("nrm")
-    ).filter(F.col("nrm") > F.lit(0.0))
-    qmap = spark.createDataFrame(
-        list(HYBRID_QUERY_VECS), "query_id string, qvec_id long"
-    )
-    qvec = qmap.join(
-        emb.select(
-            F.col("vec_id").alias("qvec_id"),
-            F.col("v").alias("qv"),
-            F.col("nrm").alias("qnrm"),
-        ),
-        "qvec_id",
-    ).select("query_id", "qv", "qnrm")
-    wsem = W.partitionBy("query_id").orderBy(
-        F.col("rel").desc(), F.col("doc_id").asc()
-    )
     # the candidate pool is memo-persisted (r16 standing plan-audit
     # gate: the full-corpus broadcast-scoring pass + WindowGroupLimit
     # ran TWICE — once per self-join side of `edges` — with zero
@@ -492,24 +479,43 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pairwise stage reads.
     from .dedup import _memo_persist
 
-    cands = _memo_persist(
-        spark,
-        sf_dir,
-        "mmr_cands",
-        emb.crossJoin(F.broadcast(qvec))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("doc_id"),
-            F.col("v").alias("dv"),
-            F.col("nrm").alias("dnrm"),
-            cosine_prenorm(
-                F.col("qv"), F.col("v"), F.col("qnrm"), F.col("nrm")
-            ).alias("rel"),
+    def build_cands() -> DataFrame:
+        emb = (
+            emb_base(spark, sf_dir)
+            .select("vec_id", "v", F.col("norm").alias("nrm"))
+            .filter(F.col("nrm") > F.lit(0.0))
         )
-        .withColumn("crn", F.row_number().over(wsem))
-        .filter(F.col("crn") <= F.lit(MMR_CANDIDATES))
-        .select("query_id", "doc_id", "dv", "dnrm", "rel"),
-    )
+        qmap = spark.createDataFrame(
+            list(HYBRID_QUERY_VECS), "query_id string, qvec_id long"
+        )
+        qvec = qmap.join(
+            emb.select(
+                F.col("vec_id").alias("qvec_id"),
+                F.col("v").alias("qv"),
+                F.col("nrm").alias("qnrm"),
+            ),
+            "qvec_id",
+        ).select("query_id", "qv", "qnrm")
+        wsem = W.partitionBy("query_id").orderBy(
+            F.col("rel").desc(), F.col("doc_id").asc()
+        )
+        return (
+            emb.crossJoin(F.broadcast(qvec))
+            .select(
+                "query_id",
+                F.col("vec_id").alias("doc_id"),
+                F.col("v").alias("dv"),
+                F.col("nrm").alias("dnrm"),
+                cosine_prenorm(
+                    F.col("qv"), F.col("v"), F.col("qnrm"), F.col("nrm")
+                ).alias("rel"),
+            )
+            .withColumn("crn", F.row_number().over(wsem))
+            .filter(F.col("crn") <= F.lit(MMR_CANDIDATES))
+            .select("query_id", "doc_id", "dv", "dnrm", "rel")
+        )
+
+    cands = _memo_persist(spark, sf_dir, "mmr_cands", build_cands)
     # pairwise sims inside the pool (|Q|·C² rows, bounded), JVM folds.
     # Self-pairs stay IN: they carry each candidate's rel into the
     # grouped map even when a query's pool has a single member (a

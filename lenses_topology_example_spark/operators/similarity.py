@@ -99,13 +99,15 @@ def emb_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from .dedup import _memo_persist, _parallel_scan
 
-    emb = _parallel_scan(spark, load_table(spark, sf_dir, "embeddings"))
-    base = emb.select(
-        "vec_id",
-        as_double(F.col("embedding")).alias("v"),
-        "label",
-    ).withColumn("norm", F.sqrt(dot(F.col("v"), F.col("v"))))
-    return _memo_persist(spark, sf_dir, "emb_base", base)
+    def build() -> DataFrame:
+        emb = _parallel_scan(spark, load_table(spark, sf_dir, "embeddings"))
+        return emb.select(
+            "vec_id",
+            as_double(F.col("embedding")).alias("v"),
+            "label",
+        ).withColumn("norm", F.sqrt(dot(F.col("v"), F.col("v"))))
+
+    return _memo_persist(spark, sf_dir, "emb_base", build)
 
 
 # DuckDB twin of dot(): explicit left-fold, NOT list_dot_product (whose
@@ -731,7 +733,9 @@ def q_embed_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark,
             sf_dir,
             "embed_neardup_pairs",
-            q_embed_neardup_catalog(spark, sf_dir).select("vec_a", "vec_b"),
+            lambda: q_embed_neardup_catalog(spark, sf_dir).select(
+                "vec_a", "vec_b"
+            ),
         )
         labels = _memo_persist(
             spark,
@@ -791,7 +795,7 @@ def sim_topk_memo(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         sf_dir,
         "sim_topk_truth",
-        q_sim_topk(spark, sf_dir).select("query_id", "neighbor_id"),
+        lambda: q_sim_topk(spark, sf_dir).select("query_id", "neighbor_id"),
     )
 
 
@@ -927,15 +931,13 @@ def q_embed_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     the established prenormalized fold (identical IEEE chain both
     engines), compared against exact decimal literals."""
     from .dedup import _memo_persist
-    emb = emb_base(spark, sf_dir).select("vec_id", "v", "norm")
-    bucketed = emb.withColumn("bucket", _bucket_col(F.col("v")))
-    a = bucketed.alias("a")
-    b = bucketed.alias("b")
-    pairs = _memo_persist(
-        spark,
-        sf_dir,
-        "embed_sweep_pairs",
-        a.join(
+
+    def build_pairs() -> DataFrame:
+        emb = emb_base(spark, sf_dir).select("vec_id", "v", "norm")
+        bucketed = emb.withColumn("bucket", _bucket_col(F.col("v")))
+        a = bucketed.alias("a")
+        b = bucketed.alias("b")
+        return a.join(
             b,
             (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
@@ -945,8 +947,9 @@ def q_embed_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             cosine_prenorm(
                 F.col("a.v"), F.col("b.v"), F.col("a.norm"), F.col("b.norm")
             ).alias("cos_sim"),
-        ),
-    )
+        )
+
+    pairs = _memo_persist(spark, sf_dir, "embed_sweep_pairs", build_pairs)
     # coalesce each conditional sum to 0: on an EMPTY corpus (or an
     # empty bucket-pair frame) SUM is NULL, and the sweep must report
     # 0 pairs/docs/removals like the oracle's COUNT subqueries do
@@ -1436,50 +1439,50 @@ def q_mrl_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .dedup import _memo_persist
 
-    emb = emb_base(spark, sf_dir).select("vec_id", "v")
-    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
-    )
-    pairs = emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+    def build_topk() -> DataFrame:
+        emb = emb_base(spark, sf_dir).select("vec_id", "v")
+        q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        )
+        pairs = emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
 
-    def cos_d(d: int | None):
-        a = F.col("qv") if d is None else F.slice(F.col("qv"), 1, d)
-        b = F.col("v") if d is None else F.slice(F.col("v"), 1, d)
-        return F.try_divide(
-            dot(a, b), F.sqrt(dot(a, a)) * F.sqrt(dot(b, b))
+        def cos_d(d: int | None):
+            a = F.col("qv") if d is None else F.slice(F.col("qv"), 1, d)
+            b = F.col("v") if d is None else F.slice(F.col("v"), 1, d)
+            return F.try_divide(
+                dot(a, b), F.sqrt(dot(a, a)) * F.sqrt(dot(b, b))
+            )
+
+        scored = pairs.select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit(_MRL_FULL).alias("dim"), cos_d(None).alias("cos")
+                    ),
+                    *[
+                        F.struct(F.lit(d).alias("dim"), cos_d(d).alias("cos"))
+                        for d in MRL_DIMS
+                    ],
+                )
+            ).alias("s"),
+        ).select(
+            "query_id",
+            "neighbor_id",
+            F.col("s.dim").alias("dim"),
+            F.col("s.cos").alias("cos"),
+        )
+        w = W.partitionBy("query_id", "dim").orderBy(
+            F.col("cos").desc(), F.col("neighbor_id").asc()
+        )
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= TOP_K)
+            .select("query_id", "neighbor_id", "dim")
         )
 
-    scored = pairs.select(
-        "query_id",
-        F.col("vec_id").alias("neighbor_id"),
-        F.explode(
-            F.array(
-                F.struct(
-                    F.lit(_MRL_FULL).alias("dim"), cos_d(None).alias("cos")
-                ),
-                *[
-                    F.struct(F.lit(d).alias("dim"), cos_d(d).alias("cos"))
-                    for d in MRL_DIMS
-                ],
-            )
-        ).alias("s"),
-    ).select(
-        "query_id",
-        "neighbor_id",
-        F.col("s.dim").alias("dim"),
-        F.col("s.cos").alias("cos"),
-    )
-    w = W.partitionBy("query_id", "dim").orderBy(
-        F.col("cos").desc(), F.col("neighbor_id").asc()
-    )
-    topk = _memo_persist(
-        spark,
-        sf_dir,
-        "mrl_topk",
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= TOP_K)
-        .select("query_id", "neighbor_id", "dim"),
-    )
+    topk = _memo_persist(spark, sf_dir, "mrl_topk", build_topk)
     truth = topk.filter(F.col("dim") == _MRL_FULL).select(
         "query_id", "neighbor_id"
     )

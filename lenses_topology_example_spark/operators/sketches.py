@@ -963,7 +963,7 @@ def events_nonnull_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         sf_dir,
         "events_nonnull_values",
-        load_table(spark, sf_dir, "events")
+        lambda: load_table(spark, sf_dir, "events")
         .select("event_type", "event_id", "value")
         .filter(F.col("value").isNotNull()),
     )

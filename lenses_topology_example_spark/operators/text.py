@@ -2204,7 +2204,7 @@ def bm25_topk_memo(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import _memo_persist
 
     return _memo_persist(
-        spark, sf_dir, "bm25_topk", q_bm25_search(spark, sf_dir)
+        spark, sf_dir, "bm25_topk", lambda: q_bm25_search(spark, sf_dir)
     )
 
 
