@@ -1635,11 +1635,24 @@ def q_jl_projection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = a.join(F.broadcast(b), "id_a").select(
         "id_a", F.zip_with("va", "vb", lambda x, y: x - y).alias("d")
     )
-    proj_sq = None
-    for j in range(JL_K):
-        signs = F.array(*[F.lit(float(s)) for s in JL_SIGNS[j]])
-        pj = dot(F.col("d"), signs)
-        proj_sq = pj * pj if proj_sq is None else proj_sq + pj * pj
+    # ONE F.expr for the whole 16-fold projection, not JL_K x 64 F.lit
+    # calls plus JL_K aggregate/zip_with lambda constructions: the
+    # Column-API form cost ~1.3 s of py4j roundtrips per build at r18
+    # (the entry's whole driver-side construction); the SQL text parses
+    # to the IDENTICAL expression tree in one call — `1.0D` is the same
+    # DoubleType literal, `aggregate(zip_with(...), 0.0D, ...)` the same
+    # left-fold dot() compiles to (oracle MATCH at sf0.01 + sf0.1), and
+    # the `+` chain is left-associated exactly like the Python loop was.
+    def pj_sql(j: int) -> str:
+        arr = "array(" + ", ".join(f"{float(s)}D" for s in JL_SIGNS[j]) + ")"
+        return (
+            f"aggregate(zip_with(d, {arr}, (x, y) -> x * y), "
+            "0.0D, (acc, x) -> acc + x)"
+        )
+
+    proj_sq = F.expr(
+        " + ".join(f"({pj_sql(j)} * {pj_sql(j)})" for j in range(JL_K))
+    )
     scored = pairs.select(
         "id_a",
         dot(F.col("d"), F.col("d")).alias("d2"),
