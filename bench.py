@@ -508,6 +508,29 @@ def _read_load1() -> float:
         return -1.0
 
 
+def _steal_pct(interval: float = 1.0) -> float:
+    """1-second hypervisor steal-time sample (r18): this sandbox is a
+    VM whose 'stall phases' are CPU steal by neighbors (measured 3%+
+    at an idle prompt, with multi-second per-task stalls mid-phase) —
+    invisible to loadavg, so the load gate alone cannot certify a
+    quiet sample. Recorded in the gate dict purely as adjudication
+    evidence; it does not gate (steal can start mid-run anyway)."""
+
+    def read() -> tuple[int, int]:
+        try:
+            with open("/proc/stat") as f:
+                vals = [int(x) for x in f.readline().split()[1:]]
+            return sum(vals), vals[7] if len(vals) > 7 else 0
+        except (OSError, ValueError, IndexError):
+            return 0, 0
+
+    t0, s0 = read()
+    time.sleep(interval)
+    t1, s1 = read()
+    dt = t1 - t0
+    return round(100.0 * (s1 - s0) / dt, 2) if dt > 0 else -1.0
+
+
 def _load_gate() -> dict:
     """Quiet-sample-by-construction (r12 VERDICT ask #5): the committed
     bench record was repeatedly a noisy sample (BENCH_r12 293 s vs the
@@ -534,6 +557,7 @@ def _load_gate() -> dict:
         "load_at_start": final,
         "waited_sec": waited,
         "quiet": bool(thr <= 0 or (0 <= final <= thr)),
+        "steal_pct_at_start": _steal_pct(),
     }
     print(json.dumps({"metric": "load_gate", **gate}), flush=True)
     return gate
@@ -639,6 +663,7 @@ def main() -> None:
     # ask #2). The LAST line below is bounded (top-10 slowest only) and
     # always fits.
     tier = "core" if core else "full"
+    gate["steal_pct_at_end"] = _steal_pct()
     full = {
         "metric": "suite_seconds_full_map",
         "value": total,
