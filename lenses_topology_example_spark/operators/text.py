@@ -101,7 +101,14 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     language's marker list, predict argmax (deterministic tie order).
     A real deployment swaps the marker lists for character-n-gram
     profiles; the dataflow (per-doc map, no shuffle) is identical."""
-    docs = load_table(spark, sf_dir, "documents")
+    from .dedup import _parallel_scan
+
+    # parallel-guarded (r18, measured on the 100x doc slice): the four
+    # per-row language-score folds are heavy map work, and the slice
+    # ships as ONE file with 5 row groups, so the scan capped at 5
+    # tasks — 31-33 s at c32 with a c8/c32 ratio of ~1 (serial), vs
+    # guarded parallel scoring. A no-op on any multi-split scan.
+    docs = _parallel_scan(spark, load_table(spark, sf_dir, "documents"))
     sc = lang_scores(F.col("text"))
     best = pred_lang_col(F.col("text"))
     return docs.select(
@@ -520,9 +527,16 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     break by term ascending."""
     from pyspark.sql import Window as W
 
+    from .dedup import _parallel_scan
+
     docs = load_table(spark, sf_dir, "documents")
+    # parallel-guarded tokenize+explode (r18, measured on the 100x doc
+    # slice: the map stage capped at the slice's 5 row groups — 36-57 s
+    # at c32, c8/c32 ~1). The 1-row N aggregate keeps the plain scan
+    # (counting rows needs no spread).
     td = (
-        docs.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("term"))
+        _parallel_scan(spark, docs)
+        .select("doc_id", F.explode(tokens_col(F.col("text"))).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
